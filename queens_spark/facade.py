@@ -1,0 +1,156 @@
+"""Public Python API: ingest, stage, query, reports.
+
+Mirrors the reference facade (queens/facade.py) and the API read path
+(queens/api/app.py:42-185): validation → forced table_name predicate →
+filter compilation → Catalyst-planned scan → service/all-null column
+pruning → optional ordered limit + keyset cursor.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from queens_spark.core.errors import UnknownColumnError
+from queens_spark.core.filters import build_filter_expr
+from queens_spark.core.schema import SCHEMAS, CollectionSchema
+from queens_spark.settings import (
+    DEFAULT_LIMIT,
+    DEFAULT_WAREHOUSE,
+    MAX_LIMIT,
+    ROW_UID,
+    SERVICE_COLUMNS,
+)
+from queens_spark.store.warehouse import Warehouse
+
+
+def drop_all_null_columns(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Prune columns that are entirely null (P7, queens/api/app.py:180)
+    with ONE aggregation pass, then a narrowed select."""
+    counts = df.agg(
+        *[F.count(F.col(c)).alias(c) for c in df.columns]
+    ).collect()[0].asDict()
+    survivors = [c for c in df.columns if counts[c] > 0 or c in keep]
+    return df.select(*survivors)
+
+
+class Engine:
+    """One engine instance per warehouse; schemas are pluggable."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_root: str = DEFAULT_WAREHOUSE,
+        schemas: Mapping[str, CollectionSchema] | None = None,
+    ):
+        self.spark = spark
+        self.warehouse = Warehouse(spark, warehouse_root)
+        self.schemas = dict(schemas or SCHEMAS)
+
+    # ------------------------------------------------------------ write
+
+    def schema_for(self, collection: str) -> CollectionSchema:
+        if collection not in self.schemas:
+            raise UnknownColumnError(f"unknown data collection '{collection}'")
+        return self.schemas[collection]
+
+    def ingest(self, df: DataFrame, collection: str, table_name: str, **kw) -> int:
+        return self.warehouse.ingest_frame(
+            df, self.schema_for(collection), table_name, **kw
+        )
+
+    def stage(self, collection: str, as_of=None) -> list[str]:
+        return self.warehouse.stage(self.schema_for(collection), as_of)
+
+    # ------------------------------------------------------------- read
+
+    def query(
+        self,
+        collection: str,
+        table_name: str,
+        filters: Mapping[str, Any] | None = None,
+        limit: int | None = None,
+        cursor: int | None = None,
+        prune_null_columns: bool = True,
+    ) -> DataFrame:
+        """The §3.1/§3.2 read path.
+
+        - ``filters`` is the JSON filter DSL;
+        - ``table_name`` equality is always force-injected (P5) and,
+          because prod is partitioned by table_name, prunes the scan to
+          one partition;
+        - ``limit``/``cursor`` give keyset pagination over the persisted
+          ``row_uid`` (O1/O2): the cursor predicate is pushed into the
+          parquet scan, so page N never rescans pages 1..N-1.
+        """
+        schema = self.schema_for(collection)
+        queryable = self.warehouse.queryable_columns(collection, table_name)
+        if not queryable:
+            raise UnknownColumnError(
+                f"table '{table_name}' is not staged for '{collection}'"
+            )
+        expr = build_filter_expr(
+            filters, schema, queryable, forced={"table_name": table_name}
+        )
+        df = self.warehouse.read_prod(collection).where(expr)
+        if cursor is not None:
+            df = df.where(F.col(ROW_UID) > int(cursor))
+        if limit is not None:
+            df = df.orderBy(ROW_UID).limit(min(int(limit), MAX_LIMIT))
+        df = df.drop(*[c for c in SERVICE_COLUMNS if c in df.columns])
+        if prune_null_columns:
+            df = drop_all_null_columns(df, keep=("table_name", ROW_UID))
+        return df
+
+    def query_page(
+        self,
+        collection: str,
+        table_name: str,
+        filters: Mapping[str, Any] | None = None,
+        limit: int = DEFAULT_LIMIT,
+        cursor: int | None = None,
+    ) -> tuple[list[dict], int | None]:
+        """API-shaped page fetch: records + next_cursor (None on the
+        last page — the optimistic full-page check of
+        queens/api/app.py:161-168)."""
+        limit = min(int(limit), MAX_LIMIT)
+        df = self.query(
+            collection, table_name, filters, limit=limit, cursor=cursor,
+            prune_null_columns=False,
+        )
+        rows = [r.asDict() for r in df.collect()]
+        next_cursor = rows[-1][ROW_UID] if len(rows) == limit else None
+        cleaned = []
+        for r in rows:
+            cleaned.append({k: v for k, v in r.items() if v is not None or k == ROW_UID})
+        return cleaned, next_cursor
+
+    # ---------------------------------------------------------- reports
+
+    def get_metadata(self, collection: str, table_name: str | None = None) -> DataFrame:
+        meta = self.warehouse.read_metadata(collection)
+        if table_name:
+            meta = meta.where(F.col("table_name") == table_name)
+        return meta
+
+    def get_versions(self, collection: str, table_name: str | None = None) -> DataFrame:
+        """Ingest history, latest first (queens/etl/process.py:360-390)."""
+        log = self.warehouse.read_log(collection)
+        if table_name:
+            log = log.where(F.col("table_name") == table_name)
+        return log.orderBy(F.asc("table_name"), F.desc("ingest_ts"))
+
+    def get_data_info(self, collection: str) -> DataFrame:
+        """Per-table year span + row count over prod (A3,
+        queens/etl/process.py:328-332)."""
+        prod = self.warehouse.read_prod(collection)
+        return (
+            prod.groupBy("table_name")
+            .agg(
+                F.min("year").alias("min_year"),
+                F.max("year").alias("max_year"),
+                F.count("year").alias("n_rows"),
+            )
+            .orderBy("table_name")
+        )

@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]``; the same settings are the ones we
+would ship to a real cluster (AQE, skew-join handling, partition-size
+targets). Nothing here is local-mode-specific except the master URL,
+which is taken from the environment so a cluster deployment overrides
+it without code changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for scale: AQE re-plans at runtime (coalesces tiny
+# shuffle partitions, splits skewed ones, converts sort-merge joins to
+# broadcast when the built side turns out small); 128 MiB scan
+# partitions keep task counts proportional to data volume.
+_BASE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Partitioned-parquet writes from staging overwrite only the
+    # partitions present in the incoming frame.
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Logical-table names like "1.1" must stay strings when read back
+    # from partition directories, not be inferred as doubles.
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+}
+
+
+def get_spark(app_name: str = "queens_spark", **overrides: str) -> SparkSession:
+    """Return (or create) the singleton SparkSession.
+
+    Master resolution order: explicit ``overrides['spark.master']``,
+    ``$SPARK_GRAFT_MASTER``, then ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_BASE_CONF)
+    conf.update(overrides)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,296 @@
+"""Parquet-backed warehouse: versioned ingest, snapshot staging, metadata.
+
+Layout (under one warehouse root):
+
+    raw/{collection}/        append-only fact data, partitioned by
+                             table_name (partition pruning for the
+                             mandatory per-query table_name predicate)
+    prod/{collection}/       staged snapshot, partitioned by table_name,
+                             with a persisted monotone ``row_uid`` per
+                             partition for cursor pagination
+    system/{collection}/ingest_log/   version store (append-only)
+    system/{collection}/metadata/     per-table column catalog
+
+Parity map (file:line into /root/reference/):
+- ingest + provenance flip-flag:      queens/core/read_write.py:267-337
+- raw→prod snapshot CTAS:             queens/core/read_write.py:340-404
+  (re-expressed as a window rank over the ingest log — SURVEY.md S6/W3)
+- metadata build:                     queens/core/read_write.py:464-531
+  (re-expressed as ONE distributed agg pass, not per-column pandas)
+- bootstrap / table_exists:           queens/etl/bootstrap.py:8-55
+
+Design for scale: raw and prod are partitioned by the logical-table
+discriminator so every query's forced ``table_name = ?`` predicate
+prunes to one partition; appends are new parquet files (no
+read-modify-write of data); the ingest log and metadata tables are
+tiny and always broadcast when joined against fact data.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+
+from queens_spark.core.errors import StagingError
+from queens_spark.core.schema import CollectionSchema, key_columns
+from queens_spark.settings import DEFAULT_WAREHOUSE, ROW_UID
+
+LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("ingest_id", T.LongType(), False),
+        T.StructField("ingest_ts", T.TimestampType(), False),
+        T.StructField("data_collection", T.StringType(), False),
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("table_description", T.StringType(), True),
+        T.StructField("success", T.LongType(), False),
+    ]
+)
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("data_collection", T.StringType(), False),
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("column_name", T.StringType(), False),
+        T.StructField("n_non_nulls", T.LongType(), False),
+        T.StructField("n_unique", T.LongType(), False),
+        T.StructField("dtype", T.StringType(), False),
+    ]
+)
+
+
+def _utcnow() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str = DEFAULT_WAREHOUSE):
+        self.spark = spark
+        self.root = root
+
+    # ------------------------------------------------------------ paths
+
+    def raw_path(self, collection: str) -> str:
+        return os.path.join(self.root, "raw", collection)
+
+    def prod_path(self, collection: str) -> str:
+        return os.path.join(self.root, "prod", collection)
+
+    def log_path(self, collection: str) -> str:
+        return os.path.join(self.root, "system", collection, "ingest_log")
+
+    def meta_path(self, collection: str) -> str:
+        return os.path.join(self.root, "system", collection, "metadata")
+
+    def _exists(self, path: str) -> bool:
+        # parquet dirs always contain a _SUCCESS marker or data files
+        return os.path.isdir(path) and any(
+            not f.startswith(".") for f in os.listdir(path)
+        )
+
+    def table_exists(self, collection: str, which: str = "raw") -> bool:
+        return self._exists(getattr(self, f"{which}_path")(collection))
+
+    def is_staged(self, collection: str) -> bool:
+        return self._exists(self.prod_path(collection))
+
+    # ------------------------------------------------------------- read
+
+    def read_raw(self, collection: str) -> DataFrame:
+        return self.spark.read.parquet(self.raw_path(collection))
+
+    def read_prod(self, collection: str) -> DataFrame:
+        return self.spark.read.parquet(self.prod_path(collection))
+
+    def read_log(self, collection: str) -> DataFrame:
+        """Resolved ingest log: one row per ingest_id with its final
+        success state. The log dir is append-only (a success=0 marker
+        row is written before the data, a success=1 row after —
+        queens/core/read_write.py:300-332); resolution keeps the max
+        success per ingest_id, so an ingest that died mid-write stays
+        success=0 and is invisible to staging."""
+        if not self._exists(self.log_path(collection)):
+            return self.spark.createDataFrame([], LOG_SCHEMA)
+        raw = self.spark.read.schema(LOG_SCHEMA).parquet(self.log_path(collection))
+        w = Window.partitionBy("ingest_id").orderBy(F.desc("success"))
+        return (
+            raw.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+
+    def read_metadata(self, collection: str) -> DataFrame:
+        if not self._exists(self.meta_path(collection)):
+            return self.spark.createDataFrame([], META_SCHEMA)
+        return self.spark.read.schema(META_SCHEMA).parquet(self.meta_path(collection))
+
+    # ----------------------------------------------------------- ingest
+
+    def next_ingest_id(self, collection: str) -> int:
+        log = self.read_log(collection)
+        row = log.agg(F.max("ingest_id").alias("m")).collect()[0]
+        return int(row["m"] or 0) + 1
+
+    def _append_log(self, collection: str, rows: list[dict]) -> None:
+        df = self.spark.createDataFrame(
+            [tuple(r[f.name] for f in LOG_SCHEMA.fields) for r in rows], LOG_SCHEMA
+        )
+        df.coalesce(1).write.mode("append").parquet(self.log_path(collection))
+
+    def ingest_frame(
+        self,
+        df: DataFrame,
+        schema: CollectionSchema,
+        table_name: str,
+        url: str | None = None,
+        table_description: str | None = None,
+        ingest_ts: datetime | None = None,
+        validate: bool = True,
+    ) -> int:
+        """Validate and append one logical table's frame to raw.
+
+        Protocol (flip-flag, queens/core/read_write.py:267-337): a
+        success=0 log row is committed before the data write and a
+        success=1 row after, so a crash mid-write can never produce a
+        stageable but incomplete version.
+        """
+        collection = schema.name
+        ingest_id = self.next_ingest_id(collection)
+        ts = ingest_ts or _utcnow()
+        df = df.withColumn("table_name", F.lit(table_name)) \
+               .withColumn("ingest_id", F.lit(ingest_id).cast("long"))
+        df = schema.coerce(df)
+        if validate:
+            schema.validate(df, key_columns(schema, df.columns))
+        entry = {
+            "ingest_id": ingest_id, "ingest_ts": ts,
+            "data_collection": collection, "table_name": table_name,
+            "url": url, "table_description": table_description,
+        }
+        self._append_log(collection, [dict(entry, success=0)])
+        (
+            df.write.mode("append")
+            .partitionBy("table_name")
+            .parquet(self.raw_path(collection))
+        )
+        self._append_log(collection, [dict(entry, success=1)])
+        return ingest_id
+
+    # ---------------------------------------------------------- staging
+
+    def stage(self, schema: CollectionSchema, as_of: datetime | str | None = None) -> list[str]:
+        """Rebuild the prod snapshot: latest successful version of each
+        table_name with ingest_ts ≤ *as_of* (queens/core/read_write.py:
+        340-404), then refresh metadata. Returns staged table names.
+
+        Spark-first: the reference's `MAX(ingest_ts) GROUP BY
+        table_name` CTE + double join collapses to one window rank over
+        the (tiny) ingest log, then a broadcast semi-join of raw
+        against the winning ingest_ids. The fact table is only ever
+        scanned once, and only winning partitions are rewritten.
+        """
+        collection = schema.name
+        if isinstance(as_of, str):
+            as_of = datetime.strptime(as_of, "%Y-%m-%d")
+        cutoff = as_of or _utcnow()
+
+        log = self.read_log(collection).where(
+            (F.col("success") == 1)
+            & (F.col("ingest_ts") <= F.lit(cutoff))
+            & (F.col("data_collection") == collection)
+        )
+        w = Window.partitionBy("table_name").orderBy(
+            F.desc("ingest_ts"), F.desc("ingest_id")
+        )
+        winners = (
+            log.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .select("ingest_id", "ingest_ts", "table_description")
+        )
+        if winners.isEmpty():
+            raise StagingError(
+                f"no successful ingests for '{collection}' at cutoff {cutoff}"
+            )
+        raw = self.read_raw(collection)
+        staged = raw.join(F.broadcast(winners), "ingest_id", "inner")
+
+        # Persisted stable row id per logical table: deterministic total
+        # order over the dimension columns (SURVEY.md §7.4.1) — replaces
+        # SQLite's implicit rowid for ORDER BY + keyset pagination.
+        order_cols = [c for c in staged.columns
+                      if c not in (ROW_UID, "table_description")]
+        w_uid = Window.partitionBy("table_name").orderBy(
+            *[F.col(c).asc_nulls_last() for c in order_cols]
+        )
+        staged = staged.withColumn(ROW_UID, F.row_number().over(w_uid))
+
+        out = self.prod_path(collection)
+        tmp = out + "__staging_tmp"
+        staged.write.mode("overwrite").partitionBy("table_name").parquet(tmp)
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        os.replace(tmp, out)
+
+        tables = self.refresh_metadata(schema)
+        return tables
+
+    def refresh_metadata(self, schema: CollectionSchema) -> list[str]:
+        """Rebuild the per-(table_name, column) catalog in ONE pass over
+        prod: count + approx-free exact distinct per column, unpivoted
+        to long, keeping only populated columns (all-null columns are
+        absent → not queryable, queens/etl/validation.py:218-220)."""
+        collection = schema.name
+        prod = self.read_prod(collection)
+        cols = [c for c in prod.columns
+                if c in schema.columns or c == ROW_UID]
+        aggs = []
+        for c in cols:
+            aggs.append(F.count(F.col(c)).alias(f"nn__{c}"))
+            aggs.append(F.countDistinct(F.col(c)).alias(f"nu__{c}"))
+        wide = prod.groupBy("table_name").agg(*aggs)
+        pairs = []
+        for c in cols:
+            dtype = (schema.sql_type_of(c) if c in schema.columns else "INTEGER")
+            pairs.append(
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.col(f"nn__{c}").alias("n_non_nulls"),
+                    F.col(f"nu__{c}").alias("n_unique"),
+                    F.lit(dtype).alias("dtype"),
+                )
+            )
+        meta = (
+            wide.select(
+                "table_name",
+                F.explode(F.array(*pairs)).alias("s"),
+            )
+            .select(
+                F.lit(collection).alias("data_collection"),
+                "table_name",
+                F.col("s.column_name"),
+                F.col("s.n_non_nulls"),
+                F.col("s.n_unique"),
+                F.col("s.dtype"),
+            )
+            .where(F.col("n_non_nulls") > 0)
+        )
+        out = self.meta_path(collection)
+        tmp = out + "__tmp"
+        meta.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        os.replace(tmp, out)
+        return [
+            r["table_name"]
+            for r in self.read_metadata(collection)
+            .select("table_name").distinct().orderBy("table_name").collect()
+        ]
+
+    def queryable_columns(self, collection: str, table_name: str) -> set[str]:
+        meta = self.read_metadata(collection).where(
+            F.col("table_name") == table_name
+        )
+        return {r["column_name"] for r in meta.select("column_name").collect()}
