@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Benchmark runner: executes the query catalog at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with a noop sink (full execution, no
+driver materialisation cost), timed after a warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from queens_spark.queries import QUERIES
+    from queens_spark.session import get_spark
+
+    spark = get_spark("queens_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warm-up on the smallest table so q-timings measure
+    # the queries, not session startup.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(QUERIES.items()):
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # report, don't abort the whole bench
+            timings[name] = -1.0
+            print(f"bench error in {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(json.dumps({
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,626 @@
+"""Query catalog: every operator from SURVEY.md §2 expressed as a
+(Spark DataFrame builder, DuckDB oracle SQL) pair over the driver's
+TPC-H-ish testdata tables.
+
+This is the correctness gate's surface: the driver runs each Spark
+query AND its oracle side-by-side at sf=0.01 and hash-compares
+row-count + schema + values (order-insensitive, columns sorted by
+name). Rules applied throughout:
+
+- every computed column is aliased IDENTICALLY in both the Spark code
+  and the SQL;
+- double-precision aggregates are computed on DECIMAL (exact,
+  order-independent) and cast to double at the end, so Spark's and
+  DuckDB's different accumulation orders can't produce last-ulp
+  hash mismatches;
+- LIMIT queries are fully ordered by a unique key so the selected
+  row set is deterministic.
+
+Scale notes are inline per query: each is written as the plan we'd
+want at 100 TB (broadcast dims, partial aggs, pushed filters), not
+just the first plan that passes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, SparkQuery] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        # events.ts is a nanosecond parquet timestamp, which Spark
+        # rejects by default; read it as raw nanos and truncate to
+        # microsecond timestamps (Spark's native precision).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _dec(col, scale: int = 2):
+    """Exact decimal view of a double column for order-independent sums."""
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# =====================================================================
+# Aggregations (SURVEY §2.4) + scan/filter pushdown (S3/S4)
+# =====================================================================
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark, sf_dir):
+    """Flagship: TPC-H-Q1-style pricing summary.
+
+    Scale: filter pushed to the parquet scan; hash partial agg on 2
+    low-cardinality keys → map-side combine shrinks the shuffle to
+    ~|groups|×partitions rows. Decimal sums keep results exact.
+    """
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(disc * (F.lit(1) + _dec("l_tax"))).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).cast("double").alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_group_max",
+    """
+    SELECT event_type,
+           epoch_us(MAX(ts)) AS max_ts_us,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q02_group_max(spark, sf_dir):
+    """A1 version-resolution shape: group-max over the log-like table.
+    Timestamp returned as epoch-microseconds so the value is exact on
+    both engines regardless of timestamp precision."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.unix_micros(F.max("ts")).alias("max_ts_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "q03_info_report",
+    """
+    SELECT o_orderpriority,
+           MIN(o_orderdate) AS min_date,
+           MAX(o_orderdate) AS max_date,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q03_info_report(spark, sf_dir):
+    """A3 info-report shape: per-group min/max/count span."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "q04_profile_stats",
+    """
+    SELECT 'c_custkey' AS column_name, COUNT(c_custkey) AS n_non_nulls, COUNT(DISTINCT c_custkey) AS n_unique FROM customer
+    UNION ALL
+    SELECT 'c_name', COUNT(c_name), COUNT(DISTINCT c_name) FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', COUNT(c_nationkey), COUNT(DISTINCT c_nationkey) FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', COUNT(c_acctbal), COUNT(DISTINCT c_acctbal) FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', COUNT(c_mktsegment), COUNT(DISTINCT c_mktsegment) FROM customer
+    """,
+)
+def q04_profile_stats(spark, sf_dir):
+    """A2 metadata profiling: per-column count + exact distinct in ONE
+    pass over the table, unpivoted to long (the warehouse's
+    refresh_metadata uses the same plan shape)."""
+    cust = load(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    aggs = []
+    for c in cols:
+        aggs += [F.count(F.col(c)).alias(f"nn__{c}"),
+                 F.countDistinct(F.col(c)).alias(f"nu__{c}")]
+    wide = cust.agg(*aggs)
+    pairs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"nn__{c}").alias("n_non_nulls"),
+            F.col(f"nu__{c}").alias("n_unique"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*pairs)).alias("s")).select(
+        "s.column_name", "s.n_non_nulls", "s.n_unique"
+    )
+
+
+@register(
+    "q05_dup_detection",
+    """
+    SELECT l_orderkey, l_partkey, l_suppkey, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_orderkey, l_partkey, l_suppkey
+    HAVING COUNT(*) > 1
+    """,
+)
+def q05_dup_detection(spark, sf_dir):
+    """A5 duplicate detection: hash-groupBy on the candidate key."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_partkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+@register(
+    "q06_pivot",
+    """
+    SELECT n_name,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q06_pivot(spark, sf_dir):
+    """A4/R7 cross-tab: groupBy().pivot() with an explicit value list
+    (no extra distinct pass to discover pivot values — matters at scale).
+    Dims broadcast."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+# =====================================================================
+# Joins (SURVEY §2.3)
+# =====================================================================
+
+@register(
+    "q07_star_join",
+    """
+    SELECT r_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q07_star_join(spark, sf_dir):
+    """J-family star join: fact × chain of dims, every dim broadcast so
+    the fact table never shuffles for the joins; the only shuffle is
+    the final 5-group aggregate (with map-side partials)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q08_modular_template_join",
+    """
+    SELECT s_name,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM (SELECT l_quantity, (l_orderkey % 10) + 1 AS row_mod FROM lineitem) t
+    JOIN supplier ON row_mod = s_suppkey
+    GROUP BY s_name
+    """,
+)
+def q08_modular_template_join(spark, sf_dir):
+    """J3 modular-key template attach: row_mod = key % |template|,
+    broadcast inner join against the tiny template table."""
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "row_mod", (F.col("l_orderkey") % 10) + 1
+    )
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(supp), li.row_mod == supp.s_suppkey, "inner")
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("qty"),
+        )
+    )
+
+
+# =====================================================================
+# Windows (SURVEY §2.5)
+# =====================================================================
+
+@register(
+    "q09_latest_per_key",
+    """
+    SELECT user_id, event_id, event_type, value
+    FROM (
+        SELECT user_id, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events
+    ) WHERE rk = 1
+    """,
+)
+def q09_latest_per_key(spark, sf_dir):
+    """W3 latest-version-per-key (the staging snapshot semantics):
+    row_number over (key, desc ts). One shuffle on the key; at scale
+    this is the same plan as raw→prod staging."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+@register(
+    "q10_ffill",
+    """
+    SELECT event_id, user_id,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events
+    )
+    """,
+)
+def q10_ffill(spark, sf_dir):
+    """W1 forward-fill: last non-null over an ordered row window."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+@register(
+    "q11_row_ordinal",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+    """,
+)
+def q11_row_ordinal(spark, sf_dir):
+    """W2 deterministic row-ordinal generation per group."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.row_number().over(w).alias("rn")
+    )
+
+
+# =====================================================================
+# Filters / DSL / projections (SURVEY §2.2), sorts & pagination (§2.6)
+# =====================================================================
+
+@register(
+    "q12_filter_dsl",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity
+    FROM lineitem
+    WHERE lower(l_returnflag) = lower('N')
+      AND (lower(l_linestatus) = lower('o') OR l_quantity >= 30.0)
+    """,
+)
+def q12_filter_dsl(spark, sf_dir):
+    """P1-P4 the JSON filter DSL compiled to a Column tree, including
+    NOCASE text equality and (base AND) AND (OR-group) composition.
+    Goes through the engine's real normalize→validate→compile path."""
+    from queens_spark.core.filters import build_filter_expr
+    from queens_spark.core.schema import CollectionSchema, ColumnSpec
+
+    schema = CollectionSchema(
+        "lineitem",
+        [
+            ColumnSpec("l_orderkey", "INTEGER", False),
+            ColumnSpec("l_linenumber", "INTEGER", False),
+            ColumnSpec("l_returnflag", "TEXT"),
+            ColumnSpec("l_linestatus", "TEXT"),
+            ColumnSpec("l_quantity", "REAL"),
+        ],
+    )
+    expr = build_filter_expr(
+        {"l_returnflag": "N",
+         "$or": [{"l_linestatus": "o"}, {"l_quantity": {"gte": "30"}}]},
+        schema,
+    )
+    return load(spark, sf_dir, "lineitem").where(expr).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity"
+    )
+
+
+@register(
+    "q13_like_nocase",
+    """
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_name ILIKE '%red%' AND lower(p_brand) <> lower('BRAND#13')
+    """,
+)
+def q13_like_nocase(spark, sf_dir):
+    """P3 case-insensitive LIKE + NOCASE inequality."""
+    from queens_spark.core.filters import build_filter_expr
+    from queens_spark.core.schema import CollectionSchema, ColumnSpec
+
+    schema = CollectionSchema(
+        "part",
+        [ColumnSpec("p_partkey", "INTEGER", False),
+         ColumnSpec("p_name", "TEXT"), ColumnSpec("p_brand", "TEXT")],
+    )
+    expr = build_filter_expr(
+        {"p_name": {"like": "%red%"}, "p_brand": {"neq": "BRAND#13"}}, schema
+    )
+    return load(spark, sf_dir, "part").where(expr).select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+@register(
+    "q14_distinct",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def q14_distinct(spark, sf_dir):
+    """P8 DISTINCT projection."""
+    return load(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "q15_topn",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def q15_topn(spark, sf_dir):
+    """O1/O3 ordered limit — Spark plans this as TakeOrderedAndProject
+    (per-partition top-N + driver merge), no full sort at scale."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "q16_keyset_page",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_orderkey > 3000
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 500
+    """,
+)
+def q16_keyset_page(spark, sf_dir):
+    """O2 keyset pagination: cursor predicate pushed into the scan +
+    ordered limit over the unique key — page N never rescans pages
+    1..N-1 (unlike OFFSET)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") > 3000)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(500)
+    )
+
+
+# =====================================================================
+# Set ops & reshaping (SURVEY §2.7, §2.8)
+# =====================================================================
+
+@register(
+    "q17_union_all",
+    """
+    SELECT o_orderkey, o_totalprice, 'finished' AS slice FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'big_open' AS slice FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 200000
+    """,
+)
+def q17_union_all(spark, sf_dir):
+    """U1 unionByName of per-slice frames (the per-sheet accumulate)."""
+    orders = load(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice", F.lit("finished").alias("slice")
+    )
+    b = orders.where(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 200000)
+    ).select("o_orderkey", "o_totalprice", F.lit("big_open").alias("slice"))
+    return a.unionByName(b)
+
+
+@register(
+    "q18_unpivot",
+    """
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS measure_value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+    """,
+)
+def q18_unpivot(spark, sf_dir):
+    """R1 melt (wide→long), the heart of the reference ETL: native
+    unpivot — a zero-shuffle narrow transform."""
+    return (
+        load(spark, sf_dir, "part")
+        .withColumn("p_size", F.col("p_size").cast("double"))
+        .withColumn("p_retailprice", F.col("p_retailprice").cast("double"))
+        .unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "measure_value")
+    )
+
+
+# =====================================================================
+# Scalar functions (SURVEY §2.9)
+# =====================================================================
+
+@register(
+    "q19_scalar_funcs",
+    """
+    SELECT p_partkey,
+           trim(regexp_replace(p_name, '\\[\\s*note\\s+\\d+\\s*\\]', '', 'ig')) AS clean_name,
+           TRY_CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num,
+           upper(split_part(p_type, ' ', 1)) AS type_head,
+           p_partkey % 7 AS bucket
+    FROM part
+    """,
+)
+def q19_scalar_funcs(spark, sf_dir):
+    """F1 note-tag cleaner, F8 numeric coercion (try_cast), F7 case
+    mapping, F10 modulo — all JVM-side Column expressions inside one
+    whole-stage-codegen projection."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.trim(
+            F.regexp_replace("p_name", r"(?i)\[\s*note\s+\d+\s*\]", "")
+        ).alias("clean_name"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).try_cast("bigint").alias("brand_num"),
+        F.upper(F.split_part(F.col("p_type"), F.lit(" "), F.lit(1))).alias("type_head"),
+        (F.col("p_partkey") % 7).alias("bucket"),
+    )
+
+
+@register(
+    "q20_timestamp_funcs",
+    """
+    SELECT CAST(year(ts) AS BIGINT) AS y,
+           CAST(month(ts) AS BIGINT) AS m,
+           strftime(min(ts), '%Y-%m-%d') AS first_day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY year(ts), month(ts)
+    """,
+)
+def q20_timestamp_funcs(spark, sf_dir):
+    """F9 timestamp parse/format/extract + grouped agg."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.year("ts").cast("bigint").alias("y"),
+            F.month("ts").cast("bigint").alias("m"),
+        )
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd").alias("first_day"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q21_paren_split",
+    """
+    SELECT p_partkey,
+           trim(regexp_replace(fuel_unit, '\\(.*$', '')) AS fuel,
+           regexp_extract(fuel_unit, '\\(([^)]*)\\)\\s*$', 1) AS unit
+    FROM (SELECT p_partkey, p_brand || ' (' || p_type || ')' AS fuel_unit FROM part)
+    """,
+)
+def q21_paren_split(spark, sf_dir):
+    """F3 'fuel (unit)' split: text before/inside the trailing parens."""
+    p = load(spark, sf_dir, "part").withColumn(
+        "fuel_unit", F.concat(F.col("p_brand"), F.lit(" ("), F.col("p_type"), F.lit(")"))
+    )
+    return p.select(
+        "p_partkey",
+        F.trim(F.regexp_replace("fuel_unit", r"\(.*$", "")).alias("fuel"),
+        F.regexp_extract("fuel_unit", r"\(([^)]*)\)\s*$", 1).alias("unit"),
+    )
