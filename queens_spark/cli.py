@@ -1,0 +1,99 @@
+"""Command-line interface (stdlib argparse — no Typer dependency).
+
+Parity with the reference CLI's command set (queens/cli.py:66-279):
+ingest, stage, query, metadata, versions, info, export.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from queens_spark.facade import Engine
+from queens_spark.session import get_spark
+from queens_spark.settings import DEFAULT_LIMIT, DEFAULT_WAREHOUSE
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="queens-spark",
+        description="PySpark-native QUEENS-compatible analytics engine",
+    )
+    p.add_argument("--warehouse", default=DEFAULT_WAREHOUSE)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    q = sub.add_parser("query", help="query a staged table with the filter DSL")
+    q.add_argument("collection")
+    q.add_argument("table_name")
+    q.add_argument("--filters", default=None, help="JSON filter DSL")
+    q.add_argument("--limit", type=int, default=DEFAULT_LIMIT)
+    q.add_argument("--cursor", type=int, default=None)
+
+    st = sub.add_parser("stage", help="rebuild the prod snapshot")
+    st.add_argument("collection")
+    st.add_argument("--as-of", default=None, help="YYYY-MM-DD cutoff")
+
+    for name in ("metadata", "versions", "info"):
+        s = sub.add_parser(name, help=f"show {name} for a collection")
+        s.add_argument("collection")
+        s.add_argument("--table-name", default=None)
+
+    ex = sub.add_parser("export", help="export staged tables")
+    ex.add_argument("collection")
+    ex.add_argument("file_type", choices=["csv", "parquet", "xlsx"])
+    ex.add_argument("output_path")
+    ex.add_argument("--table-name", default=None)
+    ex.add_argument("--bulk", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return _run(args)
+    except (KeyError, NameError, ValueError, TypeError, json.JSONDecodeError) as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+
+
+def _run(args) -> int:
+    spark = get_spark("queens_spark_cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    engine = Engine(spark, args.warehouse)
+
+    if args.command == "query":
+        filters = json.loads(args.filters) if args.filters else None
+        records, next_cursor = engine.query_page(
+            args.collection, args.table_name, filters,
+            limit=args.limit, cursor=args.cursor,
+        )
+        json.dump({"data": records, "next_cursor": next_cursor},
+                  sys.stdout, default=str, indent=2)
+        print()
+    elif args.command == "stage":
+        staged = engine.stage(args.collection, as_of=args.as_of)
+        print(json.dumps({"staged_tables": staged}))
+    elif args.command == "metadata":
+        df = engine.get_metadata(args.collection, args.table_name)
+        print(df.toPandas().to_string(index=False))
+    elif args.command == "versions":
+        df = engine.get_versions(args.collection, args.table_name)
+        print(df.toPandas().to_string(index=False))
+    elif args.command == "info":
+        print(engine.get_data_info(args.collection).toPandas().to_string(index=False))
+    elif args.command == "export":
+        from queens_spark.sources.export import export_all, export_table
+
+        if args.table_name:
+            out = [export_table(engine, args.collection, args.file_type,
+                                args.table_name, args.output_path)]
+        else:
+            out = export_all(engine, args.collection, args.file_type,
+                             args.output_path, bulk_export=args.bulk)
+        print(json.dumps({"exported": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

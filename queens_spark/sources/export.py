@@ -1,0 +1,101 @@
+"""Export sinks: staged tables → csv / parquet / xlsx files.
+
+Parity: export_table / export_all (queens/core/read_write.py:96-240).
+CSV and Parquet are distributed Spark writes; xlsx is inherently a
+driver-side single-file format (gated on openpyxl availability).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from queens_spark.facade import Engine, drop_all_null_columns
+
+
+def _dated_name(collection: str, table_name: str, ts: datetime | None, ext: str) -> str:
+    ts = ts or datetime.now(timezone.utc)
+    safe_table = str(table_name).replace(".", "_")
+    return f"{collection}_{safe_table}_{ts:%Y%m%d}.{ext}"
+
+
+def export_table(
+    engine: Engine,
+    collection: str,
+    file_type: str,
+    table_name: str,
+    output_path: str,
+    output_ts: datetime | None = None,
+) -> str:
+    """Export one staged logical table. csv/parquet are written by the
+    cluster (a directory of part files — the scalable shape); xlsx
+    collects to the driver (sheet-sized by definition)."""
+    df = engine.query(collection, table_name, prune_null_columns=True)
+    target = os.path.join(
+        output_path, _dated_name(collection, table_name, output_ts, file_type)
+    )
+    if file_type == "csv":
+        df.write.mode("overwrite").option("header", True).csv(target)
+    elif file_type == "parquet":
+        df.write.mode("overwrite").parquet(target)
+    elif file_type == "xlsx":
+        try:
+            import openpyxl  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "xlsx export requires openpyxl, which is not installed"
+            ) from exc
+        df.toPandas().to_excel(target, index=False)
+    else:
+        raise ValueError(f"unsupported export type '{file_type}'")
+    return target
+
+
+def export_all(
+    engine: Engine,
+    collection: str,
+    file_type: str,
+    output_path: str,
+    bulk_export: bool = False,
+    output_ts: datetime | None = None,
+) -> list[str]:
+    """Export every staged table; ``bulk_export`` writes one combined
+    artifact (single parquet dataset partitioned by table_name, or one
+    xlsx with a sheet per table)."""
+    tables = [
+        r["table_name"]
+        for r in engine.warehouse.read_metadata(collection)
+        .select("table_name").distinct().orderBy("table_name").collect()
+    ]
+    if not bulk_export:
+        return [
+            export_table(engine, collection, file_type, t, output_path, output_ts)
+            for t in tables
+        ]
+    target = os.path.join(
+        output_path, _dated_name(collection, "all", output_ts, file_type)
+    )
+    if file_type == "parquet":
+        prod = engine.warehouse.read_prod(collection)
+        prod.write.mode("overwrite").partitionBy("table_name").parquet(target)
+    elif file_type == "xlsx":
+        try:
+            import openpyxl  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "xlsx export requires openpyxl, which is not installed"
+            ) from exc
+        import pandas as pd
+
+        with pd.ExcelWriter(target) as writer:
+            for t in tables:
+                pdf = engine.query(collection, t).toPandas()
+                pdf.to_excel(writer, sheet_name=str(t)[:31], index=False)
+    elif file_type == "csv":
+        for t in tables:
+            export_table(engine, collection, "csv", t, output_path, output_ts)
+    else:
+        raise ValueError(f"unsupported export type '{file_type}'")
+    return [target]

@@ -1,0 +1,171 @@
+"""Tests for the orchestration + user surfaces: config-driven ingest,
+exports, query service (HTTP contract), CLI parser, scraper parsing.
+"""
+
+import json
+from datetime import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+
+from queens_spark.api import QueryService
+from queens_spark.etl.process import (
+    ingest_table,
+    resolve_table_config,
+    stage_data,
+    table_to_chapter,
+)
+from queens_spark.facade import Engine
+from queens_spark.sources.export import export_all, export_table
+from queens_spark.sources.scrape import parse_dukes_links
+
+
+def raw_sheet():
+    return pd.DataFrame([
+        ["DUKES 1.1 title", None, None],
+        ["rowhdr", "2019", "2020"],
+        ["Production", 1.0, 4.0],
+        ["Imports", 2.5, 5.5],
+    ])
+
+
+ETL_CONFIG = {
+    "dukes": {
+        "chapter_1": {
+            "1.1": {
+                "f": "process_sheet",
+                "f_args": {"sheet_name": "1.1", "ignore_mapping": True,
+                           "id_var_name": "fuel", "unit": "ktoe",
+                           "var_to_melt": "year"},
+                "description": "Aggregate energy balance",
+            }
+        }
+    }
+}
+
+
+@pytest.fixture()
+def engine(spark, warehouse_root):
+    return Engine(spark, warehouse_root)
+
+
+@pytest.fixture()
+def staged_engine(spark, engine):
+    ingest_table(
+        engine, "dukes", "1.1",
+        raw_sheets={"1.1": raw_sheet()},
+        etl_config=ETL_CONFIG,
+        ingest_ts=datetime(2024, 1, 1),
+    )
+    stage_data(engine, "dukes")
+    return engine
+
+
+def test_table_to_chapter():
+    assert table_to_chapter("1.2.3") == "chapter_1"
+    assert table_to_chapter("5.6") == "chapter_5"
+    assert table_to_chapter("J.1") == "chapter_5"
+    assert table_to_chapter("F.2") == "chapter_6"
+    with pytest.raises(KeyError):
+        table_to_chapter("Z.9")
+
+
+def test_resolve_table_config_errors():
+    with pytest.raises(KeyError):
+        resolve_table_config(ETL_CONFIG, "nope", "1.1")
+    with pytest.raises(KeyError):
+        resolve_table_config(ETL_CONFIG, "dukes", "1.99")
+
+
+def test_config_driven_ingest_to_query(staged_engine):
+    out = staged_engine.query("dukes", "1.1", {"year": 2020}).collect()
+    assert len(out) == 2
+    vals = {r["label"]: r["value"] for r in out}
+    assert vals == {"Production": 4.0, "Imports": 5.5}
+    assert {r["unit"] for r in out} == {"ktoe"}
+
+
+# ------------------------------------------------------------ service
+
+def test_service_happy_path(staged_engine):
+    svc = QueryService(staged_engine)
+    resp = svc.get_data("dukes", "1.1", filters='{"fuel": "production"}')
+    assert resp.status == 200
+    assert resp.body["n_rows"] == 2  # NOCASE matched 'Production'
+    assert resp.body["next_cursor"] is None
+
+
+def test_service_pagination_cursor(staged_engine):
+    svc = QueryService(staged_engine)
+    resp = svc.get_data("dukes", "1.1", limit=3)
+    assert resp.status == 200 and resp.body["n_rows"] == 3
+    assert resp.body["next_cursor"] is not None
+    resp2 = svc.get_data("dukes", "1.1", limit=3, cursor=resp.body["next_cursor"])
+    assert resp2.body["n_rows"] == 1
+    assert resp2.body["next_cursor"] is None
+
+
+def test_service_error_statuses(staged_engine):
+    svc = QueryService(staged_engine)
+    assert svc.get_data("nope", "1.1").status == 404
+    assert svc.get_data("dukes", "9.9").status == 404
+    assert svc.get_data("dukes", "1.1", filters="{not json").status == 400
+    assert svc.get_data("dukes", "1.1", filters='{"bogus": 1}').status == 422
+    assert svc.get_data("dukes", "1.1", filters='{"year": {"zz": 1}}').status == 422
+    assert svc.get_data("dukes", "1.1", filters='{"fuel": {"like": 5}}').status == 422
+    assert svc.get_metadata("dukes", "9.9").status == 404
+    assert svc.get_versions("dukes").status == 200
+
+
+# ------------------------------------------------------------- export
+
+def test_export_csv_and_bulk_parquet(tmp_path, staged_engine, spark):
+    out = export_table(staged_engine, "dukes", "csv", "1.1", str(tmp_path))
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 4
+
+    outs = export_all(staged_engine, "dukes", "parquet", str(tmp_path),
+                      bulk_export=True)
+    back = spark.read.parquet(outs[0])
+    assert back.count() == 4
+    assert "table_name" in back.columns
+
+
+def test_export_xlsx_gated(tmp_path, staged_engine):
+    with pytest.raises(NotImplementedError):
+        export_table(staged_engine, "dukes", "xlsx", "1.1", str(tmp_path))
+
+
+# -------------------------------------------------------------- CLI
+
+def test_cli_parser_roundtrip():
+    from queens_spark.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["query", "dukes", "1.1", "--filters", '{"year": 2020}', "--limit", "10"]
+    )
+    assert args.command == "query" and args.table_name == "1.1"
+    args = build_parser().parse_args(["stage", "dukes", "--as-of", "2024-01-01"])
+    assert args.as_of == "2024-01-01"
+    args = build_parser().parse_args(["export", "dukes", "csv", "/tmp/x", "--bulk"])
+    assert args.bulk is True
+
+
+# ------------------------------------------------------------ scraper
+
+def test_parse_dukes_links():
+    html = """
+    <html><body>
+      <a href="/media/dukes_1.1.xlsx">DUKES 1.1: Aggregate energy balance</a>
+      <a href="/media/dukes_4.4a.xlsx">DUKES 4.4a renewables</a>
+      <a href="/media/dukes_J.1.xlsx">DUKES J.1 gas flows</a>
+      <a href="/media/notes.pdf">notes</a>
+      <a href="/media/plain.xlsx">no table id here</a>
+    </body></html>
+    """
+    out = parse_dukes_links(html)
+    assert out["1.1"]["url"].endswith("dukes_1.1.xlsx")
+    assert "4.4.A" in out
+    assert "J.1" in out
+    assert all(not k.endswith(".pdf") for k in out)
