@@ -1,0 +1,91 @@
+"""Streaming + multimodal plumbing tests.
+
+Streaming results are checked against the equivalent batch plans over
+the same input (the micro-batch engine must agree with batch Spark).
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from queens_spark.streaming.events import (
+    read_events_stream,
+    run_available_now,
+    session_aggregates,
+    windowed_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    d = tmp_path / "events_in"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def batch_events(spark):
+    from queens_spark.queries import load
+
+    return load(spark, SF_DIR, "events").withColumnRenamed("ts", "event_time")
+
+
+def test_windowed_counts_matches_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    got = run_available_now(windowed_counts(stream), "wc_test")
+    batch = (
+        batch_events(spark)
+        .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    g = {(r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()}
+    b = {(r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    assert g == b and len(g) > 0
+
+
+def test_session_aggregates_matches_batch_totals(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    got = run_available_now(session_aggregates(stream, gap="30 minutes"), "sess_test")
+    # session windows partition all events: totals must be preserved
+    assert got.agg(F.sum("n_events")).collect()[0][0] == 1000
+    # no session may contain an internal gap > 30min (spot-invariant)
+    assert got.where(F.col("n_events") < 1).count() == 0
+
+
+def test_multimodal_feature_plumbing(spark):
+    from queens_spark.operators.multimodal import (
+        extract_features,
+        fake_features,
+        frame_sample_plan,
+        media_frame,
+        size_bucketed,
+    )
+
+    rows = [
+        (1, "image", b"img-bytes-1", (64, 48, None, "png")),
+        (2, "image", b"img-bytes-2", (32, 32, None, "jpg")),
+        (3, "video", b"vid-bytes", (640, 480, 3500, "mp4")),
+        (4, "audio", None, (None, None, 2000, "wav")),
+    ]
+    df = media_frame(spark, rows)
+    feats = {r["media_id"]: r["features"]
+             for r in extract_features(size_bucketed(df)).collect()}
+    assert len(feats) == 4
+    assert feats[1] == pytest.approx(fake_features(b"img-bytes-1"))
+    assert feats[4] == [0.0] * 16          # null content → zero vector
+    assert feats[1] != feats[2]            # distinct bytes → distinct vectors
+
+    frames = frame_sample_plan(df, every_ms=1000).collect()
+    # 3500ms video sampled at 1000ms → ts 0,1000,2000,3000
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_decode_stub_raises(spark):
+    from queens_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
