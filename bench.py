@@ -42,6 +42,9 @@ def main() -> None:
         except Exception as exc:  # report, don't abort the whole bench
             timings[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
+        # Queries that persist intermediates (the dedup pipelines) must
+        # not hold executor memory against later queries' timings.
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(json.dumps({

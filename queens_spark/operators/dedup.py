@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from queens_spark.session import ensure_min_partitions
 from queens_spark.operators.text import (
     HASH_MOD,
     char_poly_hash,
@@ -62,16 +63,24 @@ def let_bound(bound: Column, body) -> Column:
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles (space-joined). Fewer than n
-    tokens → empty array."""
-    toks = tokens(text)
-    k = F.size(toks)
-    return F.when(k < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), k - n + 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    tokens → empty array.
+
+    The token array is let-bound: referenced naively inside the
+    per-position ``slice`` lambda it would be re-split once per shingle
+    position — O(tokens²) per document (measured 3-4× slowdown on the
+    q27/q28 shingling stage)."""
+    return let_bound(
+        tokens(text),
+        lambda tk: F.when(
+            F.size(tk) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+                )
             )
-        )
+        ),
     )
 
 
@@ -93,7 +102,8 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     per distinct content with the canonical (min) id and multiplicity.
     One shuffle on the 128-bit fingerprint."""
     return (
-        df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+        ensure_min_partitions(df)
+        .select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias("canonical_id"),
@@ -118,24 +128,30 @@ def ngram_jaccard_pairs(
     self-join grouped by shingle_hash → count co-occurrences →
     |A∩B| / (|A|+|B|-|A∩B|). The join carries 64-bit hashes only.
     """
+    # One projection computes shingles AND hashes inside a single
+    # let-bound struct, and is persisted immediately: the cache is the
+    # collapse barrier, so tokenize→shingle→hash runs exactly once per
+    # document (filter/explode/join all read the cached columns).
+    # Docs with < n tokens have an empty hash array and vanish at the
+    # explode — no separate size filter needed.
     sh = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            word_shingles(text_col, n).alias("shingles"),
-        )
-        .withColumn("n_shingles", F.size("shingles"))
-        .where(F.col("n_shingles") > 0)
-        # hash per-doc (one pass over each shingle), THEN explode ints;
-        # persisted because both sides of the self-join consume it —
-        # without this the whole shingle+hash pipeline runs twice
+        ensure_min_partitions(df)
         .select(
-            "doc", "n_shingles",
-            F.transform("shingles", lambda s: char_poly_hash(s)).alias("hashes"),
+            F.col(id_col).alias("doc"),
+            let_bound(
+                word_shingles(text_col, n),
+                lambda s: F.struct(
+                    F.size(s).alias("n"),
+                    F.transform(s, lambda x: char_poly_hash(x)).alias("hashes"),
+                ),
+            ).alias("x"),
         )
         .persist()
     )
     exploded = sh.select(
-        "doc", "n_shingles", F.explode("hashes").alias("sh_hash")
+        "doc",
+        F.col("x.n").alias("n_shingles"),
+        F.explode("x.hashes").alias("sh_hash"),
     )
 
     a = exploded.select(
@@ -198,7 +214,8 @@ def lsh_candidate_pairs(
     candidates. One shuffle on (band_id, band_signature)."""
     if sigs is None:
         sigs = (
-            df.where(F.size(word_shingles(text_col)) > 0)
+            ensure_min_partitions(df)
+            .where(F.size(word_shingles(text_col)) > 0)
             .select(F.col(id_col).alias("doc"), minhash_signature(text_col).alias("sig"))
         )
     bands = sigs.select(
@@ -234,14 +251,22 @@ def minhash_dedup_pairs(
     join is |candidates|, not n²)."""
     # One cached frame carries shingles + signature; the band self-join
     # and both sides of the verification join all reuse it instead of
-    # re-hashing the corpus (4 consumers → 1 computation).
-    base = (
-        df.select(
-            F.col(id_col).alias("doc"), word_shingles(text_col).alias("shingles")
-        )
-        .where(F.size("shingles") > 0)
-        .withColumn("sig", _signature_from_shingles(F.col("shingles")))
-        .persist()
+    # re-hashing the corpus (4 consumers → 1 computation). Shingles and
+    # signature are built in a single let-bound struct projection and
+    # persisted BEFORE the size filter — the cache stops predicate
+    # pushdown / projection collapse from re-evaluating the
+    # tokenize→shingle→hash chain per consumer.
+    raw = ensure_min_partitions(df).select(
+        F.col(id_col).alias("doc"),
+        let_bound(
+            word_shingles(text_col),
+            lambda s: F.struct(
+                s.alias("shingles"), _signature_from_shingles(s).alias("sig")
+            ),
+        ).alias("x"),
+    ).persist()
+    base = raw.where(F.size("x.shingles") > 0).select(
+        "doc", F.col("x.shingles").alias("shingles"), F.col("x.sig").alias("sig")
     )
     cands = lsh_candidate_pairs(df, text_col, id_col,
                                 sigs=base.select("doc", "sig"))

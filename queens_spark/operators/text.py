@@ -118,17 +118,18 @@ def lang_id(text: Column | str) -> Column:
 
 def char_poly_hash(s: Column, p: int = HASH_MOD) -> Column:
     """Portable rolling hash: fold (h*31 + codepoint) mod p over the
-    characters, init 0. Empty string → 0."""
-    codes = F.when(F.length(s) < 1, F.array().cast("array<int>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.length(s)),
-            lambda i: F.ascii(F.substr(s, i, F.lit(1))),
-        )
-    )
+    characters, init 0. Empty string → 0.
+
+    Characters come from one ``split(s, '')`` pass rather than a
+    substr-per-position transform: substr is O(position), so the
+    per-position form is O(len²) per string — measurably slower on
+    shingle-hashing paths (q27/q28). ``split('', '')`` yields
+    ``['']`` whose ``ascii`` is 0, so the empty-string hash stays 0.
+    """
     return F.aggregate(
-        codes,
+        F.split(s, ""),
         F.lit(0).cast("bigint"),
-        lambda acc, x: (acc * 31 + x.cast("bigint")) % F.lit(p),
+        lambda acc, ch: (acc * 31 + F.ascii(ch).cast("bigint")) % F.lit(p),
     )
 
 

@@ -44,6 +44,17 @@ def register(name: str, oracle: str | None = None):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "documents":
+        # Shingling/hashing over documents is per-row heavy, and the
+        # table ships as one row group: spread it so the compute uses
+        # every core. No-op once the scan yields enough partitions.
+        # (embeddings is deliberately NOT spread: its vector math is
+        # cheap enough that a repartition costs more than it saves.)
+        from queens_spark.session import ensure_min_partitions
+
+        return ensure_min_partitions(
+            spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        )
     if table == "events":
         # events.ts is a nanosecond parquet timestamp, which Spark
         # rejects by default; read it as raw nanos and truncate to

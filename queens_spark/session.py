@@ -38,6 +38,23 @@ _BASE_CONF = {
 }
 
 
+def ensure_min_partitions(df, target: int | None = None):
+    """Spread *df* over at least ``target`` partitions (default: the
+    cluster's default parallelism) — a guard for per-row-heavy
+    operators (shingling, hashing, vector math).
+
+    Small single-row-group parquet files scan as ONE partition, which
+    would serialize the whole compute on one core; a round-robin
+    repartition of a small input is far cheaper than that. At real
+    scale the scan already yields >= target partitions and this is a
+    no-op, so no shuffle is ever added to a 100 TB input.
+    """
+    target = target or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(app_name: str = "queens_spark", **overrides: str) -> SparkSession:
     """Return (or create) the singleton SparkSession.
 
