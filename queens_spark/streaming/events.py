@@ -92,14 +92,86 @@ def session_aggregates(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def first_seen(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    payload_cols: tuple[str, ...] = ("event_id", "ts"),
+    state_ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming first-seen dedup — the custom stateful operator built
+    on ``applyInPandasWithState`` (the streaming twin of batch exact
+    dedup): the first event per *key_cols* group is emitted, every
+    later one is dropped.
+
+    Not expressible with built-in streaming aggregates: append-mode
+    aggregation only emits on watermark close, while dedup must emit
+    the FIRST row immediately and remember the key forever (or for a
+    TTL). State per key is a single boolean-sized record; with
+    ``state_ttl_minutes`` set, a processing-time timeout evicts idle
+    keys so state is bounded for unbounded key spaces (at 100 TB/day
+    of events this is the difference between a working pipeline and an
+    OOM).
+
+    Within one micro-batch, rows are ordered by *order_cols* so the
+    winner is deterministic; across micro-batches the semantics are
+    first-PROCESSED-wins (late data loses — inherent to streaming
+    dedup).
+    """
+    import pandas as pd
+
+    key_cols = list(key_cols)
+    payload_cols = [c for c in payload_cols if c not in key_cols]
+    out_fields = [f for f in events.schema.fields
+                  if f.name in key_cols + payload_cols]
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    out_cols = [f.name for f in out_fields]
+
+    def dedup(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        already = state.exists
+        if not already:
+            first = None
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                cand = pdf.sort_values(list(order_cols)).iloc[0]
+                if first is None or tuple(cand[c] for c in order_cols) < tuple(
+                    first[c] for c in order_cols
+                ):
+                    first = cand
+            if first is not None:
+                state.update((True,))
+                yield pd.DataFrame([{c: first[c] for c in out_cols}])
+        else:
+            for _ in pdf_iter:  # drain: key already emitted
+                pass
+        if state_ttl_minutes is not None:
+            state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
+
+    timeout = "ProcessingTimeTimeout" if state_ttl_minutes else "NoTimeout"
+    return events.groupBy(*key_cols).applyInPandasWithState(
+        dedup, out_schema, state_schema, "append", timeout
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str | None = None
+) -> DataFrame:
     """Execute a streaming plan over all currently-available input
     (backfill/test mode) into an in-memory sink; returns the result
-    as a batch DataFrame."""
+    as a batch DataFrame. Aggregation plans default to ``complete``;
+    append-mode plans (e.g. :func:`first_seen`) pass
+    ``output_mode="append"``."""
+    if output_mode is None:
+        output_mode = "complete" if stream_df.isStreaming else "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -56,6 +56,34 @@ def test_session_aggregates_matches_batch_totals(spark, events_dir):
     assert got.where(F.col("n_events") < 1).count() == 0
 
 
+def test_first_seen_stateful_dedup_matches_batch(spark, events_dir):
+    from pyspark.sql import Window
+    from queens_spark.streaming.events import first_seen
+
+    stream = read_events_stream(spark, events_dir)
+    got = run_available_now(
+        first_seen(stream, key_cols=("user_id", "event_type")), "fs_test",
+        output_mode="append",
+    )
+    # batch twin: row_number over (ts, event_id) per key == 1. The
+    # single-file input runs as one micro-batch, so first-processed ==
+    # globally-first and the two must agree exactly.
+    from queens_spark.queries import load
+
+    ev = load(spark, SF_DIR, "events").withColumn(
+        "ts", F.unix_micros("ts") * 1000
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    batch = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+    g = {(r["user_id"], r["event_type"]): r["event_id"] for r in got.collect()}
+    b = {(r["user_id"], r["event_type"]): r["event_id"] for r in batch.collect()}
+    assert len(g) > 0 and g == b
+
+
 def test_multimodal_feature_plumbing(spark):
     from queens_spark.operators.multimodal import (
         extract_features,
