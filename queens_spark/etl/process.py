@@ -111,6 +111,10 @@ def ingest_table(
             f_args["sheet"] = wrangled[f_args["sheet"]]
     if templates and table in templates:
         f_args.setdefault("template", templates[table])
+    if templates:
+        # multi-sheet special processors (DUKES 5.6/5.10) pick their
+        # per-sheet templates out of the full mapping themselves
+        f_args.setdefault("templates", templates)
 
     result = call_transformer(f_name, spark=engine.spark, **f_args)
     frames = result if isinstance(result, dict) else {table: result}

@@ -200,12 +200,135 @@ def process_stacked_sheet(
     return clean_string_columns(long.drop("row_raw"), exclude=("label",))
 
 
+# ------------------------------------------- DUKES special processors
+
+def process_dukes_5_6_summaries(
+    spark: SparkSession,
+    sheet: pd.DataFrame,
+    template: DataFrame,
+    n_template_rows: int,
+    *,
+    table_tag: str = "5.6.J",
+    drop_cols: list[str] | None = None,
+) -> DataFrame:
+    """The DUKES 5.6 "Annual summaries" sheet: several yearly copies of
+    one sub-table stacked vertically, with each copy's reference year
+    stored OUTSIDE the table in an interim title row
+    (queens/etl/transformations.py:455-551).
+
+    Semantics re-expressed Spark-first:
+
+    - the first copy's year comes from the sheet title (the original
+      header row, text between *table_tag* and "summary");
+    - title rows inside the data carry the later years: extract with
+      ``substring_index`` (F5), forward-fill down source order with the
+      W1 window, backstop with the title year;
+    - header/title rows are dropped, surviving rows get a fresh ordinal
+      (W2) which aligns each copy to the mapping template via
+      ``row_raw % n_template_rows`` (J3 broadcast join);
+    - remaining wide fuel columns melt to long (R1) and note tags are
+      cleaned (F1).
+    """
+    pdf = sheet.copy()
+    title = str(pdf.columns[0])
+    first_year = title.split(table_tag)[1].split("summary")[0].strip()
+    # re-header: the original first data row holds the real column
+    # names (the reference re-reads the sheet with fixed_header+1)
+    pdf.columns = [str(v) for v in pdf.iloc[0]]
+    pdf = pdf.iloc[1:].reset_index(drop=True)
+    label_col = str(pdf.columns[0])  # "Generator type"
+    if drop_cols is None:
+        drop_cols = ["Indicator"]
+    pdf = pdf.drop(columns=[c for c in drop_cols if c in pdf.columns])
+
+    df = to_spark_ordered(spark, pdf)
+    lab = F.col(label_col)
+    year_raw = F.when(
+        lab.contains("Table"),
+        F.trim(
+            F.substring_index(
+                F.substring_index(lab, table_tag, -1), "summary", 1
+            )
+        ),
+    )
+    df = df.withColumn("__year_raw", year_raw)
+    from queens_spark.operators.reshape import ffill as _ffill
+
+    df = _ffill(df, "__year_raw", order_by=[SOURCE_ORDER], out_col="__year")
+    df = df.withColumn("year", F.coalesce(F.col("__year"), F.lit(first_year)))
+    df = df.where(
+        ~lab.contains("Generator type") & ~lab.contains("Table")
+    ).drop("__year_raw", "__year")
+    # fresh ordinal over the SURVIVING rows (the reference resets the
+    # index post-filter), which is what the modular key aligns on
+    from pyspark.sql import Window
+
+    df = df.withColumn(
+        "row_raw",
+        F.row_number().over(Window.orderBy(SOURCE_ORDER)).cast("long") - 1,
+    ).drop(SOURCE_ORDER, label_col)
+    joined = attach_template_modular(df, template, n_template_rows,
+                                     raw_row_col="row_raw")
+    joined = joined.drop("row").withColumnRenamed("row_raw", "row")
+    id_vars = ["row", "year"] + [c for c in template.columns if c != "row"]
+    long = melt(joined, id_vars=id_vars, var_name="fuel", value_name="value")
+    return clean_string_columns(long, exclude=("label",))
+
+
+def process_dukes_5_6(
+    spark: SparkSession,
+    sheets: Mapping[str, pd.DataFrame],
+    templates: Mapping[str, DataFrame],
+    n_summary_template_rows: int,
+) -> dict[str, DataFrame]:
+    """DUKES 5.6 → three logical tables from three differently-shaped
+    sheets (queens/etl/transformations.py:553-606): two standard
+    template sheets plus the stacked annual summaries."""
+    d1 = process_sheet(
+        spark, sheets["5.6"],
+        template=templates["5.6"], drop_cols=["Fuel"],
+    )
+    d2 = process_sheet(
+        spark, sheets["5.6 Conventional thermal & CCGT"],
+        template=templates["5.6 Conventional thermal & CCGT"],
+        drop_cols=["Generator category"],
+    )
+    t3 = process_dukes_5_6_summaries(
+        spark, sheets["5.6 Annual summaries"],
+        templates["5.6 Annual summaries"], n_summary_template_rows,
+    )
+    return {"5.6.A_G": d1, "5.6.H_I": d2, "5.6.J": t3}
+
+
+def process_dukes_5_10(
+    spark: SparkSession,
+    sheets: Mapping[str, pd.DataFrame],
+    templates: Mapping[str, DataFrame],
+) -> dict[str, DataFrame]:
+    """DUKES 5.10 → two logical tables
+    (queens/etl/transformations.py:609-631)."""
+    d1 = process_sheet(
+        spark, sheets["5.10.A"],
+        template=templates["5.10.A"], drop_cols=["Region"],
+    )
+    d2 = process_sheet(
+        spark, sheets["5.10.B and 5.10.C"],
+        template=templates["5.10.B and 5.10.C"],
+    )
+    return {"5.10.A": d1, "5.10.B_C": d2}
+
+
 # -------------------------------------------------------- registry
 
 TRANSFORMERS: dict[str, Callable] = {
     "process_sheet": process_sheet,
     "process_multi_sheets": process_multi_sheets,
     "process_stacked_sheet": process_stacked_sheet,
+    "process_dukes_5_6": process_dukes_5_6,
+    "process_dukes_5_10": process_dukes_5_10,
+    # reference-config aliases (etl_config.json "f" names)
+    "process_sheet_to_frame": process_sheet,
+    "process_multi_sheets_to_frame": process_multi_sheets,
 }
 
 

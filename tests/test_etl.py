@@ -200,3 +200,87 @@ def test_with_row_ordinal(spark):
     df = spark.createDataFrame([Row(k="b"), Row(k="c"), Row(k="a")])
     out = with_row_ordinal(df, order_by=["k"]).collect()
     assert {(r["k"], r["row"]) for r in out} == {("a", 0), ("b", 1), ("c", 2)}
+
+
+# ------------------------------------------- DUKES special processors
+
+def summaries_sheet():
+    """5.6.J shape: stacked yearly copies, year in interim title rows,
+    the first copy's year only in the sheet title (original header)."""
+    return pd.DataFrame(
+        [
+            ["Generator type", "Indicator", "Gas [note 1]", "Coal"],
+            ["Major power producers", "Capacity", "10", "20"],
+            ["Autogenerators", "Capacity", "1", "2"],
+            ["Table 5.6.J 2021 summary", None, None, None],
+            ["Generator type", "Indicator", "Gas [note 1]", "Coal"],
+            ["Major power producers", "Capacity", "11", "21"],
+            ["Autogenerators", "Capacity", "3", "4"],
+        ],
+        columns=["Table 5.6.J 2020 summary", "Unnamed: 1", "Unnamed: 2",
+                 "Unnamed: 3"],
+    )
+
+
+def summaries_template(spark):
+    return spark.createDataFrame([
+        Row(row=0, label="Major power producers", group="MPP", item="Capacity",
+            unit="MW"),
+        Row(row=1, label="Autogenerators", group="Auto", item="Capacity",
+            unit="MW"),
+    ])
+
+
+def test_process_dukes_5_6_summaries(spark):
+    from queens_spark.etl.transformations import process_dukes_5_6_summaries
+
+    out = process_dukes_5_6_summaries(
+        spark, summaries_sheet(), summaries_template(spark), 2
+    ).collect()
+    # 4 surviving data rows x 2 fuel columns
+    assert len(out) == 8
+    got = {(r["year"], r["label"], r["fuel"]): r["value"] for r in out}
+    # title year ffilled; first copy backstopped from the sheet title
+    assert got[("2020", "Major power producers", "Gas")] == "10"
+    assert got[("2020", "Autogenerators", "Coal")] == "2"
+    assert got[("2021", "Major power producers", "Gas")] == "11"
+    assert got[("2021", "Autogenerators", "Coal")] == "4"
+    # note tags cleaned on the melted fuel name
+    assert {r["fuel"] for r in out} == {"Gas", "Coal"}
+    # template dims attached via the modular join
+    assert {r["group"] for r in out} == {"MPP", "Auto"}
+
+
+def test_process_dukes_5_6_and_5_10_dicts(spark):
+    from queens_spark.etl.transformations import (
+        process_dukes_5_10,
+        process_dukes_5_6,
+    )
+
+    std = raw_sheet(titled=False)
+    std = std.rename(columns=std.iloc[0]).iloc[1:].reset_index(drop=True)
+    tpl = template_df(spark)
+    sheets_56 = {
+        "5.6": std.assign(Fuel="x"),
+        "5.6 Conventional thermal & CCGT": std.assign(**{"Generator category": "y"}),
+        "5.6 Annual summaries": summaries_sheet(),
+    }
+    tpls_56 = {
+        "5.6": tpl,
+        "5.6 Conventional thermal & CCGT": tpl,
+        "5.6 Annual summaries": summaries_template(spark),
+    }
+    out = process_dukes_5_6(spark, sheets_56, tpls_56, 2)
+    assert set(out) == {"5.6.A_G", "5.6.H_I", "5.6.J"}
+    # the configured drop_cols must not leak into the long output
+    assert "Fuel" not in out["5.6.A_G"].columns
+    assert out["5.6.A_G"].count() == 6  # 3 template rows x 2 years
+
+    sheets_510 = {
+        "5.10.A": std.assign(Region="r"),
+        "5.10.B and 5.10.C": std,
+    }
+    tpls_510 = {"5.10.A": tpl, "5.10.B and 5.10.C": tpl}
+    out = process_dukes_5_10(spark, sheets_510, tpls_510)
+    assert set(out) == {"5.10.A", "5.10.B_C"}
+    assert out["5.10.B_C"].count() == 6
