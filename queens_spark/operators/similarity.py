@@ -210,6 +210,57 @@ def lsh_bucket_pairs(
 
 # ----------------------------------------------------------------- IVF
 
+def ivf_search(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroid_ids: list[int],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF probe search: rank centroids against the query, keep the
+    best *n_probe* cells, exact top-k over only those cells' vectors.
+
+    At scale the assignment is precomputed and used as the partition
+    key (see :func:`ivf_assign`), so the candidate read is partition
+    pruning — this function computes it inline for self-containment.
+    The probe list is a driver-side top-n over the centroid set (small
+    by construction, like any broadcast dimension). Ties everywhere
+    break by ascending id, so results are deterministic.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qq = quantize(q)
+    qn2 = int_norm2(qq)
+    cents = (
+        df.where(F.col(id_col).isin(centroid_ids))
+        .select(F.col(id_col).alias("centroid_id"), quantize(vec_col).alias("cq"))
+        .withColumn("cn2", int_norm2(F.col("cq")))
+    )
+    probe = (
+        cents.select(
+            "centroid_id",
+            cosine_from_ints(int_dot(F.col("cq"), qq), F.col("cn2"), qn2).alias("c"),
+        )
+        .orderBy(F.desc("c"), F.asc("centroid_id"))
+        .limit(n_probe)
+        .collect()
+    )
+    probe_ids = [r["centroid_id"] for r in probe]
+    candidates = ivf_assign(df, vec_col, id_col, centroid_ids).where(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    v = df.join(candidates.select(id_col), id_col).select(
+        F.col(id_col), quantize(vec_col).alias("q")
+    )
+    cos = cosine_from_ints(int_dot(F.col("q"), qq), int_norm2(F.col("q")), qn2)
+    return (
+        v.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_assign(
     df: DataFrame, vec_col: str, id_col: str, centroid_ids: list[int]
 ) -> DataFrame:

@@ -1010,6 +1010,57 @@ def q33_ivf_assign(spark, sf_dir):
     return ivf_assign(emb, "embedding", "vec_id", cent_ids)
 
 
+def _ivf_search_oracle(k: int, n_probe: int) -> str:
+    from queens_spark.operators.similarity import duckdb_int_dot, duckdb_quantize
+
+    qv = duckdb_quantize("embedding")
+    qq = duckdb_quantize("(SELECT embedding FROM embeddings WHERE vec_id = 0)")
+    return f"""
+    WITH q AS (SELECT {qq} AS qq),
+    n AS (
+      SELECT vec_id, q AS vq, {duckdb_int_dot('q', 'q')} AS n2
+      FROM (SELECT vec_id, {qv} AS q FROM embeddings)
+    ), cents AS (
+      SELECT vec_id AS centroid_id, vq AS cq, n2 AS cn2 FROM n WHERE vec_id % 200 = 0
+    ), probe AS (
+      SELECT centroid_id FROM cents, q
+      ORDER BY CAST({duckdb_int_dot('cq', 'qq')} AS DOUBLE)
+                 / (sqrt(CAST(cn2 AS DOUBLE)) * sqrt(CAST({duckdb_int_dot('qq', 'qq')} AS DOUBLE))) DESC,
+               centroid_id ASC
+      LIMIT {n_probe}
+    ), scored AS (
+      SELECT v.vec_id, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY CAST({duckdb_int_dot('v.vq', 'c.cq')} AS DOUBLE)
+               / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+                                c.centroid_id ASC) AS rk
+      FROM n v, cents c
+    ), assigned AS (
+      SELECT vec_id, centroid_id FROM scored WHERE rk = 1
+    )
+    SELECT n.vec_id,
+           CAST({duckdb_int_dot('n.vq', 'qq')} AS DOUBLE)
+             / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST({duckdb_int_dot('qq', 'qq')} AS DOUBLE))) AS cosine
+    FROM n JOIN assigned a ON n.vec_id = a.vec_id, q
+    WHERE a.centroid_id IN (SELECT centroid_id FROM probe)
+    ORDER BY cosine DESC, n.vec_id ASC LIMIT {k}
+    """
+
+
+@register("q35_ivf_search", _ivf_search_oracle(10, 2))
+def q35_ivf_search(spark, sf_dir):
+    """IVF probe search: top-n_probe cells by query-to-centroid cosine,
+    exact top-k inside only those cells (partition pruning at scale)."""
+    from queens_spark.operators.similarity import ivf_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_ids = [r[0] for r in
+                emb.where(F.col("vec_id") % 200 == 0).select("vec_id").collect()]
+    query_vec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_search(emb, "embedding", "vec_id", cent_ids, query_vec,
+                      k=10, n_probe=2)
+
+
 # =====================================================================
 # Scale extensions: event sessionization (stream-shaped batch op)
 # =====================================================================
