@@ -45,6 +45,26 @@ def char_count(text: Column | str) -> Column:
     return F.length(c).cast("bigint")
 
 
+#: BPE-ish pre-tokenization pattern (GPT-2 style, simplified to the
+#: subset whose semantics are identical in Java and DuckDB regex):
+#: a token is a letter run, a digit run, or a punctuation run, each
+#: with an optional leading space folded in; whitespace itself is not
+#: a token. Gives the subword-merge input count, a better proxy for
+#: LLM token budgets than whitespace splitting.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN)).cast("bigint")
+
+
+def duckdb_bpe_ish_token_count(expr: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all({expr}, '{BPE_ISH_PATTERN}')) AS BIGINT)"
+    )
+
+
 def type_token_ratio(text: Column | str) -> Column:
     """Distinct-token / token ratio — a lexical-diversity signal."""
     toks = tokens(text)

@@ -644,26 +644,31 @@ def q21_paren_split(spark, sf_dir):
 _DUCK_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
 
-@register(
-    "q22_text_stats",
-    f"""
+def _text_stats_oracle() -> str:
+    from queens_spark.operators.text import duckdb_bpe_ish_token_count
+
+    return f"""
     SELECT doc_id,
            CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+           {duckdb_bpe_ish_token_count('text')} AS n_bpe_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_computed,
            CASE WHEN len({_DUCK_TOKS}) > 0
                 THEN CAST(len(list_distinct({_DUCK_TOKS})) AS DOUBLE) / CAST(len({_DUCK_TOKS}) AS DOUBLE)
                 ELSE 0.0 END AS ttr
     FROM documents
-    """,
-)
+    """
+
+
+@register("q22_text_stats", _text_stats_oracle())
 def q22_text_stats(spark, sf_dir):
-    """Token counting + lexical diversity: pure higher-order array
-    expressions, zero shuffle, linear scan."""
+    """Token counting (whitespace + BPE-ish regex) + lexical diversity:
+    pure expressions, zero shuffle, linear scan."""
     from queens_spark.operators import text as tx
 
     return load(spark, sf_dir, "documents").select(
         "doc_id",
         tx.token_count("text").alias("n_tokens"),
+        tx.bpe_ish_token_count("text").alias("n_bpe_tokens"),
         tx.char_count("text").alias("n_chars_computed"),
         tx.type_token_ratio("text").alias("ttr"),
     )
