@@ -287,6 +287,63 @@ def minhash_dedup_pairs(
     )
 
 
+# ---------------------------------------------- connected components
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    max_iter: int = 25,
+) -> DataFrame:
+    """Canonical dedup-group assignment: every node gets the MIN id
+    reachable through the near-dup pair graph (isolated nodes are their
+    own component).
+
+    Iterative min-label propagation: each round joins current labels
+    across the (undirected) edge list and keeps the per-node minimum;
+    convergence when no label changes. Rounds needed ≈ graph diameter
+    (near-dup clusters are shallow, so a handful). Each iteration is
+    localCheckpoint-ed: without cutting lineage the plan doubles per
+    round and the job dies long before 100 TB. Shuffle per round
+    carries (node, label) pairs only — never document payloads.
+    """
+    src, dst = pair_cols
+    edges = (
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("component_id")
+    )
+
+
 # ------------------------------------------------------------- SimHash
 
 def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:

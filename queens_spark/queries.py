@@ -822,6 +822,42 @@ def q27_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _components_oracle(threshold: float) -> str:
+    # pair edges = the q27 near-dup pairs; components = min reachable
+    # id through the undirected graph (recursive closure)
+    pair_sql = _jaccard_oracle(threshold)
+    return f"""
+    WITH RECURSIVE pairs AS ({pair_sql}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS component_id
+    FROM reach GROUP BY node
+    """
+
+
+@register("q36_dedup_components", _components_oracle(0.8))
+def q36_dedup_components(spark, sf_dir):
+    """Canonical dedup groups: connected components over the near-dup
+    pair graph via iterative min-label propagation (checkpointed per
+    round; shuffles carry (node,label) only)."""
+    from queens_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    return connected_components(docs, pairs, "doc_id")
+
+
 def _minhash_oracle(threshold: float) -> str:
     from queens_spark.operators.dedup import (
         LSH_BANDS, LSH_ROWS, MINHASH_A, MINHASH_B, MINHASH_K, MINHASH_P,
