@@ -22,6 +22,8 @@ from those ints via identical IEEE double ops are bit-identical.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 QUANT = 1000
@@ -181,6 +183,45 @@ def duckdb_lsh_bucket(expr: str, dim: int, planes: int = LSH_PLANES) -> str:
         dot = duckdb_int_dot("__q", f"{h}")
         parts.append(f"CASE WHEN {dot} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END")
     return "(SELECT " + " + ".join(parts) + f" FROM (SELECT {q} AS __q) __lsh)"
+
+
+def lsh_search(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    query_vec: list[float],
+    k: int = 10,
+    planes: int = LSH_PLANES,
+) -> DataFrame:
+    """LSH probe search: hash the query to its sign bucket, exact
+    top-k over only that bucket's vectors. With the bucket id as the
+    storage partition key, the candidate read is partition pruning —
+    sub-linear reads at the cost of recall (vectors across the
+    hyperplane from the query are unreachable; raise recall with
+    multi-probe or more tables, not more planes)."""
+    qbits = 0
+    qq = [int(math.floor(float(x) * QUANT)) for x in query_vec]
+    for j in range(planes):
+        h = _hyperplane(j, dim)
+        if sum(a * b for a, b in zip(qq, h)) >= 0:
+            qbits |= 1 << j
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qqc = quantize(q)
+    cos = cosine_from_ints(
+        int_dot(F.col("q"), qqc), int_norm2(F.col("q")), int_norm2(qqc)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            quantize(vec_col).alias("q"),
+            lsh_bucket(vec_col, dim, planes).alias("bucket"),
+        )
+        .where(F.col("bucket") == qbits)
+        .select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def lsh_bucket_pairs(

@@ -1088,6 +1088,45 @@ def _ivf_search_oracle(k: int, n_probe: int) -> str:
     """
 
 
+def _lsh_search_oracle(dim: int, k: int) -> str:
+    from queens_spark.operators.similarity import (
+        duckdb_int_dot,
+        duckdb_lsh_bucket,
+        duckdb_quantize,
+    )
+
+    qv = duckdb_quantize("embedding")
+    qq = duckdb_quantize("(SELECT embedding FROM embeddings WHERE vec_id = 0)")
+    qbucket = duckdb_lsh_bucket(
+        "(SELECT embedding FROM embeddings WHERE vec_id = 0)", dim
+    )
+    return f"""
+    WITH q AS (SELECT {qq} AS qq, {qbucket} AS qb),
+    v AS (
+      SELECT vec_id, {qv} AS vq, {duckdb_lsh_bucket('embedding', dim)} AS bucket
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST({duckdb_int_dot('vq', 'qq')} AS DOUBLE)
+             / (sqrt(CAST({duckdb_int_dot('vq', 'vq')} AS DOUBLE))
+                * sqrt(CAST({duckdb_int_dot('qq', 'qq')} AS DOUBLE))) AS cosine
+    FROM v, q
+    WHERE bucket = qb
+    ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+    """
+
+
+@register("q37_lsh_search", _lsh_search_oracle(64, 10))
+def q37_lsh_search(spark, sf_dir):
+    """LSH probe search: the query's sign bucket only, exact top-k
+    inside it (bucket id = partition key at scale → pruned read)."""
+    from queens_spark.operators.similarity import lsh_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    query_vec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_search(emb, "embedding", "vec_id", 64, query_vec, k=10)
+
+
 @register("q35_ivf_search", _ivf_search_oracle(10, 2))
 def q35_ivf_search(spark, sf_dir):
     """IVF probe search: top-n_probe cells by query-to-centroid cosine,
