@@ -45,6 +45,21 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("output_path")
     ex.add_argument("--table-name", default=None)
     ex.add_argument("--bulk", action="store_true")
+
+    ing = sub.add_parser(
+        "ingest", help="ingest a configured table from a local workbook"
+    )
+    ing.add_argument("collection")
+    ing.add_argument("table")
+    ing.add_argument("--workbook", required=True, help="local .xlsx path")
+    ing.add_argument("--etl-config", required=True, help="etl_config.json path")
+    ing.add_argument("--template", default=None,
+                     help="template table as parquet (row,label,dims...)")
+    ing.add_argument("--url", default=None, help="provenance URL for the log")
+
+    sv = sub.add_parser("serve", help="run the HTTP API (requires fastapi)")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8000)
     return p
 
 
@@ -92,6 +107,26 @@ def _run(args) -> int:
             out = export_all(engine, args.collection, args.file_type,
                              args.output_path, bulk_export=args.bulk)
         print(json.dumps({"exported": out}))
+    elif args.command == "ingest":
+        from queens_spark.etl.process import ingest_table, load_etl_config
+
+        templates = None
+        if args.template:
+            templates = {args.table: spark.read.parquet(args.template)}
+        result = ingest_table(
+            engine, args.collection, args.table,
+            workbook_path=args.workbook,
+            etl_config=load_etl_config(args.etl_config),
+            templates=templates,
+            url=args.url,
+        )
+        print(json.dumps({"ingested": result}))
+    elif args.command == "serve":
+        import uvicorn
+
+        from queens_spark.api import create_app
+
+        uvicorn.run(create_app(engine), host=args.host, port=args.port)
     return 0
 
 

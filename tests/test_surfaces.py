@@ -150,6 +150,13 @@ def test_cli_parser_roundtrip():
     assert args.as_of == "2024-01-01"
     args = build_parser().parse_args(["export", "dukes", "csv", "/tmp/x", "--bulk"])
     assert args.bulk is True
+    args = build_parser().parse_args(
+        ["ingest", "dukes", "1.1", "--workbook", "/tmp/w.xlsx",
+         "--etl-config", "/tmp/etl.json", "--template", "/tmp/t.parquet"]
+    )
+    assert args.command == "ingest" and args.workbook == "/tmp/w.xlsx"
+    args = build_parser().parse_args(["serve", "--port", "9000"])
+    assert args.port == 9000
 
 
 # ------------------------------------------------------------ scraper
