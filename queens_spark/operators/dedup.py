@@ -318,26 +318,31 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
+
+    def label_sum(df) -> int:
+        # labels only ever decrease, so the total strictly decreases
+        # iff ANY label changed — a one-row aggregate is a far cheaper
+        # convergence probe than a join-and-compare of the label sets.
+        # decimal(38,0) so the sum can't overflow at any id scale.
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         prop = edges.join(labels, edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), F.col("label")
         )
-        new_labels = (
+        labels = (
             labels.union(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("component_id")
