@@ -98,6 +98,54 @@ def extract_features(
     return df.mapInPandas(run, out_schema)
 
 
+def resize_image(content: bytes, width: int, height: int) -> bytes:
+    """STUB — real implementation needs an image codec (PIL/opencv),
+    not present in this runtime."""
+    raise NotImplementedError(
+        "image resize requires an image codec library (e.g. PIL); "
+        "not available in this runtime — use fake_resize for plumbing tests"
+    )
+
+
+def fake_resize(content: bytes | None, width: int, height: int) -> bytes | None:
+    """Deterministic stand-in resize kernel: re-keys the bytes with the
+    target dimensions (same input + target → same output), preserving
+    the invariant a real kernel has — output depends on (content, w, h)
+    only."""
+    if content is None:
+        return None
+    return hashlib.sha256(content + f":{width}x{height}".encode()).digest()
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    kernel: Callable[[bytes, int, int], bytes] = fake_resize,
+    content_col: str = "content",
+) -> DataFrame:
+    """Resize every image row to (width, height), updating content and
+    the meta dimensions; non-image rows pass through untouched. Runs as
+    Arrow-batched ``mapInPandas`` over the size-bucketed layout so one
+    task never holds all the large files; memory stays bounded by the
+    Arrow batch size."""
+    schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["media_type"] == "image"
+            pdf = pdf.copy()
+            pdf.loc[is_img, content_col] = pdf.loc[is_img, content_col].map(
+                lambda c: kernel(c, width, height) if c is not None else None
+            )
+            pdf.loc[is_img, "meta"] = pdf.loc[is_img, "meta"].map(
+                lambda m: {**(m or {}), "width": width, "height": height}
+            )
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame
     timestamp, derived from metadata only (the decode of each frame is

@@ -113,7 +113,34 @@ def test_multimodal_feature_plumbing(spark):
 
 
 def test_decode_stub_raises(spark):
-    from queens_spark.operators.multimodal import decode_image
+    from queens_spark.operators.multimodal import decode_image, resize_image
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+    with pytest.raises(NotImplementedError):
+        resize_image(b"\x89PNG...", 32, 32)
+
+
+def test_resize_plumbing(spark):
+    from queens_spark.operators.multimodal import (
+        fake_resize,
+        media_frame,
+        resize_images,
+    )
+
+    rows = [
+        (1, "image", b"img-bytes-1", (64, 48, None, "png")),
+        (2, "video", b"vid-bytes", (640, 480, 3500, "mp4")),
+        (3, "image", None, (8, 8, None, "png")),
+    ]
+    out = {r["media_id"]: r for r in
+           resize_images(media_frame(spark, rows), 32, 32).collect()}
+    # image content re-keyed deterministically, meta updated
+    assert bytes(out[1]["content"]) == fake_resize(b"img-bytes-1", 32, 32)
+    assert (out[1]["meta"]["width"], out[1]["meta"]["height"]) == (32, 32)
+    # non-image rows pass through untouched
+    assert bytes(out[2]["content"]) == b"vid-bytes"
+    assert out[2]["meta"]["width"] == 640
+    # null content stays null but meta still updates
+    assert out[3]["content"] is None
+    assert out[3]["meta"]["width"] == 32
