@@ -1,0 +1,78 @@
+"""Time-series join operators (beyond the reference's surface; the
+reference has no temporal joins — SURVEY.md §2.3).
+
+The as-of join is THE missing Spark primitive for event/feature
+alignment ("attach the latest right-side row at or before each left
+timestamp"). The naive theta-join (l.key = r.key AND r.ts <= l.ts plus
+a max-per-row dedup) explodes quadratically per key; the scalable plan
+used here is the union-marker pattern:
+
+    union both sides → one shuffle on the key → per-key window sorted
+    by (ts, side, tiebreak) → last(right_payload, ignorenulls) over
+    preceding rows → keep left rows.
+
+One shuffle total, state bounded by the window (nothing quadratic);
+per-key skew behaves like any windowed aggregation (AQE handles it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tuple[str, ...] = ("event_id", "ts"),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every *left* row gains ``prefix+c`` for each
+    *right_cols* entry, taken from the latest right row of the same key
+    with ``right_ts <= left_ts`` (nulls when no such row — ASOF LEFT
+    JOIN semantics).
+
+    Ties: right rows sharing a timestamp are resolved by the ordering
+    of *right_cols* (last one wins), so results are deterministic.
+    """
+    key_cols = list(key_cols)
+    lpay = F.struct(*[F.col(c) for c in left.columns])
+    rpay = F.struct(*[F.col(c) for c in right_cols])
+
+    lu = left.select(
+        *key_cols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        lpay.alias("__lrow"),
+        F.lit(None).cast(
+            right.select(rpay.alias("x")).schema["x"].dataType
+        ).alias("__rpay"),
+    )
+    ru = right.select(
+        *key_cols,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            left.select(lpay.alias("x")).schema["x"].dataType
+        ).alias("__lrow"),
+        rpay.alias("__rpay"),
+    )
+    # total order: ts, then right-before-left at equal ts (<= semantics),
+    # then the right payload itself so equal-ts right rows resolve
+    # deterministically; explicit ROWS frame — a RANGE frame would pull
+    # in peers and break the tie-break.
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__rpay"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lu.unionByName(ru).withColumn(
+        "__last_r", F.last("__rpay", ignorenulls=True).over(w)
+    )
+    out_left = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
+    out_right = [
+        F.col(f"__last_r.{c}").alias(f"{prefix}{c}") for c in right_cols
+    ]
+    return filled.where(F.col("__side") == 1).select(*out_left, *out_right)

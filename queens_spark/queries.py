@@ -1141,6 +1141,30 @@ def q35_ivf_search(spark, sf_dir):
                       k=10, n_probe=2)
 
 
+@register(
+    "q38_asof_join",
+    """
+    SELECT l.event_id, l.user_id, l.ts,
+           r.event_id AS asof_event_id, r.ts AS asof_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND r.ts <= l.ts
+    """,
+)
+def q38_asof_join(spark, sf_dir):
+    """As-of join: each purchase gains the user's latest click at or
+    before it — union-marker pattern, ONE shuffle on user_id, nothing
+    quadratic (see operators/timeseries.py)."""
+    from queens_spark.operators.timeseries import as_of_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    return as_of_join(
+        purchases, clicks, ["user_id"], right_cols=("event_id", "ts")
+    ).select("event_id", "user_id", "ts", "asof_event_id", "asof_ts")
+
+
 # =====================================================================
 # Scale extensions: event sessionization (stream-shaped batch op)
 # =====================================================================

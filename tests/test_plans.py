@@ -105,6 +105,28 @@ def test_star_join_has_no_fact_shuffle_before_agg(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_asof_join_single_shuffle(spark):
+    from queens_spark.operators.timeseries import as_of_join
+
+    left = spark.range(100).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("ts"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 10).alias("k"), (F.col("id") * 2).alias("ts"),
+        F.col("id").alias("rid"),
+    )
+    plan = plan_of(
+        as_of_join(left, right, ["k"], right_cols=("rid", "ts"))
+    )
+    # the union-marker pattern shuffles ONCE on the key; a second
+    # exchange would mean the quadratic/theta fallback crept in
+    # (formatted explain lists each node twice: tree + detail section)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
 def test_topn_query_take_ordered(spark):
     from queens_spark.queries import QUERIES
 
