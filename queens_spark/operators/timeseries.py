@@ -1,5 +1,5 @@
-"""Time-series join operators (beyond the reference's surface; the
-reference has no temporal joins — SURVEY.md §2.3).
+"""Temporal/interval join operators (beyond the reference's surface;
+the reference has no temporal joins — SURVEY.md §2.3).
 
 The as-of join is THE missing Spark primitive for event/feature
 alignment ("attach the latest right-side row at or before each left
@@ -76,3 +76,44 @@ def as_of_join(
         F.col(f"__last_r.{c}").alias(f"{prefix}{c}") for c in right_cols
     ]
     return filled.where(F.col("__side") == 1).select(*out_left, *out_right)
+
+
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bin_width: float = 10.0,
+) -> DataFrame:
+    """Interval join: every point row matched with every range row
+    whose half-open interval ``[lo, hi)`` contains the point value.
+
+    The naive plan is a cross/nested-loop join with an inequality
+    filter — O(points × ranges). Binning turns it into an EQUI join:
+    each range explodes to the fixed-width bins it covers, each point
+    hashes to its bin, the join key is the bin id, and the exact
+    interval predicate filters residual edge rows. Bin width trades
+    range-side duplication (hi-lo)/width against per-bin fan-in; with
+    a small ranges side Catalyst broadcasts and there is no shuffle at
+    all.
+    """
+    w = float(bin_width)
+    r = ranges.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor(F.col(hi_col) / w).cast("long"),
+            )
+        ),
+    )
+    p = points.withColumn("__bin", F.floor(F.col(point_col) / w).cast("long"))
+    return (
+        p.join(r, "__bin")
+        .where(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop("__bin")
+    )

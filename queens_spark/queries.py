@@ -1165,6 +1165,33 @@ def q38_asof_join(spark, sf_dir):
     ).select("event_id", "user_id", "ts", "asof_event_id", "asof_ts")
 
 
+#: Overlapping value bands for the range-join query — identical
+#: literals in the Spark frame and the oracle's VALUES list.
+VALUE_BANDS = [(float(i * 50), float(i * 50 + 75), f"band_{i}") for i in range(10)]
+
+
+@register(
+    "q39_range_join",
+    """
+    WITH ranges(lo, hi, band) AS (VALUES """
+    + ", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in VALUE_BANDS)
+    + """)
+    SELECT e.event_id, e.value, r.band
+    FROM events e JOIN ranges r ON e.value >= r.lo AND e.value < r.hi
+    """,
+)
+def q39_range_join(spark, sf_dir):
+    """Interval containment as an EQUI join via range binning (broadcast
+    here; equi-shuffle instead of nested-loop when both sides are big)."""
+    from queens_spark.operators.timeseries import range_join
+
+    ev = load(spark, sf_dir, "events")
+    ranges = spark.createDataFrame(VALUE_BANDS, "lo double, hi double, band string")
+    return range_join(ev, ranges, "value", bin_width=25.0).select(
+        "event_id", "value", "band"
+    )
+
+
 # =====================================================================
 # Scale extensions: event sessionization (stream-shaped batch op)
 # =====================================================================
