@@ -1165,6 +1165,61 @@ def q38_asof_join(spark, sf_dir):
     ).select("event_id", "user_id", "ts", "asof_event_id", "asof_ts")
 
 
+@register(
+    "q40_time_rollup",
+    """
+    SELECT date_trunc('day', ts) AS day,
+           date_trunc('hour', ts) AS hour,
+           CAST(GROUPING(date_trunc('day', ts)) * 2
+                + GROUPING(date_trunc('hour', ts)) AS BIGINT) AS gid,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+)
+def q40_time_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate shape: hourly, daily, and
+    grand-total rollups in ONE pass via GROUPING SETS (rollup) — one
+    shuffle with map-side partials, instead of one scan per
+    granularity."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("day", F.date_trunc("day", F.col("ts")))
+        .withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    )
+    return ev.rollup("day", "hour").agg(
+        (F.grouping("day") * 2 + F.grouping("hour")).cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    ).select("day", "hour", "gid", "n_events", "total_value")
+
+
+def _sample_oracle() -> str:
+    from queens_spark.operators.sampling import duckdb_hash_bucket
+
+    bucket = duckdb_hash_bucket("doc_id")
+    return f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {bucket} < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                               WHEN 'fr' THEN 1000 ELSE 0 END
+    """
+
+
+@register("q41_stratified_sample", _sample_oracle())
+def q41_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (data mixing): per-language
+    keep rates decided by a stable per-key hash — reproducible across
+    reruns, engines, and parallelism, unlike rand()-based sampling."""
+    from queens_spark.operators.sampling import stratified_hash_sample
+
+    return stratified_hash_sample(
+        load(spark, sf_dir, "documents"), "doc_id", "lang",
+        {"en": 5000, "de": 2500, "fr": 1000},
+    ).select("doc_id", "lang")
+
+
 #: Overlapping value bands for the range-join query — identical
 #: literals in the Spark frame and the oracle's VALUES list.
 VALUE_BANDS = [(float(i * 50), float(i * 50 + 75), f"band_{i}") for i in range(10)]
