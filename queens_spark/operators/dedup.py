@@ -287,6 +287,26 @@ def minhash_dedup_pairs(
     )
 
 
+def filter_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    keep_col: str = "id_a",
+    drop_col: str = "id_b",
+) -> DataFrame:
+    """Corpus-cleaning step: drop every document that appears on the
+    losing side of a near-dup pair (pairs are emitted with
+    ``id_a < id_b``, so the minimum id of each pair survives).
+
+    LEFT ANTI join on the id — the pair list is tiny relative to the
+    corpus, so Catalyst broadcasts it and the corpus never shuffles.
+    For transitive clusters use :func:`connected_components` and keep
+    ``component_id == id`` instead.
+    """
+    losers = pairs.select(F.col(drop_col).alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------- connected components
 
 def connected_components(

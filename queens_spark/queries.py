@@ -858,6 +858,69 @@ def q36_dedup_components(spark, sf_dir):
     return connected_components(docs, pairs, "doc_id")
 
 
+def _dedup_filter_oracle(threshold: float) -> str:
+    return f"""
+    WITH pairs AS ({_jaccard_oracle(threshold)})
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs)
+    """
+
+
+@register("q42_dedup_filter", _dedup_filter_oracle(0.8))
+def q42_dedup_filter(spark, sf_dir):
+    """Corpus cleaning: drop the losing side of every near-dup pair —
+    LEFT ANTI join against the (broadcast) pair list; the corpus never
+    shuffles."""
+    from queens_spark.operators.dedup import (
+        filter_near_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    return filter_near_duplicates(docs, pairs).select("doc_id", "lang")
+
+
+def _packing_oracle(budget: int) -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor((cum - n_tokens) / {budget}.0) AS BIGINT) AS pack_id
+    FROM c
+    """
+
+
+@register("q43_token_packing", _packing_oracle(1000))
+def q43_token_packing(spark, sf_dir):
+    """Token-budget packing: assign documents to fixed-budget training
+    sequences via a per-stratum cumulative token sum (one shuffle on
+    the stratum key; deterministic order by doc_id)."""
+    from queens_spark.operators.text import token_count
+
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(1000.0)
+        ).cast("bigint"),
+    )
+
+
 def _minhash_oracle(threshold: float) -> str:
     from queens_spark.operators.dedup import (
         LSH_BANDS, LSH_ROWS, MINHASH_A, MINHASH_B, MINHASH_K, MINHASH_P,
