@@ -41,7 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     ex = sub.add_parser("export", help="export staged tables")
     ex.add_argument("collection")
-    ex.add_argument("file_type", choices=["csv", "parquet", "xlsx"])
+    ex.add_argument("file_type", choices=["csv", "parquet", "jsonl", "xlsx"])
     ex.add_argument("output_path")
     ex.add_argument("--table-name", default=None)
     ex.add_argument("--bulk", action="store_true")

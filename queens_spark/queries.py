@@ -1283,6 +1283,36 @@ def q41_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+@register(
+    "q44_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q44_json_extract(spark, sf_dir):
+    """Schema-on-read over a JSON props column: typed extraction with
+    get_json_object stays JVM-side and the filter+agg pipeline keeps
+    map-side partials — no Python in the loop."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    return (
+        ev.where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 #: Overlapping value bands for the range-join query — identical
 #: literals in the Spark frame and the oracle's VALUES list.
 VALUE_BANDS = [(float(i * 50), float(i * 50 + 75), f"band_{i}") for i in range(10)]

@@ -40,6 +40,10 @@ def export_table(
         df.write.mode("overwrite").option("header", True).csv(target)
     elif file_type == "parquet":
         df.write.mode("overwrite").parquet(target)
+    elif file_type == "jsonl":
+        # sharded JSON-lines — the standard training-data interchange
+        # shape; each part file is one shard
+        df.write.mode("overwrite").json(target)
     elif file_type == "xlsx":
         try:
             import openpyxl  # noqa: F401
@@ -93,9 +97,9 @@ def export_all(
             for t in tables:
                 pdf = engine.query(collection, t).toPandas()
                 pdf.to_excel(writer, sheet_name=str(t)[:31], index=False)
-    elif file_type == "csv":
+    elif file_type in ("csv", "jsonl"):
         for t in tables:
-            export_table(engine, collection, "csv", t, output_path, output_ts)
+            export_table(engine, collection, file_type, t, output_path, output_ts)
     else:
         raise ValueError(f"unsupported export type '{file_type}'")
     return [target]

@@ -132,6 +132,13 @@ def test_export_csv_and_bulk_parquet(tmp_path, staged_engine, spark):
     assert "table_name" in back.columns
 
 
+def test_export_jsonl(tmp_path, staged_engine, spark):
+    out = export_table(staged_engine, "dukes", "jsonl", "1.1", str(tmp_path))
+    back = spark.read.json(out)
+    assert back.count() == 4
+    assert "value" in back.columns
+
+
 def test_export_xlsx_gated(tmp_path, staged_engine):
     with pytest.raises(NotImplementedError):
         export_table(staged_engine, "dukes", "xlsx", "1.1", str(tmp_path))
