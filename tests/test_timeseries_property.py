@@ -1,0 +1,85 @@
+"""Property-based check of the as-of join and range join against
+brute-force Python references on hypothesis-generated inputs."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from queens_spark.operators.timeseries import as_of_join, range_join
+
+rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # key
+        st.integers(min_value=0, max_value=20),   # ts
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left_rows=rows_st, right_rows=rows_st)
+def test_as_of_join_matches_bruteforce(spark, left_rows, right_rows):
+    left = [(k, t, i) for i, (k, t) in enumerate(left_rows)]
+    right = [(k, t, 100 + i) for i, (k, t) in enumerate(right_rows)]
+    ldf = spark.createDataFrame(left, "k bigint, ts bigint, lid bigint") \
+        if left else spark.createDataFrame([], "k bigint, ts bigint, lid bigint")
+    rdf = spark.createDataFrame(right, "k bigint, ts bigint, rid bigint") \
+        if right else spark.createDataFrame([], "k bigint, ts bigint, rid bigint")
+
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in as_of_join(
+            ldf, rdf, ["k"], right_cols=("rid", "ts")
+        ).collect()
+    }
+
+    want = {}
+    for k, t, lid in left:
+        # latest right row with right.ts <= t; ties by payload order —
+        # (rid, ts) struct — so the max rid at the winning ts wins
+        cands = [(rt, rid) for rk, rt, rid in right if rk == k and rt <= t]
+        want[lid] = max(cands)[1] if cands else None
+
+    assert got == want
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    points=st.lists(st.floats(min_value=0, max_value=100, allow_nan=False),
+                    min_size=0, max_size=15),
+    ranges=st.lists(
+        st.tuples(st.floats(min_value=0, max_value=90, allow_nan=False),
+                  st.floats(min_value=0.1, max_value=30, allow_nan=False)),
+        min_size=0, max_size=6,
+    ),
+    bin_width=st.sampled_from([3.0, 10.0, 50.0]),
+)
+def test_range_join_matches_bruteforce(spark, points, ranges, bin_width):
+    pts = [(i, v) for i, v in enumerate(points)]
+    rng = [(lo, lo + width, i) for i, (lo, width) in enumerate(ranges)]
+    pdf = spark.createDataFrame(pts, "pid bigint, v double") \
+        if pts else spark.createDataFrame([], "pid bigint, v double")
+    rdf = spark.createDataFrame(rng, "lo double, hi double, band bigint") \
+        if rng else spark.createDataFrame([], "lo double, hi double, band bigint")
+
+    got = {
+        (r["pid"], r["band"])
+        for r in range_join(pdf, rdf, "v", bin_width=bin_width).collect()
+    }
+    want = {
+        (pid, band)
+        for pid, v in pts
+        for lo, hi, band in rng
+        if lo <= v < hi
+    }
+    assert got == want
