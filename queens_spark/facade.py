@@ -142,15 +142,28 @@ class Engine:
         return log.orderBy(F.asc("table_name"), F.desc("ingest_ts"))
 
     def get_data_info(self, collection: str) -> DataFrame:
-        """Per-table year span + row count over prod (A3,
-        queens/etl/process.py:328-332)."""
+        """Per-table year span + row count over prod, enriched with the
+        staged version's description and ingest timestamp (A3+O3,
+        queens/etl/process.py:300-332: the reference's info report
+        carries Table number / Description / Ingest date columns).
+        One aggregate over prod, broadcast join to the tiny log."""
         prod = self.warehouse.read_prod(collection)
+        log = (
+            self.warehouse.read_log(collection)
+            .where(F.col("success") == 1)
+            .select("ingest_id", "table_description", "ingest_ts")
+        )
         return (
-            prod.groupBy("table_name")
+            prod.groupBy("table_name", "ingest_id")
             .agg(
                 F.min("year").alias("min_year"),
                 F.max("year").alias("max_year"),
                 F.count("year").alias("n_rows"),
             )
-            .orderBy("table_name")
+            .join(F.broadcast(log), "ingest_id", "left")
+            .select(
+                "table_name", "table_description", "ingest_ts",
+                "min_year", "max_year", "n_rows",
+            )
+            .orderBy(F.asc("table_name"), F.desc("ingest_ts"))
         )
