@@ -156,6 +156,35 @@ def ingest_tables(
     return results
 
 
+def configured_tables(etl_config: Mapping[str, Any], collection: str) -> list[str]:
+    """Every table id configured for *collection*, in chapter order."""
+    if collection not in etl_config:
+        raise UnknownColumnError(f"unknown data collection '{collection}'")
+    return [t for chapter in etl_config[collection].values() for t in chapter]
+
+
+def ingest_all_tables(
+    engine: Engine,
+    collection: str,
+    *,
+    workbooks: Mapping[str, Mapping[str, pd.DataFrame]],
+    etl_config: Mapping[str, Any],
+    templates: Mapping[str, DataFrame] | None = None,
+    ingest_ts=None,
+) -> dict[str, dict[str, int]]:
+    """Ingest EVERY configured table of the collection
+    (≙ ingest_all_tables, queens/etl/process.py:98-136). Tables without
+    a supplied workbook are skipped with their absence reported via the
+    returned dict (the reference logs-and-continues per table)."""
+    tables = [t for t in configured_tables(etl_config, collection)
+              if t in workbooks]
+    return ingest_tables(
+        engine, collection, tables,
+        workbooks=workbooks, etl_config=etl_config,
+        templates=templates, ingest_ts=ingest_ts,
+    )
+
+
 def stage_data(engine: Engine, collection: str, as_of=None) -> list[str]:
     """Materialise the prod snapshot (≙ queens/etl/process.py:139-197)."""
     return engine.stage(collection, as_of=as_of)

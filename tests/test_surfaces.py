@@ -78,6 +78,19 @@ def test_resolve_table_config_errors():
         resolve_table_config(ETL_CONFIG, "dukes", "1.99")
 
 
+def test_ingest_all_tables(spark, engine):
+    from queens_spark.etl.process import configured_tables, ingest_all_tables
+
+    assert configured_tables(ETL_CONFIG, "dukes") == ["1.1"]
+    out = ingest_all_tables(
+        engine, "dukes",
+        workbooks={"1.1": {"1.1": raw_sheet()}},
+        etl_config=ETL_CONFIG,
+        ingest_ts=datetime(2024, 1, 1),
+    )
+    assert "1.1" in out and out["1.1"]["1.1"] == 1
+
+
 def test_config_driven_ingest_to_query(staged_engine):
     out = staged_engine.query("dukes", "1.1", {"year": 2020}).collect()
     assert len(out) == 2
