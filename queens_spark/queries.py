@@ -1283,6 +1283,79 @@ def q41_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _topk_group_oracle(k: int) -> str:
+    # quality_score formula exactly as q23's oracle
+    toks = _DUCK_TOKS
+    punct = (
+        "CASE WHEN length(text) > 0 THEN "
+        "CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+        " / length(text) ELSE 0.0 END"
+    )
+    ttr = (
+        f"CASE WHEN len({toks}) > 0 THEN CAST(len(list_distinct({toks})) AS DOUBLE)"
+        f" / len({toks}) ELSE 0.0 END"
+    )
+    quality = (
+        f"0.4 * least(CAST(len({toks}) AS DOUBLE) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - ({punct})) + 0.3 * ({ttr})"
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {quality} AS quality,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY {quality} DESC, doc_id ASC) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, quality, CAST(rk AS BIGINT) AS rk
+    FROM scored WHERE rk <= {k}
+    """
+
+
+@register("q45_topk_per_group", _topk_group_oracle(3))
+def q45_topk_per_group(spark, sf_dir):
+    """Group-wise top-k (best documents per language by quality):
+    rank-window + filter — per-partition heaps, no global sort."""
+    from queens_spark.operators.text import quality_score
+
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", quality_score("text").alias("quality"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "q46_length_quartiles",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(ntile(4) OVER (PARTITION BY lang
+                               ORDER BY n_tokens, doc_id) AS BIGINT) AS quartile
+    FROM t
+    """,
+)
+def q46_length_quartiles(spark, sf_dir):
+    """Per-stratum length quartiles (curriculum bucketing by doc
+    length): ntile window, deterministic via the doc_id tie-break.
+    Verified that Spark and DuckDB share remainder-distribution
+    semantics (first tiles get the extra rows)."""
+    from queens_spark.operators.text import token_count
+
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", token_count("text").alias("n_tokens"))
+        .withColumn("quartile", F.ntile(4).over(w).cast("bigint"))
+    )
+
+
 @register(
     "q44_json_extract",
     """
