@@ -83,3 +83,52 @@ def test_range_join_matches_bruteforce(spark, points, ranges, bin_width):
         if lo <= v < hi
     }
     assert got == want
+
+
+comp_edges_st = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9),
+              st.integers(min_value=0, max_value=9)),
+    min_size=0,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw_edges=comp_edges_st, n_nodes=st.integers(min_value=1, max_value=10))
+def test_connected_components_match_union_find(spark, raw_edges, n_nodes):
+    from queens_spark.operators.dedup import connected_components
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges
+                    if a != b and a < n_nodes and b < n_nodes})
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id bigint")
+    pairs = (
+        spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        if edges else spark.createDataFrame([], "id_a bigint, id_b bigint")
+    )
+    got = {r["doc_id"]: r["component_id"]
+           for r in connected_components(nodes, pairs, "doc_id").collect()}
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    roots = {}
+    for i in range(n_nodes):
+        r = find(i)
+        roots.setdefault(r, []).append(i)
+    want = {i: min(members) for r, members in roots.items() for i in members}
+
+    assert got == want
