@@ -172,3 +172,43 @@ def test_metadata_gates_queryability(spark, engine):
     # 'technology' is in the schema but all-null for this table
     with pytest.raises(NameError):
         engine.query("dukes", "1.1", {"technology": "wind"})
+
+
+def test_load_schema_json_reference_format(tmp_path, spark, warehouse_root):
+    """The reference's schema.json format drives the engine unchanged
+    (SURVEY.md §1.4 config compatibility)."""
+    import json
+
+    from queens_spark.core.schema import load_schema_json
+
+    path = tmp_path / "schema.json"
+    path.write_text(json.dumps({
+        "mycoll": {
+            "ingest_id": {"type": "INTEGER", "nullable": False},
+            "table_name": {"type": "TEXT", "nullable": False},
+            "row": {"type": "INTEGER", "nullable": False},
+            "label": {"type": "TEXT", "nullable": False},
+            "year": {"type": "INTEGER", "nullable": False},
+            "fuel": {"type": "TEXT", "nullable": True},
+            "value": {"type": "REAL", "nullable": True},
+        }
+    }))
+    schemas = load_schema_json(str(path))
+    assert set(schemas) == {"mycoll"}
+    sch = schemas["mycoll"]
+    assert sch.sql_type_of("value") == "REAL"
+    assert not sch.columns["year"].nullable
+
+    # the loaded schema drives a full ingest→stage→query cycle
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    eng = Engine(spark, warehouse_root, schemas=schemas)
+    df = spark.createDataFrame([
+        Row(row=i, label=f"l{i}", year=2020, fuel=f"f{i}", value=float(i))
+        for i in range(4)
+    ])
+    eng.ingest(df, "mycoll", "t1", ingest_ts=datetime(2024, 1, 1))
+    assert eng.stage("mycoll") == ["t1"]
+    assert eng.query("mycoll", "t1", {"fuel": "F2"}).count() == 1  # NOCASE
