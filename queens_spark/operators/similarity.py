@@ -175,6 +175,48 @@ def lsh_bucket(vec_col: str, dim: int, planes: int = LSH_PLANES) -> Column:
     return bucket
 
 
+def lsh_bucket_vectors(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    planes: int = LSH_PLANES,
+) -> DataFrame:
+    """(id, bucket) for every vector — numpy-vectorized twin of
+    :func:`lsh_bucket` producing identical buckets (same quantization,
+    same integer hyperplanes, exact int64 matmul).
+
+    The Column form evaluates planes × dim interpreted lambda steps per
+    row; this form does ONE Arrow-batched int64 matrix product per
+    batch — the sanctioned fast path for bulk vector math. Use the
+    Column form when composing expressions, this one for bulk
+    assignment jobs."""
+    import numpy as np
+    import pandas as pd
+
+    H = np.array(
+        [_hyperplane(j, dim) for j in range(planes)], dtype=np.int64
+    ).T  # dim × planes
+    weights = np.array([1 << j for j in range(planes)], dtype=np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.floor(
+                np.array(pdf[vec_col].tolist(), dtype=np.float64) * QUANT
+            ).astype(np.int64)
+            bits = (mat @ H) >= 0
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "bucket": (bits * weights).sum(axis=1),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, f"{id_col} bigint, bucket bigint"
+    )
+
+
 def duckdb_lsh_bucket(expr: str, dim: int, planes: int = LSH_PLANES) -> str:
     q = duckdb_quantize(expr)
     parts = []
@@ -206,18 +248,20 @@ def lsh_search(
         h = _hyperplane(j, dim)
         if sum(a * b for a, b in zip(qq, h)) >= 0:
             qbits |= 1 << j
+    # bulk bucket assignment (vectorized), then only the query's bucket
+    # is re-read for exact scoring — at rest the bucket is the storage
+    # partition key and this becomes partition pruning
+    hits = lsh_bucket_vectors(df, vec_col, id_col, dim, planes).where(
+        F.col("bucket") == qbits
+    ).select(id_col)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qqc = quantize(q)
     cos = cosine_from_ints(
         int_dot(F.col("q"), qqc), int_norm2(F.col("q")), int_norm2(qqc)
     )
     return (
-        df.select(
-            F.col(id_col),
-            quantize(vec_col).alias("q"),
-            lsh_bucket(vec_col, dim, planes).alias("bucket"),
-        )
-        .where(F.col("bucket") == qbits)
+        df.join(hits, id_col)
+        .select(F.col(id_col), quantize(vec_col).alias("q"))
         .select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
