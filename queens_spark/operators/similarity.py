@@ -295,6 +295,52 @@ def lsh_bucket_pairs(
 
 # ----------------------------------------------------------------- IVF
 
+def ivf_assign_vectors(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroid_ids: list[int],
+) -> DataFrame:
+    """Numpy-vectorized twin of :func:`ivf_assign`: one Arrow-batched
+    int64 matrix product + argmax per batch instead of a crossJoin of
+    interpreted dot products. Bit-identical output (same quantization,
+    same IEEE cosine expression, ties to the LOWEST centroid id —
+    centroids are scanned in ascending id order so argmax's
+    first-max-wins matches the Column form's tie-break)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = (
+        df.where(F.col(id_col).isin(centroid_ids))
+        .select(F.col(id_col).alias("cid"), quantize(vec_col).alias("cq"))
+        .orderBy("cid")
+        .collect()
+    )
+    cid = np.array([r["cid"] for r in cents], dtype=np.int64)
+    C = np.array([r["cq"] for r in cents], dtype=np.int64)
+    cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.floor(
+                np.array(pdf[vec_col].tolist(), dtype=np.float64) * QUANT
+            ).astype(np.int64)
+            vn = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+            cos = (mat @ C.T).astype(np.float64) / (vn[:, None] * cn[None, :])
+            best = cos.argmax(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "centroid_id": cid[best],
+                "centroid_cosine": cos[np.arange(len(best)), best],
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, f"{id_col} bigint, centroid_id bigint, centroid_cosine double"
+    )
+
+
 def ivf_search(
     df: DataFrame,
     vec_col: str,

@@ -1106,7 +1106,10 @@ def _ivf_oracle() -> str:
 @register("q33_ivf_assign", _ivf_oracle())
 def q33_ivf_assign(spark, sf_dir):
     """IVF coarse quantization: nearest-centroid assignment against a
-    broadcast centroid set (centroids: vec_id % 200 == 0)."""
+    broadcast centroid set (centroids: vec_id % 200 == 0). The Column
+    form measures faster at this centroid count; ivf_assign_vectors is
+    the bit-identical matmul path that wins once the centroid set is
+    large (thousands of cells)."""
     from queens_spark.operators.similarity import ivf_assign
 
     emb = load(spark, sf_dir, "embeddings")
