@@ -144,3 +144,55 @@ def test_resize_plumbing(spark):
     # null content stays null but meta still updates
     assert out[3]["content"] is None
     assert out[3]["meta"]["width"] == 32
+
+
+def test_watermark_gates_append_emission(spark, tmp_path):
+    """Watermark semantics across micro-batches, as this engine build
+    actually guarantees them: the watermark advances batch-over-batch
+    (progress metadata), and append mode emits ONLY windows the
+    watermark has finalized — a window still inside the lateness
+    allowance stays open and unemitted. (Dropping of
+    older-than-watermark input is best-effort in Spark and this build
+    aggregates it; we assert the hard guarantees, not the
+    best-effort.)"""
+    import os
+    import pandas as pd
+
+    d = tmp_path / "late_in"
+    d.mkdir()
+
+    def write_events(name, base_us, n, mtime, base_id=0):
+        pdf = pd.DataFrame({
+            "event_id": range(base_id, base_id + n),
+            "ts": [base_us * 1000 + i for i in range(n)],  # raw nanos
+            "user_id": [1] * n,
+            "event_type": ["click"] * n,
+            "value": [1.0] * n,
+            "props": ["{}"] * n,
+        })
+        p = str(d / name)
+        pdf.to_parquet(p)
+        os.utime(p, (mtime, mtime))
+
+    hour_us = 3_600_000_000
+    write_events("a.parquet", 100 * hour_us, 5, mtime=1_000)
+    write_events("b.parquet", 200 * hour_us, 3, mtime=2_000, base_id=100)
+
+    stream = read_events_stream(spark, str(d), max_files_per_trigger=1)
+    agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # watermark advanced across batches
+    wms = [p["eventTime"].get("watermark") for p in q.recentProgress]
+    assert len(set(wms)) > 1, wms
+    got = {r["window_start"].day * 24 + r["window_start"].hour: r["n_events"]
+           for r in spark.table("wm_test").collect()}
+    # +100h window finalized (watermark reached 198h) and emitted with
+    # its full count; the +200h window is still open → NOT emitted
+    assert got == {24 + 100: 5}, got
