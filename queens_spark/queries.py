@@ -690,16 +690,24 @@ def q22_text_stats(spark, sf_dir):
     SELECT doc_id,
            0.4 * least(n_tok / 100.0, 1.0)
            + 0.3 * (1.0 - CASE WHEN n > 0 THEN CAST(n - n_clean AS DOUBLE) / n ELSE 0.0 END)
-           + 0.3 * ttr AS quality
+           + 0.3 * ttr AS quality,
+           CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) > 0
+                THEN CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+                                          t -> list_contains(['the', 'a', 'and', 'of', 'to', 'is'], t))) AS DOUBLE)
+                     / len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+                ELSE 0.0 END AS stopword_ratio
     FROM t
     """,
 )
 def q23_quality_score(spark, sf_dir):
-    """Deterministic quality heuristic (length/punctuation/diversity)."""
+    """Deterministic quality heuristic (length/punctuation/diversity)
+    plus the stopword-fraction signal."""
     from queens_spark.operators import text as tx
 
     return load(spark, sf_dir, "documents").select(
-        "doc_id", tx.quality_score("text").alias("quality")
+        "doc_id",
+        tx.quality_score("text").alias("quality"),
+        tx.stopword_ratio("text").alias("stopword_ratio"),
     )
 
 
