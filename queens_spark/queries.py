@@ -1369,6 +1369,31 @@ def q46_length_quartiles(spark, sf_dir):
 
 
 @register(
+    "q47_exact_quantiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           quantile_cont(l_extendedprice, 0.90) AS price_p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q47_exact_quantiles(spark, sf_dir):
+    """Exact grouped percentiles (linear interpolation) — the
+    sort-within-group aggregate; Spark's percentile() and DuckDB's
+    quantile_cont verified bit-identical. Use approx_percentile at
+    scales where an exact per-group sort is not worth it."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("q50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+        F.percentile("l_extendedprice", F.lit(0.90)).alias("price_p90"),
+    )
+
+
+@register(
     "q44_json_extract",
     """
     SELECT event_type,
