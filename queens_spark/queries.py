@@ -1394,6 +1394,32 @@ def q47_exact_quantiles(spark, sf_dir):
 
 
 @register(
+    "q48_set_ops",
+    """
+    SELECT s_suppkey FROM (
+      SELECT s_suppkey FROM supplier
+      INTERSECT
+      SELECT DISTINCT l_suppkey AS s_suppkey FROM lineitem
+    )
+    EXCEPT
+    SELECT s_suppkey FROM supplier WHERE s_nationkey = 3
+    """,
+)
+def q48_set_ops(spark, sf_dir):
+    """INTERSECT + EXCEPT (set-distinct semantics — beyond the
+    reference, which has no set ops): suppliers that appear in
+    lineitem, minus nation 3. Both compile to aggregate-based
+    set operations (one shuffle each on the key)."""
+    supp = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        supp.select("s_suppkey")
+        .intersect(li.select(F.col("l_suppkey").alias("s_suppkey")).distinct())
+        .subtract(supp.where(F.col("s_nationkey") == 3).select("s_suppkey"))
+    )
+
+
+@register(
     "q44_json_extract",
     """
     SELECT event_type,
