@@ -1420,6 +1420,67 @@ def q48_set_ops(spark, sf_dir):
 
 
 @register(
+    "q49_event_gaps",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_us) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+    FROM g GROUP BY user_id
+    """,
+)
+def q49_event_gaps(spark, sf_dir):
+    """Inter-event arrival gaps per user: lag window over a total
+    order, then integer gap stats (exact — no float accumulation).
+    One shuffle on user_id shared by the window AND the aggregate."""
+    ev = load(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+    return g.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("total_gap_us"),
+    )
+
+
+@register(
+    "q50_conditional_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           COUNT(*) FILTER (WHERE l_tax = 0) AS n_taxfree,
+           CAST(SUM(CASE WHEN l_discount > 0.05
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS discounted_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q50_conditional_agg(spark, sf_dir):
+    """Conditional aggregation (FILTER/CASE): multiple filtered
+    measures in ONE scan + one shuffle, instead of a scan per
+    predicate; DECIMAL accumulation keeps the sum order-independent."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount") > 0.05
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(disc, 1)).alias("n_discounted"),
+        F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_taxfree"),
+        F.sum(
+            F.when(disc, _dec("l_extendedprice")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        ).cast("double").alias("discounted_price"),
+    )
+
+
+@register(
     "q44_json_extract",
     """
     SELECT event_type,
