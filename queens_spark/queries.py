@@ -9,10 +9,16 @@ name). Rules applied throughout:
 
 - every computed column is aliased IDENTICALLY in both the Spark code
   and the SQL;
-- double-precision aggregates are computed on DECIMAL (exact,
-  order-independent) and cast to double at the end, so Spark's and
-  DuckDB's different accumulation orders can't produce last-ulp
-  hash mismatches;
+- money/value aggregates are computed on DECIMAL (exact,
+  order-independent) and emitted as SCALED INTEGERS (`*_e2` = cents,
+  `*_e4`, `*_e6`) — never as a final decimal→double cast: Spark
+  (correctly-rounded BigDecimal.doubleValue) and DuckDB (int/scale
+  division) round decimal→double differently at the last ulp, which
+  the driver's bit-exact hash rejects (bit us on q34 in round 1).
+  Where a fractional output is genuinely wanted (avg_qty), it is
+  derived from the exact integer via the SAME sequence of IEEE double
+  ops on both sides (bigint→double, /100.0, /count), which is
+  bit-portable;
 - LIMIT queries are fully ordered by a unique key so the selected
   row set is deterministic.
 
@@ -78,11 +84,11 @@ def _dec(col, scale: int = 2):
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_e2,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_price_e2,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS sum_disc_price_e4,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) * 1000000 AS BIGINT) AS sum_charge_e6,
+           CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 / COUNT(*) AS DOUBLE) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -100,14 +106,15 @@ def q01_pricing_summary(spark, sf_dir):
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
     disc = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    sum_qty_e2 = (F.sum(_dec("l_quantity")) * 100).cast("long")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc).cast("double").alias("sum_disc_price"),
-            F.sum(disc * (F.lit(1) + _dec("l_tax"))).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).cast("double").alias("avg_qty"),
+            sum_qty_e2.alias("sum_qty_e2"),
+            (F.sum(_dec("l_extendedprice")) * 100).cast("long").alias("sum_base_price_e2"),
+            (F.sum(disc) * 10000).cast("long").alias("sum_disc_price_e4"),
+            (F.sum(disc * (F.lit(1) + _dec("l_tax"))) * 1000000).cast("long").alias("sum_charge_e6"),
+            (sum_qty_e2.cast("double") / F.lit(100.0) / F.count(F.lit(1))).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -145,7 +152,7 @@ def q02_group_max(spark, sf_dir):
            MIN(o_orderdate) AS min_date,
            MAX(o_orderdate) AS max_date,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_price_e2
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -158,7 +165,7 @@ def q03_info_report(spark, sf_dir):
             F.min("o_orderdate").alias("min_date"),
             F.max("o_orderdate").alias("max_date"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+            (F.sum(_dec("o_totalprice")) * 100).cast("long").alias("total_price_e2"),
         )
     )
 
@@ -258,7 +265,7 @@ def q06_pivot(spark, sf_dir):
     "q07_star_join",
     """
     SELECT r_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue_e4,
            COUNT(*) AS n_lines
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -269,26 +276,35 @@ def q06_pivot(spark, sf_dir):
     """,
 )
 def q07_star_join(spark, sf_dir):
-    """J-family star join: fact × chain of dims, every dim broadcast so
-    the fact table never shuffles for the joins; the only shuffle is
-    the final 5-group aggregate (with map-side partials)."""
+    """J-family star join. Only GENUINE dimension tables (nation: 25
+    rows, region: 5 rows — fixed size at every sf) carry a broadcast
+    hint. orders and customer are sf-scaled fact/near-fact tables:
+    forcing them into a broadcast would OOM the driver at 100 TB, so
+    their join strategy is left to AQE/statistics (shuffle join at
+    scale, auto-broadcast when small enough locally). The dims are
+    joined to customer BEFORE the fact join so the enriched side
+    stays one pipeline."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
-    return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
-                li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
-              F.col("o_custkey") == F.col("c_custkey"))
+    cust_geo = (
+        cust.select("c_custkey", "c_nationkey")
         .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")),
               F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "r_name")
+    )
+    return (
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_geo, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("r_name")
         .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
+            (F.sum(revenue) * 10000).cast("long").alias("revenue_e4"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -299,7 +315,7 @@ def q07_star_join(spark, sf_dir):
     """
     SELECT s_name,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty_e2
     FROM (SELECT l_quantity, (l_orderkey % 10) + 1 AS row_mod FROM lineitem) t
     JOIN supplier ON row_mod = s_suppkey
     GROUP BY s_name
@@ -317,7 +333,7 @@ def q08_modular_template_join(spark, sf_dir):
         .groupBy("s_name")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("l_quantity")).cast("double").alias("qty"),
+            (F.sum(_dec("l_quantity")) * 100).cast("long").alias("qty_e2"),
         )
     )
 
@@ -595,7 +611,7 @@ def q19_scalar_funcs(spark, sf_dir):
            CAST(month(ts) AS BIGINT) AS m,
            strftime(min(ts), '%Y-%m-%d') AS first_day,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_e2
     FROM events
     GROUP BY year(ts), month(ts)
     """,
@@ -611,7 +627,7 @@ def q20_timestamp_funcs(spark, sf_dir):
         .agg(
             F.date_format(F.min("ts"), "yyyy-MM-dd").alias("first_day"),
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("value")).cast("double").alias("total_value"),
+            (F.sum(_dec("value")) * 100).cast("long").alias("total_value_e2"),
         )
     )
 
@@ -1248,7 +1264,7 @@ def q38_asof_join(spark, sf_dir):
            CAST(GROUPING(date_trunc('day', ts)) * 2
                 + GROUPING(date_trunc('hour', ts)) AS BIGINT) AS gid,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_e2
     FROM events
     GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
     """,
@@ -1266,8 +1282,8 @@ def q40_time_rollup(spark, sf_dir):
     return ev.rollup("day", "hour").agg(
         (F.grouping("day") * 2 + F.grouping("hour")).cast("bigint").alias("gid"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(_dec("value")).cast("double").alias("total_value"),
-    ).select("day", "hour", "gid", "n_events", "total_value")
+        (F.sum(_dec("value")) * 100).cast("long").alias("total_value_e2"),
+    ).select("day", "hour", "gid", "n_events", "total_value_e2")
 
 
 def _sample_oracle() -> str:
@@ -1459,7 +1475,7 @@ def q49_event_gaps(spark, sf_dir):
            COUNT(*) FILTER (WHERE l_tax = 0) AS n_taxfree,
            CAST(SUM(CASE WHEN l_discount > 0.05
                          THEN CAST(l_extendedprice AS DECIMAL(18,2))
-                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS discounted_price
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS discounted_price_e2
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -1472,11 +1488,11 @@ def q50_conditional_agg(spark, sf_dir):
     return li.groupBy("l_returnflag").agg(
         F.count(F.when(disc, 1)).alias("n_discounted"),
         F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_taxfree"),
-        F.sum(
+        (F.sum(
             F.when(disc, _dec("l_extendedprice")).otherwise(
                 F.lit(0).cast("decimal(18,2)")
             )
-        ).cast("double").alias("discounted_price"),
+        ) * 100).cast("long").alias("discounted_price_e2"),
     )
 
 
@@ -1558,7 +1574,7 @@ def q39_range_join(spark, sf_dir):
       FROM g
     )
     SELECT user_id, session_n, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS session_value_e2
     FROM s GROUP BY user_id, session_n
     """,
 )
@@ -1582,6 +1598,6 @@ def q34_sessionize(spark, sf_dir):
         .groupBy("user_id", "session_n")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(_dec("value")).cast("double").alias("session_value"),
+            (F.sum(_dec("value")) * 100).cast("long").alias("session_value_e2"),
         )
     )

@@ -97,12 +97,21 @@ def test_q01_partial_final_aggregation_and_pruned_scan(spark):
                if "PushedFilters" in ln)
 
 
-def test_star_join_has_no_fact_shuffle_before_agg(spark):
+def test_star_join_broadcasts_dims_only(spark):
     from queens_spark.queries import QUERIES
 
-    plan = plan_of(QUERIES["q07_star_join"](spark, SF_DIR))
-    assert plan.count("BroadcastHashJoin") >= 4
-    assert "SortMergeJoin" not in plan
+    df = QUERIES["q07_star_join"](spark, SF_DIR)
+    plan = plan_of(df)
+    # the two genuine dims (nation 25 rows, region 5 rows) must be
+    # broadcast — they are fixed-size at every sf
+    assert plan.count("BroadcastHashJoin") >= 2
+    # but the fact-scale tables (orders, customer) must NOT carry a
+    # broadcast HINT: the logical plan may auto-broadcast them at this
+    # tiny sf (AQE/stats choice — fine), as long as no hint forces it
+    # at 100 TB. Hints survive into the analyzed logical plan.
+    logical = df._jdf.queryExecution().analyzed().toString()
+    n_hints = logical.count("ResolvedHint")
+    assert n_hints == 2, f"expected exactly 2 broadcast hints (dims):\n{logical}"
 
 
 def test_asof_join_single_shuffle(spark):
