@@ -114,27 +114,25 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 # ------------------------------------------------- n-gram Jaccard pairs
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    n: int = 3,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via an
-    inverted shingle-hash index.
+def auto_max_df(n_docs: int) -> int:
+    """Corpus-scaled stop-shingle cap: a shingle appearing in more than
+    max(50, 1% of docs) documents carries no near-dup signal but
+    creates an O(df²) join bucket."""
+    return max(50, n_docs // 100)
 
-    Plan: per-doc distinct shingles → explode (shingle_hash, id) →
-    self-join grouped by shingle_hash → count co-occurrences →
-    |A∩B| / (|A|+|B|-|A∩B|). The join carries 64-bit hashes only.
+
+def _shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Persisted (doc, x:{n, hashes}) projection shared by the inverted
+    index and the verification join.
+
+    One projection computes shingles AND hashes inside a single
+    let-bound struct, and is persisted immediately: the cache is the
+    collapse barrier, so tokenize→shingle→hash runs exactly once per
+    document (filter/explode/join all read the cached columns).
+    Docs with < n tokens have an empty hash array and vanish at the
+    explode — no separate size filter needed.
     """
-    # One projection computes shingles AND hashes inside a single
-    # let-bound struct, and is persisted immediately: the cache is the
-    # collapse barrier, so tokenize→shingle→hash runs exactly once per
-    # document (filter/explode/join all read the cached columns).
-    # Docs with < n tokens have an empty hash array and vanish at the
-    # explode — no separate size filter needed.
-    sh = (
+    return (
         ensure_min_partitions(df)
         .select(
             F.col(id_col).alias("doc"),
@@ -148,23 +146,116 @@ def ngram_jaccard_pairs(
         )
         .persist()
     )
-    exploded = sh.select(
-        "doc",
-        F.col("x.n").alias("n_shingles"),
-        F.explode("x.hashes").alias("sh_hash"),
-    )
 
-    a = exploded.select(
-        F.col("doc").alias("id_a"), F.col("n_shingles").alias("na"), "sh_hash"
+
+def shingle_candidate_pairs(sh: DataFrame, max_df: int) -> DataFrame:
+    """Candidate (id_a < id_b) pairs from a df-capped inverted
+    shingle-hash index.
+
+    Stop-shingle removal: shingle hashes whose document frequency
+    exceeds *max_df* are dropped (semi-join) BEFORE the self-join.
+    Without the cap one hot shingle shared by k documents creates a
+    k² join bucket — a skewed-key shuffle that kills the job at
+    corpus scale; with it, the self-join's worst bucket is max_df²
+    regardless of corpus size. The join carries 64-bit hashes only.
+    """
+    exploded = sh.select("doc", F.explode("x.hashes").alias("sh_hash"))
+    rare = (
+        exploded.groupBy("sh_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= F.lit(max_df))
+        .select("sh_hash")
     )
-    b = exploded.select(
-        F.col("doc").alias("id_b"), F.col("n_shingles").alias("nb"), "sh_hash"
-    )
-    pairs = (
+    idx = exploded.join(rare, "sh_hash", "left_semi")
+    a = idx.select(F.col("doc").alias("id_a"), "sh_hash")
+    b = idx.select(F.col("doc").alias("id_b"), "sh_hash")
+    return (
         a.join(b, "sh_hash")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | str | None = "auto",
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via an
+    inverted shingle-hash index with stop-shingle removal.
+
+    Plan: per-doc distinct shingles → explode (shingle_hash, id) →
+    drop hashes with document frequency > max_df (stop shingles) →
+    self-join on shingle_hash → DISTINCT candidate pairs → exact
+    verification (|A∩B| via hash-set intersect) on candidates only.
+
+    max_df: ``"auto"`` (default) scales the cap with the corpus
+    (:func:`auto_max_df`); an int pins it; ``None`` disables the cap
+    and uses a single-pass co-occurrence count (exact recall even for
+    pairs that share only ultra-common shingles — only safe on small
+    corpora).
+
+    Recall note: a pair whose ONLY shared shingles are stop shingles is
+    not generated as a candidate. Such pairs have jaccard ≈ df-capped
+    noise and are below any useful threshold; this is the standard
+    recall/scale trade of every inverted-index dedup.
+    """
+    sh = _shingle_frame(df, text_col, id_col, n)
+
+    if max_df is None:
+        # Uncapped exact path: count co-occurrences in one pass — no
+        # verification join, but vulnerable to hot-shingle skew.
+        exploded = sh.select(
+            "doc",
+            F.col("x.n").alias("n_shingles"),
+            F.explode("x.hashes").alias("sh_hash"),
+        )
+        a = exploded.select(
+            F.col("doc").alias("id_a"), F.col("n_shingles").alias("na"), "sh_hash"
+        )
+        b = exploded.select(
+            F.col("doc").alias("id_b"), F.col("n_shingles").alias("nb"), "sh_hash"
+        )
+        return (
+            a.join(b, "sh_hash")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "na", "nb")
+            .agg(F.count(F.lit(1)).alias("common"))
+            .withColumn(
+                "jaccard",
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "common", "jaccard")
+        )
+
+    if max_df == "auto":
+        # count() materializes the persisted shingle frame, which every
+        # downstream consumer reuses — the job is not wasted work.
+        max_df = auto_max_df(sh.where(F.size("x.hashes") > 0).count())
+
+    cands = shingle_candidate_pairs(sh, max_df)
+    va = sh.select(
+        F.col("doc").alias("id_a"),
+        F.col("x.n").alias("na"),
+        F.col("x.hashes").alias("ha"),
+    )
+    vb = sh.select(
+        F.col("doc").alias("id_b"),
+        F.col("x.n").alias("nb"),
+        F.col("x.hashes").alias("hb"),
+    )
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "common", F.size(F.array_intersect("ha", "hb")).cast("bigint")
+        )
         .withColumn(
             "jaccard",
             F.col("common").cast("double")
@@ -173,7 +264,6 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "common", "jaccard")
     )
-    return pairs
 
 
 # ------------------------------------------------------------- MinHash

@@ -817,22 +817,43 @@ def q26_exact_dedup(spark, sf_dir):
 
 
 def _jaccard_oracle(threshold: float) -> str:
+    # Mirrors ngram_jaccard_pairs(max_df="auto"): a df-capped inverted
+    # index generates candidates (stop shingles with document frequency
+    # > max(50, n_docs // 100) are dropped), then exact Jaccard is
+    # verified on the full hash sets of the candidates only.
     from queens_spark.operators.dedup import duckdb_word_shingles
     from queens_spark.operators.text import duckdb_char_poly_hash
 
     return f"""
     WITH sh AS (
       SELECT doc_id, {duckdb_word_shingles('text')} AS s FROM documents
-    ), ex AS (
-      SELECT doc_id, len(s) AS ns, {duckdb_char_poly_hash('unnest(s)')} AS sh_hash
+    ), h AS (
+      SELECT doc_id, len(s) AS ns,
+             list_transform(s, x -> {duckdb_char_poly_hash('x')}) AS hs
       FROM sh WHERE len(s) > 0
+    ), ex AS (
+      SELECT doc_id, unnest(hs) AS sh_hash FROM h
+    ), rare AS (
+      SELECT sh_hash FROM ex GROUP BY sh_hash
+      HAVING COUNT(*) <= greatest(50, (SELECT COUNT(*) FROM h) // 100)
+    ), fi AS (
+      SELECT doc_id, sh_hash FROM ex
+      WHERE sh_hash IN (SELECT sh_hash FROM rare)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fi a JOIN fi b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS common,
+             ha.ns AS na, hb.ns AS nb
+      FROM cand c
+      JOIN h ha ON ha.doc_id = c.id_a
+      JOIN h hb ON hb.doc_id = c.id_b
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           COUNT(*) AS common,
-           CAST(COUNT(*) AS DOUBLE) / (a.ns + b.ns - COUNT(*)) AS jaccard
-    FROM ex a JOIN ex b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id, a.ns, b.ns
-    HAVING CAST(COUNT(*) AS DOUBLE) / (a.ns + b.ns - COUNT(*)) >= {threshold}
+    SELECT id_a, id_b, common,
+           CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
+    FROM verified
+    WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= {threshold}
     """
 
 

@@ -1,0 +1,66 @@
+"""Stop-shingle cap: one hot shingle shared by k documents must NOT
+produce a k² candidate bucket (the skewed-key shuffle that kills
+inverted-index dedup at corpus scale)."""
+
+import pytest
+from pyspark.sql import Row
+
+from queens_spark.operators.dedup import (
+    _shingle_frame,
+    auto_max_df,
+    ngram_jaccard_pairs,
+    shingle_candidate_pairs,
+)
+
+N_HOT = 60  # docs sharing one boilerplate 3-gram
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # every doc starts with the same 3-gram ("hot boiler plate")
+        # but is otherwise unique -> the ONLY shared shingle is hot
+        Row(doc_id=i, text=f"hot boiler plate u{i}a u{i}b u{i}c u{i}d")
+        for i in range(N_HOT)
+    ] + [
+        # one genuine duplicate pair: identical text, every shingle df=2
+        Row(doc_id=100, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=101, text="alpha beta gamma delta epsilon zeta"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_hot_shingle_does_not_explode_candidates(corpus):
+    sh = _shingle_frame(corpus, "text", "doc_id", n=3)
+    cands = shingle_candidate_pairs(sh, max_df=10).collect()
+    # without the cap this would be C(60,2) + 1 = 1771 candidate pairs;
+    # with it, only the genuine duplicate pair survives
+    assert [(c.id_a, c.id_b) for c in cands] == [(100, 101)]
+
+
+def test_capped_pairs_keep_true_duplicates(corpus):
+    pairs = ngram_jaccard_pairs(
+        corpus, "text", "doc_id", n=3, threshold=0.8, max_df=10
+    ).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.id_a, p.id_b, p.jaccard) == (100, 101, 1.0)
+    assert p.common == 4  # 6 tokens -> 4 distinct 3-gram shingles
+
+
+def test_cap_matches_uncapped_results_above_threshold(corpus):
+    # hot-only pairs share 1 of ~5 shingles (jaccard ~ 0.125), far
+    # below threshold: capped and uncapped paths must agree exactly
+    capped = ngram_jaccard_pairs(
+        corpus, "text", "doc_id", threshold=0.8, max_df=10
+    )
+    uncapped = ngram_jaccard_pairs(
+        corpus, "text", "doc_id", threshold=0.8, max_df=None
+    )
+    as_set = lambda df: {(r.id_a, r.id_b, r.common, r.jaccard) for r in df.collect()}
+    assert as_set(capped) == as_set(uncapped)
+
+
+def test_auto_max_df_scales_with_corpus():
+    assert auto_max_df(500) == 50        # floor dominates small corpora
+    assert auto_max_df(1_000_000) == 10_000
