@@ -1590,8 +1590,9 @@ def q39_range_join(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT user_id, event_id, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_n
       FROM g
     )
     SELECT user_id, session_n, COUNT(*) AS n_events,
