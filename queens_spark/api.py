@@ -64,6 +64,9 @@ class QueryService:
             {
                 "data_collection": collection,
                 "table_name": table_name,
+                "table_description": self.engine.table_description(
+                    collection, table_name
+                ),
                 "n_rows": len(records),
                 "next_cursor": next_cursor,
                 "data": records,

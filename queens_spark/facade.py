@@ -120,11 +120,28 @@ class Engine:
             prune_null_columns=False,
         )
         rows = [r.asDict() for r in df.collect()]
-        next_cursor = rows[-1][ROW_UID] if len(rows) == limit else None
+        # `rows and` guards limit<=0 (an empty page must not index
+        # rows[-1]) — the limit=0 page is legal and returns no cursor.
+        next_cursor = rows[-1][ROW_UID] if rows and len(rows) == limit else None
         cleaned = []
         for r in rows:
             cleaned.append({k: v for k, v in r.items() if v is not None or k == ROW_UID})
         return cleaned, next_cursor
+
+    def table_description(self, collection: str, table_name: str) -> str | None:
+        """Description of the STAGED version of *table_name* (the
+        reference returns it with every data page,
+        queens/api/app.py:170-185). Read from prod rather than the
+        ingest log so an ``as_of`` staging cutoff and the page body
+        can never disagree; the table_name predicate prunes the scan
+        to one partition and LIMIT 1 stops after one row."""
+        prod = self.warehouse.read_prod(collection).where(
+            F.col("table_name") == table_name
+        )
+        if "table_description" not in prod.columns:
+            return None
+        rows = prod.select("table_description").limit(1).collect()
+        return rows[0][0] if rows else None
 
     # ---------------------------------------------------------- reports
 

@@ -24,7 +24,7 @@ the DuckDB oracles reproduce results exactly. No Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from queens_spark.session import ensure_min_partitions
 from queens_spark.operators.text import (
@@ -34,6 +34,27 @@ from queens_spark.operators.text import (
     duckdb_char_poly_hash,
     tokens,
 )
+
+# Frames persisted by the dedup pipelines. A pipeline can't unpersist
+# its own cache (the returned DataFrame is lazy and still reads it), so
+# callers that loop over many pipelines call :func:`release_caches`
+# between iterations to keep executor storage flat.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every frame cached by dedup pipelines since the last
+    call. Safe to call while results are still referenced (Spark
+    recomputes), so call it only after materializing."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 # Deterministic MinHash parameter tables (shared by Spark + oracle).
 MINHASH_K = 16
@@ -112,6 +133,26 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def canonical_copies(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, rep_id) rows for every NON-canonical exact copy: documents
+    whose normalized content fingerprint matches a lower id.
+
+    One narrow shuffle on (id, 16-byte fingerprint) via a window min —
+    identical clusters of ANY size cost O(cluster), which is exactly
+    the case the df-capped inverted index cannot see (every
+    cluster-common shingle exceeds max_df there). Composing this with
+    :func:`ngram_jaccard_pairs` (as queries q36/q42 do) closes the
+    oversized-identical-cluster recall hole while keeping the index's
+    hard max_df² bucket bound.
+    """
+    rep = F.min(id_col).over(Window.partitionBy(doc_fingerprint(text_col)))
+    return (
+        ensure_min_partitions(df)
+        .select(F.col(id_col), rep.alias("rep_id"))
+        .where(F.col(id_col) != F.col("rep_id"))
+    )
+
+
 # ------------------------------------------------- n-gram Jaccard pairs
 
 def auto_max_df(n_docs: int) -> int:
@@ -132,7 +173,7 @@ def _shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
     Docs with < n tokens have an empty hash array and vanish at the
     explode — no separate size filter needed.
     """
-    return (
+    return _persist(
         ensure_min_partitions(df)
         .select(
             F.col(id_col).alias("doc"),
@@ -144,7 +185,24 @@ def _shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
                 ),
             ).alias("x"),
         )
-        .persist()
+    )
+
+
+def _capped_index(sh: DataFrame, max_df: int) -> DataFrame:
+    """(doc, sh_hash) postings with stop shingles removed: document
+    frequency comes from ``COUNT(*) OVER (PARTITION BY sh_hash)`` — one
+    shuffle, and the filtered index leaves it hash-partitioned and
+    sorted on the join key for the self-join. Unlike a
+    collect_list-bucket formulation, the sort-based window spills to
+    disk gracefully when a hot shingle's bucket exceeds memory, so a
+    100M-document boilerplate shingle degrades to slow, not OOM,
+    before being dropped by the cap."""
+    exploded = sh.select("doc", F.explode("x.hashes").alias("sh_hash"))
+    return (
+        exploded
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh_hash")))
+        .where(F.col("df") <= F.lit(max_df))
+        .select("doc", "sh_hash")
     )
 
 
@@ -152,23 +210,16 @@ def shingle_candidate_pairs(sh: DataFrame, max_df: int) -> DataFrame:
     """Candidate (id_a < id_b) pairs from a df-capped inverted
     shingle-hash index.
 
-    Stop-shingle removal: shingle hashes whose document frequency
-    exceeds *max_df* are dropped (semi-join) BEFORE the self-join.
+    Stop-shingle removal: postings whose shingle-hash document
+    frequency exceeds *max_df* are dropped before the self-join.
     Without the cap one hot shingle shared by k documents creates a
     k² join bucket — a skewed-key shuffle that kills the job at
     corpus scale; with it, the self-join's worst bucket is max_df²
     regardless of corpus size. The join carries 64-bit hashes only.
     """
-    exploded = sh.select("doc", F.explode("x.hashes").alias("sh_hash"))
-    rare = (
-        exploded.groupBy("sh_hash")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= F.lit(max_df))
-        .select("sh_hash")
-    )
-    idx = exploded.join(rare, "sh_hash", "left_semi")
-    a = idx.select(F.col("doc").alias("id_a"), "sh_hash")
-    b = idx.select(F.col("doc").alias("id_b"), "sh_hash")
+    kept = _capped_index(sh, max_df)
+    a = kept.select(F.col("doc").alias("id_a"), "sh_hash")
+    b = kept.select(F.col("doc").alias("id_b"), "sh_hash")
     return (
         a.join(b, "sh_hash")
         .where(F.col("id_a") < F.col("id_b"))
@@ -189,21 +240,41 @@ def ngram_jaccard_pairs(
     inverted shingle-hash index with stop-shingle removal.
 
     Plan: per-doc distinct shingles → explode (shingle_hash, id) →
-    drop hashes with document frequency > max_df (stop shingles) →
-    self-join on shingle_hash → DISTINCT candidate pairs → exact
-    verification (|A∩B| via hash-set intersect) on candidates only.
+    window-count document frequency and drop postings with df > max_df
+    (stop shingles) → self-join on shingle_hash, counting shared rare
+    shingles per pair in the same shuffle that dedups candidates → a
+    sound count-only jaccard upper bound prunes candidates that cannot
+    reach the threshold → exact verification (|A∩B| via hash-set
+    intersect) on the few survivors.
 
     max_df: ``"auto"`` (default) scales the cap with the corpus
-    (:func:`auto_max_df`); an int pins it; ``None`` disables the cap
+    (:func:`auto_max_df` of the input row count — a column-less scan
+    the parquet reader answers from metadata, not a materialization of
+    the shingle pipeline); an int pins it; ``None`` disables the cap
     and uses a single-pass co-occurrence count (exact recall even for
     pairs that share only ultra-common shingles — only safe on small
     corpora).
 
-    Recall note: a pair whose ONLY shared shingles are stop shingles is
-    not generated as a candidate. Such pairs have jaccard ≈ df-capped
-    noise and are below any useful threshold; this is the standard
-    recall/scale trade of every inverted-index dedup.
+    Recall note: a pair whose ONLY shared shingles are stop shingles
+    is not generated as a candidate. That is NOT always harmless: a
+    near-identical cluster larger than max_df (e.g. hundreds of copies
+    of one boilerplate page) has df > max_df for every cluster-common
+    shingle, so its pairs are missed here. Byte-identical (after
+    whitespace/case normalization) clusters are closed out by
+    composing :func:`canonical_copies` / exact dedup first — which
+    :mod:`queens_spark.queries` q36/q42 do; for near-identical
+    oversized clusters use :func:`minhash_dedup_pairs`, whose band
+    buckets grow only with true-duplicate cluster size. A hard bucket
+    bound and exact recall for such clusters cannot coexist in one
+    inverted-index pass.
     """
+    if isinstance(max_df, str) and max_df != "auto":
+        raise ValueError(f"max_df must be an int, None, or 'auto'; got {max_df!r}")
+    if max_df == "auto":
+        # Sized from the raw input count BEFORE shingling: a cheap
+        # column-pruned count job, not a materialization of the
+        # tokenize->shingle->hash pipeline.
+        max_df = auto_max_df(df.count())
     sh = _shingle_frame(df, text_col, id_col, n)
 
     if max_df is None:
@@ -234,24 +305,62 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", "common", "jaccard")
         )
 
-    if max_df == "auto":
-        # count() materializes the persisted shingle frame, which every
-        # downstream consumer reuses — the job is not wasted work.
-        max_df = auto_max_df(sh.where(F.size("x.hashes") > 0).count())
-
-    cands = shingle_candidate_pairs(sh, max_df)
-    va = sh.select(
+    # Capped path: the self-join emits one row per SHARED RARE shingle,
+    # so grouping the join output by pair counts them (rare_common) in
+    # the same shuffle that dedups candidates — no .distinct() pass.
+    #
+    # Sound count-only prune before the expensive verification:
+    #   true_common <= rare_common + min(stop_a, stop_b)
+    # (a shared stop shingle is a stop posting on BOTH docs), and
+    # jaccard is monotonic in common, so
+    #   jaccard <= ub_common / (na + nb - ub_common).
+    # Pairs failing `ub >= threshold` are provably sub-threshold and
+    # skip verification; the final exact-jaccard filter is unchanged,
+    # so the prune never alters results — the oracle does not mirror
+    # it. On corpora where most shingles are rare (stop counts ~0) the
+    # upper bound is tight and verification runs on ~|result| pairs
+    # instead of |candidates| (measured 1.13M -> 256 at sf0.1).
+    kept = _capped_index(sh, max_df)
+    a = kept.select(F.col("doc").alias("id_a"), "sh_hash")
+    b = kept.select(F.col("doc").alias("id_b"), "sh_hash")
+    rare_common = (
+        a.join(b, "sh_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("rare_common"))
+    )
+    # Per-doc posting stats: total shingles and how many survived the
+    # cap. Narrow (3 ints/doc) — broadcast at small scale, a slim
+    # shuffle join at corpus scale.
+    stats = sh.select("doc", F.col("x.n").alias("n")).join(
+        kept.groupBy("doc").agg(F.count(F.lit(1)).alias("n_rare")),
+        "doc",
+        "left",
+    ).fillna(0, subset=["n_rare"])
+    sa = stats.select(
         F.col("doc").alias("id_a"),
-        F.col("x.n").alias("na"),
-        F.col("x.hashes").alias("ha"),
+        F.col("n").alias("na"),
+        (F.col("n") - F.col("n_rare")).alias("stop_a"),
     )
-    vb = sh.select(
+    sb = stats.select(
         F.col("doc").alias("id_b"),
-        F.col("x.n").alias("nb"),
-        F.col("x.hashes").alias("hb"),
+        F.col("n").alias("nb"),
+        (F.col("n") - F.col("n_rare")).alias("stop_b"),
     )
+    ub_common = F.col("rare_common") + F.least("stop_a", "stop_b")
+    pruned = (
+        rare_common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(
+            ub_common.cast("double")
+            >= F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb"))
+        )
+        .select("id_a", "id_b")
+    )
+    va = sh.select(F.col("doc").alias("id_a"), F.col("x.hashes").alias("ha"))
+    vb = sh.select(F.col("doc").alias("id_b"), F.col("x.hashes").alias("hb"))
     return (
-        cands.join(va, "id_a")
+        pruned.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
             "common", F.size(F.array_intersect("ha", "hb")).cast("bigint")
@@ -259,7 +368,7 @@ def ngram_jaccard_pairs(
         .withColumn(
             "jaccard",
             F.col("common").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+            / (F.size("ha") + F.size("hb") - F.col("common")).cast("double"),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "common", "jaccard")
@@ -346,15 +455,17 @@ def minhash_dedup_pairs(
     # persisted BEFORE the size filter — the cache stops predicate
     # pushdown / projection collapse from re-evaluating the
     # tokenize→shingle→hash chain per consumer.
-    raw = ensure_min_partitions(df).select(
-        F.col(id_col).alias("doc"),
-        let_bound(
-            word_shingles(text_col),
-            lambda s: F.struct(
-                s.alias("shingles"), _signature_from_shingles(s).alias("sig")
-            ),
-        ).alias("x"),
-    ).persist()
+    raw = _persist(
+        ensure_min_partitions(df).select(
+            F.col(id_col).alias("doc"),
+            let_bound(
+                word_shingles(text_col),
+                lambda s: F.struct(
+                    s.alias("shingles"), _signature_from_shingles(s).alias("sig")
+                ),
+            ).alias("x"),
+        )
+    )
     base = raw.where(F.size("x.shingles") > 0).select(
         "doc", F.col("x.shingles").alias("shingles"), F.col("x.sig").alias("sig")
     )

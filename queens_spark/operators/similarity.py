@@ -159,17 +159,36 @@ LSH_PLANES = 8
 
 
 def _hyperplane(j: int, dim: int) -> list[int]:
-    """Deterministic pseudo-random integer hyperplane: the same table
-    is embedded in the SQL oracle."""
-    return [((j * 131 + d * 137) % 17) - 8 for d in range(dim)]
+    """Deterministic pseudo-random integer hyperplane; the literal
+    table is embedded in the SQL oracle, so any Python-side generator
+    works — it only has to be stable across runs.
+
+    Uses a seeded Mersenne Twister per plane (stable across CPython
+    versions/platforms). An earlier linear-congruence formula
+    ``((j*131 + d*137) % 17) - 8`` repeated every 17 dimensions —
+    visibly structured, which biases which vector directions the
+    planes can separate; a real PRNG keeps the measured
+    bucket-collision rate at the theoretical ``(1 - θ/π)^planes``."""
+    import random
+
+    rng = random.Random(0xC0FFEE + 7919 * j)
+    return [rng.randint(-8, 8) for _ in range(dim)]
 
 
-def lsh_bucket(vec_col: str, dim: int, planes: int = LSH_PLANES) -> Column:
-    """Sign-bucket id: bit j = [v·hⱼ ≥ 0]. Pure per-row arithmetic."""
+def lsh_bucket(
+    vec_col: str, dim: int, planes: int = LSH_PLANES, table: int = 0
+) -> Column:
+    """Sign-bucket id: bit j = [v·hⱼ ≥ 0]. Pure per-row arithmetic.
+    *table* selects a disjoint run of hyperplanes so multi-table
+    OR-construction (see :func:`lsh_bucket_pairs`) gets independent
+    hashes."""
     v = quantize(vec_col)
     bucket = F.lit(0).cast("bigint")
     for j in range(planes):
-        h = F.array(*[F.lit(x).cast("bigint") for x in _hyperplane(j, dim)])
+        h = F.array(*[
+            F.lit(x).cast("bigint")
+            for x in _hyperplane(table * planes + j, dim)
+        ])
         dot = int_dot(v, h)
         bucket = bucket + F.when(dot >= 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
     return bucket
@@ -217,11 +236,15 @@ def lsh_bucket_vectors(
     )
 
 
-def duckdb_lsh_bucket(expr: str, dim: int, planes: int = LSH_PLANES) -> str:
+def duckdb_lsh_bucket(
+    expr: str, dim: int, planes: int = LSH_PLANES, table: int = 0
+) -> str:
     q = duckdb_quantize(expr)
     parts = []
     for j in range(planes):
-        h = "[" + ", ".join(str(x) for x in _hyperplane(j, dim)) + "]"
+        h = "[" + ", ".join(
+            str(x) for x in _hyperplane(table * planes + j, dim)
+        ) + "]"
         dot = duckdb_int_dot("__q", f"{h}")
         parts.append(f"CASE WHEN {dot} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END")
     return "(SELECT " + " + ".join(parts) + f" FROM (SELECT {q} AS __q) __lsh)"
@@ -269,27 +292,63 @@ def lsh_search(
 
 
 def lsh_bucket_pairs(
-    df: DataFrame, vec_col: str, id_col: str, dim: int, threshold: float = 0.9
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    planes: int = LSH_PLANES,
+    tables: int = 1,
 ) -> DataFrame:
-    """Scale path for near-dup pairs: candidates share an LSH bucket
-    (one shuffle on the bucket id), then exact cosine verification on
-    candidates only."""
+    """Scale path for near-dup pairs: candidates share an LSH bucket in
+    ANY of *tables* independent hash tables (OR-construction — the
+    hyperplane analogue of MinHash banding), then exact cosine
+    verification on candidates only.
+
+    Tuning: per-table collision probability for angle θ is
+    ``(1 - θ/π)^planes``; recall across tables is
+    ``1 - (1 - p)^tables``. More planes → fewer false candidates,
+    lower recall; more tables buy recall back at linear candidate
+    cost. Size planes ~ log2(n) so expected bucket occupancy stays
+    O(1) as the corpus grows.
+
+    Plan: the band self-join carries only (id, table, bucket) — the
+    vectors themselves are joined back ONLY for deduplicated
+    candidates, so the shuffle width is ids, not embeddings.
+    """
     v = df.select(
-        F.col(id_col).alias("id"),
-        quantize(vec_col).alias("q"),
-        lsh_bucket(vec_col, dim).alias("bucket"),
+        F.col(id_col).alias("id"), quantize(vec_col).alias("q")
     ).withColumn("n2", int_norm2(F.col("q")))
-    a = v.select(F.col("id").alias("id_a"), F.col("q").alias("qa"),
-                 F.col("n2").alias("n2a"), "bucket")
-    b = v.select(F.col("id").alias("id_b"), F.col("q").alias("qb"),
-                 F.col("n2").alias("n2b"), "bucket")
+    bands = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_bucket(vec_col, dim, planes, table=t).alias("bucket"),
+                )
+                for t in range(tables)
+            ])
+        ).alias("b"),
+    ).select("id", "b.t", "b.bucket")
+    a = bands.select(F.col("id").alias("id_a"), "t", "bucket")
+    b = bands.select(F.col("id").alias("id_b"), "t", "bucket")
+    cands = (
+        a.join(b, ["t", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("q").alias("qa"),
+                  F.col("n2").alias("n2a"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("q").alias("qb"),
+                  F.col("n2").alias("n2b"))
     cos = cosine_from_ints(int_dot(F.col("qa"), F.col("qb")), F.col("n2a"), F.col("n2b"))
     return (
-        a.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
-        .distinct()
     )
 
 

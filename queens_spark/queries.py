@@ -62,12 +62,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             spark.read.parquet(f"{sf_dir}/{table}.parquet")
         )
     if table == "events":
-        # events.ts is a nanosecond parquet timestamp, which Spark
-        # rejects by default; read it as raw nanos and truncate to
-        # microsecond timestamps (Spark's native precision).
+        # events.ts has shipped as either a nanosecond INT64 (older
+        # generators — Spark rejects nanos by default, so read raw and
+        # truncate to micros) or a plain parquet TIMESTAMP. Normalize
+        # both to a session-zone (UTC) microsecond timestamp.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type.startswith("timestamp_ntz"):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -819,8 +825,9 @@ def q26_exact_dedup(spark, sf_dir):
 def _jaccard_oracle(threshold: float) -> str:
     # Mirrors ngram_jaccard_pairs(max_df="auto"): a df-capped inverted
     # index generates candidates (stop shingles with document frequency
-    # > max(50, n_docs // 100) are dropped), then exact Jaccard is
-    # verified on the full hash sets of the candidates only.
+    # > max(50, n_docs // 100) are dropped; n_docs = raw input rows,
+    # matching the Spark side's metadata-cheap df.count()), then exact
+    # Jaccard is verified on the full hash sets of the candidates only.
     from queens_spark.operators.dedup import duckdb_word_shingles
     from queens_spark.operators.text import duckdb_char_poly_hash
 
@@ -833,12 +840,12 @@ def _jaccard_oracle(threshold: float) -> str:
       FROM sh WHERE len(s) > 0
     ), ex AS (
       SELECT doc_id, unnest(hs) AS sh_hash FROM h
-    ), rare AS (
-      SELECT sh_hash FROM ex GROUP BY sh_hash
-      HAVING COUNT(*) <= greatest(50, (SELECT COUNT(*) FROM h) // 100)
     ), fi AS (
-      SELECT doc_id, sh_hash FROM ex
-      WHERE sh_hash IN (SELECT sh_hash FROM rare)
+      SELECT doc_id, sh_hash FROM (
+        SELECT doc_id, sh_hash,
+               COUNT(*) OVER (PARTITION BY sh_hash) AS df
+        FROM ex)
+      WHERE df <= greatest(50, (SELECT COUNT(*) FROM documents) // 100)
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM fi a JOIN fi b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
@@ -867,16 +874,37 @@ def q27_ngram_jaccard(spark, sf_dir):
     )
 
 
+#: Exact-copy (id, rep_id) edges by normalized-content fingerprint —
+#: the oracle twin of dedup.canonical_copies. Composed into q36/q42 so
+#: identical clusters LARGER than the stop-shingle cap (invisible to
+#: the capped inverted index) still dedup.
+_COPIES_SQL = """
+      SELECT doc_id, rep_id FROM (
+        SELECT doc_id,
+               MIN(doc_id) OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               ) AS rep_id
+        FROM documents)
+      WHERE doc_id <> rep_id
+"""
+
+
 def _components_oracle(threshold: float) -> str:
-    # pair edges = the q27 near-dup pairs; components = min reachable
-    # id through the undirected graph (recursive closure)
+    # edge set = q27 near-dup pairs UNION exact-copy edges; components
+    # = min reachable id through the undirected graph (recursive
+    # closure)
     pair_sql = _jaccard_oracle(threshold)
     return f"""
     WITH RECURSIVE pairs AS ({pair_sql}),
+    copies AS ({_COPIES_SQL}),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
       SELECT id_b AS src, id_a AS dst FROM pairs
+      UNION
+      SELECT rep_id AS src, doc_id AS dst FROM copies
+      UNION
+      SELECT doc_id AS src, rep_id AS dst FROM copies
     ),
     reach(node, lab) AS (
       SELECT doc_id, doc_id FROM documents
@@ -890,40 +918,57 @@ def _components_oracle(threshold: float) -> str:
 
 @register("q36_dedup_components", _components_oracle(0.8))
 def q36_dedup_components(spark, sf_dir):
-    """Canonical dedup groups: connected components over the near-dup
-    pair graph via iterative min-label propagation (checkpointed per
-    round; shuffles carry (node,label) only)."""
+    """Canonical dedup groups: connected components over the union of
+    the near-dup pair graph and exact-copy fingerprint edges (the
+    latter close the recall hole for identical clusters larger than
+    the stop-shingle cap). Min-label propagation, checkpointed per
+    round; shuffles carry (node,label) only."""
     from queens_spark.operators.dedup import (
+        canonical_copies,
         connected_components,
         ngram_jaccard_pairs,
     )
 
     docs = load(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
-    return connected_components(docs, pairs, "doc_id")
+    copies = canonical_copies(docs, "text", "doc_id")
+    edges = pairs.select("id_a", "id_b").union(
+        copies.select(
+            F.col("rep_id").alias("id_a"), F.col("doc_id").alias("id_b")
+        )
+    )
+    return connected_components(docs, edges, "doc_id")
 
 
 def _dedup_filter_oracle(threshold: float) -> str:
     return f"""
-    WITH pairs AS ({_jaccard_oracle(threshold)})
+    WITH pairs AS ({_jaccard_oracle(threshold)}),
+    copies AS ({_COPIES_SQL})
     SELECT doc_id, lang FROM documents
     WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs)
+      AND doc_id NOT IN (SELECT doc_id FROM copies)
     """
 
 
 @register("q42_dedup_filter", _dedup_filter_oracle(0.8))
 def q42_dedup_filter(spark, sf_dir):
-    """Corpus cleaning: drop the losing side of every near-dup pair —
-    LEFT ANTI join against the (broadcast) pair list; the corpus never
-    shuffles."""
+    """Corpus cleaning: drop every exact copy (fingerprint rep ≠ self)
+    and the losing side of every near-dup pair — LEFT ANTI join
+    against the loser list; the corpus never shuffles."""
     from queens_spark.operators.dedup import (
+        canonical_copies,
         filter_near_duplicates,
         ngram_jaccard_pairs,
     )
 
     docs = load(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
-    return filter_near_duplicates(docs, pairs).select("doc_id", "lang")
+    losers = pairs.select(F.col("id_b").alias("doc_id")).union(
+        canonical_copies(docs, "text", "doc_id").select("doc_id")
+    )
+    return filter_near_duplicates(
+        docs, losers.select(F.col("doc_id").alias("id_b")), "doc_id"
+    ).select("doc_id", "lang")
 
 
 def _packing_oracle(budget: int) -> str:
@@ -1622,4 +1667,57 @@ def q34_sessionize(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
             (F.sum(_dec("value")) * 100).cast("long").alias("session_value_e2"),
         )
+    )
+
+
+def _lsh_bucket_pairs_oracle(
+    dim: int, threshold: float, planes: int, tables: int
+) -> str:
+    from queens_spark.operators.similarity import (
+        duckdb_int_dot,
+        duckdb_lsh_bucket,
+        duckdb_quantize,
+    )
+
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, "
+        f"{duckdb_lsh_bucket('embedding', dim, planes, table=t)} AS bucket "
+        f"FROM embeddings"
+        for t in range(tables)
+    )
+    return f"""
+    WITH n AS (
+      SELECT vec_id, q, {duckdb_int_dot('q', 'q')} AS n2
+      FROM (SELECT vec_id, {duckdb_quantize('embedding')} AS q FROM embeddings)
+    ), bands AS (
+      {band_selects}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST({duckdb_int_dot('na.q', 'nb.q')} AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+    FROM cand c
+    JOIN n na ON na.vec_id = c.id_a
+    JOIN n nb ON nb.vec_id = c.id_b
+    WHERE CAST({duckdb_int_dot('na.q', 'nb.q')} AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= {threshold}
+    """
+
+
+@register("q51_lsh_bucket_pairs", _lsh_bucket_pairs_oracle(64, 0.4, 4, 8))
+def q51_lsh_bucket_pairs(spark, sf_dir):
+    """The documented >2M-vector scale path for embedding near-dup
+    pairs: candidates share a hyperplane-LSH bucket in any of 8
+    independent tables (OR-construction; one shuffle on (table,
+    bucket), never all-pairs), exact integer-cosine verification on
+    deduplicated candidates only. Same 0.4 threshold as the exact
+    baseline q31, so this result is its LSH-recall subset."""
+    from queens_spark.operators.similarity import lsh_bucket_pairs
+
+    return lsh_bucket_pairs(
+        load(spark, sf_dir, "embeddings"), "embedding", "vec_id", 64,
+        threshold=0.4, planes=4, tables=8,
     )

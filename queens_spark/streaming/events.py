@@ -17,9 +17,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-#: Parquet stream sources need an explicit schema; ts arrives as raw
-#: nanos (see queries.load) and is converted to a microsecond
-#: timestamp in event_time.
+#: Parquet stream sources need an explicit schema; ts has shipped as
+#: either raw nanos (INT64 — older generators, see queries.load) or a
+#: plain parquet TIMESTAMP. The schema is probed from the existing
+#: files and ts normalized to a microsecond event_time either way.
 EVENTS_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
     T.StructField("ts", T.LongType()),
@@ -34,13 +35,20 @@ def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:  # no files yet — fall back to the legacy schema
+        schema = EVENTS_SCHEMA
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        event_time = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        event_time = F.col("ts").cast("timestamp")
+    return df.withColumn("event_time", event_time)
 
 
 def windowed_counts(

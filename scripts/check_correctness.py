@@ -97,6 +97,10 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {exc}")
             n_fail += 1
             continue
+        finally:
+            # dedup/minhash pipelines persist intermediates; keep
+            # executor storage flat across the 50-query sweep.
+            spark.catalog.clearCache()
         if name not in oracles:
             ok = len(sdf) >= 0
             print(f"weak {name}: rows-only, {len(sdf)} rows [{time.time()-t0:.1f}s]")

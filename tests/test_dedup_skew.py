@@ -5,10 +5,14 @@ inverted-index dedup at corpus scale)."""
 import pytest
 from pyspark.sql import Row
 
+from queens_spark.operators import dedup
 from queens_spark.operators.dedup import (
     _shingle_frame,
     auto_max_df,
+    canonical_copies,
+    filter_near_duplicates,
     ngram_jaccard_pairs,
+    release_caches,
     shingle_candidate_pairs,
 )
 
@@ -64,3 +68,40 @@ def test_cap_matches_uncapped_results_above_threshold(corpus):
 def test_auto_max_df_scales_with_corpus():
     assert auto_max_df(500) == 50        # floor dominates small corpora
     assert auto_max_df(1_000_000) == 10_000
+
+
+def test_max_df_rejects_unknown_strings(corpus):
+    with pytest.raises(ValueError, match="max_df"):
+        ngram_jaccard_pairs(corpus, "text", "doc_id", max_df="Auto")
+
+
+def test_release_caches_unpersists(spark, corpus):
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    ngram_jaccard_pairs(corpus, "text", "doc_id", max_df=10).collect()
+    assert dedup._PERSISTED, "pipeline should register its cached frame"
+    release_caches()
+    assert not dedup._PERSISTED
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before, "dedup pipeline leaked a persisted RDD"
+
+
+def test_identical_cluster_larger_than_cap_still_dedups(spark):
+    # The ADVICE recall scenario: a boilerplate cluster BIGGER than
+    # max_df. Every cluster-common shingle has df=30 > 10, so the
+    # capped inverted index sees no candidates — the fingerprint
+    # edges from canonical_copies must still collapse the cluster.
+    rows = [
+        Row(doc_id=i, text="same boiler plate text repeated verbatim")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.8, max_df=10)
+    assert pairs.count() == 0  # the index alone is blind here, by design
+    copies = canonical_copies(docs, "text", "doc_id")
+    assert copies.count() == 29
+    assert copies.agg({"rep_id": "max"}).collect()[0][0] == 0
+    survivors = filter_near_duplicates(
+        docs, copies.select(copies.doc_id.alias("id_b")), "doc_id"
+    )
+    assert [r.doc_id for r in survivors.collect()] == [0]
+    release_caches()

@@ -119,6 +119,24 @@ def test_service_pagination_cursor(staged_engine):
     assert resp2.body["next_cursor"] is None
 
 
+def test_service_returns_table_description(staged_engine):
+    # The reference API ships table_description with every data page
+    # (queens/api/app.py:170-185).
+    svc = QueryService(staged_engine)
+    resp = svc.get_data("dukes", "1.1", limit=2)
+    assert resp.status == 200
+    assert resp.body["table_description"] == "Aggregate energy balance"
+
+
+def test_service_limit_zero_is_empty_page(staged_engine):
+    svc = QueryService(staged_engine)
+    resp = svc.get_data("dukes", "1.1", limit=0)
+    assert resp.status == 200
+    assert resp.body["n_rows"] == 0
+    assert resp.body["next_cursor"] is None
+    assert resp.body["data"] == []
+
+
 def test_service_error_statuses(staged_engine):
     svc = QueryService(staged_engine)
     assert svc.get_data("nope", "1.1").status == 404
