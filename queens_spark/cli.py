@@ -52,10 +52,17 @@ def build_parser() -> argparse.ArgumentParser:
     ing.add_argument("collection")
     ing.add_argument("table")
     ing.add_argument("--workbook", required=True, help="local .xlsx path")
-    ing.add_argument("--etl-config", required=True, help="etl_config.json path")
+    ing.add_argument("--etl-config", default=None,
+                     help="etl_config.json path (default: the per-user "
+                          "config dir, bootstrapped from packaged defaults)")
     ing.add_argument("--template", default=None,
                      help="template table as parquet (row,label,dims...)")
     ing.add_argument("--url", default=None, help="provenance URL for the log")
+
+    init = sub.add_parser(
+        "init", help="bootstrap the warehouse system stores + user configs"
+    )
+    init.add_argument("--collection", action="append", default=None)
 
     sv = sub.add_parser("serve", help="run the HTTP API (requires fastapi)")
     sv.add_argument("--host", default="127.0.0.1")
@@ -109,18 +116,30 @@ def _run(args) -> int:
         print(json.dumps({"exported": out}))
     elif args.command == "ingest":
         from queens_spark.etl.process import ingest_table, load_etl_config
+        from queens_spark.settings import load_configs
 
+        if args.etl_config:
+            etl_config = load_etl_config(args.etl_config)
+        else:
+            etl_config = load_configs()["etl_config"]
         templates = None
         if args.template:
             templates = {args.table: spark.read.parquet(args.template)}
         result = ingest_table(
             engine, args.collection, args.table,
             workbook_path=args.workbook,
-            etl_config=load_etl_config(args.etl_config),
+            etl_config=etl_config,
             templates=templates,
             url=args.url,
         )
         print(json.dumps({"ingested": result}))
+    elif args.command == "init":
+        from queens_spark.etl.process import initialize
+        from queens_spark.settings import ensure_user_configs
+
+        cfg_dir = ensure_user_configs()
+        created = initialize(engine, args.collection)
+        print(json.dumps({"config_dir": cfg_dir, "created": created}))
     elif args.command == "serve":
         import uvicorn
 

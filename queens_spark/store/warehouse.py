@@ -66,6 +66,50 @@ def _utcnow() -> datetime:
     return datetime.now(timezone.utc).replace(tzinfo=None)
 
 
+def with_row_uid(staged: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Per-``table_name`` dense ordinal 1..N following the total order
+    of *order_cols* (asc, nulls last) — the persisted cursor key.
+
+    Two-phase, so no logical table is ever numbered by a single task
+    (a ``row_number`` window partitioned by table_name serializes each
+    table through one task — fatal for billion-row tables):
+
+    1. range-partition on (table_name, order_cols): each partition
+       holds a contiguous slice of one-or-more tables' sort order;
+    2. ordinal within (partition, table) chunks — parallelism is the
+       number of chunks, not tables — plus a broadcast join of chunk
+       offsets (a chunks×tables-row frame, computed with a cumulative
+       window over chunk counts).
+
+    Rows with equal full sort keys are identical in every ordering
+    column, so their (arbitrary but complete) numbering at chunk
+    boundaries is observationally equivalent to any stable sort.
+    """
+    sort_exprs = [F.col(c).asc_nulls_last() for c in order_cols]
+    ranged = staged.repartitionByRange(*sort_exprs)
+    part = ranged.withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__pid", "table_name").orderBy(*sort_exprs)
+    local = part.withColumn("__rn", F.row_number().over(w_local))
+    counts = local.groupBy("__pid", "table_name").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_off = (
+        Window.partitionBy("table_name")
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid",
+        "table_name",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["__pid", "table_name"])
+        .withColumn(ROW_UID, (F.col("__off") + F.col("__rn")).cast("int"))
+        .drop("__pid", "__rn", "__off")
+    )
+
+
 class Warehouse:
     def __init__(self, spark: SparkSession, root: str = DEFAULT_WAREHOUSE):
         self.spark = spark
@@ -220,12 +264,11 @@ class Warehouse:
         # Persisted stable row id per logical table: deterministic total
         # order over the dimension columns (SURVEY.md §7.4.1) — replaces
         # SQLite's implicit rowid for ORDER BY + keyset pagination.
+        # Two-phase numbering (see with_row_uid): no per-table
+        # single-task sort.
         order_cols = [c for c in staged.columns
                       if c not in (ROW_UID, "table_description")]
-        w_uid = Window.partitionBy("table_name").orderBy(
-            *[F.col(c).asc_nulls_last() for c in order_cols]
-        )
-        staged = staged.withColumn(ROW_UID, F.row_number().over(w_uid))
+        staged = with_row_uid(staged, order_cols)
 
         out = self.prod_path(collection)
         tmp = out + "__staging_tmp"

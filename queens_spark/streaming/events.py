@@ -15,7 +15,7 @@ entries; session state is bounded by active sessions only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
 
 #: Parquet stream sources need an explicit schema; ts has shipped as
 #: either raw nanos (INT64 — older generators, see queries.load) or a
@@ -34,6 +34,8 @@ EVENTS_SCHEMA = T.StructType([
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         schema = spark.read.parquet(path).schema
@@ -42,6 +44,15 @@ def read_events_stream(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(path):
+        # The file-stream source only accepts directories. For a
+        # single-file input (e.g. the shared read-only testdata),
+        # stream a temp directory holding a symlink to it.
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="qs_stream_")
+        os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+        path = d
     df = reader.parquet(path)
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":
@@ -55,16 +66,18 @@ def windowed_counts(
     events: DataFrame,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    value_col: Column | str = "value",
 ) -> DataFrame:
     """Tumbling-window counts + value sums per event_type with a
     watermark for late data. Streaming state: |event_types| × live
-    windows."""
+    windows. Pass a decimal-cast *value_col* when the sum must be
+    order-independent (oracle comparison)."""
     return (
         events.withWatermark("event_time", watermark)
         .groupBy(F.window("event_time", window).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            F.sum(value_col).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -78,10 +91,12 @@ def session_aggregates(
     events: DataFrame,
     gap: str = "30 minutes",
     watermark: str = "2 hours",
+    value_col: Column | str = "value",
 ) -> DataFrame:
     """Session windows per user (gap-based) — the streaming twin of
     batch q34_sessionize. Native ``session_window`` keeps state only
-    for open sessions."""
+    for open sessions. Pass a decimal-cast *value_col* when the sum
+    must be order-independent (oracle comparison)."""
     return (
         events.withWatermark("event_time", watermark)
         .groupBy(
@@ -89,7 +104,7 @@ def session_aggregates(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("session_value"),
+            F.sum(value_col).alias("session_value"),
         )
         .select(
             F.col("user_id"),

@@ -149,6 +149,105 @@ def test_service_error_statuses(staged_engine):
     assert svc.get_versions("dukes").status == 200
 
 
+# ------------------------------------------- four-config flow (parity)
+
+def test_generate_config_reference_shape_end_to_end(spark, engine):
+    """Drive ingest purely from the reference's four-config shape
+    (etl_config + templates + urls + scraped chapter page), including
+    scraped-description injection (queens/etl/validation.py:11-64)."""
+    from queens_spark.etl.process import generate_config, ingest_table, stage_data
+
+    templates_cfg = {"dukes": {"chapter_1": "dukes_ch_1.parquet"}}
+    urls_cfg = {"dukes": {"chapter_1": "https://stats.example/dukes-ch1"}}
+    html = (
+        '<a href="/media/dukes_1.1.xlsx">'
+        "DUKES 1.1: Aggregate energy balance (scraped)</a>"
+    )
+    fetched = []
+
+    def fetch(u):
+        fetched.append(u)
+        return html
+
+    cfg = generate_config(
+        "dukes", "1.1",
+        etl_config=ETL_CONFIG, templates=templates_cfg, urls=urls_cfg,
+        fetch=fetch,
+    )
+    assert fetched == ["https://stats.example/dukes-ch1"]
+    assert cfg["f_args"]["url"].endswith("dukes_1.1.xlsx")
+    assert cfg["f_args"]["data_collection"] == "dukes"
+    assert cfg["f_args"]["template_path"].endswith("templates/dukes_ch_1.parquet")
+    assert "scraped" in cfg["table_description"]
+
+    ingest_table(
+        engine, "dukes", "1.1",
+        raw_sheets={"1.1": raw_sheet()},
+        config=cfg,
+        ingest_ts=datetime(2024, 1, 1),
+    )
+    stage_data(engine, "dukes")
+    svc = QueryService(engine)
+    resp = svc.get_data("dukes", "1.1", limit=2)
+    assert resp.body["table_description"].startswith("DUKES 1.1")
+    log = engine.get_versions("dukes").collect()
+    assert log[0]["url"].endswith("dukes_1.1.xlsx")
+
+
+def test_generate_config_missing_table_in_links(spark):
+    from queens_spark.etl.process import generate_config
+
+    with pytest.raises(KeyError, match="cannot find table URL"):
+        generate_config(
+            "dukes", "1.1",
+            etl_config=ETL_CONFIG,
+            urls={"dukes": {"chapter_1": "https://x.test"}},
+            scraped_links={"9.9": {"url": "u", "description": "d"}},
+        )
+
+
+def test_generate_config_template_frame_injection(spark):
+    from queens_spark.etl.process import generate_config
+
+    marker = object()
+    cfg = generate_config(
+        "dukes", "1.1",
+        etl_config=ETL_CONFIG,
+        templates={"dukes": {"chapter_1": "dukes_ch_1.parquet"}},
+        template_frames={"dukes_ch_1.parquet": marker},
+    )
+    assert cfg["f_args"]["template"] is marker
+    assert cfg["table_description"] == "Aggregate energy balance"
+
+
+def test_settings_config_bootstrap(tmp_path):
+    from queens_spark.settings import CONFIG_FILES, ensure_user_configs, load_configs
+
+    dest = str(tmp_path / "cfg")
+    out = ensure_user_configs(dest)
+    assert out == dest
+    import os
+    for name in CONFIG_FILES:
+        assert os.path.exists(os.path.join(dest, name))
+    # user edits win: overwrite one file, re-bootstrap must not clobber
+    with open(os.path.join(dest, "urls.json"), "w") as fh:
+        fh.write('{"dukes": {"chapter_1": "https://mine.example"}}')
+    ensure_user_configs(dest)
+    cfgs = load_configs(dest)
+    assert cfgs["urls"]["dukes"]["chapter_1"] == "https://mine.example"
+    assert "dukes" in cfgs["etl_config"] and "dukes" in cfgs["templates"]
+
+
+def test_explicit_initialize_is_idempotent(spark, engine):
+    from queens_spark.etl.process import initialize
+
+    assert initialize(engine, ["dukes"]) is True
+    assert initialize(engine, ["dukes"]) is False  # second call: no-op
+    # catalog probes work pre-ingest
+    assert engine.warehouse.read_log("dukes").count() == 0
+    assert engine.warehouse.queryable_columns("dukes", "1.1") == set()
+
+
 # ------------------------------------------------------------- export
 
 def test_export_csv_and_bulk_parquet(tmp_path, staged_engine, spark):
