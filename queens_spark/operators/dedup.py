@@ -248,21 +248,28 @@ def _shingle_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
 
 
 def _capped_index(sh: DataFrame, max_df: int) -> DataFrame:
-    """(doc, sh_hash) postings with stop shingles removed: document
-    frequency comes from ``COUNT(*) OVER (PARTITION BY sh_hash)`` — one
-    shuffle, and the filtered index leaves it hash-partitioned and
-    sorted on the join key for the self-join. Unlike a
-    collect_list-bucket formulation, the sort-based window spills to
-    disk gracefully when a hot shingle's bucket exceeds memory, so a
-    100M-document boilerplate shingle degrades to slow, not OOM,
-    before being dropped by the cap."""
+    """(doc, sh_hash) postings with stop shingles removed via a
+    broadcast LEFT ANTI join against the HOT-shingle list.
+
+    Why this shape wins at any scale: the hot list is provably tiny —
+    at most |postings| / max_df entries (a shingle needs > max_df
+    postings to be hot), which with max_df = n_docs/100 is ≤
+    100 × avg-shingles-per-doc rows REGARDLESS of corpus size — so it
+    always broadcasts. Finding it is a groupBy(count) whose map-side
+    partial aggregation shrinks the shuffle to distinct hashes per
+    partition; the postings themselves never shuffle here (the
+    measured alternative, a COUNT window over sh_hash, shuffles and
+    sorts every posting). A hot bucket only ever exists as a partial
+    count, so a 100M-document boilerplate shingle costs counters, not
+    memory."""
     exploded = sh.select("doc", F.explode("x.hashes").alias("sh_hash"))
-    return (
-        exploded
-        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh_hash")))
-        .where(F.col("df") <= F.lit(max_df))
-        .select("doc", "sh_hash")
+    hot = (
+        exploded.groupBy("sh_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > F.lit(max_df))
+        .select("sh_hash")
     )
+    return exploded.join(F.broadcast(hot), "sh_hash", "left_anti")
 
 
 def shingle_candidate_pairs(sh: DataFrame, max_df: int) -> DataFrame:
@@ -574,26 +581,66 @@ def connected_components(
     id_col: str = "doc_id",
     pair_cols: tuple[str, str] = ("id_a", "id_b"),
     max_iter: int = 25,
+    driver_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Canonical dedup-group assignment: every node gets the MIN id
     reachable through the near-dup pair graph (isolated nodes are their
     own component).
 
-    Iterative min-label propagation — but ONLY over nodes that touch
-    an edge: an isolated node is trivially its own component and never
-    needs a propagation round, so per-round state is ∝ the near-dup
-    GRAPH (a few % of a deduplicated corpus), not the corpus. The
-    isolated majority joins back in one final left join. Each round
-    joins current labels across the (undirected) edge list and keeps
-    the per-node minimum; convergence when no label changes (rounds ≈
-    graph diameter — near-dup clusters are shallow). Each iteration is
-    localCheckpoint-ed: without cutting lineage the plan doubles per
-    round and the job dies long before 100 TB. Shuffle per round
-    carries (node, label) pairs only — never document payloads.
+    Adaptive, like Spark's broadcast-join threshold: the edge list is
+    ∝ the near-dup GRAPH (a few % of a deduplicated corpus), so when
+    it fits the driver (≤ *driver_threshold* edges, ~80 MB at 5M) a
+    single collect + union-find resolves components in ONE job —
+    Spark's per-job latency makes a 5-round iteration on a tiny graph
+    slower than collecting it. Larger graphs fall back to distributed
+    min-label propagation over edge-touching nodes only; the isolated
+    majority joins back in one final broadcast left join either way.
+
+    Distributed path: each round joins current labels across the
+    (undirected) edge list and keeps the per-node minimum; convergence
+    when no label changes (rounds ≈ graph diameter — near-dup clusters
+    are shallow). Each iteration is localCheckpoint-ed: without
+    cutting lineage the plan doubles per round and the job dies long
+    before 100 TB. Shuffle per round carries (node, label) pairs only
+    — never document payloads.
     """
     src, dst = pair_cols
+    spark = nodes.sparkSession
+    undirected = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # ONE bounded fetch doubles as the size probe — a separate
+    # limit().count() probe would execute the whole upstream pair
+    # pipeline twice. Memory is capped at threshold+1 narrow rows.
+    rows = undirected.limit(driver_threshold + 1).collect()
+    if len(rows) <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])  # path halving
+                x = parent[x]
+            return x
+
+        for r in rows:
+            ra, rb = find(r["src"]), find(r["dst"])
+            if ra != rb:
+                parent[ra] = rb
+        best: dict = {}
+        for x in list(parent) + [r["src"] for r in rows] + [r["dst"] for r in rows]:
+            root = find(x)
+            best[root] = min(best.get(root, x), x)
+        data = [(x, best[find(x)]) for x in {r["src"] for r in rows} | {r["dst"] for r in rows}]
+        resolved = spark.createDataFrame(
+            data, f"{id_col} long, component_id long"
+        )
+        return nodes.select(id_col).join(
+            F.broadcast(resolved), id_col, "left"
+        ).select(
+            F.col(id_col),
+            F.coalesce("component_id", F.col(id_col)).alias("component_id"),
+        )
+
     edges = (
-        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        undirected
         .union(pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
         .distinct()
         .persist()
