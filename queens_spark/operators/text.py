@@ -153,6 +153,79 @@ def char_poly_hash(s: Column, p: int = HASH_MOD) -> Column:
     )
 
 
+def token_chunks(
+    text: Column | str, chunk_tokens: int = 100, stride: int = 80
+) -> Column:
+    """Array of overlapping token-window chunks — the standard
+    long-document → training-sample splitter. Chunk i covers tokens
+    [i·stride, i·stride + chunk_tokens); the last chunk may be short;
+    empty docs yield no chunks. Pure per-row array expressions: zero
+    shuffle, embarrassingly parallel, and the chunk count per doc is
+    ceil(max(n - chunk_tokens, 0) / stride) + 1 — linear in document
+    length, so exploding the result scales with corpus tokens.
+
+    With stride < chunk_tokens consecutive chunks overlap by
+    chunk_tokens - stride tokens (context continuity across samples).
+    """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    toks = tokens(text)
+    return F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.floor(
+                    (F.greatest(F.size(toks) - chunk_tokens, F.lit(0))
+                     + F.lit(stride - 1)) / F.lit(stride)
+                ).cast("int"),
+            ),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * stride + 1, chunk_tokens)
+            ),
+        )
+    )
+
+
+def duckdb_token_chunks(
+    expr: str, chunk_tokens: int = 100, stride: int = 80
+) -> str:
+    """DuckDB twin of :func:`token_chunks`."""
+    toks = f"list_filter(string_split_regex({expr}, '\\s+'), x -> x <> '')"
+    return (
+        f"(SELECT CASE WHEN len(__tk) = 0 THEN [] "
+        f"ELSE list_transform("
+        f"range(0, 1 + CAST(floor((greatest(len(__tk) - {chunk_tokens}, 0) "
+        f"+ {stride - 1}) / {stride}) AS BIGINT)), "
+        f"i -> array_to_string(list_slice(__tk, i * {stride} + 1, "
+        f"i * {stride} + {chunk_tokens}), ' ')) END "
+        f"FROM (SELECT {toks} AS __tk) __tc)"
+    )
+
+
+#: Masking patterns chosen for identical semantics in Java regex and
+#: DuckDB's RE2: no backrefs, no lookaround.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+
+
+def mask_pii(text: Column | str) -> Column:
+    """Mask emails then URLs with fixed placeholder tokens — the
+    standard pre-training redaction pass. Two JVM regexp_replace
+    calls, zero shuffle; order matters (emails first, so an address
+    inside a URL query string is already masked)."""
+    c = F.col(text) if isinstance(text, str) else text
+    masked = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(masked, URL_PATTERN, "<URL>")
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Whitespace-collapse + trim (the same normalization the
+    fingerprint uses, minus lowercasing — casing is signal for
+    training data)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """md5 of the normalized text (lowercased, whitespace collapsed) —
     the exact-dedup key."""

@@ -1838,3 +1838,91 @@ def q54_stream_first_seen(spark, sf_dir):
     ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
     fs = first_seen(ev.select("user_id", "event_type", "event_id", "ts"))
     return run_available_now(fs, "q54_mem", output_mode="append")
+
+
+def _chunking_oracle(chunk_tokens: int, stride: int) -> str:
+    from queens_spark.operators.text import duckdb_token_chunks
+
+    chunks = duckdb_token_chunks("text", chunk_tokens, stride)
+    toks = "list_filter(string_split_regex(u.chunk_text, '\\s+'), x -> x <> '')"
+    return f"""
+    WITH c AS (
+      SELECT doc_id, {chunks} AS chunks FROM documents
+    ), e AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(chunks) + 1),
+               i -> struct_pack(chunk_index := CAST(i - 1 AS BIGINT),
+                                chunk_text := chunks[i]))) AS u
+      FROM c
+    )
+    SELECT doc_id, u.chunk_index AS chunk_index, u.chunk_text AS chunk_text,
+           CAST(len({toks}) AS BIGINT) AS n_chunk_tokens
+    FROM e
+    """
+
+
+@register("q55_doc_chunking", _chunking_oracle(40, 30))
+def q55_doc_chunking(spark, sf_dir):
+    """Long-document chunking into overlapping token windows (40-token
+    chunks, stride 30) — the training-sample splitter. Zero-shuffle
+    per-row array expressions + posexplode; output size is linear in
+    corpus tokens."""
+    from queens_spark.operators.text import token_chunks, token_count
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(token_chunks("text", 40, 30)).alias(
+                "chunk_index", "chunk_text"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_index").cast("bigint").alias("chunk_index"),
+            "chunk_text",
+            token_count(F.col("chunk_text")).alias("n_chunk_tokens"),
+        )
+    )
+
+
+@register(
+    "q56_text_clean_redact",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g'),
+             '\s+', ' ', 'g')) AS clean_text,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+')) AS BIGINT) AS n_urls
+    FROM documents
+    """,
+)
+def q56_text_clean_redact(spark, sf_dir):
+    """Corpus cleaning + redaction pass: mask emails/URLs with
+    placeholder tokens, collapse whitespace, and count the masked
+    entities — all JVM regexp expressions inside one whole-stage
+    codegen projection; zero shuffle."""
+    from queens_spark.operators.text import (
+        EMAIL_PATTERN,
+        URL_PATTERN,
+        mask_pii,
+        normalize_text,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        normalize_text(mask_pii("text")).alias("clean_text"),
+        F.regexp_count("text", F.lit(EMAIL_PATTERN)).cast("bigint").alias("n_emails"),
+        F.regexp_count(
+            F.regexp_replace("text", EMAIL_PATTERN, "<EMAIL>"), F.lit(URL_PATTERN)
+        ).cast("bigint").alias("n_urls"),
+    )

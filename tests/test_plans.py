@@ -141,3 +141,41 @@ def test_topn_query_take_ordered(spark):
 
     plan = plan_of(QUERIES["q15_topn"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_stop_shingle_cap_is_broadcast_anti(spark):
+    """The hot-shingle list is bounded (≤ |postings|/max_df) so stop
+    removal must be a broadcast LEFT ANTI — postings never shuffle or
+    window-sort for the cap."""
+    from queens_spark.operators.dedup import (
+        _capped_index,
+        _shingle_frame,
+        release_caches,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma delta u{i} v{i}")
+         for i in range(20)]
+    )
+    sh = _shingle_frame(docs, "text", "doc_id", 3)
+    plan = plan_of(_capped_index(sh, 5))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Window" not in plan
+    release_caches()
+
+
+def test_jaccard_verification_is_pruned(spark):
+    """The full pipeline's plan must contain the count-only prune
+    (a join of pair counts with per-doc stats) BEFORE the array
+    verification join — i.e. array_intersect appears above a filter
+    on the upper bound, not directly on the candidate self-join."""
+    from queens_spark.operators.dedup import ngram_jaccard_pairs, release_caches
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma delta u{i} v{i}")
+         for i in range(20)]
+    )
+    plan = plan_of(ngram_jaccard_pairs(docs, "text", "doc_id", max_df=5))
+    assert "array_intersect" in plan
+    assert plan.count("array_intersect") <= 4  # verify stage only
+    release_caches()
