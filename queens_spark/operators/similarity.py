@@ -398,6 +398,87 @@ def lsh_bucket_pairs(
     return joined.mapInPandas(verify, "id_a bigint, id_b bigint, cosine double")
 
 
+def double_dot(a: Column, b: Column) -> Column:
+    """Left-fold double dot product — fixed evaluation order, so any
+    engine folding the same way is bit-identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroid_ids: list[int],
+) -> DataFrame:
+    """One Lloyd's iteration of k-means in pure DataFrame ops — the
+    distributed training loop for IVF coarse quantizers: seed
+    centroids (deterministic id subset) → assign every vector (argmax
+    cosine, ties to lowest centroid) → recompute centroids as
+    per-dimension means → reassign against the refined centroids.
+    Returns (id, cluster, cosine) for the final assignment.
+
+    Scale shape: assignment is a broadcast-centroid argmax (vectors
+    never shuffle); the update is posexplode → (cluster, dim) partial
+    SUM/COUNT — map-side combined, so the shuffle carries
+    k·d·partitions counters, not vectors; refined centroids reassemble
+    with a sorted collect_list (k·d rows total — driver-scale by
+    construction) and broadcast back. Repeating the iteration is a
+    loop over this function; each round is the same two-shuffle plan.
+
+    Determinism across engines: means are SUM(int64)/COUNT in one
+    double division; dots fold left in dimension order, so the DuckDB
+    oracle reproduces cosines bit-for-bit.
+    """
+    q = df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q"))
+    assigned0 = ivf_assign(df, vec_col, id_col, centroid_ids).select(
+        F.col(id_col).alias("id"), F.col("centroid_id").alias("c0")
+    )
+    exploded = (
+        q.join(assigned0, "id")
+        .select("c0", F.posexplode("q").alias("dim", "val"))
+    )
+    means = (
+        exploded.groupBy("c0", "dim")
+        .agg((F.sum("val").cast("double") / F.count(F.lit(1))).alias("m"))
+    )
+    refined = (
+        means.groupBy("c0")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("cq")
+        )
+        .withColumn("cn2", double_dot(F.col("cq"), F.col("cq")))
+    )
+    v = q.withColumn(
+        "qd", F.transform(F.col("q"), lambda x: x.cast("double"))
+    ).withColumn("n2", double_dot(F.col("qd"), F.col("qd")))
+    cos = double_dot(F.col("qd"), F.col("cq")) / (
+        F.sqrt(F.col("n2")) * F.sqrt(F.col("cn2"))
+    )
+    scored = v.crossJoin(F.broadcast(refined)).select(
+        F.col("id"), F.col("c0"), cos.alias("cosine")
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.max(
+                F.struct(F.col("cosine"), (-F.col("c0")).alias("neg_c0"))
+            ).alias("best")
+        )
+        .select(
+            F.col("id").alias(id_col),
+            (-F.col("best.neg_c0")).cast("bigint").alias("cluster"),
+            F.col("best.cosine").alias("cosine"),
+        )
+    )
+
+
 # ----------------------------------------------------------------- IVF
 
 def ivf_assign_vectors(

@@ -1926,3 +1926,76 @@ def q56_text_clean_redact(spark, sf_dir):
             F.regexp_replace("text", EMAIL_PATTERN, "<EMAIL>"), F.lit(URL_PATTERN)
         ).cast("bigint").alias("n_urls"),
     )
+
+
+def _kmeans_oracle() -> str:
+    from queens_spark.operators.similarity import duckdb_int_dot, duckdb_quantize
+
+    qv = duckdb_quantize("embedding")
+
+    def ddot(a, b):
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i])), "
+            f"(x, y) -> x + y)"
+        )
+
+    cos_int = (
+        f"CAST({duckdb_int_dot('v.q', 'c.cq')} AS DOUBLE)"
+        f" / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))"
+    )
+    cos_dbl = (
+        f"{ddot('vn.qd', 'rn.cq')}"
+        f" / (sqrt(vn.n2d) * sqrt(rn.cn2))"
+    )
+    return f"""
+    WITH v0 AS (
+      SELECT vec_id, {qv} AS q FROM embeddings
+    ), n AS (
+      SELECT vec_id, q, {duckdb_int_dot('q', 'q')} AS n2 FROM v0
+    ), cents AS (
+      SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM n WHERE vec_id % 200 = 0
+    ), a1 AS (
+      SELECT vec_id, cid AS c0 FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cos_int} DESC, c.cid ASC) AS rk
+        FROM n v CROSS JOIN cents c)
+      WHERE rk = 1
+    ), ex AS (
+      SELECT a.c0,
+             unnest(range(1, len(nn.q) + 1)) AS i,
+             unnest(nn.q) AS val
+      FROM a1 a JOIN n nn USING (vec_id)
+    ), means AS (
+      SELECT c0, i, CAST(SUM(val) AS DOUBLE) / COUNT(*) AS m
+      FROM ex GROUP BY c0, i
+    ), rn AS (
+      SELECT c0, cq, {ddot('cq', 'cq')} AS cn2 FROM (
+        SELECT c0, list(m ORDER BY i) AS cq FROM means GROUP BY c0)
+    ), vn AS (
+      SELECT vec_id, qd, {ddot('qd', 'qd')} AS n2d FROM (
+        SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd FROM n)
+    )
+    SELECT vec_id, CAST(c0 AS BIGINT) AS cluster, cosine FROM (
+      SELECT vn.vec_id, rn.c0, {cos_dbl} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+                                ORDER BY {cos_dbl} DESC, rn.c0 ASC) AS rk
+      FROM vn CROSS JOIN rn)
+    WHERE rk = 1
+    """
+
+
+@register("q57_kmeans_refine", _kmeans_oracle())
+def q57_kmeans_refine(spark, sf_dir):
+    """One Lloyd's iteration of k-means over the embedding table — the
+    distributed training loop behind IVF coarse quantizers: seed
+    (every 200th vector) → broadcast-argmax assignment → map-side
+    combined per-dimension means → broadcast reassignment. Vectors
+    never shuffle; the update shuffle carries k x d counters."""
+    from queens_spark.operators.similarity import kmeans_refine
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = [r[0] for r in emb.where(F.col("vec_id") % 200 == 0)
+             .select("vec_id").collect()]
+    return kmeans_refine(emb, "embedding", "vec_id", cents)
