@@ -1,0 +1,102 @@
+"""Distributed EXACT grouped quantiles — the scale path.
+
+Spark's ``percentile()`` (and DuckDB's ``quantile_cont``) buffer every
+group value inside one aggregation buffer: exact, but a
+billion-row group is an OOM, and the sort is per-group single-threaded.
+This module computes the same linear-interpolation quantiles from
+order statistics instead:
+
+1. range-partition on (group, value) and rank two-phase (chunk-local
+   row_number + broadcast chunk offsets — the same pattern as
+   ``store.warehouse.with_row_uid``), so every group's sort runs at
+   full cluster width with sort-spill semantics;
+2. per-group counts (tiny) turn each requested quantile into the two
+   straddling ranks ``lo = floor(p·(n-1)+1)`` / ``hi = ceil(...)``;
+3. ONE broadcast equi-join on (group, rank) fetches just those rows,
+   and ``v_lo + (v_hi - v_lo)·frac`` interpolates.
+
+Nothing is ever held per-group in memory; the shuffles are the range
+sort (spillable) and counter-sized aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def grouped_ordinal(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """1..N rank of *value_col* within *group_col* without a
+    single-task-per-group window (two-phase, see module docstring).
+    Output columns: group_col, ``__v`` (value), ``__rk``."""
+    base = df.select(
+        F.col(group_col), F.col(value_col).cast("double").alias("__v")
+    ).where(F.col(value_col).isNotNull())
+    ranged = base.repartitionByRange(F.col(group_col).asc(), F.col("__v").asc())
+    part = ranged.withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__pid", group_col).orderBy(F.col("__v").asc())
+    local = part.withColumn("__rn", F.row_number().over(w_local))
+    counts = local.groupBy("__pid", group_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid",
+        group_col,
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["__pid", group_col])
+        .withColumn("__rk", F.col("__off") + F.col("__rn"))
+        .select(group_col, "__v", "__rk")
+    )
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: dict[str, float],
+) -> DataFrame:
+    """Exact linear-interpolation quantiles per group, one output
+    column per entry of *quantiles* (name → fraction). Matches
+    ``percentile()``/``quantile_cont`` semantics bit-for-bit while
+    scaling to arbitrarily large groups (see module docstring)."""
+    ranked = grouped_ordinal(df, group_col, value_col)
+    cnt = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    qarr = F.array(*[
+        F.struct(F.lit(name).alias("qname"), F.lit(float(p)).alias("p"))
+        for name, p in quantiles.items()
+    ])
+    targets = (
+        cnt.select(F.col(group_col), F.explode(qarr).alias("t"), "__n")
+        .select(
+            group_col,
+            F.col("t.qname").alias("qname"),
+            (F.col("t.p") * (F.col("__n") - 1) + 1).alias("target"),
+        )
+        .withColumn("lo", F.floor("target").cast("long"))
+        .withColumn("hi", F.ceil("target").cast("long"))
+    )
+    need = targets.select(
+        group_col, "qname", "target", "lo",
+        F.explode(F.array_distinct(F.array("lo", "hi"))).alias("__rk"),
+    )
+    joined = ranked.join(F.broadcast(need), [group_col, "__rk"])
+    per_q = joined.groupBy(group_col, "qname", "target", "lo").agg(
+        F.min(F.when(F.col("__rk") == F.col("lo"), F.col("__v"))).alias("vlo"),
+        F.min(F.when(F.col("__rk") != F.col("lo"), F.col("__v"))).alias("vhi"),
+    )
+    val = F.col("vlo") + (
+        F.coalesce("vhi", F.col("vlo")) - F.col("vlo")
+    ) * (F.col("target") - F.col("lo"))
+    vals = per_q.select(group_col, "qname", val.alias("val"))
+    return vals.groupBy(group_col).agg(*[
+        F.min(F.when(F.col("qname") == name, F.col("val"))).alias(name)
+        for name in quantiles
+    ])

@@ -1463,10 +1463,13 @@ def q46_length_quartiles(spark, sf_dir):
     """,
 )
 def q47_exact_quantiles(spark, sf_dir):
-    """Exact grouped percentiles (linear interpolation) — the
-    sort-within-group aggregate; Spark's percentile() and DuckDB's
-    quantile_cont verified bit-identical. Use approx_percentile at
-    scales where an exact per-group sort is not worth it."""
+    """Exact grouped percentiles (linear interpolation) via the
+    built-in sort-within-group aggregate; Spark's percentile() and
+    DuckDB's quantile_cont verified bit-identical. NOTE: percentile()
+    buffers each group's values in one aggregation buffer — fine for
+    bounded groups; for billion-row groups use the order-statistics
+    path (q58 / operators/quantiles.py), or approx_percentile when
+    exactness isn't required."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
@@ -1999,3 +2002,34 @@ def q57_kmeans_refine(spark, sf_dir):
     cents = [r[0] for r in emb.where(F.col("vec_id") % 200 == 0)
              .select("vec_id").collect()]
     return kmeans_refine(emb, "embedding", "vec_id", cents)
+
+
+@register(
+    "q58_scalable_quantiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           quantile_cont(l_extendedprice, 0.90) AS price_p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q58_scalable_quantiles(spark, sf_dir):
+    """Same exact grouped quantiles as q47 but computed from
+    distributed order statistics (two-phase rank + straddling-rank
+    interpolation, operators/quantiles.py) — no per-group aggregation
+    buffer, so a billion-row group sorts at cluster width instead of
+    OOMing one reducer. The oracle is identical to q47's: both paths
+    must produce bit-identical values."""
+    from queens_spark.operators.quantiles import exact_group_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    qty = exact_group_quantiles(
+        li, "l_returnflag", "l_quantity",
+        {"q25": 0.25, "q50": 0.50, "q75": 0.75},
+    )
+    price = exact_group_quantiles(
+        li, "l_returnflag", "l_extendedprice", {"price_p90": 0.90}
+    )
+    return qty.join(price, "l_returnflag")
