@@ -26,8 +26,13 @@ from queens_spark.store.warehouse import Warehouse
 
 
 def drop_all_null_columns(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
-    """Prune columns that are entirely null (P7, queens/api/app.py:180)
-    with ONE aggregation pass, then a narrowed select."""
+    """Prune columns that are entirely null in THIS result set with one
+    aggregation pass + a narrowed select (P7, queens/api/app.py:180).
+
+    Costs a full pass over *df* — use it on bounded frames (a page, an
+    export slice). The hot read path does NOT call it: `Engine.query`
+    prunes from the metadata catalog instead, which knows each table's
+    populated columns without touching the data."""
     counts = df.agg(
         *[F.count(F.col(c)).alias(c) for c in df.columns]
     ).collect()[0].asDict()
@@ -100,7 +105,13 @@ class Engine:
             df = df.orderBy(ROW_UID).limit(min(int(limit), MAX_LIMIT))
         df = df.drop(*[c for c in SERVICE_COLUMNS if c in df.columns])
         if prune_null_columns:
-            df = drop_all_null_columns(df, keep=("table_name", ROW_UID))
+            # Metadata-driven P7: the catalog already records which
+            # columns are populated per table (all-null ones are absent
+            # by construction, store/warehouse.refresh_metadata), so
+            # pruning is a projection — no per-query aggregation scan
+            # of the fact table.
+            keep = set(queryable) | {"table_name", ROW_UID}
+            df = df.select(*[c for c in df.columns if c in keep])
         return df
 
     def query_page(

@@ -8,8 +8,10 @@ it produces pandas frames (with source order captured) that the ETL
 layer converts to Spark DataFrames for all real processing.
 
 The byte-level xlsx parse is pluggable: :func:`read_workbook` uses
-pandas/openpyxl when available (gated import — not installed in every
-runtime); tests and alternate formats inject raw frames directly into
+pandas/openpyxl when available and otherwise the dependency-free
+SpreadsheetML parser (:mod:`queens_spark.sources.xlsx_lite`), so
+ingest-from-file works in slim runtimes too; tests and alternate
+formats can still inject raw frames directly into
 :func:`wrangle_workbook`, mirroring how the reference's own tests
 monkeypatch the reader.
 """
@@ -92,15 +94,18 @@ def wrangle_workbook(
 
 def read_workbook(file_path: str) -> dict[str, pd.DataFrame]:
     """Load every sheet of an xlsx file as raw (header-less) frames.
-    Requires openpyxl; gated so environments without it can still use
-    the full wrangling/ETL stack with injected frames."""
+
+    Uses pandas/openpyxl when installed (richer format coverage:
+    dates, styles-dependent types); otherwise falls back to the
+    dependency-free SpreadsheetML parser in
+    :mod:`queens_spark.sources.xlsx_lite`, so xlsx ingest works in
+    slim runtimes too."""
     try:
         import openpyxl  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "xlsx parsing requires openpyxl, which is not installed; "
-            "pass raw frames to wrangle_workbook() instead"
-        ) from exc
+    except ImportError:
+        from queens_spark.sources.xlsx_lite import read_workbook_xlsx
+
+        return read_workbook_xlsx(file_path)
     return pd.read_excel(file_path, sheet_name=None, header=None)
 
 

@@ -2,7 +2,8 @@
 
 Parity: export_table / export_all (queens/core/read_write.py:96-240).
 CSV and Parquet are distributed Spark writes; xlsx is inherently a
-driver-side single-file format (gated on openpyxl availability).
+driver-side single-file format (written with the dependency-free
+SpreadsheetML writer in sources/xlsx_lite.py).
 """
 
 from __future__ import annotations
@@ -45,13 +46,10 @@ def export_table(
         # shape; each part file is one shard
         df.write.mode("overwrite").json(target)
     elif file_type == "xlsx":
-        try:
-            import openpyxl  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "xlsx export requires openpyxl, which is not installed"
-            ) from exc
-        df.toPandas().to_excel(target, index=False)
+        from queens_spark.sources.xlsx_lite import write_workbook_xlsx
+
+        # driver-side by nature (single-file format, sheet-sized data)
+        write_workbook_xlsx(target, {str(table_name): df.toPandas()})
     else:
         raise ValueError(f"unsupported export type '{file_type}'")
     return target
@@ -85,18 +83,15 @@ def export_all(
         prod = engine.warehouse.read_prod(collection)
         prod.write.mode("overwrite").partitionBy("table_name").parquet(target)
     elif file_type == "xlsx":
-        try:
-            import openpyxl  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "xlsx export requires openpyxl, which is not installed"
-            ) from exc
-        import pandas as pd
+        from queens_spark.sources.xlsx_lite import write_workbook_xlsx
 
-        with pd.ExcelWriter(target) as writer:
-            for t in tables:
-                pdf = engine.query(collection, t).toPandas()
-                pdf.to_excel(writer, sheet_name=str(t)[:31], index=False)
+        write_workbook_xlsx(
+            target,
+            {
+                str(t)[:31]: engine.query(collection, t).toPandas()
+                for t in tables
+            },
+        )
     elif file_type in ("csv", "jsonl"):
         for t in tables:
             export_table(engine, collection, file_type, t, output_path, output_ts)

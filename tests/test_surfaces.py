@@ -269,9 +269,65 @@ def test_export_jsonl(tmp_path, staged_engine, spark):
     assert "value" in back.columns
 
 
-def test_export_xlsx_gated(tmp_path, staged_engine):
-    with pytest.raises(NotImplementedError):
-        export_table(staged_engine, "dukes", "xlsx", "1.1", str(tmp_path))
+def test_export_xlsx_roundtrip(tmp_path, staged_engine):
+    # xlsx export works without openpyxl (stdlib SpreadsheetML writer);
+    # read back with the matching stdlib parser.
+    from queens_spark.sources.xlsx_lite import read_workbook_xlsx
+
+    out = export_table(staged_engine, "dukes", "xlsx", "1.1", str(tmp_path))
+    sheets = read_workbook_xlsx(out)
+    assert list(sheets) == ["1.1"]
+    raw = sheets["1.1"]
+    header = list(raw.iloc[0])
+    assert "label" in header and "value" in header
+    assert len(raw) == 5  # header + 4 data rows
+
+
+def test_export_xlsx_bulk_sheet_per_table(tmp_path, staged_engine):
+    from queens_spark.sources.xlsx_lite import read_workbook_xlsx
+
+    outs = export_all(staged_engine, "dukes", "xlsx", str(tmp_path),
+                      bulk_export=True)
+    sheets = read_workbook_xlsx(outs[0])
+    assert "1.1" in sheets
+
+
+def test_xlsx_lite_typed_roundtrip(tmp_path):
+    from queens_spark.sources.xlsx_lite import (
+        read_workbook_xlsx,
+        write_workbook_xlsx,
+    )
+
+    df = pd.DataFrame(
+        {"a": [1, 2], "b": [1.5, None], "c": ["x & <y>", "ü"], "d": [True, False]}
+    )
+    path = str(tmp_path / "t.xlsx")
+    write_workbook_xlsx(path, {"s1": df})
+    back = read_workbook_xlsx(path)["s1"]
+    assert list(back.iloc[0]) == ["a", "b", "c", "d"]
+    assert back.iloc[1].tolist() == [1, 1.5, "x & <y>", True]
+    assert back.iloc[2][0] == 2 and back.iloc[2][1] is None
+    assert back.iloc[2][2] == "ü" and back.iloc[2][3] is False
+
+
+def test_ingest_from_xlsx_file(tmp_path, spark, engine):
+    # full file path: write a raw (header-less) workbook, ingest it
+    # through the config-driven ETL, query the staged result.
+    from queens_spark.sources.xlsx_lite import write_workbook_xlsx
+
+    path = str(tmp_path / "dukes_1.1.xlsx")
+    write_workbook_xlsx(path, {"1.1": raw_sheet()}, header=False)
+    ingest_table(
+        engine, "dukes", "1.1",
+        workbook_path=path,
+        etl_config=ETL_CONFIG,
+        ingest_ts=datetime(2024, 1, 1),
+    )
+    stage_data(engine, "dukes")
+    out = engine.query("dukes", "1.1", {"year": 2020}).collect()
+    assert {r["label"]: r["value"] for r in out} == {
+        "Production": 4.0, "Imports": 5.5,
+    }
 
 
 # -------------------------------------------------------------- CLI
