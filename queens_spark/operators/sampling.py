@@ -44,6 +44,44 @@ def hash_sample(
     return df.where(hash_bucket(key_col, salt) < fraction_bp)
 
 
+def hash_split(
+    key: Column | str,
+    splits: dict[str, int],
+    salt: int = 0,
+) -> Column:
+    """Deterministic dataset-split assignment: *splits* maps split
+    name → basis points (must sum to ≤ BUCKETS; any remainder gets
+    NULL, i.e. held out). The same key always lands in the same split
+    — across reruns, engines, and parallelism — so train/val/test
+    membership is stable and leak-free by construction, and a JOIN
+    against any prior run's split agrees row-for-row.
+
+    Names are assigned in sorted order over contiguous bucket ranges,
+    so the mapping is reproducible from the dict alone."""
+    total = sum(splits.values())
+    if total > BUCKETS:
+        raise ValueError(f"split fractions sum to {total} > {BUCKETS} bp")
+    b = hash_bucket(key, salt)
+    expr = F.lit(None).cast("string")
+    hi = 0
+    for name, bp in sorted(splits.items()):
+        lo, hi = hi, hi + bp
+        expr = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def duckdb_hash_split(expr: str, splits: dict[str, int], salt: int = 0) -> str:
+    b = duckdb_hash_bucket(expr, salt)
+    cases, hi = [], 0
+    for name, bp in sorted(splits.items()):
+        lo, hi = hi, hi + bp
+        cases.append(f"WHEN __b >= {lo} AND __b < {hi} THEN '{name}'")
+    return (
+        "(SELECT CASE " + " ".join(cases) + " ELSE NULL END "
+        f"FROM (SELECT {b} AS __b) __hs)"
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

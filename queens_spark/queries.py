@@ -2033,3 +2033,39 @@ def q58_scalable_quantiles(spark, sf_dir):
         li, "l_returnflag", "l_extendedprice", {"price_p90": 0.90}
     )
     return qty.join(price, "l_returnflag")
+
+
+def _split_oracle() -> str:
+    from queens_spark.operators.sampling import duckdb_hash_split
+
+    split = duckdb_hash_split(
+        "doc_id", {"train": 8000, "val": 1000, "test": 1000}
+    )
+    return f"""
+    SELECT split, lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+    FROM (SELECT doc_id, lang, {split} AS split FROM documents)
+    GROUP BY split, lang
+    """
+
+
+@register("q59_dataset_split", _split_oracle())
+def q59_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (80/10/10) by portable
+    per-key hash — stable across reruns, engines, and parallelism, so
+    split membership can never leak between sets. Zero shuffle for the
+    assignment; one counter-sized aggregation for the report."""
+    from queens_spark.operators.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", "lang",
+            hash_split("doc_id", {"train": 8000, "val": 1000, "test": 1000})
+            .alias("split"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

@@ -74,3 +74,35 @@ def test_stratified_hash_sample_rates(spark):
              kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert 1350 <= rates["en"] <= 1650   # ~50% of 3000
     assert 200 <= rates["de"] <= 400     # ~10% of 3000
+
+
+def test_hash_split_partition_exhaustive_and_stable(spark):
+    from queens_spark.operators.sampling import hash_split
+
+    df = spark.range(8_000).withColumnRenamed("id", "k")
+    splits = {"train": 8000, "val": 1000, "test": 1000}
+    assigned = df.select("k", hash_split("k", splits).alias("s"))
+    counts = {r["s"]: r["n"] for r in
+              assigned.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # fractions sum to 100% -> no NULL (held-out) rows
+    assert None not in counts and sum(counts.values()) == 8_000
+    assert 6000 <= counts["train"] <= 7600
+    assert 500 <= counts["val"] <= 1100 and 500 <= counts["test"] <= 1100
+    # membership survives repartitioning (no leak between sets)
+    again = {(r["k"], r["s"]) for r in
+             df.repartition(13).select(
+                 "k", hash_split("k", splits).alias("s")).collect()}
+    assert again == {(r["k"], r["s"]) for r in assigned.collect()}
+
+
+def test_hash_split_holdout_and_validation(spark):
+    import pytest
+
+    from queens_spark.operators.sampling import hash_split
+
+    df = spark.range(1_000).withColumnRenamed("id", "k")
+    held = df.select(hash_split("k", {"train": 5000}).alias("s"))
+    n_null = held.where(F.col("s").isNull()).count()
+    assert 400 <= n_null <= 600  # ~50% held out
+    with pytest.raises(ValueError, match="split fractions"):
+        hash_split("k", {"a": 9000, "b": 2000})
