@@ -2069,3 +2069,74 @@ def q59_dataset_split(spark, sf_dir):
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+def _best_in_cluster_oracle(threshold: float) -> str:
+    comp_sql = _components_oracle(threshold)
+    return f"""
+    SELECT component_id, doc_id AS best_doc_id, quality AS best_quality,
+           n_members
+    FROM (
+      SELECT c.component_id, c.doc_id, q.quality,
+             ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                ORDER BY q.quality DESC, c.doc_id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY c.component_id) AS n_members
+      FROM ({comp_sql}) c
+      JOIN (
+        SELECT doc_id,
+               0.4 * least(CAST(len({_DUCK_TOKS}) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CASE WHEN length(text) > 0
+                        THEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                             / length(text) ELSE 0.0 END)
+               + 0.3 * CASE WHEN len({_DUCK_TOKS}) > 0
+                        THEN CAST(len(list_distinct({_DUCK_TOKS})) AS DOUBLE) / len({_DUCK_TOKS})
+                        ELSE 0.0 END AS quality
+        FROM documents) q USING (doc_id))
+    WHERE rk = 1
+    """
+
+
+@register("q60_best_in_cluster", _best_in_cluster_oracle(0.8))
+def q60_best_in_cluster(spark, sf_dir):
+    """Quality-aware canonical selection: within each dedup cluster
+    (near-dup graph ∪ exact-copy edges, as q36) keep the
+    HIGHEST-quality member — what a real corpus-cleaning pipeline
+    retains, rather than the lowest id. One struct-max aggregation
+    over (quality, -doc_id) per component: a single counter-width
+    shuffle, no per-component window."""
+    from queens_spark.operators.dedup import (
+        canonical_copies,
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from queens_spark.operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    copies = canonical_copies(docs, "text", "doc_id")
+    edges = pairs.select("id_a", "id_b").union(
+        copies.select(
+            F.col("rep_id").alias("id_a"), F.col("doc_id").alias("id_b")
+        )
+    )
+    comps = connected_components(docs, edges, "doc_id")
+    qual = docs.select("doc_id", quality_score("text").alias("quality"))
+    return (
+        comps.join(qual, "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality").alias("q"),
+                    (-F.col("doc_id")).alias("nid"),
+                )
+            ).alias("best"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "component_id",
+            (-F.col("best.nid")).cast("bigint").alias("best_doc_id"),
+            F.col("best.q").alias("best_quality"),
+            "n_members",
+        )
+    )
