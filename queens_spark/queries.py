@@ -2140,3 +2140,49 @@ def q60_best_in_cluster(spark, sf_dir):
             "n_members",
         )
     )
+
+
+def _decontamination_oracle(min_shared: int) -> str:
+    from queens_spark.operators.dedup import duckdb_shingle_hashes
+
+    return f"""
+    WITH h AS (
+      SELECT doc_id, unnest({duckdb_shingle_hashes('text')}) AS sh
+      FROM documents
+    ), e AS (
+      SELECT DISTINCT sh FROM h WHERE doc_id % 100 = 0
+    )
+    SELECT doc_id, COUNT(*) AS n_shared
+    FROM h
+    WHERE doc_id % 100 <> 0 AND sh IN (SELECT sh FROM e)
+    GROUP BY doc_id
+    HAVING COUNT(*) >= {min_shared}
+    """
+
+
+@register("q61_decontamination", _decontamination_oracle(3))
+def q61_decontamination(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing ≥3
+    word 3-gram shingles with ANY document of the eval set (here:
+    doc_id % 100 == 0 stands in for the benchmark corpus).
+
+    Scale shape: the eval corpus is benchmark-sized by nature, so its
+    distinct shingle-hash set BROADCASTS; the training corpus is
+    filtered by a map-side LEFT SEMI join — it never shuffles — and
+    only counter-width (doc, count) rows reach the final aggregation.
+    Per-doc shingle hashes are already distinct, so COUNT(*) is the
+    distinct-overlap count."""
+    from queens_spark.operators.dedup import shingle_hashes
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingle_hashes("text")).alias("sh")
+    )
+    eval_hashes = sh.where(F.col("doc_id") % 100 == 0).select("sh").distinct()
+    return (
+        sh.where(F.col("doc_id") % 100 != 0)
+        .join(F.broadcast(eval_hashes), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
