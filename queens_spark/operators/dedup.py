@@ -62,11 +62,34 @@ def release_caches() -> None:
         _PERSISTED.pop().unpersist()
 
 
-# Deterministic MinHash parameter tables (shared by Spark + oracle).
+# Deterministic MinHash parameter tables (shared by Spark + oracle —
+# both sides bake these Python lists into their expressions, so any
+# deterministic generator keeps them in lockstep).
+#
+# The multipliers must be (1) LARGE relative to p / max_hash — shingle
+# hashes are < HASH_MOD (1e9+7), so a small multiplier (the original
+# 3,5,…,33) keeps a·h+b below p for most lanes: no modular wrap, every
+# such lane's argmin is the SAME global min-hash shingle, and the
+# lanes are correlated (measured: a 200-doc near-identical cluster
+# left ~13 docs with zero band matches) — and (2) mutually
+# INDEPENDENT: a_i = c·(i+1) mod p has a_{2i+1} = 2·a_i etc., making
+# whole lane groups share one argmin (measured: lanes 3/7/11/15 — one
+# per band — flipped together, isolating docs). SHA-256-derived
+# constants have neither structure; a·h+b ≤ (p−2)·1e9+p « 2^63, so
+# BIGINT math is exact in both engines.
+import hashlib as _hashlib
+
+
+def _mh_const(tag: str, i: int, mod: int) -> int:
+    return int.from_bytes(
+        _hashlib.sha256(f"queens-minhash-{tag}-{i}".encode()).digest()[:8], "big"
+    ) % mod
+
+
 MINHASH_K = 16
 MINHASH_P = 4_294_967_311  # prime > 2^32
-MINHASH_A = [2 * i + 1 for i in range(1, MINHASH_K + 1)]          # odd, < p
-MINHASH_B = [(7919 * i + 104729) % MINHASH_P for i in range(MINHASH_K)]
+MINHASH_A = [_mh_const("a", i, MINHASH_P - 1) | 1 for i in range(MINHASH_K)]
+MINHASH_B = [_mh_const("b", i, MINHASH_P) for i in range(MINHASH_K)]
 LSH_BANDS = 4
 LSH_ROWS = MINHASH_K // LSH_BANDS
 SIMHASH_BITS = 16
@@ -327,12 +350,13 @@ def ngram_jaccard_pairs(
     of one boilerplate page) has df > max_df for every cluster-common
     shingle, so its pairs are missed here. Byte-identical (after
     whitespace/case normalization) clusters are closed out by
-    composing :func:`canonical_copies` / exact dedup first — which
-    :mod:`queens_spark.queries` q36/q42 do; for near-identical
-    oversized clusters use :func:`minhash_dedup_pairs`, whose band
-    buckets grow only with true-duplicate cluster size. A hard bucket
-    bound and exact recall for such clusters cannot coexist in one
-    inverted-index pass.
+    composing :func:`canonical_copies` / exact dedup first; for
+    near-identical oversized clusters use :func:`near_dup_pairs_full`,
+    which unions LSH band candidates (band buckets grow only with
+    true-duplicate cluster size) into this index's candidate set —
+    queries q36/q42/q60 compose both. A hard bucket bound and exact
+    recall for such clusters cannot coexist in one inverted-index
+    pass.
     """
     if isinstance(max_df, str) and max_df != "auto":
         raise ValueError(f"max_df must be an int, None, or 'auto'; got {max_df!r}")
@@ -371,62 +395,87 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", "common", "jaccard")
         )
 
-    # Capped path: the self-join emits one row per SHARED RARE shingle,
-    # so grouping the join output by pair counts them (rare_common) in
-    # the same shuffle that dedups candidates — no .distinct() pass.
-    #
-    # Sound count-only prune before the expensive verification:
-    #   true_common <= rare_common + min(stop_a, stop_b)
-    # (a shared stop shingle is a stop posting on BOTH docs), and
-    # jaccard is monotonic in common, so
-    #   jaccard <= ub_common / (na + nb - ub_common).
-    # Pairs failing `ub >= threshold` are provably sub-threshold and
-    # skip verification; the final exact-jaccard filter is unchanged,
-    # so the prune never alters results — the oracle does not mirror
-    # it. On corpora where most shingles are rare (stop counts ~0) the
-    # upper bound is tight and verification runs on ~|result| pairs
-    # instead of |candidates| (measured 1.13M -> 256 at sf0.1).
-    kept = _capped_index(sh, max_df)
-    a = kept.select(F.col("doc").alias("id_a"), "sh_hash")
-    b = kept.select(F.col("doc").alias("id_b"), "sh_hash")
+    return _verify_pairs(_capped_pruned_candidates(sh, max_df, threshold), sh)\
+        .where(F.col("jaccard") >= threshold)\
+        .select("id_a", "id_b", "common", "jaccard")
+
+
+def _capped_pruned_candidates(sh: DataFrame, max_df: int, threshold: float) -> DataFrame:
+    """Capped-index candidate pairs with the sound count-only prune,
+    computed in the pair shuffle itself — no per-doc stats join.
+
+    The self-join emits one row per SHARED RARE shingle, so grouping
+    the join output by pair counts them (rare_common) in the same
+    shuffle that dedups candidates — no .distinct() pass. Each posting
+    row carries its document's total shingle count (free, projected
+    from the persisted struct BEFORE the join — no doc-keyed shuffle),
+    so na/nb land in the pair group key.
+
+    Sound count-only prune before the expensive verification:
+      true_common <= rare_common + min(stop_a, stop_b)
+    (a shared stop shingle is a stop posting on BOTH docs), and each
+    doc's stop count is itself bounded by H — the GLOBAL number of
+    distinct hot shingles — and by its own size:
+      stop_x <= min(H, nx)   =>   true_common <= rare_common + least(H, na, nb).
+    H is a one-row aggregate of the (already tiny, already broadcast)
+    hot list, cross-joined in — so the prune costs a scalar, not the
+    former per-doc stats aggregation + stats join + 3-way candidate
+    join (two shuffles saved per pipeline). Jaccard is monotonic in
+    common, so pairs failing
+      ub / (na + nb - ub) >= threshold
+    are provably sub-threshold and skip verification; the final
+    exact-jaccard filter is unchanged, so the prune never alters
+    results — the oracle does not mirror it. On corpora where hot
+    shingles are rare the bound is tight (H = 0 on the test corpora:
+    ub = rare_common exactly, verification runs on ~|result| pairs
+    instead of |candidates|); on boilerplate-heavy corpora H grows
+    and the prune degrades gracefully toward plain verification —
+    correctness never depends on it.
+    """
+    exploded = sh.select(
+        "doc", F.col("x.n").alias("n"), F.explode("x.hashes").alias("sh_hash")
+    )
+    hot = (
+        exploded.groupBy("sh_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > F.lit(max_df))
+        .select("sh_hash")
+    )
+    kept = exploded.join(F.broadcast(hot), "sh_hash", "left_anti")
+    a = kept.select(
+        F.col("doc").alias("id_a"), F.col("n").alias("na"), "sh_hash"
+    )
+    b = kept.select(
+        F.col("doc").alias("id_b"), F.col("n").alias("nb"), "sh_hash"
+    )
     rare_common = (
         a.join(b, "sh_hash")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("rare_common"))
     )
-    # Per-doc posting stats: total shingles and how many survived the
-    # cap. Narrow (3 ints/doc) — broadcast at small scale, a slim
-    # shuffle join at corpus scale.
-    stats = sh.select("doc", F.col("x.n").alias("n")).join(
-        kept.groupBy("doc").agg(F.count(F.lit(1)).alias("n_rare")),
-        "doc",
-        "left",
-    ).fillna(0, subset=["n_rare"])
-    sa = stats.select(
-        F.col("doc").alias("id_a"),
-        F.col("n").alias("na"),
-        (F.col("n") - F.col("n_rare")).alias("stop_a"),
+    hot_n = hot.agg(F.count(F.lit(1)).alias("H"))
+    ub_common = F.col("rare_common") + F.least(
+        F.col("H"), F.col("na").cast("bigint"), F.col("nb").cast("bigint")
     )
-    sb = stats.select(
-        F.col("doc").alias("id_b"),
-        F.col("n").alias("nb"),
-        (F.col("n") - F.col("n_rare")).alias("stop_b"),
-    )
-    ub_common = F.col("rare_common") + F.least("stop_a", "stop_b")
-    pruned = (
-        rare_common.join(sa, "id_a")
-        .join(sb, "id_b")
+    return (
+        rare_common.crossJoin(F.broadcast(hot_n))
         .where(
             ub_common.cast("double")
             >= F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb"))
         )
         .select("id_a", "id_b")
     )
+
+
+def _verify_pairs(cands: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification join: attach both hash sets to each
+    candidate pair and compute |A∩B| / |A∪B|. Cost is O(|candidates|),
+    never O(n²) — candidates arrive pruned/banded."""
     va = sh.select(F.col("doc").alias("id_a"), F.col("x.hashes").alias("ha"))
     vb = sh.select(F.col("doc").alias("id_b"), F.col("x.hashes").alias("hb"))
     return (
-        pruned.join(va, "id_a")
+        cands.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
             "common", F.size(F.array_intersect("ha", "hb")).cast("bigint")
@@ -436,8 +485,6 @@ def ngram_jaccard_pairs(
             F.col("common").cast("double")
             / (F.size("ha") + F.size("hb") - F.col("common")).cast("double"),
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "common", "jaccard")
     )
 
 
@@ -482,6 +529,15 @@ def lsh_candidate_pairs(
             .where(F.size(shingle_hashes(text_col)) > 0)
             .select(F.col(id_col).alias("doc"), minhash_signature(text_col).alias("sig"))
         )
+    return _band_pairs(sigs)
+
+
+def _band_pairs(sigs: DataFrame) -> DataFrame:
+    """Banded candidate pairs from a (doc, sig) frame. Band buckets
+    grow with TRUE-duplicate cluster size (near-identical docs share
+    band signatures with probability ~jaccard^rows_per_band), so —
+    unlike the df-capped inverted index — oversized near-identical
+    clusters still produce candidates here."""
     bands = sigs.select(
         "doc",
         F.explode(
@@ -504,6 +560,65 @@ def lsh_candidate_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def near_dup_pairs_full(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | str | None = "auto",
+) -> DataFrame:
+    """Near-duplicate pairs with FULL-recall candidate generation: the
+    df-capped inverted index UNIONed with MinHash-LSH band candidates,
+    verified together in one exact-Jaccard join.
+
+    Why the union: the capped index alone cannot see a near-identical
+    cluster larger than max_df — every cluster-common shingle exceeds
+    the cap there (see :func:`ngram_jaccard_pairs`'s recall note) —
+    while LSH band buckets grow with TRUE-duplicate cluster size, so
+    each path covers the other's blind spot (the index catches pairs
+    whose similarity rides on rare shingles and band-collision luck
+    misses; banding catches boilerplate/template farms the cap
+    blinds). Byte-identical clusters are additionally closed by
+    composing :func:`canonical_copies`, as queries q36/q42/q60 do.
+
+    Cost discipline: shingle hashes AND the MinHash signature come
+    from ONE persisted projection (the hash set is let-bound, so the
+    k signature lanes share a single tokenize→hash pass), both
+    candidate generators read that cache, and the union is verified
+    once — adding the LSH path costs one band shuffle over (doc,
+    band_sig) rows, not a corpus re-hash. The worst join bucket stays
+    bounded: max_df² for the index, true-cluster² for banding.
+    """
+    if isinstance(max_df, str) and max_df != "auto":
+        raise ValueError(f"max_df must be an int or 'auto'; got {max_df!r}")
+    if max_df == "auto":
+        max_df = auto_max_df(df.count())
+    sh = _persist(
+        ensure_min_partitions(df).select(
+            F.col(id_col).alias("doc"),
+            let_bound(
+                shingle_hashes(text_col, n),
+                lambda hs: F.struct(
+                    F.size(hs).alias("n"),
+                    hs.alias("hashes"),
+                    _signature_from_hashes(hs).alias("sig"),
+                ),
+            ).alias("x"),
+        )
+    )
+    capped = _capped_pruned_candidates(sh, max_df, threshold)
+    banded = _band_pairs(
+        sh.where(F.col("x.n") > 0).select("doc", F.col("x.sig").alias("sig"))
+    )
+    cands = capped.union(banded).distinct()
+    return (
+        _verify_pairs(cands, sh)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "jaccard")
     )
 
 

@@ -878,6 +878,49 @@ def q27_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _minhash_oracle(threshold: float) -> str:
+    from queens_spark.operators.dedup import (
+        LSH_BANDS, LSH_ROWS, MINHASH_A, MINHASH_B, MINHASH_K, MINHASH_P,
+        duckdb_shingle_hashes,
+    )
+
+    sig_elems = ", ".join(
+        f"list_min(list_transform(hs, x -> ({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MINHASH_P}))"
+        for i in range(MINHASH_K)
+    )
+    band_selects = []
+    for band in range(LSH_BANDS):
+        cols = " || '_' || ".join(
+            f"CAST(sig[{band * LSH_ROWS + r + 1}] AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band_id, {cols} AS band_sig FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH h AS (
+      SELECT doc_id, hs FROM (
+        SELECT doc_id, {duckdb_shingle_hashes('text')} AS hs FROM documents)
+      WHERE len(hs) > 0
+    ), sig AS (
+      SELECT doc_id, hs, [{sig_elems}] AS sig FROM h
+    ), bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+             / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+             / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= {threshold}
+    """
+
+
 #: Exact-copy (id, rep_id) edges by normalized-content fingerprint —
 #: the oracle twin of dedup.canonical_copies. Composed into q36/q42 so
 #: identical clusters LARGER than the stop-shingle cap (invisible to
@@ -893,11 +936,24 @@ _COPIES_SQL = """
 """
 
 
+def _pairs_full_oracle(threshold: float) -> str:
+    # Oracle twin of dedup.near_dup_pairs_full: capped-index pairs
+    # UNION MinHash-LSH banded pairs. Both verify exact Jaccard >=
+    # threshold on the same shingle-hash sets, so unioning the two
+    # verified pair sets equals the Spark side's
+    # union-candidates-then-verify-once.
+    return f"""
+      SELECT id_a, id_b FROM ({_jaccard_oracle(threshold)})
+      UNION
+      SELECT id_a, id_b FROM ({_minhash_oracle(threshold)})
+    """
+
+
 def _components_oracle(threshold: float) -> str:
-    # edge set = q27 near-dup pairs UNION exact-copy edges; components
-    # = min reachable id through the undirected graph (recursive
-    # closure)
-    pair_sql = _jaccard_oracle(threshold)
+    # edge set = full-recall near-dup pairs (capped index ∪ LSH bands)
+    # UNION exact-copy edges; components = min reachable id through
+    # the undirected graph (recursive closure)
+    pair_sql = _pairs_full_oracle(threshold)
     return f"""
     WITH RECURSIVE pairs AS ({pair_sql}),
     copies AS ({_COPIES_SQL}),
@@ -923,18 +979,19 @@ def _components_oracle(threshold: float) -> str:
 @register("q36_dedup_components", _components_oracle(0.8))
 def q36_dedup_components(spark, sf_dir):
     """Canonical dedup groups: connected components over the union of
-    the near-dup pair graph and exact-copy fingerprint edges (the
-    latter close the recall hole for identical clusters larger than
-    the stop-shingle cap). Min-label propagation, checkpointed per
-    round; shuffles carry (node,label) only."""
+    the FULL-recall near-dup pair graph (capped inverted index ∪
+    MinHash-LSH bands — the bands catch near-identical clusters larger
+    than the stop-shingle cap) and exact-copy fingerprint edges (which
+    catch byte-identical oversized clusters). Adaptive CC; shuffles
+    carry (node,label) only."""
     from queens_spark.operators.dedup import (
         canonical_copies,
         connected_components,
-        ngram_jaccard_pairs,
+        near_dup_pairs_full,
     )
 
     docs = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    pairs = near_dup_pairs_full(docs, "text", "doc_id", n=3, threshold=0.8)
     copies = canonical_copies(docs, "text", "doc_id")
     edges = pairs.select("id_a", "id_b").union(
         copies.select(
@@ -946,7 +1003,7 @@ def q36_dedup_components(spark, sf_dir):
 
 def _dedup_filter_oracle(threshold: float) -> str:
     return f"""
-    WITH pairs AS ({_jaccard_oracle(threshold)}),
+    WITH pairs AS ({_pairs_full_oracle(threshold)}),
     copies AS ({_COPIES_SQL})
     SELECT doc_id, lang FROM documents
     WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs)
@@ -957,16 +1014,17 @@ def _dedup_filter_oracle(threshold: float) -> str:
 @register("q42_dedup_filter", _dedup_filter_oracle(0.8))
 def q42_dedup_filter(spark, sf_dir):
     """Corpus cleaning: drop every exact copy (fingerprint rep ≠ self)
-    and the losing side of every near-dup pair — LEFT ANTI join
-    against the loser list; the corpus never shuffles."""
+    and the losing side of every full-recall near-dup pair (capped
+    index ∪ LSH bands) — LEFT ANTI join against the loser list; the
+    corpus never shuffles."""
     from queens_spark.operators.dedup import (
         canonical_copies,
         filter_near_duplicates,
-        ngram_jaccard_pairs,
+        near_dup_pairs_full,
     )
 
     docs = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    pairs = near_dup_pairs_full(docs, "text", "doc_id", n=3, threshold=0.8)
     losers = pairs.select(F.col("id_b").alias("doc_id")).union(
         canonical_copies(docs, "text", "doc_id").select("doc_id")
     )
@@ -1013,49 +1071,6 @@ def q43_token_packing(spark, sf_dir):
             (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(1000.0)
         ).cast("bigint"),
     )
-
-
-def _minhash_oracle(threshold: float) -> str:
-    from queens_spark.operators.dedup import (
-        LSH_BANDS, LSH_ROWS, MINHASH_A, MINHASH_B, MINHASH_K, MINHASH_P,
-        duckdb_shingle_hashes,
-    )
-
-    sig_elems = ", ".join(
-        f"list_min(list_transform(hs, x -> ({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MINHASH_P}))"
-        for i in range(MINHASH_K)
-    )
-    band_selects = []
-    for band in range(LSH_BANDS):
-        cols = " || '_' || ".join(
-            f"CAST(sig[{band * LSH_ROWS + r + 1}] AS VARCHAR)" for r in range(LSH_ROWS)
-        )
-        band_selects.append(
-            f"SELECT doc_id, {band} AS band_id, {cols} AS band_sig FROM sig"
-        )
-    bands_sql = " UNION ALL ".join(band_selects)
-    return f"""
-    WITH h AS (
-      SELECT doc_id, hs FROM (
-        SELECT doc_id, {duckdb_shingle_hashes('text')} AS hs FROM documents)
-      WHERE len(hs) > 0
-    ), sig AS (
-      SELECT doc_id, hs, [{sig_elems}] AS sig FROM h
-    ), bands AS ({bands_sql}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-    )
-    SELECT c.id_a, c.id_b,
-           CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
-             / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard
-    FROM cand c
-    JOIN sig sa ON sa.doc_id = c.id_a
-    JOIN sig sb ON sb.doc_id = c.id_b
-    WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
-             / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= {threshold}
-    """
 
 
 @register("q28_minhash_lsh", _minhash_oracle(0.8))
@@ -2103,16 +2118,17 @@ def q60_best_in_cluster(spark, sf_dir):
     HIGHEST-quality member — what a real corpus-cleaning pipeline
     retains, rather than the lowest id. One struct-max aggregation
     over (quality, -doc_id) per component: a single counter-width
-    shuffle, no per-component window."""
+    shuffle, no per-component window. Edge set as q36 (full-recall
+    pairs ∪ exact-copy edges)."""
     from queens_spark.operators.dedup import (
         canonical_copies,
         connected_components,
-        ngram_jaccard_pairs,
+        near_dup_pairs_full,
     )
     from queens_spark.operators.text import quality_score
 
     docs = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    pairs = near_dup_pairs_full(docs, "text", "doc_id", n=3, threshold=0.8)
     copies = canonical_copies(docs, "text", "doc_id")
     edges = pairs.select("id_a", "id_b").union(
         copies.select(

