@@ -435,7 +435,10 @@ def _capped_pruned_candidates(sh: DataFrame, max_df: int, threshold: float) -> D
     exploded = sh.select(
         "doc", F.col("x.n").alias("n"), F.explode("x.hashes").alias("sh_hash")
     )
-    hot = (
+    # Persisted: the hot list feeds BOTH the anti-join broadcast and
+    # the one-row H aggregate below — caching the (provably tiny)
+    # aggregate output runs the posting scan+groupBy once, not twice.
+    hot = _persist(
         exploded.groupBy("sh_hash")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > F.lit(max_df))
