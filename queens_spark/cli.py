@@ -12,7 +12,14 @@ import sys
 
 from queens_spark.facade import Engine
 from queens_spark.session import get_spark
-from queens_spark.settings import DEFAULT_LIMIT, DEFAULT_WAREHOUSE
+from queens_spark.settings import (
+    DEFAULT_LIMIT,
+    current_config,
+    ensure_user_configs,
+    resolve_export_dir,
+    resolve_warehouse,
+    set_config,
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -20,7 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="queens-spark",
         description="PySpark-native QUEENS-compatible analytics engine",
     )
-    p.add_argument("--warehouse", default=DEFAULT_WAREHOUSE)
+    p.add_argument("--warehouse", default=None,
+                   help="warehouse root (default: $QUEENS_SPARK_WAREHOUSE, "
+                        "then config.ini, then ~/.queens_spark/warehouse)")
     sub = p.add_subparsers(dest="command", required=True)
 
     q = sub.add_parser("query", help="query a staged table with the filter DSL")
@@ -42,9 +51,22 @@ def build_parser() -> argparse.ArgumentParser:
     ex = sub.add_parser("export", help="export staged tables")
     ex.add_argument("collection")
     ex.add_argument("file_type", choices=["csv", "parquet", "jsonl", "xlsx"])
-    ex.add_argument("output_path")
+    ex.add_argument("output_path", nargs="?", default=None,
+                    help="destination dir (default: the configured "
+                         "export dir — `config --export-path`)")
     ex.add_argument("--table-name", default=None)
     ex.add_argument("--bulk", action="store_true")
+
+    cf = sub.add_parser(
+        "config",
+        help="show or persist user configuration "
+             "(reference queens/cli.py:41-66)",
+    )
+    cf.add_argument("--show-current", action="store_true")
+    cf.add_argument("--warehouse-path", default=None,
+                    help="persist a warehouse root to config.ini")
+    cf.add_argument("--export-path", default=None,
+                    help="persist a default export dir to config.ini")
 
     ing = sub.add_parser(
         "ingest", help="ingest a configured table from a local workbook"
@@ -80,9 +102,39 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _run(args) -> int:
+    # `config` is pure driver-side bookkeeping — no Spark session.
+    if args.command == "config":
+        if args.show_current:
+            cfg = ensure_user_configs()
+            for k, v in current_config(cfg).items():
+                print(f"{k}: {v}")
+            return 0
+        if not (args.warehouse_path or args.export_path):
+            print("Nothing to change. Use --warehouse-path and/or "
+                  "--export-path, or --show-current.")
+            return 0
+        ini = set_config(args.warehouse_path, args.export_path)
+        print(f"Configuration updated: {ini}")
+        return 0
+    if args.command == "serve":
+        # Gated import BEFORE paying session startup: in slim runtimes
+        # (this one) fastapi/uvicorn are absent — fail with the
+        # documented remediation instead of a traceback.
+        try:
+            import uvicorn  # noqa: F401
+            from fastapi import FastAPI  # noqa: F401
+        except ImportError:
+            print(
+                "error: `serve` requires fastapi and uvicorn, which are "
+                "not installed; use QueryService (queens_spark.api) "
+                "directly or install the extras",
+                file=sys.stderr,
+            )
+            return 2
+
     spark = get_spark("queens_spark_cli")
     spark.sparkContext.setLogLevel("ERROR")
-    engine = Engine(spark, args.warehouse)
+    engine = Engine(spark, resolve_warehouse(args.warehouse))
 
     if args.command == "query":
         filters = json.loads(args.filters) if args.filters else None
@@ -107,12 +159,13 @@ def _run(args) -> int:
     elif args.command == "export":
         from queens_spark.sources.export import export_all, export_table
 
+        out_dir = resolve_export_dir(args.output_path)
         if args.table_name:
             out = [export_table(engine, args.collection, args.file_type,
-                                args.table_name, args.output_path)]
+                                args.table_name, out_dir)]
         else:
             out = export_all(engine, args.collection, args.file_type,
-                             args.output_path, bulk_export=args.bulk)
+                             out_dir, bulk_export=args.bulk)
         print(json.dumps({"exported": out}))
     elif args.command == "ingest":
         from queens_spark.etl.process import ingest_table, load_etl_config
@@ -135,7 +188,6 @@ def _run(args) -> int:
         print(json.dumps({"ingested": result}))
     elif args.command == "init":
         from queens_spark.etl.process import initialize
-        from queens_spark.settings import ensure_user_configs
 
         cfg_dir = ensure_user_configs()
         created = initialize(engine, args.collection)

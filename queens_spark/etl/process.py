@@ -161,7 +161,11 @@ def resolve_table_config(
             f"table '{table}' is not configured for '{collection}'"
         )
     cfg = dict(chapters[chapter][table])
-    cfg.setdefault("f_args", {})
+    # Copy f_args too: generate_config injects resolved url/template/
+    # data_collection into it, and a shallow top-level copy would let
+    # those (including a template DataFrame object) leak back into the
+    # caller's shared etl_config mapping across calls.
+    cfg["f_args"] = dict(cfg.get("f_args") or {})
     return cfg
 
 

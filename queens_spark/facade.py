@@ -142,17 +142,10 @@ class Engine:
     def table_description(self, collection: str, table_name: str) -> str | None:
         """Description of the STAGED version of *table_name* (the
         reference returns it with every data page,
-        queens/api/app.py:170-185). Read from prod rather than the
-        ingest log so an ``as_of`` staging cutoff and the page body
-        can never disagree; the table_name predicate prunes the scan
-        to one partition and LIMIT 1 stops after one row."""
-        prod = self.warehouse.read_prod(collection).where(
-            F.col("table_name") == table_name
-        )
-        if "table_description" not in prod.columns:
-            return None
-        rows = prod.select("table_description").limit(1).collect()
-        return rows[0][0] if rows else None
+        queens/api/app.py:170-185). Memoized per prod snapshot in the
+        warehouse — after the first page of a staged table the API
+        path runs exactly one Spark job per page (the page collect)."""
+        return self.warehouse.table_description(collection, table_name)
 
     # ---------------------------------------------------------- reports
 

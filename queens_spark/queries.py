@@ -1647,7 +1647,7 @@ def q39_range_join(spark, sf_dir):
     """
     WITH g AS (
       SELECT user_id, event_id, ts, value,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
                        OR lag(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -1666,7 +1666,11 @@ def q39_range_join(spark, sf_dir):
 )
 def q34_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity): the batch twin of
-    the streaming session-window operator. One shuffle on user_id."""
+    the streaming session-window operator. One shuffle on user_id.
+
+    Boundary convention matches Spark's session_window: a session spans
+    [start, last_event + gap), so an event landing exactly at
+    last_event + gap opens a NEW session (hence >=, not >)."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = (
@@ -1676,7 +1680,7 @@ def q34_sessionize(spark, sf_dir):
     )
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     new_session = F.when(
-        gap_us.isNull() | (gap_us > 1_800_000_000), F.lit(1)
+        gap_us.isNull() | (gap_us >= 1_800_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     return (
         ev.withColumn("new_session", new_session)
@@ -1788,7 +1792,10 @@ def q52_stream_windowed_counts(spark, sf_dir):
     """
     WITH g AS (
       SELECT user_id, ts, value,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             -- >=: session_window merges an event only while
+             -- t < last_event + gap (half-open), so an event at
+             -- exactly the 30:00 boundary starts a new session
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
                        OR lag(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -2182,23 +2189,25 @@ def q61_decontamination(spark, sf_dir):
     word 3-gram shingles with ANY document of the eval set (here:
     doc_id % 100 == 0 stands in for the benchmark corpus).
 
-    Scale shape: the eval corpus is benchmark-sized by nature, so its
-    distinct shingle-hash set BROADCASTS; the training corpus is
-    filtered by a map-side LEFT SEMI join — it never shuffles — and
-    only counter-width (doc, count) rows reach the final aggregation.
-    Per-doc shingle hashes are already distinct, so COUNT(*) is the
+    Scale shape (operators/dedup.py:decontaminate): the eval corpus is
+    benchmark-sized by nature, so its distinct shingle-hash set
+    BROADCASTS and the training corpus is filtered by a map-side LEFT
+    SEMI join — it never shuffles; only counter-width (doc, count)
+    rows reach the final aggregation. Should the eval set outgrow the
+    broadcast threshold, the operator switches to a distributed-built
+    Bloom filter (~7× smaller broadcast, no false negatives) with an
+    exact semi-join re-check on the surviving sliver — bit-identical
+    results through both paths (tests/test_dedup_skew.py). Per-doc
+    shingle hashes are already distinct, so COUNT(*) is the
     distinct-overlap count."""
-    from queens_spark.operators.dedup import shingle_hashes
+    from queens_spark.operators.dedup import decontaminate, shingle_hashes
 
     docs = load(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", F.explode(shingle_hashes("text")).alias("sh")
     )
-    eval_hashes = sh.where(F.col("doc_id") % 100 == 0).select("sh").distinct()
-    return (
-        sh.where(F.col("doc_id") % 100 != 0)
-        .join(F.broadcast(eval_hashes), "sh", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= 3)
+    return decontaminate(
+        sh.where(F.col("doc_id") % 100 != 0),
+        sh.where(F.col("doc_id") % 100 == 0),
+        min_overlap=3,
     )

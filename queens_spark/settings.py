@@ -112,6 +112,89 @@ def load_configs(user_dir: str | None = None) -> dict[str, dict]:
             out[name.rsplit(".", 1)[0]] = json.load(fh)
     return out
 
+#: Persisted user overrides (reference: config.ini in USER_DIR,
+#: queens/settings.py:40,207-238 set_config). Keys: warehouse, export.
+CONFIG_INI = "config.ini"
+_INI_SECTION = "queens_spark"
+
+
+def _read_ini(user_dir: str | None = None) -> dict[str, str]:
+    import configparser
+
+    path = os.path.join(user_dir or USER_CONFIG_DIR, CONFIG_INI)
+    cfg = configparser.ConfigParser()
+    if os.path.exists(path):
+        cfg.read(path, encoding="utf-8")
+    return dict(cfg[_INI_SECTION]) if _INI_SECTION in cfg else {}
+
+
+def set_config(
+    warehouse_path: str | None = None,
+    export_path: str | None = None,
+    user_dir: str | None = None,
+) -> str:
+    """Persist user-chosen warehouse / default-export paths to
+    config.ini in the user config dir (same effect as the CLI `config`
+    command — reference queens/settings.py:207-238 set_config, which
+    persists DB_PATH/EXPORT_DIR). Both paths are created if missing.
+    Returns the ini path."""
+    import configparser
+
+    dest = user_dir or USER_CONFIG_DIR
+    os.makedirs(dest, exist_ok=True)
+    path = os.path.join(dest, CONFIG_INI)
+    cfg = configparser.ConfigParser()
+    if os.path.exists(path):
+        cfg.read(path, encoding="utf-8")
+    if _INI_SECTION not in cfg:
+        cfg[_INI_SECTION] = {}
+    if warehouse_path:
+        p = os.path.abspath(os.path.expanduser(warehouse_path))
+        os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+        cfg[_INI_SECTION]["warehouse"] = p
+    if export_path:
+        p = os.path.abspath(os.path.expanduser(export_path))
+        os.makedirs(p, exist_ok=True)
+        cfg[_INI_SECTION]["export"] = p
+    with open(path, "w", encoding="utf-8") as fh:
+        cfg.write(fh)
+    return path
+
+
+def resolve_warehouse(cli_arg: str | None = None, user_dir: str | None = None) -> str:
+    """Warehouse root resolution: explicit argument >
+    $QUEENS_SPARK_WAREHOUSE > config.ini > per-user default."""
+    if cli_arg:
+        return cli_arg
+    env = os.environ.get("QUEENS_SPARK_WAREHOUSE")
+    if env:
+        return env
+    ini = _read_ini(user_dir).get("warehouse")
+    return ini or os.path.expanduser("~/.queens_spark/warehouse")
+
+
+def resolve_export_dir(cli_arg: str | None = None, user_dir: str | None = None) -> str:
+    """Default export directory: explicit argument > config.ini >
+    <user config dir>/exports (reference EXPORT_DEFAULT_DIR,
+    queens/settings.py:37)."""
+    if cli_arg:
+        return cli_arg
+    ini = _read_ini(user_dir).get("export")
+    return ini or os.path.join(user_dir or USER_CONFIG_DIR, "exports")
+
+
+def current_config(user_dir: str | None = None) -> dict[str, str]:
+    """The `config --show-current` view (reference queens/cli.py:41-52:
+    user dir, DB path, export dir, templates dir)."""
+    dest = user_dir or USER_CONFIG_DIR
+    return {
+        "config_dir": dest,
+        "warehouse": resolve_warehouse(user_dir=dest),
+        "export_dir": resolve_export_dir(user_dir=dest),
+        "templates_dir": os.path.join(dest, "templates"),
+    }
+
+
 #: API pagination limits (queens/api/app.py:18-19).
 DEFAULT_LIMIT = 1000
 MAX_LIMIT = 5000

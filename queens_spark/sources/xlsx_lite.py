@@ -49,10 +49,19 @@ def _cell_value(c, shared: list[str]):
         return v.text
     if t == "b":
         return v.text == "1"
+    if t == "e":
+        # error-typed cell (#DIV/0!, #N/A, ...) — real Excel output
+        # contains these; surface as missing, not a crash
+        return None
     try:
         return int(v.text)
     except ValueError:
-        return float(v.text)
+        try:
+            return float(v.text)
+        except ValueError:
+            # ISO-date cells (t="d") and any other non-numeric text:
+            # return the raw text rather than raising mid-workbook
+            return v.text
 
 
 def read_workbook_xlsx(file_path: str) -> dict[str, pd.DataFrame]:

@@ -114,6 +114,29 @@ class Warehouse:
     def __init__(self, spark: SparkSession, root: str = DEFAULT_WAREHOUSE):
         self.spark = spark
         self.root = root
+        # Per-snapshot memo for driver-side metadata probes: maps
+        # (collection, table_name) -> (snapshot_token, value). The token
+        # is the store directory's mtime_ns, so the cache survives
+        # unrelated queries but self-invalidates when ANY process
+        # re-stages (os.replace bumps the dir mtime); stage() also
+        # clears eagerly. Mirrors the reference's one-time metadata
+        # probe per process (queens/etl/process.py metadata read) while
+        # staying correct across processes.
+        self._queryable_cache: dict[tuple[str, str], tuple[int, set[str]]] = {}
+        self._description_cache: dict[tuple[str, str], tuple[int, str | None]] = {}
+        self._prod_frame_cache: dict[str, tuple[int, DataFrame]] = {}
+
+    def _snapshot_token(self, path: str) -> int:
+        try:
+            return os.stat(path).st_mtime_ns
+        except OSError:
+            return -1
+
+    def _invalidate_caches(self, collection: str) -> None:
+        for cache in (self._queryable_cache, self._description_cache):
+            for key in [k for k in cache if k[0] == collection]:
+                del cache[key]
+        self._prod_frame_cache.pop(collection, None)
 
     # ------------------------------------------------------------ paths
 
@@ -147,7 +170,17 @@ class Warehouse:
         return self.spark.read.parquet(self.raw_path(collection))
 
     def read_prod(self, collection: str) -> DataFrame:
-        return self.spark.read.parquet(self.prod_path(collection))
+        """Staged snapshot. The DataFrame (an immutable logical plan
+        over the snapshot's file listing) is memoized per snapshot:
+        re-creating it per page re-runs parquet schema/footer probing —
+        a whole Spark job of pure overhead on the interactive path."""
+        token = self._snapshot_token(self.prod_path(collection))
+        cached = self._prod_frame_cache.get(collection)
+        if cached is not None and cached[0] == token:
+            return cached[1]
+        df = self.spark.read.parquet(self.prod_path(collection))
+        self._prod_frame_cache[collection] = (token, df)
+        return df
 
     def read_log(self, collection: str) -> DataFrame:
         """Resolved ingest log: one row per ingest_id with its final
@@ -278,6 +311,7 @@ class Warehouse:
         os.replace(tmp, out)
 
         tables = self.refresh_metadata(schema)
+        self._invalidate_caches(collection)
         return tables
 
     def refresh_metadata(self, schema: CollectionSchema) -> list[str]:
@@ -333,7 +367,36 @@ class Warehouse:
         ]
 
     def queryable_columns(self, collection: str, table_name: str) -> set[str]:
+        """Populated-column set for one staged table, memoized per
+        metadata snapshot so repeated pages never re-run the probe job."""
+        token = self._snapshot_token(self.meta_path(collection))
+        cached = self._queryable_cache.get((collection, table_name))
+        if cached is not None and cached[0] == token:
+            return cached[1]
         meta = self.read_metadata(collection).where(
             F.col("table_name") == table_name
         )
-        return {r["column_name"] for r in meta.select("column_name").collect()}
+        cols = {r["column_name"] for r in meta.select("column_name").collect()}
+        self._queryable_cache[(collection, table_name)] = (token, cols)
+        return cols
+
+    def table_description(self, collection: str, table_name: str) -> str | None:
+        """Description of the STAGED version of *table_name*, memoized
+        per prod snapshot (the reference returns it with every data
+        page, queens/api/app.py:170-185 — at interactive QPS an
+        uncached LIMIT 1 scan per page is driver-bound). Read from prod
+        rather than the ingest log so an ``as_of`` staging cutoff and
+        the page body can never disagree."""
+        token = self._snapshot_token(self.prod_path(collection))
+        cached = self._description_cache.get((collection, table_name))
+        if cached is not None and cached[0] == token:
+            return cached[1]
+        prod = self.read_prod(collection).where(
+            F.col("table_name") == table_name
+        )
+        desc = None
+        if "table_description" in prod.columns:
+            rows = prod.select("table_description").limit(1).collect()
+            desc = rows[0][0] if rows else None
+        self._description_cache[(collection, table_name)] = (token, desc)
+        return desc

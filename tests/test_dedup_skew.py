@@ -142,3 +142,58 @@ def test_identical_cluster_larger_than_cap_still_dedups(spark):
     )
     assert [r.doc_id for r in survivors.collect()] == [0]
     release_caches()
+
+
+def test_decontaminate_bloom_path_matches_broadcast(spark):
+    # The Bloom fallback (eval set too big to broadcast raw) must be
+    # bit-identical to the broadcast LEFT SEMI path: the probe has no
+    # false negatives and the exact re-check removes false positives.
+    from pyspark.sql import functions as F
+
+    from queens_spark.operators.dedup import decontaminate, shingle_hashes
+
+    rows = [
+        Row(doc_id=i,
+            text=" ".join(f"w{(i * 7 + j) % 40}" for j in range(12)))
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows)
+    sh = docs.select("doc_id", F.explode(shingle_hashes("text")).alias("sh"))
+    train = sh.where(F.col("doc_id") % 10 != 0)
+    ev = sh.where(F.col("doc_id") % 10 == 0)
+
+    via_broadcast = decontaminate(train, ev, min_overlap=2).collect()
+    # broadcast_max_items=0 forces the Bloom path
+    via_bloom = decontaminate(train, ev, min_overlap=2,
+                              broadcast_max_items=0).collect()
+    release_caches()
+
+    key = lambda r: (r["doc_id"], r["n_shared"])
+    assert sorted(map(key, via_broadcast)) == sorted(map(key, via_bloom))
+    assert len(via_broadcast) > 0
+
+
+def test_bloom_filter_has_no_false_negatives(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from queens_spark.operators.dedup import (
+        _bloom_positions,
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    vals = spark.range(0, 2000).select((F.col("id") * 37 + 11).alias("sh"))
+    bc, m_bits, k = build_bloom(vals, "sh", 2000)
+    # every inserted value must probe true
+    hits = vals.where(bloom_might_contain(bc, m_bits, k, F.col("sh")))
+    assert hits.count() == 2000
+    # and most absent values must probe false (fpp sanity, ~1%)
+    absent = spark.range(0, 2000).select((F.col("id") * 37 + 12).alias("sh"))
+    fp = absent.where(bloom_might_contain(bc, m_bits, k, F.col("sh"))).count()
+    assert fp < 200
+    # position derivation is deterministic across calls
+    h = np.array([12345, -7, 2**62], dtype=np.int64)
+    p1 = _bloom_positions(h, 7, 1 << 16)
+    p2 = _bloom_positions(h, 7, 1 << 16)
+    assert all((a == b).all() for a, b in zip(p1, p2))

@@ -196,3 +196,91 @@ def test_watermark_gates_append_emission(spark, tmp_path):
     # +100h window finalized (watermark reached 198h) and emitted with
     # its full count; the +200h window is still open → NOT emitted
     assert got == {24 + 100: 5}, got
+
+
+def test_late_data_contract_multi_microbatch(spark, tmp_path):
+    """Pin the exact late-data semantics (CLAUDE.md invariant) so a
+    Spark-version bump can't silently change them. Deterministic
+    3-micro-batch run: maxFilesPerTrigger=1 + availableNow processes
+    files in mtime order; watermark for batch N is computed from batch
+    N-1's max event time.
+
+    Guaranteed (asserted): append-mode emission is watermark-gated and
+    happens EXACTLY once per closed window; emitted windows leave the
+    state store (eviction). Explicitly NOT asserted: whether an
+    older-than-watermark input row is dropped or aggregated — this
+    build only guarantees gated emission + eviction (best-effort
+    aggregation of stragglers is allowed).
+    """
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from queens_spark.streaming.events import read_events_stream, windowed_counts
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    base = 1704067200 * 10**9  # 2024-01-01 00:00:00 UTC in nanos
+    H = 3600 * 10**9
+
+    def write(name, rows, mtime):
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([base + r[1] for r in rows], pa.int64()),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["a"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        })
+        path = str(d / name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    # batch1: two on-time events in window W0 = [00:00, 01:00)
+    write("f1.parquet", [(1, 10 * 60 * 10**9), (2, 20 * 60 * 10**9)], 1000)
+    # batch2: event at 10:30 -> watermark becomes 08:30 after this batch
+    write("f2.parquet", [(3, 10 * H + 30 * 60 * 10**9)], 2000)
+    # batch3: one LATE event back in W0 (behind the 08:30 watermark)
+    #         plus an event at 14:00 (advances watermark to 12:00)
+    write("f3.parquet", [(4, 30 * 60 * 10**9), (5, 14 * H)], 3000)
+
+    stream = read_events_stream(spark, str(d), max_files_per_trigger=1)
+    wc = windowed_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        wc.writeStream.format("memory").queryName("late_contract")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # let the progress telemetry settle
+    for _ in range(20):
+        if q.recentProgress:
+            break
+        time.sleep(0.1)
+    out = {r["window_start"]: r for r in spark.table("late_contract").collect()}
+    rows = spark.table("late_contract").collect()
+
+    # (1) watermark-gated emission: W0 closed (end 01:00 <= wm 08:30)
+    #     and emitted EXACTLY once — the late batch-3 row neither
+    #     re-emitted it nor duplicated it
+    from datetime import datetime, timezone
+
+    w0 = datetime(2024, 1, 1, 0, 0, tzinfo=timezone.utc).replace(tzinfo=None)
+    w0_rows = [r for r in rows if r["window_start"] == w0]
+    assert len(w0_rows) == 1, rows
+    # This build AGGREGATES the older-than-watermark straggler into W0
+    # before its single gated emission (n_events = 2 on-time + 1 late),
+    # rather than dropping it — the documented best-effort behavior.
+    # Pinned exactly so a Spark bump flipping to drop-semantics (would
+    # yield 2) fails this test instead of silently changing results.
+    assert w0_rows[0]["n_events"] == 3, w0_rows
+    # (2) the still-open window W14 (end 15:00 > wm 12:00) never emits
+    w14 = datetime(2024, 1, 1, 14, 0, tzinfo=timezone.utc).replace(tzinfo=None)
+    assert not [r for r in rows if r["window_start"] == w14], rows
+    # (3) state eviction: emitted windows leave the store — final state
+    #     holds at most the open windows (W10 and W14)
+    progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+    assert progresses, "no stateOperators telemetry"
+    final_state = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    assert final_state <= 2, progresses[-1]["stateOperators"]

@@ -128,6 +128,41 @@ def test_service_returns_table_description(staged_engine):
     assert resp.body["table_description"] == "Aggregate energy balance"
 
 
+def test_page_fetch_runs_one_spark_job_when_warm(spark, staged_engine):
+    # Metadata probe + table description are memoized per snapshot
+    # (store/warehouse.py caches keyed on the store dir mtime), so at
+    # interactive QPS a warm page fetch costs exactly ONE Spark job —
+    # the page collect itself.
+    svc = QueryService(staged_engine)
+    assert svc.get_data("dukes", "1.1", limit=2).status == 200  # warm-up
+    sc = spark.sparkContext
+    sc.setJobGroup("one-job-page", "warm page fetch")
+    try:
+        resp = svc.get_data("dukes", "1.1", limit=2)
+    finally:
+        sc.setJobGroup(None, None)
+    assert resp.status == 200 and resp.body["n_rows"] == 2
+    jobs = sc.statusTracker().getJobIdsForGroup("one-job-page")
+    assert len(jobs) == 1, f"expected 1 Spark job for a warm page, got {jobs}"
+
+
+def test_stage_invalidates_metadata_memo(spark, staged_engine):
+    # Re-ingesting with a new description and re-staging must bust the
+    # per-snapshot caches — a stale description would desync page body
+    # and header.
+    assert staged_engine.table_description("dukes", "1.1") == "Aggregate energy balance"
+    cfg = json.loads(json.dumps(ETL_CONFIG))
+    cfg["dukes"]["chapter_1"]["1.1"]["description"] = "Revised balance"
+    ingest_table(
+        staged_engine, "dukes", "1.1",
+        raw_sheets={"1.1": raw_sheet()},
+        etl_config=cfg,
+        ingest_ts=datetime(2024, 2, 1),
+    )
+    stage_data(staged_engine, "dukes")
+    assert staged_engine.table_description("dukes", "1.1") == "Revised balance"
+
+
 def test_service_limit_zero_is_empty_page(staged_engine):
     svc = QueryService(staged_engine)
     resp = svc.get_data("dukes", "1.1", limit=0)
@@ -350,6 +385,54 @@ def test_cli_parser_roundtrip():
     assert args.command == "ingest" and args.workbook == "/tmp/w.xlsx"
     args = build_parser().parse_args(["serve", "--port", "9000"])
     assert args.port == 9000
+    args = build_parser().parse_args(["config", "--show-current"])
+    assert args.command == "config" and args.show_current is True
+
+
+def test_cli_config_show_and_set(tmp_path, monkeypatch, capsys):
+    # Reference parity (queens/cli.py:41-66): `config --show-current`
+    # prints the resolved paths; `--warehouse-path/--export-path`
+    # persist to config.ini; no flags → "nothing to change".
+    import queens_spark.settings as s
+    from queens_spark.cli import main
+
+    monkeypatch.setattr(s, "USER_CONFIG_DIR", str(tmp_path / "cfg"))
+    monkeypatch.delenv("QUEENS_SPARK_WAREHOUSE", raising=False)
+
+    assert main(["config"]) == 0
+    assert "Nothing to change" in capsys.readouterr().out
+
+    assert main(["config", "--warehouse-path", str(tmp_path / "wh"),
+                 "--export-path", str(tmp_path / "exp")]) == 0
+    assert "Configuration updated" in capsys.readouterr().out
+
+    assert main(["config", "--show-current"]) == 0
+    shown = capsys.readouterr().out
+    assert str(tmp_path / "wh") in shown and str(tmp_path / "exp") in shown
+    # bootstrap happened: packaged defaults copied next to config.ini
+    assert (tmp_path / "cfg" / "etl_config.json").exists()
+
+    # resolution precedence: CLI arg > env > ini
+    assert s.resolve_warehouse("/explicit") == "/explicit"
+    monkeypatch.setenv("QUEENS_SPARK_WAREHOUSE", "/envwh")
+    assert s.resolve_warehouse() == "/envwh"
+    monkeypatch.delenv("QUEENS_SPARK_WAREHOUSE")
+    assert s.resolve_warehouse() == str(tmp_path / "wh")
+
+
+def test_cli_serve_without_fastapi_is_gated(capsys):
+    # fastapi/uvicorn are absent in this runtime: `serve` must exit 2
+    # with the remediation message BEFORE starting a Spark session,
+    # not traceback on an ImportError.
+    from queens_spark.cli import main
+
+    try:
+        import fastapi  # noqa: F401
+        pytest.skip("fastapi installed; gated path not reachable")
+    except ImportError:
+        pass
+    assert main(["serve"]) == 2
+    assert "requires fastapi" in capsys.readouterr().err
 
 
 # ------------------------------------------------------------ scraper
