@@ -105,7 +105,9 @@ def with_row_uid(staged: DataFrame, order_cols: list[str]) -> DataFrame:
     )
     return (
         local.join(F.broadcast(offsets), ["__pid", "table_name"])
-        .withColumn(ROW_UID, (F.col("__off") + F.col("__rn")).cast("int"))
+        # long, not int: the two-phase numbering exists precisely for
+        # billion-row logical tables, where a 32-bit ordinal would wrap
+        .withColumn(ROW_UID, (F.col("__off") + F.col("__rn")).cast("long"))
         .drop("__pid", "__rn", "__off")
     )
 
