@@ -409,7 +409,26 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "common", "jaccard")
 
 
-def _capped_pruned_candidates(sh: DataFrame, max_df: int, threshold: float) -> DataFrame:
+def _hot_shingles(exploded: DataFrame, max_df: int) -> DataFrame:
+    """Persisted hot-shingle list (df > max_df). Provably tiny —
+    at most |postings| / max_df rows — so it always broadcasts; the
+    cache lets the anti-join, the one-row H bound, and the hot-doc
+    restriction of the band path share ONE posting scan + groupBy."""
+    return _persist(
+        exploded.groupBy("sh_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > F.lit(max_df))
+        .select("sh_hash")
+    )
+
+
+def _capped_pruned_candidates(
+    sh: DataFrame,
+    max_df: int,
+    threshold: float,
+    exploded: DataFrame | None = None,
+    hot: DataFrame | None = None,
+) -> DataFrame:
     """Capped-index candidate pairs with the sound count-only prune,
     computed in the pair shuffle itself — no per-doc stats join.
 
@@ -441,18 +460,12 @@ def _capped_pruned_candidates(sh: DataFrame, max_df: int, threshold: float) -> D
     and the prune degrades gracefully toward plain verification —
     correctness never depends on it.
     """
-    exploded = sh.select(
-        "doc", F.col("x.n").alias("n"), F.explode("x.hashes").alias("sh_hash")
-    )
-    # Persisted: the hot list feeds BOTH the anti-join broadcast and
-    # the one-row H aggregate below — caching the (provably tiny)
-    # aggregate output runs the posting scan+groupBy once, not twice.
-    hot = _persist(
-        exploded.groupBy("sh_hash")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > F.lit(max_df))
-        .select("sh_hash")
-    )
+    if exploded is None:
+        exploded = sh.select(
+            "doc", F.col("x.n").alias("n"), F.explode("x.hashes").alias("sh_hash")
+        )
+    if hot is None:
+        hot = _hot_shingles(exploded, max_df)
     kept = exploded.join(F.broadcast(hot), "sh_hash", "left_anti")
     a = kept.select(
         F.col("doc").alias("id_a"), F.col("n").alias("na"), "sh_hash"
@@ -595,20 +608,93 @@ def near_dup_pairs_full(
     whose similarity rides on rare shingles and band-collision luck
     misses; banding catches boilerplate/template farms the cap
     blinds). Byte-identical clusters are additionally closed by
-    composing :func:`canonical_copies`, as queries q36/q42/q60 do.
+    :func:`dedup_edges`, which unions exact-copy fingerprint edges
+    computed from the SAME corpus scan (queries q36/q42/q60).
 
-    Cost discipline: shingle hashes AND the MinHash signature come
-    from ONE persisted projection (the hash set is let-bound, so the
-    k signature lanes share a single tokenize→hash pass), both
-    candidate generators read that cache, and the union is verified
-    once — adding the LSH path costs one band shuffle over (doc,
-    band_sig) rows, not a corpus re-hash. The worst join bucket stays
-    bounded: max_df² for the index, true-cluster² for banding.
+    Cost discipline: both candidate generators and the verification
+    read ONE persisted (doc, {n, hashes}) projection — one
+    tokenize→hash pass over the corpus. The band path is restricted
+    to HOT-shingle documents, which is lossless: a true pair the
+    capped index cannot see must share at least one hot shingle (if
+    every common shingle were rare, rare_common would equal the true
+    common count and the count-prune provably passes the pair), so
+    both its documents carry a hot shingle. MinHash signatures are
+    therefore computed only for the boilerplate-cluster subset — on
+    clean corpora the band path costs nothing, and at 100 TB the
+    16-lane signature fold runs over the oversized-cluster docs
+    instead of every document. The worst join bucket stays bounded:
+    max_df² for the index, true-cluster² for banding.
     """
+    sh = _shingle_frame(df, text_col, id_col, n)
+    max_df = _resolve_max_df(max_df, sh)
+    return (
+        _full_recall_pairs(sh, max_df, threshold)
+        .select("id_a", "id_b", "common", "jaccard")
+    )
+
+
+def _resolve_max_df(max_df: int | str | None, sh: DataFrame) -> int:
     if isinstance(max_df, str) and max_df != "auto":
         raise ValueError(f"max_df must be an int or 'auto'; got {max_df!r}")
     if max_df == "auto":
-        max_df = auto_max_df(df.count())
+        # counting the persisted projection materializes the cache and
+        # resolves the cap in the same job (vs a separate corpus scan)
+        max_df = auto_max_df(sh.count())
+    return max_df
+
+
+def _full_recall_pairs(sh: DataFrame, max_df: int, threshold: float) -> DataFrame:
+    """Verified (id_a, id_b, common, jaccard) pairs from the capped
+    index ∪ hot-doc-restricted LSH bands over a persisted
+    (doc, x:{n, hashes, ...}) projection (see near_dup_pairs_full)."""
+    exploded = sh.select(
+        "doc", F.col("x.n").alias("n"), F.explode("x.hashes").alias("sh_hash")
+    )
+    hot = _hot_shingles(exploded, max_df)
+    capped = _capped_pruned_candidates(sh, max_df, threshold, exploded, hot)
+    # Adaptive short-circuit (same spirit as connected_components'
+    # small-graph path): with NO hot shingles the capped index is
+    # provably complete — nothing is blinded, and capped is already
+    # pair-unique from its groupBy — so the band path, the hot-doc
+    # restriction, and the union-distinct are three shuffles of pure
+    # overhead. The probe is a count on the persisted, provably-tiny
+    # hot list (which the pipeline materializes anyway).
+    if hot.count() == 0:
+        cands = capped
+    else:
+        hot_docs = (
+            exploded.join(F.broadcast(hot), "sh_hash", "left_semi")
+            .select("doc").distinct()
+        )
+        banded = _band_pairs(
+            sh.join(hot_docs, "doc", "left_semi")
+            .where(F.col("x.n") > 0)
+            .select("doc", _signature_from_hashes(F.col("x.hashes")).alias("sig"))
+        )
+        cands = capped.union(banded).distinct()
+    return _verify_pairs(cands, sh).where(F.col("jaccard") >= threshold)
+
+
+def dedup_edges(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | str | None = "auto",
+) -> DataFrame:
+    """The complete dedup edge set — full-recall near-dup pairs UNION
+    exact-copy (rep → copy) fingerprint edges — from ONE corpus scan.
+
+    The content fingerprint rides in the same persisted struct as the
+    shingle hashes, so composing exact-copy closure no longer costs a
+    second scan + tokenize of the corpus (at 100 TB, a full input pass
+    saved per pipeline). Both edge families emit id_a < id_b (the
+    fingerprint rep is the cluster min), so downstream consumers can
+    treat id_b as the non-canonical side; feed the union to
+    :func:`connected_components` for clusters or anti-join id_b for
+    corpus cleaning (queries q36/q42/q60).
+    """
     sh = _persist(
         ensure_min_partitions(df).select(
             F.col(id_col).alias("doc"),
@@ -617,21 +703,20 @@ def near_dup_pairs_full(
                 lambda hs: F.struct(
                     F.size(hs).alias("n"),
                     hs.alias("hashes"),
-                    _signature_from_hashes(hs).alias("sig"),
                 ),
             ).alias("x"),
+            doc_fingerprint(text_col).alias("fp"),
         )
     )
-    capped = _capped_pruned_candidates(sh, max_df, threshold)
-    banded = _band_pairs(
-        sh.where(F.col("x.n") > 0).select("doc", F.col("x.sig").alias("sig"))
+    max_df = _resolve_max_df(max_df, sh)
+    pairs = _full_recall_pairs(sh, max_df, threshold).select("id_a", "id_b")
+    rep = F.min("doc").over(Window.partitionBy("fp"))
+    copies = (
+        sh.select("doc", rep.alias("rep_id"))
+        .where(F.col("doc") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("id_a"), F.col("doc").alias("id_b"))
     )
-    cands = capped.union(banded).distinct()
-    return (
-        _verify_pairs(cands, sh)
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "common", "jaccard")
-    )
+    return pairs.union(copies)
 
 
 def minhash_dedup_pairs(

@@ -984,20 +984,10 @@ def q36_dedup_components(spark, sf_dir):
     than the stop-shingle cap) and exact-copy fingerprint edges (which
     catch byte-identical oversized clusters). Adaptive CC; shuffles
     carry (node,label) only."""
-    from queens_spark.operators.dedup import (
-        canonical_copies,
-        connected_components,
-        near_dup_pairs_full,
-    )
+    from queens_spark.operators.dedup import connected_components, dedup_edges
 
     docs = load(spark, sf_dir, "documents")
-    pairs = near_dup_pairs_full(docs, "text", "doc_id", n=3, threshold=0.8)
-    copies = canonical_copies(docs, "text", "doc_id")
-    edges = pairs.select("id_a", "id_b").union(
-        copies.select(
-            F.col("rep_id").alias("id_a"), F.col("doc_id").alias("id_b")
-        )
-    )
+    edges = dedup_edges(docs, "text", "doc_id", n=3, threshold=0.8)
     return connected_components(docs, edges, "doc_id")
 
 
@@ -1017,20 +1007,11 @@ def q42_dedup_filter(spark, sf_dir):
     and the losing side of every full-recall near-dup pair (capped
     index ∪ LSH bands) — LEFT ANTI join against the loser list; the
     corpus never shuffles."""
-    from queens_spark.operators.dedup import (
-        canonical_copies,
-        filter_near_duplicates,
-        near_dup_pairs_full,
-    )
+    from queens_spark.operators.dedup import dedup_edges, filter_near_duplicates
 
     docs = load(spark, sf_dir, "documents")
-    pairs = near_dup_pairs_full(docs, "text", "doc_id", n=3, threshold=0.8)
-    losers = pairs.select(F.col("id_b").alias("doc_id")).union(
-        canonical_copies(docs, "text", "doc_id").select("doc_id")
-    )
-    return filter_near_duplicates(
-        docs, losers.select(F.col("doc_id").alias("id_b")), "doc_id"
-    ).select("doc_id", "lang")
+    edges = dedup_edges(docs, "text", "doc_id", n=3, threshold=0.8)
+    return filter_near_duplicates(docs, edges, "doc_id").select("doc_id", "lang")
 
 
 def _packing_oracle(budget: int) -> str:
@@ -2127,21 +2108,11 @@ def q60_best_in_cluster(spark, sf_dir):
     over (quality, -doc_id) per component: a single counter-width
     shuffle, no per-component window. Edge set as q36 (full-recall
     pairs ∪ exact-copy edges)."""
-    from queens_spark.operators.dedup import (
-        canonical_copies,
-        connected_components,
-        near_dup_pairs_full,
-    )
+    from queens_spark.operators.dedup import connected_components, dedup_edges
     from queens_spark.operators.text import quality_score
 
     docs = load(spark, sf_dir, "documents")
-    pairs = near_dup_pairs_full(docs, "text", "doc_id", n=3, threshold=0.8)
-    copies = canonical_copies(docs, "text", "doc_id")
-    edges = pairs.select("id_a", "id_b").union(
-        copies.select(
-            F.col("rep_id").alias("id_a"), F.col("doc_id").alias("id_b")
-        )
-    )
+    edges = dedup_edges(docs, "text", "doc_id", n=3, threshold=0.8)
     comps = connected_components(docs, edges, "doc_id")
     qual = docs.select("doc_id", quality_score("text").alias("quality"))
     return (
