@@ -33,6 +33,7 @@ from queens_spark.operators.text import (
     char_poly_hash,
     doc_fingerprint,
     duckdb_char_poly_hash,
+    let_bound,
     tokens,
 )
 
@@ -104,19 +105,10 @@ LSH_ROWS = MINHASH_K // LSH_BANDS
 SIMHASH_BITS = 16
 
 
-def let_bound(bound: Column, body) -> Column:
-    """Evaluate *bound* ONCE per row and reference it many times.
-
-    Spark has no `let` expression, and CollapseProject happily inlines
-    a withColumn-ed subexpression into every downstream reference —
-    k references → k recomputations. Wrapping the value in a 1-element
-    array and unwrapping through ``transform`` binds it to a lambda
-    variable, which Catalyst evaluates exactly once. This turned the
-    16-lane MinHash signature from O(16·shingles·chars) back to
-    O(shingles·chars) per document (~17× less compute at any scale).
-    """
-    return F.transform(F.array(bound), body)[0]
-
+# let_bound is re-exported above from operators.text: evaluate an
+# expression ONCE per row and reference it many times. It turned the
+# 16-lane MinHash signature from O(16·shingles·chars) back to
+# O(shingles·chars) per document (~17× less compute at any scale).
 
 # ----------------------------------------------------------- shingling
 

@@ -134,6 +134,153 @@ def lang_id(text: Column | str) -> Column:
     return F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("und"))
 
 
+# -------------------------------------------- repetition / Gopher rules
+
+def let_bound(bound: Column, body) -> Column:
+    """Evaluate *bound* ONCE per row and reference it many times:
+    Spark has no `let`, and CollapseProject re-evaluates a
+    withColumn-ed subexpression per reference; binding through a
+    1-element-array ``transform`` lambda makes Catalyst evaluate it
+    exactly once. (Re-exported by operators/dedup.py, whose MinHash
+    lanes were the original motivating case.)"""
+    return F.transform(F.array(bound), body)[0]
+
+
+def doc_lines(text: Column | str) -> Column:
+    """Non-empty trimmed lines (split on newline)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+
+
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """Word n-grams WITH duplicates (space-joined) — repetition
+    counting needs multiplicities, unlike the distinct shingles the
+    dedup index uses. Fewer than n tokens → empty array."""
+    return let_bound(
+        tokens(text),
+        lambda tk: F.when(
+            F.size(tk) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+            )
+        ),
+    )
+
+
+def max_multiplicity(arr: Column) -> Column:
+    """Highest multiplicity of any element in *arr* (0 for empty).
+
+
+    Sort + run-length fold: O(k log k) per row instead of the naive
+    count-per-distinct-element O(k·distinct) — the difference between
+    linear-ish and quadratic per document, which matters for 100k-token
+    documents at corpus scale. Zero shuffle; the equivalent
+    explode→groupBy→max would shuffle every n-gram occurrence."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(arr), zero, step, lambda acc: acc["best"])
+
+
+#: Line-terminal punctuation for the "fraction of lines ending in
+#: punctuation" quality rule. Identical semantics in Java regex and RE2.
+LINE_END_PUNCT_PATTERN = r"[.!?]$"
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.when(
+        den > 0, num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_frac(text: Column | str) -> Column:
+    """Fraction of lines that are repeats of an earlier line."""
+    return let_bound(
+        doc_lines(text),
+        lambda ls: _ratio(F.size(ls) - F.size(F.array_distinct(ls)), F.size(ls)),
+    )
+
+
+def dup_line_char_frac(text: Column | str) -> Column:
+    """Fraction of line characters inside repeated lines (occurrences
+    beyond the first) — the Gopher `duplicate_line_character_fraction`
+    rule. total_chars − distinct_chars needs no per-line counting."""
+    def char_sum(ls: Column) -> Column:
+        return F.aggregate(
+            ls, F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.length(x).cast("bigint"),
+        )
+
+    return let_bound(
+        doc_lines(text),
+        lambda ls: _ratio(
+            char_sum(ls) - char_sum(F.array_distinct(ls)), char_sum(ls)
+        ),
+    )
+
+
+def frac_lines_end_punct(text: Column | str) -> Column:
+    """Fraction of lines ending in terminal punctuation — low values
+    flag boilerplate/navigation text."""
+    return let_bound(
+        doc_lines(text),
+        lambda ls: _ratio(
+            F.size(F.filter(ls, lambda x: x.rlike(LINE_END_PUNCT_PATTERN))),
+            F.size(ls),
+        ),
+    )
+
+
+def top_ngram_frac(text: Column | str, n: int = 2) -> Column:
+    """Fraction of n-gram positions covered by the single most frequent
+    n-gram — high values flag templated/repetitive text (the Gopher
+    `top_2gram_fraction` family)."""
+    return let_bound(
+        word_ngrams(text, n),
+        lambda ng: _ratio(max_multiplicity(ng), F.size(ng)),
+    )
+
+
+def dup_ngram_frac(text: Column | str, n: int = 3) -> Column:
+    """Fraction of n-gram positions that are repeats of an earlier
+    occurrence (the `duplicate_3gram_fraction` family)."""
+    return let_bound(
+        word_ngrams(text, n),
+        lambda ng: _ratio(F.size(ng) - F.size(F.array_distinct(ng)), F.size(ng)),
+    )
+
+
+def symbol_word_ratio(text: Column | str) -> Column:
+    """(# of '#' characters + # of '...' runs) per token — the Gopher
+    symbol-to-word screen."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, "#", ""))
+    n_ellipsis = F.regexp_count(c, F.lit(r"\.\.\."))
+    return let_bound(
+        F.size(tokens(text)),
+        lambda nt: F.when(
+            nt > 0,
+            (n_hash + n_ellipsis).cast("double") / nt.cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
 # ------------------------------------------------------------- hashing
 
 def char_poly_hash(s: Column, p: int = HASH_MOD) -> Column:

@@ -2182,3 +2182,88 @@ def q61_decontamination(spark, sf_dir):
         sh.where(F.col("doc_id") % 100 == 0),
         min_overlap=3,
     )
+
+
+# =====================================================================
+# Round 4: corpus-quality, corpus-statistics, and quantization tiers
+# =====================================================================
+
+def _repetition_oracle() -> str:
+    toks = _DUCK_TOKS
+    lines = ("list_filter(list_transform(string_split(text, chr(10)), "
+             "x -> trim(x)), x -> x <> '')")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, {lines} AS ls, {toks} AS tk FROM documents
+    ), d AS (
+      SELECT doc_id,
+             len(ls) AS n_lines,
+             len(list_distinct(ls)) AS n_dl,
+             coalesce(list_sum(list_transform(ls, x -> CAST(length(x) AS BIGINT))), 0) AS lc,
+             coalesce(list_sum(list_transform(list_distinct(ls), x -> CAST(length(x) AS BIGINT))), 0) AS dlc,
+             len(list_filter(ls, x -> regexp_matches(x, '[.!?]$'))) AS n_end_punct,
+             CASE WHEN len(tk) >= 2
+                  THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+                  ELSE [] END AS bg,
+             CASE WHEN len(tk) >= 3
+                  THEN list_transform(range(1, len(tk) - 1),
+                                      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+                  ELSE [] END AS tg,
+             len(tk) AS n_tok,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+             CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_ellipsis
+      FROM base
+    ), top AS (
+      SELECT doc_id, max(c) AS top_bg FROM (
+        SELECT doc_id, b, count(*) AS c
+        FROM (SELECT doc_id, unnest(bg) AS b FROM d)
+        GROUP BY doc_id, b)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN n_lines > 0
+                THEN CAST(n_lines - n_dl AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                ELSE 0.0 END AS dup_line_frac,
+           CASE WHEN lc > 0
+                THEN CAST(lc - dlc AS DOUBLE) / CAST(lc AS DOUBLE)
+                ELSE 0.0 END AS dup_line_char_frac,
+           CASE WHEN n_lines > 0
+                THEN CAST(n_end_punct AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                ELSE 0.0 END AS frac_lines_end_punct,
+           CASE WHEN len(bg) > 0
+                THEN CAST(coalesce(top_bg, 0) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+                ELSE 0.0 END AS top_bigram_frac,
+           CASE WHEN len(tg) > 0
+                THEN CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / CAST(len(tg) AS DOUBLE)
+                ELSE 0.0 END AS dup_trigram_frac,
+           CASE WHEN n_tok > 0
+                THEN CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                ELSE 0.0 END AS symbol_word_ratio
+    FROM d LEFT JOIN top ON d.doc_id = top.doc_id
+    """
+
+
+@register("q62_repetition_stats", _repetition_oracle())
+def q62_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition screens: duplicate-line fraction (count
+    and character-weighted), terminal-punctuation line fraction, most-
+    frequent-bigram coverage, duplicate-trigram fraction, and the
+    symbol-to-word ratio — the standard pre-training quality rules.
+
+    Scale: pure per-row array expressions, zero shuffle, linear scan.
+    The top-bigram count uses a sort + run-length fold (O(k log k) per
+    document) instead of exploding n-grams into a corpus-wide
+    shuffle — repetition is a PER-DOCUMENT property, so nothing should
+    leave the row. All ratios are bigint→double divisions, bit-portable
+    against the oracle."""
+    from queens_spark.operators import text as tx
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        tx.dup_line_frac("text").alias("dup_line_frac"),
+        tx.dup_line_char_frac("text").alias("dup_line_char_frac"),
+        tx.frac_lines_end_punct("text").alias("frac_lines_end_punct"),
+        tx.top_ngram_frac("text", 2).alias("top_bigram_frac"),
+        tx.dup_ngram_frac("text", 3).alias("dup_trigram_frac"),
+        tx.symbol_word_ratio("text").alias("symbol_word_ratio"),
+    )
