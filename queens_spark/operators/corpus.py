@@ -1,0 +1,101 @@
+"""Corpus-level statistics operators: term/document frequencies,
+TF-IDF keyword extraction, vocabulary building.
+
+These are the two-pass corpus operators every training-data pipeline
+needs (unlike operators/text.py, whose metrics are per-document and
+zero-shuffle, these genuinely require corpus-wide aggregation):
+
+- **term_frequencies**: the wordcount shuffle — explode tokens,
+  hash-aggregate on (doc, token). Map-side partial aggregation
+  collapses each document's repeats before the shuffle, so shuffle
+  width is distinct-(doc,token) pairs, not corpus tokens.
+- **document_frequencies**: one more counter-width aggregation over
+  the tf frame ((doc, token) is unique there, so COUNT(*) per token
+  IS the document frequency — no countDistinct pass).
+- **tfidf_topk**: rank terms per document by tf/df. The score is the
+  scaled-integer ``tf * 1_000_000 div df`` — integer division is
+  bit-identical across engines, unlike ln()-based idf whose last-ulp
+  rounding differs (the same portability rule queries.py applies to
+  money aggregates). Ranking by tf/df is order-equivalent to the
+  classic tf·log(N/df) for a fixed corpus whenever df ties break the
+  same way, and ties break deterministically on the token.
+- **vocabulary**: global top-k tokens. The global sort runs on the
+  AGGREGATED vocabulary (distinct tokens, not corpus tokens) and
+  LIMIT pushes it down to TakeOrderedAndProject — no single-task
+  full sort of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from queens_spark.operators.text import tokens
+
+#: Fixed-point scale for the tf/df keyword score.
+TFIDF_SCALE = 1_000_000
+
+
+def term_frequencies(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, token, tf) — the wordcount aggregation."""
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("token"))
+        .groupBy("doc", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def document_frequencies(tf: DataFrame) -> DataFrame:
+    """(token, df_docs) from a term-frequency frame. (doc, token) is
+    unique after the tf groupBy, so a plain COUNT per token is the
+    document frequency — no expensive distinct aggregation."""
+    return tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+
+
+def tfidf_topk(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by the scaled-integer
+    tf/df score; deterministic (score DESC, token) tie-break.
+
+    Scale shape: tf shuffle on (doc, token); df is a counter-width
+    aggregate joined back on the token key (a shuffled join — the
+    vocabulary of a 100 TB corpus is too big to broadcast, and AQE
+    will broadcast it automatically when it isn't); the final window
+    partitions by document, whose group size is bounded by document
+    vocabulary, never corpus size.
+    """
+    tf = term_frequencies(df, text_col, id_col)
+    scored = (
+        tf.join(document_frequencies(tf), "token")
+        .withColumn("score_e6", F.expr(f"tf * {TFIDF_SCALE} div df_docs"))
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("score_e6").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("doc"), "token", "tf", "df_docs", "score_e6",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def vocabulary(df: DataFrame, text_col: str, id_col: str, top: int = 100) -> DataFrame:
+    """Global top-*top* vocabulary: (token, n_occurrences, n_docs,
+    rank) ordered by total occurrences, token-tie-broken.
+
+    n_docs reuses the tf frame's (doc, token) uniqueness — the whole
+    operator is two counter-width aggregations plus a TakeOrdered of
+    the top rows; the corpus itself never sorts.
+    """
+    tf = term_frequencies(df, text_col, id_col)
+    agg = tf.groupBy("token").agg(
+        F.sum("tf").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    head = agg.orderBy(F.col("n_occurrences").desc(), F.col("token")).limit(top)
+    # rank the (tiny) head frame; the window runs over `top` rows only
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return head.withColumn("rank", F.row_number().over(w).cast("bigint"))

@@ -2267,3 +2267,70 @@ def q62_repetition_stats(spark, sf_dir):
         tx.dup_ngram_frac("text", 3).alias("dup_trigram_frac"),
         tx.symbol_word_ratio("text").alias("symbol_word_ratio"),
     )
+
+
+def _tfidf_oracle(k: int) -> str:
+    from queens_spark.operators.corpus import TFIDF_SCALE
+
+    return f"""
+    WITH tf AS (
+      SELECT doc_id AS doc, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY doc_id, token
+    ), dfc AS (
+      SELECT token, count(*) AS df_docs FROM tf GROUP BY token
+    ), s AS (
+      SELECT doc, tf.token AS token, tf, df_docs,
+             tf * {TFIDF_SCALE} // df_docs AS score_e6
+      FROM tf JOIN dfc ON tf.token = dfc.token
+    ), r AS (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc ORDER BY score_e6 DESC, token) AS BIGINT) AS rank
+      FROM s
+    )
+    SELECT doc, token, tf, df_docs, score_e6, rank FROM r WHERE rank <= {k}
+    """
+
+
+@register("q63_tfidf_keywords", _tfidf_oracle(3))
+def q63_tfidf_keywords(spark, sf_dir):
+    """Top-3 characteristic terms per document by scaled-integer tf/df
+    (order-equivalent to tf·idf for a fixed corpus; integer division
+    keeps the score bit-portable where ln()-based idf is not).
+
+    Scale: the wordcount shuffle on (doc, token), a counter-width df
+    aggregation joined back on token (AQE broadcasts it when small),
+    and a per-document window bounded by document vocabulary. See
+    operators/corpus.py."""
+    from queens_spark.operators.corpus import tfidf_topk
+
+    return tfidf_topk(load(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+
+
+def _vocab_oracle(top: int) -> str:
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY doc_id, token
+    ), agg AS (
+      SELECT token, SUM(tf) AS n_occurrences, count(*) AS n_docs
+      FROM tf GROUP BY token
+    )
+    SELECT token, CAST(n_occurrences AS BIGINT) AS n_occurrences, n_docs,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT) AS rank
+    FROM agg
+    ORDER BY rank
+    LIMIT {top}
+    """
+
+
+@register("q67_vocabulary", _vocab_oracle(100))
+def q67_vocabulary(spark, sf_dir):
+    """Corpus vocabulary head: top-100 tokens by total occurrences
+    with per-token document counts — the tokenizer-training /
+    frequency-pruning primitive. Two counter-width aggregations + a
+    TakeOrdered of 100 rows; the corpus never sorts globally."""
+    from queens_spark.operators.corpus import vocabulary
+
+    return vocabulary(load(spark, sf_dir, "documents"), "text", "doc_id", top=100)
