@@ -711,6 +711,69 @@ def dedup_edges(
     return pairs.union(copies)
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | str | None = "auto",
+) -> DataFrame:
+    """Near-dup pairs by shingle CONTAINMENT — |A∩B| / min(|A|,|B|)
+    ≥ threshold — the asymmetric-overlap screen that catches
+    subset/quote-inclusion duplicates Jaccard misses: a short document
+    fully embedded in a long one has containment 1.0 but Jaccard
+    ≈ |A|/|B|, far below any Jaccard threshold.
+
+    Same df-capped inverted index as :func:`ngram_jaccard_pairs` (one
+    persisted shingle projection, hot-list broadcast anti-join, one
+    pair shuffle carrying na/nb in the group key), with the
+    containment-adapted sound prune:
+      true_common ≤ rare_common + min(H, na, nb)
+    so pairs with ub < threshold·min(na, nb) provably fail and skip
+    verification; the final exact filter is unchanged, so the prune
+    never alters results. Shares the capped index's documented recall
+    edge for oversized near-identical clusters (the oracle mirrors the
+    cap; compose :func:`near_dup_pairs_full` when that matters).
+    """
+    sh = _shingle_frame(df, text_col, id_col, n)
+    max_df = _resolve_max_df(max_df, sh)
+    exploded = sh.select(
+        "doc", F.col("x.n").alias("n"), F.explode("x.hashes").alias("sh_hash")
+    )
+    hot = _hot_shingles(exploded, max_df)
+    kept = exploded.join(F.broadcast(hot), "sh_hash", "left_anti")
+    a = kept.select(F.col("doc").alias("id_a"), F.col("n").alias("na"), "sh_hash")
+    b = kept.select(F.col("doc").alias("id_b"), F.col("n").alias("nb"), "sh_hash")
+    rare_common = (
+        a.join(b, "sh_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("rare_common"))
+    )
+    hot_n = hot.agg(F.count(F.lit(1)).alias("H"))
+    ub = F.col("rare_common") + F.least(
+        F.col("H"), F.col("na").cast("bigint"), F.col("nb").cast("bigint")
+    )
+    cands = (
+        rare_common.crossJoin(F.broadcast(hot_n))
+        .where(
+            ub.cast("double")
+            >= F.lit(threshold) * F.least("na", "nb").cast("double")
+        )
+        .select("id_a", "id_b")
+    )
+    v = _verify_pairs(cands, sh)
+    containment = F.col("common").cast("double") / F.least(
+        F.size("ha"), F.size("hb")
+    ).cast("double")
+    return (
+        v.withColumn("containment", containment)
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "common", "containment")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5
 ) -> DataFrame:

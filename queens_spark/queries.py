@@ -2334,3 +2334,54 @@ def q67_vocabulary(spark, sf_dir):
     from queens_spark.operators.corpus import vocabulary
 
     return vocabulary(load(spark, sf_dir, "documents"), "text", "doc_id", top=100)
+
+
+def _containment_oracle(threshold: float) -> str:
+    # Mirrors dedup.containment_pairs: same df-capped candidate
+    # generation as _jaccard_oracle, verified with the asymmetric
+    # containment |A∩B| / min(|A|,|B|) instead of Jaccard.
+    from queens_spark.operators.dedup import duckdb_shingle_hashes
+
+    return f"""
+    WITH h AS (
+      SELECT doc_id, len(hs) AS ns, hs FROM (
+        SELECT doc_id, {duckdb_shingle_hashes('text')} AS hs FROM documents)
+      WHERE len(hs) > 0
+    ), ex AS (
+      SELECT doc_id, unnest(hs) AS sh_hash FROM h
+    ), fi AS (
+      SELECT doc_id, sh_hash FROM (
+        SELECT doc_id, sh_hash,
+               COUNT(*) OVER (PARTITION BY sh_hash) AS df
+        FROM ex)
+      WHERE df <= greatest(50, (SELECT COUNT(*) FROM documents) // 100)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fi a JOIN fi b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS common,
+             least(ha.ns, hb.ns) AS mn
+      FROM cand c
+      JOIN h ha ON ha.doc_id = c.id_a
+      JOIN h hb ON hb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, common,
+           CAST(common AS DOUBLE) / CAST(mn AS DOUBLE) AS containment
+    FROM verified
+    WHERE CAST(common AS DOUBLE) / CAST(mn AS DOUBLE) >= {threshold}
+    """
+
+
+@register("q64_containment_pairs", _containment_oracle(0.9))
+def q64_containment_pairs(spark, sf_dir):
+    """Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.9 — the
+    subset/quote-inclusion screen (a short doc embedded in a long one
+    scores 1.0 here but fails every Jaccard threshold). Same capped
+    inverted index and single pair shuffle as q27, with the
+    containment-adapted count-only prune (see dedup.containment_pairs)."""
+    from queens_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.9
+    )

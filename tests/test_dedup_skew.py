@@ -197,3 +197,24 @@ def test_bloom_filter_has_no_false_negatives(spark):
     p1 = _bloom_positions(h, 7, 1 << 16)
     p2 = _bloom_positions(h, 7, 1 << 16)
     assert all((a == b).all() for a, b in zip(p1, p2))
+
+
+def test_containment_catches_subset_doc(spark):
+    """A short doc fully embedded in a long one: containment 1.0, but
+    Jaccard ~ |A|/|B| fails any high threshold — the case
+    containment_pairs exists for."""
+    from pyspark.sql import Row
+
+    from queens_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    base = " ".join(f"w{i}" for i in range(12))
+    extra = " ".join(f"x{i}" for i in range(40))
+    df = spark.createDataFrame([
+        Row(doc_id=0, text=base + " " + extra),
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=" ".join(f"z{i}" for i in range(20))),
+    ])
+    got = containment_pairs(df, "text", "doc_id", threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"], r["containment"]) for r in got] == [(0, 1, 1.0)]
+    # the same pair is invisible to a high-Jaccard screen
+    assert ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.8).count() == 0
