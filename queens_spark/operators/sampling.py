@@ -82,6 +82,99 @@ def duckdb_hash_split(expr: str, splits: dict[str, int], salt: int = 0) -> str:
     )
 
 
+#: Fixed-point scale for mixture weights (parts per million).
+PPM = 1_000_000
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights_ppm: dict[str, int],
+    salt: int = 0,
+) -> DataFrame:
+    """Max-feasible deterministic mixture: sample each stratum so the
+    OUTPUT composition matches *weights_ppm* (parts-per-million shares,
+    summing to ≤ 1e6) at the largest total the data supports — the
+    training-mixture construction step ("50% en, 25% de, …").
+
+    T = min_s ⌊count_s · 1e6 / w_s⌋ is the largest total for which no
+    stratum is oversubscribed; each stratum then accepts
+    ⌊w_s·T/1e6⌋ · BUCKETS ÷ count_s basis points of its keys via the
+    stable per-key hash (same decision on any engine at any
+    parallelism). All integer arithmetic — the DuckDB oracle
+    reproduces the rates and the membership bit-for-bit. Strata
+    without a weight are dropped.
+
+    Scale shape: one counter-width groupBy-count (collected — it has
+    |strata| rows), then a map-side CASE filter; the corpus itself
+    never shuffles. Hash granularity is 1 basis point, so realized
+    shares track targets to ~1e-4, limited by per-bucket key
+    clustering, not by corpus size.
+    """
+    if not weights_ppm:
+        raise ValueError("weights_ppm must be non-empty")
+    if any(w <= 0 for w in weights_ppm.values()):
+        raise ValueError("mixture weights must be positive")
+    if sum(weights_ppm.values()) > PPM:
+        raise ValueError(
+            f"mixture weights sum to {sum(weights_ppm.values())} > {PPM} ppm"
+        )
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).count().collect()
+        if r[0] in weights_ppm
+    }
+    feasible_total = min(
+        (counts.get(s, 0) * PPM) // w for s, w in weights_ppm.items()
+    )
+    threshold = F.lit(-1).cast("bigint")  # unweighted strata: drop
+    for s, w in sorted(weights_ppm.items()):
+        n = counts.get(s, 0)
+        needed = (w * feasible_total) // PPM
+        tau_bp = (needed * BUCKETS) // n if n else 0
+        threshold = F.when(F.col(strata_col) == s, F.lit(tau_bp)).otherwise(
+            threshold
+        )
+    return df.where(hash_bucket(key_col, salt) < threshold)
+
+
+def duckdb_mixture_sample_cte(
+    table: str,
+    key_expr: str,
+    strata_col: str,
+    weights_ppm: dict[str, int],
+    salt: int = 0,
+) -> str:
+    """DuckDB twin of :func:`mixture_sample`: computes the same
+    feasible total and per-stratum thresholds IN SQL (exact integer
+    arithmetic), then filters by the shared hash bucket. Returns a
+    complete SELECT of the sampled rows of *table*."""
+    values = ", ".join(
+        f"('{s}', {w})" for s, w in sorted(weights_ppm.items())
+    )
+    return f"""
+    WITH w({strata_col}, wppm) AS (VALUES {values}),
+    c AS (
+      SELECT w.{strata_col}, wppm, coalesce(n, 0) AS n
+      FROM w LEFT JOIN (
+        SELECT {strata_col}, count(*) AS n FROM {table} GROUP BY {strata_col}
+      ) g ON g.{strata_col} = w.{strata_col}
+    ),
+    t AS (SELECT min(n * {PPM} // wppm) AS feasible FROM c),
+    tau AS (
+      SELECT {strata_col},
+             CASE WHEN n > 0
+                  THEN ((wppm * (SELECT feasible FROM t) // {PPM}) * {BUCKETS}) // n
+                  ELSE 0 END AS tau_bp
+      FROM c
+    )
+    SELECT d.* FROM {table} d
+    JOIN tau ON d.{strata_col} = tau.{strata_col}
+    WHERE {duckdb_hash_bucket(key_expr, salt)} < tau_bp
+    """
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

@@ -2385,3 +2385,30 @@ def q64_containment_pairs(spark, sf_dir):
     return containment_pairs(
         load(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.9
     )
+
+
+def _mixture_oracle(weights_ppm: dict[str, int]) -> str:
+    from queens_spark.operators.sampling import duckdb_mixture_sample_cte
+
+    inner = duckdb_mixture_sample_cte(
+        "documents", "doc_id", "lang", weights_ppm
+    )
+    return f"SELECT doc_id, lang FROM ({inner})"
+
+
+_MIXTURE_WEIGHTS = {"en": 500_000, "de": 200_000, "es": 150_000, "fr": 150_000}
+
+
+@register("q65_mixture_sample", _mixture_oracle(_MIXTURE_WEIGHTS))
+def q65_mixture_sample(spark, sf_dir):
+    """Training-mixture construction: deterministically sample each
+    language so the output composition hits the target shares
+    (en 50%, de 20%, es 15%, fr 15%) at the largest feasible total;
+    zh has no weight and is dropped. One counter-width count job +
+    a map-side hash filter — the corpus never shuffles (see
+    operators/sampling.py:mixture_sample)."""
+    from queens_spark.operators.sampling import mixture_sample
+
+    return mixture_sample(
+        load(spark, sf_dir, "documents"), "doc_id", "lang", _MIXTURE_WEIGHTS
+    ).select("doc_id", "lang")

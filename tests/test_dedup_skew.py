@@ -218,3 +218,37 @@ def test_containment_catches_subset_doc(spark):
     assert [(r["id_a"], r["id_b"], r["containment"]) for r in got] == [(0, 1, 1.0)]
     # the same pair is invisible to a high-Jaccard screen
     assert ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.8).count() == 0
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    """Output composition tracks the ppm targets at the max feasible
+    total, deterministically."""
+    import pytest
+    from pyspark.sql import Row
+
+    from queens_spark.operators.sampling import mixture_sample
+
+    rows = [Row(k=i, s="a") for i in range(4000)] + \
+           [Row(k=10_000 + i, s="b") for i in range(1000)] + \
+           [Row(k=20_000 + i, s="c") for i in range(500)]
+    df = spark.createDataFrame(rows)
+    # b is the binding stratum: T = 1000/0.25 = 4000 -> need a=3000, b=1000, c=0? no:
+    # weights a 75%? pick a .5, b .25, c .25 -> T = min(4000/.5, 1000/.25, 500/.25)=2000
+    out = mixture_sample(df, "k", "s", {"a": 500_000, "b": 250_000, "c": 250_000})
+    got = {r["s"]: r["n"] for r in out.groupBy("s").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("k").alias("n")).collect()}
+    # feasible total 2000: targets a=1000 of 4000, b=500 of 1000, c=500 of 500
+    assert got["c"] == 500                       # fully consumed stratum is exact
+    assert abs(got["a"] - 1000) <= 120           # hash granularity tolerance
+    assert abs(got["b"] - 500) <= 60
+    # determinism: same membership on re-run
+    ids1 = {r["k"] for r in out.collect()}
+    ids2 = {r["k"] for r in mixture_sample(
+        df, "k", "s", {"a": 500_000, "b": 250_000, "c": 250_000}).collect()}
+    assert ids1 == ids2
+    # unweighted strata drop; bad weights raise
+    assert mixture_sample(df, "k", "s", {"a": 10_000}).where("s <> 'a'").count() == 0
+    with pytest.raises(ValueError, match="ppm"):
+        mixture_sample(df, "k", "s", {"a": 900_000, "b": 200_000})
+    with pytest.raises(ValueError, match="positive"):
+        mixture_sample(df, "k", "s", {"a": 0})
