@@ -605,3 +605,133 @@ def ivf_assign(
             F.col("best.cosine").alias("centroid_cosine"),
         )
     )
+
+
+# ------------------------------------------- int8 scalar quantization
+
+INT8_MAX = 127
+INT8_DESCALE = float(INT8_MAX * INT8_MAX)  # 16129.0
+
+
+def int8_quantize(vec: Column | str) -> Column:
+    """Symmetric max-abs int8 quantization: struct(amax double,
+    q array<tinyint> in [-127, 127]) with qᵢ = ⌊xᵢ·127/amax⌋.
+
+    This is the storage/bandwidth tier below the fixed-point ×1000
+    bigint quantization above: 1 byte per dimension — 4× smaller than
+    fp32, 8× smaller than the bigint form — which at 100 TB turns a
+    scan-bound ANN pass into a quarter of the IO. amax is let-bound so
+    the array_max runs once per vector, not once per element; all ops
+    (float→double widen, abs, max, ·127.0, /amax, floor) are
+    bit-portable IEEE doubles, so the DuckDB oracle reproduces every
+    code exactly."""
+    from queens_spark.operators.text import let_bound
+
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return let_bound(
+        F.array_max(F.transform(c, lambda x: F.abs(x.cast("double")))),
+        lambda amax: F.struct(
+            amax.alias("amax"),
+            F.when(
+                amax > 0,
+                F.transform(
+                    c,
+                    lambda x: F.floor(x.cast("double") * 127.0 / amax).cast(
+                        "tinyint"
+                    ),
+                ),
+            )
+            .otherwise(F.transform(c, lambda x: F.lit(0).cast("tinyint")))
+            .alias("q"),
+        ),
+    )
+
+
+def duckdb_int8_amax(expr: str) -> str:
+    """DuckDB expression for the max-abs scale of a vector column."""
+    return f"list_max(list_transform({expr}, x -> abs(CAST(x AS DOUBLE))))"
+
+
+def duckdb_int8_codes(expr: str, amax: str) -> str:
+    """DuckDB twin of the :func:`int8_quantize` code array, given a
+    PRECOMPUTED amax column (DuckDB cannot host a correlated scalar
+    subquery inside a lambda, so the amax must come from an earlier
+    CTE — see q66's oracle)."""
+    return (
+        f"CASE WHEN {amax} > 0 "
+        f"THEN list_transform({expr}, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / {amax}) AS BIGINT)) "
+        f"ELSE list_transform({expr}, x -> CAST(0 AS BIGINT)) END"
+    )
+
+
+def int8_dot(a: Column, b: Column) -> Column:
+    """Exact dot product of two int8 code vectors, accumulated in
+    BIGINT (tinyint×tinyint would overflow — the cast is the point)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("bigint") * y.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def int8_topk_ip(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_ids: list[int],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k inner-product search over int8-quantized vectors for a
+    small batch of query ids (asymmetric-distance-style: codes compare
+    against codes; the per-vector amax rescales the integer dot back
+    to an approximate inner product, approx_ip ≈ ⟨a, b⟩).
+
+    Plan shape: the corpus is quantized ONCE into a persisted
+    (id, amax, q) frame — the compact representation a production
+    system would store — and each query becomes a narrow scan with a
+    literal code vector + TakeOrderedAndProject (per-partition heap,
+    driver merge of k·partitions rows); branches union into one job.
+    No shuffle of candidates ever happens, which is the scale-correct
+    shape for interactive query batches; for large offline batches
+    you'd instead bucket queries (see lsh_* / ivf_*).
+    """
+    from queens_spark.operators.dedup import _persist
+
+    qz = _persist(
+        df.select(
+            F.col(id_col),
+            int8_quantize(vec_col).alias("z"),
+        ).select(
+            F.col(id_col), F.col("z.amax").alias("amax"), F.col("z.q").alias("q")
+        )
+    )
+    queries = {
+        r[id_col]: r
+        for r in qz.where(F.col(id_col).isin([int(q) for q in query_ids])).collect()
+    }
+    branches = []
+    for qid in query_ids:
+        row = queries.get(qid)
+        if row is None:
+            continue
+        q_lit = F.array(*[F.lit(int(v)).cast("tinyint") for v in row["q"]])
+        dot = int8_dot(F.col("q"), q_lit)
+        approx = (
+            dot.cast("double") * F.lit(float(row["amax"])) * F.col("amax")
+            / F.lit(INT8_DESCALE)
+        )
+        branches.append(
+            qz.where(F.col(id_col) != qid)
+            .select(
+                F.lit(qid).cast("bigint").alias("query_id"),
+                F.col(id_col),
+                dot.alias("dot_q"),
+                approx.alias("approx_ip"),
+            )
+            .orderBy(F.desc("approx_ip"), F.asc(id_col))
+            .limit(k)
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out

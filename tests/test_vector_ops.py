@@ -106,3 +106,53 @@ def test_hash_split_holdout_and_validation(spark):
     assert 400 <= n_null <= 600  # ~50% held out
     with pytest.raises(ValueError, match="split fractions"):
         hash_split("k", {"a": 9000, "b": 2000})
+
+
+def test_int8_quantize_bounds_and_zero_vector(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from queens_spark.operators.similarity import int8_quantize
+
+    df = spark.createDataFrame([
+        Row(vec_id=0, embedding=[1.0, -1.0, 0.5, 0.0]),
+        Row(vec_id=1, embedding=[0.0, 0.0, 0.0, 0.0]),
+    ])
+    rows = {r["vec_id"]: r for r in df.select(
+        "vec_id", int8_quantize("embedding").alias("z")).collect()}
+    z0 = rows[0]["z"]
+    assert z0["amax"] == 1.0
+    # floor semantics: +amax -> 127, -amax -> -127, 0.5 -> 63, 0 -> 0
+    assert list(z0["q"]) == [127, -127, 63, 0]
+    z1 = rows[1]["z"]
+    assert z1["amax"] == 0.0 and list(z1["q"]) == [0, 0, 0, 0]
+    # codes are stored as 1-byte tinyints (the whole point)
+    elem = df.select(int8_quantize("embedding").alias("z")).schema["z"].dataType["q"].dataType.elementType.simpleString()
+    assert elem == "tinyint"
+
+
+def test_int8_topk_tracks_exact_ranking(spark):
+    """Quantized inner-product top-k should closely track the exact
+    fp ranking on well-spread vectors."""
+    import random
+
+    from pyspark.sql import Row
+
+    from queens_spark.operators.similarity import int8_topk_ip
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(200)]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)])
+    got = int8_topk_ip(df, "embedding", "vec_id", query_ids=[0], k=5).collect()
+    assert len(got) == 5 and all(r["query_id"] == 0 for r in got)
+    # exact top-5 by double inner product
+    def ip(a, b):
+        return sum(x * y for x, y in zip(a, b))
+    exact = sorted(range(1, 200), key=lambda j: (-ip(vecs[0], vecs[j]), j))[:5]
+    approx_ids = [r["vec_id"] for r in got]
+    # allow one swap at the tail from quantization error
+    assert len(set(exact) & set(approx_ids)) >= 4
+    # approx_ip within quantization error of the exact value
+    for r in got:
+        assert abs(r["approx_ip"] - ip(vecs[0], vecs[r["vec_id"]])) < 0.5
