@@ -1,0 +1,199 @@
+"""Portable cardinality sketches (HyperLogLog-style).
+
+Spark's built-in ``approx_count_distinct`` is the production answer,
+but its HLL++ register hashing is JVM-private, so no external engine
+can reproduce its estimate — it cannot be oracle-graded, and two
+engines in one pipeline (Spark + anything else) would disagree. This
+module implements a deterministic HLL whose every step is portable
+integer/IEEE-double arithmetic, so the DuckDB oracle reproduces the
+estimate BIT-FOR-BIT:
+
+- 62-bit key hash from two 31-bit multiplicative hashes (products
+  stay < 2^63, so no engine-dependent overflow semantics are ever
+  invoked — DuckDB errors on BIGINT overflow where non-ANSI Spark
+  wraps, so staying in range is correctness, not style);
+- register index = low 5 bits, rank = leading-zero count of the
+  57-bit remainder via an exact CASE ladder (floating log2 would be
+  off-by-one at powers of two);
+- harmonic sum as Σ 2^(48-ρ) in exact int64 (ranks capped at 48 so
+  the sum ≤ 32·2^48 = 2^53 — exact in int64 AND in double, making
+  the final bigint→double cast lossless);
+- estimate = (0.697·2^58) / S where both factors parse/compute to
+  identical doubles in Java and DuckDB (decimal-literal parsing is
+  correctly rounded in both) and the single division is IEEE-exact.
+
+Scale shape: the sketch is the classic mergeable aggregate — the
+shuffle carries (group, register, rank) counters, never keys. At
+100 TB a COUNT(DISTINCT) shuffles every distinct key; this shuffles
+at most 32 rows per group per partition. No small-range (linear
+counting) correction: it needs ln(), which is not bit-portable — the
+raw estimator is used and documented (accuracy ~1.04/√32 ≈ 18% once
+n ≳ 2.5·m; below that it reads high).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+P1 = 2_147_483_647          # 2^31 - 1 (Mersenne prime)
+A1 = 2_654_435_761 % P1     # Knuth multiplicative constant
+B1 = 1_013_904_223          # Numerical Recipes LCG increment
+P2 = 2_147_483_629          # largest prime < P1
+A2 = 1_779_033_703 % P2     # SHA-256 IV word
+B2 = 1_640_531_527          # 2^32/φ, truncated
+M_REGS = 64                 # 2^6 registers: σ = 1.04/√64 ≈ 13%
+REG_BITS = 6
+W_BITS = 56                 # remainder width: 62-bit hash - 6
+RHO_CAP = 47                # cap so Σ 2^(47-ρ) ≤ 64·2^47 = 2^53 stays exact
+#: α_64 · m² · 2^47 = 0.709·2^59, spelled so every engine computes the
+#: IDENTICAL double: 709·2^59 is exact in double (10 significant
+#: bits), the single /1000 is correctly rounded — no decimal-literal
+#: typing rules (Spark and DuckDB both type bare `0.709` as DECIMAL,
+#: whose →double conversion path is engine-specific) ever engage.
+ALPHA_TIMES_M2_SCALED = (
+    "(CAST(709 AS DOUBLE) * CAST(576460752303423488 AS DOUBLE)"
+    " / CAST(1000 AS DOUBLE))"
+)
+
+
+def _mix31(k: Column, p: int, a: int, b: int) -> Column:
+    """One 31-bit hash lane: affine load + TWO quadratic rounds. The
+    squaring is the point — an affine-only hash maps arithmetic
+    progressions (sequential user ids!) onto arithmetic progressions
+    mod p, whose leading-zero ranks are structured (measured ≈+50%
+    estimate bias on sequential keys); x → x²+c breaks the linearity
+    and restores the geometric rank distribution (measured within ±σ
+    on sequential, even-only, and random key sets). Every product is
+    < p² < 2^62, so no engine-dependent overflow semantics engage
+    (DuckDB errors on BIGINT overflow where non-ANSI Spark wraps)."""
+    h = (k % p * a + b) % p
+    h = (h * h + a) % p
+    h = (h * h + b) % p
+    return h
+
+
+def hll_hash(key: Column | str) -> Column:
+    """62-bit portable hash: v = lane1·P2 + lane2 over two independent
+    quadratic-round 31-bit lanes."""
+    c = F.col(key) if isinstance(key, str) else key
+    k = c.cast("bigint")
+    return _mix31(k, P1, A1, B1) * P2 + _mix31(k, P2, A2, B2)
+
+
+def duckdb_hll_hash_ctes(table: str, key_expr: str, group_col: str) -> str:
+    """CTE chain for the hash (ends in ``hv(group, v)``), binding each
+    mix round's value once — the squaring reads its input twice, so
+    inline expansion would double the expression per round."""
+    return f"""h0 AS (
+        SELECT {group_col},
+               (CAST({key_expr} AS BIGINT) % {P1} * {A1} + {B1}) % {P1} AS x1,
+               (CAST({key_expr} AS BIGINT) % {P2} * {A2} + {B2}) % {P2} AS x2
+        FROM {table}
+      ), h1 AS (
+        SELECT {group_col}, (x1 * x1 + {A1}) % {P1} AS x1,
+               (x2 * x2 + {A2}) % {P2} AS x2 FROM h0
+      ), hv AS (
+        SELECT {group_col},
+               ((x1 * x1 + {B1}) % {P1}) * {P2} + ((x2 * x2 + {B2}) % {P2}) AS v
+        FROM h1
+      )"""
+
+
+def _floor_log2_case(w: Column) -> Column:
+    """Exact floor(log2(w)) for 1 ≤ w < 2^W_BITS via a CASE ladder."""
+    expr = F.lit(0)
+    for b in range(1, W_BITS + 1):
+        expr = F.when(w >= F.lit(1 << b).cast("bigint"), F.lit(b)).otherwise(expr)
+    return expr
+
+
+def duckdb_floor_log2_case(expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {expr} >= {1 << b} THEN {b}" for b in range(W_BITS, 0, -1)
+    )
+    return f"(CASE {whens} ELSE 0 END)"
+
+
+def hll_rho(w: Column) -> Column:
+    """Leading-zero rank of the W_BITS-wide remainder, capped."""
+    raw = F.when(w > 0, F.lit(W_BITS) - _floor_log2_case(w)).otherwise(
+        F.lit(W_BITS + 1)
+    )
+    return F.least(raw, F.lit(RHO_CAP)).cast("int")
+
+
+def duckdb_hll_rho(expr: str) -> str:
+    return (
+        f"least(CASE WHEN {expr} > 0 "
+        f"THEN {W_BITS} - {duckdb_floor_log2_case(expr)} "
+        f"ELSE {W_BITS + 1} END, {RHO_CAP})"
+    )
+
+
+def hll_registers(df: DataFrame, key_col: str, group_cols: list[str]) -> DataFrame:
+    """Per-group HLL register state: (group…, reg, rho) with rho
+    maxed. This is the MERGEABLE sketch — union two register frames
+    and re-aggregate max(rho) to merge corpora without re-reading
+    keys (the cross-partition / cross-day rollup move)."""
+    from queens_spark.operators.text import let_bound
+
+    v = let_bound(
+        hll_hash(key_col),
+        lambda h: F.struct(
+            (h % M_REGS).alias("reg"),
+            hll_rho(F.shiftright(h, REG_BITS)).alias("rho"),
+        ),
+    )
+    return (
+        df.select(*group_cols, v.alias("x"))
+        .groupBy(*group_cols, F.col("x.reg").alias("reg"))
+        .agg(F.max("x.rho").alias("rho"))
+    )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Finish a register frame into per-group ``hll_est``."""
+    per_group = regs.groupBy(*group_cols).agg(
+        # pyspark's shiftleft() only takes a literal shift width, so
+        # the per-row width goes through expr()
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({RHO_CAP} - rho AS INT))"))
+        .alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    s_total = (
+        F.col("s_present")
+        + (F.lit(M_REGS) - F.col("n_regs")).cast("bigint")
+        * F.lit(1 << RHO_CAP).cast("bigint")
+    )
+    return per_group.select(
+        *group_cols,
+        (F.expr(ALPHA_TIMES_M2_SCALED) / s_total.cast("double")).alias("hll_est"),
+    )
+
+
+def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str]) -> DataFrame:
+    """Per-group distinct-count estimate ``hll_est`` (double,
+    bit-portable). Two counter-width aggregations; keys never shuffle
+    beyond their (group, register) counter row."""
+    return hll_estimate(hll_registers(df, key_col, group_cols), group_cols)
+
+
+def duckdb_hll_distinct_cte(table: str, key_expr: str, group_col: str) -> str:
+    """DuckDB twin of :func:`hll_distinct` — returns a full SELECT of
+    (group_col, hll_est)."""
+    return f"""
+    WITH {duckdb_hll_hash_ctes(table, key_expr, group_col)}, regs AS (
+      SELECT {group_col}, v % {M_REGS} AS reg,
+             max({duckdb_hll_rho(f"v // {M_REGS}")}) AS rho
+      FROM hv GROUP BY {group_col}, v % {M_REGS}
+    ), s AS (
+      SELECT {group_col},
+             CAST(SUM(CAST(1 AS BIGINT) << ({RHO_CAP} - rho)) AS BIGINT)
+               + ({M_REGS} - count(*)) * (CAST(1 AS BIGINT) << {RHO_CAP}) AS s_total
+      FROM regs GROUP BY {group_col}
+    )
+    SELECT {group_col}, {ALPHA_TIMES_M2_SCALED} / CAST(s_total AS DOUBLE) AS hll_est
+    FROM s
+    """

@@ -2465,3 +2465,39 @@ def q66_int8_topk(spark, sf_dir):
         load(spark, sf_dir, "embeddings"), "embedding", "vec_id",
         query_ids=[0, 1, 2, 3, 4], k=10,
     )
+
+
+def _hll_oracle() -> str:
+    from queens_spark.operators.sketches import duckdb_hll_distinct_cte
+
+    inner = duckdb_hll_distinct_cte("events", "user_id", "event_type")
+    return f"""
+    SELECT h.event_type, x.n_exact, h.hll_est
+    FROM ({inner}) h
+    JOIN (SELECT event_type, count(DISTINCT user_id) AS n_exact
+          FROM events GROUP BY event_type) x
+      ON x.event_type = h.event_type
+    """
+
+
+@register("q68_hll_distinct", _hll_oracle())
+def q68_hll_distinct(spark, sf_dir):
+    """Portable HyperLogLog distinct-user estimate per event type,
+    alongside the exact count for calibration. Unlike
+    approx_count_distinct (JVM-private HLL++ hashing), every step is
+    portable integer/IEEE arithmetic, so the DuckDB oracle reproduces
+    the ESTIMATE bit-for-bit — and the sketch state is mergeable
+    counter rows, so at 100 TB the shuffle carries ≤ 32 registers per
+    group instead of every distinct key (see operators/sketches.py).
+    The exact branch here is the calibration reference, itself a
+    counter-width two-phase distinct."""
+    from queens_spark.operators.sketches import hll_distinct
+
+    ev = load(spark, sf_dir, "events")
+    est = hll_distinct(ev, "user_id", ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_exact", "hll_est"
+    )

@@ -1,0 +1,53 @@
+"""Tests for the portable HLL distinct sketch (q68)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from queens_spark.operators.sketches import (
+    M_REGS,
+    RHO_CAP,
+    hll_distinct,
+    hll_estimate,
+    hll_registers,
+)
+
+
+@pytest.fixture(scope="module")
+def keys(spark):
+    return spark.createDataFrame(
+        [Row(g="a", k=i) for i in range(2000)]
+        + [Row(g="b", k=3 * i + 7) for i in range(500)]
+    )
+
+
+def test_estimate_within_sigma(keys):
+    got = {r["g"]: r["hll_est"] for r in hll_distinct(keys, "k", ["g"]).collect()}
+    # sigma = 1.04/sqrt(64) ~ 13%; allow 3 sigma
+    assert abs(got["a"] / 2000 - 1) < 0.4
+    assert abs(got["b"] / 500 - 1) < 0.4
+
+
+def test_registers_are_bounded_and_mergeable(keys):
+    regs = hll_registers(keys, "k", ["g"])
+    assert regs.count() <= 2 * M_REGS
+    assert regs.agg(F.max("rho")).collect()[0][0] <= RHO_CAP
+    # merge = union + re-max: two halves must finish to the SAME
+    # estimate as the whole (the cross-day rollup property)
+    lo = hll_registers(keys.where("k < 900"), "k", ["g"])
+    hi = hll_registers(keys.where("k >= 900"), "k", ["g"])
+    merged = (
+        lo.unionAll(hi)
+        .groupBy("g", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    whole = {r["g"]: r["hll_est"] for r in hll_estimate(regs, ["g"]).collect()}
+    via_merge = {r["g"]: r["hll_est"] for r in hll_estimate(merged, ["g"]).collect()}
+    assert whole == via_merge
+
+
+def test_duplicates_do_not_move_the_estimate(spark):
+    once = spark.createDataFrame([Row(g="x", k=i) for i in range(300)])
+    thrice = spark.createDataFrame([Row(g="x", k=i % 300) for i in range(900)])
+    e1 = hll_distinct(once, "k", ["g"]).collect()[0]["hll_est"]
+    e3 = hll_distinct(thrice, "k", ["g"]).collect()[0]["hll_est"]
+    assert e1 == e3
