@@ -179,3 +179,50 @@ def test_jaccard_verification_is_pruned(spark):
     assert "array_intersect" in plan
     assert plan.count("array_intersect") <= 4  # verify stage only
     release_caches()
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    """q62: repetition is a per-document property — the plan must be a
+    pure projection over the scan. The only allowed Exchange is the
+    deliberate RoundRobin spread of the single-row-group documents
+    scan (session.ensure_min_partitions) — never a hash shuffle."""
+    from queens_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q62_repetition_stats"](spark, SF_DIR))
+    assert "hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_int8_topk_candidates_never_shuffle(spark):
+    """q66: per-query TakeOrderedAndProject branches over the persisted
+    code frame — no shuffle exchange anywhere in the plan."""
+    from queens_spark.queries import QUERIES
+
+    from queens_spark.operators.dedup import release_caches
+
+    plan = plan_of(QUERIES["q66_int8_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+    release_caches()
+
+
+def test_mixture_sample_is_map_side_filter(spark):
+    """q65: after the counter-width planning job, the sampled corpus is
+    a pure pushed-filter scan — no hash shuffle, no join; the CASE
+    thresholds must sit in the scan's DataFilters (map-side)."""
+    from queens_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q65_mixture_sample"](spark, SF_DIR))
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "Filter" in plan
+
+
+def test_vocabulary_take_ordered_after_partial_agg(spark):
+    """q67: global top-k must ride TakeOrderedAndProject over the
+    aggregated vocabulary with partial (map-side) aggregation."""
+    from queens_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q67_vocabulary"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_" in plan  # map-side combine before the shuffle
