@@ -5,9 +5,11 @@ The Spark-side machinery here is real and tested — schema contracts,
 partitioning, ``mapInPandas`` batch shapes, deterministic feature
 extraction over raw bytes. Decode kernels are REAL for every format
 the Python stdlib can parse — WAV (``wave`` + numpy), BMP, PPM/PGM
-(struct/numpy header+pixel parsing), including a real nearest-
-neighbour resize that re-encodes the same format. Compressed codecs
-(JPEG/PNG/MP4/MP3) require native libraries NOT in this runtime, so
+(struct/numpy header+pixel parsing), and 8-bit non-interlaced PNG
+(chunk parse + stdlib zlib inflate + all five scanline filters +
+palette lookup), including a real nearest-neighbour resize that
+re-encodes the same format. The remaining codecs
+(JPEG/GIF/MP4/MP3) require native libraries NOT in this runtime, so
 those kernels remain explicit stubs: they raise
 ``NotImplementedError`` behind the same interface a real kernel would
 implement, and ``fake_features``/``fake_resize`` provide
@@ -66,8 +68,8 @@ def size_bucketed(df: DataFrame, target_bytes: int = 64 << 20) -> DataFrame:
 # ------------------------------------------------- format sniffing
 
 #: formats with a REAL stdlib decode path vs honest stubs
-DECODABLE_FORMATS = {"wav", "bmp", "ppm", "pgm"}
-STUBBED_FORMATS = {"jpeg", "png", "gif", "mp4", "mp3", "ogg"}
+DECODABLE_FORMATS = {"wav", "bmp", "ppm", "pgm", "png"}
+STUBBED_FORMATS = {"jpeg", "gif", "mp4", "mp3", "ogg"}
 
 
 def sniff_format(content: bytes | None) -> str | None:
@@ -184,21 +186,139 @@ def _decode_pnm_pixels(content: bytes) -> np.ndarray:
     return px.reshape(height, width, ch)
 
 
+def _png_chunks(content: bytes):
+    pos = 8
+    while pos + 8 <= len(content):
+        length, ctype = struct.unpack_from(">I4s", content, pos)
+        data = content[pos + 8 : pos + 8 + length]
+        yield ctype, data
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            return
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png_pixels(content: bytes) -> np.ndarray:
+    """(H, W, C) uint8 array from a non-interlaced 8-bit PNG — REAL
+    decode via stdlib ``zlib``: parse chunks, inflate the IDAT stream,
+    undo the five scanline filters (None/Sub/Up/Average/Paeth), and
+    apply the PLTE lookup for palette images. Grayscale C=1, RGB C=3,
+    gray+alpha C=2, RGBA C=4; palette expands to RGB."""
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    header = palette = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(content):
+        if ctype == b"IHDR":
+            header = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if header is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, bit_depth, color_type, _comp, _filt, interlace = header
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG decodable here "
+            f"(bit_depth={bit_depth}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel payload size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at bit depth 8
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:      # None
+            rec = row
+        elif ftype == 2:    # Up
+            rec = (row + prior) & 0xFF
+        else:               # Sub/Average/Paeth need the left neighbour
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                up = prior[x]
+                ul = prior[x - bpp] if x >= bpp else 0
+                if ftype == 1:      # Sub
+                    pred = left
+                elif ftype == 3:    # Average
+                    pred = (left + up) // 2
+                elif ftype == 4:    # Paeth
+                    pred = _paeth(left, up, ul)
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                rec[x] = (row[x] + pred) & 0xFF
+        out[y] = rec.astype(np.uint8)
+    px = out.reshape(height, width, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        px = palette[px[:, :, 0]]
+    return px
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Non-interlaced 8-bit PNG (filter 0 scanlines, stdlib zlib) from
+    a (H, W, C) uint8 array — the inverse of :func:`_decode_png_pixels`
+    for C in {1, 2, 3, 4}."""
+    import zlib
+
+    height, width, channels = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    rows = bytearray()
+    for y in range(height):
+        rows.append(0)
+        rows.extend(px[y].tobytes())
+    idat = zlib.compress(bytes(rows), 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(content: bytes) -> dict:
     """REAL decode for stdlib-parsable image formats (uncompressed BMP,
-    binary PPM/PGM): returns width/height/channels plus per-channel
-    mean and std. Compressed formats (JPEG/PNG/GIF) still raise —
-    their codecs are not in this runtime."""
+    binary PPM/PGM, 8-bit non-interlaced PNG via zlib): returns
+    width/height/channels plus per-channel mean and std. JPEG/GIF
+    still raise — their codecs are not in this runtime."""
     fmt = sniff_format(content)
     if fmt == "bmp":
         px = _decode_bmp_pixels(content)
     elif fmt in ("ppm", "pgm"):
         px = _decode_pnm_pixels(content)
+    elif fmt == "png":
+        px = _decode_png_pixels(content)
     else:
         raise NotImplementedError(
             f"image decode for {fmt or 'unknown'} requires a codec library "
             "(e.g. PIL), not available in this runtime — decodable here: "
-            "bmp/ppm/pgm; use fake_features for plumbing tests"
+            "bmp/ppm/pgm/png; use fake_features for plumbing tests"
         )
     return {
         "format": fmt,
@@ -248,7 +368,7 @@ def media_features(content: bytes | None, dim: int = FEATURE_DIM) -> list[float]
             1.0, m["duration_ms"] / 1000.0, m["sample_rate"] / 1e5,
             float(m["channels"]), float(m["sample_width"]), m["rms"],
         ]
-    elif fmt in ("bmp", "ppm", "pgm"):
+    elif fmt in ("bmp", "ppm", "pgm", "png"):
         m = decode_image(content)
         mean3 = (m["mean"] + [0.0, 0.0])[:3]
         std3 = (m["std"] + [0.0, 0.0])[:3]
@@ -315,11 +435,13 @@ def resize_image(content: bytes, width: int, height: int) -> bytes:
         px, enc = _decode_bmp_pixels(content), encode_bmp
     elif fmt in ("ppm", "pgm"):
         px, enc = _decode_pnm_pixels(content), encode_pnm
+    elif fmt == "png":
+        px, enc = _decode_png_pixels(content), encode_png
     else:
         raise NotImplementedError(
             f"image resize for {fmt or 'unknown'} requires a codec library "
             "(e.g. PIL), not available in this runtime — resizable here: "
-            "bmp/ppm/pgm; use fake_resize for plumbing tests"
+            "bmp/ppm/pgm/png; use fake_resize for plumbing tests"
         )
     ys = np.minimum((np.arange(height) * px.shape[0]) // height, px.shape[0] - 1)
     xs = np.minimum((np.arange(width) * px.shape[1]) // width, px.shape[1] - 1)

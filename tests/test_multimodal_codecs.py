@@ -126,10 +126,12 @@ def test_resize_real_nearest_neighbour():
 
 
 def test_compressed_formats_still_stub():
+    # jpeg/gif/mp4 remain honest stubs (no codec libs in this
+    # runtime); png is REAL now — covered by the PNG tests below
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
     with pytest.raises(NotImplementedError):
-        resize_image(b"\x89PNG\r\n\x1a\n png bytes", 2, 2)
+        resize_image(b"GIF89a gif bytes", 2, 2)
     with pytest.raises(NotImplementedError):
         media_features(b"\x00\x00\x00\x18ftypmp42 video")
 
@@ -171,3 +173,126 @@ def test_spark_resize_on_real_bytes(spark):
     assert (resized["width"], resized["height"]) == (3, 3)
     assert (out[1]["meta"]["width"], out[1]["meta"]["height"]) == (3, 3)
     assert bytes(out[2]["content"]) == make_wav()  # non-image untouched
+
+
+# ----------------------------------------------------------- PNG codec
+
+def test_png_roundtrip_all_channel_counts():
+    import numpy as np
+
+    from queens_spark.operators.multimodal import _decode_png_pixels, encode_png
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(9, 14, ch), dtype=np.uint8)
+        assert np.array_equal(_decode_png_pixels(encode_png(px)), px)
+
+
+def test_png_all_five_scanline_filters():
+    """Hand-filter each row with a different PNG filter type and check
+    the decoder reconstructs the original pixels — covers Sub, Up,
+    Average, and Paeth, not just the filter-0 rows our encoder emits."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from queens_spark.operators.multimodal import _decode_png_pixels, _paeth
+
+    rng = np.random.default_rng(3)
+    h, w, ch = 5, 7, 3
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    raw = bytearray()
+    for y in range(h):
+        ftype = y % 5
+        raw.append(ftype)
+        prior = flat[y - 1] if y > 0 else np.zeros(w * ch, np.int32)
+        for x in range(w * ch):
+            left = flat[y][x - ch] if x >= ch else 0
+            up = prior[x]
+            ul = prior[x - ch] if x >= ch else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) // 2,
+                    4: _paeth(int(left), int(up), int(ul))}[ftype]
+            raw.append((int(flat[y][x]) - pred) & 0xFF)
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+    assert np.array_equal(_decode_png_pixels(blob), px)
+
+
+def test_png_palette_expands_to_rgb():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from queens_spark.operators.multimodal import _decode_png_pixels
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", palette)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+    got = _decode_png_pixels(blob)
+    assert got.shape == (2, 2, 3)
+    assert got[0, 0].tolist() == [255, 0, 0]
+    assert got[0, 1].tolist() == [0, 255, 0]
+    assert got[1, 0].tolist() == [0, 0, 255]
+
+
+def test_png_features_and_resize_are_real():
+    import numpy as np
+
+    from queens_spark.operators.multimodal import (
+        _decode_png_pixels,
+        decode_image,
+        encode_png,
+        media_features,
+        resize_image,
+    )
+
+    px = np.zeros((10, 10, 3), dtype=np.uint8)
+    px[:, :, 0] = 200  # red-ish constant image
+    blob = encode_png(px)
+    m = decode_image(blob)
+    assert (m["width"], m["height"], m["channels"]) == (10, 10, 3)
+    assert m["mean"][0] == 200.0 and m["mean"][1] == 0.0
+    feats = media_features(blob)
+    assert feats[0] == 2.0 and feats[3] == 3.0  # image modality, 3 ch
+    small = resize_image(blob, 4, 4)
+    assert _decode_png_pixels(small).shape == (4, 4, 3)
+
+
+def test_png_interlaced_and_16bit_still_raise():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from queens_spark.operators.multimodal import _decode_png_pixels
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    for depth, interlace in ((16, 0), (8, 1)):
+        blob = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace))
+                + chunk(b"IEND", b""))
+        with _pytest.raises(NotImplementedError):
+            _decode_png_pixels(blob)
