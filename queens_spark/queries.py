@@ -2501,3 +2501,37 @@ def q68_hll_distinct(spark, sf_dir):
     return est.join(exact, "event_type").select(
         "event_type", "n_exact", "hll_est"
     )
+
+
+def _stream_hll_oracle() -> str:
+    from queens_spark.operators.sketches import duckdb_hll_distinct_cte
+
+    src = (
+        "(SELECT date_trunc('hour', ts) AS window_start, "
+        "date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end, "
+        "event_type, user_id FROM events)"
+    )
+    return duckdb_hll_distinct_cte(
+        src, "user_id", "window_start, window_end, event_type"
+    )
+
+
+@register("q69_stream_hll_distinct", _stream_hll_oracle())
+def q69_stream_hll_distinct(spark, sf_dir):
+    """Streaming distinct-user estimate per hourly window and event
+    type: watermarked HLL REGISTER aggregation (bounded state — ≤64
+    counter rows per group, where streaming COUNT(DISTINCT) would need
+    unbounded key memory), finished into estimates on the sink output.
+    Backfilled via availableNow and checked against the batch SQL
+    oracle — the portable sketch makes streaming and batch estimates
+    identical (see streaming.windowed_hll_registers)."""
+    from queens_spark.operators.sketches import hll_estimate
+    from queens_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        windowed_hll_registers,
+    )
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    regs = run_available_now(windowed_hll_registers(ev), "q69_mem")
+    return hll_estimate(regs, ["window_start", "window_end", "event_type"])

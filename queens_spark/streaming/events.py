@@ -200,3 +200,51 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def windowed_hll_registers(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming distinct-count sketch state: HLL registers per
+    (window, event_type) — rows (window_start, window_end, event_type,
+    reg, rho).
+
+    Streaming COUNT(DISTINCT) is unsupported because its state is
+    unbounded (every key must be remembered); the sketch replaces it
+    with a BOUNDED windowed aggregate — at most 64 register rows per
+    (window, type) regardless of traffic — using the same portable
+    hash/rank as the batch sketch (operators/sketches.py), so batch
+    and streaming estimates agree exactly. Register frames MERGE by
+    max(rho): a backfill and a live stream, or two clusters, combine
+    without re-reading keys. Finish with
+    ``sketches.hll_estimate(regs, ["window_start", "window_end",
+    "event_type"])`` on the sink output — the split production wants,
+    since finishing is a read-side scalar pass."""
+    from queens_spark.operators.sketches import M_REGS, REG_BITS, hll_hash, hll_rho
+    from queens_spark.operators.text import let_bound
+
+    x = let_bound(
+        hll_hash(key_col),
+        lambda h: F.struct(
+            (h % M_REGS).alias("reg"),
+            hll_rho(F.shiftright(h, REG_BITS)).alias("rho"),
+        ),
+    )
+    return (
+        events.withWatermark("event_time", watermark)
+        .select("event_time", "event_type", x.alias("x"))
+        .groupBy(
+            F.window("event_time", window).alias("w"),
+            F.col("event_type"),
+            F.col("x.reg").alias("reg"),
+        )
+        .agg(F.max("x.rho").alias("rho"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "reg", "rho",
+        )
+    )
