@@ -13,7 +13,7 @@ overflow at any id scale because the key is reduced mod p first.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 HASH_P = 1_000_000_007
 HASH_A = 2_654_435_761  # Knuth's multiplicative constant
@@ -173,6 +173,51 @@ def duckdb_mixture_sample_cte(
     JOIN tau ON d.{strata_col} = tau.{strata_col}
     WHERE {duckdb_hash_bucket(key_expr, salt)} < tau_bp
     """
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_bp: Column,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-row weighted Bernoulli sampling with the stable hash:
+    keep a row iff hash_bucket(key) < *weight_bp* (a Column in basis
+    points, e.g. ``floor(quality * 10000)``) — the quality-weighted
+    downsampling move ("keep good documents proportionally more"),
+    deterministic per key on any engine at any parallelism.
+
+    Map-side filter; the corpus never shuffles. The acceptance
+    probability is weight_bp/10000 quantized to 1 bp — derive the
+    weight column with integer/portable arithmetic when the sample
+    must be reproducible cross-engine."""
+    return df.where(hash_bucket(key_col, salt) < weight_bp)
+
+
+def per_group_k_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic uniform k-sample PER GROUP: rank keys by
+    (hash_bucket, key) inside each stratum and keep the first k — the
+    "k documents per domain" cap. Unlike limit/sample, membership is a
+    pure function of the keys present, so reruns and engines agree.
+
+    One shuffle on the stratum key; per-group state is the rank
+    window's sort of that group only. For heavily skewed groups at
+    100 TB, pre-filter with ``hash_sample`` at a generous multiple of
+    k/|group| first so the window sorts a bounded candidate set."""
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(key_col, salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
 
 
 def stratified_hash_sample(

@@ -2535,3 +2535,75 @@ def q69_stream_hll_distinct(spark, sf_dir):
     ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
     regs = run_available_now(windowed_hll_registers(ev), "q69_mem")
     return hll_estimate(regs, ["window_start", "window_end", "event_type"])
+
+
+#: DuckDB twin of text.quality_score (same expression q23's oracle
+#: uses, factored for reuse by the weighted-sampling oracle).
+_DUCK_QUALITY = f"""(
+    0.4 * least(CAST(len({_DUCK_TOKS}) AS DOUBLE) / 100.0, 1.0)
+    + 0.3 * (1.0 - CASE WHEN length(text) > 0
+                        THEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                             / length(text)
+                        ELSE 0.0 END)
+    + 0.3 * CASE WHEN len({_DUCK_TOKS}) > 0
+                 THEN CAST(len(list_distinct({_DUCK_TOKS})) AS DOUBLE) / len({_DUCK_TOKS})
+                 ELSE 0.0 END)"""
+
+
+def _weighted_sample_oracle() -> str:
+    from queens_spark.operators.sampling import duckdb_hash_bucket
+
+    return f"""
+    SELECT doc_id, quality_bp
+    FROM (SELECT doc_id,
+                 CAST(floor({_DUCK_QUALITY} * 10000.0) AS BIGINT) AS quality_bp
+          FROM documents)
+    WHERE {duckdb_hash_bucket('doc_id')} < quality_bp
+    """
+
+
+@register("q70_quality_weighted_sample", _weighted_sample_oracle())
+def q70_quality_weighted_sample(spark, sf_dir):
+    """Quality-weighted downsampling: keep each document with
+    probability ∝ its quality score (acceptance = floor(q·10000) basis
+    points against the stable per-key hash) — deterministic per key,
+    map-side filter, the corpus never shuffles. The weight derives
+    from the same bit-portable quality expression as q23, so the
+    oracle reproduces membership exactly."""
+    from queens_spark.operators.sampling import weighted_hash_sample
+    from queens_spark.operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "quality_bp",
+        F.floor(quality_score("text") * 10000.0).cast("bigint"),
+    )
+    return weighted_hash_sample(docs, "doc_id", F.col("quality_bp")).select(
+        "doc_id", "quality_bp"
+    )
+
+
+def _per_group_k_oracle(k: int) -> str:
+    from queens_spark.operators.sampling import duckdb_hash_bucket
+
+    return f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {duckdb_hash_bucket('doc_id')}, doc_id) AS rk
+      FROM documents)
+    WHERE rk <= {k}
+    """
+
+
+@register("q71_per_group_k_sample", _per_group_k_oracle(5))
+def q71_per_group_k_sample(spark, sf_dir):
+    """Deterministic uniform 5-per-source document cap ("k docs per
+    domain"): rank by (stable hash, id) inside each stratum — one
+    shuffle on the stratum key, membership a pure function of the keys
+    present (see sampling.per_group_k_sample)."""
+    from queens_spark.operators.sampling import per_group_k_sample
+
+    return per_group_k_sample(
+        load(spark, sf_dir, "documents"), "doc_id", "source", k=5
+    ).select("doc_id", "source")

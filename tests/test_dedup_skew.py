@@ -252,3 +252,30 @@ def test_mixture_sample_hits_target_shares(spark):
         mixture_sample(df, "k", "s", {"a": 900_000, "b": 200_000})
     with pytest.raises(ValueError, match="positive"):
         mixture_sample(df, "k", "s", {"a": 0})
+
+
+def test_weighted_and_per_group_sampling(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from queens_spark.operators.sampling import (
+        per_group_k_sample,
+        weighted_hash_sample,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k=i, s=f"g{i % 4}", w=10_000 if i % 2 == 0 else 0)
+         for i in range(400)])
+    # weight 0 -> never kept; weight 10000 bp -> always kept
+    kept = weighted_hash_sample(df, "k", F.col("w")).collect()
+    assert {r["k"] % 2 for r in kept} == {0} and len(kept) == 200
+    # per-group cap: exactly k rows per group, deterministic across runs
+    s1 = per_group_k_sample(df, "k", "s", k=7)
+    assert s1.groupBy("s").count().agg(F.min("count"), F.max("count")).collect()[0] == Row(**{"min(count)": 7, "max(count)": 7})
+    ids1 = sorted(r["k"] for r in s1.collect())
+    ids2 = sorted(r["k"] for r in per_group_k_sample(df, "k", "s", k=7).collect())
+    assert ids1 == ids2
+    # membership is independent of which OTHER groups exist
+    only_g0 = per_group_k_sample(df.where("s = 'g0'"), "k", "s", k=7)
+    assert sorted(r["k"] for r in only_g0.collect()) == [
+        k for k in ids1 if k % 4 == 0]
