@@ -8,27 +8,30 @@ module implements a deterministic HLL whose every step is portable
 integer/IEEE-double arithmetic, so the DuckDB oracle reproduces the
 estimate BIT-FOR-BIT:
 
-- 62-bit key hash from two 31-bit multiplicative hashes (products
+- 62-bit key hash from two 31-bit quadratic-round lanes (products
   stay < 2^63, so no engine-dependent overflow semantics are ever
   invoked — DuckDB errors on BIGINT overflow where non-ANSI Spark
   wraps, so staying in range is correctness, not style);
-- register index = low 5 bits, rank = leading-zero count of the
-  57-bit remainder via an exact CASE ladder (floating log2 would be
+- register index = low 6 bits, rank = leading-zero count of the
+  56-bit remainder via an exact CASE ladder (floating log2 would be
   off-by-one at powers of two);
-- harmonic sum as Σ 2^(48-ρ) in exact int64 (ranks capped at 48 so
-  the sum ≤ 32·2^48 = 2^53 — exact in int64 AND in double, making
+- harmonic sum as Σ 2^(47-ρ) in exact int64 (ranks capped at 47 so
+  the sum ≤ 64·2^47 = 2^53 — exact in int64 AND in double, making
   the final bigint→double cast lossless);
-- estimate = (0.697·2^58) / S where both factors parse/compute to
+- estimate = (0.709·2^59) / S where both factors parse/compute to
   identical doubles in Java and DuckDB (decimal-literal parsing is
   correctly rounded in both) and the single division is IEEE-exact.
 
 Scale shape: the sketch is the classic mergeable aggregate — the
 shuffle carries (group, register, rank) counters, never keys. At
 100 TB a COUNT(DISTINCT) shuffles every distinct key; this shuffles
-at most 32 rows per group per partition. No small-range (linear
+at most 64 rows per group per partition. No small-range (linear
 counting) correction: it needs ln(), which is not bit-portable — the
-raw estimator is used and documented (accuracy ~1.04/√32 ≈ 18% once
+raw estimator is used and documented (accuracy ~1.04/√64 ≈ 13% once
 n ≳ 2.5·m; below that it reads high).
+
+Also here: a portable COUNT-MIN sketch (fixed-memory frequency
+estimation, merge-by-addition) with the same cross-engine guarantee.
 """
 
 from __future__ import annotations
@@ -197,3 +200,120 @@ def duckdb_hll_distinct_cte(table: str, key_expr: str, group_col: str) -> str:
     SELECT {group_col}, {ALPHA_TIMES_M2_SCALED} / CAST(s_total AS DOUBLE) AS hll_est
     FROM s
     """
+
+
+# ----------------------------------------------- count-min sketch
+
+#: Count-min geometry: d pairwise-independent affine hash rows over a
+#: power-of-two bucket count. Error bound: est ≤ true + 2N/w with
+#: probability 1 − (1/2)^d over the salt choice (N = total tokens).
+CMS_D = 4
+CMS_W = 1024
+CMS_P = 1_000_000_007  # = operators.text.HASH_MOD — the token-hash field
+
+
+def _cms_const(tag: str, j: int, mod: int) -> int:
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.sha256(f"queens-cms-{tag}-{j}".encode()).digest()[:8], "big"
+    ) % mod
+
+
+CMS_A = [_cms_const("a", j, CMS_P - 1) | 1 for j in range(CMS_D)]
+CMS_B = [_cms_const("b", j, CMS_P) for j in range(CMS_D)]
+
+
+def cms_bucket_expr(h: Column, j: int) -> Column:
+    """Row-j bucket for a token hash h < CMS_P (affine over the prime
+    field — pairwise independent, and h·a < 1e18 stays in int64)."""
+    return (h * CMS_A[j] + CMS_B[j]) % CMS_P % CMS_W
+
+
+def cms_build(tokens_df: DataFrame, token_col: str = "token") -> DataFrame:
+    """Count-min sketch of a token stream: (cms_row, bucket, cnt) —
+    d·w = 4096 counters regardless of vocabulary or corpus size.
+
+    This is the fixed-memory frequency summary: exact per-token counts
+    need a vocabulary-sized aggregation; the sketch needs 4096
+    counters that MERGE BY ADDITION (sum two sketches counter-wise),
+    so per-shard/per-day sketches roll up without re-reading tokens.
+    Map-side partial aggregation shrinks the shuffle to ≤ d·w rows per
+    partition."""
+    from queens_spark.operators.text import char_poly_hash, let_bound
+
+    buckets = let_bound(
+        char_poly_hash(F.col(token_col)),
+        lambda h: F.array(*[
+            F.struct(
+                F.lit(j).alias("cms_row"),
+                cms_bucket_expr(h, j).alias("bucket"),
+            )
+            for j in range(CMS_D)
+        ]),
+    )
+    return (
+        tokens_df.select(F.explode(buckets).alias("b"))
+        .groupBy(F.col("b.cms_row").alias("cms_row"), F.col("b.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_probe(sketch: DataFrame, probes: DataFrame, token_col: str = "token") -> DataFrame:
+    """Frequency estimates for the probe tokens: min over the d rows
+    of each token's counter. The sketch is 4096 rows, so Catalyst
+    broadcasts it and the probe never shuffles the sketch side;
+    estimates only ever OVER-count (collisions add, never subtract)."""
+    from queens_spark.operators.text import char_poly_hash, let_bound
+
+    buckets = let_bound(
+        char_poly_hash(F.col(token_col)),
+        lambda h: F.array(*[
+            F.struct(
+                F.lit(j).alias("cms_row"),
+                cms_bucket_expr(h, j).alias("bucket"),
+            )
+            for j in range(CMS_D)
+        ]),
+    )
+    exploded = probes.select(
+        F.col(token_col), F.explode(buckets).alias("b")
+    ).select(token_col, F.col("b.cms_row").alias("cms_row"), F.col("b.bucket").alias("bucket"))
+    return (
+        exploded.join(F.broadcast(sketch), ["cms_row", "bucket"], "left")
+        .groupBy(token_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
+    )
+
+
+def duckdb_cms_cte(tokens_select: str, token_col: str = "token") -> str:
+    """DuckDB twin of :func:`cms_build` as a CTE body ``cms(cms_row,
+    bucket, cnt)``; *tokens_select* yields one row per token
+    occurrence."""
+    from queens_spark.operators.text import duckdb_char_poly_hash
+
+    h = duckdb_char_poly_hash(token_col)
+    rows = " UNION ALL ".join(
+        f"SELECT {j} AS cms_row, (__h * {CMS_A[j]} + {CMS_B[j]}) % {CMS_P} % {CMS_W} AS bucket "
+        f"FROM th"
+        for j in range(CMS_D)
+    )
+    return f"""th AS (
+      SELECT {h} AS __h FROM ({tokens_select})
+    ), cms AS (
+      SELECT cms_row, bucket, count(*) AS cnt FROM ({rows}) GROUP BY cms_row, bucket
+    )"""
+
+
+def duckdb_cms_probe_expr(token_expr: str) -> str:
+    """Scalar DuckDB expression: count-min estimate for *token_expr*
+    against the ``cms`` CTE."""
+    from queens_spark.operators.text import duckdb_char_poly_hash
+
+    h = duckdb_char_poly_hash(token_expr)
+    mins = ", ".join(
+        f"coalesce((SELECT cnt FROM cms WHERE cms_row = {j} "
+        f"AND bucket = (__ph * {CMS_A[j]} + {CMS_B[j]}) % {CMS_P} % {CMS_W}), 0)"
+        for j in range(CMS_D)
+    )
+    return f"(SELECT least({mins}) FROM (SELECT {h} AS __ph) __pr)"

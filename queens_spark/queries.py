@@ -2607,3 +2607,44 @@ def q71_per_group_k_sample(spark, sf_dir):
     return per_group_k_sample(
         load(spark, sf_dir, "documents"), "doc_id", "source", k=5
     ).select("doc_id", "source")
+
+
+def _cms_oracle(top: int) -> str:
+    from queens_spark.operators.sketches import duckdb_cms_cte, duckdb_cms_probe_expr
+
+    tokens_select = f"SELECT unnest({_DUCK_TOKS}) AS token FROM documents"
+    return f"""
+    WITH {duckdb_cms_cte(tokens_select)},
+    vocab AS (
+      SELECT token, count(*) AS n_exact
+      FROM ({tokens_select}) GROUP BY token
+      ORDER BY n_exact DESC, token LIMIT {top}
+    )
+    SELECT token, n_exact, {duckdb_cms_probe_expr('token')} AS cms_est
+    FROM vocab
+    """
+
+
+@register("q72_cms_heavy_hitters", _cms_oracle(20))
+def q72_cms_heavy_hitters(spark, sf_dir):
+    """Count-min frequency estimates for the top-20 corpus tokens,
+    alongside exact counts. The sketch is 4·1024 counters REGARDLESS
+    of vocabulary size and merges by addition — at 100 TB, per-shard
+    sketches sum into a corpus sketch without re-reading tokens, where
+    exact counting shuffles the whole vocabulary; estimates only ever
+    over-count (bounded by 2N/w per row). Probe joins broadcast the
+    4096-row sketch (see operators/sketches.py cms_*)."""
+    from queens_spark.operators.sketches import cms_build, cms_probe
+    from queens_spark.operators.text import tokens as _tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tokens("text")).alias("token"))
+    sketch = cms_build(tok)
+    vocab = (
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("token"))
+        .limit(20)
+    )
+    return cms_probe(sketch, vocab).join(vocab, "token").select(
+        "token", "n_exact", "cms_est"
+    )

@@ -51,3 +51,32 @@ def test_duplicates_do_not_move_the_estimate(spark):
     e1 = hll_distinct(once, "k", ["g"]).collect()[0]["hll_est"]
     e3 = hll_distinct(thrice, "k", ["g"]).collect()[0]["hll_est"]
     assert e1 == e3
+
+
+def test_cms_overestimates_and_merges(spark):
+    from queens_spark.operators.sketches import CMS_D, CMS_W, cms_build, cms_probe
+
+    toks = (["alpha"] * 50 + ["beta"] * 20 + [f"rare{i}" for i in range(200)])
+    df = spark.createDataFrame([Row(token=t) for t in toks])
+    sketch = cms_build(df)
+    assert sketch.count() <= CMS_D * CMS_W
+    probes = spark.createDataFrame(
+        [Row(token="alpha"), Row(token="beta"), Row(token="rare0"),
+         Row(token="never_seen")])
+    got = {r["token"]: r["cms_est"] for r in cms_probe(sketch, probes).collect()}
+    # estimates never under-count; at this scale they are exact-ish
+    assert got["alpha"] >= 50 and got["beta"] >= 20 and got["rare0"] >= 1
+    assert got["alpha"] <= 50 + 2 * len(toks) // CMS_W
+    # unseen tokens may collide but stay within the additive bound
+    assert 0 <= got["never_seen"] <= 2 * len(toks) // CMS_W + 1
+    # merge-by-addition: sum of two half sketches == whole sketch
+    half1 = cms_build(df.limit(100))
+    half2 = cms_build(df.subtract(df.limit(0)).exceptAll(df.limit(100)))
+    merged = (
+        half1.unionAll(half2)
+        .groupBy("cms_row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r["cms_row"], r["bucket"]): r["cnt"] for r in sketch.collect()}
+    via = {(r["cms_row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert whole == via
