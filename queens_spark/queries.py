@@ -2648,3 +2648,95 @@ def q72_cms_heavy_hitters(spark, sf_dir):
     return cms_probe(sketch, vocab).join(vocab, "token").select(
         "token", "n_exact", "cms_est"
     )
+
+
+def _pipeline_oracle(quality_min: float, budget: int) -> str:
+    from queens_spark.operators.sampling import duckdb_hash_split
+
+    clean = r"""trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          'https?://[^\s]+', '<URL>', 'g'),
+        '\s+', ' ', 'g'))"""
+    split = duckdb_hash_split("doc_id", {"test": 1000, "train": 8000, "val": 1000})
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, {clean} AS text FROM documents
+    ), canon AS (
+      SELECT doc_id, lang, text,
+             MIN(doc_id) OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             ) AS rep
+      FROM base
+    ), kept AS (
+      SELECT doc_id, lang, text,
+             {_DUCK_QUALITY} AS quality,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+      FROM canon WHERE doc_id = rep
+    ), sp AS (
+      SELECT doc_id, lang, n_tokens, quality, {split} AS split
+      FROM kept WHERE quality >= {quality_min}
+    ), c AS (
+      SELECT *, SUM(n_tokens) OVER (
+        PARTITION BY split ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM sp
+    )
+    SELECT doc_id, lang, split, n_tokens, quality,
+           CAST(floor((cum - n_tokens) / {budget}.0) AS BIGINT) AS pack_id
+    FROM c
+    """
+
+
+@register("q73_curation_pipeline", _pipeline_oracle(0.6, 2000))
+def q73_curation_pipeline(spark, sf_dir):
+    """The end-to-end curation pipeline in ONE declarative plan:
+    redact (email/URL masking + whitespace normalization) → exact
+    dedup (drop non-canonical fingerprint copies) → quality filter
+    (≥ 0.6) → leak-free train/val/test split → token-budget packing
+    per split. This is the composition a training-data team actually
+    runs; every stage reuses a catalog operator and the whole chain
+    stays oracle-checked.
+
+    Plan shape: the cleaning regexps run ONCE per row below the
+    fingerprint window's exchange (the shuffle materializes
+    clean_text, so post-shuffle stages read the column instead of
+    re-deriving it — the projection-collapse footgun this codebase
+    documents); then one narrow window per stage key. Two shuffles
+    total (fingerprint window, split packing window) — both carry
+    (id, clean_text)-width rows, and the second partitions on the
+    3-way split key."""
+    from queens_spark.operators.sampling import hash_split
+    from queens_spark.operators.text import (
+        doc_fingerprint,
+        mask_pii,
+        normalize_text,
+        quality_score,
+        token_count,
+    )
+
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", normalize_text(mask_pii("text")).alias("clean_text")
+    )
+    rep = F.min("doc_id").over(
+        Window.partitionBy(doc_fingerprint("clean_text"))
+    )
+    canon = base.withColumn("rep", rep).where(F.col("doc_id") == F.col("rep"))
+    kept = canon.select(
+        "doc_id", "lang",
+        quality_score("clean_text").alias("quality"),
+        token_count("clean_text").alias("n_tokens"),
+    ).where(F.col("quality") >= 0.6)
+    sp = kept.withColumn(
+        "split",
+        hash_split("doc_id", {"test": 1000, "train": 8000, "val": 1000}),
+    )
+    w = (
+        Window.partitionBy("split").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sp.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2000.0))
+        .cast("bigint"),
+    ).select("doc_id", "lang", "split", "n_tokens", "quality", "pack_id")

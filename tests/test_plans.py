@@ -226,3 +226,21 @@ def test_vocabulary_take_ordered_after_partial_agg(spark):
     plan = plan_of(QUERIES["q67_vocabulary"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "partial_" in plan  # map-side combine before the shuffle
+
+
+def test_curation_pipeline_two_shuffles_one_clean_pass(spark):
+    """q73: the five-stage pipeline must compile to exactly TWO hash
+    exchanges (fingerprint window, split packing window), with the
+    cleaning regexps evaluated once below the first exchange — not
+    re-derived per consumer."""
+    from queens_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q73_curation_pipeline"](spark, SF_DIR))
+    # formatted explain lists each Exchange's partitioning once in its
+    # Arguments block; the third Exchange is the deliberate RoundRobin
+    # spread of the single-row-group documents scan
+    assert plan.count("hashpartitioning") == 2
+    # email + url + whitespace (clean) + fingerprint-normalize +
+    # punct-ratio = 5-6 regexp sites, each ONCE; duplication per
+    # consumer would double this
+    assert plan.count("regexp_replace") <= 6
