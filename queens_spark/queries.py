@@ -2740,3 +2740,160 @@ def q73_curation_pipeline(spark, sf_dir):
         F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2000.0))
         .cast("bigint"),
     ).select("doc_id", "lang", "split", "n_tokens", "quality", "pack_id")
+
+
+def _centroid_oracle() -> str:
+    from queens_spark.operators.similarity import QUANT, duckdb_quantize
+
+    return f"""
+    WITH q AS (
+      SELECT label, {duckdb_quantize('embedding')} AS qv FROM embeddings
+    ), d AS (
+      SELECT label, i AS dim, qv[i] AS v
+      FROM q, unnest(range(1, len(qv) + 1)) AS u(i)
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           COUNT(*) AS n,
+           CAST(SUM(v) AS BIGINT) * 1000 // COUNT(*) AS centroid_e6
+    FROM d GROUP BY label, dim
+    """
+
+
+@register("q74_label_centroids", _centroid_oracle())
+def q74_label_centroids(spark, sf_dir):
+    """Exact per-label embedding centroids (class prototypes): fixed-
+    point quantized components posexploded to (label, dim) counters —
+    the shuffle carries labels × 64 dimension sums, never vectors, with
+    map-side partial aggregation; the scaled-integer mean (sum·1000 div
+    n over ×1000-quantized components ⇒ e6 fixed point) is exact on
+    both engines. The same shape computes k-means centroids (q57) —
+    this is the per-class variant a curation pipeline uses for
+    prototype distances and outlier screens."""
+    from queens_spark.operators.similarity import quantize
+
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode(quantize("embedding")).alias("pos", "v")
+        )
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("sum(v) * 1000 div count(1)").alias("centroid_e6"),
+        )
+        .select("label", "dim", "n", "centroid_e6")
+    )
+
+
+def _funnel_oracle(window_us: int) -> str:
+    return f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT v.user_id, v.first_view,
+             MIN(e.ts) AS first_purchase
+      FROM v JOIN events e
+        ON e.user_id = v.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts > v.first_view
+       AND epoch_us(e.ts) - epoch_us(v.first_view) <= {window_us}
+      GROUP BY v.user_id, v.first_view
+    )
+    SELECT
+      (SELECT COUNT(*) FROM v) AS n_viewed,
+      (SELECT COUNT(*) FROM p) AS n_converted,
+      (SELECT COUNT(*) FROM p) * 10000
+        // (SELECT greatest(COUNT(*), 1) FROM v) AS conversion_bp
+    """
+
+
+@register("q75_event_funnel", _funnel_oracle(3_600_000_000))
+def q75_event_funnel(spark, sf_dir):
+    """Two-step conversion funnel: users whose first 'view' is followed
+    by a 'purchase' within one hour. Plan: one counter-width first-view
+    aggregation per user, re-joined to purchases on the user key (one
+    shuffle each side; at 100 TB both sides hash-join on user_id and
+    the residual time predicates filter in the join), then scalar
+    counts. Conversion emitted in integer basis points."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        v.join(
+            ev.where(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("pts")
+            ),
+            "user_id",
+        )
+        .where(
+            (F.col("pts") > F.col("first_view"))
+            & (
+                F.unix_micros("pts") - F.unix_micros("first_view")
+                <= F.lit(3_600_000_000)
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("first_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_viewed"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_converted"))
+    return nv.crossJoin(np_).select(
+        "n_viewed",
+        "n_converted",
+        F.expr("n_converted * 10000 div greatest(n_viewed, 1)").alias(
+            "conversion_bp"
+        ),
+    )
+
+
+def _retention_oracle() -> str:
+    return """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           COUNT(*) AS n_active
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """
+
+
+@register("q76_cohort_retention", _retention_oracle())
+def q76_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-seen day,
+    counted on each of their first 7 active day-offsets. Two
+    counter-width aggregations around one user-key join (the firsts
+    frame is |users| rows — AQE broadcasts it when small, sound
+    shuffled join otherwise); distinct (user, offset) dedups
+    map-side before the final count."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id", "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.where(F.col("day_offset") <= 7)
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.col("day_offset").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
