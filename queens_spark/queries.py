@@ -2897,3 +2897,128 @@ def q76_cohort_retention(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def _rrf_oracle(query_id: int, pool: int, k: int, rrf_k: int) -> str:
+    from queens_spark.operators.similarity import duckdb_int_dot, duckdb_quantize
+
+    qv = duckdb_quantize("embedding")
+    return f"""
+    WITH qt AS (
+      SELECT unnest(list_distinct({_DUCK_TOKS})) AS tok
+      FROM documents WHERE doc_id = {query_id}
+    ), dt AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok
+      FROM documents WHERE doc_id <> {query_id}
+    ), kw AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS score
+      FROM dt JOIN qt USING (tok) GROUP BY doc_id
+    ), kwr AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS kw_rank
+      FROM (SELECT * FROM kw WHERE score > 0 ORDER BY score DESC, doc_id LIMIT {pool})
+    ), v AS (
+      SELECT vec_id, {qv} AS q FROM embeddings
+    ), n AS (
+      SELECT vec_id, q, {duckdb_int_dot('q', 'q')} AS n2 FROM v
+    ), vs AS (
+      SELECT c.vec_id AS doc_id,
+             CAST({duckdb_int_dot('c.q', 'qq.q')} AS DOUBLE)
+               / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(qq.n2 AS DOUBLE))) AS cosine
+      FROM n c, (SELECT q, n2 FROM n WHERE vec_id = {query_id}) qq
+      WHERE c.vec_id <> {query_id}
+    ), vr AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS vec_rank
+      FROM (SELECT * FROM vs ORDER BY cosine DESC, doc_id LIMIT {pool})
+    ), fused AS (
+      SELECT coalesce(kwr.doc_id, vr.doc_id) AS doc_id,
+             coalesce(1000000000000 // ({rrf_k} + kw_rank), 0)
+               + coalesce(1000000000000 // ({rrf_k} + vec_rank), 0) AS rrf_e12,
+             kw_rank, vec_rank
+      FROM kwr FULL OUTER JOIN vr ON kwr.doc_id = vr.doc_id
+    )
+    SELECT doc_id, rrf_e12, kw_rank, vec_rank
+    FROM fused ORDER BY rrf_e12 DESC, doc_id LIMIT {k}
+    """
+
+
+@register("q77_hybrid_rrf_search", _rrf_oracle(0, 50, 10, 60))
+def q77_hybrid_rrf_search(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion: a keyword ranking
+    (distinct-token overlap with the query document) and a vector
+    ranking (exact cosine against the query embedding) each produce a
+    top-50 pool; RRF fuses them as Σ ⌊1e12/(60+rank)⌋ — the scaled-
+    integer form keeps the fusion score exact and order-free where the
+    float Σ1/(60+r) would be summation-order-dependent.
+
+    Scale shape: both pools come from TakeOrderedAndProject passes
+    (per-partition heaps; candidates never globally sort), ranks are
+    assigned by a window over the 50-row pools, and the fusion join
+    touches ≤ 2·pool rows. The keyword side broadcasts the query
+    token array as a literal; the vector side is q30's plan."""
+    from queens_spark.operators.text import tokens as _tokens
+    from queens_spark.operators.similarity import (
+        cosine_from_ints,
+        int_dot,
+        int_norm2,
+        quantize,
+    )
+
+    query_id, pool, k, rrf_k = 0, 50, 10, 60
+    docs = load(spark, sf_dir, "documents")
+    q_toks = docs.where(F.col("doc_id") == query_id).select(
+        F.array_distinct(_tokens("text")).alias("t")
+    ).collect()[0]["t"]
+    q_arr = F.array(*[F.lit(t) for t in q_toks])
+    kw_pool = (
+        docs.where(F.col("doc_id") != query_id)
+        .select(
+            "doc_id",
+            F.size(F.array_intersect(F.array_distinct(_tokens("text")), q_arr))
+            .cast("bigint").alias("score"),
+        )
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(pool)
+    )
+    kwr = kw_pool.withColumn(
+        "kw_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), "doc_id")
+        ).cast("bigint"),
+    ).select("doc_id", "kw_rank")
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == query_id).select("embedding").first()[0]
+    qq = quantize(F.array(*[F.lit(float(x)) for x in qvec]))
+    cv = quantize("embedding")
+    cos = cosine_from_ints(int_dot(cv, qq), int_norm2(cv), int_norm2(qq))
+    vec_pool = (
+        emb.where(F.col("vec_id") != query_id)
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(pool)
+    )
+    vr = vec_pool.withColumn(
+        "vec_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("cosine").desc(), "doc_id")
+        ).cast("bigint"),
+    ).select("doc_id", "vec_rank")
+
+    fused = (
+        kwr.join(vr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr(f"1000000000000 div ({rrf_k} + kw_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000000000 div ({rrf_k} + vec_rank)"), F.lit(0)
+                )
+            ).alias("rrf_e12"),
+            "kw_rank",
+            "vec_rank",
+        )
+    )
+    return fused.orderBy(F.col("rrf_e12").desc(), "doc_id").limit(k)
