@@ -87,13 +87,11 @@ def release_caches() -> None:
 # per band — flipped together, isolating docs). SHA-256-derived
 # constants have neither structure; a·h+b ≤ (p−2)·1e9+p « 2^63, so
 # BIGINT math is exact in both engines.
-import hashlib as _hashlib
+from queens_spark.operators.text import sha_const as _sha_const
 
 
 def _mh_const(tag: str, i: int, mod: int) -> int:
-    return int.from_bytes(
-        _hashlib.sha256(f"queens-minhash-{tag}-{i}".encode()).digest()[:8], "big"
-    ) % mod
+    return _sha_const(f"minhash-{tag}", i, mod)
 
 
 MINHASH_K = 16
@@ -420,6 +418,7 @@ def _capped_pruned_candidates(
     threshold: float,
     exploded: DataFrame | None = None,
     hot: DataFrame | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Capped-index candidate pairs with the sound count-only prune,
     computed in the pair shuffle itself — no per-doc stats join.
@@ -475,12 +474,24 @@ def _capped_pruned_candidates(
     ub_common = F.col("rare_common") + F.least(
         F.col("H"), F.col("na").cast("bigint"), F.col("nb").cast("bigint")
     )
-    return (
-        rare_common.crossJoin(F.broadcast(hot_n))
-        .where(
+    # Both inequalities are monotone rearrangements of metric >=
+    # threshold with true_common replaced by its upper bound, so the
+    # prune stays sound for either metric.
+    if metric == "jaccard":
+        keep = (
             ub_common.cast("double")
             >= F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb"))
         )
+    elif metric == "containment":
+        keep = (
+            ub_common.cast("double")
+            >= F.lit(threshold) * F.least("na", "nb").cast("double")
+        )
+    else:
+        raise ValueError(f"unknown prune metric {metric!r}")
+    return (
+        rare_common.crossJoin(F.broadcast(hot_n))
+        .where(keep)
         .select("id_a", "id_b")
     )
 
@@ -586,7 +597,7 @@ def near_dup_pairs_full(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | str | None = "auto",
+    max_df: int | str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs with FULL-recall candidate generation: the
     df-capped inverted index UNIONed with MinHash-LSH band candidates,
@@ -628,7 +639,10 @@ def near_dup_pairs_full(
 def _resolve_max_df(
     max_df: int | str | None, sh: DataFrame, source: DataFrame | None = None
 ) -> int:
-    if isinstance(max_df, str) and max_df != "auto":
+    if max_df is None or (isinstance(max_df, str) and max_df != "auto"):
+        # None (uncapped) is only meaningful for ngram_jaccard_pairs'
+        # single-pass path; here it would silently disable BOTH the
+        # skew cap and the band union via a NULL df comparison.
         raise ValueError(f"max_df must be an int or 'auto'; got {max_df!r}")
     if max_df == "auto":
         # Count the RAW source when available: for parquet inputs
@@ -680,7 +694,7 @@ def dedup_edges(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | str | None = "auto",
+    max_df: int | str = "auto",
 ) -> DataFrame:
     """The complete dedup edge set — full-recall near-dup pairs UNION
     exact-copy (rep → copy) fingerprint edges — from ONE corpus scan.
@@ -724,7 +738,7 @@ def containment_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.9,
-    max_df: int | str | None = "auto",
+    max_df: int | str = "auto",
 ) -> DataFrame:
     """Near-dup pairs by shingle CONTAINMENT — |A∩B| / min(|A|,|B|)
     ≥ threshold — the asymmetric-overlap screen that catches
@@ -745,31 +759,7 @@ def containment_pairs(
     """
     sh = _shingle_frame(df, text_col, id_col, n)
     max_df = _resolve_max_df(max_df, sh, source=df)
-    exploded = sh.select(
-        "doc", F.col("x.n").alias("n"), F.explode("x.hashes").alias("sh_hash")
-    )
-    hot = _hot_shingles(exploded, max_df)
-    kept = exploded.join(F.broadcast(hot), "sh_hash", "left_anti")
-    a = kept.select(F.col("doc").alias("id_a"), F.col("n").alias("na"), "sh_hash")
-    b = kept.select(F.col("doc").alias("id_b"), F.col("n").alias("nb"), "sh_hash")
-    rare_common = (
-        a.join(b, "sh_hash")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("rare_common"))
-    )
-    hot_n = hot.agg(F.count(F.lit(1)).alias("H"))
-    ub = F.col("rare_common") + F.least(
-        F.col("H"), F.col("na").cast("bigint"), F.col("nb").cast("bigint")
-    )
-    cands = (
-        rare_common.crossJoin(F.broadcast(hot_n))
-        .where(
-            ub.cast("double")
-            >= F.lit(threshold) * F.least("na", "nb").cast("double")
-        )
-        .select("id_a", "id_b")
-    )
+    cands = _capped_pruned_candidates(sh, max_df, threshold, metric="containment")
     v = _verify_pairs(cands, sh)
     containment = F.col("common").cast("double") / F.least(
         F.size("ha"), F.size("hb")

@@ -177,7 +177,13 @@ def _decode_pnm_pixels(content: bytes) -> np.ndarray:
         while pos < len(content) and not content[pos : pos + 1].isspace():
             pos += 1
         tokens.append(int(content[start:pos]))
-    pos += 1  # single whitespace after maxval
+    # exactly one whitespace byte follows maxval per the spec, but
+    # CRLF-writing tools emit two — treat '\r\n' as one delimiter or
+    # every pixel shifts a byte
+    if content[pos : pos + 2] == b"\r\n":
+        pos += 2
+    else:
+        pos += 1
     width, height, maxval = tokens
     if maxval > 255:
         raise NotImplementedError("16-bit PNM not supported")
@@ -428,8 +434,9 @@ def extract_features(
 
 def resize_image(content: bytes, width: int, height: int) -> bytes:
     """REAL nearest-neighbour resize for stdlib-decodable formats
-    (uncompressed BMP, binary PPM/PGM), re-encoded in the SAME format.
-    Compressed formats raise — their codecs are not in this runtime."""
+    (uncompressed BMP, binary PPM/PGM, 8-bit non-interlaced PNG),
+    re-encoded in the SAME format. JPEG/GIF raise — their codecs are
+    not in this runtime."""
     fmt = sniff_format(content)
     if fmt == "bmp":
         px, enc = _decode_bmp_pixels(content), encode_bmp

@@ -731,6 +731,13 @@ def int8_topk_ip(
             .orderBy(F.desc("approx_ip"), F.asc(id_col))
             .limit(k)
         )
+    if not branches:
+        # no requested query id exists in the corpus — an empty result
+        # with the output schema, not an IndexError
+        return df.sparkSession.createDataFrame(
+            [], "query_id bigint, " + f"{id_col} bigint, "
+            "dot_q bigint, approx_ip double"
+        )
     out = branches[0]
     for b in branches[1:]:
         out = out.unionAll(b)

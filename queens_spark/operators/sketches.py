@@ -135,12 +135,29 @@ def duckdb_hll_rho(expr: str) -> str:
     )
 
 
+def _require_integral_key(df: DataFrame, key_col: str) -> None:
+    """The sketch hash is defined over int64 keys. A silent
+    cast('bigint') of a string column yields NULL for every row —
+    one garbage register and a fixed wrong estimate — while the
+    DuckDB twin ERRORS on the same cast; fail loudly instead. Hash
+    string keys first (e.g. text.char_poly_hash / xxhash is NOT
+    portable) and feed the integer."""
+    dtype = dict(df.dtypes).get(key_col)
+    if dtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"hll sketch key {key_col!r} must be an integral column, "
+            f"got {dtype!r} — hash strings to int64 first"
+        )
+
+
 def hll_registers(df: DataFrame, key_col: str, group_cols: list[str]) -> DataFrame:
     """Per-group HLL register state: (group…, reg, rho) with rho
     maxed. This is the MERGEABLE sketch — union two register frames
     and re-aggregate max(rho) to merge corpora without re-reading
     keys (the cross-partition / cross-day rollup move)."""
     from queens_spark.operators.text import let_bound
+
+    _require_integral_key(df, key_col)
 
     v = let_bound(
         hll_hash(key_col),
@@ -213,11 +230,9 @@ CMS_P = 1_000_000_007  # = operators.text.HASH_MOD — the token-hash field
 
 
 def _cms_const(tag: str, j: int, mod: int) -> int:
-    import hashlib
+    from queens_spark.operators.text import sha_const
 
-    return int.from_bytes(
-        hashlib.sha256(f"queens-cms-{tag}-{j}".encode()).digest()[:8], "big"
-    ) % mod
+    return sha_const(f"cms-{tag}", j, mod)
 
 
 CMS_A = [_cms_const("a", j, CMS_P - 1) | 1 for j in range(CMS_D)]
@@ -230,6 +245,24 @@ def cms_bucket_expr(h: Column, j: int) -> Column:
     return (h * CMS_A[j] + CMS_B[j]) % CMS_P % CMS_W
 
 
+def _cms_buckets(token_col: str) -> Column:
+    """Array of the d (cms_row, bucket) codes for one token — ONE
+    shared builder for the build and probe sides, so the two can
+    never disagree on the hashing (the classic sketch bug class)."""
+    from queens_spark.operators.text import char_poly_hash, let_bound
+
+    return let_bound(
+        char_poly_hash(F.col(token_col)),
+        lambda h: F.array(*[
+            F.struct(
+                F.lit(j).alias("cms_row"),
+                cms_bucket_expr(h, j).alias("bucket"),
+            )
+            for j in range(CMS_D)
+        ]),
+    )
+
+
 def cms_build(tokens_df: DataFrame, token_col: str = "token") -> DataFrame:
     """Count-min sketch of a token stream: (cms_row, bucket, cnt) —
     d·w = 4096 counters regardless of vocabulary or corpus size.
@@ -240,20 +273,8 @@ def cms_build(tokens_df: DataFrame, token_col: str = "token") -> DataFrame:
     so per-shard/per-day sketches roll up without re-reading tokens.
     Map-side partial aggregation shrinks the shuffle to ≤ d·w rows per
     partition."""
-    from queens_spark.operators.text import char_poly_hash, let_bound
-
-    buckets = let_bound(
-        char_poly_hash(F.col(token_col)),
-        lambda h: F.array(*[
-            F.struct(
-                F.lit(j).alias("cms_row"),
-                cms_bucket_expr(h, j).alias("bucket"),
-            )
-            for j in range(CMS_D)
-        ]),
-    )
     return (
-        tokens_df.select(F.explode(buckets).alias("b"))
+        tokens_df.select(F.explode(_cms_buckets(token_col)).alias("b"))
         .groupBy(F.col("b.cms_row").alias("cms_row"), F.col("b.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -264,20 +285,8 @@ def cms_probe(sketch: DataFrame, probes: DataFrame, token_col: str = "token") ->
     of each token's counter. The sketch is 4096 rows, so Catalyst
     broadcasts it and the probe never shuffles the sketch side;
     estimates only ever OVER-count (collisions add, never subtract)."""
-    from queens_spark.operators.text import char_poly_hash, let_bound
-
-    buckets = let_bound(
-        char_poly_hash(F.col(token_col)),
-        lambda h: F.array(*[
-            F.struct(
-                F.lit(j).alias("cms_row"),
-                cms_bucket_expr(h, j).alias("bucket"),
-            )
-            for j in range(CMS_D)
-        ]),
-    )
     exploded = probes.select(
-        F.col(token_col), F.explode(buckets).alias("b")
+        F.col(token_col), F.explode(_cms_buckets(token_col)).alias("b")
     ).select(token_col, F.col("b.cms_row").alias("cms_row"), F.col("b.bucket").alias("bucket"))
     return (
         exploded.join(F.broadcast(sketch), ["cms_row", "bucket"], "left")

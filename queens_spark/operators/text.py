@@ -283,6 +283,21 @@ def symbol_word_ratio(text: Column | str) -> Column:
 
 # ------------------------------------------------------------- hashing
 
+def sha_const(tag: str, i: int, mod: int) -> int:
+    """Deterministic SHA-256-derived parameter constant — the shared
+    generator behind the MinHash lanes and count-min salts (both
+    engines bake the resulting Python ints into their expressions, so
+    any deterministic generator keeps them in lockstep; SHA-derived
+    values avoid the structured-multiplier correlations documented in
+    operators/dedup.py)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.sha256(f"queens-{tag}-{i}".encode()).digest()[:8], "big"
+    ) % mod
+
+
+
 def char_poly_hash(s: Column, p: int = HASH_MOD) -> Column:
     """Portable rolling hash: fold (h*31 + codepoint) mod p over the
     characters, init 0. Empty string → 0.

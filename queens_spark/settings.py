@@ -150,7 +150,7 @@ def set_config(
         cfg[_INI_SECTION] = {}
     if warehouse_path:
         p = os.path.abspath(os.path.expanduser(warehouse_path))
-        os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+        os.makedirs(p, exist_ok=True)
         cfg[_INI_SECTION]["warehouse"] = p
     if export_path:
         p = os.path.abspath(os.path.expanduser(export_path))

@@ -279,3 +279,17 @@ def test_weighted_and_per_group_sampling(spark):
     only_g0 = per_group_k_sample(df.where("s = 'g0'"), "k", "s", k=7)
     assert sorted(r["k"] for r in only_g0.collect()) == [
         k for k in ids1 if k % 4 == 0]
+
+
+def test_full_recall_paths_reject_uncapped_max_df(spark):
+    """max_df=None would silently disable both the skew cap and the
+    band union via a NULL comparison — must raise instead."""
+    import pytest
+    from pyspark.sql import Row
+
+    from queens_spark.operators.dedup import dedup_edges, near_dup_pairs_full
+
+    df = spark.createDataFrame([Row(doc_id=0, text="a b c d")])
+    for fn in (near_dup_pairs_full, dedup_edges):
+        with pytest.raises(ValueError, match="max_df"):
+            fn(df, "text", "doc_id", max_df=None)

@@ -296,3 +296,13 @@ def test_png_interlaced_and_16bit_still_raise():
                 + chunk(b"IEND", b""))
         with _pytest.raises(NotImplementedError):
             _decode_png_pixels(blob)
+
+
+def test_pnm_crlf_header_decodes_correctly():
+    import numpy as np
+
+    from queens_spark.operators.multimodal import _decode_pnm_pixels
+
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    crlf_blob = b"P6\r\n4 2\r\n255\r\n" + px.tobytes()
+    assert np.array_equal(_decode_pnm_pixels(crlf_blob), px)

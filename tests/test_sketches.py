@@ -80,3 +80,9 @@ def test_cms_overestimates_and_merges(spark):
     whole = {(r["cms_row"], r["bucket"]): r["cnt"] for r in sketch.collect()}
     via = {(r["cms_row"], r["bucket"]): r["cnt"] for r in merged.collect()}
     assert whole == via
+
+
+def test_hll_rejects_non_integral_keys(spark):
+    df = spark.createDataFrame([Row(g="a", k="not-a-number")])
+    with pytest.raises(TypeError, match="integral"):
+        hll_distinct(df, "k", ["g"])

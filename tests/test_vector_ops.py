@@ -156,3 +156,15 @@ def test_int8_topk_tracks_exact_ranking(spark):
     # approx_ip within quantization error of the exact value
     for r in got:
         assert abs(r["approx_ip"] - ip(vecs[0], vecs[r["vec_id"]])) < 0.5
+
+
+def test_int8_topk_missing_query_ids_returns_empty(spark):
+    from pyspark.sql import Row
+
+    from queens_spark.operators.similarity import int8_topk_ip
+
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[0.1, 0.2])])
+    out = int8_topk_ip(df, "embedding", "vec_id", query_ids=[999], k=3)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "vec_id", "dot_q", "approx_ip"}
