@@ -99,3 +99,68 @@ def vocabulary(df: DataFrame, text_col: str, id_col: str, top: int = 100) -> Dat
     # rank the (tiny) head frame; the window runs over `top` rows only
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
     return head.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def bigram_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(w1, w2, c2) corpus bigram counts WITH per-document
+    multiplicities — the maximum-likelihood bigram LM numerator. One
+    explode + hash aggregation (map-side combined); the shuffle
+    carries distinct bigrams, not corpus positions."""
+    from queens_spark.operators.text import word_ngrams
+
+    return (
+        df.select(F.explode(word_ngrams(text_col, 2)).alias("bg"))
+        .select(
+            F.split(F.col("bg"), " ")[0].alias("w1"),
+            F.split(F.col("bg"), " ")[1].alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+
+
+def bigram_lm(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Maximum-likelihood bigram model: (w1, w2, c2, c1, p_e6) with
+    p_e6 = ⌊c2·1e6 / c1⌋ — the conditional probability P(w2|w1) in
+    exact fixed point (integer division is bit-portable where a float
+    ratio's last ulp is not). c1 sums c2 over the left context in a
+    second counter-width aggregation joined back on w1."""
+    c2 = bigram_counts(df, text_col, id_col)
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return c2.join(c1, "w1").select(
+        "w1", "w2", "c2", "c1",
+        F.expr("c2 * 1000000 div c1").alias("p_e6"),
+    )
+
+
+def lm_doc_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document fluency proxy under the corpus's own bigram LM:
+    (doc, n_bigrams, avg_p_e6) where avg_p_e6 = ⌊Σ p_e6 / n⌋ over the
+    document's bigram positions. Templated/repetitive text scores
+    high, random word salad scores low — a deterministic stand-in for
+    perplexity filtering (log-probabilities are not bit-portable;
+    the mean conditional probability is, and ranks similarly for
+    screening). Docs with < 2 tokens are absent (no bigram evidence).
+
+    Scale: the LM table shuffles on (w1, w2) once at train time; the
+    scoring join is a hash join on the same key (AQE broadcasts small
+    LMs), followed by a per-doc counter aggregation."""
+    from queens_spark.operators.text import word_ngrams
+
+    lm = bigram_lm(df, text_col, id_col).select("w1", "w2", "p_e6")
+    pos = (
+        df.select(F.col(id_col).alias("doc"), F.explode(word_ngrams(text_col, 2)).alias("bg"))
+        .select(
+            "doc",
+            F.split(F.col("bg"), " ")[0].alias("w1"),
+            F.split(F.col("bg"), " ")[1].alias("w2"),
+        )
+    )
+    return (
+        pos.join(lm, ["w1", "w2"])
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("sum(p_e6) div count(1)").alias("avg_p_e6"),
+        )
+    )

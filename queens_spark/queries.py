@@ -3022,3 +3022,76 @@ def q77_hybrid_rrf_search(spark, sf_dir):
         )
     )
     return fused.orderBy(F.col("rrf_e12").desc(), "doc_id").limit(k)
+
+
+_DUCK_BIGRAMS = (
+    f"CASE WHEN len({_DUCK_TOKS}) >= 2 THEN "
+    f"list_transform(range(1, len({_DUCK_TOKS})), "
+    f"i -> {_DUCK_TOKS}[i] || ' ' || {_DUCK_TOKS}[i + 1]) ELSE [] END"
+)
+
+
+def _bigram_lm_oracle(top: int) -> str:
+    return f"""
+    WITH pos AS (
+      SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+      FROM (SELECT unnest({_DUCK_BIGRAMS}) AS bg FROM documents)
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS c2 FROM pos GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+    )
+    SELECT c2.w1 AS w1, w2, c2, c1, c2 * 1000000 // c1 AS p_e6
+    FROM c2 JOIN c1 ON c2.w1 = c1.w1
+    ORDER BY c2 DESC, w1, w2 LIMIT {top}
+    """
+
+
+@register("q78_bigram_lm", _bigram_lm_oracle(50))
+def q78_bigram_lm(spark, sf_dir):
+    """Maximum-likelihood bigram language model head: top-50 bigrams
+    with exact fixed-point conditional probabilities P(w2|w1) — the
+    n-gram-LM training primitive. Two counter-width aggregations and
+    a w1-key join; the corpus shuffles only as distinct bigram
+    counters (see corpus.bigram_lm)."""
+    from queens_spark.operators.corpus import bigram_lm
+
+    return (
+        bigram_lm(load(spark, sf_dir, "documents"), "text", "doc_id")
+        .orderBy(F.col("c2").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
+def _lm_scores_oracle() -> str:
+    return f"""
+    WITH pos AS (
+      SELECT doc_id AS doc,
+             string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+      FROM (SELECT doc_id, unnest({_DUCK_BIGRAMS}) AS bg FROM documents)
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS c2 FROM pos GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+    ), lm AS (
+      SELECT c2.w1 AS w1, w2, c2 * 1000000 // c1 AS p_e6
+      FROM c2 JOIN c1 ON c2.w1 = c1.w1
+    )
+    SELECT doc, count(*) AS n_bigrams,
+           CAST(SUM(p_e6) AS BIGINT) // count(*) AS avg_p_e6
+    FROM pos JOIN lm ON pos.w1 = lm.w1 AND pos.w2 = lm.w2
+    GROUP BY doc
+    """
+
+
+@register("q79_lm_doc_scores", _lm_scores_oracle())
+def q79_lm_doc_scores(spark, sf_dir):
+    """Fluency screening under the corpus's own bigram LM: per-doc
+    mean conditional probability in exact fixed point — the
+    deterministic stand-in for perplexity filtering (log-probs are
+    not bit-portable; the mean conditional probability ranks
+    similarly for screening). LM train + scoring join on the
+    (w1, w2) key (see corpus.lm_doc_scores)."""
+    from queens_spark.operators.corpus import lm_doc_scores
+
+    return lm_doc_scores(load(spark, sf_dir, "documents"), "text", "doc_id")
