@@ -3095,3 +3095,77 @@ def q79_lm_doc_scores(spark, sf_dir):
     from queens_spark.operators.corpus import lm_doc_scores
 
     return lm_doc_scores(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "q80_hopping_windows",
+    """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, event_type, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type, value FROM events
+    )
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_e2
+    FROM w GROUP BY 1, 2, 3
+    """,
+)
+def q80_hopping_windows(spark, sf_dir):
+    """Hopping (sliding) window aggregation in batch: 1-hour windows
+    every 30 minutes — each event lands in exactly duration/slide = 2
+    windows. Spark's window() generates the membership inline (no
+    self-union), the aggregation stays one partial→final hash agg, and
+    the same plan runs unchanged as a watermarked stream. DECIMAL
+    accumulation keeps sums order-independent; the oracle mirrors
+    membership with a two-shift union."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_dec("value")) * 100).cast("long").alias("total_value_e2"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n_events", "total_value_e2",
+        )
+    )
+
+
+@register(
+    "q81_price_histogram",
+    """
+    SELECT (CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000)
+             * 100000 AS bin_start_e2,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS min_e2,
+           CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS max_e2
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q81_price_histogram(spark, sf_dir):
+    """Fixed-width numeric histogram over lineitem prices ($1000
+    bins): binning in exact cents (decimal→scaled-int, integer
+    division) so bucket boundaries are bit-identical cross-engine —
+    float binning misplaces boundary values by one ulp. One
+    partial→final hash aggregation; bins are the group keys, so the
+    shuffle is histogram-width."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = (_dec("l_extendedprice") * 100).cast("long")
+    return (
+        li.select(
+            cents.alias("cents"),
+            _dec("l_extendedprice").alias("p"),
+        )
+        .groupBy(F.expr("cents div 100000 * 100000").alias("bin_start_e2"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.min("p") * 100).cast("long").alias("min_e2"),
+            (F.max("p") * 100).cast("long").alias("max_e2"),
+        )
+    )
