@@ -101,21 +101,30 @@ def vocabulary(df: DataFrame, text_col: str, id_col: str, top: int = 100) -> Dat
     return head.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
-def bigram_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(w1, w2, c2) corpus bigram counts WITH per-document
-    multiplicities — the maximum-likelihood bigram LM numerator. One
-    explode + hash aggregation (map-side combined); the shuffle
-    carries distinct bigrams, not corpus positions."""
+def _bigram_positions(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, w1, w2) — one row per bigram POSITION. The single corpus
+    tokenize/explode pass every bigram operator derives from."""
     from queens_spark.operators.text import word_ngrams
 
     return (
-        df.select(F.explode(word_ngrams(text_col, 2)).alias("bg"))
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_ngrams(text_col, 2)).alias("bg"),
+        )
         .select(
+            "doc",
             F.split(F.col("bg"), " ")[0].alias("w1"),
             F.split(F.col("bg"), " ")[1].alias("w2"),
         )
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+
+
+def _lm_from_positions(pos: DataFrame) -> DataFrame:
+    c2 = pos.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return c2.join(c1, "w1").select(
+        "w1", "w2", "c2", "c1",
+        F.expr("c2 * 1000000 div c1").alias("p_e6"),
     )
 
 
@@ -123,14 +132,10 @@ def bigram_lm(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Maximum-likelihood bigram model: (w1, w2, c2, c1, p_e6) with
     p_e6 = ⌊c2·1e6 / c1⌋ — the conditional probability P(w2|w1) in
     exact fixed point (integer division is bit-portable where a float
-    ratio's last ulp is not). c1 sums c2 over the left context in a
-    second counter-width aggregation joined back on w1."""
-    c2 = bigram_counts(df, text_col, id_col)
-    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    return c2.join(c1, "w1").select(
-        "w1", "w2", "c2", "c1",
-        F.expr("c2 * 1000000 div c1").alias("p_e6"),
-    )
+    ratio's last ulp is not). One explode + two counter-width
+    aggregations (map-side combined — the shuffle carries distinct
+    bigrams, not corpus positions) and a w1-key join."""
+    return _lm_from_positions(_bigram_positions(df, text_col, id_col))
 
 
 def lm_doc_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -142,20 +147,18 @@ def lm_doc_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     the mean conditional probability is, and ranks similarly for
     screening). Docs with < 2 tokens are absent (no bigram evidence).
 
-    Scale: the LM table shuffles on (w1, w2) once at train time; the
-    scoring join is a hash join on the same key (AQE broadcasts small
-    LMs), followed by a per-doc counter aggregation."""
-    from queens_spark.operators.text import word_ngrams
+    Scale: one persisted (doc, w1, w2) positions projection feeds
+    both LM training and scoring; the LM table shuffles on (w1, w2)
+    once at train time; the scoring join is a hash join on the same
+    key (AQE broadcasts small LMs), then a per-doc counter
+    aggregation."""
+    from queens_spark.operators.dedup import _persist
 
-    lm = bigram_lm(df, text_col, id_col).select("w1", "w2", "p_e6")
-    pos = (
-        df.select(F.col(id_col).alias("doc"), F.explode(word_ngrams(text_col, 2)).alias("bg"))
-        .select(
-            "doc",
-            F.split(F.col("bg"), " ")[0].alias("w1"),
-            F.split(F.col("bg"), " ")[1].alias("w2"),
-        )
-    )
+    # ONE persisted positions projection feeds both the LM training
+    # aggregation and the scoring join — the corpus tokenize/explode
+    # (the dominant cost) runs once, not twice
+    pos = _persist(_bigram_positions(df, text_col, id_col))
+    lm = _lm_from_positions(pos).select("w1", "w2", "p_e6")
     return (
         pos.join(lm, ["w1", "w2"])
         .groupBy("doc")

@@ -732,11 +732,14 @@ def int8_topk_ip(
             .limit(k)
         )
     if not branches:
-        # no requested query id exists in the corpus — an empty result
-        # with the output schema, not an IndexError
-        return df.sparkSession.createDataFrame(
-            [], "query_id bigint, " + f"{id_col} bigint, "
-            "dot_q bigint, approx_ip double"
+        # no requested query id exists in the corpus — an empty frame
+        # with the SAME schema the live path produces (id type
+        # preserved from the corpus), not an IndexError
+        return qz.where(F.lit(False)).select(
+            F.lit(None).cast("bigint").alias("query_id"),
+            F.col(id_col),
+            F.lit(None).cast("bigint").alias("dot_q"),
+            F.lit(None).cast("double").alias("approx_ip"),
         )
     out = branches[0]
     for b in branches[1:]:

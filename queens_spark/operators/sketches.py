@@ -142,7 +142,9 @@ def _require_integral_key(df: DataFrame, key_col: str) -> None:
     DuckDB twin ERRORS on the same cast; fail loudly instead. Hash
     string keys first (e.g. text.char_poly_hash / xxhash is NOT
     portable) and feed the integer."""
-    dtype = dict(df.dtypes).get(key_col)
+    # resolve through Spark's own analyzer (case-insensitive names,
+    # nested fields) instead of an exact dict lookup on top-level names
+    dtype = df.select(key_col).schema[0].dataType.simpleString()
     if dtype not in ("tinyint", "smallint", "int", "bigint"):
         raise TypeError(
             f"hll sketch key {key_col!r} must be an integral column, "

@@ -223,9 +223,16 @@ def windowed_hll_registers(
     ``sketches.hll_estimate(regs, ["window_start", "window_end",
     "event_type"])`` on the sink output — the split production wants,
     since finishing is a read-side scalar pass."""
-    from queens_spark.operators.sketches import M_REGS, REG_BITS, hll_hash, hll_rho
+    from queens_spark.operators.sketches import (
+        M_REGS,
+        REG_BITS,
+        _require_integral_key,
+        hll_hash,
+        hll_rho,
+    )
     from queens_spark.operators.text import let_bound
 
+    _require_integral_key(events, key_col)
     x = let_bound(
         hll_hash(key_col),
         lambda h: F.struct(
