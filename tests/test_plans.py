@@ -244,3 +244,22 @@ def test_curation_pipeline_two_shuffles_one_clean_pass(spark):
     # punct-ratio = 5-6 regexp sites, each ONCE; duplication per
     # consumer would double this
     assert plan.count("regexp_replace") <= 6
+
+
+def test_lm_scoring_reads_one_cached_positions_pass(spark):
+    """q79: LM training and scoring must BOTH read the persisted
+    bigram-positions cache — the corpus tokenize/explode appears once,
+    not once per consumer."""
+    from queens_spark.operators.dedup import release_caches
+    from queens_spark.queries import QUERIES
+
+    df = QUERIES["q79_lm_doc_scores"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # every corpus consumer (LM count agg + both sides of the scoring
+    # join) reads the cache; before the fix the scoring side re-derived
+    # from the raw scan (tokenize+explode twice)
+    assert plan.count("InMemoryTableScan") >= 2
+    # no raw file scan outside a cached-relation subtree: each FileScan
+    # line appears only as an InMemoryRelation child
+    assert plan.count("FileScan") == plan.count("InMemoryRelation")
+    release_caches()
