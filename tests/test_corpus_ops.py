@@ -1,0 +1,65 @@
+"""Edge cases for the corpus-statistics operators (q63/q67/q78/q79)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from queens_spark.operators.corpus import (
+    bigram_lm,
+    lm_doc_scores,
+    tfidf_topk,
+    vocabulary,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame([
+        Row(doc_id=0, text="apple banana apple"),
+        Row(doc_id=1, text="banana cherry"),
+        Row(doc_id=2, text=""),            # empty doc
+        Row(doc_id=3, text="solo"),        # single token -> no bigrams
+    ])
+
+
+def test_tfidf_prefers_rare_terms(corpus):
+    got = {(r["doc"], r["rank"]): r["token"]
+           for r in tfidf_topk(corpus, "text", "doc_id", k=2).collect()}
+    # doc 0: apple (tf 2, df 1) must outrank banana (tf 1, df 2)
+    assert got[(0, 1)] == "apple" and got[(0, 2)] == "banana"
+    # doc 1: cherry (df 1) outranks banana (df 2)
+    assert got[(1, 1)] == "cherry"
+    # empty doc contributes no rows
+    assert not any(doc == 2 for doc, _ in got)
+
+
+def test_vocabulary_counts_and_rank(corpus):
+    rows = {r["token"]: r for r in vocabulary(corpus, "text", "doc_id", top=10).collect()}
+    assert rows["apple"]["n_occurrences"] == 2 and rows["apple"]["n_docs"] == 1
+    assert rows["banana"]["n_occurrences"] == 2 and rows["banana"]["n_docs"] == 2
+    # count tie (apple/banana both 2) breaks alphabetically
+    assert rows["apple"]["rank"] == 1 and rows["banana"]["rank"] == 2
+
+
+def test_bigram_lm_probabilities_sum_per_context(corpus):
+    lm = bigram_lm(corpus, "text", "doc_id").collect()
+    by_w1 = {}
+    for r in lm:
+        by_w1.setdefault(r["w1"], []).append(r)
+        assert r["p_e6"] == r["c2"] * 1_000_000 // r["c1"]
+    # "apple banana" and "banana apple" from doc 0, "banana cherry" doc 1
+    apple = {r["w2"]: r for r in by_w1["apple"]}
+    assert apple["banana"]["p_e6"] == 1_000_000  # apple -> banana always
+    banana = {r["w2"]: r for r in by_w1["banana"]}
+    assert banana["apple"]["p_e6"] == 500_000
+    assert banana["cherry"]["p_e6"] == 500_000
+
+
+def test_lm_doc_scores_skip_bigramless_docs(corpus):
+    got = {r["doc"]: r for r in lm_doc_scores(corpus, "text", "doc_id").collect()}
+    assert set(got) == {0, 1}          # empty + single-token docs absent
+    assert got[0]["n_bigrams"] == 2
+    # doc 0 positions: apple->banana (1e6), banana->apple (5e5) -> avg 750000
+    assert got[0]["avg_p_e6"] == 750_000
+    from queens_spark.operators.dedup import release_caches
+
+    release_caches()
