@@ -3169,3 +3169,79 @@ def q81_price_histogram(spark, sf_dir):
             (F.max("p") * 100).cast("long").alias("max_e2"),
         )
     )
+
+
+def _outlier_oracle(k: int) -> str:
+    from queens_spark.operators.similarity import duckdb_quantize
+
+    return f"""
+    WITH q AS (
+      SELECT vec_id, label, {duckdb_quantize('embedding')} AS qv FROM embeddings
+    ), d AS (
+      SELECT vec_id, label, i AS dim, qv[i] AS v
+      FROM q, unnest(range(1, len(qv) + 1)) AS u(i)
+    ), cent AS (
+      SELECT label, dim, CAST(SUM(v) AS BIGINT) * 1000 // COUNT(*) AS c_e6
+      FROM d GROUP BY label, dim
+    ), dist AS (
+      SELECT d.vec_id, d.label,
+             SUM((d.v * 1000 - c.c_e6) * (d.v * 1000 - c.c_e6)) AS dist2_e12
+      FROM d JOIN cent c ON c.label = d.label AND c.dim = d.dim
+      GROUP BY d.vec_id, d.label
+    )
+    SELECT vec_id, label, CAST(dist2_e12 AS BIGINT) AS dist2_e12, rk AS rank
+    FROM (SELECT *, CAST(row_number() OVER (
+            PARTITION BY label ORDER BY dist2_e12 DESC, vec_id) AS BIGINT) AS rk
+          FROM dist)
+    WHERE rk <= {k}
+    """
+
+
+@register("q82_label_outliers", _outlier_oracle(5))
+def q82_label_outliers(spark, sf_dir):
+    """Mislabeled-sample screen: the 5 vectors FURTHEST from their own
+    label's centroid, per label — exact squared distance in e12 fixed
+    point over the ×1000-quantized components, so both engines agree
+    bit-for-bit (d_i ≤ ~2e6 ⇒ Σd² < 2^63 for d ≤ 2000 dims).
+
+    Scale shape: centroids come from the q74 counter aggregation
+    ((label, dim) sums — never vectors); they broadcast back as a
+    per-label e6 array, the distance is a zero-shuffle zip_with fold,
+    and the per-label top-5 window runs over label-sized groups."""
+    from queens_spark.operators.similarity import quantize
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", "label", quantize("embedding").alias("qv"))
+    cent = (
+        q.select("label", F.posexplode("qv").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.expr("sum(v) * 1000 div count(1)").alias("c_e6"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("c_e6")))
+            ).alias("cs")
+        )
+        .select("label", F.transform("cs", lambda s: s["c_e6"]).alias("c"))
+    )
+    dist = (
+        q.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id", "label",
+            F.aggregate(
+                F.zip_with(
+                    "qv", "c", lambda v, c: (v * 1000 - c) * (v * 1000 - c)
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("dist2_e12"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist2_e12").desc(), "vec_id"
+    )
+    return (
+        dist.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 5)
+        .select("vec_id", "label", "dist2_e12", "rank")
+    )
