@@ -328,12 +328,15 @@ def ngram_jaccard_pairs(
     inverted shingle-hash index with stop-shingle removal.
 
     Plan: per-doc distinct shingles → explode (shingle_hash, id) →
-    window-count document frequency and drop postings with df > max_df
-    (stop shingles) → self-join on shingle_hash, counting shared rare
-    shingles per pair in the same shuffle that dedups candidates → a
-    sound count-only jaccard upper bound prunes candidates that cannot
-    reach the threshold → exact verification (|A∩B| via hash-set
-    intersect) on the few survivors.
+    driver-materialize the (provably tiny) hot-shingle list in the job
+    that builds the shingle cache → self-join the rare postings on
+    shingle_hash, counting shared rare shingles per pair in the same
+    shuffle that dedups candidates. With no hot shingles (the common,
+    clean-corpus case) that count is the EXACT intersection, so the
+    result finishes in that one shuffle; otherwise a sound count-only
+    jaccard upper bound prunes candidates that cannot reach the
+    threshold and exact verification (|A∩B| via hash-set intersect)
+    runs on the few survivors.
 
     max_df: ``"auto"`` (default) scales the cap with the corpus
     (:func:`auto_max_df` of the input row count — a column-less scan
@@ -394,89 +397,132 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", "common", "jaccard")
         )
 
-    return _verify_pairs(_capped_pruned_candidates(sh, max_df, threshold), sh)\
+    exploded = sh.select(
+        "doc", F.col("x.n").alias("n"), F.explode("x.hashes").alias("sh_hash")
+    )
+    hot = _collect_hot(exploded, max_df)
+    if not hot:
+        # clean corpus (no hot shingles): rare_common is exact, so the
+        # whole pipeline is the single pair shuffle
+        return _exact_from_counts(
+            _rare_pair_counts(exploded, None), threshold, "jaccard"
+        )
+    counts = _rare_pair_counts(exploded, _hot_frame(exploded, hot))
+    cands = _pruned_candidates(counts, len(hot), threshold, "jaccard")
+    return _verify_pairs(cands, sh)\
         .where(F.col("jaccard") >= threshold)\
         .select("id_a", "id_b", "common", "jaccard")
 
 
-def _hot_shingles(exploded: DataFrame, max_df: int) -> DataFrame:
-    """Persisted hot-shingle list (df > max_df). Provably tiny —
-    at most |postings| / max_df rows — so it always broadcasts; the
-    cache lets the anti-join, the one-row H bound, and the hot-doc
-    restriction of the band path share ONE posting scan + groupBy."""
-    return _persist(
+def _collect_hot(exploded: DataFrame, max_df: int) -> list[int]:
+    """Hot-shingle list (df > max_df), materialized ON THE DRIVER in
+    the one job that also builds the shingle cache (``exploded`` reads
+    the persisted projection, so the collect is the cache's first
+    action — no separate probe job). Driver-bounded by construction:
+    at most |postings| / max_df rows, which with max_df = n_docs/100
+    is ≤ 100 × avg-shingles-per-doc entries REGARDLESS of corpus size.
+    Holding the list in Python gives every downstream decision — the
+    H = 0 short-circuit, the H scalar in the count-only prune, the
+    re-broadcast for the anti/semi joins — for free, where each was
+    previously its own Spark job or plan subtree."""
+    rows = (
         exploded.groupBy("sh_hash")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > F.lit(max_df))
         .select("sh_hash")
+        .collect()
+    )
+    return [r["sh_hash"] for r in rows]
+
+
+def _hot_frame(exploded: DataFrame, hot: list[int]) -> DataFrame:
+    """The collected hot list as a (tiny, local) single-column frame
+    for broadcast anti/semi joins."""
+    return exploded.sparkSession.createDataFrame(
+        [(int(h),) for h in hot], "sh_hash bigint"
     )
 
 
-def _capped_pruned_candidates(
-    sh: DataFrame,
-    max_df: int,
-    threshold: float,
-    exploded: DataFrame | None = None,
-    hot: DataFrame | None = None,
-    metric: str = "jaccard",
-) -> DataFrame:
-    """Capped-index candidate pairs with the sound count-only prune,
-    computed in the pair shuffle itself — no per-doc stats join.
+def _rare_pair_counts(exploded: DataFrame, hot_df: DataFrame | None) -> DataFrame:
+    """(id_a, id_b, na, nb, rare_common) from the df-capped inverted
+    index — the candidate pairs WITH their shared-rare-shingle count,
+    computed in the pair shuffle itself (no per-doc stats join).
 
     The self-join emits one row per SHARED RARE shingle, so grouping
     the join output by pair counts them (rare_common) in the same
     shuffle that dedups candidates — no .distinct() pass. Each posting
     row carries its document's total shingle count (free, projected
     from the persisted struct BEFORE the join — no doc-keyed shuffle),
-    so na/nb land in the pair group key.
-
-    Sound count-only prune before the expensive verification:
-      true_common <= rare_common + min(stop_a, stop_b)
-    (a shared stop shingle is a stop posting on BOTH docs), and each
-    doc's stop count is itself bounded by H — the GLOBAL number of
-    distinct hot shingles — and by its own size:
-      stop_x <= min(H, nx)   =>   true_common <= rare_common + least(H, na, nb).
-    H is a one-row aggregate of the (already tiny, already broadcast)
-    hot list, cross-joined in — so the prune costs a scalar, not the
-    former per-doc stats aggregation + stats join + 3-way candidate
-    join (two shuffles saved per pipeline). Jaccard is monotonic in
-    common, so pairs failing
-      ub / (na + nb - ub) >= threshold
-    are provably sub-threshold and skip verification; the final
-    exact-jaccard filter is unchanged, so the prune never alters
-    results — the oracle does not mirror it. On corpora where hot
-    shingles are rare the bound is tight (H = 0 on the test corpora:
-    ub = rare_common exactly, verification runs on ~|result| pairs
-    instead of |candidates|); on boilerplate-heavy corpora H grows
-    and the prune degrades gracefully toward plain verification —
-    correctness never depends on it.
-    """
-    if exploded is None:
-        exploded = sh.select(
-            "doc", F.col("x.n").alias("n"), F.explode("x.hashes").alias("sh_hash")
-        )
-    if hot is None:
-        hot = _hot_shingles(exploded, max_df)
-    kept = exploded.join(F.broadcast(hot), "sh_hash", "left_anti")
+    so na/nb land in the pair group key. With ``hot_df`` None (no hot
+    shingles exist) the anti-join is skipped entirely."""
+    kept = (
+        exploded if hot_df is None
+        else exploded.join(F.broadcast(hot_df), "sh_hash", "left_anti")
+    )
     a = kept.select(
         F.col("doc").alias("id_a"), F.col("n").alias("na"), "sh_hash"
     )
     b = kept.select(
         F.col("doc").alias("id_b"), F.col("n").alias("nb"), "sh_hash"
     )
-    rare_common = (
+    return (
         a.join(b, "sh_hash")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("rare_common"))
     )
-    hot_n = hot.agg(F.count(F.lit(1)).alias("H"))
-    ub_common = F.col("rare_common") + F.least(
-        F.col("H"), F.col("na").cast("bigint"), F.col("nb").cast("bigint")
+
+
+def _exact_from_counts(
+    counts: DataFrame, threshold: float, metric: str = "jaccard"
+) -> DataFrame:
+    """H = 0 finish: with NO hot shingles, every shared shingle is
+    rare, so rare_common IS the true intersection size — the metric is
+    computable from (rare_common, na, nb) alone and the verification
+    join (plus its second read of the shingle cache) is pure overhead.
+    Emits verified (id_a, id_b, common, metric) straight from the pair
+    aggregation: the whole pipeline is ONE shuffle. Operand values are
+    identical to the verification path's (common = |A∩B|, na = |A|,
+    nb = |B|), so the single IEEE division is bit-identical too."""
+    common = F.col("rare_common").cast("bigint")
+    if metric == "jaccard":
+        val = common.cast("double") / (
+            F.col("na") + F.col("nb") - common
+        ).cast("double")
+    elif metric == "containment":
+        val = common.cast("double") / F.least("na", "nb").cast("double")
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    return (
+        counts.select(
+            "id_a", "id_b", common.alias("common"), val.alias(metric)
+        )
+        .where(F.col(metric) >= threshold)
     )
-    # Both inequalities are monotone rearrangements of metric >=
-    # threshold with true_common replaced by its upper bound, so the
-    # prune stays sound for either metric.
+
+
+def _pruned_candidates(
+    counts: DataFrame, n_hot: int, threshold: float, metric: str = "jaccard"
+) -> DataFrame:
+    """Sound count-only prune before the expensive verification:
+      true_common <= rare_common + min(stop_a, stop_b)
+    (a shared stop shingle is a stop posting on BOTH docs), and each
+    doc's stop count is itself bounded by H — the GLOBAL number of
+    distinct hot shingles, a Python literal here since the hot list is
+    driver-materialized — and by its own size:
+      stop_x <= min(H, nx)  =>  true_common <= rare_common + least(H, na, nb).
+    Both inequalities below are monotone rearrangements of metric >=
+    threshold with true_common replaced by its upper bound, so the
+    prune is sound for either metric; the caller's final exact filter
+    is unchanged, so the prune never alters results — the oracle does
+    not mirror it. On boilerplate-heavy corpora H grows and the prune
+    degrades gracefully toward plain verification — correctness never
+    depends on it."""
+    ub_common = F.col("rare_common") + F.least(
+        F.lit(n_hot).cast("bigint"),
+        F.col("na").cast("bigint"),
+        F.col("nb").cast("bigint"),
+    )
     if metric == "jaccard":
         keep = (
             ub_common.cast("double")
@@ -489,11 +535,7 @@ def _capped_pruned_candidates(
         )
     else:
         raise ValueError(f"unknown prune metric {metric!r}")
-    return (
-        rare_common.crossJoin(F.broadcast(hot_n))
-        .where(keep)
-        .select("id_a", "id_b")
-    )
+    return counts.where(keep).select("id_a", "id_b")
 
 
 def _verify_pairs(cands: DataFrame, sh: DataFrame) -> DataFrame:
@@ -659,32 +701,37 @@ def _resolve_max_df(
 def _full_recall_pairs(sh: DataFrame, max_df: int, threshold: float) -> DataFrame:
     """Verified (id_a, id_b, common, jaccard) pairs from the capped
     index ∪ hot-doc-restricted LSH bands over a persisted
-    (doc, x:{n, hashes, ...}) projection (see near_dup_pairs_full)."""
+    (doc, x:{n, hashes, ...}) projection (see near_dup_pairs_full).
+
+    Adaptive short-circuit (same spirit as connected_components'
+    small-graph path): the hot list is driver-materialized in the job
+    that builds the shingle cache (:func:`_collect_hot`), and with NO
+    hot shingles the capped index is provably complete — nothing is
+    blinded — AND rare_common is the exact intersection, so the pairs
+    finish straight from the pair aggregation: the band path, the
+    union-distinct, and the verification join all vanish on clean
+    corpora."""
     exploded = sh.select(
         "doc", F.col("x.n").alias("n"), F.explode("x.hashes").alias("sh_hash")
     )
-    hot = _hot_shingles(exploded, max_df)
-    capped = _capped_pruned_candidates(sh, max_df, threshold, exploded, hot)
-    # Adaptive short-circuit (same spirit as connected_components'
-    # small-graph path): with NO hot shingles the capped index is
-    # provably complete — nothing is blinded, and capped is already
-    # pair-unique from its groupBy — so the band path, the hot-doc
-    # restriction, and the union-distinct are three shuffles of pure
-    # overhead. The probe is a count on the persisted, provably-tiny
-    # hot list (which the pipeline materializes anyway).
-    if hot.count() == 0:
-        cands = capped
-    else:
-        hot_docs = (
-            exploded.join(F.broadcast(hot), "sh_hash", "left_semi")
-            .select("doc").distinct()
+    hot = _collect_hot(exploded, max_df)
+    if not hot:
+        return _exact_from_counts(
+            _rare_pair_counts(exploded, None), threshold, "jaccard"
         )
-        banded = _band_pairs(
-            sh.join(hot_docs, "doc", "left_semi")
-            .where(F.col("x.n") > 0)
-            .select("doc", _signature_from_hashes(F.col("x.hashes")).alias("sig"))
-        )
-        cands = capped.union(banded).distinct()
+    hot_df = _hot_frame(exploded, hot)
+    counts = _rare_pair_counts(exploded, hot_df)
+    capped = _pruned_candidates(counts, len(hot), threshold, "jaccard")
+    hot_docs = (
+        exploded.join(F.broadcast(hot_df), "sh_hash", "left_semi")
+        .select("doc").distinct()
+    )
+    banded = _band_pairs(
+        sh.join(hot_docs, "doc", "left_semi")
+        .where(F.col("x.n") > 0)
+        .select("doc", _signature_from_hashes(F.col("x.hashes")).alias("sig"))
+    )
+    cands = capped.union(banded).distinct()
     return _verify_pairs(cands, sh).where(F.col("jaccard") >= threshold)
 
 
@@ -759,7 +806,16 @@ def containment_pairs(
     """
     sh = _shingle_frame(df, text_col, id_col, n)
     max_df = _resolve_max_df(max_df, sh, source=df)
-    cands = _capped_pruned_candidates(sh, max_df, threshold, metric="containment")
+    exploded = sh.select(
+        "doc", F.col("x.n").alias("n"), F.explode("x.hashes").alias("sh_hash")
+    )
+    hot = _collect_hot(exploded, max_df)
+    if not hot:
+        return _exact_from_counts(
+            _rare_pair_counts(exploded, None), threshold, "containment"
+        )
+    counts = _rare_pair_counts(exploded, _hot_frame(exploded, hot))
+    cands = _pruned_candidates(counts, len(hot), threshold, "containment")
     v = _verify_pairs(cands, sh)
     containment = F.col("common").cast("double") / F.least(
         F.size("ha"), F.size("hb")
@@ -1094,6 +1150,17 @@ def bloom_might_contain(bc, m_bits: int, k: int, col) -> Column:
     return pandas_udf(_probe, "boolean")(col)
 
 
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """Catalyst's static size estimate for a plan — free (no job).
+    Only ever used for path CHOICE between bit-identical plans, never
+    for correctness; None on internal-API drift."""
+    try:
+        # py4j maps the scala BigInt straight to a Python int
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 def decontaminate(
     train_sh: DataFrame,
     eval_sh: DataFrame,
@@ -1104,28 +1171,45 @@ def decontaminate(
     """Flag training docs sharing >= *min_overlap* shingle hashes with
     the eval corpus. Inputs are (doc_id, sh) shingle-hash frames.
 
-    Two scale regimes, chosen by the eval corpus's DISTINCT hash count
-    (benchmarks are small by nature, so the broadcast path is the
-    common case):
+    Two scale regimes (benchmarks are small by nature, so the
+    broadcast path is the common case):
 
-    - **broadcast** (<= broadcast_max_items): eval hashes broadcast,
-      train filtered by a map-side LEFT SEMI join — the training
-      corpus never shuffles.
+    - **broadcast**: eval hashes broadcast, train filtered by a
+      map-side LEFT SEMI join — the training corpus never shuffles.
     - **Bloom** (larger): a Bloom filter built distributed over the
       eval hashes broadcasts instead (9.6 bits/item vs 64+, an ~7x
       smaller broadcast); the train side is prefiltered map-side by
       the no-false-negative probe, and only the surviving sliver pays
       the exact shuffled semi-join re-check that removes Bloom false
       positives. Result is bit-identical to the broadcast path.
+
+    Path choice is two-tier so the common case pays ZERO pre-jobs:
+    when Catalyst's static size estimate already says the eval side is
+    clearly broadcast-sized, the semi-join plan is emitted directly
+    (its broadcast build runs the distinct — one job total). Only when
+    the estimate is large or unavailable does the operator pay one
+    persist+count job for the exact distinct cardinality, which both
+    settles the branch and sizes the Bloom filter. A mis-estimate can
+    only mis-ROUTE (both plans are exact); the exact count guards the
+    actually-large regime because static estimates never clear the
+    clearly-small bar there.
     """
-    eval_hashes = _persist(eval_sh.select("sh").distinct())
-    n = eval_hashes.count()
-    if n <= broadcast_max_items:
-        pruned = train_sh.join(F.broadcast(eval_hashes), "sh", "left_semi")
+    est = _estimated_bytes(eval_sh.select("sh"))
+    if est is not None and est <= broadcast_max_items * 8:
+        pruned = train_sh.join(
+            F.broadcast(eval_sh.select("sh").distinct()), "sh", "left_semi"
+        )
     else:
-        bc, m_bits, k = build_bloom(eval_hashes, "sh", n, fpp_bits)
-        candidates = train_sh.where(bloom_might_contain(bc, m_bits, k, F.col("sh")))
-        pruned = candidates.join(eval_hashes, "sh", "left_semi")
+        eval_hashes = _persist(eval_sh.select("sh").distinct())
+        n = eval_hashes.count()
+        if n <= broadcast_max_items:
+            pruned = train_sh.join(F.broadcast(eval_hashes), "sh", "left_semi")
+        else:
+            bc, m_bits, k = build_bloom(eval_hashes, "sh", n, fpp_bits)
+            candidates = train_sh.where(
+                bloom_might_contain(bc, m_bits, k, F.col("sh"))
+            )
+            pruned = candidates.join(eval_hashes, "sh", "left_semi")
     return (
         pruned.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
