@@ -28,8 +28,10 @@ tiny and always broadcast when joined against fact data.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import urllib.parse
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
@@ -154,6 +156,11 @@ class Warehouse:
     def meta_path(self, collection: str) -> str:
         return os.path.join(self.root, "system", collection, "metadata")
 
+    def manifest_path(self, collection: str) -> str:
+        return os.path.join(
+            self.root, "system", collection, "staged_manifest.json"
+        )
+
     def _exists(self, path: str) -> bool:
         # parquet dirs always contain a _SUCCESS marker or data files
         return os.path.isdir(path) and any(
@@ -260,16 +267,59 @@ class Warehouse:
 
     # ---------------------------------------------------------- staging
 
+    def _read_manifest(self, collection: str) -> dict | None:
+        """Staged manifest: the winner ingest_id (and partition dir)
+        each staged table_name currently reflects. None = no manifest
+        (fresh warehouse or pre-manifest layout → full restage)."""
+        try:
+            with open(self.manifest_path(collection)) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    def _write_manifest(self, collection: str, tables: dict) -> None:
+        path = self.manifest_path(collection)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + "__tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"tables": tables}, fh, sort_keys=True)
+        os.replace(tmp, path)
+
+    @staticmethod
+    def _partition_dirs(path: str) -> dict[str, str]:
+        """table_name → partition dirname under *path* (Spark escapes
+        partition values with %XX — unquote reverses it exactly)."""
+        out = {}
+        for entry in os.listdir(path):
+            if entry.startswith("table_name="):
+                out[urllib.parse.unquote(entry.split("=", 1)[1])] = entry
+        return out
+
     def stage(self, schema: CollectionSchema, as_of: datetime | str | None = None) -> list[str]:
-        """Rebuild the prod snapshot: latest successful version of each
-        table_name with ingest_ts ≤ *as_of* (queens/core/read_write.py:
-        340-404), then refresh metadata. Returns staged table names.
+        """Bring the prod snapshot to the latest successful version of
+        each table_name with ingest_ts ≤ *as_of* (queens/core/
+        read_write.py:340-404), then refresh metadata. Returns staged
+        table names.
 
         Spark-first: the reference's `MAX(ingest_ts) GROUP BY
         table_name` CTE + double join collapses to one window rank over
-        the (tiny) ingest log, then a broadcast semi-join of raw
-        against the winning ingest_ids. The fact table is only ever
-        scanned once, and only winning partitions are rewritten.
+        the (tiny) ingest log, then a broadcast join of raw against the
+        winning ingest_ids.
+
+        INCREMENTAL: a staged manifest records which winner ingest_id
+        each prod table reflects, so a re-stage rewrites ONLY the
+        table_name partitions whose winner changed (plus removals when
+        an ``as_of`` cutoff rolls a table out) — at 100 TB, staging
+        after one table's ingest is O(that table), not a full prod
+        rebuild + renumber. Sound because every per-table artifact is
+        independent: row_uid numbering is per-table by construction
+        (see with_row_uid — partition chunks offset within table_name),
+        and the metadata catalog groups by table_name, so unchanged
+        tables' files and catalog rows are byte-identical either way.
+        Each changed table swaps in via two renames (old aside, new
+        in); the manifest is written only after all swaps + metadata,
+        so a crash mid-stage re-stages the incomplete tables on the
+        next call instead of losing them.
         """
         collection = schema.name
         if isinstance(as_of, str):
@@ -284,45 +334,141 @@ class Warehouse:
         w = Window.partitionBy("table_name").orderBy(
             F.desc("ingest_ts"), F.desc("ingest_id")
         )
-        winners = (
+        # the resolved log is tiny (one row per ingest) — collecting the
+        # winner set lets the driver diff it against the manifest
+        winner_rows = (
             log.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") == 1)
-            .select("ingest_id", "ingest_ts", "table_description")
+            .select("table_name", "ingest_id", "ingest_ts", "table_description")
+            .collect()
         )
-        if winners.isEmpty():
+        if not winner_rows:
             raise StagingError(
                 f"no successful ingests for '{collection}' at cutoff {cutoff}"
             )
+        winners = {r["table_name"]: r for r in winner_rows}
+
+        out = self.prod_path(collection)
+        manifest = self._read_manifest(collection) if self._exists(out) else None
+        prev = (manifest or {}).get("tables", {})
+        incremental = manifest is not None
+        if incremental:
+            changed = sorted(
+                t for t, r in winners.items()
+                if t not in prev or prev[t].get("ingest_id") != r["ingest_id"]
+            )
+            removed = sorted(t for t in prev if t not in winners)
+        else:
+            changed, removed = sorted(winners), []
+
+        if not changed and not removed:
+            return sorted(winners)
+
         raw = self.read_raw(collection)
-        staged = raw.join(F.broadcast(winners), "ingest_id", "inner")
+        win_df = self.spark.createDataFrame(
+            [
+                (
+                    r["ingest_id"], r["ingest_ts"], r["table_description"],
+                )
+                for t, r in winners.items() if t in set(changed)
+            ],
+            T.StructType([
+                T.StructField("ingest_id", T.LongType(), False),
+                T.StructField("ingest_ts", T.TimestampType(), False),
+                T.StructField("table_description", T.StringType(), True),
+            ]),
+        )
+        if incremental:
+            # partition pruning: unchanged table_name partitions of raw
+            # are never even read
+            raw = raw.where(F.col("table_name").isin(changed))
+        staged = raw.join(F.broadcast(win_df), "ingest_id", "inner")
 
         # Persisted stable row id per logical table: deterministic total
         # order over the dimension columns (SURVEY.md §7.4.1) — replaces
         # SQLite's implicit rowid for ORDER BY + keyset pagination.
         # Two-phase numbering (see with_row_uid): no per-table
-        # single-task sort.
+        # single-task sort; numbering is a pure per-table function of
+        # the rows, so numbering changed tables alone reproduces what a
+        # full restage would assign.
         order_cols = [c for c in staged.columns
                       if c not in (ROW_UID, "table_description")]
         staged = with_row_uid(staged, order_cols)
 
-        out = self.prod_path(collection)
         tmp = out + "__staging_tmp"
         staged.write.mode("overwrite").partitionBy("table_name").parquet(tmp)
-        if os.path.isdir(out):
-            shutil.rmtree(out)
-        os.replace(tmp, out)
 
-        tables = self.refresh_metadata(schema)
+        new_tables = {t: dict(v) for t, v in prev.items()}
+        if incremental:
+            written = self._partition_dirs(tmp)
+            for t in changed:
+                entry = written.get(t)
+                dst = os.path.join(out, entry) if entry else None
+                old_entry = prev.get(t, {}).get("dir")
+                if entry is None:
+                    # winner has zero rows: drop the table from prod
+                    if old_entry and os.path.isdir(os.path.join(out, old_entry)):
+                        shutil.rmtree(os.path.join(out, old_entry))
+                    new_tables.pop(t, None)
+                    continue
+                if os.path.isdir(dst):
+                    aside = dst + "__old"
+                    os.replace(dst, aside)
+                    os.replace(os.path.join(tmp, entry), dst)
+                    shutil.rmtree(aside)
+                else:
+                    os.replace(os.path.join(tmp, entry), dst)
+                new_tables[t] = {
+                    "ingest_id": winners[t]["ingest_id"], "dir": entry,
+                }
+            for t in removed:
+                entry = prev.get(t, {}).get("dir")
+                if entry and os.path.isdir(os.path.join(out, entry)):
+                    shutil.rmtree(os.path.join(out, entry))
+                new_tables.pop(t, None)
+            shutil.rmtree(tmp)
+            # partition swaps happen under the root — bump its mtime
+            # explicitly so every snapshot-token cache self-invalidates
+            os.utime(out)
+        else:
+            if os.path.isdir(out):
+                shutil.rmtree(out)
+            os.replace(tmp, out)
+            new_tables = {
+                t: {"ingest_id": winners[t]["ingest_id"], "dir": entry}
+                for t, entry in self._partition_dirs(out).items()
+            }
+
         self._invalidate_caches(collection)
+        tables = self.refresh_metadata(
+            schema,
+            tables=changed if incremental else None,
+            removed=removed,
+        )
+        self._write_manifest(collection, new_tables)
         return tables
 
-    def refresh_metadata(self, schema: CollectionSchema) -> list[str]:
+    def refresh_metadata(
+        self,
+        schema: CollectionSchema,
+        tables: list[str] | None = None,
+        removed: list[str] | None = None,
+    ) -> list[str]:
         """Rebuild the per-(table_name, column) catalog in ONE pass over
         prod: count + approx-free exact distinct per column, unpivoted
         to long, keeping only populated columns (all-null columns are
-        absent → not queryable, queens/etl/validation.py:218-220)."""
+        absent → not queryable, queens/etl/validation.py:218-220).
+
+        With *tables* given, the stats pass scans ONLY those tables'
+        prod partitions (partition pruning) and merges into the
+        existing catalog — the per-table stats are an independent
+        groupBy(table_name) aggregate, so the merged catalog is
+        row-identical to a full rebuild. *removed* tables' rows are
+        dropped. This keeps stage() O(changed data) end to end."""
         collection = schema.name
         prod = self.read_prod(collection)
+        if tables is not None:
+            prod = prod.where(F.col("table_name").isin(list(tables)))
         cols = [c for c in prod.columns
                 if c in schema.columns or c == ROW_UID]
         aggs = []
@@ -356,6 +502,14 @@ class Warehouse:
             )
             .where(F.col("n_non_nulls") > 0)
         )
+        if tables is not None:
+            stale = list(tables) + list(removed or [])
+            keep = self.read_metadata(collection).where(
+                ~F.col("table_name").isin(stale)
+            )
+            # the union plan reads the OLD catalog files lazily during
+            # the tmp write below — safe, the swap happens only after
+            meta = keep.unionByName(meta)
         out = self.meta_path(collection)
         tmp = out + "__tmp"
         meta.coalesce(1).write.mode("overwrite").parquet(tmp)
