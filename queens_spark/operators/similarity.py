@@ -745,3 +745,134 @@ def int8_topk_ip(
     for b in branches[1:]:
         out = out.unionAll(b)
     return out
+
+
+MAX_BATCH_QUERIES = 1_000_000  # ~0.5 GB broadcast at d=64 int8 + ids
+
+
+def batch_topk_ip(
+    queries_df: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str = "query_id",
+    query_vec_col: str | None = None,
+    k: int = 10,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """TABLE-driven top-k inner-product retrieval: score a whole query
+    TABLE against the corpus in ONE plan (the production-batch shape —
+    :func:`int8_topk_ip` unions a TakeOrdered branch per query, which
+    is right for interactive handfuls but O(queries) plan nodes).
+
+    Plan shape for 100 TB: the query block is quantized (symmetric
+    max-abs int8, same formula as :func:`int8_quantize`) and BROADCAST
+    — queries are bounded (MAX_BATCH_QUERIES guard), the corpus is
+    not. One Arrow-batched ``mapInPandas`` pass streams the corpus:
+    each partition quantizes its batches, computes the whole
+    batch × query int64 code-dot in one numpy matmul, and maintains a
+    per-query running top-k pool (kept to the rows tied-or-better
+    than the k-th best score, so ties can never be dropped). The
+    corpus NEVER shuffles; only ≤ ~k·|queries| candidate rows per
+    partition reach the final window rank, which settles exact order
+    (approx_ip desc, id asc) and trims ties. Scores are exact BIGINT
+    code dots rescaled by both amax factors in a fixed multiplication
+    order, so the DuckDB oracle reproduces every value bit-for-bit.
+
+    *exclude_self* drops candidates whose corpus id equals the query
+    id (for query blocks drawn from the corpus itself, q66-style).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qv = query_vec_col or vec_col
+    qrows = queries_df.select(
+        F.col(query_id_col).alias("qid"), F.col(qv).alias("v")
+    ).collect()
+    if len(qrows) > MAX_BATCH_QUERIES:
+        raise ValueError(
+            f"{len(qrows)} queries exceeds the broadcast cap "
+            f"({MAX_BATCH_QUERIES}); shard the query table"
+        )
+    out_schema = f"query_id bigint, {id_col} bigint, dot_q bigint, approx_ip double"
+    if not qrows:
+        return corpus.where(F.lit(False)).select(
+            F.lit(None).cast("bigint").alias("query_id"),
+            F.col(id_col).cast("bigint"),
+            F.lit(None).cast("bigint").alias("dot_q"),
+            F.lit(None).cast("double").alias("approx_ip"),
+        )
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
+    qa = np.abs(qmat).max(axis=1)
+    qcodes = np.zeros_like(qmat, dtype=np.int64)
+    nz = qa > 0
+    # same IEEE order as int8_quantize: (x * 127.0) / amax, floored
+    qcodes[nz] = np.floor(qmat[nz] * 127.0 / qa[nz, None])
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qcodes, qa))
+
+    def run(batches):
+        b_qids, b_qc, b_qa = bc.value
+        nq = len(b_qids)
+        pools: list[tuple | None] = [None] * nq
+
+        def trim(ids_, dots_, aps_):
+            if len(aps_) <= k:
+                return ids_, dots_, aps_
+            kth = np.partition(aps_, len(aps_) - k)[len(aps_) - k]
+            m = aps_ >= kth  # keep score-ties: exactness over tightness
+            return ids_[m], dots_[m], aps_[m]
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            da = np.abs(mat).max(axis=1)
+            codes = np.zeros_like(mat, dtype=np.int64)
+            dnz = da > 0
+            codes[dnz] = np.floor(mat[dnz] * 127.0 / da[dnz, None])
+            dots = codes @ b_qc.T  # B×Q exact int64
+            # fixed order (dot · qa) · da / DESCALE — matches the
+            # Column expression in int8_topk_ip and the SQL twin
+            approx = (dots.astype(np.float64) * b_qa[None, :]) \
+                * da[:, None] / INT8_DESCALE
+            for qi in range(nq):
+                col, d, use = approx[:, qi], dots[:, qi], ids
+                if exclude_self:
+                    m = ids != b_qids[qi]
+                    col, d, use = col[m], d[m], use[m]
+                if not len(col):
+                    continue
+                if pools[qi] is None:
+                    pools[qi] = trim(use, d, col)
+                else:
+                    pid, pd_, pc = pools[qi]
+                    pools[qi] = trim(
+                        np.concatenate([pid, use]),
+                        np.concatenate([pd_, d]),
+                        np.concatenate([pc, col]),
+                    )
+        chunks = []
+        for qi, pool in enumerate(pools):
+            if pool is None:
+                continue
+            pid, pd_, pc = pool
+            chunks.append(pd.DataFrame({
+                "query_id": np.full(len(pid), b_qids[qi], dtype=np.int64),
+                id_col: pid, "dot_q": pd_, "approx_ip": pc,
+            }))
+        if chunks:
+            yield pd.concat(chunks, ignore_index=True)
+
+    cands = corpus.select(id_col, vec_col).mapInPandas(run, out_schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_ip"), F.asc(id_col)
+    )
+    return (
+        cands.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

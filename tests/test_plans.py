@@ -305,3 +305,19 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bk_docs")
         spark.sql("DROP TABLE IF EXISTS t_bk_stats")
+
+
+def test_batch_topk_corpus_never_shuffles(spark):
+    """q83: the corpus streams through ONE MapInPandas pass with no
+    exchange below it; the only shuffle in the whole plan is the
+    candidate window rank on query_id (~k·|queries|·partitions rows)."""
+    from queens_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q83_batch_topk"](spark, SF_DIR))
+    assert "MapInPandas" in plan
+    # tree section: exactly one Exchange node, and it sits ABOVE the
+    # MapInPandas (higher node id = later), i.e. only candidates move
+    tree = [ln for ln in plan.splitlines() if "+-" in ln or "Scan" in ln]
+    exchange_nodes = [ln for ln in tree if "Exchange" in ln]
+    assert len(exchange_nodes) == 1, exchange_nodes
+    assert "hashpartitioning(query_id" in plan

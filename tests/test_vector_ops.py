@@ -168,3 +168,49 @@ def test_int8_topk_missing_query_ids_returns_empty(spark):
     out = int8_topk_ip(df, "embedding", "vec_id", query_ids=[999], k=3)
     assert out.count() == 0
     assert set(out.columns) == {"query_id", "vec_id", "dot_q", "approx_ip"}
+
+
+def test_batch_topk_matches_per_query_branches(spark):
+    """batch_topk_ip (one broadcast-block plan) must reproduce
+    int8_topk_ip's per-query TakeOrdered results exactly — same codes,
+    same fixed-order IEEE rescale, same (score desc, id asc) ties."""
+    from pyspark.sql import functions as F
+
+    from queens_spark.operators.dedup import release_caches
+    from queens_spark.operators.similarity import batch_topk_ip, int8_topk_ip
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4, 5, 6, 7]
+    via_branches = {
+        (r["query_id"], r["vec_id"], r["dot_q"], r["approx_ip"])
+        for r in int8_topk_ip(emb, "embedding", "vec_id", qids, k=5).collect()
+    }
+    via_batch = {
+        (r["query_id"], r["vec_id"], r["dot_q"], r["approx_ip"])
+        for r in batch_topk_ip(
+            emb.where(F.col("vec_id").isin(qids)).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            emb, "embedding", "vec_id", k=5, exclude_self=True,
+        ).collect()
+    }
+    release_caches()
+    assert via_batch == via_branches
+    assert len(via_batch) == 5 * len(qids)
+
+
+def test_batch_topk_empty_query_block(spark):
+    from pyspark.sql import functions as F
+
+    from queens_spark.operators.similarity import batch_topk_ip
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = batch_topk_ip(
+        emb.where(F.lit(False)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        emb, "embedding", "vec_id", k=5,
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "vec_id", "dot_q", "approx_ip"]
