@@ -33,14 +33,19 @@ def main() -> None:
     # the queries, not session startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Sub-second queries on local[32] are scheduler-noise-dominated
+    # (documented ±2× run-to-run); extra repeats push the best-of
+    # toward the true floor so round-over-round deltas are signal.
+    max_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
         best = None
         try:
-            # Best of two runs: the first execution of a query shape
+            # Best of N runs: the first execution of a query shape
             # pays one-off codegen/broadcast warm-up that isn't the
-            # query's steady-state cost.
-            for _ in range(2):
+            # query's steady-state cost; sub-second shapes repeat up
+            # to max_runs, longer ones stop after two.
+            for i in range(max_runs):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 elapsed = time.perf_counter() - t0
@@ -49,6 +54,8 @@ def main() -> None:
                 # pipelines) must not hold executor memory against
                 # other timings.
                 spark.catalog.clearCache()
+                if i >= 1 and best >= 1.0:
+                    break
             timings[name] = round(best, 4)
         except Exception as exc:  # report, don't abort the whole bench
             timings[name] = -1.0

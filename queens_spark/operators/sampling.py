@@ -125,6 +125,20 @@ def mixture_sample(
         for r in df.groupBy(strata_col).count().collect()
         if r[0] in weights_ppm
     }
+    missing = sorted(s for s in weights_ppm if s not in counts)
+    if missing:
+        # a weighted stratum absent from the data zeroes the feasible
+        # total and silently empties EVERY stratum's sample — almost
+        # always a misspelled stratum name, so say so loudly (the
+        # DuckDB twin mirrors the empty result, so behavior stays
+        # oracle-consistent; only the warning is added)
+        import warnings
+
+        warnings.warn(
+            f"mixture_sample: weighted strata {missing} have no rows — "
+            "the whole mixture is empty",
+            stacklevel=2,
+        )
     feasible_total = min(
         (counts.get(s, 0) * PPM) // w for s, w in weights_ppm.items()
     )

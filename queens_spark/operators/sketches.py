@@ -175,6 +175,20 @@ def hll_registers(df: DataFrame, key_col: str, group_cols: list[str]) -> DataFra
     )
 
 
+def hll_merge(reg_frames: list[DataFrame], group_cols: list[str]) -> DataFrame:
+    """Merge INDEPENDENTLY-built register frames into one: union +
+    per-(group, reg) max(rho). This is the whole point of the sketch
+    at 100 TB — per-shard/per-day register frames (64 rows per group
+    each) roll up without re-reading any keys, and because max is
+    associative + commutative the merged frame is row-identical to a
+    single pass over the union of the inputs, so the estimate is too
+    (exercised end-to-end by q84 and tests/test_sketches.py)."""
+    if not reg_frames:
+        raise ValueError("hll_merge needs at least one register frame")
+    merged = reduce(DataFrame.unionByName, reg_frames)
+    return merged.groupBy(*group_cols, "reg").agg(F.max("rho").alias("rho"))
+
+
 def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
     """Finish a register frame into per-group ``hll_est``."""
     per_group = regs.groupBy(*group_cols).agg(
@@ -280,6 +294,17 @@ def cms_build(tokens_df: DataFrame, token_col: str = "token") -> DataFrame:
         .groupBy(F.col("b.cms_row").alias("cms_row"), F.col("b.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def cms_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge independently-built count-min sketches BY ADDITION:
+    counter-wise sum over (cms_row, bucket). Addition is associative,
+    so per-shard sketches sum to exactly the whole-corpus sketch —
+    the fixed-memory rollup shape (4096 counters per shard, ever)."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    merged = reduce(DataFrame.unionByName, sketches)
+    return merged.groupBy("cms_row", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
 def cms_probe(sketch: DataFrame, probes: DataFrame, token_col: str = "token") -> DataFrame:

@@ -2487,7 +2487,7 @@ def q68_hll_distinct(spark, sf_dir):
     approx_count_distinct (JVM-private HLL++ hashing), every step is
     portable integer/IEEE arithmetic, so the DuckDB oracle reproduces
     the ESTIMATE bit-for-bit — and the sketch state is mergeable
-    counter rows, so at 100 TB the shuffle carries ≤ 32 registers per
+    counter rows, so at 100 TB the shuffle carries ≤ 64 registers per
     group instead of every distinct key (see operators/sketches.py).
     The exact branch here is the calibration reference, itself a
     counter-width two-phase distinct."""
@@ -3245,3 +3245,70 @@ def q82_label_outliers(spark, sf_dir):
         .where(F.col("rank") <= 5)
         .select("vec_id", "label", "dist2_e12", "rank")
     )
+
+# =====================================================================
+# Round 5: batch retrieval and sketch-merge rollups
+# =====================================================================
+
+@register("q83_batch_topk", _int8_topk_oracle(100, 10))
+def q83_batch_topk(spark, sf_dir):
+    """TABLE-driven retrieval: top-10 inner-product neighbors for a
+    100-query block in ONE plan — the production-batch shape (q66's
+    per-query TakeOrdered branches are right for interactive handfuls,
+    not for scoring a query table).
+
+    Scale shape (operators/similarity.py:batch_topk_ip): the int8
+    query block broadcasts; one Arrow-batched mapInPandas pass streams
+    the corpus, computing each batch × query code-dot as a single
+    int64 matmul with per-query running top-k pools — the corpus
+    NEVER shuffles, and only ~k·|queries| candidate rows per partition
+    reach the final exact window rank. Same quantization + fixed IEEE
+    rescale order as q66, so the oracle is bit-identical."""
+    from queens_spark.operators.similarity import batch_topk_ip
+
+    emb = load(spark, sf_dir, "embeddings")
+    return batch_topk_ip(
+        emb.where(F.col("vec_id") < 100).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        emb,
+        "embedding",
+        "vec_id",
+        k=10,
+        exclude_self=True,
+    )
+
+
+def _hll_merge_oracle() -> str:
+    from queens_spark.operators.sketches import duckdb_hll_distinct_cte
+
+    # max is associative: merging per-shard register frames must equal
+    # the single-pass estimator over the whole corpus, bit-for-bit
+    return duckdb_hll_distinct_cte("events", "user_id", "event_type")
+
+
+@register("q84_hll_shard_merge", _hll_merge_oracle())
+def q84_hll_shard_merge(spark, sf_dir):
+    """Sketch-merge rollup — the actual 100 TB shape: three register
+    frames are built INDEPENDENTLY (events sharded by day-of-month,
+    like per-day rollup files), then merged with union + per-(group,
+    register) max and finished. Because max is associative and the
+    hash is deterministic, the merged estimate is bit-identical to a
+    single pass over the whole corpus — which is exactly what the
+    oracle computes. Each shard's state is ≤ 64 counter rows per
+    group; merging never re-reads keys (operators/sketches.py:
+    hll_merge)."""
+    from queens_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    shards = [
+        hll_registers(
+            ev.where(F.dayofmonth("ts") % 3 == i), "user_id", ["event_type"]
+        )
+        for i in range(3)
+    ]
+    return hll_estimate(hll_merge(shards, ["event_type"]), ["event_type"])

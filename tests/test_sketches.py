@@ -69,17 +69,48 @@ def test_cms_overestimates_and_merges(spark):
     assert got["alpha"] <= 50 + 2 * len(toks) // CMS_W
     # unseen tokens may collide but stay within the additive bound
     assert 0 <= got["never_seen"] <= 2 * len(toks) // CMS_W + 1
-    # merge-by-addition: sum of two half sketches == whole sketch
-    half1 = cms_build(df.limit(100))
-    half2 = cms_build(df.subtract(df.limit(0)).exceptAll(df.limit(100)))
-    merged = (
-        half1.unionAll(half2)
-        .groupBy("cms_row", "bucket")
-        .agg(F.sum("cnt").alias("cnt"))
+    # merge-by-addition: sum of two half sketches == whole sketch.
+    # Deterministic split (an unordered limit() is not a stable
+    # partition of a multiset — subtract/exceptAll on it can drop
+    # duplicate tokens under partitioning changes).
+    idx = spark.createDataFrame(
+        [Row(idx=i, token=t) for i, t in enumerate(toks)]
     )
+    from queens_spark.operators.sketches import cms_merge
+
+    half1 = cms_build(idx.where("idx < 100").select("token"))
+    half2 = cms_build(idx.where("idx >= 100").select("token"))
+    merged = cms_merge([half1, half2])
     whole = {(r["cms_row"], r["bucket"]): r["cnt"] for r in sketch.collect()}
     via = {(r["cms_row"], r["bucket"]): r["cnt"] for r in merged.collect()}
     assert whole == via
+
+
+def test_hll_merge_equals_whole_corpus_estimate(spark):
+    """Union + re-max of independently-built register frames must give
+    the SAME estimate as one pass over everything — the per-shard
+    rollup contract q84 relies on."""
+    from pyspark.sql import functions as F
+
+    from queens_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    whole = hll_estimate(
+        hll_registers(ev, "user_id", ["event_type"]), ["event_type"]
+    )
+    shards = [
+        hll_registers(ev.where(F.col("user_id") % 4 == i),
+                      "user_id", ["event_type"])
+        for i in range(4)
+    ]
+    merged = hll_estimate(hll_merge(shards, ["event_type"]), ["event_type"])
+    a = {r["event_type"]: r["hll_est"] for r in whole.collect()}
+    b = {r["event_type"]: r["hll_est"] for r in merged.collect()}
+    assert a == b and len(a) > 0  # bit-identical, not approximately
 
 
 def test_hll_rejects_non_integral_keys(spark):
