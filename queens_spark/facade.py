@@ -52,6 +52,16 @@ class Engine:
         self.spark = spark
         self.warehouse = Warehouse(spark, warehouse_root)
         self.schemas = dict(schemas or SCHEMAS)
+        # bucketed-table registrations are session-scoped (in-memory
+        # catalog); re-create any the warehouse manifest records so the
+        # zero-exchange join layout survives session restarts
+        import os
+
+        from queens_spark.store.bucketed import MANIFEST_NAME, restore_bucketed
+
+        mdir = os.path.join(warehouse_root, "system")
+        if os.path.exists(os.path.join(mdir, MANIFEST_NAME)):
+            restore_bucketed(spark, mdir)
 
     # ------------------------------------------------------------ write
 

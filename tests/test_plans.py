@@ -321,3 +321,58 @@ def test_batch_topk_corpus_never_shuffles(spark):
     exchange_nodes = [ln for ln in tree if "Exchange" in ln]
     assert len(exchange_nodes) == 1, exchange_nodes
     assert "hashpartitioning(query_id" in plan
+
+
+def test_bucketed_manifest_restores_zero_exchange_join(spark, tmp_path):
+    """A new session loses the in-memory catalog entry but NOT the
+    data: restore_bucketed must re-register from the warehouse
+    manifest (no rewrite — file mtimes untouched) and the join must
+    still plan with zero exchanges. Dropping the tables simulates the
+    fresh catalog (newSession() shares SharedState, so a literal new
+    session would not actually forget)."""
+    import os
+    import re
+
+    from queens_spark.store.bucketed import (
+        bucketed_join,
+        restore_bucketed,
+        write_bucketed,
+    )
+
+    mdir = str(tmp_path / "system")
+    docs = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("a"))
+    stats = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("b"))
+    write_bucketed(docs, "t_bm_docs", "k", 4,
+                   path=str(tmp_path / "d"), manifest_dir=mdir)
+    write_bucketed(stats, "t_bm_stats", "k", 4,
+                   path=str(tmp_path / "s"), manifest_dir=mdir)
+
+    def fstate(p):
+        return {f: os.stat(os.path.join(p, f)).st_mtime_ns
+                for f in os.listdir(p) if not f.startswith((".", "_"))}
+
+    before = fstate(str(tmp_path / "d"))
+    spark.sql("DROP TABLE t_bm_docs")
+    spark.sql("DROP TABLE t_bm_stats")
+    assert not spark.catalog.tableExists("t_bm_docs")
+
+    restored = restore_bucketed(spark, mdir)
+    assert restored == ["t_bm_docs", "t_bm_stats"]
+    assert fstate(str(tmp_path / "d")) == before, "restore rewrote data"
+    # idempotent second call
+    assert restore_bucketed(spark, mdir) == []
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_bm_docs", "t_bm_stats", "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"Exchange", plan), plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bm_docs")
+        spark.sql("DROP TABLE IF EXISTS t_bm_stats")
