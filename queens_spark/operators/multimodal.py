@@ -7,9 +7,10 @@ extraction over raw bytes. Decode kernels are REAL for every format
 the Python stdlib can parse — WAV (``wave`` + numpy), BMP, PPM/PGM
 (struct/numpy header+pixel parsing), and 8-bit non-interlaced PNG
 (chunk parse + stdlib zlib inflate + all five scanline filters +
-palette lookup), including a real nearest-neighbour resize that
-re-encodes the same format. The remaining codecs
-(JPEG/GIF/MP4/MP3) require native libraries NOT in this runtime, so
+palette lookup), and single-frame GIF (stdlib LZW decode/encode),
+including a real nearest-neighbour resize that re-encodes the same
+format. The remaining codecs
+(JPEG/MP4/MP3) require native libraries NOT in this runtime, so
 those kernels remain explicit stubs: they raise
 ``NotImplementedError`` behind the same interface a real kernel would
 implement, and ``fake_features``/``fake_resize`` provide
@@ -68,8 +69,8 @@ def size_bucketed(df: DataFrame, target_bytes: int = 64 << 20) -> DataFrame:
 # ------------------------------------------------- format sniffing
 
 #: formats with a REAL stdlib decode path vs honest stubs
-DECODABLE_FORMATS = {"wav", "bmp", "ppm", "pgm", "png"}
-STUBBED_FORMATS = {"jpeg", "gif", "mp4", "mp3", "ogg"}
+DECODABLE_FORMATS = {"wav", "bmp", "ppm", "pgm", "png", "gif"}
+STUBBED_FORMATS = {"jpeg", "mp4", "mp3", "ogg"}
 
 
 def sniff_format(content: bytes | None) -> str | None:
@@ -308,11 +309,216 @@ def encode_png(px: np.ndarray) -> bytes:
     )
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytearray:
+    """GIF-variant LZW decode (LSB-first variable-width codes, CLEAR/
+    END control codes, 12-bit table cap) — the textbook algorithm,
+    pure stdlib. Stops after *expected* pixels (streams are exactly
+    sized in practice; the guard bounds corrupt input)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    bitpos, nbits = 0, len(data) * 8
+
+    def fresh():
+        return min_code_size + 1, [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    code_size, table = fresh()
+    prev = None
+    while bitpos + code_size <= nbits and len(out) < expected:
+        bi = bitpos >> 3
+        code = (
+            int.from_bytes(data[bi:bi + 4], "little") >> (bitpos & 7)
+        ) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size, table = fresh()
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and (prev is not None or code < clear):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK special case
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = entry
+    return out
+
+
+def _decode_gif_pixels(content: bytes) -> np.ndarray:
+    """(H, W, 3) uint8 array from the FIRST frame of a non-interlaced
+    GIF87a/89a — REAL decode via the stdlib LZW implementation above:
+    parse the logical screen descriptor + color tables, skip extension
+    blocks, inflate the first image descriptor's code stream, apply
+    the (local, else global) palette. Animation frames beyond the
+    first and interlaced row ordering are out of scope (documented)."""
+    if content[:3] != b"GIF" or content[3:6] not in (b"87a", b"89a"):
+        raise ValueError("not a GIF payload")
+    _w, _h, packed, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(content, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(content):
+        block = content[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte + length-prefixed subs
+            pos += 2
+            while content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, fw, fh, fpacked = struct.unpack_from("<HHHHB", content, pos + 1)
+            pos += 10
+            lct = None
+            if fpacked & 0x80:
+                n = 2 << (fpacked & 0x07)
+                lct = np.frombuffer(content, np.uint8, n * 3, pos).reshape(-1, 3)
+                pos += n * 3
+            if fpacked & 0x40:
+                raise NotImplementedError("interlaced GIF not decodable here")
+            min_code = content[pos]
+            pos += 1
+            data = bytearray()
+            while content[pos] != 0:
+                ln = content[pos]
+                data.extend(content[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(data), min_code, fw * fh)
+            if len(idx) < fw * fh:
+                raise ValueError("GIF pixel payload short")
+            pal = lct if lct is not None else gct
+            if pal is None:
+                raise ValueError("GIF missing color table")
+            arr = np.frombuffer(bytes(idx[: fw * fh]), np.uint8).reshape(fh, fw)
+            if int(arr.max(initial=0)) >= len(pal):
+                raise ValueError("GIF pixel index outside color table")
+            return pal[arr]
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encode — the exact inverse of
+    :func:`_gif_lzw_decode` (verified by roundtrip tests across the
+    table-growth code-width boundaries): dictionary build with
+    greedy longest-match, CLEAR emitted up front and whenever the
+    table hits the 12-bit cap."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    cur, nbits = 0, 0
+    code_size = min_code_size + 1
+
+    def emit(code):
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emitted_since_clear = 0
+    emit(clear)
+    w = b""
+    for byte in indices:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        emitted_since_clear += 1
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            # the decoder bumps width when its table length reaches
+            # 2^size; its length lags this next_code by exactly one
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear)
+            code_size = min_code_size + 1
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            emitted_since_clear = 0
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+        # no assignment follows the final code, but the decoder still
+        # appends an entry for it (when it isn't the first code after
+        # a clear) — mirror its possible width bump so END is written
+        # at the size the decoder will read it
+        if (
+            emitted_since_clear > 0
+            and next_code < 4096
+            and next_code == (1 << code_size)
+            and code_size < 12
+        ):
+            code_size += 1
+    emit(end)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(px: np.ndarray) -> bytes:
+    """Single-frame non-interlaced GIF89a from a uint8 array — the
+    inverse of :func:`_decode_gif_pixels`. (H, W, 3) inputs build an
+    exact palette (≤ 256 distinct colors required — GIF is a palette
+    format; raise rather than silently quantize); (H, W, 1) grayscale
+    uses the identity 256-gray palette."""
+    if px.ndim != 3 or px.shape[2] not in (1, 3):
+        raise ValueError(f"encode_gif needs (H, W, 1|3), got {px.shape}")
+    h, w = px.shape[:2]
+    if px.shape[2] == 1:
+        pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        idx = px[:, :, 0]
+    else:
+        flat = px.reshape(-1, 3)
+        pal, inverse = np.unique(flat, axis=0, return_inverse=True)
+        if len(pal) > 256:
+            raise ValueError(
+                f"{len(pal)} distinct colors exceed GIF's 256-entry palette"
+            )
+        idx = inverse.astype(np.uint8).reshape(h, w)
+    bits = max(2, int(len(pal) - 1).bit_length())
+    full = np.zeros((1 << bits, 3), dtype=np.uint8)
+    full[: len(pal)] = pal
+    packed = 0x80 | ((bits - 1) & 0x07)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, packed, 0, 0)
+    out += full.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    min_code = max(2, bits)
+    out.append(min_code)
+    stream = _gif_lzw_encode(idx.tobytes(), min_code)
+    for i in range(0, len(stream), 255):
+        sub = stream[i : i + 255]
+        out.append(len(sub))
+        out += sub
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image(content: bytes) -> dict:
     """REAL decode for stdlib-parsable image formats (uncompressed BMP,
-    binary PPM/PGM, 8-bit non-interlaced PNG via zlib): returns
-    width/height/channels plus per-channel mean and std. JPEG/GIF
-    still raise — their codecs are not in this runtime."""
+    binary PPM/PGM, 8-bit non-interlaced PNG via zlib, single-frame
+    GIF via the stdlib LZW above): returns width/height/channels plus
+    per-channel mean and std. JPEG still raises — its codec is not in
+    this runtime."""
     fmt = sniff_format(content)
     if fmt == "bmp":
         px = _decode_bmp_pixels(content)
@@ -320,11 +526,13 @@ def decode_image(content: bytes) -> dict:
         px = _decode_pnm_pixels(content)
     elif fmt == "png":
         px = _decode_png_pixels(content)
+    elif fmt == "gif":
+        px = _decode_gif_pixels(content)
     else:
         raise NotImplementedError(
             f"image decode for {fmt or 'unknown'} requires a codec library "
             "(e.g. PIL), not available in this runtime — decodable here: "
-            "bmp/ppm/pgm/png; use fake_features for plumbing tests"
+            "bmp/ppm/pgm/png/gif; use fake_features for plumbing tests"
         )
     return {
         "format": fmt,
@@ -374,7 +582,7 @@ def media_features(content: bytes | None, dim: int = FEATURE_DIM) -> list[float]
             1.0, m["duration_ms"] / 1000.0, m["sample_rate"] / 1e5,
             float(m["channels"]), float(m["sample_width"]), m["rms"],
         ]
-    elif fmt in ("bmp", "ppm", "pgm", "png"):
+    elif fmt in ("bmp", "ppm", "pgm", "png", "gif"):
         m = decode_image(content)
         mean3 = (m["mean"] + [0.0, 0.0])[:3]
         std3 = (m["std"] + [0.0, 0.0])[:3]
@@ -434,9 +642,9 @@ def extract_features(
 
 def resize_image(content: bytes, width: int, height: int) -> bytes:
     """REAL nearest-neighbour resize for stdlib-decodable formats
-    (uncompressed BMP, binary PPM/PGM, 8-bit non-interlaced PNG),
-    re-encoded in the SAME format. JPEG/GIF raise — their codecs are
-    not in this runtime."""
+    (uncompressed BMP, binary PPM/PGM, 8-bit non-interlaced PNG,
+    single-frame GIF), re-encoded in the SAME format. JPEG raises —
+    its codec is not in this runtime."""
     fmt = sniff_format(content)
     if fmt == "bmp":
         px, enc = _decode_bmp_pixels(content), encode_bmp
@@ -444,11 +652,13 @@ def resize_image(content: bytes, width: int, height: int) -> bytes:
         px, enc = _decode_pnm_pixels(content), encode_pnm
     elif fmt == "png":
         px, enc = _decode_png_pixels(content), encode_png
+    elif fmt == "gif":
+        px, enc = _decode_gif_pixels(content), encode_gif
     else:
         raise NotImplementedError(
             f"image resize for {fmt or 'unknown'} requires a codec library "
             "(e.g. PIL), not available in this runtime — resizable here: "
-            "bmp/ppm/pgm/png; use fake_resize for plumbing tests"
+            "bmp/ppm/pgm/png/gif; use fake_resize for plumbing tests"
         )
     ys = np.minimum((np.arange(height) * px.shape[0]) // height, px.shape[0] - 1)
     xs = np.minimum((np.arange(width) * px.shape[1]) // width, px.shape[1] - 1)

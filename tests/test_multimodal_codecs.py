@@ -126,12 +126,10 @@ def test_resize_real_nearest_neighbour():
 
 
 def test_compressed_formats_still_stub():
-    # jpeg/gif/mp4 remain honest stubs (no codec libs in this
-    # runtime); png is REAL now — covered by the PNG tests below
+    # jpeg/mp4 remain honest stubs (no codec libs in this runtime);
+    # png and gif are REAL now — covered by their own tests
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
-    with pytest.raises(NotImplementedError):
-        resize_image(b"GIF89a gif bytes", 2, 2)
     with pytest.raises(NotImplementedError):
         media_features(b"\x00\x00\x00\x18ftypmp42 video")
 
@@ -306,3 +304,91 @@ def test_pnm_crlf_header_decodes_correctly():
     px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
     crlf_blob = b"P6\r\n4 2\r\n255\r\n" + px.tobytes()
     assert np.array_equal(_decode_pnm_pixels(crlf_blob), px)
+
+
+def test_gif_lzw_decode_handcrafted_stream():
+    """Byte-level LZW vector computed by hand, independent of the
+    encoder: min_code_size=2, codes [CLEAR=4, 0, 1, 2] at 3 bits
+    packed LSB-first = 0x5444 → pixels [0, 1, 2]."""
+    from queens_spark.operators.multimodal import _gif_lzw_decode
+
+    assert _gif_lzw_decode(bytes([0x44, 0x54]), 2, 3) == bytearray([0, 1, 2])
+
+
+def test_gif_roundtrip_rgb_and_gray():
+    from queens_spark.operators.multimodal import (
+        _decode_gif_pixels,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(7)
+    # 40×30 RGB from a 200-color palette: crosses the 2^code_size
+    # table-growth boundaries several times
+    pal = rng.integers(0, 256, size=(200, 3), dtype=np.uint8)
+    idx = rng.integers(0, 200, size=(30, 40))
+    px = pal[idx]
+    gif = encode_gif(px)
+    assert sniff_format(gif) == "gif"
+    out = _decode_gif_pixels(gif)
+    assert out.shape == (30, 40, 3)
+    assert (out == px).all()
+
+    gray = rng.integers(0, 256, size=(9, 13, 1), dtype=np.uint8)
+    out2 = _decode_gif_pixels(encode_gif(gray))
+    assert out2.shape == (9, 13, 3)
+    assert (out2[:, :, 0] == gray[:, :, 0]).all()
+    assert (out2[:, :, 0] == out2[:, :, 1]).all()
+
+
+def test_gif_long_runs_exercise_kwkwk_case():
+    # constant + repeated-pattern rows drive the LZW KwKwK special
+    # case (code == next unassigned entry) and long dictionary chains
+    from queens_spark.operators.multimodal import (
+        _decode_gif_pixels,
+        encode_gif,
+    )
+
+    px = np.zeros((16, 64, 1), dtype=np.uint8)
+    px[:, ::2, 0] = 3
+    px[8:, :, 0] = 7
+    out = _decode_gif_pixels(encode_gif(px))
+    assert (out[:, :, 0] == px[:, :, 0]).all()
+
+
+def test_gif_features_and_resize_are_real():
+    from queens_spark.operators.multimodal import _decode_gif_pixels, encode_gif
+
+    pal = np.array([[255, 0, 0], [0, 255, 0]], dtype=np.uint8)
+    idx = np.tile(np.array([[0, 1], [1, 0]]), (4, 4))
+    gif = encode_gif(pal[idx])
+    m = decode_image(gif)
+    assert (m["width"], m["height"], m["channels"]) == (8, 8, 3)
+    assert m["mean"][0] == pytest.approx(127.5)
+    feats = media_features(gif)
+    assert feats[0] == 2.0  # image modality, via the REAL decoder
+
+    small = resize_image(gif, 4, 4)
+    assert sniff_format(small) == "gif"
+    assert _decode_gif_pixels(small).shape == (4, 4, 3)
+
+
+def test_gif_encode_rejects_oversized_palette():
+    from queens_spark.operators.multimodal import encode_gif
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    # 1024 pixels of random 24-bit color: virtually surely > 256 colors
+    with pytest.raises(ValueError, match="palette"):
+        encode_gif(px)
+
+
+def test_gif_interlaced_still_raises():
+    from queens_spark.operators.multimodal import _decode_gif_pixels, encode_gif
+
+    gif = bytearray(encode_gif(np.zeros((4, 4, 1), dtype=np.uint8)))
+    # image descriptor follows header(6) + LSD(7) + 256-entry GCT
+    pos = 13 + 3 * 256
+    assert gif[pos] == 0x2C
+    gif[pos + 9] |= 0x40  # set the interlace flag
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        _decode_gif_pixels(bytes(gif))
