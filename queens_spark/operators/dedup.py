@@ -893,6 +893,61 @@ def filter_near_duplicates(
     return df.join(losers, id_col, "left_anti")
 
 
+def duplicated_shingle_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_df: int = 3,
+) -> DataFrame:
+    """ACROSS-corpus duplicated n-gram fraction per document — the
+    RefinedWeb/CCNet-style boilerplate signal (distinct from q62's
+    Gopher screens, which measure repetition WITHIN one document): for
+    each doc, the fraction of its distinct n-gram shingles that occur
+    in ≥ *min_df* documents corpus-wide. High fractions mark template
+    farms, navigation chrome, and license boilerplate.
+
+    Returns (doc, n_shingles, n_dup, dup_frac) for docs with ≥ n
+    tokens.
+
+    Scale shape: ONE persisted shingle projection; postings shuffle on
+    sh_hash twice (the df aggregation and the semi-join back — same
+    key, so AQE reuses the exchange) and once on doc for the per-doc
+    count. Unlike the max_df hot list, the df ≥ min_df set is NOT
+    provably bounded (most of a duplicated corpus can exceed a small
+    min_df), so it must NOT broadcast — the semi-join stays shuffled
+    by design.
+    """
+    sh = _shingle_frame(df, text_col, id_col, n)
+    exploded = sh.select("doc", F.explode("x.hashes").alias("sh_hash"))
+    frequent = (
+        exploded.groupBy("sh_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= F.lit(min_df))
+        .select("sh_hash")
+    )
+    dup = (
+        exploded.join(frequent, "sh_hash", "left_semi")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    base = sh.select("doc", F.col("x.n").alias("n_shingles")).where(
+        F.col("x.n") > 0
+    )
+    return (
+        base.join(dup, "doc", "left")
+        .select(
+            "doc",
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup"),
+            (
+                F.coalesce("n_dup", F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+
+
 # ---------------------------------------------- connected components
 
 def connected_components(

@@ -398,6 +398,69 @@ def lsh_bucket_pairs(
     return joined.mapInPandas(verify, "id_a bigint, id_b bigint, cosine double")
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroid_ids: list[int],
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: assign every vector to
+    its nearest centroid (:func:`ivf_assign`), find within-cluster
+    pairs with cosine ≥ *threshold*, and drop each pair's higher id —
+    survivors are the semantically-distinct representatives, returned
+    as (id, centroid_id).
+
+    Why cluster-bounded: exact all-pairs is O(n²); restricting
+    candidate pairs to vectors that share a coarse cell makes the
+    quadratic term O(Σ cluster²) — the SemDeDup trade (near-dups are
+    overwhelmingly co-located; cross-cluster near-dups are forfeited,
+    documented, recall rises with more/finer centroids).
+
+    Plan shape: assignment is a broadcast-centroid argmax (vectors
+    never shuffle for it); the pair join shuffles on centroid_id only;
+    cosine verification streams the joined pairs through ONE
+    Arrow-batched numpy pass (row-wise exact int64 dots — identical
+    IEEE expression to the Column form, q51-proven); losers collapse
+    to a distinct id set that anti-joins back (broadcastable — the
+    loser set is dedup-output-sized, not corpus-sized).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q"))
+    assigned = ivf_assign(df, vec_col, id_col, centroid_ids).select(
+        F.col(id_col).alias("id"), "centroid_id"
+    )
+    v = q.join(assigned, "id")
+    a = v.select(
+        F.col("id").alias("id_a"), F.col("q").alias("qa"), "centroid_id"
+    )
+    b = v.select(
+        F.col("id").alias("id_b"), F.col("q").alias("qb"), "centroid_id"
+    )
+    joined = a.join(b, "centroid_id").where(F.col("id_a") < F.col("id_b"))
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(pdf["qa"].tolist(), dtype=np.int64)
+            B = np.array(pdf["qb"].tolist(), dtype=np.int64)
+            dots = (A * B).sum(axis=1).astype(np.float64)
+            na = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+            nb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+            cos = dots / (na * nb)
+            mask = cos >= threshold
+            yield pd.DataFrame({"id": pdf["id_b"].to_numpy()[mask]})
+
+    losers = joined.mapInPandas(verify, "id bigint").distinct()
+    return (
+        v.join(losers, "id", "left_anti")
+        .select(F.col("id").alias(id_col), "centroid_id")
+    )
+
+
 def double_dot(a: Column, b: Column) -> Column:
     """Left-fold double dot product — fixed evaluation order, so any
     engine folding the same way is bit-identical."""

@@ -3312,3 +3312,105 @@ def q84_hll_shard_merge(spark, sf_dir):
         for i in range(3)
     ]
     return hll_estimate(hll_merge(shards, ["event_type"]), ["event_type"])
+
+
+def _dup_ngram_oracle(n: int, min_df: int) -> str:
+    from queens_spark.operators.dedup import duckdb_shingle_hashes
+
+    sh = duckdb_shingle_hashes("text", n)
+    return f"""
+    WITH h AS (
+      SELECT doc_id, unnest({sh}) AS sh FROM documents
+    ), freq AS (
+      SELECT sh FROM h GROUP BY sh HAVING count(*) >= {min_df}
+    ), dup AS (
+      SELECT doc_id, count(*) AS n_dup
+      FROM h WHERE sh IN (SELECT sh FROM freq)
+      GROUP BY doc_id
+    ), base AS (
+      SELECT doc_id, len({sh}) AS n_shingles FROM documents
+      WHERE len({sh}) > 0
+    )
+    SELECT b.doc_id, b.n_shingles,
+           coalesce(d.n_dup, 0) AS n_dup,
+           CAST(coalesce(d.n_dup, 0) AS DOUBLE)
+             / CAST(b.n_shingles AS DOUBLE) AS dup_frac
+    FROM base b LEFT JOIN dup d ON d.doc_id = b.doc_id
+    """
+
+
+@register("q85_dup_ngram_fraction", _dup_ngram_oracle(5, 3))
+def q85_dup_ngram_fraction(spark, sf_dir):
+    """ACROSS-corpus duplicated 5-gram fraction per document — the
+    RefinedWeb/CCNet boilerplate signal (q62's Gopher screens measure
+    repetition WITHIN a document; this measures how much of a doc is
+    duplicated ELSEWHERE in the corpus). Scale shape
+    (operators/dedup.py:duplicated_shingle_stats): one persisted
+    shingle pass; the df ≥ 3 shingle set is NOT provably bounded so it
+    deliberately stays a shuffled semi-join (AQE reuses the sh_hash
+    exchange), never a broadcast."""
+    from queens_spark.operators.dedup import duplicated_shingle_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return duplicated_shingle_stats(
+        docs, "text", "doc_id", n=5, min_df=3
+    ).select(
+        F.col("doc").alias("doc_id"), "n_shingles", "n_dup", "dup_frac"
+    )
+
+
+def _semdedup_oracle(threshold: float) -> str:
+    from queens_spark.operators.similarity import duckdb_int_dot, duckdb_quantize
+
+    qv = duckdb_quantize("embedding")
+    cos = (
+        f"CAST({duckdb_int_dot('a.q', 'b.q')} AS DOUBLE)"
+        f" / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, {qv} AS q FROM embeddings
+    ), n AS (
+      SELECT vec_id, q, {duckdb_int_dot('q', 'q')} AS n2 FROM v
+    ), cents AS (
+      SELECT vec_id AS centroid_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id % 200 = 0
+    ), assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY CAST({duckdb_int_dot('v.q', 'c.cq')} AS DOUBLE)
+                   / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+                 c.centroid_id ASC) AS rk
+        FROM n v, cents c
+      ) WHERE rk = 1
+    ), av AS (
+      SELECT a.vec_id, a.centroid_id, n.q, n.n2
+      FROM assign a JOIN n ON n.vec_id = a.vec_id
+    ), losers AS (
+      SELECT DISTINCT b.vec_id
+      FROM av a JOIN av b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE {cos} >= {threshold}
+    )
+    SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id
+    FROM av WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+    """
+
+
+@register("q86_semantic_dedup", _semdedup_oracle(0.4))
+def q86_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: nearest-centroid cluster
+    assignment (centroids: vec_id % 200 == 0, as q33), within-cluster
+    pairs at cosine ≥ 0.4 drop their higher id (0.4 matches q31's
+    near-dup regime for this synthetic corpus), survivors returned
+    with their cluster. The quadratic term is bounded to Σ cluster²
+    (near-dups co-locate; cross-cluster pairs are forfeited by design
+    — recall rises with finer centroids). Verification is one
+    Arrow-batched numpy pass over the cluster-joined pairs
+    (operators/similarity.py:semantic_dedup)."""
+    from queens_spark.operators.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_ids = [r[0] for r in
+                emb.where(F.col("vec_id") % 200 == 0).select("vec_id").collect()]
+    return semantic_dedup(emb, "embedding", "vec_id", cent_ids, threshold=0.4)

@@ -293,3 +293,31 @@ def test_full_recall_paths_reject_uncapped_max_df(spark):
     for fn in (near_dup_pairs_full, dedup_edges):
         with pytest.raises(ValueError, match="max_df"):
             fn(df, "text", "doc_id", max_df=None)
+
+
+def test_duplicated_shingle_stats_flags_boilerplate(spark):
+    """Across-corpus duplicated-5-gram fraction: template docs score
+    ~1.0, unique docs 0.0, and a half-boilerplate doc lands between."""
+    from queens_spark.operators.dedup import (
+        duplicated_shingle_stats,
+        release_caches,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    rows = [Row(doc_id=i, text=boiler) for i in range(4)] + [
+        Row(doc_id=10, text=" ".join(f"u{i}" for i in range(10))),
+        Row(doc_id=11, text=boiler + " " + " ".join(f"v{i}" for i in range(10))),
+    ]
+    got = {
+        r["doc"]: (r["n_shingles"], r["n_dup"], r["dup_frac"])
+        for r in duplicated_shingle_stats(
+            spark.createDataFrame(rows), "text", "doc_id", n=5, min_df=3
+        ).collect()
+    }
+    release_caches()
+    assert got[0] == (6, 6, 1.0)           # pure template: all 6 5-grams hot
+    assert got[10] == (6, 0, 0.0)          # unique doc: nothing shared
+    n, d, frac = got[11]
+    assert n == 16 and d == 6 and abs(frac - 6 / 16) < 1e-12
+    # a doc shorter than n tokens vanishes (no shingles) — none here
+    assert set(got) == {0, 1, 2, 3, 10, 11}

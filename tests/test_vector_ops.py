@@ -214,3 +214,39 @@ def test_batch_topk_empty_query_block(spark):
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == [
         "query_id", "vec_id", "dot_q", "approx_ip"]
+
+
+def test_semantic_dedup_drops_cluster_neardups_only(spark):
+    """Within-cluster near-identical vectors collapse to the min id;
+    distinct vectors and cross-cluster near-dups survive."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from queens_spark.operators.similarity import semantic_dedup
+
+    def v(base, eps):
+        return [float(b) + eps for b in base]
+
+    rows = [
+        Row(vec_id=0, embedding=[10.0, 0.0, 0.0, 0.0]),   # centroid A
+        Row(vec_id=200, embedding=[0.0, 10.0, 0.0, 0.0]), # centroid B
+        # near-identical pair inside cluster A (but < 0.99 to the
+        # centroid itself) -> 2 loses to 1
+        Row(vec_id=1, embedding=v([8.0, 5.0, 0.0, 0.0], 0.0)),
+        Row(vec_id=2, embedding=v([8.0, 5.0, 0.0, 0.0], 0.001)),
+        # distinct member of cluster A -> survives
+        Row(vec_id=3, embedding=[5.0, 0.0, 4.0, 0.0]),
+        # distinct member of cluster B -> survives
+        Row(vec_id=4, embedding=[3.0, 8.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["vec_id"]: r["centroid_id"]
+           for r in semantic_dedup(df, "embedding", "vec_id", [0, 200],
+                                   threshold=0.99).collect()}
+    assert 2 not in out                       # lost to vec 1
+    assert set(out) == {0, 200, 1, 3, 4}
+    assert out[1] == 0 and out[4] == 200      # cluster assignment kept
+    # determinism
+    again = {r["vec_id"] for r in semantic_dedup(
+        df, "embedding", "vec_id", [0, 200], threshold=0.99).collect()}
+    assert again == set(out)
