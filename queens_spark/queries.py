@@ -3414,3 +3414,132 @@ def q86_semantic_dedup(spark, sf_dir):
     cent_ids = [r[0] for r in
                 emb.where(F.col("vec_id") % 200 == 0).select("vec_id").collect()]
     return semantic_dedup(emb, "embedding", "vec_id", cent_ids, threshold=0.4)
+
+
+def _stream_cms_oracle(n_probe: int) -> str:
+    from queens_spark.operators.sketches import CMS_A, CMS_B, CMS_D, CMS_P, CMS_W
+    from queens_spark.operators.text import duckdb_char_poly_hash
+
+    h = duckdb_char_poly_hash("CAST(user_id AS VARCHAR)")
+    rows = " UNION ALL ".join(
+        f"SELECT ws, {j} AS cms_row, "
+        f"(__h * {CMS_A[j]} + {CMS_B[j]}) % {CMS_P} % {CMS_W} AS bucket FROM th"
+        for j in range(CMS_D)
+    )
+    ph = duckdb_char_poly_hash("CAST(u AS VARCHAR)")
+    mins = ", ".join(
+        f"coalesce((SELECT cnt FROM cms c WHERE c.ws = w.ws AND c.cms_row = {j} "
+        f"AND c.bucket = (p.__ph * {CMS_A[j]} + {CMS_B[j]}) % {CMS_P} % {CMS_W}), 0)"
+        for j in range(CMS_D)
+    )
+    return f"""
+    WITH th AS (
+      SELECT date_trunc('hour', ts) AS ws, {h} AS __h FROM events
+    ), cms AS (
+      SELECT ws, cms_row, bucket, count(*) AS cnt
+      FROM ({rows}) GROUP BY ws, cms_row, bucket
+    ), probes AS (
+      SELECT u AS user_id, {ph} AS __ph FROM range(0, {n_probe}) t(u)
+    ), wins AS (
+      SELECT DISTINCT ws FROM th
+    )
+    SELECT w.ws AS window_start, w.ws + INTERVAL 1 HOUR AS window_end,
+           p.user_id, least({mins}) AS cms_est
+    FROM wins w, probes p
+    """
+
+
+@register("q87_stream_cms_counts", _stream_cms_oracle(10))
+def q87_stream_cms_counts(spark, sf_dir):
+    """Streaming per-window event-frequency sketch: COUNT-MIN counters
+    aggregated per hourly window (bounded state — ≤ 4096 counter rows
+    per window where an exact per-user count is unbounded under key
+    churn), backfilled via availableNow and probed read-side for users
+    0–9. The shared build/probe hasher makes streaming counters equal
+    batch counters exactly, so the batch SQL oracle reproduces every
+    estimate (streaming.windowed_cms_counters)."""
+    from queens_spark.operators.sketches import _cms_buckets
+    from queens_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        windowed_cms_counters,
+    )
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    counters = run_available_now(windowed_cms_counters(ev), "q87_mem")
+    probes = spark.createDataFrame(
+        [(u, str(u)) for u in range(10)], "user_id bigint, tok string"
+    ).select(
+        "user_id", F.explode(_cms_buckets("tok")).alias("b")
+    ).select(
+        "user_id",
+        F.col("b.cms_row").alias("p_row"),
+        F.col("b.bucket").alias("p_bucket"),
+    )
+    # aliases give the window columns fresh attribute ids — wins derives
+    # from counters, so joining them back by name is a self-join
+    wins = counters.select(
+        F.col("window_start").alias("ws"), F.col("window_end").alias("we")
+    ).distinct()
+    return (
+        wins.crossJoin(probes)
+        .join(
+            counters,
+            (F.col("ws") == F.col("window_start"))
+            & (F.col("we") == F.col("window_end"))
+            & (F.col("p_row") == F.col("cms_row"))
+            & (F.col("p_bucket") == F.col("bucket")),
+            "left",
+        )
+        .groupBy("ws", "we", "user_id")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
+        .select(
+            F.col("ws").alias("window_start"),
+            F.col("we").alias("window_end"),
+            "user_id", "cms_est",
+        )
+    )
+
+
+@register(
+    "q88_source_audit",
+    f"""
+    WITH t AS (
+      SELECT source, n_chars,
+             len({_DUCK_TOKS}) AS n_tokens
+      FROM documents
+    ), agg AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM t GROUP BY source
+    ), qs AS (
+      SELECT source,
+             quantile_cont(n_chars, 0.50) AS chars_p50,
+             quantile_cont(n_chars, 0.95) AS chars_p95
+      FROM t GROUP BY source
+    )
+    SELECT a.source, a.n_docs, a.total_tokens, q.chars_p50, q.chars_p95
+    FROM agg a JOIN qs q ON q.source = a.source
+    """,
+)
+def q88_source_audit(spark, sf_dir):
+    """Per-source corpus audit — the composition report a curation run
+    starts from: document count, total whitespace tokens, and exact
+    length percentiles per source. Counts/sums are one partial→final
+    aggregation; the percentiles come from the distributed two-phase
+    rank (operators/quantiles.py — no per-group buffer), so the report
+    holds at any source size."""
+    from queens_spark.operators.quantiles import exact_group_quantiles
+    from queens_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    agg = docs.select(
+        "source", F.size(tokens("text")).alias("n_tokens")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    qs = exact_group_quantiles(
+        docs, "source", "n_chars", {"chars_p50": 0.50, "chars_p95": 0.95}
+    )
+    return agg.join(qs, "source")

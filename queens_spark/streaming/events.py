@@ -202,6 +202,45 @@ def run_available_now(
     return stream_df.sparkSession.table(query_name)
 
 
+def windowed_cms_counters(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming COUNT-MIN sketch state: counters per (window, cms_row,
+    bucket) — rows (window_start, window_end, cms_row, bucket, cnt).
+
+    The streaming frequency-tracking analogue of
+    :func:`windowed_hll_registers`: an exact per-key count keeps one
+    state row per key (unbounded under key churn); the sketch keeps at
+    most d·w = 4096 counter rows per window regardless of traffic, and
+    the counters MERGE BY ADDITION (backfill + live, or two clusters,
+    sum counter-wise). Same shared bucket hasher as the batch sketch
+    (operators/sketches.py), so streaming counters equal batch counters
+    exactly; probe read-side with the min-over-rows rule (see q87)."""
+    from queens_spark.operators.sketches import _cms_buckets
+
+    toks = events.select(
+        "event_time", F.col(key_col).cast("string").alias("__tok")
+    )
+    return (
+        toks.withWatermark("event_time", watermark)
+        .select("event_time", F.explode(_cms_buckets("__tok")).alias("b"))
+        .groupBy(
+            F.window("event_time", window).alias("w"),
+            F.col("b.cms_row").alias("cms_row"),
+            F.col("b.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "cms_row", "bucket", "cnt",
+        )
+    )
+
+
 def windowed_hll_registers(
     events: DataFrame,
     window: str = "1 hour",

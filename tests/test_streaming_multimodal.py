@@ -287,3 +287,46 @@ def test_late_data_contract_multi_microbatch(spark, tmp_path):
     assert progresses, "no stateOperators telemetry"
     final_state = progresses[-1]["stateOperators"][0]["numRowsTotal"]
     assert final_state <= 2, progresses[-1]["stateOperators"]
+
+
+def test_windowed_cms_counters_match_batch_and_stay_bounded(spark):
+    """Streaming CMS counters must equal a batch pass exactly (shared
+    hasher) and keep <= d*w rows per window — the bounded-state
+    contract that justifies the sketch over exact per-key counts."""
+    from pyspark.sql import functions as F
+
+    from queens_spark.operators.sketches import CMS_D, CMS_W, _cms_buckets
+    from queens_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        windowed_cms_counters,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    ev = read_events_stream(spark, path)
+    got = run_available_now(windowed_cms_counters(ev), "t_cms_mem")
+    rows = got.collect()
+    n_windows = len({r["window_start"] for r in rows})
+    assert rows and len(rows) <= n_windows * CMS_D * CMS_W
+
+    batch = (
+        spark.read.parquet(path)
+        .select(
+            F.col("ts").cast("timestamp").alias("event_time"),
+            F.col("user_id").cast("string").alias("__tok"),
+        )
+        .select(
+            F.window("event_time", "1 hour").alias("w"),
+            F.explode(_cms_buckets("__tok")).alias("b"),
+        )
+        .groupBy("w", "b.cms_row", "b.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col("cms_row"), F.col("bucket"), "cnt",
+        )
+        .collect()
+    )
+    key = lambda r: (r["window_start"], r["window_end"], r["cms_row"], r["bucket"])
+    assert {key(r): r["cnt"] for r in rows} == {key(r): r["cnt"] for r in batch}
