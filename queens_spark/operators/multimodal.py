@@ -7,10 +7,12 @@ extraction over raw bytes. Decode kernels are REAL for every format
 the Python stdlib can parse — WAV (``wave`` + numpy), BMP, PPM/PGM
 (struct/numpy header+pixel parsing), and 8-bit non-interlaced PNG
 (chunk parse + stdlib zlib inflate + all five scanline filters +
-palette lookup), and single-frame GIF (stdlib LZW decode/encode),
-including a real nearest-neighbour resize that re-encodes the same
-format. The remaining codecs
-(JPEG/MP4/MP3) require native libraries NOT in this runtime, so
+palette lookup), single-frame GIF (stdlib LZW decode/encode), and
+BASELINE JPEG (marker parse, canonical-Huffman entropy decode,
+numpy IDCT, 4:2:0 upsampling, restart markers — plus a matching
+encoder), including a real nearest-neighbour resize that re-encodes
+the same format. The remaining codecs
+(MP4/MP3/OGG) require native libraries NOT in this runtime, so
 those kernels remain explicit stubs: they raise
 ``NotImplementedError`` behind the same interface a real kernel would
 implement, and ``fake_features``/``fake_resize`` provide
@@ -69,8 +71,8 @@ def size_bucketed(df: DataFrame, target_bytes: int = 64 << 20) -> DataFrame:
 # ------------------------------------------------- format sniffing
 
 #: formats with a REAL stdlib decode path vs honest stubs
-DECODABLE_FORMATS = {"wav", "bmp", "ppm", "pgm", "png", "gif"}
-STUBBED_FORMATS = {"jpeg", "mp4", "mp3", "ogg"}
+DECODABLE_FORMATS = {"wav", "bmp", "ppm", "pgm", "png", "gif", "jpeg"}
+STUBBED_FORMATS = {"mp4", "mp3", "ogg"}
 
 
 def sniff_format(content: bytes | None) -> str | None:
@@ -513,12 +515,492 @@ def encode_gif(px: np.ndarray) -> bytes:
     return bytes(out)
 
 
+# ----------------------------------------------------- baseline JPEG
+
+def _zigzag_pairs() -> list[tuple[int, int]]:
+    """The 64 (row, col) pairs in JPEG zigzag scan order, generated
+    (anti-diagonals, alternating direction) rather than transcribed."""
+    out = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(s, 7) + 1)
+        for r in (reversed(rng) if s % 2 == 0 else rng):
+            out.append((r, s - r))
+    return out
+
+
+_ZIGZAG = _zigzag_pairs()
+#: flat index (r*8+c) for each zigzag position, and its inverse
+_ZZ_FLAT = np.array([r * 8 + c for r, c in _ZIGZAG], dtype=np.int64)
+
+#: orthonormal 8-point DCT-II matrix: M[u] · block · Mᵀ is the 2-D DCT
+_DCT_M = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ],
+    dtype=np.float64,
+)
+
+#: base quantization tables (standard luminance/chrominance shapes);
+#: embedded in the file's DQT segments, so any decoder agrees
+_JPEG_QLUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_JPEG_QCHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+
+def _build_huff(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman (length, code) → symbol map from a DHT
+    segment's BITS/HUFFVAL — the T.81 code-assignment rule."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an entropy-coded segment (0xFF00
+    stuffing already removed by the caller)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream exhausted")
+            self.buf = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG magnitude decoding: *size*-bit value → signed amplitude."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_jpeg_pixels(content: bytes) -> np.ndarray:
+    """(H, W, C) uint8 array from a BASELINE sequential JPEG — REAL
+    decode in stdlib + numpy: marker parse (DQT/SOF0/DHT/DRI/SOS),
+    canonical Huffman entropy decode with byte-unstuffing and restart
+    handling, dequantization, inverse zigzag, orthonormal IDCT,
+    nearest-neighbour chroma upsampling for subsampled scans, and the
+    JFIF YCbCr→RGB transform. Progressive (SOF2) and arithmetic-coded
+    JPEGs raise ``NotImplementedError``."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    frame = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = content[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack_from(">H", content, pos + 2)[0]
+        body = content[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 0x0F
+                if prec != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                qt[tid] = np.frombuffer(
+                    body, np.uint8, 64, b + 1
+                ).astype(np.int64)
+                b += 65
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision = body[0]
+            if precision != 8:
+                raise NotImplementedError(f"JPEG precision {precision}")
+            h, w = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline JPEG decodable here (SOF 0x{marker:02x})"
+            )
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                nval = sum(bits)
+                vals = body[b + 17 : b + 17 + nval]
+                huff[(tc, th)] = _build_huff(bits, vals)
+                b += 17 + nval
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            sel = {}
+            for i in range(ns):
+                cs, tables = body[1 + 2 * i], body[2 + 2 * i]
+                sel[cs] = (tables >> 4, tables & 0x0F)
+            # entropy-coded data runs to the next non-RST marker
+            end = pos
+            while end + 1 < len(content):
+                if content[end] == 0xFF and content[end + 1] not in (
+                    0x00, *range(0xD0, 0xD8)
+                ):
+                    break
+                end += 1
+            scan = (sel, content[pos:end])
+            pos = end
+            break
+        # APPn/COM/others: skipped via seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    sel, raw = scan
+
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["plane"] = np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
+        )
+        c["pred"] = 0
+
+    # split on restart markers; unstuff 0xFF00 within each segment
+    segments = []
+    cur = bytearray()
+    i = 0
+    while i < len(raw):
+        if raw[i] == 0xFF and i + 1 < len(raw):
+            nxt = raw[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(raw[i])
+        i += 1
+    segments.append(bytes(cur))
+
+    n_mcus = mcux * mcuy
+    seg_idx = 0
+    reader = _JpegBitReader(segments[0])
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_idx += 1
+            reader = _JpegBitReader(segments[seg_idx])
+            for c in comps:
+                c["pred"] = 0
+        my, mx = divmod(m, mcux)
+        for c in comps:
+            dc_t = huff.get((0, sel[c["id"]][0]))
+            ac_t = huff.get((1, sel[c["id"]][1]))
+            if dc_t is None or ac_t is None:
+                raise ValueError("JPEG scan references missing DHT")
+            q = qt[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz = np.zeros(64, dtype=np.int64)
+                    size = reader.symbol(dc_t)
+                    diff = _extend(reader.bits(size), size) if size else 0
+                    c["pred"] += diff
+                    zz[0] = c["pred"]
+                    k = 1
+                    while k < 64:
+                        rs = reader.symbol(ac_t)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        zz[k] = _extend(reader.bits(s), s)
+                        k += 1
+                    block = np.zeros(64, dtype=np.float64)
+                    block[_ZZ_FLAT] = (zz * q).astype(np.float64)
+                    px = _DCT_M.T @ block.reshape(8, 8) @ _DCT_M
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    c["plane"][y0:y0 + 8, x0:x0 + 8] = px + 128.0
+
+    planes = []
+    for c in comps:
+        p = c["plane"]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        out = planes[0][:, :, None]
+    elif len(planes) == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        out = np.stack([r, g, b], axis=2)
+    else:
+        raise NotImplementedError(f"{len(planes)}-component JPEG")
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.buf = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.buf = (self.buf << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.buf)
+            if self.buf == 0xFF:
+                self.out.append(0x00)
+            self.buf = 0
+            self.n = 0
+
+
+def _flat_huff(symbols: list[int]) -> tuple[list[int], dict[int, tuple[int, int]]]:
+    """A valid (canonical) Huffman table giving every symbol a 9-bit
+    code — deliberately simple: ≤256 symbols never reach the all-ones
+    codeword, the BITS/HUFFVAL pair embeds in DHT, and any compliant
+    decoder (including ours) rebuilds it with the T.81 rule."""
+    bits = [0] * 16
+    bits[8] = len(symbols)  # all codes length 9 (bits is 1-indexed)
+    enc = {sym: (code, 9) for code, sym in enumerate(symbols)}
+    return bits, enc
+
+
+_JPEG_DC_SYMS = list(range(12))
+_JPEG_AC_SYMS = sorted(
+    {0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+)
+
+
+def encode_jpeg(
+    px: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline sequential JPEG from a uint8 array ((H, W, 3) RGB or
+    (H, W, 1) grayscale) — the test-oracle inverse of
+    :func:`_decode_jpeg_pixels`: JFIF YCbCr transform, optional 4:2:0
+    chroma subsampling, orthonormal DCT, quality-scaled quant tables,
+    zigzag, and canonical-Huffman entropy coding with byte stuffing.
+    The (deliberately simple, fixed-width) Huffman tables are embedded
+    in DHT, so the output is a standard baseline JPEG any decoder
+    reads. Lossy by nature — tests assert tolerance, not equality."""
+    if px.ndim != 3 or px.shape[2] not in (1, 3):
+        raise ValueError(f"encode_jpeg needs (H, W, 1|3), got {px.shape}")
+    h, w, nch = px.shape
+    scale = (5000 // quality) if quality < 50 else (200 - 2 * quality)
+    def qscale(base):
+        return np.clip((base * scale + 50) // 100, 1, 255)
+    qlum = qscale(_JPEG_QLUM)
+    qchr = qscale(_JPEG_QCHR)
+
+    img = px.astype(np.float64)
+    if nch == 3:
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+    else:
+        planes = [img[:, :, 0]]
+        subsample = False
+
+    if subsample and nch == 3:
+        hv = [(2, 2), (1, 1), (1, 1)]
+        # average 2×2 chroma, edge-padded to even dims first
+        def down(p):
+            pe = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                        mode="edge")
+            return (pe[0::2, 0::2] + pe[0::2, 1::2]
+                    + pe[1::2, 0::2] + pe[1::2, 1::2]) / 4.0
+        planes = [planes[0], down(planes[1]), down(planes[2])]
+    else:
+        hv = [(1, 1)] * len(planes)
+
+    hmax = max(a for a, _ in hv)
+    vmax = max(b for _, b in hv)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for p, (ch_, cv) in zip(planes, hv):
+        ph, pw = mcuy * cv * 8, mcux * ch_ * 8
+        padded.append(np.pad(
+            p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+        ))
+
+    dc_bits, dc_enc = _flat_huff(_JPEG_DC_SYMS)
+    ac_bits, ac_enc = _flat_huff(_JPEG_AC_SYMS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_lum = bytes(int(qlum[r * 8 + c]) for r, c in _ZIGZAG)
+    out += seg(0xDB, b"\x00" + zz_lum)
+    if nch == 3:
+        zz_chr = bytes(int(qchr[r * 8 + c]) for r, c in _ZIGZAG)
+        out += seg(0xDB, b"\x01" + zz_chr)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nch])
+    for i, (ch_, cv) in enumerate(hv):
+        sof += bytes([i + 1, (ch_ << 4) | cv, 0 if i == 0 else 1])
+    out += seg(0xC0, sof)
+    dht = bytes([0x00]) + bytes(dc_bits) + bytes(_JPEG_DC_SYMS)
+    dht += bytes([0x10]) + bytes(ac_bits) + bytes(_JPEG_AC_SYMS)
+    if nch == 3:
+        dht += bytes([0x01]) + bytes(dc_bits) + bytes(_JPEG_DC_SYMS)
+        dht += bytes([0x11]) + bytes(ac_bits) + bytes(_JPEG_AC_SYMS)
+    out += seg(0xC4, dht)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nch])
+    for i in range(nch):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+
+    wtr = _JpegBitWriter()
+    preds = [0] * nch
+    # zigzag the quant tables once per component
+    qtabs = [qlum] + [qchr] * (nch - 1)
+
+    def emit_block(plane, y0, x0, qtab, pred, comp):
+        block = plane[y0:y0 + 8, x0:x0 + 8] - 128.0
+        coef = _DCT_M @ block @ _DCT_M.T
+        flat = coef.reshape(64)
+        q = np.round(flat / qtab.astype(np.float64)).astype(np.int64)
+        zz = q[_ZZ_FLAT]
+        diff = int(zz[0]) - pred
+        size = abs(diff).bit_length()
+        code, ln = dc_enc[size]
+        wtr.write(code, ln)
+        if size:
+            amp = diff if diff >= 0 else diff + (1 << size) - 1
+            wtr.write(amp & ((1 << size) - 1), size)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[0xF0]
+                wtr.write(code, ln)
+                run -= 16
+            size = abs(v).bit_length()
+            code, ln = ac_enc[(run << 4) | size]
+            wtr.write(code, ln)
+            amp = v if v >= 0 else v + (1 << size) - 1
+            wtr.write(amp & ((1 << size) - 1), size)
+            run = 0
+        if run:
+            code, ln = ac_enc[0x00]
+            wtr.write(code, ln)
+        return int(zz[0])
+
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            # byte-align, then the cyclic RSTn marker; predictors reset
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+            preds = [0] * nch
+        my, mx = divmod(m, mcux)
+        for ci, (p, (ch_, cv)) in enumerate(zip(padded, hv)):
+            for by in range(cv):
+                for bx in range(ch_):
+                    preds[ci] = emit_block(
+                        p, (my * cv + by) * 8, (mx * ch_ + bx) * 8,
+                        qtabs[ci], preds[ci], ci,
+                    )
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_image(content: bytes) -> dict:
     """REAL decode for stdlib-parsable image formats (uncompressed BMP,
     binary PPM/PGM, 8-bit non-interlaced PNG via zlib, single-frame
-    GIF via the stdlib LZW above): returns width/height/channels plus
-    per-channel mean and std. JPEG still raises — its codec is not in
-    this runtime."""
+    GIF via the stdlib LZW above, baseline JPEG via the numpy
+    Huffman+IDCT decoder): returns width/height/channels plus
+    per-channel mean and std."""
     fmt = sniff_format(content)
     if fmt == "bmp":
         px = _decode_bmp_pixels(content)
@@ -528,11 +1010,13 @@ def decode_image(content: bytes) -> dict:
         px = _decode_png_pixels(content)
     elif fmt == "gif":
         px = _decode_gif_pixels(content)
+    elif fmt == "jpeg":
+        px = _decode_jpeg_pixels(content)
     else:
         raise NotImplementedError(
             f"image decode for {fmt or 'unknown'} requires a codec library "
             "(e.g. PIL), not available in this runtime — decodable here: "
-            "bmp/ppm/pgm/png/gif; use fake_features for plumbing tests"
+            "bmp/ppm/pgm/png/gif/jpeg; use fake_features for plumbing tests"
         )
     return {
         "format": fmt,
@@ -582,7 +1066,7 @@ def media_features(content: bytes | None, dim: int = FEATURE_DIM) -> list[float]
             1.0, m["duration_ms"] / 1000.0, m["sample_rate"] / 1e5,
             float(m["channels"]), float(m["sample_width"]), m["rms"],
         ]
-    elif fmt in ("bmp", "ppm", "pgm", "png", "gif"):
+    elif fmt in ("bmp", "ppm", "pgm", "png", "gif", "jpeg"):
         m = decode_image(content)
         mean3 = (m["mean"] + [0.0, 0.0])[:3]
         std3 = (m["std"] + [0.0, 0.0])[:3]
@@ -601,9 +1085,16 @@ def media_features(content: bytes | None, dim: int = FEATURE_DIM) -> list[float]
 def auto_features(content: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
     """Real features when the format is stdlib-decodable, the
     deterministic sha-fake otherwise — total over any input, so a
-    mixed-format corpus extracts in one pass."""
+    mixed-format corpus extracts in one pass. Corrupt payloads of a
+    decodable format (truncated downloads, sniffed-wrong bytes) also
+    fall back to the fake rather than failing the batch: at corpus
+    scale some malformed files are a certainty, and one of them must
+    not kill a task."""
     if content is not None and sniff_format(content) in DECODABLE_FORMATS:
-        return media_features(content, dim)
+        try:
+            return media_features(content, dim)
+        except Exception:
+            return fake_features(content, dim)
     return fake_features(content, dim)
 
 
@@ -654,11 +1145,13 @@ def resize_image(content: bytes, width: int, height: int) -> bytes:
         px, enc = _decode_png_pixels(content), encode_png
     elif fmt == "gif":
         px, enc = _decode_gif_pixels(content), encode_gif
+    elif fmt == "jpeg":
+        px, enc = _decode_jpeg_pixels(content), encode_jpeg
     else:
         raise NotImplementedError(
             f"image resize for {fmt or 'unknown'} requires a codec library "
             "(e.g. PIL), not available in this runtime — resizable here: "
-            "bmp/ppm/pgm/png/gif; use fake_resize for plumbing tests"
+            "bmp/ppm/pgm/png/gif/jpeg; use fake_resize for plumbing tests"
         )
     ys = np.minimum((np.arange(height) * px.shape[0]) // height, px.shape[0] - 1)
     xs = np.minimum((np.arange(width) * px.shape[1]) // width, px.shape[1] - 1)

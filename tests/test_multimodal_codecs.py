@@ -1,7 +1,8 @@
 """REAL stdlib decode kernels over real bytes: WAV (wave+numpy), BMP
 and PPM/PGM (struct/numpy) — the formats this codec-less runtime can
 honestly parse — plus the Spark extract/resize paths running those
-kernels end-to-end. Compressed formats stay explicit stubs."""
+kernels end-to-end. PNG/GIF/JPEG are real codecs now; only container
+video/audio (mp4/mp3/ogg) stay explicit stubs."""
 
 import io
 import math
@@ -126,12 +127,12 @@ def test_resize_real_nearest_neighbour():
 
 
 def test_compressed_formats_still_stub():
-    # jpeg/mp4 remain honest stubs (no codec libs in this runtime);
-    # png and gif are REAL now — covered by their own tests
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
+    # mp4/mp3/ogg remain honest stubs (no codec libs in this
+    # runtime); png/gif/jpeg are REAL now — covered by their own tests
     with pytest.raises(NotImplementedError):
         media_features(b"\x00\x00\x00\x18ftypmp42 video")
+    with pytest.raises(NotImplementedError):
+        media_features(b"ID3\x04\x00 audio tag")
 
 
 def test_spark_extract_features_on_real_bytes(spark):
@@ -392,3 +393,84 @@ def test_gif_interlaced_still_raises():
     gif[pos + 9] |= 0x40  # set the interlace flag
     with pytest.raises(NotImplementedError, match="interlaced"):
         _decode_gif_pixels(bytes(gif))
+
+
+# ---------------------------------------------------------- JPEG codec
+
+def test_jpeg_constant_block_roundtrips_exactly():
+    """A constant-color image has only DC coefficients — the lossy
+    pipeline reduces to round(128·c/q)·q/128, which roundtrips the
+    constant exactly at high quality."""
+    from queens_spark.operators.multimodal import _decode_jpeg_pixels, encode_jpeg
+
+    px = np.full((20, 28, 3), [120, 64, 200], dtype=np.uint8)
+    j = encode_jpeg(px, quality=90)
+    assert sniff_format(j) == "jpeg"
+    assert np.array_equal(_decode_jpeg_pixels(j), px)
+
+
+def test_jpeg_lossy_roundtrip_within_tolerance():
+    from queens_spark.operators.multimodal import _decode_jpeg_pixels, encode_jpeg
+
+    g = np.zeros((24, 24, 3), dtype=np.uint8)
+    g[:, :, 0] = np.linspace(0, 255, 24, dtype=np.uint8)[None, :]
+    g[:, :, 1] = np.linspace(0, 255, 24, dtype=np.uint8)[:, None]
+    g[:, :, 2] = 128
+    out = _decode_jpeg_pixels(encode_jpeg(g, quality=90))
+    assert out.shape == (24, 24, 3)
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 8
+
+    rng = np.random.default_rng(9)
+    noise = rng.integers(60, 196, size=(17, 23, 3), dtype=np.uint8)
+    out2 = _decode_jpeg_pixels(encode_jpeg(noise, quality=95))
+    assert np.abs(out2.astype(float) - noise.astype(float)).mean() < 6.0
+
+
+def test_jpeg_grayscale_subsampled_and_restart_paths():
+    from queens_spark.operators.multimodal import _decode_jpeg_pixels, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(80, 176, size=(17, 19, 1), dtype=np.uint8)
+    out = _decode_jpeg_pixels(encode_jpeg(gray, quality=95))
+    assert out.shape == (17, 19, 1)
+    assert np.abs(out.astype(float) - gray.astype(float)).mean() < 4.0
+
+    px = rng.integers(60, 196, size=(40, 56, 3), dtype=np.uint8)
+    plain = _decode_jpeg_pixels(encode_jpeg(px, quality=95))
+    # restart markers change the byte stream, not the decoded pixels
+    with_rst = _decode_jpeg_pixels(
+        encode_jpeg(px, quality=95, restart_interval=3))
+    assert np.array_equal(plain, with_rst)
+    # 4:2:0: luma survives, chroma is averaged 2x2 — check luma error
+    sub = _decode_jpeg_pixels(
+        encode_jpeg(px, quality=95, subsample=True, restart_interval=2))
+    assert sub.shape == px.shape
+    luma = lambda a: (0.299 * a[:, :, 0] + 0.587 * a[:, :, 1]
+                      + 0.114 * a[:, :, 2])
+    assert np.abs(luma(sub) - luma(px)).mean() < 6.0
+
+
+def test_jpeg_features_resize_and_fallbacks():
+    from queens_spark.operators.multimodal import _decode_jpeg_pixels, encode_jpeg
+
+    px = np.full((16, 16, 3), [200, 40, 90], dtype=np.uint8)
+    j = encode_jpeg(px, quality=90)
+    m = decode_image(j)
+    assert (m["width"], m["height"], m["channels"]) == (16, 16, 3)
+    assert abs(m["mean"][0] - 200.0) <= 2.0
+    feats = media_features(j)
+    assert feats[0] == 2.0  # image modality via the REAL decoder
+
+    small = resize_image(j, 8, 8)
+    assert sniff_format(small) == "jpeg"
+    assert _decode_jpeg_pixels(small).shape == (8, 8, 3)
+
+    # corrupt jpeg bytes: auto_features falls back to the fake, and
+    # progressive JPEG raises a clear NotImplementedError
+    garbage = b"\xff\xd8\xff\xe0 jpeg bytes"
+    assert auto_features(garbage) == pytest.approx(fake_features(garbage))
+    progressive = bytearray(j)
+    sof = progressive.index(b"\xff\xc0")
+    progressive[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        _decode_jpeg_pixels(bytes(progressive))
