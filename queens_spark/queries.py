@@ -3543,3 +3543,97 @@ def q88_source_audit(spark, sf_dir):
         docs, "source", "n_chars", {"chars_p50": 0.50, "chars_p95": 0.95}
     )
     return agg.join(qs, "source")
+
+
+#: BPE-ish pre-tokenization pattern: letter runs, GPT-2-style <=3-digit
+#: number chunks, punctuation runs. Deliberately lookahead-free so Java
+#: regex (Spark) and RE2 (DuckDB) agree exactly; the alternation's
+#: branches match disjoint character classes, so leftmost-first
+#: semantics cannot diverge either.
+_BPE_PATTERN = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 ]+"
+
+
+@register(
+    "q89_bpe_token_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens,
+             len({_DUCK_TOKS}) AS n_ws_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+           CASE WHEN n_bpe_tokens > 0
+                THEN CAST(n_chars AS DOUBLE) / n_bpe_tokens END
+             AS chars_per_token
+    FROM t
+    """,
+)
+def q89_bpe_token_stats(spark, sf_dir):
+    """Token-budget accounting with a BPE-ish regex pre-tokenizer
+    (letter runs / ≤3-digit number chunks / punctuation runs — the
+    GPT-2 pre-tokenization shape, minus the lookahead RE2 cannot run)
+    alongside the whitespace count: chars-per-token is the standard
+    proxy for how expensive a document is to tokenize for real. Pure
+    per-row JVM regex — zero shuffle."""
+    from queens_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    n_bpe = F.size(F.expr(f"regexp_extract_all(text, '{_BPE_PATTERN}', 0)"))
+    return docs.select(
+        "doc_id",
+        n_bpe.cast("bigint").alias("n_bpe_tokens"),
+        F.size(tokens("text")).cast("bigint").alias("n_ws_tokens"),
+        F.when(
+            n_bpe > 0, F.col("n_chars").cast("double") / n_bpe
+        ).alias("chars_per_token"),
+    )
+
+
+def _cluster_split_oracle(threshold: float) -> str:
+    from queens_spark.operators.sampling import duckdb_hash_split
+
+    comp_sql = _components_oracle(threshold)
+    split = duckdb_hash_split(
+        "component_id", {"train": 9000, "test": 1000}
+    )
+    return f"""
+    WITH comp AS ({comp_sql})
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT component_id) AS n_components,
+           MIN(doc_id) AS min_doc_id
+    FROM (SELECT doc_id, component_id, {split} AS split FROM comp)
+    GROUP BY split
+    """
+
+
+@register("q90_cluster_aware_split", _cluster_split_oracle(0.8))
+def q90_cluster_aware_split(spark, sf_dir):
+    """LEAK-FREE train/test split: assign whole DEDUP CLUSTERS, not
+    documents, to splits — q59's per-doc hash split is deterministic
+    but lets two near-duplicate documents straddle train and test (the
+    classic eval-contamination bug); hashing the component_id instead
+    makes straddling impossible by construction. Composition: the
+    full-recall dedup component assignment (q36) + the portable hash
+    split (q59) + a counter-width report."""
+    from queens_spark.operators.dedup import connected_components, dedup_edges
+    from queens_spark.operators.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    comps = connected_components(
+        docs, dedup_edges(docs, "text", "doc_id", n=3, threshold=0.8),
+        "doc_id",
+    )
+    return (
+        comps.select(
+            "doc_id", "component_id",
+            hash_split("component_id", {"train": 9000, "test": 1000})
+            .alias("split"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("component_id").alias("n_components"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

@@ -321,3 +321,42 @@ def test_duplicated_shingle_stats_flags_boilerplate(spark):
     assert n == 16 and d == 6 and abs(frac - 6 / 16) < 1e-12
     # a doc shorter than n tokens vanishes (no shingles) — none here
     assert set(got) == {0, 1, 2, 3, 10, 11}
+
+
+def test_cluster_aware_split_never_straddles(spark):
+    """Near-duplicate documents must land in the SAME split when the
+    split key is the dedup component — the leak-freedom q90 exists
+    for (a per-doc hash split would straddle some pairs)."""
+    from pyspark.sql import functions as F
+
+    from queens_spark.operators.dedup import (
+        connected_components,
+        dedup_edges,
+        release_caches,
+    )
+    from queens_spark.operators.sampling import hash_split
+
+    rows = []
+    for i in range(40):
+        base = " ".join(f"w{i}_{j}" for j in range(8))
+        rows.append(Row(doc_id=2 * i, text=base))
+        rows.append(Row(doc_id=2 * i + 1, text=base))  # exact twin
+    docs = spark.createDataFrame(rows)
+    comps = connected_components(
+        docs, dedup_edges(docs, "text", "doc_id", n=3, threshold=0.8),
+        "doc_id",
+    )
+    out = comps.select(
+        "doc_id", "component_id",
+        hash_split("component_id", {"train": 5000, "test": 5000})
+        .alias("split"),
+    )
+    per_comp = (
+        out.groupBy("component_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    release_caches()
+    assert all(r["n_splits"] == 1 for r in per_comp)
+    # sanity: both splits actually used (40 clusters, 50/50 hash)
+    assert out.select("split").distinct().count() == 2
