@@ -3637,3 +3637,91 @@ def q90_cluster_aware_split(spark, sf_dir):
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+def _lang_confusion_oracle() -> str:
+    # reuse q24's predictor CTE, joined back to the labeled lang column
+    pred = _lang_oracle()
+    return f"""
+    WITH pred AS ({pred}),
+    joined AS (
+      SELECT d.lang, p.lang_pred FROM documents d
+      JOIN pred p ON p.doc_id = d.doc_id
+    ), cell AS (
+      SELECT lang, lang_pred, COUNT(*) AS n_docs
+      FROM joined GROUP BY lang, lang_pred
+    )
+    SELECT lang, lang_pred, n_docs,
+           n_docs * 10000 // SUM(n_docs) OVER (PARTITION BY lang)
+             AS share_bp
+    FROM cell
+    """
+
+
+@register("q91_langid_confusion", _lang_confusion_oracle())
+def q91_langid_confusion(spark, sf_dir):
+    """Classifier-evaluation query: the confusion matrix of the
+    heuristic language-ID (q24) against the labeled ``lang`` column,
+    with each cell's share of its labeled language in exact basis
+    points (integer division — no float summation order to disagree
+    on). The matrix is |langs|² cells: the groupBy shuffle carries
+    counters, and the per-label share is a window over label-sized
+    groups of the CELL table, never the corpus."""
+    from queens_spark.operators import text as tx
+
+    docs = load(spark, sf_dir, "documents")
+    cell = (
+        docs.select("lang", tx.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return cell.select(
+        "lang", "lang_pred", "n_docs",
+        F.expr("n_docs * 10000 div sum(n_docs) over (partition by lang)")
+        .alias("share_bp"),
+    )
+
+
+@register(
+    "q92_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS dst
+      FROM events
+    ), cell AS (
+      SELECT src, dst, COUNT(*) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           n * 1000000 // SUM(n) OVER (PARTITION BY src) AS p_ppm
+    FROM cell
+    """,
+)
+def q92_event_transitions(spark, sf_dir):
+    """User-journey transition matrix (the Markov-chain training
+    primitive for behavioral models): per user, consecutive event
+    pairs by (ts, event_id) — the id breaks timestamp ties so the
+    sequence is deterministic on any engine — then (src, dst) counts
+    and exact ppm transition probabilities (integer division). One
+    user-keyed window shuffle over the events, then counter-width
+    cells."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cell = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cell.select(
+        "src", "dst", "n",
+        F.expr("n * 1000000 div sum(n) over (partition by src)")
+        .alias("p_ppm"),
+    )
