@@ -3725,3 +3725,45 @@ def q92_event_transitions(spark, sf_dir):
         F.expr("n * 1000000 div sum(n) over (partition by src)")
         .alias("p_ppm"),
     )
+
+
+@register(
+    "q93_salted_skew_join",
+    """
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS sum_qty,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q93_salted_skew_join(spark, sf_dir):
+    """Hot-key-proof fact join via explicit salting
+    (operators/skew.py): the lineitem side's partkey is salted 8 ways
+    by a hash of its unique order line, the part side is replicated
+    once per salt, and the shuffle's worst bucket shrinks ~8× — the
+    planner-independent fix for the single-hot-key case AQE's stats
+    can miss. Results are exactly the plain join's (the oracle IS the
+    plain join); sums accumulate in DECIMAL so aggregation order can't
+    show through."""
+    from queens_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_orderkey", "l_linenumber"
+    ).withColumn(
+        "__uid",
+        F.concat_ws("_", "l_orderkey", "l_linenumber"),
+    )
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(li, part, "l_partkey", salt_from="__uid", n_salts=8)
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
