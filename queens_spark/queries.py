@@ -3767,3 +3767,39 @@ def q93_salted_skew_join(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+def _zorder_oracle(bits: int, bucket_shift: int) -> str:
+    from queens_spark.store.zorder import duckdb_zorder_key
+
+    z = duckdb_zorder_key("l_partkey", "l_suppkey", bits)
+    return f"""
+    WITH z AS (SELECT {z} AS zkey FROM lineitem)
+    SELECT zkey >> {bucket_shift} AS z_bucket,
+           COUNT(*) AS n_rows,
+           MIN(zkey) AS z_min, MAX(zkey) AS z_max
+    FROM z GROUP BY z_bucket
+    """
+
+
+@register("q94_zorder_key", _zorder_oracle(21, 34))
+def q94_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey),
+    summarized per top-bits bucket — the multi-column layout device
+    behind min/max scan pruning (store/zorder.py: each file covers one
+    contiguous z-range, so its bounding box is tight on BOTH columns
+    and a selective 2-D predicate skips most files; the direct
+    bbox-tightness property is asserted in tests/test_zorder.py).
+    Pure bit arithmetic, identical in both engines."""
+    from queens_spark.store.zorder import zorder_key
+
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(zorder_key("l_partkey", "l_suppkey", 21).alias("zkey"))
+        .groupBy(F.shiftright("zkey", 34).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zkey").alias("z_min"),
+            F.max("zkey").alias("z_max"),
+        )
+    )

@@ -1,0 +1,91 @@
+"""Z-order layout: the Morton key is bit-exact vs a Python reference,
+and the layout's per-partition bounding boxes are tight on BOTH
+columns — the property min/max pruning feeds on."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from queens_spark.store.zorder import write_zordered, zorder_key
+
+
+def _py_morton(a, b, bits=21):
+    cap = (1 << bits) - 1
+    a, b = min(max(a, 0), cap), min(max(b, 0), cap)
+    out = 0
+    for i in range(bits):
+        out |= ((a >> i) & 1) << (2 * i)
+        out |= ((b >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_zorder_key_matches_reference(spark):
+    rng = np.random.default_rng(4)
+    vals = [(int(a), int(b)) for a, b in
+            rng.integers(0, 1 << 21, size=(200, 2))]
+    vals += [(0, 0), ((1 << 21) - 1, 0), (0, (1 << 21) - 1), (-5, 1 << 30)]
+    df = spark.createDataFrame([Row(a=a, b=b) for a, b in vals])
+    got = {(r["a"], r["b"]): r["z"] for r in
+           df.select("a", "b", zorder_key("a", "b").alias("z")).collect()}
+    for a, b in vals:
+        assert got[(a, b)] == _py_morton(a, b)
+
+
+def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
+    # 64×64 grid of points; 16 output files. Range-partitioning by x
+    # alone gives each file the FULL y-range; z-ordering bounds both.
+    rows = [Row(x=x, y=y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows)
+
+    zpath = str(tmp_path / "z")
+    xpath = str(tmp_path / "x")
+    write_zordered(df, zpath, "x", "y", n_files=16, bits=6)
+    (df.repartitionByRange(16, "x").sortWithinPartitions("x")
+       .write.mode("overwrite").parquet(xpath))
+
+    def per_file_bbox_area(path):
+        per = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(((F.max("x") - F.min("x") + 1)
+                  * (F.max("y") - F.min("y") + 1)).alias("area"))
+            .collect()
+        )
+        return sum(r["area"] for r in per) / len(per)
+
+    z_area = per_file_bbox_area(zpath)
+    x_area = per_file_bbox_area(xpath)
+    # each z file covers a ~16×16 tile (area ~256); each x-sorted file
+    # is a 4-column stripe spanning all of y (area ~256 too)?? no:
+    # 64/16 = 4 columns × full 64 rows = 256. The z tiles are 16×16 =
+    # 256 as well in AREA — the difference is the PER-DIMENSION extent:
+    # a predicate on y alone prunes z tiles (extent 16) but no x-stripe
+    # (extent 64). Assert the y-extent directly.
+    def mean_y_extent(path):
+        per = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg((F.max("y") - F.min("y") + 1).alias("ey"))
+            .collect()
+        )
+        return sum(r["ey"] for r in per) / len(per)
+
+    assert mean_y_extent(zpath) <= mean_y_extent(xpath) / 2
+    # and x stays bounded as well (not traded away entirely)
+    def mean_x_extent(path):
+        per = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg((F.max("x") - F.min("x") + 1).alias("ex"))
+            .collect()
+        )
+        return sum(r["ex"] for r in per) / len(per)
+
+    assert mean_x_extent(zpath) <= 32
+    # sanity so the comparison above means something
+    assert z_area <= x_area * 1.5
+
+
+def test_zorder_rejects_overflow_bits():
+    with pytest.raises(ValueError, match="overflow"):
+        zorder_key("a", "b", bits=32)
