@@ -538,12 +538,17 @@ def _pruned_candidates(
     return counts.where(keep).select("id_a", "id_b")
 
 
-def _verify_pairs(cands: DataFrame, sh: DataFrame) -> DataFrame:
+def _verify_pairs(
+    cands: DataFrame, sh: DataFrame, sh_b: DataFrame | None = None
+) -> DataFrame:
     """Exact-Jaccard verification join: attach both hash sets to each
     candidate pair and compute |A∩B| / |A∪B|. Cost is O(|candidates|),
-    never O(n²) — candidates arrive pruned/banded."""
+    never O(n²) — candidates arrive pruned/banded. *sh_b* supplies the
+    id_b side for bipartite (cross-corpus) pipelines."""
     va = sh.select(F.col("doc").alias("id_a"), F.col("x.hashes").alias("ha"))
-    vb = sh.select(F.col("doc").alias("id_b"), F.col("x.hashes").alias("hb"))
+    vb = (sh_b if sh_b is not None else sh).select(
+        F.col("doc").alias("id_b"), F.col("x.hashes").alias("hb")
+    )
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
@@ -891,6 +896,77 @@ def filter_near_duplicates(
     """
     losers = pairs.select(F.col(drop_col).alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def cross_corpus_neardup_pairs(
+    df_train: DataFrame,
+    df_eval: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | str = "auto",
+) -> DataFrame:
+    """FUZZY decontamination: near-duplicate (train_id, eval_id,
+    common, jaccard) pairs BETWEEN two corpora — where
+    :func:`decontaminate` flags raw shingle overlap, this reports the
+    actual train↔eval near-duplicates a contamination audit wants.
+
+    Same machinery as :func:`ngram_jaccard_pairs`, bipartite: one
+    persisted shingle projection per side, ONE hot list computed over
+    the union of both posting sets (a shingle hot in either corpus
+    creates a df_train·df_eval join bucket, so the cap must see both),
+    the train↔eval pair shuffle counting shared rare shingles, and the
+    same H = 0 exact finish / count-prune + verification split. The
+    bipartite join has no id ordering (id spaces may overlap — the
+    sides, not the ids, distinguish the roles)."""
+    sh_a = _shingle_frame(df_train, text_col, id_col, n)
+    sh_b = _shingle_frame(df_eval, text_col, id_col, n)
+    if isinstance(max_df, str):
+        if max_df != "auto":
+            raise ValueError(f"max_df must be an int or 'auto'; got {max_df!r}")
+        max_df = auto_max_df(df_train.count() + df_eval.count())
+    ex_a = sh_a.select(
+        "doc", F.col("x.n").alias("n"), F.explode("x.hashes").alias("sh_hash")
+    )
+    ex_b = sh_b.select(
+        "doc", F.col("x.n").alias("n"), F.explode("x.hashes").alias("sh_hash")
+    )
+    hot = _collect_hot(
+        ex_a.select("sh_hash").unionAll(ex_b.select("sh_hash")), max_df
+    )
+    hot_df = _hot_frame(ex_a, hot) if hot else None
+    ka = ex_a if hot_df is None else ex_a.join(
+        F.broadcast(hot_df), "sh_hash", "left_anti"
+    )
+    kb = ex_b if hot_df is None else ex_b.join(
+        F.broadcast(hot_df), "sh_hash", "left_anti"
+    )
+    a = ka.select(
+        F.col("doc").alias("id_a"), F.col("n").alias("na"), "sh_hash"
+    )
+    b = kb.select(
+        F.col("doc").alias("id_b"), F.col("n").alias("nb"), "sh_hash"
+    )
+    counts = (
+        a.join(b, "sh_hash")
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("rare_common"))
+    )
+    if not hot:
+        out = _exact_from_counts(counts, threshold, "jaccard")
+    else:
+        cands = _pruned_candidates(counts, len(hot), threshold, "jaccard")
+        out = (
+            _verify_pairs(cands, sh_a, sh_b)
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "common", "jaccard")
+        )
+    return out.select(
+        F.col("id_a").alias("train_id"),
+        F.col("id_b").alias("eval_id"),
+        "common", "jaccard",
+    )
 
 
 def duplicated_shingle_stats(

@@ -3803,3 +3803,61 @@ def q94_zorder_key(spark, sf_dir):
             F.max("zkey").alias("z_max"),
         )
     )
+
+
+def _cross_corpus_oracle(threshold: float) -> str:
+    # bipartite twin of _jaccard_oracle: train = odd doc_ids, eval =
+    # even (the parity split actually crosses the corpus's near-dup
+    # pairs, unlike q61's sparse %100 eval); the df cap is computed
+    # over the union (= the whole documents table here), matching the
+    # Spark side's combined hot list
+    from queens_spark.operators.dedup import duckdb_shingle_hashes
+
+    return f"""
+    WITH h AS (
+      SELECT doc_id, len(hs) AS ns, hs FROM (
+        SELECT doc_id, {duckdb_shingle_hashes('text')} AS hs FROM documents)
+      WHERE len(hs) > 0
+    ), ex AS (
+      SELECT doc_id, unnest(hs) AS sh_hash FROM h
+    ), fi AS (
+      SELECT doc_id, sh_hash FROM (
+        SELECT doc_id, sh_hash,
+               COUNT(*) OVER (PARTITION BY sh_hash) AS df
+        FROM ex)
+      WHERE df <= greatest(50, (SELECT COUNT(*) FROM documents) // 100)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+      FROM fi a JOIN fi b ON a.sh_hash = b.sh_hash
+      WHERE a.doc_id % 2 <> 0 AND b.doc_id % 2 = 0
+    ), verified AS (
+      SELECT c.train_id, c.eval_id,
+             CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS common,
+             ha.ns AS na, hb.ns AS nb
+      FROM cand c
+      JOIN h ha ON ha.doc_id = c.train_id
+      JOIN h hb ON hb.doc_id = c.eval_id
+    )
+    SELECT train_id, eval_id, common,
+           CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
+    FROM verified
+    WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= {threshold}
+    """
+
+
+@register("q95_cross_corpus_neardup", _cross_corpus_oracle(0.5))
+def q95_cross_corpus_neardup(spark, sf_dir):
+    """FUZZY decontamination report: actual train↔eval near-duplicate
+    pairs with their Jaccard (q61 only counts raw shingle overlap).
+    Bipartite capped inverted index with ONE hot list over both
+    corpora's postings; in the hot-free regime the pair shuffle emits
+    exact verified pairs directly (operators/dedup.py:
+    cross_corpus_neardup_pairs)."""
+    from queens_spark.operators.dedup import cross_corpus_neardup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return cross_corpus_neardup_pairs(
+        docs.where(F.col("doc_id") % 2 != 0),
+        docs.where(F.col("doc_id") % 2 == 0),
+        "text", "doc_id", n=3, threshold=0.5,
+    )

@@ -360,3 +360,32 @@ def test_cluster_aware_split_never_straddles(spark):
     assert all(r["n_splits"] == 1 for r in per_comp)
     # sanity: both splits actually used (40 clusters, 50/50 hash)
     assert out.select("split").distinct().count() == 2
+
+
+def test_cross_corpus_neardup_finds_only_cross_pairs(spark):
+    """Bipartite near-dup: a train doc near-identical to an eval doc
+    is reported; near-dups WITHIN one side are not; hot-shingle skew
+    across the two corpora stays capped."""
+    from queens_spark.operators.dedup import (
+        cross_corpus_neardup_pairs,
+        release_caches,
+    )
+
+    base = " ".join(f"w{j}" for j in range(12))
+    train = spark.createDataFrame([
+        Row(doc_id=1, text=base + " extra"),
+        Row(doc_id=2, text=base + " other"),       # near-dup of 1 (same side)
+        Row(doc_id=3, text=" ".join(f"t{j}" for j in range(12))),
+    ])
+    ev = spark.createDataFrame([
+        Row(doc_id=50, text=base + " tail"),       # near-dup of 1 AND 2
+        Row(doc_id=51, text=" ".join(f"e{j}" for j in range(12))),
+    ])
+    got = {
+        (r["train_id"], r["eval_id"])
+        for r in cross_corpus_neardup_pairs(
+            train, ev, "text", "doc_id", n=3, threshold=0.5
+        ).collect()
+    }
+    release_caches()
+    assert got == {(1, 50), (2, 50)}
