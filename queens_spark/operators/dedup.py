@@ -443,33 +443,42 @@ def _hot_frame(exploded: DataFrame, hot: list[int]) -> DataFrame:
     )
 
 
-def _rare_pair_counts(exploded: DataFrame, hot_df: DataFrame | None) -> DataFrame:
+def _rare_pair_counts(
+    exploded: DataFrame,
+    hot_df: DataFrame | None,
+    exploded_b: DataFrame | None = None,
+) -> DataFrame:
     """(id_a, id_b, na, nb, rare_common) from the df-capped inverted
     index — the candidate pairs WITH their shared-rare-shingle count,
     computed in the pair shuffle itself (no per-doc stats join).
 
-    The self-join emits one row per SHARED RARE shingle, so grouping
-    the join output by pair counts them (rare_common) in the same
-    shuffle that dedups candidates — no .distinct() pass. Each posting
-    row carries its document's total shingle count (free, projected
-    from the persisted struct BEFORE the join — no doc-keyed shuffle),
-    so na/nb land in the pair group key. With ``hot_df`` None (no hot
-    shingles exist) the anti-join is skipped entirely."""
-    kept = (
-        exploded if hot_df is None
-        else exploded.join(F.broadcast(hot_df), "sh_hash", "left_anti")
-    )
-    a = kept.select(
+    The join emits one row per SHARED RARE shingle, so grouping the
+    join output by pair counts them (rare_common) in the same shuffle
+    that dedups candidates — no .distinct() pass. Each posting row
+    carries its document's total shingle count (free, projected from
+    the persisted struct BEFORE the join — no doc-keyed shuffle), so
+    na/nb land in the pair group key. With ``hot_df`` None (no hot
+    shingles exist) the anti-join is skipped entirely. With
+    ``exploded_b`` the join is BIPARTITE (id_a from exploded, id_b
+    from exploded_b — distinct id spaces, so no ordering filter);
+    otherwise it is the within-corpus self-join with id_a < id_b."""
+    def kept(e):
+        return (
+            e if hot_df is None
+            else e.join(F.broadcast(hot_df), "sh_hash", "left_anti")
+        )
+
+    a = kept(exploded).select(
         F.col("doc").alias("id_a"), F.col("n").alias("na"), "sh_hash"
     )
-    b = kept.select(
+    b = kept(exploded_b if exploded_b is not None else exploded).select(
         F.col("doc").alias("id_b"), F.col("n").alias("nb"), "sh_hash"
     )
-    return (
-        a.join(b, "sh_hash")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("rare_common"))
+    joined = a.join(b, "sh_hash")
+    if exploded_b is None:
+        joined = joined.where(F.col("id_a") < F.col("id_b"))
+    return joined.groupBy("id_a", "id_b", "na", "nb").agg(
+        F.count(F.lit(1)).alias("rare_common")
     )
 
 
@@ -920,11 +929,14 @@ def cross_corpus_neardup_pairs(
     same H = 0 exact finish / count-prune + verification split. The
     bipartite join has no id ordering (id spaces may overlap — the
     sides, not the ids, distinguish the roles)."""
+    if max_df is None or (isinstance(max_df, str) and max_df != "auto"):
+        # None would silently disable the cap via a NULL df comparison
+        # — the O(|train|·|eval|) hot bucket this operator exists to
+        # prevent; reject like near_dup_pairs_full does
+        raise ValueError(f"max_df must be an int or 'auto'; got {max_df!r}")
     sh_a = _shingle_frame(df_train, text_col, id_col, n)
     sh_b = _shingle_frame(df_eval, text_col, id_col, n)
-    if isinstance(max_df, str):
-        if max_df != "auto":
-            raise ValueError(f"max_df must be an int or 'auto'; got {max_df!r}")
+    if max_df == "auto":
         max_df = auto_max_df(df_train.count() + df_eval.count())
     ex_a = sh_a.select(
         "doc", F.col("x.n").alias("n"), F.explode("x.hashes").alias("sh_hash")
@@ -936,23 +948,7 @@ def cross_corpus_neardup_pairs(
         ex_a.select("sh_hash").unionAll(ex_b.select("sh_hash")), max_df
     )
     hot_df = _hot_frame(ex_a, hot) if hot else None
-    ka = ex_a if hot_df is None else ex_a.join(
-        F.broadcast(hot_df), "sh_hash", "left_anti"
-    )
-    kb = ex_b if hot_df is None else ex_b.join(
-        F.broadcast(hot_df), "sh_hash", "left_anti"
-    )
-    a = ka.select(
-        F.col("doc").alias("id_a"), F.col("n").alias("na"), "sh_hash"
-    )
-    b = kb.select(
-        F.col("doc").alias("id_b"), F.col("n").alias("nb"), "sh_hash"
-    )
-    counts = (
-        a.join(b, "sh_hash")
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("rare_common"))
-    )
+    counts = _rare_pair_counts(ex_a, hot_df, exploded_b=ex_b)
     if not hot:
         out = _exact_from_counts(counts, threshold, "jaccard")
     else:
@@ -1315,18 +1311,23 @@ def decontaminate(
       positives. Result is bit-identical to the broadcast path.
 
     Path choice is two-tier so the common case pays ZERO pre-jobs:
-    when Catalyst's static size estimate already says the eval side is
+    when Catalyst's static size estimate says the eval side is
     clearly broadcast-sized, the semi-join plan is emitted directly
-    (its broadcast build runs the distinct — one job total). Only when
-    the estimate is large or unavailable does the operator pay one
+    (its broadcast build runs the distinct — one job total). Static
+    stats systematically UNDER-estimate explode-shaped plans (Generate
+    does not model fanout, and parquet child stats are compressed
+    bytes), so the fast path demands a 64× safety margin under the cap
+    — a benchmark-sized eval (KBs–MBs of stats) still clears it, while
+    anything within two orders of magnitude of the cap pays one
     persist+count job for the exact distinct cardinality, which both
     settles the branch and sizes the Bloom filter. A mis-estimate can
-    only mis-ROUTE (both plans are exact); the exact count guards the
-    actually-large regime because static estimates never clear the
-    clearly-small bar there.
+    only mis-route between bit-identical plans; the margin keeps the
+    only dangerous mis-route (broadcasting an actually-huge set) out
+    of reach of any plausible estimate error.
     """
     est = _estimated_bytes(eval_sh.select("sh"))
-    if est is not None and est <= broadcast_max_items * 8:
+    # 8 bytes/hash, 64× headroom for Generate under-estimation
+    if est is not None and est * 64 <= broadcast_max_items * 8:
         pruned = train_sh.join(
             F.broadcast(eval_sh.select("sh").distinct()), "sh", "left_semi"
         )

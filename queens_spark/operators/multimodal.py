@@ -1134,8 +1134,8 @@ def extract_features(
 def resize_image(content: bytes, width: int, height: int) -> bytes:
     """REAL nearest-neighbour resize for stdlib-decodable formats
     (uncompressed BMP, binary PPM/PGM, 8-bit non-interlaced PNG,
-    single-frame GIF), re-encoded in the SAME format. JPEG raises —
-    its codec is not in this runtime."""
+    single-frame GIF, baseline JPEG), re-encoded in the SAME format.
+    Container video/audio raise — no codec in this runtime."""
     fmt = sniff_format(content)
     if fmt == "bmp":
         px, enc = _decode_bmp_pixels(content), encode_bmp

@@ -428,11 +428,17 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
+    from queens_spark.operators.dedup import _persist
+
     q = df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q"))
     assigned = ivf_assign(df, vec_col, id_col, centroid_ids).select(
         F.col(id_col).alias("id"), "centroid_id"
     )
-    v = q.join(assigned, "id")
+    # persist barrier: v fans out to BOTH pair-join sides and the final
+    # anti-join — without it, projection collapse re-evaluates the
+    # per-element quantize transform (and re-scans df) once per
+    # consumer (the footgun class CLAUDE.md documents)
+    v = _persist(q.join(assigned, "id"))
     a = v.select(
         F.col("id").alias("id_a"), F.col("q").alias("qa"), "centroid_id"
     )
@@ -849,12 +855,14 @@ def batch_topk_ip(
     import pandas as pd
 
     qv = query_vec_col or vec_col
+    # limit BEFORE collect: the guard must bound the driver fetch
+    # itself, not fire after an unbounded collect already blew it up
     qrows = queries_df.select(
         F.col(query_id_col).alias("qid"), F.col(qv).alias("v")
-    ).collect()
+    ).limit(MAX_BATCH_QUERIES + 1).collect()
     if len(qrows) > MAX_BATCH_QUERIES:
         raise ValueError(
-            f"{len(qrows)} queries exceeds the broadcast cap "
+            f"query table exceeds the broadcast cap "
             f"({MAX_BATCH_QUERIES}); shard the query table"
         )
     out_schema = f"query_id bigint, {id_col} bigint, dot_q bigint, approx_ip double"

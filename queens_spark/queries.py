@@ -3675,7 +3675,6 @@ def q91_langid_confusion(spark, sf_dir):
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    w = Window.partitionBy("lang")
     return cell.select(
         "lang", "lang_pred", "n_docs",
         F.expr("n_docs * 10000 div sum(n_docs) over (partition by lang)")

@@ -412,10 +412,14 @@ class Warehouse:
                     new_tables.pop(t, None)
                     continue
                 if os.path.isdir(dst):
-                    aside = dst + "__old"
-                    os.replace(dst, aside)
+                    # park the old partition INSIDE tmp, never beside
+                    # dst: a crash mid-swap must not leave a phantom
+                    # 'table_name=X__old' dir that partition discovery
+                    # would read as data — tmp is overwritten by the
+                    # next stage() and removed below, so leftovers
+                    # self-clean
+                    os.replace(dst, os.path.join(tmp, entry + "__old"))
                     os.replace(os.path.join(tmp, entry), dst)
-                    shutil.rmtree(aside)
                 else:
                     os.replace(os.path.join(tmp, entry), dst)
                 new_tables[t] = {
