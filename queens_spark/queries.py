@@ -3860,3 +3860,40 @@ def q95_cross_corpus_neardup(spark, sf_dir):
         docs.where(F.col("doc_id") % 2 == 0),
         "text", "doc_id", n=3, threshold=0.5,
     )
+
+
+@register(
+    "q96_stream_interval_join",
+    """
+    SELECT e1.user_id, e1.event_id AS view_id, e2.event_id AS purchase_id,
+           epoch_us(e2.ts) - epoch_us(e1.ts) AS lag_us
+    FROM events e1 JOIN events e2
+      ON e2.user_id = e1.user_id
+     AND e1.event_type = 'view' AND e2.event_type = 'purchase'
+     AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    """,
+)
+def q96_stream_interval_join(spark, sf_dir):
+    """Streaming attribution join: every purchase matched to the same
+    user's views in the preceding hour, as a STREAM-STREAM event-time
+    interval join (streaming.interval_self_join) — the stateful-join
+    tier of Structured Streaming, where each side's buffer is bounded
+    by watermark + lag instead of growing forever. Backfilled via
+    availableNow; the inner join makes streaming output equal the
+    batch join exactly, which is what the oracle computes."""
+    from queens_spark.streaming.events import (
+        interval_self_join,
+        read_events_stream,
+        run_available_now,
+    )
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_available_now(
+        interval_self_join(ev), "q96_mem", output_mode="append"
+    )
+    return out.select(
+        "user_id",
+        F.col("l_id").alias("view_id"),
+        F.col("r_id").alias("purchase_id"),
+        (F.unix_micros("r_time") - F.unix_micros("l_time")).alias("lag_us"),
+    )

@@ -202,6 +202,51 @@ def run_available_now(
     return stream_df.sparkSession.table(query_name)
 
 
+def interval_self_join(
+    events: DataFrame,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM event-time interval join: every *right_type*
+    event matched to every *left_type* event of the same user within
+    [0, max_lag] before it — the incremental form of the attribution
+    join (batch twin: q75's funnel predicate).
+
+    This is the stateful-join tier of Structured Streaming: each side
+    buffers rows only until the other side's watermark passes the
+    join-condition's time bound, so state is bounded by
+    watermark + max_lag of traffic — an unconstrained stream-stream
+    join would buffer forever. Inner join, so availableNow backfill
+    reproduces the batch join exactly (watermarks bound STATE, not
+    results, in backfill). Both sides come from ONE source stream
+    (supported self-join); the right side's columns are renamed since
+    a self-join shares the input's attribute ids."""
+    views = events.where(F.col("event_type") == left_type).select(
+        "user_id",
+        F.col("event_time").alias("l_time"),
+        F.col("event_id").alias("l_id"),
+    )
+    buys = events.where(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_time").alias("r_time"),
+        F.col("event_id").alias("r_id"),
+    )
+    return (
+        views.withWatermark("l_time", watermark)
+        .join(
+            buys.withWatermark("r_time", watermark),
+            F.expr(
+                f"user_id = r_user AND r_time >= l_time "
+                f"AND r_time <= l_time + INTERVAL {max_lag}"
+            ),
+            "inner",
+        )
+        .select("user_id", "l_id", "r_id", "l_time", "r_time")
+    )
+
+
 def windowed_cms_counters(
     events: DataFrame,
     window: str = "1 hour",
