@@ -73,28 +73,36 @@ def exact_group_quantiles(
         F.struct(F.lit(name).alias("qname"), F.lit(float(p)).alias("p"))
         for name, p in quantiles.items()
     ])
+    # rn = p·(n−1); ranks are floor(rn)+1 / ceil(rn)+1. The finish is
+    # the weighted TWO-PRODUCT form (crn−rn)·vlo + (rn−frn)·vhi —
+    # DuckDB's quantile_cont sequence bit-for-bit (the algebraically
+    # equal vlo + (vhi−vlo)·frac, and computing frac from rn+1, each
+    # diverge in the last ulp on general doubles; bit us on q99).
     targets = (
         cnt.select(F.col(group_col), F.explode(qarr).alias("t"), "__n")
         .select(
             group_col,
             F.col("t.qname").alias("qname"),
-            (F.col("t.p") * (F.col("__n") - 1) + 1).alias("target"),
+            (F.col("t.p") * (F.col("__n") - 1)).alias("rn"),
         )
-        .withColumn("lo", F.floor("target").cast("long"))
-        .withColumn("hi", F.ceil("target").cast("long"))
+        .withColumn("lo", (F.floor("rn") + 1).cast("long"))
+        .withColumn("hi", (F.ceil("rn") + 1).cast("long"))
     )
     need = targets.select(
-        group_col, "qname", "target", "lo",
+        group_col, "qname", "rn", "lo",
         F.explode(F.array_distinct(F.array("lo", "hi"))).alias("__rk"),
     )
     joined = ranked.join(F.broadcast(need), [group_col, "__rk"])
-    per_q = joined.groupBy(group_col, "qname", "target", "lo").agg(
+    per_q = joined.groupBy(group_col, "qname", "rn", "lo").agg(
         F.min(F.when(F.col("__rk") == F.col("lo"), F.col("__v"))).alias("vlo"),
         F.min(F.when(F.col("__rk") != F.col("lo"), F.col("__v"))).alias("vhi"),
     )
-    val = F.col("vlo") + (
-        F.coalesce("vhi", F.col("vlo")) - F.col("vlo")
-    ) * (F.col("target") - F.col("lo"))
+    frn = F.floor("rn").cast("double")
+    crn = F.ceil("rn").cast("double")
+    val = F.when(F.col("vhi").isNull(), F.col("vlo")).otherwise(
+        (crn - F.col("rn")) * F.col("vlo")
+        + (F.col("rn") - frn) * F.col("vhi")
+    )
     vals = per_q.select(group_col, "qname", val.alias("val"))
     return vals.groupBy(group_col).agg(*[
         F.min(F.when(F.col("qname") == name, F.col("val"))).alias(name)

@@ -947,3 +947,233 @@ def batch_topk_ip(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+# ------------------------------------------------ product quantization
+
+PQ_M = 8     # subspaces
+PQ_KSUB = 16  # centroids per subspace → 4 bits/code, one bigint packs 8
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    seed_vecs: list[list[float]],
+    m: int = PQ_M,
+) -> DataFrame:
+    """Product-quantization encoder: split each vector into *m*
+    subspaces, snap every subvector to the nearest (squared-L2)
+    codebook centroid, and pack the m 4-bit codes into ONE bigint
+    (`pq_code`). This is the memory tier below int8: 64 fp32 dims
+    (256 B) become 4 B — at 100 TB the difference between an ANN index
+    that fits executor RAM and one that doesn't.
+
+    Codebooks are the quantized subvectors of *seed_vecs* (bounded,
+    ≤ :data:`PQ_KSUB` — same raw-seed convention as IVF's q33
+    centroids; a Lloyd refinement can replace the seeds without
+    touching this encoder). Everything is exact fixed-point bigint
+    arithmetic on ×1000-quantized values, so a SQL twin reproduces
+    every code: distances are integer sums of squares, argmin ties
+    break on the lowest centroid id (struct array_min), and the pack
+    is Σ code_s·2^{4s}.
+
+    Plan shape: the codebook is ONE constant-folded nested-array
+    literal (broadcast by construction) and the whole encode is a
+    higher-order-function fold over it — the per-centroid distance
+    lambda exists ONCE in the plan, not m×ksub times, so Catalyst
+    analysis/optimization stays milliseconds where a fully unrolled
+    tree (the first cut) cost seconds of driver time per run. One
+    zero-shuffle projection over the corpus: scan, fold, emit
+    (id, pq_code).
+    """
+    ksub = len(seed_vecs)
+    if not 2 <= ksub <= PQ_KSUB:
+        raise ValueError(f"need 2..{PQ_KSUB} seed vectors, got {ksub}")
+    dim = len(seed_vecs[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    import math
+
+    cb = [
+        [int(math.floor(float(x) * QUANT)) for x in v] for v in seed_vecs
+    ]
+    from queens_spark.operators.text import let_bound
+
+    # nested literal: CB[s][c] = struct(c, v: the centroid subvector).
+    # Built as ONE SQL string parsed JVM-side — building it from
+    # thousands of F.lit()/F.array() calls costs seconds of Py4J
+    # round-trips per query (measured: 7s cold); ConstantFolding
+    # collapses the parsed tree to a single array literal either way.
+    cb_sql = "array(%s)" % ",".join(
+        "array(%s)" % ",".join(
+            "named_struct('c',%d,'v',array(%s))" % (
+                c,
+                ",".join(
+                    "CAST(%d AS BIGINT)" % cb[c][s * dsub + i]
+                    for i in range(dsub)
+                ),
+            )
+            for c in range(ksub)
+        )
+        for s in range(m)
+    )
+    cb_lit = F.expr(cb_sql)
+    far = F.expr(
+        "named_struct('d', CAST(%d AS BIGINT), 'c', -1)" % (1 << 62)
+    )
+
+    def code_for_subspace(qv: Column, s: Column) -> Column:
+        # argmin over the s-th codebook: running (d, c) min; strict <
+        # keeps the LOWEST centroid id on distance ties because the
+        # fold visits centroids in ascending c order.
+        sub = F.slice(qv, s * dsub + 1, F.lit(dsub))
+        return let_bound(
+            sub,
+            lambda sub_b: F.aggregate(
+                F.element_at(cb_lit, (s + 1).cast("int")),
+                far,
+                lambda acc, cent: let_bound(
+                    F.aggregate(
+                        F.zip_with(
+                            sub_b, cent.getField("v"),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda a, v: a + v,
+                    ),
+                    lambda d: F.when(
+                        d < acc.getField("d"),
+                        F.struct(
+                            d.alias("d"), cent.getField("c").alias("c")
+                        ),
+                    ).otherwise(acc),
+                ),
+            ).getField("c"),
+        )
+
+    def packed(qv: Column) -> Column:
+        codes = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: code_for_subspace(qv, s),
+        )
+        powers = F.expr(
+            "array(%s)" % ",".join(
+                "CAST(%d AS BIGINT)" % (1 << (4 * s)) for s in range(m)
+            )
+        )
+        return F.aggregate(
+            F.zip_with(codes, powers, lambda code, p: code.cast("bigint") * p),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v,
+        )
+
+    return df.select(
+        F.col(id_col),
+        let_bound(quantize(vec_col), packed).alias("pq_code"),
+    )
+
+
+def pq_adc_lut(
+    query_vec: list[float], seed_vecs: list[list[float]], m: int = PQ_M
+) -> list[list[int]]:
+    """Asymmetric-distance lookup table: exact integer squared-L2
+    between the quantized query subvector and every codebook centroid,
+    per subspace — m×ksub ints, computed driver-side in plain Python
+    (bit-identical to the SQL twin's bigint arithmetic)."""
+    import math
+
+    dim = len(query_vec)
+    dsub = dim // m
+    q = [int(math.floor(float(x) * QUANT)) for x in query_vec]
+    cb = [
+        [int(math.floor(float(x) * QUANT)) for x in v] for v in seed_vecs
+    ]
+    return [
+        [
+            sum(
+                (q[s * dsub + i] - cv[s * dsub + i]) ** 2
+                for i in range(dsub)
+            )
+            for cv in cb
+        ]
+        for s in range(m)
+    ]
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    id_col: str,
+    lut: list[list[int]],
+    k: int = 10,
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """ADC top-k over packed PQ codes: approximate distance is the sum
+    of m table lookups (`lut[s][code_s]`), decoded from the packed
+    bigint by shift-and-mask — no vector is ever touched. orderBy+limit
+    compiles to TakeOrderedAndProject (per-partition heap, driver merge
+    of k rows): the codes frame never shuffles. At 100 TB this is the
+    scan-bound first stage of a two-stage search; re-ranking the top
+    candidates against the raw vectors is a k-row lookup after it."""
+    m = len(lut)
+    # one JVM-parsed expression (see pq_encode on why not F.lit chains)
+    adist = F.expr(
+        " + ".join(
+            "element_at(array(%s), CAST(shiftright(%s, %d) & 15 AS INT) + 1)"
+            % (
+                ",".join("CAST(%d AS BIGINT)" % int(d) for d in lut[s]),
+                code_col,
+                4 * s,
+            )
+            for s in range(m)
+        )
+    )
+    return (
+        codes_df.select(F.col(id_col), adist.alias("adist"))
+        .orderBy(F.asc("adist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def duckdb_pq_codes_cte(
+    table: str,
+    vec_expr: str,
+    id_col: str,
+    n_seeds: int,
+    m: int = PQ_M,
+    dsub: int = 8,
+) -> str:
+    """DuckDB CTE chain (ending in `pq(id, pq_code)`) reproducing
+    :func:`pq_encode` bit-for-bit: same ×1000 quantization, same
+    integer squared-L2, same (distance, centroid-id) argmin
+    tie-break, same 4-bit pack. Seeds are the first *n_seeds* ids —
+    mirror what the Spark caller collects."""
+    sq = duckdb_quantize(vec_expr)
+    return f"""
+    pqv AS (
+      SELECT {id_col} AS vid, {sq} AS q FROM {table}
+    ),
+    pqseeds AS (
+      SELECT vid AS cid, q FROM pqv WHERE vid < {n_seeds}
+    ),
+    pqdists AS (
+      SELECT v.vid, s.s, sd.cid,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, {dsub} + 1),
+            i -> (v.q[s.s * {dsub} + i] - sd.q[s.s * {dsub} + i])
+               * (v.q[s.s * {dsub} + i] - sd.q[s.s * {dsub} + i]))),
+          (acc, x) -> acc + x) AS d
+      FROM pqv v, range(0, {m}) s(s), pqseeds sd
+    ),
+    pqcodes AS (
+      SELECT vid, s, cid FROM (
+        SELECT vid, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vid, s ORDER BY d, cid) AS rk
+        FROM pqdists
+      ) WHERE rk = 1
+    ),
+    pq AS (
+      SELECT vid, CAST(sum(cid << (4 * s)) AS BIGINT) AS pq_code
+      FROM pqcodes GROUP BY vid
+    )"""

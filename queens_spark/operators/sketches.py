@@ -353,3 +353,73 @@ def duckdb_cms_probe_expr(token_expr: str) -> str:
         for j in range(CMS_D)
     )
     return f"(SELECT least({mins}) FROM (SELECT {h} AS __ph) __pr)"
+
+
+# ------------------------------------------- sampled quantile sketch
+
+def sampled_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    rate_bp: int,
+    quantiles: dict[str, float],
+    salt: int = 0,
+) -> DataFrame:
+    """Mergeable quantile ESTIMATION: exact linear-interpolation
+    quantiles of a deterministic hash sample (keep keys whose portable
+    bucket < *rate_bp* basis points), plus ``n_sample`` so consumers
+    can reason about resolution (sample order statistics estimate
+    population quantiles to ±O(1/√n_sample) in rank space).
+
+    Why this shape at 100 TB: an exact grouped quantile pass sorts the
+    full corpus (operators/quantiles.py — right when required); this
+    sketch pays that only on the sample, and its STATE — the sampled
+    rows themselves — is mergeable the way HLL registers are: the
+    per-key filter commutes with union, so per-shard/per-day samples
+    union into exactly the whole-corpus sample (tested), then
+    re-finish. KLL/t-digest compact more aggressively but their merge
+    is order-dependent — not reproducible cross-engine, so not
+    oracle-gradeable; the hash sample trades memory for determinism.
+
+    The sample filter is map-side (pushed into the scan); the finish
+    runs the two-phase rank machinery on sample-sized data only.
+    """
+    from queens_spark.operators.quantiles import exact_group_quantiles
+    from queens_spark.operators.sampling import hash_sample
+
+    if not 0 < rate_bp <= 10_000:
+        raise ValueError(f"rate_bp must be in (0, 10000], got {rate_bp}")
+    sample = hash_sample(df, key_col, rate_bp, salt)
+    est = exact_group_quantiles(sample, group_col, value_col, quantiles)
+    n = (
+        sample.groupBy(group_col)
+        .agg(F.count(F.col(value_col)).alias("n_sample"))
+    )
+    return n.join(est, group_col)
+
+
+def duckdb_sampled_quantiles(
+    table: str,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    rate_bp: int,
+    quantiles: dict[str, float],
+    salt: int = 0,
+) -> str:
+    """DuckDB twin of :func:`sampled_quantiles` — same hash filter,
+    ``quantile_cont`` finish (bit-identical to the two-phase
+    interpolation, proven by q47 vs q58)."""
+    from queens_spark.operators.sampling import duckdb_hash_bucket
+
+    qcols = ", ".join(
+        f"quantile_cont({value_col}, {p}) AS {name}"
+        for name, p in quantiles.items()
+    )
+    return f"""
+    SELECT {group_col}, count({value_col}) AS n_sample, {qcols}
+    FROM {table}
+    WHERE {duckdb_hash_bucket(key_col, salt)} < {rate_bp}
+    GROUP BY {group_col}
+    """

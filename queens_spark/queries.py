@@ -3897,3 +3897,162 @@ def q96_stream_interval_join(spark, sf_dir):
         F.col("r_id").alias("purchase_id"),
         (F.unix_micros("r_time") - F.unix_micros("l_time")).alias("lag_us"),
     )
+
+
+def _pq_oracle() -> str:
+    from queens_spark.operators.similarity import duckdb_pq_codes_cte
+
+    return (
+        "WITH "
+        + duckdb_pq_codes_cte("embeddings", "embedding", "vec_id", 16)
+        + "\n    SELECT vid AS vec_id, pq_code FROM pq"
+    )
+
+
+@register("q97_pq_codes", _pq_oracle())
+def q97_pq_codes(spark, sf_dir):
+    """Product-quantization encoding of the embedding corpus: 8
+    subspaces × 16 centroids → one packed 32-bit code per vector
+    (4 B where fp32 takes 256 B — the compression tier that makes a
+    100 TB ANN index RAM-resident). Codebooks are the first 16
+    vectors' subvectors (bounded driver collect, the q33 seed
+    convention). The encode is ONE zero-shuffle codegen projection;
+    every arithmetic step is exact bigint, so the oracle reproduces
+    each packed code bit-for-bit (operators/similarity.py:pq_encode)."""
+    from queens_spark.operators.similarity import pq_encode
+
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = [
+        r["embedding"]
+        for r in emb.where(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return pq_encode(emb, "embedding", "vec_id", seeds)
+
+
+def _pq_adc_oracle(query_id: int, k: int) -> str:
+    from queens_spark.operators.similarity import duckdb_pq_codes_cte
+
+    dsub = 8
+    return (
+        "WITH "
+        + duckdb_pq_codes_cte("embeddings", "embedding", "vec_id", 16)
+        + f""",
+    pqlut AS (
+      SELECT s.s, sd.cid,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, {dsub} + 1),
+            i -> (qv.q[s.s * {dsub} + i] - sd.q[s.s * {dsub} + i])
+               * (qv.q[s.s * {dsub} + i] - sd.q[s.s * {dsub} + i]))),
+          (acc, x) -> acc + x) AS d
+      FROM (SELECT q FROM pqv WHERE vid = {query_id}) qv,
+           range(0, 8) s(s), pqseeds sd
+    )
+    SELECT c.vid AS vec_id, CAST(sum(l.d) AS BIGINT) AS adist
+    FROM pqcodes c JOIN pqlut l ON l.s = c.s AND l.cid = c.cid
+    GROUP BY c.vid
+    ORDER BY adist ASC, vec_id ASC
+    LIMIT {k}"""
+    )
+
+
+@register("q98_pq_adc_search", _pq_adc_oracle(42, 10))
+def q98_pq_adc_search(spark, sf_dir):
+    """Asymmetric-distance PQ search: top-10 nearest codes to vector
+    42's embedding. The query never meets a raw vector — its distance
+    to all 128 codebook centroids is a driver-side integer lookup
+    table (exact, bit-identical to the SQL twin), and scoring a code
+    is 8 shift-mask-lookups + adds, fully codegen. orderBy+limit
+    compiles to TakeOrderedAndProject, so the codes frame never
+    shuffles — the scan-bound first stage of a two-stage (ADC →
+    exact re-rank) retrieval (operators/similarity.py:pq_adc_topk)."""
+    from queens_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    rows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.where(F.col("vec_id") <= 42)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    seeds = [rows[i] for i in range(16)]
+    lut = pq_adc_lut(rows[42], seeds)
+    codes = pq_encode(emb, "embedding", "vec_id", seeds)
+    return pq_adc_topk(codes, "vec_id", lut, k=10)
+
+
+def _sampled_q_oracle() -> str:
+    from queens_spark.operators.sketches import duckdb_sampled_quantiles
+
+    return duckdb_sampled_quantiles(
+        "events", "event_type", "value", "event_id", 1250,
+        {"p50": 0.50, "p90": 0.90, "p99": 0.99},
+    )
+
+
+@register("q99_sampled_quantiles", _sampled_q_oracle())
+def q99_sampled_quantiles(spark, sf_dir):
+    """Mergeable quantile sketch: p50/p90/p99 of event value per type,
+    estimated from a deterministic 12.5% hash sample (rate 1250 bp on
+    event_id). The sample filter is map-side; the two-phase-rank
+    finish touches only sample-sized data; and the sketch STATE (the
+    sampled rows) merges across shards by plain union — the per-key
+    filter commutes with union, so per-day samples re-finish into
+    exactly this result (tested in tests/test_sketches.py)
+    (operators/sketches.py:sampled_quantiles)."""
+    from queens_spark.operators.sketches import sampled_quantiles
+
+    ev = load(spark, sf_dir, "events")
+    return sampled_quantiles(
+        ev, "event_type", "value", "event_id", 1250,
+        {"p50": 0.50, "p90": 0.90, "p99": 0.99},
+    )
+
+
+@register(
+    "q100_stream_novelty",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, fingerprint FROM fp f
+    WHERE doc_id >= 200
+      AND NOT EXISTS (
+        SELECT 1 FROM fp h WHERE h.doc_id < 250
+          AND h.fingerprint = f.fingerprint
+      )
+    """,
+)
+def q100_stream_novelty(spark, sf_dir):
+    """Streaming ingest-time dedup: documents arriving on the stream
+    (doc_id ≥ 200 — deliberately overlapping the history window so the
+    gate has real work) pass only if their content fingerprint is
+    absent from the static historical corpus (doc_id < 250): the 50
+    overlap docs are exact re-ingests and MUST be dropped. A
+    stream-static LEFT ANTI join in append mode, stateless by
+    construction (history lives on the static side, not in streaming
+    state). Backfilled via availableNow; the batch NOT-EXISTS twin is
+    exactly equivalent (streaming/events.py:novelty_filter)."""
+    from queens_spark.streaming.events import (
+        novelty_filter,
+        read_documents_stream,
+        run_available_now,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    stream = read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    out = novelty_filter(
+        stream.where(F.col("doc_id") >= 200),
+        docs.where(F.col("doc_id") < 250),
+    )
+    return run_available_now(out, "q100_mem", output_mode="append").select(
+        "doc_id", "fingerprint"
+    )

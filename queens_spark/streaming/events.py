@@ -339,3 +339,56 @@ def windowed_hll_registers(
             "event_type", "reg", "rho",
         )
     )
+
+
+def read_documents_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the documents table (schema probed from
+    the existing parquet; single-file inputs get the symlink-dir
+    wrapping, as :func:`read_events_stream`)."""
+    import os
+
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="qs_stream_")
+        os.symlink(
+            os.path.abspath(path), os.path.join(d, os.path.basename(path))
+        )
+        path = d
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def novelty_filter(
+    stream_docs: DataFrame,
+    history_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming novelty gate: emit only incoming documents whose
+    normalized content fingerprint has NEVER been seen in the static
+    historical corpus — the ingest-time exact-dedup of a continuously
+    fed training pipeline, as a stream-static LEFT ANTI join (append
+    mode, no state: the static side carries the history).
+
+    Scale shape: the static side is reduced to DISTINCT fingerprints
+    (16 bytes/doc). Structured Streaming re-plans the static side per
+    micro-batch, so at 100 TB of history you'd pin it with a persisted
+    fingerprint table (or put operators/dedup.py's Bloom prefilter in
+    front, exactly as decontaminate does); the join itself stays the
+    same plan. Duplicates WITHIN one stream are intentionally both
+    emitted — novelty is defined against history, and the batch twin
+    (NOT EXISTS) agrees.
+    """
+    from queens_spark.operators.text import doc_fingerprint
+
+    hist = (
+        history_docs.select(
+            doc_fingerprint(text_col).alias("fingerprint")
+        ).distinct()
+    )
+    return (
+        stream_docs.select(
+            F.col(id_col), doc_fingerprint(text_col).alias("fingerprint")
+        ).join(hist, "fingerprint", "left_anti")
+    )

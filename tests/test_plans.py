@@ -376,3 +376,26 @@ def test_bucketed_manifest_restores_zero_exchange_join(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bm_docs")
         spark.sql("DROP TABLE IF EXISTS t_bm_stats")
+
+
+def test_pq_encode_is_zero_shuffle_projection(spark):
+    """q97: PQ encoding is per-row — the plan must be a pure projection
+    over the embeddings scan: no hash shuffle, no join, and the packed
+    fold stays JVM-side (no Python eval of any kind)."""
+    from queens_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q97_pq_codes"](spark, SF_DIR))
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_pq_adc_search_take_ordered_no_shuffle(spark):
+    """q98: ADC scoring is 8 lookups per row; top-k must compile to
+    TakeOrderedAndProject with no shuffle exchange anywhere."""
+    from queens_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q98_pq_adc_search"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "ShuffleExchange" not in plan
+    assert "Exchange hashpartitioning" not in plan

@@ -117,3 +117,46 @@ def test_hll_rejects_non_integral_keys(spark):
     df = spark.createDataFrame([Row(g="a", k="not-a-number")])
     with pytest.raises(TypeError, match="integral"):
         hll_distinct(df, "k", ["g"])
+
+
+def test_sampled_quantiles_merge_equals_whole(spark):
+    """The sketch state (hash-sampled rows) must merge by UNION:
+    sampling two disjoint shards and finishing the union re-creates
+    the whole-corpus finish EXACTLY — same rows, same estimates."""
+    from queens_spark.operators.quantiles import exact_group_quantiles
+    from queens_spark.operators.sampling import hash_sample
+    from queens_spark.operators.sketches import sampled_quantiles
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    whole = {
+        r["event_type"]: (r["n_sample"], r["p50"], r["p90"])
+        for r in sampled_quantiles(
+            ev, "event_type", "value", "event_id", 2000,
+            {"p50": 0.5, "p90": 0.9},
+        ).collect()
+    }
+    # shard by user parity — orthogonal to the sampling hash
+    s1 = hash_sample(ev.where(F.col("user_id") % 2 == 0), "event_id", 2000)
+    s2 = hash_sample(ev.where(F.col("user_id") % 2 == 1), "event_id", 2000)
+    merged_state = s1.unionByName(s2)
+    est = exact_group_quantiles(
+        merged_state, "event_type", "value", {"p50": 0.5, "p90": 0.9}
+    )
+    n = merged_state.groupBy("event_type").agg(
+        F.count("value").alias("n_sample")
+    )
+    merged = {
+        r["event_type"]: (r["n_sample"], r["p50"], r["p90"])
+        for r in n.join(est, "event_type").collect()
+    }
+    assert merged == whole and len(whole) > 0
+
+
+def test_sampled_quantiles_rate_guard(spark):
+    import pytest
+
+    from queens_spark.operators.sketches import sampled_quantiles
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    with pytest.raises(ValueError, match="rate_bp"):
+        sampled_quantiles(ev, "event_type", "value", "event_id", 0, {"p50": 0.5})

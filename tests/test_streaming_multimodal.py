@@ -330,3 +330,27 @@ def test_windowed_cms_counters_match_batch_and_stay_bounded(spark):
     )
     key = lambda r: (r["window_start"], r["window_end"], r["cms_row"], r["bucket"])
     assert {key(r): r["cnt"] for r in rows} == {key(r): r["cnt"] for r in batch}
+
+
+def test_novelty_filter_drops_seen_fingerprints(spark):
+    """Exact re-ingests (same normalized content, any casing or
+    whitespace) must be dropped; novel docs pass; in-stream duplicates
+    both pass (novelty is defined against HISTORY only)."""
+    from pyspark.sql import Row
+
+    from queens_spark.streaming.events import novelty_filter
+
+    hist = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox"),
+        Row(doc_id=2, text="lorem ipsum dolor"),
+    ])
+    incoming = spark.createDataFrame([
+        Row(doc_id=10, text="THE  quick   brown fox"),  # re-ingest: normalized match
+        Row(doc_id=11, text="genuinely new content"),
+        Row(doc_id=12, text="genuinely new content"),   # in-stream dup: both pass
+        Row(doc_id=13, text="lorem ipsum dolor"),       # exact re-ingest
+    ])
+    out = sorted(
+        r["doc_id"] for r in novelty_filter(incoming, hist).collect()
+    )
+    assert out == [11, 12]

@@ -250,3 +250,67 @@ def test_semantic_dedup_drops_cluster_neardups_only(spark):
     again = {r["vec_id"] for r in semantic_dedup(
         df, "embedding", "vec_id", [0, 200], threshold=0.99).collect()}
     assert again == set(out)
+
+
+def test_pq_seed_vectors_encode_to_own_centroids(spark):
+    """Each codebook seed's distance to itself is 0 in every subspace,
+    so seed i must encode to code i in all 8 subspaces — the packed
+    value Σ i·16^s. Every other vector's codes must decode to [0, 16)."""
+    from queens_spark.operators.similarity import pq_encode
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    seeds = [
+        r["embedding"]
+        for r in emb.where(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    codes = {
+        r["vec_id"]: r["pq_code"]
+        for r in pq_encode(emb, "embedding", "vec_id", seeds).collect()
+    }
+    for i in range(16):
+        expect = sum(i * (1 << (4 * s)) for s in range(8))
+        assert codes[i] == expect, f"seed {i}: {codes[i]} != {expect}"
+    for vid, packed in codes.items():
+        for s in range(8):
+            assert 0 <= (packed >> (4 * s)) & 15 < 16
+        assert 0 <= packed < (1 << 32)
+
+
+def test_pq_adc_ranks_query_seed_first(spark):
+    """ADC distance of a seed query to its own code word is 0 — the
+    exact-match seed must rank first; distances are non-decreasing
+    down the top-k list; lut matches brute-force python recompute."""
+    from queens_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    seeds = [
+        r["embedding"]
+        for r in emb.where(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    lut = pq_adc_lut(seeds[7], seeds)
+    assert all(lut[s][7] == 0 for s in range(8))
+    codes = pq_encode(emb, "embedding", "vec_id", seeds)
+    top = pq_adc_topk(codes, "vec_id", lut, k=10).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["adist"] == 0
+    dists = [r["adist"] for r in top]
+    assert dists == sorted(dists)
+
+
+def test_pq_encode_guards(spark):
+    import pytest
+
+    from queens_spark.operators.similarity import pq_encode
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(ValueError, match="seed"):
+        pq_encode(emb, "embedding", "vec_id", [[0.0] * 64])
+    with pytest.raises(ValueError, match="divisible"):
+        pq_encode(emb, "embedding", "vec_id", [[0.0] * 63, [1.0] * 63])
