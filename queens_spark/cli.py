@@ -43,6 +43,13 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("collection")
     st.add_argument("--as-of", default=None, help="YYYY-MM-DD cutoff")
 
+    cp = sub.add_parser(
+        "compact",
+        help="rewrite fragmented prod partitions into few large files",
+    )
+    cp.add_argument("collection")
+    cp.add_argument("--target-files", type=int, default=1)
+
     for name in ("metadata", "versions", "info"):
         s = sub.add_parser(name, help=f"show {name} for a collection")
         s.add_argument("collection")
@@ -148,6 +155,12 @@ def _run(args) -> int:
     elif args.command == "stage":
         staged = engine.stage(args.collection, as_of=args.as_of)
         print(json.dumps({"staged_tables": staged}))
+    elif args.command == "compact":
+        report = engine.compact(args.collection, args.target_files)
+        print(json.dumps({
+            "compacted": {t: {"files_before": b, "files_after": a}
+                          for t, (b, a) in report.items()}
+        }))
     elif args.command == "metadata":
         df = engine.get_metadata(args.collection, args.table_name)
         print(df.toPandas().to_string(index=False))

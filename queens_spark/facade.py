@@ -80,6 +80,13 @@ class Engine:
 
     # ------------------------------------------------------------- read
 
+    def compact(
+        self, collection: str, target_files: int = 1
+    ) -> dict[str, tuple[int, int]]:
+        """Maintenance pass: merge fragmented prod partition files
+        (see Warehouse.compact). Query results are unchanged."""
+        return self.warehouse.compact(collection, target_files)
+
     def query(
         self,
         collection: str,

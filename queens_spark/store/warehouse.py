@@ -452,6 +452,69 @@ class Warehouse:
         self._write_manifest(collection, new_tables)
         return tables
 
+    def compact(
+        self, collection: str, target_files: int = 1
+    ) -> dict[str, tuple[int, int]]:
+        """Small-file compaction of the prod snapshot: rewrite every
+        ``table_name`` partition holding more than *target_files*
+        parquet files down to *target_files*, leaving rows (including
+        the persisted ``row_uid``) byte-identical. Returns
+        {table_name: (files_before, files_after)} for the partitions
+        actually rewritten.
+
+        Why it exists at 100 TB: incremental staging keeps re-staging
+        O(changed data), but a long-lived warehouse accumulates file
+        fragmentation (each stage writes at shuffle-width), and scan
+        cost is driven by file COUNT as much as bytes — open/footer
+        overhead per file, and tiny files defeat
+        ``maxPartitionBytes``-sized splits. Compaction restores
+        few-large-files layout without touching staging semantics.
+
+        Crash-safety mirrors stage(): each partition is rewritten into
+        a side tmp dir and swapped in with two renames (old parked
+        INSIDE tmp, so a crash never leaves a phantom dir that
+        partition discovery would read); partitions already at or
+        below the target are not even opened. Per-partition jobs make
+        the pass resumable — rerunning after a crash compacts only
+        what's left."""
+        if target_files < 1:
+            raise ValueError(f"target_files must be ≥ 1, got {target_files}")
+        out = self.prod_path(collection)
+        if not self._exists(out):
+            raise StagingError(f"'{collection}' is not staged")
+        tmp = out + "__compact_tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        report: dict[str, tuple[int, int]] = {}
+        for t, entry in sorted(self._partition_dirs(out).items()):
+            pdir = os.path.join(out, entry)
+            n_before = sum(
+                1 for f in os.listdir(pdir)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            if n_before <= target_files:
+                continue
+            dst_tmp = os.path.join(tmp, entry)
+            (
+                self.spark.read.parquet(pdir)
+                .coalesce(target_files)
+                .write.mode("overwrite")
+                .parquet(dst_tmp)
+            )
+            os.replace(pdir, os.path.join(tmp, entry + "__old"))
+            os.replace(dst_tmp, pdir)
+            n_after = sum(
+                1 for f in os.listdir(pdir)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            report[t] = (n_before, n_after)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        if report:
+            os.utime(out)
+            self._invalidate_caches(collection)
+        return report
+
     def refresh_metadata(
         self,
         schema: CollectionSchema,

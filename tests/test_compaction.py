@@ -1,0 +1,147 @@
+"""Prod-snapshot small-file compaction: fewer files, byte-identical
+rows (row_uid included), untouched partitions left alone, queries and
+pagination unaffected."""
+
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+
+from queens_spark.facade import Engine
+
+
+def _rows(n: int, tag: str):
+    return [
+        Row(row=i, label=f"{tag} {i}", year=2019 + (i % 5),
+            fuel=["Gas", "coal", "Wind", "Oil"][i % 4],
+            group=f"g{i // 20}", unit="ktoe", value=float(i) * 1.5)
+        for i in range(n)
+    ]
+
+
+def _data_files(part_dir: str) -> list[str]:
+    return sorted(
+        f for f in os.listdir(part_dir)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+
+
+@pytest.fixture()
+def engine(spark, warehouse_root):
+    return Engine(spark, warehouse_root)
+
+
+def _fragment(part_dir: str, n_files: int) -> None:
+    """Split the partition's single parquet file into *n_files* —
+    the accumulated-small-files layout compaction exists to repair
+    (at test scale AQE coalesces staging writes to one file, so the
+    fragmentation is simulated directly)."""
+    import pyarrow.parquet as pq
+
+    files = _data_files(part_dir)
+    table = pq.read_table(os.path.join(part_dir, files[0]))
+    step = max(1, table.num_rows // n_files)
+    for i in range(n_files):
+        lo = i * step
+        hi = table.num_rows if i == n_files - 1 else (i + 1) * step
+        pq.write_table(
+            table.slice(lo, hi - lo),
+            os.path.join(part_dir, f"part-frag-{i:05d}.parquet"),
+            coerce_timestamps="us",  # match Spark's micros timestamps
+        )
+    for f in files:
+        os.remove(os.path.join(part_dir, f))
+
+
+def test_compact_reduces_files_preserves_rows(spark, engine):
+    engine.ingest(spark.createDataFrame(_rows(200, "a")), "dukes", "1.1",
+                  ingest_ts=datetime(2024, 1, 1))
+    engine.ingest(spark.createDataFrame(_rows(40, "b")), "dukes", "1.2",
+                  ingest_ts=datetime(2024, 1, 2))
+    engine.stage("dukes")
+    wh = engine.warehouse
+    prod = wh.prod_path("dukes")
+    dirs = wh._partition_dirs(prod)
+    _fragment(os.path.join(prod, dirs["1.1"]), 5)
+    _fragment(os.path.join(prod, dirs["1.2"]), 3)
+    os.utime(prod)  # what every real warehouse mutator does: bump the
+    # snapshot token so cached frames (stale file lists) invalidate
+    before = {t: _data_files(os.path.join(prod, d)) for t, d in dirs.items()}
+    assert max(len(v) for v in before.values()) > 1, (
+        "fixture must fragment at least one partition"
+    )
+    rows_before = sorted(
+        map(tuple, wh.read_prod("dukes").collect())
+    )
+
+    report = wh.compact("dukes")
+    assert report, "compaction must report rewritten partitions"
+    for t, (n_b, n_a) in report.items():
+        assert n_b == len(before[t]) and n_a == 1
+
+    rows_after = sorted(map(tuple, wh.read_prod("dukes").collect()))
+    assert rows_after == rows_before  # row_uid included: byte-identical
+    for t, d in dirs.items():
+        if len(before[t]) > 1:
+            assert len(_data_files(os.path.join(prod, d))) == 1
+
+    # queries still work over the compacted layout
+    out = engine.query("dukes", "1.1", {"year": {"gte": 2020}})
+    assert out.count() > 0
+    # an immediate re-compact is a no-op
+    assert wh.compact("dukes") == {}
+
+
+def test_compact_skips_already_compact_partitions(spark, engine):
+    engine.ingest(spark.createDataFrame(_rows(120, "a")), "dukes", "1.1",
+                  ingest_ts=datetime(2024, 1, 1))
+    engine.ingest(spark.createDataFrame(_rows(8, "tiny")), "dukes", "1.2",
+                  ingest_ts=datetime(2024, 1, 2))
+    engine.stage("dukes")
+    wh = engine.warehouse
+    prod = wh.prod_path("dukes")
+    dirs = wh._partition_dirs(prod)
+    small = os.path.join(prod, dirs["1.2"])
+    if len(_data_files(small)) == 1:
+        mtimes = {f: os.stat(os.path.join(small, f)).st_mtime_ns
+                  for f in _data_files(small)}
+        report = wh.compact("dukes")
+        assert "1.2" not in report
+        after = {f: os.stat(os.path.join(small, f)).st_mtime_ns
+                 for f in _data_files(small)}
+        assert after == mtimes  # untouched, not rewritten-in-place
+    else:
+        pytest.skip("tiny partition unexpectedly fragmented")
+
+
+def test_compact_guards(spark, engine):
+    from queens_spark.core.errors import StagingError
+
+    with pytest.raises(StagingError):
+        engine.warehouse.compact("nope")
+    engine.ingest(spark.createDataFrame(_rows(10, "a")), "dukes", "1.1",
+                  ingest_ts=datetime(2024, 1, 1))
+    engine.stage("dukes")
+    with pytest.raises(ValueError):
+        engine.warehouse.compact("dukes", target_files=0)
+
+
+def test_compact_cli_surface(spark, engine, capsys):
+    import json as _json
+
+    from queens_spark import cli
+
+    engine.ingest(spark.createDataFrame(_rows(60, "a")), "dukes", "1.1",
+                  ingest_ts=datetime(2024, 1, 1))
+    engine.stage("dukes")
+    prod = engine.warehouse.prod_path("dukes")
+    dirs = engine.warehouse._partition_dirs(prod)
+    _fragment(os.path.join(prod, dirs["1.1"]), 4)
+    os.utime(prod)
+    rc = cli.main([
+        "--warehouse", engine.warehouse.root, "compact", "dukes",
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted"]["1.1"] == {"files_before": 4, "files_after": 1}
