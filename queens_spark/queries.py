@@ -4056,3 +4056,231 @@ def q100_stream_novelty(spark, sf_dir):
     return run_available_now(out, "q100_mem", output_mode="append").select(
         "doc_id", "fingerprint"
     )
+
+
+def _pagerank_oracle() -> str:
+    from queens_spark.operators.graph import duckdb_pagerank_ctes
+
+    edges = """
+      SELECT src, dst, n AS w FROM (
+        SELECT src, dst, count(*) AS n FROM (
+          SELECT event_type AS src,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          FROM events
+        ) WHERE dst IS NOT NULL
+        GROUP BY src, dst
+      )
+    """
+    return (
+        "WITH "
+        + duckdb_pagerank_ctes(edges, iters=10)
+        + "\n    SELECT node AS event_type, rank AS rank_ppb FROM pr"
+    )
+
+
+@register("q101_transition_pagerank", _pagerank_oracle())
+def q101_transition_pagerank(spark, sf_dir):
+    """PageRank over the user-journey transition graph (q92's edges):
+    which event types act as behavioral hubs, weighted by observed
+    transition counts. 10 iterations of EXACT integer-arithmetic rank
+    propagation (parts-per-billion, truncating division at two fixed
+    points) — integer sums commute, so the result is bit-identical at
+    any parallelism and the DuckDB twin (10 unrolled CTEs) reproduces
+    it exactly; a floating-point PageRank is summation-order-dependent
+    and cannot be oracle-graded (operators/graph.py). Per iteration:
+    one src join + one dst-keyed counter-width aggregation over the
+    persisted edge frame; node/edge frames here are event-type
+    dimension tables, but the loop is the genuine distributed shape."""
+    from queens_spark.operators.graph import integer_pagerank
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return integer_pagerank(edges, "src", "dst", "w", iters=10).select(
+        F.col("node").alias("event_type"), F.col("rank").alias("rank_ppb")
+    )
+
+
+def _ivf_recall_oracle(k: int, n_probe: int, n_queries: int) -> str:
+    from queens_spark.operators.similarity import duckdb_int_dot, duckdb_quantize
+
+    def cos(vq, vn2, qq, qn2):
+        return (
+            f"CAST({duckdb_int_dot(vq, qq)} AS DOUBLE)"
+            f" / (sqrt(CAST({vn2} AS DOUBLE)) * sqrt(CAST({qn2} AS DOUBLE)))"
+        )
+
+    qv = duckdb_quantize("embedding")
+    return f"""
+    WITH n AS (
+      SELECT vec_id, q AS vq, {duckdb_int_dot('q', 'q')} AS n2
+      FROM (SELECT vec_id, {qv} AS q FROM embeddings)
+    ), qs AS (
+      SELECT vec_id AS qid, vq AS qq, n2 AS qn2 FROM n WHERE vec_id < {n_queries}
+    ), cents AS (
+      SELECT vec_id AS centroid_id, vq AS cq, n2 AS cn2 FROM n WHERE vec_id % 200 = 0
+    ), exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, v.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY {cos('v.vq', 'v.n2', 'q.qq', 'q.qn2')} DESC,
+                          v.vec_id ASC) AS rk
+        FROM n v, qs q
+      ) WHERE rk <= {k}
+    ), assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {cos('v.vq', 'v.n2', 'c.cq', 'c.cn2')} DESC,
+                          c.centroid_id ASC) AS rk
+        FROM n v, cents c
+      ) WHERE rk = 1
+    ), probe AS (
+      SELECT qid, centroid_id FROM (
+        SELECT q.qid, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY {cos('c.cq', 'c.cn2', 'q.qq', 'q.qn2')} DESC,
+                          c.centroid_id ASC) AS rk
+        FROM cents c, qs q
+      ) WHERE rk <= {n_probe}
+    ), cand AS (
+      SELECT p.qid, a.vec_id
+      FROM assigned a JOIN probe p ON p.centroid_id = a.centroid_id
+    ), ivf AS (
+      SELECT qid, vec_id FROM (
+        SELECT c.qid, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY c.qid
+                 ORDER BY {cos('v.vq', 'v.n2', 'q.qq', 'q.qn2')} DESC,
+                          c.vec_id ASC) AS rk
+        FROM cand c
+        JOIN n v ON v.vec_id = c.vec_id
+        JOIN qs q ON q.qid = c.qid
+      ) WHERE rk <= {k}
+    )
+    SELECT q.qid AS query_id,
+           CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           CAST((coalesce(h.hits, 0) * 100) // {k} AS BIGINT) AS recall_pct
+    FROM qs q LEFT JOIN (
+      SELECT e.qid, count(*) AS hits
+      FROM exact e JOIN ivf i ON i.qid = e.qid AND i.vec_id = e.vec_id
+      GROUP BY e.qid
+    ) h ON h.qid = q.qid
+    """
+
+
+@register("q102_ivf_recall", _ivf_recall_oracle(10, 2, 10))
+def q102_ivf_recall(spark, sf_dir):
+    """ANN quality evaluation harness: recall@10 of the IVF index
+    (q33's centroids, n_probe=2) against exact brute-force cosine for
+    a 10-query probe set — the measurement a production pipeline runs
+    before trusting an approximate index, expressed as ONE plan (no
+    per-query branches: the probe block broadcasts, the corpus scores
+    both sides in a 10×|corpus| map-side expansion, and only
+    ≤ 2k·|queries| candidate rows reach the rank windows). hits and
+    recall_pct are exact integers, so the twin matches bit-for-bit."""
+    from queens_spark.operators.similarity import (
+        cosine_from_ints,
+        int_dot,
+        int_norm2,
+        quantize,
+    )
+
+    k, n_probe, n_queries = 10, 2, 10
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", quantize("embedding").alias("vq")
+    ).withColumn("n2", int_norm2(F.col("vq")))
+    qs = v.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("vq").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    cents = v.where(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("vq").alias("cq"),
+        F.col("n2").alias("cn2"),
+    )
+
+    def cos(vq, vn2, qq, qn2):
+        return cosine_from_ints(
+            int_dot(F.col(vq), F.col(qq)), F.col(vn2), F.col(qn2)
+        )
+
+    w_q = Window.partitionBy("qid")
+    exact = (
+        v.crossJoin(F.broadcast(qs))
+        .withColumn("__c", cos("vq", "n2", "qq", "qn2"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                w_q.orderBy(F.desc("__c"), F.asc("vec_id"))
+            ),
+        )
+        .where(F.col("__rk") <= k)
+        .select("qid", "vec_id")
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("__c", cos("vq", "n2", "cq", "cn2"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("__c"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .where(F.col("__rk") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(qs))
+        .withColumn("__c", cos("cq", "cn2", "qq", "qn2"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                w_q.orderBy(F.desc("__c"), F.asc("centroid_id"))
+            ),
+        )
+        .where(F.col("__rk") <= n_probe)
+        .select("qid", "centroid_id")
+    )
+    ivf = (
+        assigned.join(F.broadcast(probe), "centroid_id")
+        .join(v, "vec_id")
+        .join(F.broadcast(qs), "qid")
+        .withColumn("__c", cos("vq", "n2", "qq", "qn2"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                w_q.orderBy(F.desc("__c"), F.asc("vec_id"))
+            ),
+        )
+        .where(F.col("__rk") <= k)
+        .select("qid", "vec_id")
+    )
+    hits = (
+        exact.join(ivf, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("__h"))
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce("__h", F.lit(0)).cast("bigint").alias("hits"),
+            F.expr("coalesce(__h, 0) * 100 div 10").cast("bigint").alias(
+                "recall_pct"
+            ),
+        )
+    )
