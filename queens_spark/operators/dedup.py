@@ -1347,3 +1347,130 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_overlap)
     )
+
+
+# --------------------------------------------- line-level boilerplate
+
+#: guard for the in-plan literal set of common-line hashes; boilerplate
+#: is bounded in practice (headers/footers/nav chrome), but the cap is
+#: enforced, not assumed — beyond it the explode path takes over
+MAX_COMMON_LINES = 100_000
+
+
+def strip_common_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_df: int = 3,
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: delete every line
+    whose trimmed content appears in ≥ *min_df* DISTINCT documents
+    (cookie banners, nav chrome, licence footers — the within-line
+    duplication q85's shingle screen measures but does not remove).
+    Empty/whitespace-only lines are kept verbatim (they are structure,
+    not boilerplate, and would trivially exceed any df threshold).
+    Returns (id, n_lines, n_removed, clean_text).
+
+    Scale shape: pass 1 computes line document-frequencies — explode
+    DISTINCT trimmed lines per doc, one counter-width groupBy on the
+    64-bit line hash. The surviving common set is driver-collected
+    under :data:`MAX_COMMON_LINES` (boilerplate is df-bounded:
+    |common| ≤ |postings| / min_df) and re-enters the plan as ONE
+    array literal, so pass 2 — the actual cleaning — is a ZERO-SHUFFLE
+    projection: split, filter via array_contains against the literal,
+    rejoin. Documents never shuffle, line order is trivially
+    preserved, and the whole clean composes with any downstream
+    operator in the same stage. If the cap ever trips, raise min_df
+    (a set that size is not boilerplate) — the error says so.
+    """
+    from queens_spark.operators.text import char_poly_hash, let_bound
+
+    lines_distinct = (
+        ensure_min_partitions(df)
+        .select(
+            F.col(id_col).alias("__doc"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.transform(
+                            F.split(F.col(text_col), "\n"),
+                            lambda x: F.trim(x),
+                        ),
+                        lambda x: x != "",
+                    )
+                )
+            ).alias("__line"),
+        )
+        .select("__doc", char_poly_hash(F.col("__line")).alias("__lh"))
+    )
+    common_rows = (
+        lines_distinct.groupBy("__lh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") >= F.lit(min_df))
+        .select("__lh")
+        .limit(MAX_COMMON_LINES + 1)
+        .collect()
+    )
+    if len(common_rows) > MAX_COMMON_LINES:
+        raise ValueError(
+            f"common-line set exceeds {MAX_COMMON_LINES} — min_df="
+            f"{min_df} is classifying content as boilerplate; raise it"
+        )
+    common = F.array(
+        *[F.lit(int(r["__lh"])).cast("bigint") for r in common_rows]
+    )
+    kept = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda x: let_bound(
+            F.trim(x),
+            lambda t: (t == "")
+            | ~F.array_contains(common, char_poly_hash(t)),
+        ),
+    )
+    n_lines = F.size(F.split(F.col(text_col), "\n"))
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        (n_lines - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+def duckdb_strip_common_lines(
+    table: str, text_col: str, id_col: str, min_df: int = 3
+) -> str:
+    """DuckDB twin of :func:`strip_common_lines` (same trimmed-line
+    hash, same df threshold, same keep-empty-lines contract)."""
+    from queens_spark.operators.text import duckdb_char_poly_hash
+
+    lh = duckdb_char_poly_hash("t")
+    # hash of an already-bound trimmed line inside the filter lambda
+    lh_x = duckdb_char_poly_hash("trim(x)")
+    return f"""
+    WITH __lines AS (
+      SELECT {id_col} AS doc, {lh} AS lh
+      FROM (
+        SELECT {id_col},
+               unnest(list_distinct(list_filter(
+                 list_transform(string_split({text_col}, chr(10)),
+                                x -> trim(x)),
+                 x -> x <> ''))) AS t
+        FROM {table}
+      )
+    ), __common AS (
+      SELECT lh FROM __lines GROUP BY lh HAVING count(*) >= {min_df}
+    ), __cl AS (
+      SELECT coalesce(list(lh), []) AS cl FROM __common
+    )
+    SELECT {id_col},
+           len(string_split({text_col}, chr(10))) AS n_lines,
+           len(string_split({text_col}, chr(10)))
+             - len(list_filter(string_split({text_col}, chr(10)),
+                   x -> trim(x) = '' OR NOT list_contains(cl, {lh_x})))
+             AS n_removed,
+           array_to_string(
+             list_filter(string_split({text_col}, chr(10)),
+               x -> trim(x) = '' OR NOT list_contains(cl, {lh_x})),
+             chr(10)) AS clean_text
+    FROM {table}, __cl
+    """

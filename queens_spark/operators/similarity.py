@@ -987,18 +987,32 @@ def pq_encode(
     zero-shuffle projection over the corpus: scan, fold, emit
     (id, pq_code).
     """
-    ksub = len(seed_vecs)
-    if not 2 <= ksub <= PQ_KSUB:
-        raise ValueError(f"need 2..{PQ_KSUB} seed vectors, got {ksub}")
-    dim = len(seed_vecs[0])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
     import math
 
     cb = [
         [int(math.floor(float(x) * QUANT)) for x in v] for v in seed_vecs
     ]
+    return pq_encode_int(df, vec_col, id_col, cb, m)
+
+
+def pq_encode_int(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cb: list[list[int]],
+    m: int = PQ_M,
+) -> DataFrame:
+    """:func:`pq_encode` against an ALREADY-QUANTIZED integer codebook
+    (×:data:`QUANT` fixed-point) — the entry point for refined
+    codebooks (:func:`pq_refine_codebooks`), whose centroids are
+    integer means and never existed as floats."""
+    ksub = len(cb)
+    if not 2 <= ksub <= PQ_KSUB:
+        raise ValueError(f"need 2..{PQ_KSUB} codebook rows, got {ksub}")
+    dim = len(cb[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
     from queens_spark.operators.text import let_bound
 
     # nested literal: CB[s][c] = struct(c, v: the centroid subvector).
@@ -1177,3 +1191,62 @@ def duckdb_pq_codes_cte(
       SELECT vid, CAST(sum(cid << (4 * s)) AS BIGINT) AS pq_code
       FROM pqcodes GROUP BY vid
     )"""
+
+
+def pq_refine_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    seed_vecs: list[list[float]],
+    m: int = PQ_M,
+) -> list[list[int]]:
+    """One Lloyd iteration over every PQ subspace at once: assign all
+    subvectors to their seed centroids (exactly :func:`pq_encode`'s
+    argmin), then recompute each centroid as the element-wise INTEGER
+    mean (``sum div count`` — floor division keeps every value int64,
+    so refined codebooks are bit-portable the way the encoder is; the
+    sub-ulp bias vs a float mean is irrelevant to code assignment).
+    Empty cells keep their seed centroid. Returns the refined integer
+    codebook (feed to :func:`pq_encode_int`); iterate by looping.
+
+    Scale shape: one encode pass (zero-shuffle) + one posexplode of
+    the quantized vectors into (subspace, cell, dim) partial
+    SUM/COUNTs — map-side combined, the shuffle carries
+    m·ksub·dsub·partitions counters, never vectors. The codebook
+    (m·ksub·dsub ≤ 2⁴·2⁴·64 ints) is driver-scale by construction,
+    like any trained quantizer artifact.
+    """
+    import math
+
+    ksub = len(seed_vecs)
+    dim = len(seed_vecs[0])
+    dsub = dim // m
+    cb0 = [
+        [int(math.floor(float(x) * QUANT)) for x in v] for v in seed_vecs
+    ]
+    codes = pq_encode_int(df, vec_col, id_col, cb0, m)
+    decode = F.posexplode(
+        F.expr(
+            "transform(sequence(0, %d), s -> "
+            "CAST(shiftright(pq_code, 4 * s) & 15 AS INT))" % (m - 1)
+        )
+    )
+    assigned = codes.select(F.col(id_col).alias("__id"), decode.alias("s", "cid"))
+    vals = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(quantize(vec_col)).alias("dim", "val"),
+    ).withColumn("s", F.expr("dim div %d" % dsub))
+    sums = (
+        vals.join(assigned, ["__id", "s"])
+        .groupBy("s", "cid", "dim")
+        .agg(
+            F.sum("val").alias("__sum"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select("s", "cid", "dim", F.expr("__sum div __n").alias("el"))
+        .collect()
+    )
+    refined = [list(row) for row in cb0]
+    for r in sums:
+        refined[r["cid"]][r["dim"]] = int(r["el"])
+    return refined

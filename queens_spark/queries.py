@@ -4284,3 +4284,181 @@ def q102_ivf_recall(spark, sf_dir):
             ),
         )
     )
+
+
+def _pq_rerank_oracle(query_id: int, shortlist: int, k: int) -> str:
+    from queens_spark.operators.similarity import duckdb_int_dot, duckdb_pq_codes_cte
+
+    dsub = 8
+    return (
+        "WITH "
+        + duckdb_pq_codes_cte("embeddings", "embedding", "vec_id", 16)
+        + f""",
+    pqlut AS (
+      SELECT s.s, sd.cid,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, {dsub} + 1),
+            i -> (qv.q[s.s * {dsub} + i] - sd.q[s.s * {dsub} + i])
+               * (qv.q[s.s * {dsub} + i] - sd.q[s.s * {dsub} + i]))),
+          (acc, x) -> acc + x) AS d
+      FROM (SELECT q FROM pqv WHERE vid = {query_id}) qv,
+           range(0, 8) s(s), pqseeds sd
+    ),
+    shortlist AS (
+      SELECT c.vid FROM pqcodes c JOIN pqlut l ON l.s = c.s AND l.cid = c.cid
+      GROUP BY c.vid
+      ORDER BY CAST(sum(l.d) AS BIGINT) ASC, vid ASC
+      LIMIT {shortlist}
+    ),
+    nrm AS (
+      SELECT vid, q, {duckdb_int_dot('q', 'q')} AS n2 FROM pqv
+    )
+    SELECT v.vid AS vec_id,
+           CAST({duckdb_int_dot('v.q', 'qn.q')} AS DOUBLE)
+             / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(qn.n2 AS DOUBLE))) AS cosine
+    FROM nrm v
+    JOIN shortlist s ON s.vid = v.vid
+    CROSS JOIN (SELECT q, n2 FROM nrm WHERE vid = {query_id}) qn
+    ORDER BY cosine DESC, vec_id ASC LIMIT {k}"""
+    )
+
+
+@register("q103_pq_rerank_search", _pq_rerank_oracle(42, 50, 10))
+def q103_pq_rerank_search(spark, sf_dir):
+    """The production two-stage retrieval composed end-to-end: PQ/ADC
+    scans the 4-byte codes for a 50-candidate shortlist (stage 1 —
+    the only pass that touches every row, reading 64× less than raw
+    fp32), then exact integer-cosine re-ranks ONLY those 50 raw
+    vectors (stage 2 — a candidate-sized lookup join). TakeOrdered on
+    both stages; the corpus never shuffles. This is how the q97/q98
+    pieces are actually deployed at 100 TB: approximate shortlist
+    wide, exact finish narrow."""
+    from queens_spark.operators.similarity import (
+        cosine_from_ints,
+        int_dot,
+        int_norm2,
+        pq_adc_lut,
+        pq_adc_topk,
+        pq_encode,
+        quantize,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    rows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.where(F.col("vec_id") <= 42)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    seeds = [rows[i] for i in range(16)]
+    lut = pq_adc_lut(rows[42], seeds)
+    codes = pq_encode(emb, "embedding", "vec_id", seeds)
+    short = pq_adc_topk(codes, "vec_id", lut, k=50).select("vec_id")
+    qq = quantize(F.array(*[F.lit(float(x)) for x in rows[42]]))
+    v = emb.join(F.broadcast(short), "vec_id").select(
+        "vec_id", quantize("embedding").alias("vq")
+    )
+    cos = cosine_from_ints(
+        int_dot(F.col("vq"), qq), int_norm2(F.col("vq")), int_norm2(qq)
+    )
+    return (
+        v.select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _line_dedup_oracle() -> str:
+    from queens_spark.operators.dedup import duckdb_strip_common_lines
+
+    return duckdb_strip_common_lines("documents", "text", "doc_id", min_df=3)
+
+
+@register("q104_line_boilerplate", _line_dedup_oracle())
+def q104_line_boilerplate(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal: lines whose trimmed
+    content recurs in ≥ 3 distinct documents (banners, footers,
+    licence blurbs) are deleted; whitespace-only lines survive as
+    document structure. One counter-width line-df aggregation, then
+    the clean itself is a ZERO-SHUFFLE projection — the common set
+    re-enters as a capped array literal, so cleaning composes into
+    the same stage as any downstream screen
+    (operators/dedup.py:strip_common_lines)."""
+    from queens_spark.operators.dedup import strip_common_lines
+
+    docs = load(spark, sf_dir, "documents")
+    return strip_common_lines(docs, "text", "doc_id", min_df=3)
+
+
+def _pq_refined_oracle() -> str:
+    from queens_spark.operators.similarity import duckdb_pq_codes_cte
+
+    return (
+        "WITH "
+        + duckdb_pq_codes_cte("embeddings", "embedding", "vec_id", 16)
+        + """,
+    pvals AS (
+      SELECT vid, CAST((i - 1) // 8 AS BIGINT) AS s, i - 1 AS dim, q[i] AS val
+      FROM pqv, range(1, 65) t(i)
+    ),
+    psums AS (
+      SELECT v.s, c.cid, v.dim,
+             CAST(sum(v.val) // count(*) AS BIGINT) AS el
+      FROM pvals v JOIN pqcodes c ON c.vid = v.vid AND c.s = v.s
+      GROUP BY v.s, c.cid, v.dim
+    ),
+    pseed AS (
+      SELECT CAST((i - 1) // 8 AS BIGINT) AS s, cid, i - 1 AS dim, q[i] AS el
+      FROM pqseeds, range(1, 65) t(i)
+    ),
+    prefined AS (
+      SELECT sd.s, sd.cid, sd.dim, coalesce(ps.el, sd.el) AS el
+      FROM pseed sd LEFT JOIN psums ps
+        ON ps.s = sd.s AND ps.cid = sd.cid AND ps.dim = sd.dim
+    ),
+    rdists AS (
+      SELECT v.vid, r.s, r.cid,
+             sum((v.val - r.el) * (v.val - r.el)) AS d
+      FROM pvals v JOIN prefined r ON r.s = v.s AND r.dim = v.dim
+      GROUP BY v.vid, r.s, r.cid
+    ),
+    rcodes AS (
+      SELECT vid, s, cid FROM (
+        SELECT vid, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vid, s ORDER BY d, cid) AS rk
+        FROM rdists
+      ) WHERE rk = 1
+    )
+    SELECT vid AS vec_id, CAST(sum(cid << (4 * s)) AS BIGINT) AS pq_code
+    FROM rcodes GROUP BY vid"""
+    )
+
+
+@register("q105_pq_refined_codes", _pq_refined_oracle())
+def q105_pq_refined_codes(spark, sf_dir):
+    """PQ with TRAINED codebooks: one Lloyd iteration per subspace
+    (assign to seed centroids, recompute each cell as the element-wise
+    integer mean, empty cells keep their seed), then re-encode — the
+    quantizer-training step between q97's raw seeds and a production
+    index. The update shuffle carries m·ksub·dsub partial-sum
+    counters (map-side combined), never vectors; the refined codebook
+    is a driver-scale artifact fed back as one literal. Integer means
+    (sum div count, truncation toward zero on BOTH engines — probed)
+    keep every centroid element exact, so the twin reproduces each
+    refined code bit-for-bit
+    (operators/similarity.py:pq_refine_codebooks)."""
+    from queens_spark.operators.similarity import (
+        pq_encode_int,
+        pq_refine_codebooks,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = [
+        r["embedding"]
+        for r in emb.where(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    refined = pq_refine_codebooks(emb, "embedding", "vec_id", seeds)
+    return pq_encode_int(emb, "embedding", "vec_id", refined)

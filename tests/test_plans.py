@@ -399,3 +399,15 @@ def test_pq_adc_search_take_ordered_no_shuffle(spark):
     assert "TakeOrderedAndProject" in plan
     assert "ShuffleExchange" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_line_boilerplate_clean_is_zero_shuffle(spark):
+    """q104: after the counter-width line-df job (build time), the
+    clean itself must be a pure projection over the documents scan —
+    no hash shuffle, no join, no Python."""
+    from queens_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q104_line_boilerplate"](spark, SF_DIR))
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan

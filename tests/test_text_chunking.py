@@ -62,3 +62,49 @@ def test_mask_pii_and_normalize(frame):
     # the email inside the URL query string was masked BEFORE the URL
     # pass, so it never leaks
     assert "c@d.io" not in out
+
+
+def test_strip_common_lines_removes_boilerplate_preserves_structure(spark):
+    """Crafted corpus (the sf tables have no multi-line docs): a
+    banner on 3 docs is removed everywhere, a 2-doc line survives at
+    min_df=3, empty lines survive verbatim, order is preserved."""
+    from pyspark.sql import Row
+
+    from queens_spark.operators.dedup import strip_common_lines
+
+    banner = "(c) 2026 ExampleCorp - all rights reserved"
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"{banner}\nunique alpha\n\nunique beta"),
+        Row(doc_id=2, text=f"shared pair\n  {banner}  \nunique gamma"),
+        Row(doc_id=3, text=f"unique delta\n{banner}"),
+        Row(doc_id=4, text="shared pair\nunique epsilon"),
+    ])
+    out = {r["doc_id"]: r for r in
+           strip_common_lines(docs, "text", "doc_id", min_df=3).collect()}
+    # banner (df=3, whitespace-insensitively) gone everywhere
+    assert out[1]["clean_text"] == "unique alpha\n\nunique beta"
+    assert out[2]["clean_text"] == "shared pair\nunique gamma"
+    assert out[3]["clean_text"] == "unique delta"
+    # df=2 line survives
+    assert out[4]["clean_text"] == "shared pair\nunique epsilon"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (4, 1)
+    assert out[4]["n_removed"] == 0
+
+
+def test_strip_common_lines_cap_guard(spark):
+    import pytest
+
+    from queens_spark.operators import dedup
+    from queens_spark.operators.dedup import strip_common_lines
+
+    docs = spark.createDataFrame(
+        [(i, "common one\ncommon two") for i in range(4)],
+        "doc_id long, text string",
+    )
+    old = dedup.MAX_COMMON_LINES
+    dedup.MAX_COMMON_LINES = 1
+    try:
+        with pytest.raises(ValueError, match="boilerplate"):
+            strip_common_lines(docs, "text", "doc_id", min_df=3)
+    finally:
+        dedup.MAX_COMMON_LINES = old

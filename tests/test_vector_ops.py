@@ -314,3 +314,45 @@ def test_pq_encode_guards(spark):
         pq_encode(emb, "embedding", "vec_id", [[0.0] * 64])
     with pytest.raises(ValueError, match="divisible"):
         pq_encode(emb, "embedding", "vec_id", [[0.0] * 63, [1.0] * 63])
+
+
+def test_pq_refined_codebook_reduces_distortion(spark):
+    """The Lloyd guarantee: re-assigning against integer-mean-refined
+    centroids cannot increase total squared quantization error (up to
+    the sub-ulp integer-mean truncation, which cannot flip the
+    inequality at this magnitude)."""
+    import math
+
+    import numpy as np
+
+    from queens_spark.operators.similarity import (
+        QUANT,
+        pq_refine_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    seeds = [r["embedding"] for r in rows[:16]]
+    refined = pq_refine_codebooks(emb, "embedding", "vec_id", seeds)
+    cb0 = np.array(
+        [[math.floor(float(x) * QUANT) for x in v] for v in seeds],
+        dtype=np.int64,
+    )
+    cb1 = np.array(refined, dtype=np.int64)
+    mat = np.array(
+        [[math.floor(float(x) * QUANT) for x in r["embedding"]] for r in rows],
+        dtype=np.int64,
+    )
+
+    def distortion(cb):
+        total = 0
+        for s in range(8):
+            sub = mat[:, s * 8:(s + 1) * 8]
+            cents = cb[:, s * 8:(s + 1) * 8]
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            total += d.min(axis=1).sum()
+        return int(total)
+
+    d0, d1 = distortion(cb0), distortion(cb1)
+    assert d1 <= d0, (d1, d0)
+    assert cb1.shape == cb0.shape
