@@ -1006,6 +1006,22 @@ def pq_encode_int(
     (×:data:`QUANT` fixed-point) — the entry point for refined
     codebooks (:func:`pq_refine_codebooks`), whose centroids are
     integer means and never existed as floats."""
+    from queens_spark.operators.text import let_bound
+
+    return df.select(
+        F.col(id_col),
+        let_bound(quantize(vec_col), _pq_packed_expr(cb, m)).alias(
+            "pq_code"
+        ),
+    )
+
+
+def _pq_packed_expr(cb: list[list[int]], m: int = PQ_M):
+    """The packed-code Column builder shared by :func:`pq_encode_int`
+    (projection over the corpus) and :func:`pq_refine_codebooks`
+    (same expression carried through the update pass, so assignment
+    and statistics ride ONE row with no join). Returns a function
+    mapping the quantized-vector Column to the packed bigint."""
     ksub = len(cb)
     if not 2 <= ksub <= PQ_KSUB:
         raise ValueError(f"need 2..{PQ_KSUB} codebook rows, got {ksub}")
@@ -1083,10 +1099,7 @@ def pq_encode_int(
             lambda a, v: a + v,
         )
 
-    return df.select(
-        F.col(id_col),
-        let_bound(quantize(vec_col), packed).alias("pq_code"),
-    )
+    return packed
 
 
 def pq_adc_lut(
@@ -1218,32 +1231,37 @@ def pq_refine_codebooks(
     """
     import math
 
-    ksub = len(seed_vecs)
+    from queens_spark.operators.text import let_bound
+
     dim = len(seed_vecs[0])
     dsub = dim // m
     cb0 = [
         [int(math.floor(float(x) * QUANT)) for x in v] for v in seed_vecs
     ]
-    codes = pq_encode_int(df, vec_col, id_col, cb0, m)
-    decode = F.posexplode(
+    # assignment (the packed code) and the subvector values ride ONE
+    # row: both derive from the same quantized vector, so the update
+    # needs no self-join — posexplode, decode the 4-bit cell from the
+    # packed code by dim, and go straight to the counter aggregation
+    enc = df.select(
+        quantize(vec_col).alias("__qv")
+    ).withColumn("__pc", let_bound(F.col("__qv"), _pq_packed_expr(cb0, m)))
+    vals = enc.select(
+        F.posexplode("__qv").alias("dim", "val"), "__pc"
+    ).select(
+        "dim",
+        "val",
         F.expr(
-            "transform(sequence(0, %d), s -> "
-            "CAST(shiftright(pq_code, 4 * s) & 15 AS INT))" % (m - 1)
-        )
+            "CAST(shiftright(__pc, CAST(4 * (dim div %d) AS INT)) & 15 "
+            "AS INT)" % dsub
+        ).alias("cid"),
     )
-    assigned = codes.select(F.col(id_col).alias("__id"), decode.alias("s", "cid"))
-    vals = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(quantize(vec_col)).alias("dim", "val"),
-    ).withColumn("s", F.expr("dim div %d" % dsub))
     sums = (
-        vals.join(assigned, ["__id", "s"])
-        .groupBy("s", "cid", "dim")
+        vals.groupBy("cid", "dim")
         .agg(
             F.sum("val").alias("__sum"),
             F.count(F.lit(1)).alias("__n"),
         )
-        .select("s", "cid", "dim", F.expr("__sum div __n").alias("el"))
+        .select("cid", "dim", F.expr("__sum div __n").alias("el"))
         .collect()
     )
     refined = [list(row) for row in cb0]

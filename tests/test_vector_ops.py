@@ -310,7 +310,7 @@ def test_pq_encode_guards(spark):
     from queens_spark.operators.similarity import pq_encode
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    with pytest.raises(ValueError, match="seed"):
+    with pytest.raises(ValueError, match="2..16"):
         pq_encode(emb, "embedding", "vec_id", [[0.0] * 64])
     with pytest.raises(ValueError, match="divisible"):
         pq_encode(emb, "embedding", "vec_id", [[0.0] * 63, [1.0] * 63])
