@@ -57,7 +57,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     ex = sub.add_parser("export", help="export staged tables")
     ex.add_argument("collection")
-    ex.add_argument("file_type", choices=["csv", "parquet", "jsonl", "xlsx"])
+    ex.add_argument("file_type", choices=["csv", "parquet", "jsonl", "xlsx", "orc"])
     ex.add_argument("output_path", nargs="?", default=None,
                     help="destination dir (default: the configured "
                          "export dir — `config --export-path`)")

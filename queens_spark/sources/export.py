@@ -45,6 +45,10 @@ def export_table(
         # sharded JSON-lines — the standard training-data interchange
         # shape; each part file is one shard
         df.write.mode("overwrite").json(target)
+    elif file_type == "orc":
+        # columnar alternative bundled with Spark (no extra packages);
+        # same distributed write shape as parquet
+        df.write.mode("overwrite").orc(target)
     elif file_type == "xlsx":
         from queens_spark.sources.xlsx_lite import write_workbook_xlsx
 
@@ -79,9 +83,10 @@ def export_all(
     target = os.path.join(
         output_path, _dated_name(collection, "all", output_ts, file_type)
     )
-    if file_type == "parquet":
+    if file_type in ("parquet", "orc"):
         prod = engine.warehouse.read_prod(collection)
-        prod.write.mode("overwrite").partitionBy("table_name").parquet(target)
+        writer = prod.write.mode("overwrite").partitionBy("table_name")
+        getattr(writer, file_type)(target)
     elif file_type == "xlsx":
         from queens_spark.sources.xlsx_lite import write_workbook_xlsx
 

@@ -452,3 +452,49 @@ def test_parse_dukes_links():
     assert "4.4.A" in out
     assert "J.1" in out
     assert all(not k.endswith(".pdf") for k in out)
+
+
+def test_export_orc_roundtrip_and_bulk(tmp_path, staged_engine, spark):
+    out = export_table(staged_engine, "dukes", "orc", "1.1", str(tmp_path))
+    back = spark.read.orc(out)
+    assert back.count() == 4
+
+    outs = export_all(staged_engine, "dukes", "orc", str(tmp_path / "bulk"),
+                      bulk_export=True)
+    back = spark.read.orc(outs[0])
+    assert back.count() == 4 and "table_name" in back.columns
+
+
+def test_read_corpus_jsonl_quarantines_bad_lines(tmp_path, spark):
+    import json as _json
+
+    from queens_spark.sources.jsonl import read_corpus_jsonl
+
+    p = tmp_path / "corpus.jsonl"
+    lines = [
+        _json.dumps({"doc_id": 1, "text": "alpha", "lang": "en",
+                     "source": "web", "n_chars": 5}),
+        "{not json at all",
+        _json.dumps({"doc_id": "NaNopé", "text": "bad id type",
+                     "lang": "en", "source": "web", "n_chars": 11}),
+        _json.dumps({"doc_id": 2, "text": "beta", "lang": "fr",
+                     "source": "web", "n_chars": 4}),
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    good, quarantine = read_corpus_jsonl(spark, str(p))
+    g = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert g == {1: "alpha", 2: "beta"}
+    bad = [r["raw_line"] for r in quarantine.collect()]
+    assert len(bad) == 2 and any("not json" in b for b in bad)
+    assert "_corrupt_record" not in good.columns
+
+
+def test_read_corpus_jsonl_schema_guard(spark):
+    import pytest
+    from pyspark.sql import types as T
+
+    from queens_spark.sources.jsonl import read_corpus_jsonl
+
+    bad_schema = T.StructType([T.StructField("_corrupt_record", T.StringType())])
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_corpus_jsonl(spark, "/nonexistent", bad_schema)
