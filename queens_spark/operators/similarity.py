@@ -1231,40 +1231,65 @@ def pq_refine_codebooks(
     """
     import math
 
-    from queens_spark.operators.text import let_bound
+    import numpy as np
+    import pandas as pd
 
+    ksub = len(seed_vecs)
     dim = len(seed_vecs[0])
     dsub = dim // m
     cb0 = [
         [int(math.floor(float(x) * QUANT)) for x in v] for v in seed_vecs
     ]
-    # assignment (the packed code) and the subvector values ride ONE
-    # row: both derive from the same quantized vector, so the update
-    # needs no self-join — posexplode, decode the 4-bit cell from the
-    # packed code by dim, and go straight to the counter aggregation
-    enc = df.select(
-        quantize(vec_col).alias("__qv")
-    ).withColumn("__pc", let_bound(F.col("__qv"), _pq_packed_expr(cb0, m)))
-    vals = enc.select(
-        F.posexplode("__qv").alias("dim", "val"), "__pc"
-    ).select(
-        "dim",
-        "val",
-        F.expr(
-            "CAST(shiftright(__pc, CAST(4 * (dim div %d) AS INT)) & 15 "
-            "AS INT)" % dsub
-        ).alias("cid"),
+    # Arrow-batched numpy kernel (the *_vectors twin convention):
+    # assignment and the per-(cell, dim) partial sums happen inside
+    # ONE pass over the corpus — each task emits m·ksub·dsub counter
+    # rows, the groupBy below merges them. Same exact arithmetic as
+    # the Column encoder: float64 widen, ×QUANT, floor, int64 squared
+    # distances, argmin with first-wins (= lowest cid) ties.
+    cbm = np.array(cb0, dtype=np.int64)
+
+    def stats(batches):
+        sums = np.zeros((ksub, dim), dtype=np.int64)
+        counts = np.zeros((m, ksub), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.floor(
+                np.array(pdf["__v"].tolist(), dtype=np.float64) * QUANT
+            ).astype(np.int64)
+            for s in range(m):
+                lo, hi = s * dsub, (s + 1) * dsub
+                sub = mat[:, lo:hi]
+                cents = cbm[:, lo:hi]
+                d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                code = d.argmin(axis=1)  # first min = lowest cid
+                np.add.at(sums[:, lo:hi], code, sub)
+                counts[s] += np.bincount(code, minlength=ksub)
+        rows = []
+        for s in range(m):
+            for c in range(ksub):
+                if not counts[s, c]:
+                    continue
+                for i in range(dsub):
+                    rows.append(
+                        (c, s * dsub + i,
+                         int(sums[c, s * dsub + i]), int(counts[s, c]))
+                    )
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["cid", "dim", "psum", "pn"]
+            )
+
+    part = df.select(F.col(vec_col).alias("__v")).mapInPandas(
+        stats, "cid int, dim int, psum bigint, pn bigint"
     )
-    sums = (
-        vals.groupBy("cid", "dim")
-        .agg(
-            F.sum("val").alias("__sum"),
-            F.count(F.lit(1)).alias("__n"),
-        )
+    rows = (
+        part.groupBy("cid", "dim")
+        .agg(F.sum("psum").alias("__sum"), F.sum("pn").alias("__n"))
         .select("cid", "dim", F.expr("__sum div __n").alias("el"))
         .collect()
     )
     refined = [list(row) for row in cb0]
-    for r in sums:
+    for r in rows:
         refined[r["cid"]][r["dim"]] = int(r["el"])
     return refined
