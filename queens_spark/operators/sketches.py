@@ -396,7 +396,10 @@ def sampled_quantiles(
         sample.groupBy(group_col)
         .agg(F.count(F.col(value_col)).alias("n_sample"))
     )
-    return n.join(est, group_col)
+    # LEFT: a group whose sampled values are all NULL has n_sample=0
+    # and no order statistics — the SQL twin emits it with NULL
+    # quantiles, so dropping it here would diverge
+    return n.join(est, group_col, "left")
 
 
 def duckdb_sampled_quantiles(

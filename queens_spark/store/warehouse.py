@@ -480,11 +480,30 @@ class Warehouse:
         if target_files < 1:
             raise ValueError(f"target_files must be ≥ 1, got {target_files}")
         out = self.prod_path(collection)
+        tmp = out + "__compact_tmp"
+        if os.path.isdir(tmp) and not os.path.isdir(out):
+            # prod root itself is gone: tmp may hold the only parked
+            # copies — refuse to clean it up
+            raise StagingError(
+                f"'{collection}' prod root missing but {tmp} exists — "
+                "restore manually before compacting"
+            )
+        if os.path.isdir(tmp):
+            # Unlike stage() — whose tmp holds data that regenerates
+            # from raw on the next call — a parked '__old' partition
+            # here IS the only copy if the previous run crashed between
+            # its two renames. Restore any whose live dir is missing
+            # BEFORE clearing tmp, or the rerun would destroy them.
+            for entry in os.listdir(tmp):
+                if entry.endswith("__old"):
+                    live = os.path.join(out, entry[: -len("__old")])
+                    if not os.path.isdir(live):
+                        os.replace(os.path.join(tmp, entry), live)
+            shutil.rmtree(tmp)
+            os.utime(out)
+            self._invalidate_caches(collection)
         if not self._exists(out):
             raise StagingError(f"'{collection}' is not staged")
-        tmp = out + "__compact_tmp"
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
         report: dict[str, tuple[int, int]] = {}
         for t, entry in sorted(self._partition_dirs(out).items()):
             pdir = os.path.join(out, entry)

@@ -145,3 +145,30 @@ def test_compact_cli_surface(spark, engine, capsys):
     assert rc == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["compacted"]["1.1"] == {"files_before": 4, "files_after": 1}
+
+
+def test_compact_recovers_parked_partition_from_crashed_run(spark, engine):
+    """Crash window: the previous run parked a partition inside tmp
+    (first rename) and died before the second. A rerun must restore
+    it — NOT rmtree the only copy."""
+    import shutil
+
+    engine.ingest(spark.createDataFrame(_rows(40, "a")), "dukes", "1.1",
+                  ingest_ts=datetime(2024, 1, 1))
+    engine.stage("dukes")
+    wh = engine.warehouse
+    prod = wh.prod_path("dukes")
+    entry = wh._partition_dirs(prod)["1.1"]
+    rows_before = sorted(map(tuple, wh.read_prod("dukes").collect()))
+
+    tmp = prod + "__compact_tmp"
+    os.makedirs(tmp)
+    os.replace(os.path.join(prod, entry), os.path.join(tmp, entry + "__old"))
+    os.utime(prod)
+    assert "1.1" not in wh._partition_dirs(prod)
+
+    wh.compact("dukes")  # rerun after the simulated crash
+    assert "1.1" in wh._partition_dirs(prod)
+    assert not os.path.isdir(tmp)
+    assert sorted(map(tuple, wh.read_prod("dukes").collect())) == rows_before
+    shutil  # noqa: B018 — imported for symmetry with other tests
