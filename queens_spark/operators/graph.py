@@ -37,6 +37,14 @@ from pyspark.sql import DataFrame, functions as F
 
 PR_SCALE = 1_000_000_000  # ranks in parts-per-billion
 
+#: adaptive threshold (the connected-components convention,
+#: dedup.py): below this many AGGREGATED (src, dst, w) edges the
+#: 10-iteration loop runs on the driver in plain Python ints — the
+#: arithmetic is already exact integer, so both paths are
+#: bit-identical (equality-tested) and the driver path replaces
+#: iters× shuffle barriers with one collect
+MAX_DRIVER_EDGES = 5_000_000
+
 
 def integer_pagerank(
     edges: DataFrame,
@@ -47,6 +55,7 @@ def integer_pagerank(
     damping_pct: int = 85,
     scale: int = PR_SCALE,
     checkpoint_every: int | None = None,
+    max_driver_edges: int = MAX_DRIVER_EDGES,
 ) -> DataFrame:
     """Weighted PageRank; returns (node, rank) with rank in
     parts-per-*scale*. See module docstring for the exact-arithmetic
@@ -56,6 +65,39 @@ def integer_pagerank(
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    spark = edges.sparkSession
+    probe = edges.select(
+        F.col(src_col).alias("s"),
+        F.col(dst_col).alias("d"),
+        F.col(weight_col).cast("bigint").alias("w"),
+    ).limit(max_driver_edges + 1).collect()
+    if len(probe) <= max_driver_edges:
+        if not probe:
+            raise ValueError("edges frame is empty")
+        # driver path: same truncating-int recurrence, zero shuffles
+        wout: dict = {}
+        nodes_set = set()
+        for r in probe:
+            wout[r["s"]] = wout.get(r["s"], 0) + int(r["w"])
+            nodes_set.add(r["s"])
+            nodes_set.add(r["d"])
+        n = len(nodes_set)
+        base = ((scale * (100 - damping_pct)) // 100) // n
+        ranks = {v: scale // n for v in nodes_set}
+        for _ in range(iters):
+            agg = {v: 0 for v in nodes_set}
+            for r in probe:
+                agg[r["d"]] += ranks[r["s"]] * int(r["w"]) // wout[r["s"]]
+            ranks = {
+                v: base + damping_pct * agg[v] // 100 for v in nodes_set
+            }
+        return spark.createDataFrame(
+            sorted(ranks.items()), "node string, rank bigint"
+        ) if probe and isinstance(probe[0]["s"], str) else (
+            spark.createDataFrame(
+                sorted(ranks.items()), "node bigint, rank bigint"
+            )
+        )
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))

@@ -53,3 +53,28 @@ def test_pagerank_guards(spark):
         integer_pagerank(e, "src", "dst", "w", damping_pct=0)
     with pytest.raises(ValueError, match="iters"):
         integer_pagerank(e, "src", "dst", "w", iters=0)
+
+
+def test_pagerank_driver_and_distributed_paths_identical(spark):
+    """The adaptive driver loop and the distributed join loop run the
+    SAME truncating-int recurrence — results must be bit-identical."""
+    from queens_spark.operators.dedup import release_caches
+
+    rows = [("a", "b", 3), ("b", "c", 2), ("c", "a", 5), ("a", "c", 1),
+            ("c", "b", 4), ("d", "a", 2), ("b", "d", 1)]
+    e = _edges(spark, rows)
+    drv = {r["node"]: r["rank"] for r in
+           integer_pagerank(e, "src", "dst", "w", iters=5).collect()}
+    dist = {r["node"]: r["rank"] for r in
+            integer_pagerank(e, "src", "dst", "w", iters=5,
+                             max_driver_edges=0).collect()}
+    release_caches()
+    assert drv == dist and len(drv) == 4
+
+
+def test_pagerank_empty_edges_raises(spark):
+    import pytest
+
+    e = _edges(spark, [("a", "b", 1)]).where("w > 99")
+    with pytest.raises(ValueError, match="empty"):
+        integer_pagerank(e, "src", "dst", "w")
