@@ -1843,7 +1843,9 @@ def q54_stream_first_seen(spark, sf_dir):
 
     ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
     fs = first_seen(ev.select("user_id", "event_type", "event_id", "ts"))
-    return run_available_now(fs, "q54_mem", output_mode="append")
+    return run_available_now(
+        fs, "q54_mem", output_mode="append", stream_partitions=None
+    )
 
 
 def _chunking_oracle(chunk_tokens: int, stride: int) -> str:
