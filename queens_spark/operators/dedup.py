@@ -1043,22 +1043,40 @@ def connected_components(
     min-label propagation over edge-touching nodes only; the isolated
     majority joins back in one final broadcast left join either way.
 
+    The size probe is a ``limit(N+1).count()`` over the persisted
+    edge frame — one number crosses to the driver, so the distributed
+    path never pays a threshold-sized row transfer just to discard
+    it, and the persist shares one execution of the upstream pair
+    pipeline between probe and consumer (asserted in
+    tests/test_dedup_skew.py: distributed runs collect ≤ 1 row per
+    job).
+
     Distributed path: each round joins current labels across the
     (undirected) edge list and keeps the per-node minimum; convergence
     when no label changes (rounds ≈ graph diameter — near-dup clusters
     are shallow). Each iteration is localCheckpoint-ed: without
     cutting lineage the plan doubles per round and the job dies long
     before 100 TB. Shuffle per round carries (node, label) pairs only
-    — never document payloads.
+    — never document payloads. A graph whose diameter exceeds
+    *max_iter* raises instead of returning silently-split components.
     """
     src, dst = pair_cols
     spark = nodes.sparkSession
-    undirected = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    # ONE bounded fetch doubles as the size probe — a separate
-    # limit().count() probe would execute the whole upstream pair
-    # pipeline twice. Memory is capped at threshold+1 narrow rows.
-    rows = undirected.limit(driver_threshold + 1).collect()
-    if len(rows) <= driver_threshold:
+    undirected = _persist(
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    # Size probe ships NO rows: limit(N+1).count() returns one number,
+    # so choosing the distributed path never pays a 5M-row (~100 MB)
+    # driver transfer just to discard it. The persist makes the probe
+    # and the follow-up (driver collect, or the distributed edge
+    # frame) share ONE execution of the upstream pair pipeline — the
+    # expensive part at scale — instead of running it twice.
+    n_edges = undirected.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        # bounded by construction: the probe just proved ≤ threshold
+        # narrow rows, and they are already cached
+        rows = undirected.collect()
+        undirected.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -1088,7 +1106,9 @@ def connected_components(
 
     edges = (
         undirected
-        .union(pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        # reversed copy reads the CACHED undirected frame, not the
+        # upstream pair pipeline a second time
+        .union(undirected.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .persist()
     )
@@ -1098,6 +1118,9 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
+    # the eager checkpoint above materialized edges' cache; the
+    # narrow pair cache has served both its consumers
+    undirected.unpersist()
 
     def label_sum(df) -> int:
         # labels only ever decrease, so the total strictly decreases
@@ -1109,6 +1132,7 @@ def connected_components(
         ).collect()[0][0]
 
     prev_sum = label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         prop = edges.join(labels, edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), F.col("label")
@@ -1121,9 +1145,18 @@ def connected_components(
         )
         new_sum = label_sum(labels)
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     edges.unpersist()
+    if not converged:
+        # returning possibly-split components would silently corrupt
+        # every downstream dedup decision; labels propagate one hop
+        # per round, so the bound is the graph diameter
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds (graph diameter exceeds max_iter); raise max_iter"
+        )
     resolved = labels.select(
         F.col("node").alias(id_col), F.col("label").alias("component_id")
     )

@@ -66,12 +66,24 @@ def integer_pagerank(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     spark = edges.sparkSession
-    probe = edges.select(
-        F.col(src_col).alias("s"),
-        F.col(dst_col).alias("d"),
-        F.col(weight_col).cast("bigint").alias("w"),
-    ).limit(max_driver_edges + 1).collect()
-    if len(probe) <= max_driver_edges:
+    # registered in dedup's persist registry: probe + consumer (driver
+    # collect or the distributed edge frame) share ONE execution of
+    # the upstream; release_caches() frees it after materialization
+    from queens_spark.operators.dedup import _persist
+
+    narrow = _persist(
+        edges.select(
+            F.col(src_col).alias("s"),
+            F.col(dst_col).alias("d"),
+            F.col(weight_col).cast("bigint").alias("w"),
+        )
+    )
+    # size probe ships ONE number, not up to max_driver_edges rows —
+    # on the distributed path those rows would only be discarded
+    n_edges = narrow.limit(max_driver_edges + 1).count()
+    if n_edges <= max_driver_edges:
+        probe = narrow.collect()  # ≤ threshold cached narrow rows
+        narrow.unpersist()
         if not probe:
             raise ValueError("edges frame is empty")
         # driver path: same truncating-int recurrence, zero shuffles
@@ -99,8 +111,8 @@ def integer_pagerank(
             )
         )
     nodes = (
-        edges.select(F.col(src_col).alias("node"))
-        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        narrow.select(F.col("s").alias("node"))
+        .unionByName(narrow.select(F.col("d").alias("node")))
         .distinct()
     )
     # |V| is the node DIMENSION (event types, domains, ...) — a
@@ -108,19 +120,15 @@ def integer_pagerank(
     n_nodes = nodes.count()
     base = ((scale * (100 - damping_pct)) // 100) // n_nodes
     init = scale // n_nodes
-    wout = edges.groupBy(src_col).agg(
-        F.sum(weight_col).cast("bigint").alias("__wout")
-    )
-    # registered in dedup's persist registry: every iteration re-reads
-    # this frame, and release_caches() frees it after materialization
-    from queens_spark.operators.dedup import _persist
-
+    wout = narrow.groupBy("s").agg(F.sum("w").alias("__wout"))
+    # every iteration re-reads this joined frame; release_caches()
+    # frees it (and the narrow probe cache) after materialization
     e = _persist(
-        edges.select(
-            F.col(src_col).alias("__src"),
-            F.col(dst_col).alias("__dst"),
-            F.col(weight_col).cast("bigint").alias("__w"),
-        ).join(wout.withColumnRenamed(src_col, "__src"), "__src")
+        narrow.select(
+            F.col("s").alias("__src"),
+            F.col("d").alias("__dst"),
+            F.col("w").alias("__w"),
+        ).join(wout.withColumnRenamed("s", "__src"), "__src")
     )
     ranks = nodes.withColumn("rank", F.lit(init).cast("bigint"))
     for i in range(iters):

@@ -3,7 +3,7 @@ produce a k² candidate bucket (the skewed-key shuffle that kills
 inverted-index dedup at corpus scale)."""
 
 import pytest
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from queens_spark.operators import dedup
 from queens_spark.operators.dedup import (
@@ -389,3 +389,87 @@ def test_cross_corpus_neardup_finds_only_cross_pairs(spark):
     }
     release_caches()
     assert got == {(1, 50), (2, 50)}
+
+
+def _cc_graph(spark):
+    """Mixed-shape component graph: a 60-node star (skew hub), an
+    8-node chain (multi-round propagation), disjoint pairs, and
+    isolated nodes — every shape a real near-dup graph contains."""
+    edges = [(0, i) for i in range(1, 60)]                 # star
+    edges += [(100 + i, 101 + i) for i in range(7)]        # chain 100..107
+    edges += [(200, 201), (300, 301), (301, 300)]          # pairs + dup edge
+    node_ids = sorted({a for a, _ in edges} | {b for _, b in edges}
+                      | {900, 901})                        # isolated
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "doc_id bigint")
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    return nodes, pairs
+
+
+def test_connected_components_distributed_path_identical(spark):
+    """The distributed min-label branch is the ONLY CC path that runs
+    at 100 TB; forcing driver_threshold=0 must reproduce the driver
+    union-find bit-for-bit (mirror of the PageRank dual-path test,
+    tests/test_graph.py)."""
+    from queens_spark.operators.dedup import connected_components
+
+    nodes, pairs = _cc_graph(spark)
+    drv = {r["doc_id"]: r["component_id"] for r in
+           connected_components(nodes, pairs, "doc_id").collect()}
+    dist = {r["doc_id"]: r["component_id"] for r in
+            connected_components(nodes, pairs, "doc_id",
+                                 driver_threshold=0).collect()}
+    release_caches()
+    assert drv == dist
+    # spot-check the semantics, not just path agreement
+    assert dist[59] == 0 and dist[107] == 100 and dist[900] == 900
+
+
+def test_distributed_paths_ship_no_edge_rows_to_driver(spark):
+    """The size probe is count-shaped: when the distributed branch is
+    taken (CC min-label, PageRank join loop), NO job may return more
+    than one row to the driver — at 5M edges the old limit().collect()
+    probe shipped ~100 MB only to discard it."""
+    from queens_spark.operators.dedup import connected_components
+    from queens_spark.operators.graph import integer_pagerank
+
+    nodes, pairs = _cc_graph(spark)
+    sizes: list[int] = []
+    # patch the CONCRETE class (pyspark 4 routes instances through
+    # sql.classic.DataFrame; the abstract base's collect is shadowed)
+    cls = type(nodes)
+    orig = cls.collect
+
+    def tracking_collect(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    cls.collect = tracking_collect
+    try:
+        cc = connected_components(nodes, pairs, "doc_id",
+                                  driver_threshold=0)
+        pr = integer_pagerank(
+            pairs.withColumn("w", F.lit(1)), "id_a", "id_b", "w",
+            iters=3, max_driver_edges=0)
+        # materialize fully while still tracked: execution-time
+        # collects (convergence probes) must stay row-bounded too
+        n_cc, n_pr = cc.count(), pr.count()
+    finally:
+        cls.collect = orig
+    release_caches()
+    assert n_cc > 0 and n_pr > 0
+    assert sizes and max(sizes) <= 1, sizes
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A diameter > max_iter chain must raise, never return
+    silently-split components."""
+    from queens_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(12)]  # diameter 12 > max_iter 3
+    nodes = spark.createDataFrame([(i,) for i in range(13)], "doc_id bigint")
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, pairs, "doc_id", max_iter=3,
+                             driver_threshold=0)
+    release_caches()

@@ -93,13 +93,20 @@ comp_edges_st = st.lists(
 )
 
 
+@pytest.mark.parametrize(
+    "driver_threshold",
+    [5_000_000, 0],
+    ids=["driver-union-find", "distributed-min-label"],
+)
 @settings(
     max_examples=20,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(raw_edges=comp_edges_st, n_nodes=st.integers(min_value=1, max_value=10))
-def test_connected_components_match_union_find(spark, raw_edges, n_nodes):
+def test_connected_components_match_union_find(
+    spark, driver_threshold, raw_edges, n_nodes
+):
     from queens_spark.operators.dedup import connected_components
 
     edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges
@@ -110,7 +117,9 @@ def test_connected_components_match_union_find(spark, raw_edges, n_nodes):
         if edges else spark.createDataFrame([], "id_a bigint, id_b bigint")
     )
     got = {r["doc_id"]: r["component_id"]
-           for r in connected_components(nodes, pairs, "doc_id").collect()}
+           for r in connected_components(
+               nodes, pairs, "doc_id",
+               driver_threshold=driver_threshold).collect()}
 
     parent = list(range(n_nodes))
 
