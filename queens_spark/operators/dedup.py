@@ -1133,7 +1133,11 @@ def connected_components(
 
     prev_sum = label_sum(labels)
     converged = False
-    for _ in range(max_iter):
+    # max_iter bounds PROPAGATION rounds (≈ graph diameter); the +1 is
+    # the confirmation round — convergence is only observed by a round
+    # that changes nothing, so a graph that finishes exactly on round
+    # max_iter must still get one more round to prove it
+    for _ in range(max_iter + 1):
         prop = edges.join(labels, edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), F.col("label")
         )

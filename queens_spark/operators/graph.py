@@ -65,6 +65,21 @@ def integer_pagerank(
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    # weights must be INTEGRAL: the bit-identical contract with
+    # duckdb_pagerank_ctes holds only when neither engine rounds — a
+    # fractional weight would truncate here (Spark cast) but round in
+    # the twin's CAST, silently diverging. Scale fractional weights to
+    # integers (e.g. ×1000) before calling.
+    wtype = dict(edges.dtypes)[weight_col]
+    if not (
+        wtype in ("tinyint", "smallint", "int", "bigint")
+        or (wtype.startswith("decimal") and wtype.endswith(",0)"))
+    ):
+        raise ValueError(
+            f"weight_col {weight_col!r} must be an integral type for "
+            f"oracle-exact arithmetic, got {wtype}; pre-scale fractional "
+            f"weights to integers"
+        )
     spark = edges.sparkSession
     # registered in dedup's persist registry: probe + consumer (driver
     # collect or the distributed edge frame) share ONE execution of

@@ -458,7 +458,12 @@ def test_distributed_paths_ship_no_edge_rows_to_driver(spark):
         cls.collect = orig
     release_caches()
     assert n_cc > 0 and n_pr > 0
-    assert sizes and max(sizes) <= 1, sizes
+    # self-check: the CC convergence probes alone route ≥ 2 collects
+    # through the tracker — if a pyspark bump reroutes collect() away
+    # from the patched class, this catches the guard going blind
+    # instead of silently tracking nothing
+    assert len(sizes) >= 2, sizes
+    assert max(sizes) <= 1, sizes
 
 
 def test_connected_components_nonconvergence_raises(spark):
