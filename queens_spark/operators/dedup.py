@@ -1158,8 +1158,9 @@ def connected_components(
         # every downstream dedup decision; labels propagate one hop
         # per round, so the bound is the graph diameter
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} "
-            f"rounds (graph diameter exceeds max_iter); raise max_iter"
+            f"connected_components did not converge in {max_iter + 1} "
+            f"rounds ({max_iter} propagation + 1 confirmation; graph "
+            f"diameter exceeds max_iter); raise max_iter"
         )
     resolved = labels.select(
         F.col("node").alias(id_col), F.col("label").alias("component_id")

@@ -70,7 +70,16 @@ def integer_pagerank(
     # fractional weight would truncate here (Spark cast) but round in
     # the twin's CAST, silently diverging. Scale fractional weights to
     # integers (e.g. ×1000) before calling.
-    wtype = dict(edges.dtypes)[weight_col]
+    # Spark resolves column references case-insensitively by default,
+    # so the dtype lookup must too — and a genuinely missing column
+    # should be a descriptive ValueError, not a bare KeyError
+    dtypes_ci = {name.lower(): t for name, t in edges.dtypes}
+    wtype = dtypes_ci.get(weight_col.lower())
+    if wtype is None:
+        raise ValueError(
+            f"weight_col {weight_col!r} not found in edges frame; "
+            f"available columns: {[name for name, _ in edges.dtypes]}"
+        )
     if not (
         wtype in ("tinyint", "smallint", "int", "bigint")
         or (wtype.startswith("decimal") and wtype.endswith(",0)"))

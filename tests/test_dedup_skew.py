@@ -466,6 +466,22 @@ def test_distributed_paths_ship_no_edge_rows_to_driver(spark):
     assert max(sizes) <= 1, sizes
 
 
+def test_connected_components_diameter_equals_max_iter_converges(spark):
+    """A chain whose diameter is EXACTLY max_iter must converge (the
+    +1 confirmation round observes the fixpoint) — previously this
+    raised spuriously despite having correct labels."""
+    from queens_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(12)]  # diameter 12 == max_iter
+    nodes = spark.createDataFrame([(i,) for i in range(13)], "doc_id bigint")
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    out = connected_components(nodes, pairs, "doc_id", max_iter=12,
+                               driver_threshold=0).collect()
+    release_caches()
+    assert {r["component_id"] for r in out} == {0}
+    assert len(out) == 13
+
+
 def test_connected_components_nonconvergence_raises(spark):
     """A diameter > max_iter chain must raise, never return
     silently-split components."""

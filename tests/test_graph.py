@@ -53,6 +53,31 @@ def test_pagerank_guards(spark):
         integer_pagerank(e, "src", "dst", "w", damping_pct=0)
     with pytest.raises(ValueError, match="iters"):
         integer_pagerank(e, "src", "dst", "w", iters=0)
+    # fractional weights would truncate in Spark but round in the
+    # DuckDB twin — the integral-type guard must reject them up front
+    from pyspark.sql import functions as F
+
+    ef = e.withColumn("wf", F.col("w") * 0.5)
+    with pytest.raises(ValueError, match="integral"):
+        integer_pagerank(ef, "src", "dst", "wf")
+    ed = e.withColumn("wd", F.col("w").cast("decimal(10,2)"))
+    with pytest.raises(ValueError, match="integral"):
+        integer_pagerank(ed, "src", "dst", "wd")
+    # missing weight_col: descriptive ValueError, not a bare KeyError
+    with pytest.raises(ValueError, match="available columns"):
+        integer_pagerank(e, "src", "dst", "nope")
+
+
+def test_pagerank_weight_col_case_insensitive(spark):
+    """Spark resolves columns case-insensitively; the dtype guard
+    must match that — 'W' for column 'w' runs, not KeyError."""
+    from queens_spark.operators.dedup import release_caches
+
+    e = _edges(spark, [("a", "b", 1), ("b", "a", 2)])
+    ranks = {r["node"]: r["rank"] for r in
+             integer_pagerank(e, "src", "dst", "W", iters=2).collect()}
+    release_caches()
+    assert len(ranks) == 2
 
 
 def test_pagerank_driver_and_distributed_paths_identical(spark):
