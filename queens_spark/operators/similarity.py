@@ -949,6 +949,120 @@ def batch_topk_ip(
     )
 
 
+def batch_topk_cosine(
+    queries_df: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str = "query_id",
+    query_vec_col: str | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """EXACT batch top-k by quantized cosine — the :func:`batch_topk_ip`
+    plan shape (broadcast query block, per-partition running pools,
+    corpus never shuffles) applied to the exact scoring contract of
+    :func:`cosine_topk` (floor(x·QUANT) bigint codes, IEEE-double
+    cosine ``dot / (sqrt(n2)·sqrt(qn2))`` — bit-identical on numpy,
+    the JVM, and the DuckDB twin, so oracles can hash-compare values).
+
+    This is the exact-side engine for recall harnesses (q102): the
+    naive formulation crossJoins the corpus against the query block
+    and ranks through ``Window.partitionBy(qid)`` — |queries|×|corpus|
+    rows through ≤|queries| tasks, the classic scale-killer. Here each
+    corpus partition keeps one ≥-kth-score pool per query (ties never
+    dropped), so only ~k·|queries| candidate rows per partition reach
+    the final exact-order window.
+
+    Returns (query_id, *id_col*, cosine) rows, top-k per query with
+    exact tie-break (cosine desc, id asc).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qv = query_vec_col or vec_col
+    qrows = queries_df.select(
+        F.col(query_id_col).alias("qid"), F.col(qv).alias("v")
+    ).limit(MAX_BATCH_QUERIES + 1).collect()
+    if len(qrows) > MAX_BATCH_QUERIES:
+        raise ValueError(
+            f"query table exceeds the broadcast cap "
+            f"({MAX_BATCH_QUERIES}); shard the query table"
+        )
+    out_schema = f"query_id bigint, {id_col} bigint, cosine double"
+    if not qrows:
+        return corpus.where(F.lit(False)).select(
+            F.lit(None).cast("bigint").alias("query_id"),
+            F.col(id_col).cast("bigint"),
+            F.lit(None).cast("double").alias("cosine"),
+        )
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    # float32→float64 is exact, ·QUANT and floor are the same IEEE
+    # ops as quantize()'s Column expression — codes match the JVM
+    qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
+    qcodes = np.floor(qmat * float(QUANT)).astype(np.int64)
+    qsn = np.sqrt((qcodes * qcodes).sum(axis=1).astype(np.float64))
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qcodes, qsn))
+
+    def run(batches):
+        b_qids, b_qc, b_qsn = bc.value
+        nq = len(b_qids)
+        pools: list[tuple | None] = [None] * nq
+
+        def trim(ids_, cos_):
+            if len(cos_) <= k:
+                return ids_, cos_
+            kth = np.partition(cos_, len(cos_) - k)[len(cos_) - k]
+            m = cos_ >= kth  # keep score-ties: exactness over tightness
+            return ids_[m], cos_[m]
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.floor(mat * float(QUANT)).astype(np.int64)
+            dots = codes @ b_qc.T  # B×Q exact int64
+            vsn = np.sqrt(
+                (codes * codes).sum(axis=1).astype(np.float64)
+            )
+            # same op order as cosine_from_ints / the DuckDB twin:
+            # dot → double, ÷ (sqrt(n2) · sqrt(qn2))
+            cosm = dots.astype(np.float64) / (vsn[:, None] * b_qsn[None, :])
+            for qi in range(nq):
+                col = cosm[:, qi]
+                if pools[qi] is None:
+                    pools[qi] = trim(ids, col)
+                else:
+                    pid, pc = pools[qi]
+                    pools[qi] = trim(
+                        np.concatenate([pid, ids]),
+                        np.concatenate([pc, col]),
+                    )
+        chunks = []
+        for qi, pool in enumerate(pools):
+            if pool is None:
+                continue
+            pid, pc = pool
+            chunks.append(pd.DataFrame({
+                "query_id": np.full(len(pid), b_qids[qi], dtype=np.int64),
+                id_col: pid, "cosine": pc,
+            }))
+        if chunks:
+            yield pd.concat(chunks, ignore_index=True)
+
+    cands = corpus.select(id_col, vec_col).mapInPandas(run, out_schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        cands.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 # ------------------------------------------------ product quantization
 
 PQ_M = 8     # subspaces

@@ -4185,11 +4185,14 @@ def q102_ivf_recall(spark, sf_dir):
     (q33's centroids, n_probe=2) against exact brute-force cosine for
     a 10-query probe set — the measurement a production pipeline runs
     before trusting an approximate index, expressed as ONE plan (no
-    per-query branches: the probe block broadcasts, the corpus scores
-    both sides in a 10×|corpus| map-side expansion, and only
-    ≤ 2k·|queries| candidate rows reach the rank windows). hits and
-    recall_pct are exact integers, so the twin matches bit-for-bit."""
+    per-query branches: the probe block broadcasts; the EXACT side
+    scores through batch_topk_cosine's per-partition pools so the
+    corpus never shuffles and only ~k·|queries| candidates per
+    partition reach a rank window; the IVF side restricts to probed
+    cells first). hits and recall_pct are exact integers, so the twin
+    matches bit-for-bit."""
     from queens_spark.operators.similarity import (
+        batch_topk_cosine,
         cosine_from_ints,
         int_dot,
         int_norm2,
@@ -4218,18 +4221,21 @@ def q102_ivf_recall(spark, sf_dir):
         )
 
     w_q = Window.partitionBy("qid")
-    exact = (
-        v.crossJoin(F.broadcast(qs))
-        .withColumn("__c", cos("vq", "n2", "qq", "qn2"))
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                w_q.orderBy(F.desc("__c"), F.asc("vec_id"))
-            ),
-        )
-        .where(F.col("__rk") <= k)
-        .select("qid", "vec_id")
-    )
+    # exact side: per-partition pools (batch_topk_cosine), NOT
+    # crossJoin + Window.partitionBy(qid) — that shape pushes
+    # |queries|×|corpus| scored rows through ≤|queries| tasks; the
+    # pools leave only ~k·|queries| candidates per partition, and the
+    # quantized-cosine arithmetic is bit-identical to the twin's
+    exact = batch_topk_cosine(
+        emb.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        ),
+        emb.select("vec_id", "embedding"),
+        vec_col="embedding",
+        id_col="vec_id",
+        query_id_col="qid",
+        k=k,
+    ).select(F.col("query_id").alias("qid"), "vec_id")
     assigned = (
         v.crossJoin(F.broadcast(cents))
         .withColumn("__c", cos("vq", "n2", "cq", "cn2"))

@@ -411,3 +411,26 @@ def test_line_boilerplate_clean_is_zero_shuffle(spark):
     assert "hashpartitioning" not in plan
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_q102_exact_side_corpus_never_shuffles(spark):
+    """q102's exact side (batch_topk_cosine) streams the corpus
+    through ONE MapInPandas pass with no exchange below it; only the
+    ~k·|queries|·partitions candidate rows reach a window shuffle."""
+    from pyspark.sql import functions as F
+
+    from queens_spark.operators.similarity import batch_topk_cosine
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = batch_topk_cosine(
+        emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        emb, "embedding", "vec_id", k=10,
+    )
+    plan = plan_of(out)
+    assert "MapInPandas" in plan
+    tree = [ln for ln in plan.splitlines() if "+-" in ln or "Scan" in ln]
+    exchange_nodes = [ln for ln in tree if "Exchange" in ln]
+    assert len(exchange_nodes) == 1, exchange_nodes
+    assert "hashpartitioning(query_id" in plan

@@ -356,3 +356,53 @@ def test_pq_refined_codebook_reduces_distortion(spark):
     d0, d1 = distortion(cb0), distortion(cb1)
     assert d1 <= d0, (d1, d0)
     assert cb1.shape == cb0.shape
+
+
+def test_batch_topk_cosine_matches_cosine_topk(spark):
+    """batch_topk_cosine (pooled, corpus-never-shuffles) must
+    reproduce cosine_topk's exact quantized-cosine results per query
+    — same codes, same IEEE cosine, same (cos desc, id asc) ties."""
+    from pyspark.sql import functions as F
+
+    from queens_spark.operators.similarity import (
+        batch_topk_cosine,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2, 3]
+    qvecs = {r["vec_id"]: r["embedding"]
+             for r in emb.where(F.col("vec_id").isin(qids)).collect()}
+    via_single = set()
+    for qid in qids:
+        for r in cosine_topk(emb, "embedding", "vec_id",
+                             [float(x) for x in qvecs[qid]], k=5).collect():
+            via_single.add((qid, r["vec_id"], r["cosine"]))
+    via_batch = {
+        (r["query_id"], r["vec_id"], r["cosine"])
+        for r in batch_topk_cosine(
+            emb.where(F.col("vec_id").isin(qids)).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            emb, "embedding", "vec_id", k=5,
+        ).collect()
+    }
+    assert via_batch == via_single
+    assert len(via_batch) == 5 * len(qids)
+
+
+def test_batch_topk_cosine_empty_query_block(spark):
+    from pyspark.sql import functions as F
+
+    from queens_spark.operators.similarity import batch_topk_cosine
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = batch_topk_cosine(
+        emb.where(F.lit(False)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        emb, "embedding", "vec_id", k=5,
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "vec_id", "cosine"]
