@@ -78,6 +78,35 @@ class Engine:
     def stage(self, collection: str, as_of=None) -> list[str]:
         return self.warehouse.stage(self.schema_for(collection), as_of)
 
+    # ---------------------------------------------------- vector index
+
+    def _vector_index_dir(self) -> str:
+        import os
+
+        return os.path.join(self.warehouse.root, "system", "vector_index")
+
+    def build_vector_index(
+        self, df: DataFrame, vec_col: str, id_col: str, name: str, **kw
+    ):
+        """Build (or refresh) a named ANN index as a warehouse artifact
+        (store/vector_index.py): one encode pass now, pure index reads
+        from any later session via :meth:`vector_index`."""
+        from queens_spark.store.vector_index import build_vector_index
+
+        return build_vector_index(
+            df, vec_col, id_col, name, self._vector_index_dir(), **kw
+        )
+
+    def vector_index(self, name: str, expected_fingerprint: str | None = None):
+        """Load a previously built ANN index from the warehouse
+        manifest — no corpus touch, no encode stage in search plans."""
+        from queens_spark.store.vector_index import load_vector_index
+
+        return load_vector_index(
+            self.spark, self._vector_index_dir(), name,
+            expected_fingerprint=expected_fingerprint,
+        )
+
     # ------------------------------------------------------------- read
 
     def compact(

@@ -1225,12 +1225,24 @@ def pq_adc_lut(
     (bit-identical to the SQL twin's bigint arithmetic)."""
     import math
 
-    dim = len(query_vec)
-    dsub = dim // m
-    q = [int(math.floor(float(x) * QUANT)) for x in query_vec]
     cb = [
         [int(math.floor(float(x) * QUANT)) for x in v] for v in seed_vecs
     ]
+    return pq_adc_lut_int(query_vec, cb, m)
+
+
+def pq_adc_lut_int(
+    query_vec: list[float], cb: list[list[int]], m: int = PQ_M
+) -> list[list[int]]:
+    """:func:`pq_adc_lut` against an ALREADY-QUANTIZED integer
+    codebook — the entry point for STORED codebooks (a persisted
+    vector index's manifest records integer centroids; they never
+    round-trip through floats, so refined codebooks stay exact)."""
+    import math
+
+    dim = len(query_vec)
+    dsub = dim // m
+    q = [int(math.floor(float(x) * QUANT)) for x in query_vec]
     return [
         [
             sum(

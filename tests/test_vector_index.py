@@ -1,0 +1,205 @@
+"""Vector-index lifecycle: build -> persist -> cross-session load ->
+search with NO encode stage; staleness detection; refresh on
+re-ingest; IVF partition pruning."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from queens_spark.store.vector_index import (
+    VectorIndex,
+    build_or_load_vector_index,
+    build_vector_index,
+    load_vector_index,
+    source_fingerprint,
+)
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def emb(spark):
+    return spark.read.parquet(EMB)
+
+
+def test_build_then_load_searches_stored_codes_only(spark, emb, tmp_path):
+    """After a build, a LOADED index (fresh handle, manifest only)
+    answers ADC searches from the stored parquet codes — the plan
+    scans the index artifact, never the raw vectors, and contains no
+    encode projection."""
+    idir = str(tmp_path / "vidx")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    build_vector_index(emb, "embedding", "vec_id", "e", idir)
+
+    idx = load_vector_index(spark, idir, "e")
+    out = idx.adc_topk(qvec, k=5)
+    plan = plan_of(out)
+    assert "pq_codes" in plan
+    assert "embeddings.parquet" not in plan  # no raw-vector touch
+    assert out.count() == 5
+
+    # stored codes are bit-identical to the inline encoder on the
+    # same seeds, so searches agree exactly
+    from queens_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    seeds = [r["embedding"] for r in
+             emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()]
+    inline = pq_adc_topk(
+        pq_encode(emb, "embedding", "vec_id", seeds),
+        "vec_id", pq_adc_lut(qvec, seeds), k=5,
+    ).collect()
+    stored = out.collect()
+    assert [(r["vec_id"], r["adist"]) for r in stored] == \
+           [(r["vec_id"], r["adist"]) for r in inline]
+
+
+def test_two_stage_search_from_stored_index(spark, emb, tmp_path):
+    """two_stage_search re-ranks only the shortlist: exact cosine
+    results match the fully-inline q103 pipeline."""
+    from queens_spark.operators.similarity import (
+        cosine_from_ints,
+        int_dot,
+        int_norm2,
+        pq_adc_lut,
+        pq_adc_topk,
+        pq_encode,
+        quantize,
+    )
+
+    idir = str(tmp_path / "vidx")
+    rows = {r["vec_id"]: r["embedding"]
+            for r in emb.where(F.col("vec_id") <= 42).collect()}
+    qvec = [float(x) for x in rows[42]]
+    idx = build_vector_index(emb, "embedding", "vec_id", "e", idir)
+    via_index = [(r["vec_id"], r["cosine"]) for r in
+                 idx.two_stage_search(emb, "embedding", qvec,
+                                      shortlist=20, k=5).collect()]
+
+    seeds = [rows[i] for i in range(16)]
+    short = pq_adc_topk(
+        pq_encode(emb, "embedding", "vec_id", seeds),
+        "vec_id", pq_adc_lut(qvec, seeds), k=20,
+    ).select("vec_id")
+    qq = quantize(F.array(*[F.lit(x) for x in qvec]))
+    v = emb.join(F.broadcast(short), "vec_id").select(
+        "vec_id", quantize("embedding").alias("vq"))
+    cos = cosine_from_ints(
+        int_dot(F.col("vq"), qq), int_norm2(F.col("vq")), int_norm2(qq))
+    inline = [(r["vec_id"], r["cosine"]) for r in
+              v.select("vec_id", cos.alias("cosine"))
+              .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(5).collect()]
+    assert via_index == inline
+
+
+def test_stale_fingerprint_raises_and_rebuild_refreshes(spark, emb, tmp_path):
+    """Re-ingest flow: load with a changed fingerprint refuses the
+    stale index; build_or_load rebuilds (version bump, old version
+    GC'd) and the refreshed index covers the new vectors."""
+    import os
+
+    idir = str(tmp_path / "vidx")
+    half = emb.where(F.col("vec_id") < 100)
+    build_vector_index(half, "embedding", "vec_id", "e", idir,
+                       fingerprint="v1")
+    with pytest.raises(ValueError, match="stale"):
+        load_vector_index(spark, idir, "e", expected_fingerprint="v2")
+    # unchanged fingerprint: pure load, no rebuild (version stays 1)
+    same = build_or_load_vector_index(
+        half, "embedding", "vec_id", "e", idir, fingerprint="v1")
+    assert same.entry["version"] == 1
+
+    idx2 = build_or_load_vector_index(
+        emb, "embedding", "vec_id", "e", idir, fingerprint="v2")
+    assert idx2.entry["version"] == 2
+    versions = sorted(os.listdir(os.path.join(idir, "e")))
+    assert versions == ["v2"]  # superseded v1 garbage-collected
+    # a vector only in the full corpus is now indexed
+    n_half = half.count()
+    assert idx2.pq_codes().where(F.col("vec_id") >= 100).count() > 0
+    assert idx2.pq_codes().count() > n_half
+
+
+def test_missing_index_raises_keyerror(spark, tmp_path):
+    with pytest.raises(KeyError, match="no vector index"):
+        load_vector_index(spark, str(tmp_path / "empty"), "nope")
+
+
+def test_ivf_artifacts_partition_pruned_probe(spark, emb, tmp_path):
+    """With centroid_ids the coarse quantizer persists; a probe's
+    assignment scan carries the cells as PARTITION filters (the
+    assignment is disk-partitioned by centroid_id), so only probed
+    cells' files are read."""
+    idir = str(tmp_path / "vidx")
+    cent_ids = [r[0] for r in
+                emb.where(F.col("vec_id") % 200 == 0)
+                .select("vec_id").collect()]
+    idx = build_vector_index(emb, "embedding", "vec_id", "e", idir,
+                             centroid_ids=cent_ids)
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    cands = idx.ivf_candidate_ids(qvec, n_probe=2)
+    plan = plan_of(cands)
+    assert "PartitionFilters" in plan
+    assert "centroid_id IN" in plan or "centroid_id" in plan.split(
+        "PartitionFilters", 1)[1].split("]", 1)[0]
+    # probed cells' members only, and at least the nearest cell's
+    assigned = {(r["vec_id"], r["centroid_id"])
+                for r in idx.ivf_assignment().collect()}
+    got = {r["vec_id"] for r in cands.collect()}
+    probe_cells = {c for v, c in assigned if v in got}
+    assert len(probe_cells) <= 2 and got
+    assert all((v, c) in assigned for v in got for c in probe_cells
+               if (v, c) in assigned)
+
+
+def test_int8_codes_match_inline_quantizer(spark, emb, tmp_path):
+    from queens_spark.operators.similarity import int8_quantize
+
+    idir = str(tmp_path / "vidx")
+    idx = build_vector_index(emb, "embedding", "vec_id", "e", idir)
+    stored = {r["vec_id"]: (r["amax"], tuple(r["q"]))
+              for r in idx.int8_codes().collect()}
+    inline = {r["vec_id"]: (r["z"]["amax"], tuple(r["z"]["q"]))
+              for r in emb.select(
+                  "vec_id", int8_quantize("embedding").alias("z")
+              ).collect()}
+    assert stored == inline
+
+
+def test_source_fingerprint_detects_rewrite(tmp_path):
+    p = tmp_path / "src.parquet"
+    p.write_bytes(b"aaa")
+    f1 = source_fingerprint(str(p))
+    p.write_bytes(b"aaaa")
+    assert source_fingerprint(str(p)) != f1
+
+
+def test_engine_vector_index_roundtrip(spark, emb, tmp_path):
+    """Engine facade: build writes under <warehouse>/system/
+    vector_index; a SECOND Engine on the same root loads the index
+    from the manifest alone."""
+    from queens_spark.facade import Engine
+
+    root = str(tmp_path / "wh")
+    eng = Engine(spark, root)
+    eng.build_vector_index(emb, "embedding", "vec_id", "docs_emb")
+
+    eng2 = Engine(spark, root)  # fresh engine, same warehouse
+    idx = eng2.vector_index("docs_emb")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 1).collect()[0]["embedding"]]
+    assert idx.adc_topk(qvec, k=3).count() == 3
