@@ -235,6 +235,61 @@ def run_available_now(
     return spark.table(query_name)
 
 
+def run_to_table(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    query_name: str = "qs_to_table",
+    stream_partitions: int | None = STREAM_SHUFFLE_PARTITIONS,
+) -> None:
+    """PRODUCTION runner: execute the streaming plan over all
+    currently-available input into a CHECKPOINTED parquet sink, then
+    return. This is the restartable form of :func:`run_available_now`
+    (which serves tests/oracles through a memory sink): the
+    checkpoint directory persists the source file log, the watermark,
+    and every stateful operator's state store, so a later call with
+    the SAME checkpoint resumes exactly — already-processed files are
+    never re-read (no duplicate emission into the sink), and state
+    that spans the restart (an open window with events on both sides
+    of the stop, a first-seen key set) is restored from the HDFS-
+    backed store, not recomputed. Kill-and-resume safety is the
+    file-sink commit log: a batch's files land atomically or the
+    restart rewrites them.
+
+    File sinks are append-only by contract, so aggregation plans emit
+    a window exactly once — when the watermark passes its end; rows
+    still in state at stream end surface on the run AFTER input
+    advances the watermark past them (the standard production
+    cadence: each micro-run flushes what the new data closed).
+
+    At 100 TB: one long-running query (or a cron of availableNow
+    micro-runs — this function) per pipeline, checkpoint on shared
+    storage, sink partitioned however downstream reads it. The
+    shuffle-partition scoping matches :func:`run_available_now`; the
+    state-store count follows it, so keep it consistent across
+    restarts of the same checkpoint.
+    """
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if stream_partitions:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(stream_partitions)
+        )
+    try:
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def interval_self_join(
     events: DataFrame,
     left_type: str = "view",
