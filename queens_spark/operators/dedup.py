@@ -1400,6 +1400,7 @@ def strip_common_lines(
     text_col: str,
     id_col: str,
     min_df: int = 3,
+    literal_max: int = MAX_COMMON_LINES,
 ) -> DataFrame:
     """CCNet-style line-level boilerplate removal: delete every line
     whose trimmed content appears in ≥ *min_df* DISTINCT documents
@@ -1418,12 +1419,22 @@ def strip_common_lines(
     projection: split, filter via array_contains against the literal,
     rejoin. Documents never shuffle, line order is trivially
     preserved, and the whole clean composes with any downstream
-    operator in the same stage. If the cap ever trips, raise min_df
-    (a set that size is not boilerplate) — the error says so.
+    operator in the same stage.
+
+    Above *literal_max* common lines the operator no longer refuses:
+    it switches to the LINE-GRANULARITY JOIN path — the common set
+    stays distributed, each document's removed-line hashes come back
+    as one narrow (doc, array<hash>) frame (rows only for lines
+    actually removed, 16 B each), and the clean filters against the
+    per-doc array instead of the global literal. The document text
+    crosses at most ONE join (AQE broadcasts the removed frame when
+    it fits); both paths are bit-identical (tested q61-style). The
+    literal path stays the default below the knee because its clean
+    is zero-shuffle and stage-fusable.
     """
     from queens_spark.operators.text import char_poly_hash, let_bound
 
-    lines_distinct = (
+    lines_distinct = _persist(
         ensure_min_partitions(df)
         .select(
             F.col(id_col).alias("__doc"),
@@ -1441,33 +1452,56 @@ def strip_common_lines(
         )
         .select("__doc", char_poly_hash(F.col("__line")).alias("__lh"))
     )
-    common_rows = (
+    common_df = (
         lines_distinct.groupBy("__lh")
         .agg(F.count(F.lit(1)).alias("__df"))
         .where(F.col("__df") >= F.lit(min_df))
         .select("__lh")
-        .limit(MAX_COMMON_LINES + 1)
-        .collect()
     )
-    if len(common_rows) > MAX_COMMON_LINES:
-        raise ValueError(
-            f"common-line set exceeds {MAX_COMMON_LINES} — min_df="
-            f"{min_df} is classifying content as boilerplate; raise it"
+    common_rows = common_df.limit(literal_max + 1).collect()
+    n_lines = F.size(F.split(F.col(text_col), "\n"))
+    if len(common_rows) <= literal_max:
+        lines_distinct.unpersist()
+        common = F.array(
+            *[F.lit(int(r["__lh"])).cast("bigint") for r in common_rows]
         )
-    common = F.array(
-        *[F.lit(int(r["__lh"])).cast("bigint") for r in common_rows]
+        kept = F.filter(
+            F.split(F.col(text_col), "\n"),
+            lambda x: let_bound(
+                F.trim(x),
+                lambda t: (t == "")
+                | ~F.array_contains(common, char_poly_hash(t)),
+            ),
+        )
+        return df.select(
+            F.col(id_col),
+            n_lines.alias("n_lines"),
+            (n_lines - F.size(kept)).alias("n_removed"),
+            F.array_join(kept, "\n").alias("clean_text"),
+        )
+    # join path: the probe already materialized lines_distinct's
+    # cache, so the inner join + per-doc regroup reuse ONE execution
+    removed = (
+        lines_distinct.join(common_df, "__lh")
+        .groupBy("__doc")
+        .agg(F.collect_list("__lh").alias("__rm"))
+    )
+    out = df.join(
+        removed, df[id_col] == removed["__doc"], "left"
+    )
+    rm = F.coalesce(
+        F.col("__rm"), F.expr("CAST(array() AS ARRAY<BIGINT>)")
     )
     kept = F.filter(
         F.split(F.col(text_col), "\n"),
         lambda x: let_bound(
             F.trim(x),
             lambda t: (t == "")
-            | ~F.array_contains(common, char_poly_hash(t)),
+            | ~F.array_contains(rm, char_poly_hash(t)),
         ),
     )
-    n_lines = F.size(F.split(F.col(text_col), "\n"))
-    return df.select(
-        F.col(id_col),
+    return out.select(
+        df[id_col],
         n_lines.alias("n_lines"),
         (n_lines - F.size(kept)).alias("n_removed"),
         F.array_join(kept, "\n").alias("clean_text"),

