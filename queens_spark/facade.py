@@ -110,11 +110,12 @@ class Engine:
     # ------------------------------------------------------------- read
 
     def compact(
-        self, collection: str, target_files: int = 1
+        self, collection: str, target_files: int = 1, which: str = "prod"
     ) -> dict[str, tuple[int, int]]:
-        """Maintenance pass: merge fragmented prod partition files
-        (see Warehouse.compact). Query results are unchanged."""
-        return self.warehouse.compact(collection, target_files)
+        """Maintenance pass: merge fragmented prod (or, with
+        ``which="raw"``, raw) partition files (see Warehouse.compact).
+        Query and staging results are unchanged."""
+        return self.warehouse.compact(collection, target_files, which)
 
     def query(
         self,

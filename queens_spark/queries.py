@@ -4482,3 +4482,43 @@ def q105_pq_refined_codes(spark, sf_dir):
     ]
     refined = pq_refine_codebooks(emb, "embedding", "vec_id", seeds)
     return pq_encode_int(emb, "embedding", "vec_id", refined)
+
+
+def _zorder3_oracle(bucket_shift: int) -> str:
+    from queens_spark.store.zorder import duckdb_zorder_key_n
+
+    z = duckdb_zorder_key_n(["l_partkey", "l_suppkey", "l_orderkey"])
+    return f"""
+    WITH z AS (SELECT {z} AS zkey FROM lineitem)
+    SELECT zkey >> {bucket_shift} AS z_bucket,
+           COUNT(*) AS n_rows,
+           MIN(zkey) AS z_min, MAX(zkey) AS z_max
+    FROM z GROUP BY z_bucket
+    """
+
+
+@register("q106_zorder3_key", _zorder3_oracle(45))
+def q106_zorder3_key(spark, sf_dir):
+    """THREE-column Z-order key over (l_partkey, l_suppkey,
+    l_orderkey), summarized per top-bits bucket — the n-column
+    generalization of q94 (store/zorder.py:zorder_key_n): per-column
+    bit budget 63//3 = 21, bit i of column j at position 3i+j, so
+    per-file bounding boxes stay tight on all THREE dimensions and a
+    selective 3-D predicate prunes files on any of them. Pure bit
+    arithmetic, identical in both engines."""
+    from queens_spark.store.zorder import zorder_key_n
+
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            zorder_key_n(
+                ["l_partkey", "l_suppkey", "l_orderkey"]
+            ).alias("zkey")
+        )
+        .groupBy(F.shiftright("zkey", 45).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zkey").alias("z_min"),
+            F.max("zkey").alias("z_max"),
+        )
+    )

@@ -453,14 +453,26 @@ class Warehouse:
         return tables
 
     def compact(
-        self, collection: str, target_files: int = 1
+        self, collection: str, target_files: int = 1,
+        which: str = "prod",
     ) -> dict[str, tuple[int, int]]:
-        """Small-file compaction of the prod snapshot: rewrite every
+        """Small-file compaction of the prod snapshot — or, with
+        ``which="raw"``, of the append-only RAW table: rewrite every
         ``table_name`` partition holding more than *target_files*
         parquet files down to *target_files*, leaving rows (including
-        the persisted ``row_uid``) byte-identical. Returns
+        the persisted ``row_uid`` on prod, and the ``ingest_id``
+        provenance column on raw) byte-identical. Returns
         {table_name: (files_before, files_after)} for the partitions
         actually rewritten.
+
+        Raw fragments faster than prod: every ingest appends one
+        file-set per touched partition (queens/core/read_write.py:
+        267-337 appends one SQLite batch; the parquet analog is one
+        part-file set), so a long-lived collection accumulates one
+        layer per ingest even though staging reads only the winners.
+        Compacting raw preserves version resolution exactly — winners
+        are chosen by the ingest_id COLUMN and the log, never by file
+        layout.
 
         Why it exists at 100 TB: incremental staging keeps re-staging
         O(changed data), but a long-lived warehouse accumulates file
@@ -479,13 +491,15 @@ class Warehouse:
         what's left."""
         if target_files < 1:
             raise ValueError(f"target_files must be ≥ 1, got {target_files}")
-        out = self.prod_path(collection)
+        if which not in ("prod", "raw"):
+            raise ValueError(f"which must be 'prod' or 'raw', got {which!r}")
+        out = getattr(self, f"{which}_path")(collection)
         tmp = out + "__compact_tmp"
         if os.path.isdir(tmp) and not os.path.isdir(out):
-            # prod root itself is gone: tmp may hold the only parked
-            # copies — refuse to clean it up
+            # the live root itself is gone: tmp may hold the only
+            # parked copies — refuse to clean it up
             raise StagingError(
-                f"'{collection}' prod root missing but {tmp} exists — "
+                f"'{collection}' {which} root missing but {tmp} exists — "
                 "restore manually before compacting"
             )
         if os.path.isdir(tmp):
@@ -503,7 +517,10 @@ class Warehouse:
             os.utime(out)
             self._invalidate_caches(collection)
         if not self._exists(out):
-            raise StagingError(f"'{collection}' is not staged")
+            raise StagingError(
+                f"'{collection}' is not staged" if which == "prod"
+                else f"'{collection}' has no raw data"
+            )
         report: dict[str, tuple[int, int]] = {}
         for t, entry in sorted(self._partition_dirs(out).items()):
             pdir = os.path.join(out, entry)

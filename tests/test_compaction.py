@@ -172,3 +172,67 @@ def test_compact_recovers_parked_partition_from_crashed_run(spark, engine):
     assert not os.path.isdir(tmp)
     assert sorted(map(tuple, wh.read_prod("dukes").collect())) == rows_before
     shutil  # noqa: B018 — imported for symmetry with other tests
+
+
+def test_compact_raw_reduces_files_preserves_provenance(spark, engine):
+    """Raw compaction: each ingest appends one file-set per partition;
+    compact(which='raw') merges them while keeping every row —
+    ingest_id provenance column included — byte-identical, and
+    staging still resolves the same winners afterwards."""
+    engine.ingest(spark.createDataFrame(_rows(60, "a")), "dukes", "1.1",
+                  ingest_ts=datetime(2024, 1, 1))
+    engine.ingest(spark.createDataFrame(_rows(60, "b")), "dukes", "1.1",
+                  ingest_ts=datetime(2024, 2, 1))
+    engine.ingest(spark.createDataFrame(_rows(20, "c")), "dukes", "1.2",
+                  ingest_ts=datetime(2024, 3, 1))
+    wh = engine.warehouse
+    raw = wh.raw_path("dukes")
+    dirs = wh._partition_dirs(raw)
+    n_before = len(_data_files(os.path.join(raw, dirs["1.1"])))
+    assert n_before >= 2, "two ingests must leave two file-sets"
+    rows_before = sorted(map(tuple, wh.read_raw("dukes").collect()))
+
+    report = wh.compact("dukes", which="raw")
+    assert "1.1" in report
+    n_b, n_a = report["1.1"]
+    assert n_b == n_before and n_a == 1
+    assert sorted(map(tuple, wh.read_raw("dukes").collect())) == rows_before
+    # ingest_id provenance intact per row
+    ids = {r["ingest_id"] for r in wh.read_raw("dukes").collect()}
+    assert ids == {1, 2, 3}
+    # staging after raw compaction resolves the same winners
+    engine.stage("dukes")
+    staged = engine.query("dukes", "1.1", {})
+    assert staged.count() == 60
+    assert all("b " in r["label"] for r in
+               staged.select("label").collect())
+
+
+def test_compact_raw_recovers_parked_partition_from_crashed_run(spark, engine):
+    """Same crash window as prod: a raw partition parked inside tmp by
+    a crashed run must be restored, never rmtree'd."""
+    engine.ingest(spark.createDataFrame(_rows(30, "a")), "dukes", "1.1",
+                  ingest_ts=datetime(2024, 1, 1))
+    wh = engine.warehouse
+    raw = wh.raw_path("dukes")
+    entry = wh._partition_dirs(raw)["1.1"]
+    rows_before = sorted(map(tuple, wh.read_raw("dukes").collect()))
+
+    tmp = raw + "__compact_tmp"
+    os.makedirs(tmp)
+    os.replace(os.path.join(raw, entry), os.path.join(tmp, entry + "__old"))
+    assert "1.1" not in wh._partition_dirs(raw)
+
+    wh.compact("dukes", which="raw")
+    assert "1.1" in wh._partition_dirs(raw)
+    assert not os.path.isdir(tmp)
+    assert sorted(map(tuple, wh.read_raw("dukes").collect())) == rows_before
+
+
+def test_compact_raw_guards(spark, engine):
+    with pytest.raises(ValueError, match="which"):
+        engine.warehouse.compact("dukes", which="bogus")
+    from queens_spark.core.errors import StagingError
+
+    with pytest.raises(StagingError, match="no raw data"):
+        engine.warehouse.compact("dukes", which="raw")

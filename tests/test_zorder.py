@@ -89,3 +89,65 @@ def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
 def test_zorder_rejects_overflow_bits():
     with pytest.raises(ValueError, match="overflow"):
         zorder_key("a", "b", bits=32)
+
+
+def test_zorder_key_n_matches_python_reference(spark):
+    from queens_spark.store.zorder import zorder_key_n
+
+    def py_morton_n(vals, bits):
+        n = len(vals)
+        cap = (1 << bits) - 1
+        vals = [min(max(v, 0), cap) for v in vals]
+        out = 0
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                out |= ((v >> i) & 1) << (n * i + j)
+        return out
+
+    rng = np.random.default_rng(7)
+    vals = [tuple(int(x) for x in t)
+            for t in rng.integers(0, 1 << 21, size=(100, 3))]
+    vals += [(0, 0, 0), ((1 << 21) - 1, 0, 5), (-9, 1 << 40, 3)]
+    df = spark.createDataFrame([Row(a=a, b=b, c=c) for a, b, c in vals])
+    got = {(r["a"], r["b"], r["c"]): r["z"] for r in
+           df.select("a", "b", "c",
+                     zorder_key_n(["a", "b", "c"]).alias("z")).collect()}
+    for t in vals:
+        assert got[t] == py_morton_n(list(t), 21)
+
+
+def test_zorder_key_n_guards():
+    from queens_spark.store.zorder import zorder_key_n
+
+    with pytest.raises(ValueError, match="overflow"):
+        zorder_key_n(["a", "b", "c"], bits=22)  # 66 > 63
+    with pytest.raises(ValueError, match=">= 2"):
+        zorder_key_n(["a"])
+
+
+def test_zorder3_layout_tightens_third_dimension(spark, tmp_path):
+    """16x16x16 grid, 16 files: the 3-col layout bounds z-extent per
+    file; the 2-col layout leaves the third dimension unbounded."""
+    from queens_spark.store.zorder import write_zordered_n
+
+    rows = [Row(x=x, y=y, w=w)
+            for x in range(16) for y in range(16) for w in range(16)]
+    df = spark.createDataFrame(rows)
+    p3 = str(tmp_path / "z3")
+    p2 = str(tmp_path / "z2")
+    write_zordered_n(df, p3, ["x", "y", "w"], n_files=16, bits=4)
+    write_zordered(df, p2, "x", "y", n_files=16, bits=4)
+
+    def mean_extent(path, col):
+        per = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg((F.max(col) - F.min(col) + 1).alias("e"))
+            .collect()
+        )
+        return sum(r["e"] for r in per) / len(per)
+
+    assert mean_extent(p3, "w") <= mean_extent(p2, "w") / 2
+    # x and y stay bounded too (not traded away entirely)
+    assert mean_extent(p3, "x") <= 8
+    assert mean_extent(p3, "y") <= 8
