@@ -45,10 +45,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     cp = sub.add_parser(
         "compact",
-        help="rewrite fragmented prod partitions into few large files",
+        help="rewrite fragmented prod (or raw) partitions into few "
+             "large files",
     )
     cp.add_argument("collection")
     cp.add_argument("--target-files", type=int, default=1)
+    cp.add_argument("--which", choices=["prod", "raw"], default="prod",
+                    help="compact the staged snapshot (default) or the "
+                         "append-only raw table")
 
     for name in ("metadata", "versions", "info"):
         s = sub.add_parser(name, help=f"show {name} for a collection")
@@ -156,7 +160,8 @@ def _run(args) -> int:
         staged = engine.stage(args.collection, as_of=args.as_of)
         print(json.dumps({"staged_tables": staged}))
     elif args.command == "compact":
-        report = engine.compact(args.collection, args.target_files)
+        report = engine.compact(args.collection, args.target_files,
+                                args.which)
         print(json.dumps({
             "compacted": {t: {"files_before": b, "files_after": a}
                           for t, (b, a) in report.items()}

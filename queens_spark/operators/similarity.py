@@ -1346,7 +1346,10 @@ def pq_refine_codebooks(
     so refined codebooks are bit-portable the way the encoder is; the
     sub-ulp bias vs a float mean is irrelevant to code assignment).
     Empty cells keep their seed centroid. Returns the refined integer
-    codebook (feed to :func:`pq_encode_int`); iterate by looping.
+    codebook (feed to :func:`pq_encode_int`); iterate via
+    :func:`pq_refine_codebooks_int`, which takes the refined INTEGER
+    codebook directly (round-tripping through floats would break
+    exactness).
 
     Scale shape: one encode pass (zero-shuffle) + one posexplode of
     the quantized vectors into (subspace, cell, dim) partial
@@ -1357,15 +1360,28 @@ def pq_refine_codebooks(
     """
     import math
 
-    import numpy as np
-    import pandas as pd
-
-    ksub = len(seed_vecs)
-    dim = len(seed_vecs[0])
-    dsub = dim // m
     cb0 = [
         [int(math.floor(float(x) * QUANT)) for x in v] for v in seed_vecs
     ]
+    return pq_refine_codebooks_int(df, vec_col, id_col, cb0, m)
+
+
+def pq_refine_codebooks_int(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cb0: list[list[int]],
+    m: int = PQ_M,
+) -> list[list[int]]:
+    """:func:`pq_refine_codebooks` against an ALREADY-QUANTIZED
+    integer codebook — the iteration entry point (each Lloyd round's
+    output is integer means that never existed as floats)."""
+    import numpy as np
+    import pandas as pd
+
+    ksub = len(cb0)
+    dim = len(cb0[0])
+    dsub = dim // m
     # Arrow-batched numpy kernel (the *_vectors twin convention):
     # assignment and the per-(cell, dim) partial sums happen inside
     # ONE pass over the corpus — each task emits m·ksub·dsub counter

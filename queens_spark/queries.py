@@ -4522,3 +4522,54 @@ def q106_zorder3_key(spark, sf_dir):
             F.max("zkey").alias("z_max"),
         )
     )
+
+
+def _batch_knn_oracle(n_queries: int, k: int) -> str:
+    from queens_spark.operators.similarity import duckdb_int_dot, duckdb_quantize
+
+    qv = duckdb_quantize("embedding")
+    cos = (
+        f"CAST({duckdb_int_dot('v.q', 'q.qq')} AS DOUBLE)"
+        f" / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(q.qn2 AS DOUBLE)))"
+    )
+    return f"""
+    WITH n AS (
+      SELECT vec_id, q, {duckdb_int_dot('q', 'q')} AS n2
+      FROM (SELECT vec_id, {qv} AS q FROM embeddings)
+    ), qs AS (
+      SELECT vec_id AS qid, q AS qq, n2 AS qn2 FROM n WHERE vec_id < {n_queries}
+    )
+    SELECT qid AS query_id, vec_id, cosine FROM (
+      SELECT q.qid, v.vec_id, {cos} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY {cos} DESC, v.vec_id ASC) AS rk
+      FROM n v, qs q
+    ) WHERE rk <= {k}
+    """
+
+
+@register("q107_batch_exact_knn", _batch_knn_oracle(5, 5))
+def q107_batch_exact_knn(spark, sf_dir):
+    """Batch EXACT kNN: top-5 by quantized cosine for a 5-query block
+    in ONE plan — the offline evaluation / hard-negative-mining shape
+    (similarity.batch_topk_cosine): the query block broadcasts, the
+    corpus streams through one Arrow-batched pass keeping per-query
+    ≥kth-score pools (ties never dropped), and only ~k·|queries|
+    candidates per partition reach the exact-order rank window. The
+    corpus never shuffles (plan-gated in tests/test_plans.py); the
+    naive form — crossJoin + |queries|-task window — is the
+    scale-killer this operator exists to avoid. Same floor(x·1000)
+    bigint codes and IEEE cosine as the twin: bit-identical."""
+    from queens_spark.operators.similarity import batch_topk_cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    return batch_topk_cosine(
+        emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        emb,
+        vec_col="embedding",
+        id_col="vec_id",
+        query_id_col="query_id",
+        k=5,
+    )

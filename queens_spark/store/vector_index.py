@@ -332,17 +332,18 @@ def _refine_int(
     m: int,
     iters: int,
 ) -> list[list[int]]:
-    """Iterated Lloyd rounds staying integer-exact: the first round
-    uses :func:`pq_refine_codebooks` on the float seeds (it quantizes
-    them identically to the encoder); later rounds would need an
-    integer-codebook refinement entry point — one round is the q105
-    contract, so >1 is refused rather than silently approximated."""
-    if iters != 1:
-        raise ValueError(
-            "refine_iters > 1 needs an integer-codebook refinement "
-            "pass; only 1 round (the q105 contract) is supported"
-        )
-    return pq_refine_codebooks(df, vec_col, id_col, seed_vecs, m)
+    """Iterated Lloyd rounds staying integer-exact end-to-end: round 1
+    quantizes the float seeds exactly as the encoder would
+    (:func:`pq_refine_codebooks`); every later round feeds the
+    refined INTEGER codebook straight back through
+    :func:`pq_refine_codebooks_int` — it never round-trips through
+    floats, so the stored codebook is bit-portable at any depth."""
+    from queens_spark.operators.similarity import pq_refine_codebooks_int
+
+    cb = pq_refine_codebooks(df, vec_col, id_col, seed_vecs, m)
+    for _ in range(int(iters) - 1):
+        cb = pq_refine_codebooks_int(df, vec_col, id_col, cb, m)
+    return cb
 
 
 def load_vector_index(

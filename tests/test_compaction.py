@@ -236,3 +236,22 @@ def test_compact_raw_guards(spark, engine):
 
     with pytest.raises(StagingError, match="no raw data"):
         engine.warehouse.compact("dukes", which="raw")
+
+
+def test_compact_cli_raw_surface(spark, engine, capsys):
+    import json as _json
+
+    from queens_spark import cli
+
+    engine.ingest(spark.createDataFrame(_rows(30, "a")), "dukes", "1.1",
+                  ingest_ts=datetime(2024, 1, 1))
+    engine.ingest(spark.createDataFrame(_rows(30, "b")), "dukes", "1.1",
+                  ingest_ts=datetime(2024, 2, 1))
+    rc = cli.main([
+        "--warehouse", engine.warehouse.root, "compact", "dukes",
+        "--which", "raw",
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted"]["1.1"]["files_after"] == 1
+    assert out["compacted"]["1.1"]["files_before"] >= 2

@@ -203,3 +203,26 @@ def test_engine_vector_index_roundtrip(spark, emb, tmp_path):
     qvec = [float(x) for x in
             emb.where(F.col("vec_id") == 1).collect()[0]["embedding"]]
     assert idx.adc_topk(qvec, k=3).count() == 3
+
+
+def test_build_with_refined_codebook_multi_iter(spark, emb, tmp_path):
+    """refine_iters > 1: the stored codebook is the N-round integer
+    Lloyd refinement, and the stored codes are pq_encode_int of it."""
+    from queens_spark.operators.similarity import (
+        pq_encode_int,
+        pq_refine_codebooks,
+        pq_refine_codebooks_int,
+    )
+
+    idir = str(tmp_path / "vidx")
+    idx = build_vector_index(emb, "embedding", "vec_id", "e", idir,
+                             refine_iters=2)
+    seeds = [r["embedding"] for r in
+             emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()]
+    cb1 = pq_refine_codebooks(emb, "embedding", "vec_id", seeds)
+    cb2 = pq_refine_codebooks_int(emb, "embedding", "vec_id", cb1)
+    assert idx.codebook == cb2
+    stored = {r["vec_id"]: r["pq_code"] for r in idx.pq_codes().collect()}
+    inline = {r["vec_id"]: r["pq_code"] for r in
+              pq_encode_int(emb, "embedding", "vec_id", cb2).collect()}
+    assert stored == inline

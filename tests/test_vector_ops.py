@@ -406,3 +406,49 @@ def test_batch_topk_cosine_empty_query_block(spark):
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == [
         "query_id", "vec_id", "cosine"]
+
+
+def test_pq_refine_int_entry_point_matches_and_iterates(spark):
+    """pq_refine_codebooks_int(quantized seeds) must equal
+    pq_refine_codebooks(float seeds) — same kernel, integer entry —
+    and a second iteration must not increase distortion (multi-round
+    training for the stored index, vector_index._refine_int)."""
+    import math
+
+    import numpy as np
+
+    from queens_spark.operators.similarity import (
+        QUANT,
+        pq_refine_codebooks,
+        pq_refine_codebooks_int,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = [r["embedding"] for r in
+             emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()]
+    cb_float = pq_refine_codebooks(emb, "embedding", "vec_id", seeds)
+    cb_q = [[int(math.floor(float(x) * QUANT)) for x in v] for v in seeds]
+    cb_int = pq_refine_codebooks_int(emb, "embedding", "vec_id", cb_q)
+    assert cb_float == cb_int
+
+    cb2 = pq_refine_codebooks_int(emb, "embedding", "vec_id", cb_int)
+
+    mat = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    qmat = np.floor(mat * QUANT).astype(np.int64)
+
+    def distortion(cb):
+        cbm = np.array(cb, dtype=np.int64)
+        m, dim = 8, qmat.shape[1]
+        dsub = dim // m
+        total = 0
+        for s in range(m):
+            lo, hi = s * dsub, (s + 1) * dsub
+            d = ((qmat[:, None, lo:hi] - cbm[None, :, lo:hi]) ** 2).sum(
+                axis=2)
+            total += int(d.min(axis=1).sum())
+        return total
+
+    assert distortion(cb2) <= distortion(cb_int)
