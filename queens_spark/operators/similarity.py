@@ -1115,15 +1115,19 @@ def pq_encode_int(
     id_col: str,
     cb: list[list[int]],
     m: int = PQ_M,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """:func:`pq_encode` against an ALREADY-QUANTIZED integer codebook
     (×:data:`QUANT` fixed-point) — the entry point for refined
     codebooks (:func:`pq_refine_codebooks`), whose centroids are
-    integer means and never existed as floats."""
+    integer means and never existed as floats. *extra_cols* ride the
+    projection unchanged (metadata co-located with the codes, for
+    filtered search over a stored index)."""
     from queens_spark.operators.text import let_bound
 
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (extra_cols or [])],
         let_bound(quantize(vec_col), _pq_packed_expr(cb, m)).alias(
             "pq_code"
         ),

@@ -49,7 +49,9 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def _embeddings_index(spark: SparkSession, sf_dir: str):
+def _embeddings_index(
+    spark: SparkSession, sf_dir: str, centroid_ids: list[int] | None = None
+):
     """Stored ANN index for the sf_dir's embeddings table — the
     deployment shape of retrieval (store/vector_index.py): the FIRST
     run per corpus pays the encode and persists PQ codes + codebook +
@@ -80,6 +82,13 @@ def _embeddings_index(spark: SparkSession, sf_dir: str):
         index_dir,
         fingerprint=source_fingerprint(src),
         n_seeds=16,
+        # label rides the codes/assignment artifacts so filtered
+        # searches (q109) push their predicate into the index scan
+        meta_cols=["label"],
+        # With cells requested (q108/q109), an index built without
+        # IVF upgrades in place; callers that omit them (q103) keep
+        # serving the upgraded index unchanged.
+        **({"centroid_ids": centroid_ids} if centroid_ids else {}),
     )
 
 
@@ -4572,4 +4581,188 @@ def q107_batch_exact_knn(spark, sf_dir):
         id_col="vec_id",
         query_id_col="query_id",
         k=5,
+    )
+
+
+def _ivfpq_oracle(query_id: int, n_probe: int, k: int) -> str:
+    from queens_spark.operators.similarity import (
+        duckdb_int_dot,
+        duckdb_pq_codes_cte,
+    )
+
+    dsub = 8
+    cosc = (
+        f"CAST({duckdb_int_dot('cq', 'qq')} AS DOUBLE)"
+        f" / (sqrt(CAST(cn2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))"
+    )
+    cosa = (
+        f"CAST({duckdb_int_dot('v.q', 'c.cq')} AS DOUBLE)"
+        f" / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))"
+    )
+    return (
+        "WITH "
+        + duckdb_pq_codes_cte("embeddings", "embedding", "vec_id", 16)
+        + f""",
+    pqlut AS (
+      SELECT s.s, sd.cid,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, {dsub} + 1),
+            i -> (qv.q[s.s * {dsub} + i] - sd.q[s.s * {dsub} + i])
+               * (qv.q[s.s * {dsub} + i] - sd.q[s.s * {dsub} + i]))),
+          (acc, x) -> acc + x) AS d
+      FROM (SELECT q FROM pqv WHERE vid = {query_id}) qv,
+           range(0, 8) s(s), pqseeds sd
+    ),
+    nrm AS (
+      SELECT vid, q, {duckdb_int_dot('q', 'q')} AS n2 FROM pqv
+    ),
+    cents AS (
+      SELECT vid AS centroid_id, q AS cq, n2 AS cn2
+      FROM nrm WHERE vid % 200 = 0
+    ),
+    qn AS (SELECT q AS qq, n2 AS qn2 FROM nrm WHERE vid = {query_id}),
+    probe AS (
+      SELECT centroid_id FROM cents, qn
+      ORDER BY {cosc} DESC, centroid_id ASC
+      LIMIT {n_probe}
+    ),
+    scored AS (
+      SELECT v.vid, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vid
+               ORDER BY {cosa} DESC, c.centroid_id ASC) AS rk
+      FROM nrm v, cents c
+    ),
+    assigned AS (SELECT vid, centroid_id FROM scored WHERE rk = 1)
+    SELECT c.vid AS vec_id, CAST(sum(l.d) AS BIGINT) AS adist
+    FROM pqcodes c
+    JOIN pqlut l ON l.s = c.s AND l.cid = c.cid
+    JOIN assigned a ON a.vid = c.vid
+    WHERE a.centroid_id IN (SELECT centroid_id FROM probe)
+    GROUP BY c.vid
+    ORDER BY adist ASC, vec_id ASC LIMIT {k}"""
+    )
+
+
+@register("q108_ivfpq_search", _ivfpq_oracle(42, 2, 10))
+def q108_ivfpq_search(spark, sf_dir):
+    """FAISS-style IVF-PQ search served from the STORED index
+    (store/vector_index.py): the assignment artifact co-locates each
+    vector's packed PQ code inside its cell's disk partition, so the
+    whole search is ONE partition-pruned scan — read only the
+    n_probe=2 probed cells' directories (PartitionFilters), ADC-score
+    their 4-byte codes against the manifest-codebook LUT, TakeOrdered
+    10. No joins, no shuffles, no encode stage; the fraction of the
+    corpus read is n_probe/n_cells of 4 B/vector, the layout that
+    keeps a 100 TB corpus searchable from parquet alone. Coarse
+    quantizer: cells at vec_id % 200 == 0, probe and assignment both
+    exact quantized cosine with (cosine DESC, cell ASC) tie-break —
+    bit-identical to the twin."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 42)
+        .select("embedding")
+        .collect()[0]["embedding"]
+    ]
+    cent_ids = [
+        r[0]
+        for r in emb.where(F.col("vec_id") % 200 == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    idx = _embeddings_index(spark, sf_dir, centroid_ids=cent_ids)
+    return idx.ivfpq_topk(qvec, n_probe=2, k=10)
+
+
+def _filtered_ivfpq_oracle(
+    query_id: int, n_probe: int, k: int, label: int
+) -> str:
+    from queens_spark.operators.similarity import (
+        duckdb_int_dot,
+        duckdb_pq_codes_cte,
+    )
+
+    dsub = 8
+    cosc = (
+        f"CAST({duckdb_int_dot('cq', 'qq')} AS DOUBLE)"
+        f" / (sqrt(CAST(cn2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))"
+    )
+    cosa = (
+        f"CAST({duckdb_int_dot('v.q', 'c.cq')} AS DOUBLE)"
+        f" / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))"
+    )
+    return (
+        "WITH "
+        + duckdb_pq_codes_cte("embeddings", "embedding", "vec_id", 16)
+        + f""",
+    pqlut AS (
+      SELECT s.s, sd.cid,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, {dsub} + 1),
+            i -> (qv.q[s.s * {dsub} + i] - sd.q[s.s * {dsub} + i])
+               * (qv.q[s.s * {dsub} + i] - sd.q[s.s * {dsub} + i]))),
+          (acc, x) -> acc + x) AS d
+      FROM (SELECT q FROM pqv WHERE vid = {query_id}) qv,
+           range(0, 8) s(s), pqseeds sd
+    ),
+    nrm AS (
+      SELECT vid, q, {duckdb_int_dot('q', 'q')} AS n2 FROM pqv
+    ),
+    cents AS (
+      SELECT vid AS centroid_id, q AS cq, n2 AS cn2
+      FROM nrm WHERE vid % 200 = 0
+    ),
+    qn AS (SELECT q AS qq, n2 AS qn2 FROM nrm WHERE vid = {query_id}),
+    probe AS (
+      SELECT centroid_id FROM cents, qn
+      ORDER BY {cosc} DESC, centroid_id ASC
+      LIMIT {n_probe}
+    ),
+    scored AS (
+      SELECT v.vid, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vid
+               ORDER BY {cosa} DESC, c.centroid_id ASC) AS rk
+      FROM nrm v, cents c
+    ),
+    assigned AS (SELECT vid, centroid_id FROM scored WHERE rk = 1)
+    SELECT c.vid AS vec_id, CAST(sum(l.d) AS BIGINT) AS adist
+    FROM pqcodes c
+    JOIN pqlut l ON l.s = c.s AND l.cid = c.cid
+    JOIN assigned a ON a.vid = c.vid
+    JOIN embeddings e ON e.vec_id = c.vid
+    WHERE a.centroid_id IN (SELECT centroid_id FROM probe)
+      AND e.label = {label}
+    GROUP BY c.vid
+    ORDER BY adist ASC, vec_id ASC LIMIT {k}"""
+    )
+
+
+@register("q109_filtered_ann_search", _filtered_ivfpq_oracle(42, 2, 10, 3))
+def q109_filtered_ann_search(spark, sf_dir):
+    """FILTERED vector search from the stored index: q108's IVF-PQ
+    probe with a metadata predicate (label = 3) PUSHED INTO the index
+    scan — the build co-located the label column with the packed
+    codes in each cell's disk partition (meta_cols), so the filter is
+    a parquet pushdown on the same one pruned scan, not a join and
+    not a post-filter of an unfiltered top-k (which silently starves
+    k when the filter is selective). This pre-filtering shape is what
+    production vector stores do for metadata-constrained retrieval;
+    at 100 TB it reads n_probe/n_cells of 4 B/vector and row-group
+    skips the rest."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 42)
+        .select("embedding")
+        .collect()[0]["embedding"]
+    ]
+    cent_ids = [
+        r[0]
+        for r in emb.where(F.col("vec_id") % 200 == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    idx = _embeddings_index(spark, sf_dir, centroid_ids=cent_ids)
+    return idx.ivfpq_topk(
+        qvec, n_probe=2, k=10, predicate=F.col("label") == 3
     )

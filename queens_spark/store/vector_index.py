@@ -142,13 +142,38 @@ class VectorIndex:
 
     # ------------------------------------------------------- searches
 
-    def adc_topk(self, query_vec: list[float], k: int = 10) -> DataFrame:
+    def _filtered(self, df: DataFrame, predicate) -> DataFrame:
+        """Apply a metadata *predicate* (Column or SQL string) to an
+        index artifact scan. The index must have been built with
+        ``meta_cols`` carrying the referenced columns — the predicate
+        then PUSHES DOWN into the codes scan (parquet row-group skip),
+        the filtered-vector-search shape: restrict first, rank the
+        survivors, k never starves the way post-filtering a top-k
+        does."""
+        if predicate is None:
+            return df
+        if not self.entry.get("meta_cols"):
+            raise ValueError(
+                f"index {self.name!r} was built without meta_cols; "
+                "rebuild with meta_cols=[...] to filter searches"
+            )
+        return df.where(
+            F.expr(predicate) if isinstance(predicate, str) else predicate
+        )
+
+    def adc_topk(
+        self, query_vec: list[float], k: int = 10, predicate=None
+    ) -> DataFrame:
         """PQ/ADC top-k over the STORED packed codes: the LUT comes
         from the manifest codebook (driver-side ints), the scan reads
         4 B/vector, TakeOrdered keeps the codes frame shuffle-free —
-        and no encode stage exists anywhere in the plan."""
+        and no encode stage exists anywhere in the plan. *predicate*
+        (over ``meta_cols``) restricts candidates scan-side."""
         lut = pq_adc_lut_int(query_vec, self.codebook, self.m)
-        return pq_adc_topk(self.pq_codes(), self.id_col, lut, k=k)
+        return pq_adc_topk(
+            self._filtered(self.pq_codes(), predicate),
+            self.id_col, lut, k=k,
+        )
 
     def two_stage_search(
         self,
@@ -184,15 +209,14 @@ class VectorIndex:
             .limit(k)
         )
 
-    def ivf_candidate_ids(
+    def probe_cells(
         self, query_vec: list[float], n_probe: int = 2
-    ) -> DataFrame:
-        """Ids in the *n_probe* cells nearest the query (stored
-        coarse quantizer): centroid scoring is a driver-scale pass
-        over the stored centroid frame; the assignment scan's
-        ``centroid_id IN (...)`` predicate is a PARTITION filter (the
-        assignment is partitioned by centroid_id on disk), so only
-        the probed cells' files are read."""
+    ) -> list[int]:
+        """Ids of the *n_probe* cells nearest the query (stored coarse
+        quantizer) — centroid scoring is a driver-scale pass over the
+        stored centroid frame, same exact quantized-cosine arithmetic
+        and (cosine DESC, centroid_id ASC) tie-break as
+        :func:`~queens_spark.operators.similarity.ivf_assign`."""
         import math
 
         cents = self.centroids().collect()
@@ -206,10 +230,53 @@ class VectorIndex:
         ranked = sorted(
             cents, key=lambda r: (-cos(r), int(r["centroid_id"]))
         )[: int(n_probe)]
-        probe = [int(r["centroid_id"]) for r in ranked]
+        return [int(r["centroid_id"]) for r in ranked]
+
+    def ivf_candidate_ids(
+        self, query_vec: list[float], n_probe: int = 2
+    ) -> DataFrame:
+        """Ids in the *n_probe* probed cells: the assignment scan's
+        ``centroid_id IN (...)`` predicate is a PARTITION filter (the
+        assignment is partitioned by centroid_id on disk), so only
+        the probed cells' files are read."""
+        probe = self.probe_cells(query_vec, n_probe)
         return self.ivf_assignment().where(
             F.col("centroid_id").isin(probe)
         ).select(self.id_col)
+
+    def ivfpq_topk(
+        self,
+        query_vec: list[float],
+        n_probe: int = 2,
+        k: int = 10,
+        predicate=None,
+    ) -> DataFrame:
+        """FAISS-style IVF-PQ search over the STORED layout: the
+        assignment artifact carries each vector's packed PQ code
+        co-located in its cell's disk partition, so a probe is ONE
+        pruned scan — read only the n_probe probed cells' directories
+        (partition filter), ADC-score their 4-byte codes against the
+        manifest-codebook LUT, TakeOrdered k. No joins, no shuffles,
+        no encode stage, and the fraction of the corpus read is
+        n_probe/n_cells of 4 B/vector — the scan shape that keeps a
+        100 TB corpus searchable in sub-second from parquet alone."""
+        entry_codes = self.ivf_assignment()
+        if "pq_code" not in entry_codes.columns:
+            raise ValueError(
+                f"index {self.name!r} predates the IVF-PQ layout "
+                "(no pq_code in the assignment artifact); rebuild"
+            )
+        probe = self.probe_cells(query_vec, n_probe)
+        lut = pq_adc_lut_int(query_vec, self.codebook, self.m)
+        return pq_adc_topk(
+            self._filtered(
+                entry_codes.where(F.col("centroid_id").isin(probe)),
+                predicate,
+            ),
+            self.id_col,
+            lut,
+            k=k,
+        )
 
 
 def build_vector_index(
@@ -224,6 +291,7 @@ def build_vector_index(
     refine_iters: int = 0,
     centroid_ids: list[int] | None = None,
     fingerprint: str | None = None,
+    meta_cols: list[str] | None = None,
 ) -> VectorIndex:
     """ONE corpus pass per artifact, then the manifest flip.
 
@@ -236,6 +304,9 @@ def build_vector_index(
     too, the assignment disk-partitioned by cell for probe-time
     partition pruning. *fingerprint* (see :func:`source_fingerprint`)
     records what was indexed, for staleness detection at load.
+    *meta_cols* co-locates the named metadata columns with the codes
+    (and, via the build join, with the cell-partitioned assignment),
+    so searches can take a scan-side ``predicate``.
     """
     entries = _read_manifest(index_dir)
     version = int(entries.get(name, {}).get("version", 0)) + 1
@@ -263,9 +334,9 @@ def build_vector_index(
         ]
 
     codes_path = os.path.join(vdir, "pq_codes")
-    pq_encode_int(df, vec_col, id_col, cb, m).write.mode(
-        "overwrite"
-    ).parquet(codes_path)
+    pq_encode_int(
+        df, vec_col, id_col, cb, m, extra_cols=meta_cols
+    ).write.mode("overwrite").parquet(codes_path)
 
     int8_path = os.path.join(vdir, "int8_codes")
     df.select(
@@ -292,9 +363,17 @@ def build_vector_index(
             .parquet(cent_path)
         )
         ivf_path = os.path.join(vdir, "ivf_assign")
+        # The assignment carries each vector's packed PQ code
+        # CO-LOCATED in its cell's disk partition (the FAISS IVFPQ
+        # layout): an ivfpq_topk probe is then one partition-pruned
+        # scan of 4 B/vector — no id join back to the codes artifact.
+        # Build-time id join only; read from the already-written codes
+        # parquet so the encode pass runs once.
+        codes = df.sparkSession.read.parquet(codes_path)
         (
             ivf_assign(df, vec_col, id_col, [int(c) for c in centroid_ids])
             .select(F.col(id_col), F.col("centroid_id"))
+            .join(codes, id_col)
             .write.mode("overwrite")
             .partitionBy("centroid_id")
             .parquet(ivf_path)
@@ -311,6 +390,7 @@ def build_vector_index(
         "ivf_assign_path": ivf_path,
         "centroids_path": cent_path,
         "centroid_ids": [int(c) for c in centroid_ids] if centroid_ids else None,
+        "meta_cols": list(meta_cols) if meta_cols else None,
         "fingerprint": fingerprint,
     }
     entries[name] = entry
@@ -388,12 +468,32 @@ def build_or_load_vector_index(
     """The ingest-hook composition: serve the stored index when its
     fingerprint still matches the source, rebuild otherwise. This is
     what a catalog query calls — first run pays the encode, every
-    later session gets pure index reads."""
+    later session gets pure index reads.
+
+    A stored index also rebuilds when the caller asks for MORE than it
+    was built with: requesting ``centroid_ids`` against an index built
+    without IVF (or with different cells), or a different ``m``,
+    upgrades it in place (version bump + manifest flip). Omitting a
+    build kwarg means "whatever is stored is fine" — an IVF-capable
+    index keeps serving callers that never probe."""
     try:
-        return load_vector_index(
+        idx = load_vector_index(
             df.sparkSession, index_dir, name,
             expected_fingerprint=fingerprint,
         )
+        want_cells = build_kwargs.get("centroid_ids")
+        if want_cells is not None and [int(c) for c in want_cells] != (
+            idx.entry.get("centroid_ids") or []
+        ):
+            raise ValueError("stored index lacks the requested IVF cells")
+        if "m" in build_kwargs and int(build_kwargs["m"]) != idx.m:
+            raise ValueError("stored index has a different PQ m")
+        want_meta = build_kwargs.get("meta_cols")
+        if want_meta is not None and not set(want_meta) <= set(
+            idx.entry.get("meta_cols") or []
+        ):
+            raise ValueError("stored index lacks the requested meta_cols")
+        return idx
     except (KeyError, ValueError):
         return build_vector_index(
             df, vec_col, id_col, name, index_dir,

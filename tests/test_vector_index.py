@@ -166,6 +166,142 @@ def test_ivf_artifacts_partition_pruned_probe(spark, emb, tmp_path):
                if (v, c) in assigned)
 
 
+def test_ivfpq_topk_one_pruned_scan(spark, emb, tmp_path):
+    """IVF-PQ layout: the assignment artifact co-locates each vector's
+    packed PQ code in its cell's disk partition, so ivfpq_topk is ONE
+    partition-pruned scan — no join, no shuffle, no encode stage —
+    and its results equal ADC over exactly the probed cells' members
+    of the pq_codes artifact."""
+    from queens_spark.operators.similarity import pq_adc_lut_int, pq_adc_topk
+
+    idir = str(tmp_path / "vidx")
+    cent_ids = [r[0] for r in
+                emb.where(F.col("vec_id") % 200 == 0)
+                .select("vec_id").collect()]
+    build_vector_index(emb, "embedding", "vec_id", "e", idir,
+                       centroid_ids=cent_ids)
+    idx = load_vector_index(spark, idir, "e")  # fresh handle
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]]
+
+    out = idx.ivfpq_topk(qvec, n_probe=2, k=5)
+    plan = plan_of(out)
+    assert "PartitionFilters" in plan
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "embeddings.parquet" not in plan  # codes only, 4 B/vector
+
+    # co-location invariant: the assignment's pq_code IS the codes
+    # artifact's code for every id
+    assign = {r["vec_id"]: r["pq_code"]
+              for r in idx.ivf_assignment().collect()}
+    codes = {r["vec_id"]: r["pq_code"] for r in idx.pq_codes().collect()}
+    assert assign == codes
+
+    probe = idx.probe_cells(qvec, n_probe=2)
+    assert len(probe) == 2
+    members = idx.ivf_assignment().where(
+        F.col("centroid_id").isin(probe)).select("vec_id", "pq_code")
+    expected = pq_adc_topk(
+        members, "vec_id",
+        pq_adc_lut_int(qvec, idx.codebook, idx.m), k=5).collect()
+    assert [(r["vec_id"], r["adist"]) for r in out.collect()] == \
+           [(r["vec_id"], r["adist"]) for r in expected]
+
+
+def test_filtered_search_pushes_predicate_into_index_scan(
+    spark, emb, tmp_path
+):
+    """meta_cols co-locates metadata with the codes; a search
+    predicate becomes a parquet PushedFilter on the (pruned) index
+    scan — still no join/shuffle — and results equal filtering the
+    candidates first, never post-filtering an unfiltered top-k."""
+    from queens_spark.operators.similarity import pq_adc_lut_int, pq_adc_topk
+
+    idir = str(tmp_path / "vidx")
+    cent_ids = [r[0] for r in
+                emb.where(F.col("vec_id") % 200 == 0)
+                .select("vec_id").collect()]
+    build_vector_index(emb, "embedding", "vec_id", "e", idir,
+                       centroid_ids=cent_ids, meta_cols=["label"])
+    idx = load_vector_index(spark, idir, "e")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]]
+
+    out = idx.ivfpq_topk(qvec, n_probe=2, k=5,
+                         predicate=F.col("label") == 3)
+    plan = plan_of(out)
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "PartitionFilters" in plan
+    assert "PushedFilters" in plan and "label" in plan.split(
+        "PushedFilters", 1)[1].split("]", 1)[0]
+
+    probe = idx.probe_cells(qvec, n_probe=2)
+    members = (idx.ivf_assignment()
+               .where(F.col("centroid_id").isin(probe))
+               .where(F.col("label") == 3))
+    expected = pq_adc_topk(
+        members, "vec_id",
+        pq_adc_lut_int(qvec, idx.codebook, idx.m), k=5).collect()
+    assert [(r["vec_id"], r["adist"]) for r in out.collect()] == \
+           [(r["vec_id"], r["adist"]) for r in expected]
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    assert all(labels[r["vec_id"]] == 3 for r in expected)
+
+    # adc_topk takes the same predicate (unprobed, full codes scan)
+    full = idx.adc_topk(qvec, k=5, predicate="label = 3").collect()
+    assert all(labels[r["vec_id"]] == 3 for r in full)
+
+
+def test_predicate_without_meta_cols_raises(spark, emb, tmp_path):
+    idir = str(tmp_path / "vidx")
+    build_vector_index(emb, "embedding", "vec_id", "e", idir)
+    idx = load_vector_index(spark, idir, "e")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    with pytest.raises(ValueError, match="meta_cols"):
+        idx.adc_topk(qvec, k=5, predicate="label = 3")
+
+
+def test_build_or_load_upgrades_to_ivf_then_serves_both(spark, emb, tmp_path):
+    """Requesting IVF cells against an index built without them
+    rebuilds in place (version bump); afterwards a caller that omits
+    centroid_ids keeps loading the upgraded index without another
+    rebuild."""
+    idir = str(tmp_path / "vidx")
+    plain = build_or_load_vector_index(
+        emb, "embedding", "vec_id", "e", idir, fingerprint="f1")
+    assert plain.entry["version"] == 1
+    assert plain.entry.get("ivf_assign_path") is None
+
+    cent_ids = [r[0] for r in
+                emb.where(F.col("vec_id") % 200 == 0)
+                .select("vec_id").collect()]
+    ivf = build_or_load_vector_index(
+        emb, "embedding", "vec_id", "e", idir, fingerprint="f1",
+        centroid_ids=cent_ids)
+    assert ivf.entry["version"] == 2
+    assert ivf.entry["ivf_assign_path"]
+
+    again = build_or_load_vector_index(
+        emb, "embedding", "vec_id", "e", idir, fingerprint="f1")
+    assert again.entry["version"] == 2  # no downgrade rebuild
+    same = build_or_load_vector_index(
+        emb, "embedding", "vec_id", "e", idir, fingerprint="f1",
+        centroid_ids=cent_ids)
+    assert same.entry["version"] == 2  # matching cells: pure load
+
+    # requesting metadata the stored index lacks upgrades again;
+    # afterwards both meta and no-meta callers serve v3
+    meta = build_or_load_vector_index(
+        emb, "embedding", "vec_id", "e", idir, fingerprint="f1",
+        centroid_ids=cent_ids, meta_cols=["label"])
+    assert meta.entry["version"] == 3
+    assert meta.entry["meta_cols"] == ["label"]
+    assert build_or_load_vector_index(
+        emb, "embedding", "vec_id", "e", idir, fingerprint="f1",
+    ).entry["version"] == 3
+
+
 def test_int8_codes_match_inline_quantizer(spark, emb, tmp_path):
     from queens_spark.operators.similarity import int8_quantize
 
