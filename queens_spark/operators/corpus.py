@@ -167,3 +167,79 @@ def lm_doc_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.expr("sum(p_e6) div count(1)").alias("avg_p_e6"),
         )
     )
+
+
+#: Fixed-point scale for BM25 scores (1e5: headroom for the int64
+#: envelope below at the same time as 5 decimal digits of score).
+BM25_SCALE = 100_000
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    scale: int = BM25_SCALE,
+) -> DataFrame:
+    """Okapi BM25 top-*k* lexical retrieval (k1=1.2, b=0.75) in EXACT
+    integer arithmetic — the keyword side of a production RAG /
+    curation retrieval stack, bit-identical across engines.
+
+    With k1=6/5 and b=3/4 every BM25 quantity is rational; over
+    integers tf, df, dl (doc length), N (docs) and T (total tokens,
+    so avgdl = T/N exactly) the per-term score is
+
+        scale * (2N-2df+1) * 44*tf*T
+        ------------------------------------------  (floored)
+        (2df+1) * (20*tf*T + 6*T + 18*dl*N)
+
+    where (2N-2df+1)/(2df+1) is the RATIONAL idf (N-df+0.5)/(df+0.5)
+    — kept unlogged because ln() is not bit-portable (the same rule
+    as tfidf_topk); it is monotone in df so rare terms still dominate
+    — and 44·tf·T/(20·tf·T+6·T+18·dl·N) is tf·(k1+1)/(tf +
+    k1·(1-b+b·dl/avgdl)) over the common denominator 20T. Per-term
+    floors sum per document (commutative: order-independent at any
+    parallelism).
+
+    Scale shape: ONE wordcount shuffle (term_frequencies); doc
+    lengths derive from the tf frame (exchange reuse, no second
+    tokenize pass); the df aggregation runs on the query-term subset
+    only (counter-width, broadcast back); docs without any query term
+    never leave the map side. TakeOrdered finishes — the corpus never
+    sorts. A guard raises BEFORE any join if the int64 envelope
+    scale·(2N+1)·44·maxdl·T ≥ 2^63 would overflow (rescale down, or
+    shard the corpus and merge per-shard top-k)."""
+    from queens_spark.operators.dedup import _persist
+
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    tf = _persist(term_frequencies(df, text_col, id_col))
+    dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("t"),
+        F.max("dl").alias("maxdl"),
+    ).collect()[0]
+    n_docs, total, maxdl = int(stats["n"]), int(stats["t"]), int(stats["maxdl"])
+    if scale * (2 * n_docs + 1) * 44 * maxdl * total >= 2**63:
+        raise ValueError(
+            f"bm25 int64 envelope exceeded (N={n_docs}, T={total}, "
+            f"maxdl={maxdl}, scale={scale}); lower scale or shard"
+        )
+    qtf = tf.where(F.col("token").isin(terms))
+    dfc = qtf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    num = f"{scale} * (2*{n_docs} - 2*df_docs + 1) * 44 * tf * {total}"
+    den = f"(2*df_docs + 1) * (20*tf*{total} + 6*{total} + 18*dl*{n_docs})"
+    return (
+        qtf.join(F.broadcast(dfc), "token")
+        .join(dl, "doc")
+        .groupBy("doc")
+        .agg(
+            F.expr(f"sum(({num}) div ({den}))").alias("bm25_e5"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .orderBy(F.desc("bm25_e5"), F.asc("doc"))
+        .limit(k)
+    )

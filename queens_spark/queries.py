@@ -4766,3 +4766,54 @@ def q109_filtered_ann_search(spark, sf_dir):
     return idx.ivfpq_topk(
         qvec, n_probe=2, k=10, predicate=F.col("label") == 3
     )
+
+
+def _bm25_oracle(terms: list[str], k: int) -> str:
+    from queens_spark.operators.corpus import BM25_SCALE
+
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+    WITH tf AS (
+      SELECT doc_id AS doc, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY doc_id, token
+    ), dl AS (
+      SELECT doc, sum(tf) AS dl FROM tf GROUP BY doc
+    ), nt AS (
+      SELECT count(*) AS n, sum(dl) AS t FROM dl
+    ), qtf AS (
+      SELECT * FROM tf WHERE token IN ({tl})
+    ), dfc AS (
+      SELECT token, count(*) AS df_docs FROM qtf GROUP BY token
+    )
+    SELECT q.doc AS doc,
+           CAST(sum(
+             ({BM25_SCALE} * (2*nt.n - 2*dfc.df_docs + 1) * 44 * q.tf * nt.t)
+             // ((2*dfc.df_docs + 1)
+                 * (20*q.tf*nt.t + 6*nt.t + 18*dl.dl*nt.n))
+           ) AS BIGINT) AS bm25_e5,
+           count(*) AS n_terms
+    FROM qtf q
+    JOIN dfc ON dfc.token = q.token
+    JOIN dl ON dl.doc = q.doc, nt
+    GROUP BY q.doc
+    ORDER BY bm25_e5 DESC, q.doc ASC LIMIT {k}"""
+
+
+@register("q110_bm25_retrieval", _bm25_oracle(["dup", "spark", "merge"], 10))
+def q110_bm25_retrieval(spark, sf_dir):
+    """Okapi BM25 top-10 for the query {dup, spark, merge} — the
+    keyword side of hybrid retrieval (q77 fused ranks; this is the
+    principled lexical scorer underneath). Exact integer BM25 with
+    k1=6/5, b=3/4 and RATIONAL idf (2N-2df+1)/(2df+1) — unlogged
+    because ln() is not bit-portable, monotone in df so the rare term
+    ('dup', df≈5%) dominates the common ones. One wordcount shuffle;
+    doc lengths reuse the tf frame; the df aggregation and score join
+    touch only query-term rows; TakeOrdered finishes
+    (operators/corpus.py:bm25_topk)."""
+    from queens_spark.operators.corpus import bm25_topk
+
+    return bm25_topk(
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        ["dup", "spark", "merge"], k=10,
+    )

@@ -63,3 +63,41 @@ def test_lm_doc_scores_skip_bigramless_docs(corpus):
     from queens_spark.operators.dedup import release_caches
 
     release_caches()
+
+
+def test_bm25_rare_term_dominates_and_hand_check(spark):
+    """A doc matching the rare term outranks one matching only common
+    terms, and one score is reproduced by hand from the integer
+    formula."""
+    from pyspark.sql import Row
+
+    from queens_spark.operators.corpus import bm25_topk
+
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="rare alpha beta"),
+        Row(doc_id=1, text="common common alpha"),
+        Row(doc_id=2, text="common beta beta"),
+        Row(doc_id=3, text="gamma gamma gamma"),
+    ])
+    got = bm25_topk(df, "text", "doc_id", ["rare", "common"], k=4,
+                    scale=100_000).collect()
+    rows = {r["doc"]: (r["bm25_e5"], r["n_terms"]) for r in got}
+    assert 3 not in rows                      # no query term: absent
+    assert got[0]["doc"] == 0                 # rare-term doc wins
+    # hand check doc 0: N=4, T=12, dl=3, term 'rare' tf=1 df=1
+    n, t, tf, dfd, dl = 4, 12, 1, 1, 3
+    num = 100_000 * (2 * n - 2 * dfd + 1) * 44 * tf * t
+    den = (2 * dfd + 1) * (20 * tf * t + 6 * t + 18 * dl * n)
+    assert rows[0] == (num // den, 1)
+
+
+def test_bm25_guards(spark):
+    from pyspark.sql import Row
+
+    from queens_spark.operators.corpus import bm25_topk
+
+    df = spark.createDataFrame([Row(doc_id=0, text="a b")])
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(df, "text", "doc_id", [])
+    with pytest.raises(ValueError, match="envelope"):
+        bm25_topk(df, "text", "doc_id", ["a"], scale=2**62)
