@@ -97,6 +97,17 @@ class Engine:
             df, vec_col, id_col, name, self._vector_index_dir(), **kw
         )
 
+    def append_vector_index(self, df_new: DataFrame, name: str, **kw):
+        """Incremental refresh: encode ONLY *df_new* with the stored
+        codebook/quantizers and add it as a new segment of the named
+        index — O(new-data) per ingest, bit-identical to a full
+        rebuild on the grown corpus."""
+        from queens_spark.store.vector_index import append_vector_index
+
+        return append_vector_index(
+            df_new, name, self._vector_index_dir(), **kw
+        )
+
     def vector_index(self, name: str, expected_fingerprint: str | None = None):
         """Load a previously built ANN index from the warehouse
         manifest — no corpus touch, no encode stage in search plans."""

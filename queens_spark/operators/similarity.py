@@ -648,16 +648,29 @@ def ivf_search(
 
 
 def ivf_assign(
-    df: DataFrame, vec_col: str, id_col: str, centroid_ids: list[int]
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroid_ids: list[int] | None = None,
+    centroids_df: DataFrame | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (by exact cosine
     against the broadcast centroid set). The centroid id becomes the
-    partition key for IVF search."""
-    cents = (
-        df.where(F.col(id_col).isin(centroid_ids))
-        .select(F.col(id_col).alias("centroid_id"), quantize(vec_col).alias("cq"))
-        .withColumn("cn2", int_norm2(F.col("cq")))
-    )
+    partition key for IVF search. Centroids come from *df* rows with
+    ids in *centroid_ids*, or from an explicit *centroids_df*
+    (centroid_id, cq, cn2) — the stored-coarse-quantizer path, where
+    a new ingest batch must be assigned against the INDEX's centroids
+    even though it contains none of them."""
+    if centroids_df is not None:
+        cents = centroids_df.select("centroid_id", "cq", "cn2")
+    elif centroid_ids is not None:
+        cents = (
+            df.where(F.col(id_col).isin(centroid_ids))
+            .select(F.col(id_col).alias("centroid_id"), quantize(vec_col).alias("cq"))
+            .withColumn("cn2", int_norm2(F.col("cq")))
+        )
+    else:
+        raise ValueError("need centroid_ids or centroids_df")
     v = df.select(
         F.col(id_col), quantize(vec_col).alias("q")
     ).withColumn("n2", int_norm2(F.col("q")))

@@ -60,6 +60,12 @@ from queens_spark.operators.similarity import (
 MANIFEST_NAME = "vector_index_manifest.json"
 
 
+def _paths(entry_val) -> list[str]:
+    """Artifact path entries are a single dir (initial build) or a
+    list of segment dirs (after appends); normalize to a list."""
+    return list(entry_val) if isinstance(entry_val, list) else [entry_val]
+
+
 def _manifest_path(index_dir: str) -> str:
     return os.path.join(index_dir, MANIFEST_NAME)
 
@@ -125,15 +131,26 @@ class VectorIndex:
     # ------------------------------------------------------ artifacts
 
     def pq_codes(self) -> DataFrame:
-        return self.spark.read.parquet(self.entry["pq_codes_path"])
+        return self.spark.read.parquet(*_paths(self.entry["pq_codes_path"]))
 
     def int8_codes(self) -> DataFrame:
-        return self.spark.read.parquet(self.entry["int8_codes_path"])
+        return self.spark.read.parquet(*_paths(self.entry["int8_codes_path"]))
 
     def ivf_assignment(self) -> DataFrame:
         if not self.entry.get("ivf_assign_path"):
             raise ValueError(f"index {self.name!r} was built without IVF")
-        return self.spark.read.parquet(self.entry["ivf_assign_path"])
+        # each segment is its own centroid_id-partitioned root, so
+        # segments read separately (multi-root partition discovery
+        # conflicts) and union — a cell predicate partition-prunes
+        # inside EVERY segment scan, and union adds no exchange
+        dfs = [
+            self.spark.read.parquet(p)
+            for p in _paths(self.entry["ivf_assign_path"])
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def centroids(self) -> DataFrame:
         if not self.entry.get("centroids_path"):
@@ -424,6 +441,86 @@ def _refine_int(
     for _ in range(int(iters) - 1):
         cb = pq_refine_codebooks_int(df, vec_col, id_col, cb, m)
     return cb
+
+
+def append_vector_index(
+    df_new: DataFrame,
+    name: str,
+    index_dir: str,
+    fingerprint: str | None = None,
+) -> VectorIndex:
+    """O(new-data) index refresh: encode ONLY *df_new*'s vectors with
+    the STORED codebook / quantizers and add them as a new SEGMENT of
+    each artifact — the ingest-time shape of a production index
+    (codebook trained once; every append is one pass over the batch,
+    never the corpus), mirroring the warehouse's incremental staging
+    (O(changed-data), store/warehouse.py).
+
+    Bit-equivalence: the stored integer codebook and centroids are
+    what a full rebuild over (old ∪ new) would derive when seeds come
+    from the original corpus, so appended codes are IDENTICAL to that
+    rebuild's — searches cannot tell the difference (tested).
+
+    Crash safety: segment dirs are written first, the manifest flips
+    LAST (same convention as the build); a crash mid-append leaves
+    unlisted orphan dirs that no reader ever sees. *fingerprint*
+    replaces the stored one (the post-append source state). The
+    caller owns id novelty — appending an already-indexed id would
+    surface it twice, exactly like double-ingesting a row.
+    """
+    from queens_spark.operators.similarity import ivf_assign
+
+    entries = _read_manifest(index_dir)
+    if name not in entries:
+        raise KeyError(
+            f"no vector index {name!r} in {index_dir}; build first"
+        )
+    entry = dict(entries[name])
+    vec_col, id_col = entry["vec_col"], entry["id_col"]
+    meta = entry.get("meta_cols")
+    cb = [[int(x) for x in row] for row in entry["codebook"]]
+    vdir = os.path.join(index_dir, name, f"v{entry['version']}")
+    seg = len(_paths(entry["pq_codes_path"]))
+
+    codes_path = os.path.join(vdir, f"pq_codes_seg{seg}")
+    pq_encode_int(
+        df_new, vec_col, id_col, cb, int(entry["m"]), extra_cols=meta
+    ).write.mode("overwrite").parquet(codes_path)
+
+    int8_path = os.path.join(vdir, f"int8_codes_seg{seg}")
+    df_new.select(
+        F.col(id_col), int8_quantize(vec_col).alias("z")
+    ).select(
+        F.col(id_col),
+        F.col("z.amax").alias("amax"),
+        F.col("z.q").alias("q"),
+    ).write.mode("overwrite").parquet(int8_path)
+
+    entry["pq_codes_path"] = _paths(entry["pq_codes_path"]) + [codes_path]
+    entry["int8_codes_path"] = _paths(entry["int8_codes_path"]) + [int8_path]
+
+    if entry.get("ivf_assign_path"):
+        spark = df_new.sparkSession
+        cents = spark.read.parquet(entry["centroids_path"])
+        ivf_path = os.path.join(vdir, f"ivf_assign_seg{seg}")
+        codes = spark.read.parquet(codes_path)
+        (
+            ivf_assign(df_new, vec_col, id_col, centroids_df=cents)
+            .select(F.col(id_col), F.col("centroid_id"))
+            .join(codes, id_col)
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(ivf_path)
+        )
+        entry["ivf_assign_path"] = _paths(entry["ivf_assign_path"]) + [
+            ivf_path
+        ]
+
+    if fingerprint is not None:
+        entry["fingerprint"] = fingerprint
+    entries[name] = entry
+    _write_manifest(index_dir, entries)
+    return VectorIndex(df_new.sparkSession, name, entry)
 
 
 def load_vector_index(

@@ -362,3 +362,91 @@ def test_build_with_refined_codebook_multi_iter(spark, emb, tmp_path):
     inline = {r["vec_id"]: r["pq_code"] for r in
               pq_encode_int(emb, "embedding", "vec_id", cb2).collect()}
     assert stored == inline
+
+
+def test_append_segment_equals_full_rebuild(spark, emb, tmp_path):
+    """Incremental refresh: build on half the corpus, append the rest
+    as a segment — every artifact and search is BIT-IDENTICAL to one
+    full build (the stored codebook/centroids are shared, so appended
+    codes equal the rebuild's), and the appended fingerprint loads
+    while the old one is stale."""
+    from queens_spark.store.vector_index import append_vector_index
+
+    old = emb.where(F.col("vec_id") < 250)
+    new = emb.where(F.col("vec_id") >= 250)
+    # the coarse quantizer is fixed at build time, so for the
+    # bit-equivalence contract the full rebuild must use the SAME
+    # cells — pick centroids present in the first batch
+    cent_ids = [r[0] for r in
+                old.where(F.col("vec_id") % 100 == 0)
+                .select("vec_id").collect()]
+
+    idir_inc = str(tmp_path / "inc")
+    build_vector_index(old, "embedding", "vec_id", "e", idir_inc,
+                       centroid_ids=cent_ids, meta_cols=["label"],
+                       fingerprint="half")
+    appended = append_vector_index(new, "e", idir_inc, fingerprint="full")
+
+    idir_full = str(tmp_path / "full")
+    full = build_vector_index(emb, "embedding", "vec_id", "e", idir_full,
+                              centroid_ids=cent_ids, meta_cols=["label"],
+                              fingerprint="full")
+
+    def codes(idx):
+        return {r["vec_id"]: r["pq_code"] for r in idx.pq_codes().collect()}
+
+    def assign(idx):
+        return {r["vec_id"]: (r["centroid_id"], r["pq_code"], r["label"])
+                for r in idx.ivf_assignment().collect()}
+
+    assert codes(appended) == codes(full)
+    assert assign(appended) == assign(full)
+
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 300).collect()[0]["embedding"]]
+    for kw in ({}, {"predicate": "label = 3"}):
+        a = appended.ivfpq_topk(qvec, n_probe=2, k=5, **kw).collect()
+        b = full.ivfpq_topk(qvec, n_probe=2, k=5, **kw).collect()
+        assert [(r["vec_id"], r["adist"]) for r in a] == \
+               [(r["vec_id"], r["adist"]) for r in b]
+    a = appended.adc_topk(qvec, k=5).collect()
+    b = full.adc_topk(qvec, k=5).collect()
+    assert [(r["vec_id"], r["adist"]) for r in a] == \
+           [(r["vec_id"], r["adist"]) for r in b]
+
+    # reloads see the appended fingerprint; the pre-append one is stale
+    assert load_vector_index(spark, idir_inc, "e",
+                             expected_fingerprint="full")
+    with pytest.raises(ValueError, match="stale"):
+        load_vector_index(spark, idir_inc, "e",
+                          expected_fingerprint="half")
+
+
+def test_unlisted_orphan_segments_invisible(spark, emb, tmp_path):
+    """A crash mid-append leaves segment dirs the manifest never
+    listed; readers see only listed segments."""
+    import os
+
+    from queens_spark.store.vector_index import _paths
+
+    idir = str(tmp_path / "vidx")
+    half = emb.where(F.col("vec_id") < 250)
+    idx = build_vector_index(half, "embedding", "vec_id", "e", idir)
+    n_before = idx.pq_codes().count()
+    # simulate the crash: a fully-written but never-flipped segment
+    orphan = emb.where(F.col("vec_id") >= 250)
+    from queens_spark.operators.similarity import pq_encode_int
+
+    vdir = os.path.dirname(_paths(idx.entry["pq_codes_path"])[0])
+    pq_encode_int(orphan, "embedding", "vec_id", idx.codebook,
+                  idx.m).write.parquet(
+        os.path.join(vdir, "pq_codes_seg1"))
+    reloaded = load_vector_index(spark, idir, "e")
+    assert reloaded.pq_codes().count() == n_before
+
+
+def test_append_to_missing_index_raises(spark, emb, tmp_path):
+    from queens_spark.store.vector_index import append_vector_index
+
+    with pytest.raises(KeyError, match="build first"):
+        append_vector_index(emb, "nope", str(tmp_path / "empty"))
