@@ -4817,3 +4817,144 @@ def q110_bm25_retrieval(spark, sf_dir):
         load(spark, sf_dir, "documents"), "text", "doc_id",
         ["dup", "spark", "merge"], k=10,
     )
+
+
+def _hybrid_bm25_ann_oracle(query_id: int, pool: int, k: int, rrf_k: int) -> str:
+    from queens_spark.operators.corpus import BM25_SCALE
+    from queens_spark.operators.similarity import duckdb_pq_codes_cte
+
+    dsub = 8
+    return (
+        "WITH "
+        + duckdb_pq_codes_cte("embeddings", "embedding", "vec_id", 16)
+        + f""",
+    pqlut AS (
+      SELECT s.s, sd.cid,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, {dsub} + 1),
+            i -> (qv.q[s.s * {dsub} + i] - sd.q[s.s * {dsub} + i])
+               * (qv.q[s.s * {dsub} + i] - sd.q[s.s * {dsub} + i]))),
+          (acc, x) -> acc + x) AS d
+      FROM (SELECT q FROM pqv WHERE vid = {query_id}) qv,
+           range(0, 8) s(s), pqseeds sd
+    ),
+    adc AS (
+      SELECT c.vid AS doc_id, CAST(sum(l.d) AS BIGINT) AS adist
+      FROM pqcodes c JOIN pqlut l ON l.s = c.s AND l.cid = c.cid
+      WHERE c.vid <> {query_id}
+      GROUP BY c.vid
+    ),
+    adr AS (
+      SELECT doc_id, CAST(row_number() OVER (
+        ORDER BY adist ASC, doc_id) AS BIGINT) AS adc_rank
+      FROM (SELECT * FROM adc ORDER BY adist ASC, doc_id LIMIT {pool})
+    ),
+    tf AS (
+      SELECT doc_id AS doc, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    dl AS (SELECT doc, sum(tf) AS dl FROM tf GROUP BY doc),
+    nt AS (SELECT count(*) AS n, sum(dl) AS t FROM dl),
+    qterms AS (SELECT DISTINCT token FROM tf WHERE doc = {query_id}),
+    qtf AS (SELECT * FROM tf WHERE token IN (SELECT token FROM qterms)),
+    dfc AS (SELECT token, count(*) AS df_docs FROM qtf GROUP BY token),
+    bm AS (
+      SELECT q.doc AS doc_id,
+             CAST(sum(
+               ({BM25_SCALE} * (2*nt.n - 2*dfc.df_docs + 1) * 44 * q.tf * nt.t)
+               // ((2*dfc.df_docs + 1)
+                   * (20*q.tf*nt.t + 6*nt.t + 18*dl.dl*nt.n))
+             ) AS BIGINT) AS bm25_e5
+      FROM qtf q
+      JOIN dfc ON dfc.token = q.token
+      JOIN dl ON dl.doc = q.doc, nt
+      WHERE q.doc <> {query_id}
+      GROUP BY q.doc
+    ),
+    bmr AS (
+      SELECT doc_id, CAST(row_number() OVER (
+        ORDER BY bm25_e5 DESC, doc_id) AS BIGINT) AS bm25_rank
+      FROM (SELECT * FROM bm ORDER BY bm25_e5 DESC, doc_id LIMIT {pool})
+    )
+    SELECT coalesce(bmr.doc_id, adr.doc_id) AS doc_id,
+           coalesce(1000000000000 // ({rrf_k} + bm25_rank), 0)
+             + coalesce(1000000000000 // ({rrf_k} + adc_rank), 0) AS rrf_e12,
+           bm25_rank, adc_rank
+    FROM bmr FULL OUTER JOIN adr ON bmr.doc_id = adr.doc_id
+    ORDER BY rrf_e12 DESC, doc_id LIMIT {k}"""
+    )
+
+
+@register(
+    "q111_hybrid_bm25_ann", _hybrid_bm25_ann_oracle(42, 50, 10, 60)
+)
+def q111_hybrid_bm25_ann(spark, sf_dir):
+    """The production hybrid-retrieval stack end-to-end: an exact
+    integer BM25 pool (q110's scorer, query = doc 42's distinct
+    tokens) and a STORED-INDEX ADC pool (q103's stage 1 — 4-byte
+    codes, no encode stage) fused with scaled-integer reciprocal-rank
+    fusion (q77's Σ ⌊1e12/(60+rank)⌋ — exact and summation-order-
+    free). The query document is excluded from both pools. Both pools
+    are TakeOrdered heads; ranks are windows over ≤50-row pools; the
+    fusion join touches ≤ 2·pool rows — nothing corpus-sized
+    shuffles, and at 100 TB the vector side reads the stored codes
+    only."""
+    from queens_spark.operators.corpus import bm25_topk
+    from queens_spark.operators.text import tokens as _tok
+
+    pool, k, rrf_k, qid = 50, 10, 60, 42
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    terms = sorted(
+        {
+            t
+            for t in docs.where(F.col("doc_id") == qid)
+            .select(F.explode(_tok("text")).alias("t"))
+            .distinct()
+            .toPandas()["t"]
+        }
+    )
+    bm = (
+        bm25_topk(docs, "text", "doc_id", terms, k=pool + 1)
+        .where(F.col("doc") != qid)
+        .select(F.col("doc").alias("doc_id"), "bm25_e5")
+    )
+    w = Window.orderBy(F.desc("bm25_e5"), F.asc("doc_id"))
+    bmr = (
+        bm.withColumn("bm25_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("bm25_rank") <= pool)
+        .select("doc_id", "bm25_rank")
+    )
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == qid)
+        .select("embedding")
+        .collect()[0]["embedding"]
+    ]
+    idx = _embeddings_index(spark, sf_dir)
+    ad = (
+        idx.adc_topk(qvec, k=pool + 1)
+        .where(F.col("vec_id") != qid)
+        .select(F.col("vec_id").alias("doc_id"), "adist")
+    )
+    w2 = Window.orderBy(F.asc("adist"), F.asc("doc_id"))
+    adr = (
+        ad.withColumn("adc_rank", F.row_number().over(w2).cast("bigint"))
+        .where(F.col("adc_rank") <= pool)
+        .select("doc_id", "adc_rank")
+    )
+    fused = bmr.join(adr, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(
+                F.expr(f"1000000000000 div ({rrf_k} + bm25_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000000000 div ({rrf_k} + adc_rank)"), F.lit(0)
+            )
+        ).alias("rrf_e12"),
+        "bm25_rank",
+        "adc_rank",
+    )
+    return fused.orderBy(F.desc("rrf_e12"), F.asc("doc_id")).limit(k)
