@@ -1452,3 +1452,94 @@ def pq_refine_codebooks_int(
     for r in rows:
         refined[r["cid"]][r["dim"]] = int(r["el"])
     return refined
+
+
+def batch_adc_topk(
+    codes_df: DataFrame,
+    id_col: str,
+    qids: list[int],
+    luts: list[list[list[int]]],
+    k: int = 10,
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """TABLE-driven PQ/ADC top-k over STORED packed codes: the batch
+    sibling of :func:`pq_adc_topk`, scoring every query of a block in
+    ONE pass over the codes artifact — the throughput-retrieval shape
+    (offline eval, hard-negative mining) where per-query plans would
+    scan the codes |queries| times.
+
+    Plan shape for 100 TB: the per-query ADC LUTs (|Q|·m·ksub int64 —
+    driver-scale) broadcast; one Arrow-batched ``mapInPandas`` pass
+    streams the CODES (4 B/vector — the corpus itself is never
+    touched, never shuffled): each batch decodes the packed bigint
+    into m nibbles with two vectorized shifts, gathers per-query
+    distances by LUT fancy-indexing, and keeps a per-query running
+    pool of the rows tied-or-better than the k-th best (ties never
+    dropped). Only ≤ ~k·|Q| candidates per partition reach the final
+    window, which settles exact (adist ASC, id ASC) order on one
+    query-keyed exchange. Distances are exact int64 sums of LUT
+    entries — bit-identical to :func:`pq_adc_topk` and the SQL twin.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if len(qids) != len(luts) or not qids:
+        raise ValueError("qids and luts must align and be non-empty")
+    m = len(luts[0])
+    b_qids = np.array(qids, dtype=np.int64)
+    b_luts = np.array(luts, dtype=np.int64)  # Q × m × ksub
+    bc = codes_df.sparkSession.sparkContext.broadcast((b_qids, b_luts))
+    out_schema = f"query_id bigint, {id_col} bigint, adist bigint"
+    srange = np.arange(m)
+
+    def run(batches):
+        p_qids, p_luts = bc.value
+        nq = len(p_qids)
+        pools: list[tuple | None] = [None] * nq
+
+        def trim(ids_, dists_):
+            if len(dists_) <= k:
+                return ids_, dists_
+            kth = np.partition(dists_, k - 1)[k - 1]
+            keep = dists_ <= kth  # keep distance-ties: exactness first
+            return ids_[keep], dists_[keep]
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = pdf[code_col].to_numpy(dtype=np.int64)
+            nibs = (codes[:, None] >> (4 * srange[None, :])) & 15  # B×m
+            for qi in range(nq):
+                d = p_luts[qi][srange[None, :], nibs].sum(axis=1)
+                if pools[qi] is None:
+                    pools[qi] = trim(ids, d)
+                else:
+                    pid, pd_ = pools[qi]
+                    pools[qi] = trim(
+                        np.concatenate([pid, ids]),
+                        np.concatenate([pd_, d]),
+                    )
+        chunks = []
+        for qi, pool in enumerate(pools):
+            if pool is None:
+                continue
+            pid, pd_ = pool
+            chunks.append(pd.DataFrame({
+                "query_id": np.full(len(pid), p_qids[qi], dtype=np.int64),
+                id_col: pid, "adist": pd_,
+            }))
+        if chunks:
+            yield pd.concat(chunks, ignore_index=True)
+
+    cands = codes_df.select(id_col, code_col).mapInPandas(run, out_schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc(id_col)
+    )
+    return (
+        cands.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -4958,3 +4958,56 @@ def q111_hybrid_bm25_ann(spark, sf_dir):
         "adc_rank",
     )
     return fused.orderBy(F.desc("rrf_e12"), F.asc("doc_id")).limit(k)
+
+
+def _batch_adc_oracle(n_queries: int, k: int) -> str:
+    from queens_spark.operators.similarity import duckdb_pq_codes_cte
+
+    dsub = 8
+    return (
+        "WITH "
+        + duckdb_pq_codes_cte("embeddings", "embedding", "vec_id", 16)
+        + f""",
+    pqlut AS (
+      SELECT qv.vid AS qid, s.s, sd.cid,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, {dsub} + 1),
+            i -> (qv.q[s.s * {dsub} + i] - sd.q[s.s * {dsub} + i])
+               * (qv.q[s.s * {dsub} + i] - sd.q[s.s * {dsub} + i]))),
+          (acc, x) -> acc + x) AS d
+      FROM (SELECT vid, q FROM pqv WHERE vid < {n_queries}) qv,
+           range(0, 8) s(s), pqseeds sd
+    ),
+    adc AS (
+      SELECT l.qid, c.vid, CAST(sum(l.d) AS BIGINT) AS adist
+      FROM pqcodes c JOIN pqlut l ON l.s = c.s AND l.cid = c.cid
+      GROUP BY l.qid, c.vid
+    )
+    SELECT qid AS query_id, vid AS vec_id, adist FROM (
+      SELECT qid, vid, adist,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY adist ASC, vid ASC) AS rk
+      FROM adc
+    ) WHERE rk <= {k}"""
+    )
+
+
+@register("q112_batch_adc_search", _batch_adc_oracle(5, 5))
+def q112_batch_adc_search(spark, sf_dir):
+    """Batch ADC retrieval from the STORED index: a 5-query block
+    scored in ONE Arrow-batched pass over the persisted 4-byte codes
+    (per-query LUTs from the manifest codebook broadcast; vectorized
+    nibble decode + LUT gather; per-partition pools keep rows
+    tied-or-better than the k-th). No encode stage, the codes never
+    shuffle, and only ~k·|queries| candidates per partition reach the
+    one query-keyed exchange — the per-query-plan alternative scans
+    the codes |queries| times (store/vector_index.py:batch_adc_topk).
+    Distances are exact int64 LUT sums: bit-identical to the twin."""
+    emb = load(spark, sf_dir, "embeddings")
+    idx = _embeddings_index(spark, sf_dir)
+    return idx.batch_adc_topk(
+        emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=5,
+    )

@@ -226,6 +226,47 @@ class VectorIndex:
             .limit(k)
         )
 
+    def batch_adc_topk(
+        self,
+        queries_df: DataFrame,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "embedding",
+        k: int = 10,
+        predicate=None,
+    ) -> DataFrame:
+        """TABLE-driven ADC retrieval over the stored codes: one pass
+        of the 4-byte codes artifact scores the whole query block
+        (per-query LUTs from the manifest codebook broadcast;
+        per-partition running pools; the codes never shuffle — see
+        :func:`~queens_spark.operators.similarity.batch_adc_topk`).
+        The throughput shape of offline eval / hard-negative mining
+        against a deployed index."""
+        from queens_spark.operators.similarity import (
+            MAX_BATCH_QUERIES,
+            batch_adc_topk,
+        )
+
+        rows = queries_df.select(
+            F.col(query_id_col).alias("qid"),
+            F.col(query_vec_col).alias("v"),
+        ).limit(MAX_BATCH_QUERIES + 1).collect()
+        if len(rows) > MAX_BATCH_QUERIES:
+            raise ValueError(
+                f"query table exceeds the broadcast cap "
+                f"({MAX_BATCH_QUERIES}); shard the query table"
+            )
+        qids = [int(r["qid"]) for r in rows]
+        luts = [
+            pq_adc_lut_int(
+                [float(x) for x in r["v"]], self.codebook, self.m
+            )
+            for r in rows
+        ]
+        return batch_adc_topk(
+            self._filtered(self.pq_codes(), predicate),
+            self.id_col, qids, luts, k=k,
+        )
+
     def probe_cells(
         self, query_vec: list[float], n_probe: int = 2
     ) -> list[int]:

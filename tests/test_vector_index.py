@@ -450,3 +450,35 @@ def test_append_to_missing_index_raises(spark, emb, tmp_path):
 
     with pytest.raises(KeyError, match="build first"):
         append_vector_index(emb, "nope", str(tmp_path / "empty"))
+
+
+def test_batch_adc_matches_per_query_and_single_exchange(
+    spark, emb, tmp_path
+):
+    """Batch ADC over the stored codes equals per-query pq_adc_topk
+    bit-for-bit, and the plan has exactly ONE exchange — on the
+    query key, after the pools — with no encode stage and no corpus
+    touch."""
+    idir = str(tmp_path / "vidx")
+    build_vector_index(emb, "embedding", "vec_id", "e", idir)
+    idx = load_vector_index(spark, idir, "e")
+
+    qdf = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = idx.batch_adc_topk(qdf, k=4)
+    plan = plan_of(out)
+    # tree section: one Exchange node, above the MapInPandas pools
+    tree = [ln for ln in plan.splitlines() if "+-" in ln or "Scan" in ln]
+    assert len([ln for ln in tree if "Exchange" in ln]) == 1
+    assert "MapInPandas" in plan
+    assert "hashpartitioning(query_id" in plan
+    assert "embeddings.parquet" not in plan
+
+    got = {(r["query_id"], r["vec_id"], r["adist"])
+           for r in out.collect()}
+    expected = set()
+    for r in emb.where(F.col("vec_id") < 3).collect():
+        per = idx.adc_topk([float(x) for x in r["embedding"]], k=4)
+        expected |= {(r["vec_id"], e["vec_id"], e["adist"])
+                     for e in per.collect()}
+    assert got == expected
