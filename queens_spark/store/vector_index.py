@@ -564,6 +564,71 @@ def append_vector_index(
     return VectorIndex(df_new.sparkSession, name, entry)
 
 
+def compact_vector_index(
+    spark: SparkSession, index_dir: str, name: str
+) -> VectorIndex:
+    """Merge a many-segment index (long append history) back into one
+    artifact set — the maintenance pass completing the lifecycle the
+    way :meth:`Warehouse.compact` does for fragmented tables. Pure
+    rewrite of the STORED artifacts (no re-encode, no corpus touch):
+    a new version dir gets the unioned codes / assignment / centroids,
+    the manifest flips to single-path entries, superseded versions GC
+    after the flip. Content is byte-for-byte the same rows, so every
+    search is unchanged (tested)."""
+    entries = _read_manifest(index_dir)
+    if name not in entries:
+        raise KeyError(
+            f"no vector index {name!r} in {index_dir}; build first"
+        )
+    entry = dict(entries[name])
+    if all(
+        len(_paths(entry[key])) == 1
+        for key in ("pq_codes_path", "int8_codes_path")
+        if entry.get(key)
+    ) and (
+        not entry.get("ivf_assign_path")
+        or len(_paths(entry["ivf_assign_path"])) == 1
+    ):
+        return VectorIndex(spark, name, entry)  # nothing to merge
+
+    version = int(entry["version"]) + 1
+    vdir = os.path.join(index_dir, name, f"v{version}")
+    idx = VectorIndex(spark, name, entry)
+
+    codes_path = os.path.join(vdir, "pq_codes")
+    idx.pq_codes().write.mode("overwrite").parquet(codes_path)
+    int8_path = os.path.join(vdir, "int8_codes")
+    idx.int8_codes().write.mode("overwrite").parquet(int8_path)
+    entry["pq_codes_path"] = codes_path
+    entry["int8_codes_path"] = int8_path
+    if entry.get("ivf_assign_path"):
+        cent_path = os.path.join(vdir, "centroids")
+        idx.centroids().write.mode("overwrite").parquet(cent_path)
+        ivf_path = os.path.join(vdir, "ivf_assign")
+        # centroid_id comes back as a string partition column
+        # (type-inference is off session-wide); restore the written
+        # bigint layout
+        (
+            idx.ivf_assignment()
+            .withColumn(
+                "centroid_id", F.col("centroid_id").cast("bigint")
+            )
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(ivf_path)
+        )
+        entry["centroids_path"] = cent_path
+        entry["ivf_assign_path"] = ivf_path
+    entry["version"] = version
+    entries[name] = entry
+    _write_manifest(index_dir, entries)
+    base = os.path.join(index_dir, name)
+    for d in os.listdir(base):
+        if d.startswith("v") and d != f"v{version}":
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    return VectorIndex(spark, name, entry)
+
+
 def load_vector_index(
     spark: SparkSession,
     index_dir: str,

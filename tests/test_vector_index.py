@@ -482,3 +482,49 @@ def test_batch_adc_matches_per_query_and_single_exchange(
         expected |= {(r["vec_id"], e["vec_id"], e["adist"])
                      for e in per.collect()}
     assert got == expected
+
+
+def test_compact_merges_segments_searches_unchanged(spark, emb, tmp_path):
+    """After appends, compaction rewrites the stored artifacts into
+    one segment set (new version, old GC'd) with identical rows —
+    every search result is unchanged."""
+    import os
+
+    from queens_spark.store.vector_index import (
+        append_vector_index,
+        compact_vector_index,
+    )
+
+    old = emb.where(F.col("vec_id") < 250)
+    new = emb.where(F.col("vec_id") >= 250)
+    cent_ids = [r[0] for r in
+                old.where(F.col("vec_id") % 100 == 0)
+                .select("vec_id").collect()]
+    idir = str(tmp_path / "vidx")
+    build_vector_index(old, "embedding", "vec_id", "e", idir,
+                       centroid_ids=cent_ids, meta_cols=["label"])
+    pre = append_vector_index(new, "e", idir)
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 300).collect()[0]["embedding"]]
+    before = pre.ivfpq_topk(qvec, n_probe=2, k=5).collect()
+    codes_before = {r["vec_id"]: r["pq_code"]
+                    for r in pre.pq_codes().collect()}
+
+    post = compact_vector_index(spark, idir, "e")
+    assert post.entry["version"] == pre.entry["version"] + 1
+    assert isinstance(post.entry["pq_codes_path"], str)
+    assert isinstance(post.entry["ivf_assign_path"], str)
+    assert sorted(os.listdir(os.path.join(idir, "e"))) == [
+        f"v{post.entry['version']}"
+    ]
+    assert {r["vec_id"]: r["pq_code"]
+            for r in post.pq_codes().collect()} == codes_before
+    after = post.ivfpq_topk(qvec, n_probe=2, k=5).collect()
+    assert [(r["vec_id"], r["adist"]) for r in after] == \
+           [(r["vec_id"], r["adist"]) for r in before]
+    # filtered search still works on the compacted layout
+    assert post.ivfpq_topk(qvec, n_probe=2, k=5,
+                           predicate="label = 3").count() > 0
+    # single-segment compaction is a no-op (no version bump)
+    again = compact_vector_index(spark, idir, "e")
+    assert again.entry["version"] == post.entry["version"]
