@@ -117,3 +117,74 @@ def range_join(
         )
         .drop("__bin")
     )
+
+
+def resample_gap_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    unit: str = "day",
+) -> DataFrame:
+    """Regularize an event stream onto a dense per-key time grid —
+    the resample/gap-fill step every time-series feature pipeline
+    needs before windowed models (missing buckets are *data*, and
+    downstream lag/rolling features silently skip them unless the
+    grid is dense).
+
+    Emits one row per (key, bucket) across EACH KEY's [first, last]
+    observed bucket span at *unit* granularity:
+
+    - ``n_events`` / ``sum_cents``: zero-filled aggregates (exact
+      cents: ⌊value·100⌋ summed as BIGINT — the house integer-money
+      rule, bit-portable);
+    - ``carry_cents``: the last OBSERVED bucket sum carried forward
+      (classic ffill; never null because each key's span starts at an
+      observed bucket).
+
+    Scale shape: one (key, bucket) aggregation shuffle; the span
+    aggregation is counter-width per key; the dense grid is generated
+    DISTRIBUTED via per-key sequence+explode (grid size = span/unit
+    per key — guard your unit against multi-year spans); the
+    grid-to-aggregate join is key+bucket-hashed and AQE broadcasts
+    whichever side is small; the carry window partitions by key,
+    bounded by span length. Nothing corpus-sized sorts globally."""
+    b = F.date_trunc(unit, F.col(ts_col))
+    per = (
+        df.select(
+            F.col(key_col),
+            b.alias("bucket"),
+            F.floor(F.col(value_col).cast("double") * 100)
+            .cast("bigint")
+            .alias("__cents"),
+        )
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__cents").alias("__s"),
+        )
+    )
+    span = per.groupBy(key_col).agg(
+        F.min("bucket").alias("__mn"), F.max("bucket").alias("__mx")
+    )
+    grid = span.select(
+        F.col(key_col),
+        F.explode(
+            F.expr(f"sequence(__mn, __mx, interval 1 {unit})")
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per, [key_col, "bucket"], "left")
+        .select(
+            F.col(key_col),
+            F.col("bucket"),
+            F.coalesce("__n", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce("__s", F.lit(0)).cast("bigint").alias("sum_cents"),
+            F.last("__s", ignorenulls=True).over(w).alias("carry_cents"),
+        )
+    )

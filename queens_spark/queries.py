@@ -5011,3 +5011,52 @@ def q112_batch_adc_search(spark, sf_dir):
         ),
         k=5,
     )
+
+
+@register(
+    "q113_resample_gap_fill",
+    """
+    WITH per AS (
+      SELECT event_type, date_trunc('day', ts) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), span AS (
+      SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+      FROM per GROUP BY event_type
+    ), grid AS (
+      SELECT event_type,
+             unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket
+      FROM span
+    ), j AS (
+      SELECT g.event_type, g.bucket,
+             coalesce(p.n, 0) AS n_events,
+             coalesce(p.s, 0) AS sum_cents,
+             p.s AS raw
+      FROM grid g LEFT JOIN per p
+        ON p.event_type = g.event_type AND p.bucket = g.bucket
+    )
+    SELECT event_type, bucket, n_events, sum_cents,
+           last_value(raw IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS carry_cents
+    FROM j
+    """,
+)
+def q113_resample_gap_fill(spark, sf_dir):
+    """Dense daily resample per event type with gap-fill: one row per
+    (type, day) across each type's observed span — zero-filled count
+    and exact-cents sum, plus the last observed daily sum carried
+    forward (ffill). The regularization step before lag/rolling
+    feature pipelines, where a missing bucket IS data. One (key,
+    bucket) aggregation shuffle; the dense grid generates distributed
+    via per-key sequence+explode; the carry window is bounded by span
+    length (operators/timeseries.py:resample_gap_fill)."""
+    from queens_spark.operators.timeseries import resample_gap_fill
+
+    return resample_gap_fill(
+        load(spark, sf_dir, "events"), "event_type", "ts", "value",
+        unit="day",
+    )

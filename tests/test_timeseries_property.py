@@ -141,3 +141,32 @@ def test_connected_components_match_union_find(
     want = {i: min(members) for r, members in roots.items() for i in members}
 
     assert got == want
+
+
+def test_resample_gap_fill_semantics(spark):
+    """Gaps appear as zero rows with the carry holding the last
+    observed sum; spans are per-key; first bucket always observed."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from queens_spark.operators.timeseries import resample_gap_fill
+
+    d = datetime.datetime
+    df = spark.createDataFrame([
+        Row(k="a", ts=d(2024, 1, 1, 5), value=1.50),
+        Row(k="a", ts=d(2024, 1, 1, 9), value=2.25),
+        # Jan 2-3 missing
+        Row(k="a", ts=d(2024, 1, 4, 1), value=10.00),
+        Row(k="b", ts=d(2024, 1, 3, 1), value=0.99),
+    ])
+    out = {(r["k"], r["bucket"].day):
+           (r["n_events"], r["sum_cents"], r["carry_cents"])
+           for r in resample_gap_fill(df, "k", "ts", "value").collect()}
+    assert out == {
+        ("a", 1): (2, 375, 375),
+        ("a", 2): (0, 0, 375),     # gap: zero-filled, carry holds
+        ("a", 3): (0, 0, 375),
+        ("a", 4): (1, 1000, 1000),
+        ("b", 3): (1, 99, 99),     # span is per-key (one bucket)
+    }
