@@ -5060,3 +5060,74 @@ def q113_resample_gap_fill(spark, sf_dir):
         load(spark, sf_dir, "events"), "event_type", "ts", "value",
         unit="day",
     )
+
+
+@register(
+    "q114_rolling_features",
+    """
+    WITH per AS (
+      SELECT event_type, date_trunc('day', ts) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), span AS (
+      SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+      FROM per GROUP BY event_type
+    ), grid AS (
+      SELECT event_type,
+             unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket
+      FROM span
+    ), dense AS (
+      SELECT g.event_type, g.bucket,
+             coalesce(p.s, 0) AS sum_cents
+      FROM grid g LEFT JOIN per p
+        ON p.event_type = g.event_type AND p.bucket = g.bucket
+    )
+    SELECT event_type, bucket, sum_cents,
+           CAST(sum(sum_cents) OVER w7 AS BIGINT) AS roll7_cents,
+           CAST(sum(sum_cents) OVER w7
+                // count(*) OVER w7 AS BIGINT) AS roll7_avg_cents,
+           lag(sum_cents, 1) OVER (
+             PARTITION BY event_type ORDER BY bucket) AS lag1_cents
+    FROM dense
+    WINDOW w7 AS (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q114_rolling_features(spark, sf_dir):
+    """Rolling features over the DENSE grid (q113's resample is the
+    prerequisite — on raw sparse buckets a '7-row' window silently
+    spans a different number of DAYS per key): 7-day rolling sum,
+    integer rolling mean (sum div count — exact where a float mean is
+    not), and lag-1, per event type. ONE window partition pass
+    computes all three (same partition+order ⇒ one sort, no extra
+    shuffle); window state is 7 rows. The first 6 buckets use the
+    short window (ROWS BETWEEN clips identically in both engines);
+    lag1 is NULL on each key's first bucket."""
+    from queens_spark.operators.timeseries import resample_gap_fill
+
+    dense = resample_gap_fill(
+        load(spark, sf_dir, "events"), "event_type", "ts", "value",
+        unit="day",
+    ).select("event_type", "bucket", "sum_cents")
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    w7 = w.rowsBetween(-6, Window.currentRow)
+    return (
+        dense.select(
+            "event_type",
+            "bucket",
+            "sum_cents",
+            F.sum("sum_cents").over(w7).cast("bigint").alias("roll7_cents"),
+            F.count(F.lit(1)).over(w7).alias("__n7"),
+            F.lag("sum_cents", 1).over(w).alias("lag1_cents"),
+        )
+        # integer division AFTER the window: sum div count stays in
+        # int64 end-to-end (sum/count through a double drops exactness
+        # past 2^53 at real scale)
+        .withColumn("roll7_avg_cents", F.expr("roll7_cents div __n7"))
+        .select(
+            "event_type", "bucket", "sum_cents", "roll7_cents",
+            "roll7_avg_cents", "lag1_cents",
+        )
+    )
