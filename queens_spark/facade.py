@@ -97,6 +97,29 @@ class Engine:
             df, vec_col, id_col, name, self._vector_index_dir(), **kw
         )
 
+    def ingest_deduped(
+        self,
+        df: DataFrame,
+        text_col: str,
+        id_col: str,
+        ledger: str = "documents",
+    ):
+        """Incremental corpus building: screen *df* against the named
+        persistent dedup ledger (everything accepted in ANY earlier
+        run), accept only new content, and record its fingerprints
+        crash-safely (store/dedup_ledger.py). Returns (fresh_df,
+        stats)."""
+        import os
+
+        from queens_spark.store.dedup_ledger import ingest_deduped
+
+        return ingest_deduped(
+            df, text_col, id_col,
+            os.path.join(
+                self.warehouse.root, "system", "dedup_ledger", ledger
+            ),
+        )
+
     def append_vector_index(self, df_new: DataFrame, name: str, **kw):
         """Incremental refresh: encode ONLY *df_new* with the stored
         codebook/quantizers and add it as a new segment of the named

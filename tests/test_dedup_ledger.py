@@ -1,0 +1,89 @@
+"""Persistent dedup ledger: cross-run screening, crash-safe segment
+appends, compaction, Engine surface."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from queens_spark.store.dedup_ledger import (
+    compact_ledger,
+    ingest_deduped,
+    ledger_fingerprints,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def test_cross_run_screen_and_stats(spark, tmp_path):
+    ldir = str(tmp_path / "ledger")
+    b1 = _docs(spark, [(0, "alpha beta"), (1, "Alpha  beta"),  # dup of 0
+                       (2, "gamma")])
+    fresh1, s1 = ingest_deduped(b1, "text", "doc_id", ldir)
+    assert s1 == {"batch": 3, "in_batch_dupes": 1,
+                  "ledger_dupes": 0, "accepted": 2}
+    assert {r["doc_id"] for r in fresh1.collect()} == {0, 2}
+
+    # run 2: one ledger dup (gamma), one in-batch dup, one new
+    b2 = _docs(spark, [(10, "gamma"), (11, "delta"),
+                       (12, "delta"), (13, "epsilon")])
+    fresh2, s2 = ingest_deduped(b2, "text", "doc_id", ldir)
+    assert s2 == {"batch": 4, "in_batch_dupes": 1,
+                  "ledger_dupes": 1, "accepted": 2}
+    assert {r["doc_id"] for r in fresh2.collect()} == {11, 13}
+
+    # fresh frame stays stable when evaluated AFTER the manifest flip
+    assert fresh2.count() == 2
+
+    led = ledger_fingerprints(spark, ldir)
+    assert led.count() == 4  # alpha-beta, gamma, delta, epsilon
+    assert {r["doc_id"] for r in led.collect()} == {0, 2, 11, 13}
+
+
+def test_empty_ledger_returns_none(spark, tmp_path):
+    assert ledger_fingerprints(spark, str(tmp_path / "nope")) is None
+
+
+def test_orphan_segment_invisible(spark, tmp_path):
+    """A segment dir the manifest never listed (crash mid-ingest) is
+    not part of the ledger."""
+    ldir = str(tmp_path / "ledger")
+    ingest_deduped(_docs(spark, [(0, "a")]), "text", "doc_id", ldir)
+    # fully-written but never-flipped segment
+    spark.createDataFrame(
+        [Row(fingerprint="deadbeef", doc_id=99)]
+    ).write.parquet(os.path.join(ldir, "seg_orphan"))
+    assert ledger_fingerprints(spark, ldir).count() == 1
+
+
+def test_compact_merges_segments_content_unchanged(spark, tmp_path):
+    ldir = str(tmp_path / "ledger")
+    for i, t in enumerate(["a", "b", "c"]):
+        ingest_deduped(_docs(spark, [(i, t)]), "text", "doc_id", ldir)
+    before = {(r["fingerprint"], r["doc_id"])
+              for r in ledger_fingerprints(spark, ldir).collect()}
+    assert compact_ledger(spark, ldir) == 3
+    after = {(r["fingerprint"], r["doc_id"])
+             for r in ledger_fingerprints(spark, ldir).collect()}
+    assert after == before
+    assert compact_ledger(spark, ldir) == 0  # single segment: no-op
+    # the compacted ledger still screens
+    _, s = ingest_deduped(
+        _docs(spark, [(9, "b"), (10, "z")]), "text", "doc_id", ldir)
+    assert s["ledger_dupes"] == 1 and s["accepted"] == 1
+
+
+def test_engine_surface(spark, tmp_path):
+    from queens_spark.facade import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    fresh, s = eng.ingest_deduped(
+        _docs(spark, [(0, "x"), (1, "x")]), "text", "doc_id")
+    assert s["accepted"] == 1 and fresh.count() == 1
+    # a second Engine on the same root sees the same ledger
+    eng2 = Engine(spark, str(tmp_path / "wh"))
+    _, s2 = eng2.ingest_deduped(
+        _docs(spark, [(5, "x"), (6, "y")]), "text", "doc_id")
+    assert s2["ledger_dupes"] == 1 and s2["accepted"] == 1
