@@ -103,12 +103,14 @@ class Engine:
         text_col: str,
         id_col: str,
         ledger: str = "documents",
+        near_dup_threshold: float | None = None,
     ):
         """Incremental corpus building: screen *df* against the named
         persistent dedup ledger (everything accepted in ANY earlier
         run), accept only new content, and record its fingerprints
-        crash-safely (store/dedup_ledger.py). Returns (fresh_df,
-        stats)."""
+        crash-safely (store/dedup_ledger.py). With
+        *near_dup_threshold*, MinHash near-duplicates of ledger
+        content are screened too. Returns (fresh_df, stats)."""
         import os
 
         from queens_spark.store.dedup_ledger import ingest_deduped
@@ -118,6 +120,7 @@ class Engine:
             os.path.join(
                 self.warehouse.root, "system", "dedup_ledger", ledger
             ),
+            near_dup_threshold=near_dup_threshold,
         )
 
     def append_vector_index(self, df_new: DataFrame, name: str, **kw):

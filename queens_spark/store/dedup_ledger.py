@@ -43,6 +43,37 @@ from queens_spark.operators.text import doc_fingerprint
 MANIFEST_NAME = "dedup_ledger_manifest.json"
 
 
+def _lane_matches(sig_a, sig_b):
+    """Number of agreeing MinHash lanes — integer, bit-portable."""
+    return F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v)
+    )
+
+
+def _bands(sigs: DataFrame, id_name: str) -> DataFrame:
+    """(id, band_id, band_sig) — same banding as dedup._band_pairs."""
+    from queens_spark.operators.dedup import LSH_BANDS, LSH_ROWS
+
+    return sigs.where(F.col("sig").isNotNull()).select(
+        F.col(id_name),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(band).alias("band_id"),
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col("sig")[band * LSH_ROWS + r]
+                            for r in range(LSH_ROWS)
+                        ],
+                    ).alias("band_sig"),
+                )
+                for band in range(LSH_BANDS)
+            ])
+        ).alias("b"),
+    ).select(id_name, "b.band_id", "b.band_sig")
+
+
 def _manifest_path(ledger_dir: str) -> str:
     return os.path.join(ledger_dir, MANIFEST_NAME)
 
@@ -79,28 +110,76 @@ def ingest_deduped(
     text_col: str,
     id_col: str,
     ledger_dir: str,
+    near_dup_threshold: float | None = None,
 ) -> tuple[DataFrame, dict]:
     """Screen *df* against the ledger, accept what is new, record it.
 
     1. in-batch collapse: one row per distinct normalized-content
        fingerprint (md5 — operators/text.py:doc_fingerprint), keeping
        the min id as canonical;
-    2. cross-run screen: LEFT ANTI join of those fingerprints against
-       every prior segment;
-    3. accept: the survivors' (fingerprint, id) pairs are written as
-       a new segment, THEN the manifest flips.
+    2. cross-run EXACT screen: LEFT ANTI join of those fingerprints
+       against every prior segment;
+    3. with *near_dup_threshold*, a FUZZY tier on top: MinHash
+       signatures (operators/dedup.py banding constants) stored in
+       the ledger; a batch doc is dropped when it shares an LSH band
+       with an in-batch lower id or ANY ledger doc and the
+       lane-agreement estimate ⌈k·t⌉ ≤ matches confirms (integer
+       compare — bit-portable; the same estimator MinHash dedup runs
+       on). In-batch near-dups resolve greedily by id: a doc drops if
+       it confirms against any lower id, dropped or not —
+       deterministic at any parallelism, the standard keep-lowest
+       chain approximation. Docs too short to shingle carry a NULL
+       signature and are screened exactly only.
+    4. accept: survivors' (fingerprint, id[, sig]) rows are written
+       as a new segment, THEN the manifest flips. Exact and fuzzy
+       ledgers don't mix (the mode is recorded; mismatch raises).
 
     Returns ``(fresh_df, stats)``: *fresh_df* is *df* semi-joined on
-    the written segment's ids (anchored on disk — stable however
-    late it is evaluated), and *stats* counts
-    ``{"batch", "in_batch_dupes", "ledger_dupes", "accepted"}``.
+    the written segment's ids (anchored on disk — stable however late
+    it is evaluated); *stats* counts ``{"batch", "in_batch_dupes",
+    "ledger_dupes", "accepted"}`` plus, in fuzzy mode,
+    ``{"in_batch_near_dupes", "ledger_near_dupes"}``.
+
+    Scale shape: exact screen = one narrow anti-join; fuzzy screen =
+    band-keyed joins whose bucket sizes grow with true-duplicate
+    density, verified on 16-lane signatures — the batch shuffles,
+    the ledger side streams through its scan once per join.
     """
-    spark = df.sparkSession
-    fp = df.select(
-        F.col(id_col), doc_fingerprint(text_col).alias("fingerprint")
+    from queens_spark.operators.dedup import (
+        MINHASH_K,
+        minhash_signature,
+        shingle_hashes,
     )
+
+    spark = df.sparkSession
+    manifest = _read_manifest(ledger_dir)
+    mode = "minhash" if near_dup_threshold is not None else "exact"
+    have = manifest.get("mode")
+    if have is not None and have != mode:
+        raise ValueError(
+            f"ledger at {ledger_dir} is mode={have!r}; "
+            f"requested {mode!r} — modes don't mix"
+        )
+
+    cols = [F.col(id_col), doc_fingerprint(text_col).alias("fingerprint")]
+    if mode == "minhash":
+        cols.append(
+            F.when(
+                F.size(shingle_hashes(text_col)) > 0,
+                minhash_signature(text_col),
+            ).alias("sig")
+        )
+    fp = df.select(*cols)
     canon = (
-        fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+        fp.groupBy("fingerprint")
+        .agg(F.min(F.struct(F.col(id_col), *(
+            [F.col("sig")] if mode == "minhash" else []
+        ))).alias("__c"))
+        .select(
+            F.col(f"__c.{id_col}").alias(id_col),
+            "fingerprint",
+            *([F.col("__c.sig").alias("sig")] if mode == "minhash" else []),
+        )
     ).persist()
     try:
         n_batch = fp.count()
@@ -113,27 +192,102 @@ def ingest_deduped(
                 ledger.select("fingerprint"), "fingerprint", "left_anti"
             )
         )
-        manifest = _read_manifest(ledger_dir)
-        seg = os.path.join(
+        n_in_batch_near = n_ledger_near = 0
+        if mode == "minhash":
+            need = int(-(-MINHASH_K * float(near_dup_threshold) // 1))
+            sigs = new.select(id_col, "sig").persist()
+            n_after_exact = sigs.count()
+            bands = _bands(sigs, id_col)
+            # in-batch: drop ids confirming against any lower id
+            a = bands.select(
+                F.col(id_col).alias("__a"), "band_id", "band_sig"
+            )
+            b = bands.select(
+                F.col(id_col).alias("__b"), "band_id", "band_sig"
+            )
+            cand = (
+                a.join(b, ["band_id", "band_sig"])
+                .where(F.col("__a") < F.col("__b"))
+                .select("__a", "__b")
+                .distinct()
+            )
+            sa = sigs.select(
+                F.col(id_col).alias("__a"), F.col("sig").alias("__siga")
+            )
+            sb = sigs.select(
+                F.col(id_col).alias("__b"), F.col("sig").alias("__sigb")
+            )
+            drop_in = (
+                cand.join(sa, "__a").join(sb, "__b")
+                .where(
+                    _lane_matches(F.col("__siga"), F.col("__sigb"))
+                    >= F.lit(need)
+                )
+                .select(F.col("__b").alias(id_col))
+                .distinct()
+            )
+            new = new.join(drop_in, id_col, "left_anti")
+            if ledger is not None:
+                lbands = _bands(
+                    ledger.select(F.col(id_col).alias("__l"), "sig"),
+                    "__l",
+                )
+                lsigs = ledger.select(
+                    F.col(id_col).alias("__l"), F.col("sig").alias("__sigl")
+                )
+                cand_l = (
+                    _bands(
+                        new.select(id_col, "sig"), id_col
+                    )
+                    .join(lbands, ["band_id", "band_sig"])
+                    .select(id_col, "__l")
+                    .distinct()
+                )
+                drop_l = (
+                    cand_l.join(sa.withColumnRenamed("__a", id_col), id_col)
+                    .join(lsigs, "__l")
+                    .where(
+                        _lane_matches(F.col("__siga"), F.col("__sigl"))
+                        >= F.lit(need)
+                    )
+                    .select(id_col)
+                    .distinct()
+                )
+                new = new.join(drop_l, id_col, "left_anti")
+
+        manifest_seg = os.path.join(
             ledger_dir, f"seg{len(manifest['segments'])}"
         )
-        new.select("fingerprint", F.col(id_col)).write.mode(
-            "overwrite"
-        ).parquet(seg)
-        n_accepted = spark.read.parquet(seg).count()
-        manifest["segments"] = manifest["segments"] + [seg]
+        out_cols = ["fingerprint", id_col] + (
+            ["sig"] if mode == "minhash" else []
+        )
+        new.select(*out_cols).write.mode("overwrite").parquet(manifest_seg)
+        n_accepted = spark.read.parquet(manifest_seg).count()
+        if mode == "minhash":
+            n_in_batch_near = drop_in.count()
+            n_ledger_near = n_after_exact - n_in_batch_near - n_accepted
+            sigs.unpersist()
+            n_exact_ledger = n_unique - n_after_exact
+        else:
+            n_exact_ledger = n_unique - n_accepted
+        manifest["segments"] = manifest["segments"] + [manifest_seg]
+        manifest["mode"] = mode
         _write_manifest(ledger_dir, manifest)
     finally:
         canon.unpersist()
     fresh = df.join(
-        spark.read.parquet(seg).select(id_col), id_col, "semi"
+        spark.read.parquet(manifest_seg).select(id_col), id_col, "semi"
     )
-    return fresh, {
+    stats = {
         "batch": n_batch,
         "in_batch_dupes": n_batch - n_unique,
-        "ledger_dupes": n_unique - n_accepted,
+        "ledger_dupes": n_exact_ledger,
         "accepted": n_accepted,
     }
+    if mode == "minhash":
+        stats["in_batch_near_dupes"] = n_in_batch_near
+        stats["ledger_near_dupes"] = n_ledger_near
+    return fresh, stats
 
 
 def compact_ledger(spark: SparkSession, ledger_dir: str) -> int:

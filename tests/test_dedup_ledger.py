@@ -87,3 +87,42 @@ def test_engine_surface(spark, tmp_path):
     _, s2 = eng2.ingest_deduped(
         _docs(spark, [(5, "x"), (6, "y")]), "text", "doc_id")
     assert s2["ledger_dupes"] == 1 and s2["accepted"] == 1
+
+
+def test_fuzzy_ledger_screens_near_dups_across_runs(spark, tmp_path):
+    """MinHash mode: near-identical (not byte-identical) content is
+    dropped both in-batch and against earlier runs; unrelated text
+    survives; short unshingleable docs screen exactly only."""
+    ldir = str(tmp_path / "fuzzy")
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    nearA = base.replace("tonight", "today")       # ~1-word edit
+    nearB = base.replace("quick", "rapid")
+    other = ("completely different content about spark shuffles "
+             "partitions exchanges codegen and adaptive execution "
+             "plans at terabyte scale with broadcast joins")
+    b1 = _docs(spark, [(0, base), (1, nearA), (2, other), (3, "hi")])
+    fresh1, s1 = ingest_deduped(b1, "text", "doc_id", ldir,
+                                near_dup_threshold=0.6)
+    assert {r["doc_id"] for r in fresh1.collect()} == {0, 2, 3}
+    assert s1["in_batch_near_dupes"] == 1 and s1["accepted"] == 3
+
+    b2 = _docs(spark, [(10, nearB),       # near-dup of run-1 doc 0
+                       (11, other),       # exact dup of run-1 doc 2
+                       (12, "hi"),        # exact dup (unshingleable)
+                       (13, "fresh short text never seen before with "
+                            "plenty of shingles to hash properly")])
+    fresh2, s2 = ingest_deduped(b2, "text", "doc_id", ldir,
+                                near_dup_threshold=0.6)
+    assert {r["doc_id"] for r in fresh2.collect()} == {13}
+    assert s2["ledger_dupes"] == 2          # exact: other + "hi"
+    assert s2["ledger_near_dupes"] == 1     # fuzzy: nearB
+    assert s2["accepted"] == 1
+
+
+def test_fuzzy_and_exact_modes_do_not_mix(spark, tmp_path):
+    ldir = str(tmp_path / "ledger")
+    ingest_deduped(_docs(spark, [(0, "a")]), "text", "doc_id", ldir)
+    with pytest.raises(ValueError, match="modes don't mix"):
+        ingest_deduped(_docs(spark, [(1, "b")]), "text", "doc_id",
+                       ldir, near_dup_threshold=0.8)
