@@ -5131,3 +5131,74 @@ def q114_rolling_features(spark, sf_dir):
             "roll7_avg_cents", "lag1_cents",
         )
     )
+
+
+@register(
+    "q115_anomaly_days",
+    """
+    WITH per AS (
+      SELECT event_type, date_trunc('day', ts) AS bucket,
+             CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), span AS (
+      SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+      FROM per GROUP BY event_type
+    ), grid AS (
+      SELECT event_type,
+             unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket
+      FROM span
+    ), dense AS (
+      SELECT g.event_type, g.bucket, coalesce(p.s, 0) AS sum_cents
+      FROM grid g LEFT JOIN per p
+        ON p.event_type = g.event_type AND p.bucket = g.bucket
+    ), st AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(sum_cents) AS BIGINT) AS sx,
+             CAST(sum(sum_cents * sum_cents) AS BIGINT) AS sxx
+      FROM dense GROUP BY event_type
+    )
+    SELECT d.event_type, d.bucket, d.sum_cents,
+           CAST(st.n * d.sum_cents - st.sx AS BIGINT) AS dev_n,
+           CAST((st.n * d.sum_cents - st.sx)
+                * (st.n * d.sum_cents - st.sx) AS BIGINT) AS dev_n2,
+           CAST(4 * (st.n * st.sxx - st.sx * st.sx) AS BIGINT) AS thr2,
+           (st.n * d.sum_cents - st.sx) * (st.n * d.sum_cents - st.sx)
+             > 4 * (st.n * st.sxx - st.sx * st.sx) AS is_anomaly
+    FROM dense d JOIN st ON st.event_type = d.event_type
+    """,
+)
+def q115_anomaly_days(spark, sf_dir):
+    """Exact-integer anomaly screen over the dense daily grid: flag
+    buckets more than 2 population standard deviations from their
+    key's mean WITHOUT ever computing a float — z² > c² rearranged
+    over integers as (n·x − Σx)² > c²·(n·Σx² − (Σx)²), so the flag is
+    bit-portable where sqrt/stddev are not. Zero-filled gap days are
+    part of the population (a silent outage IS the anomaly). One
+    counter-width stats aggregation per key joined back to the grid
+    (AQE broadcasts it); no window, no sort."""
+    from queens_spark.operators.timeseries import resample_gap_fill
+
+    dense = resample_gap_fill(
+        load(spark, sf_dir, "events"), "event_type", "ts", "value",
+        unit="day",
+    ).select("event_type", "bucket", "sum_cents")
+    st = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("sum_cents").alias("__sx"),
+        F.sum(F.expr("sum_cents * sum_cents")).alias("__sxx"),
+    )
+    return (
+        dense.join(st, "event_type")
+        .withColumn("dev_n", F.expr("__n * sum_cents - __sx"))
+        .withColumn("dev_n2", F.expr("dev_n * dev_n"))
+        .withColumn("thr2", F.expr("4 * (__n * __sxx - __sx * __sx)"))
+        .select(
+            "event_type", "bucket", "sum_cents",
+            F.col("dev_n").cast("bigint").alias("dev_n"),
+            F.col("dev_n2").cast("bigint").alias("dev_n2"),
+            F.col("thr2").cast("bigint").alias("thr2"),
+            (F.col("dev_n2") > F.col("thr2")).alias("is_anomaly"),
+        )
+    )

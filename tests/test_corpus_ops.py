@@ -101,3 +101,55 @@ def test_bm25_guards(spark):
         bm25_topk(df, "text", "doc_id", [])
     with pytest.raises(ValueError, match="envelope"):
         bm25_topk(df, "text", "doc_id", ["a"], scale=2**62)
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+
+def _bm25_reference(docs, terms, scale=100_000):
+    """Pure-Python exact-integer BM25 twin of corpus.bm25_topk."""
+    toks = {i: t.split() for i, t in docs}
+    dl = {i: len(v) for i, v in toks.items() if v}
+    n, t_total = len(dl), sum(dl.values())
+    out = {}
+    for term in sorted(set(terms)):
+        df_docs = sum(1 for v in toks.values() if term in v)
+        if not df_docs:
+            continue
+        for i, v in toks.items():
+            tf = v.count(term)
+            if not tf:
+                continue
+            num = scale * (2 * n - 2 * df_docs + 1) * 44 * tf * t_total
+            den = (2 * df_docs + 1) * (
+                20 * tf * t_total + 6 * t_total + 18 * dl[i] * n
+            )
+            s, c = out.get(i, (0, 0))
+            out[i] = (s + num // den, c + 1)
+    return out
+
+
+@settings(deadline=None, max_examples=15,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8),
+        min_size=2, max_size=8,
+    ),
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=3),
+)
+def test_bm25_matches_reference(spark, doc_words, qterms):
+    from pyspark.sql import Row
+
+    from queens_spark.operators.corpus import bm25_topk
+
+    docs = [(i, " ".join(w)) for i, w in enumerate(doc_words)]
+    got = {r["doc"]: (r["bm25_e5"], r["n_terms"])
+           for r in bm25_topk(
+               spark.createDataFrame([Row(doc_id=i, text=t)
+                                      for i, t in docs]),
+               "text", "doc_id", list(qterms), k=len(docs),
+           ).collect()}
+    assert got == _bm25_reference(docs, qterms)
