@@ -301,7 +301,10 @@ def compact_ledger(spark: SparkSession, ledger_dir: str) -> int:
         return 0
     merged = os.path.join(ledger_dir, f"seg{len(segs)}__compacted")
     spark.read.parquet(*segs).write.mode("overwrite").parquet(merged)
-    _write_manifest(ledger_dir, {"segments": [merged]})
+    # preserve every other manifest key (mode!) — replacing the whole
+    # manifest would silently let exact ingests into a fuzzy ledger
+    manifest["segments"] = [merged]
+    _write_manifest(ledger_dir, manifest)
     for s in segs:
         shutil.rmtree(s, ignore_errors=True)
     return len(segs)

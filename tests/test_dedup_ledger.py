@@ -126,3 +126,23 @@ def test_fuzzy_and_exact_modes_do_not_mix(spark, tmp_path):
     with pytest.raises(ValueError, match="modes don't mix"):
         ingest_deduped(_docs(spark, [(1, "b")]), "text", "doc_id",
                        ldir, near_dup_threshold=0.8)
+
+
+def test_compact_preserves_mode(spark, tmp_path):
+    """Compaction must not drop the manifest's mode — an exact ingest
+    into a compacted fuzzy ledger would otherwise slip through."""
+    ldir = str(tmp_path / "fledger")
+    long = ("one two three four five six seven eight nine ten "
+            "eleven twelve thirteen fourteen fifteen sixteen")
+    ingest_deduped(_docs(spark, [(0, long)]), "text", "doc_id", ldir,
+                   near_dup_threshold=0.6)
+    ingest_deduped(_docs(spark, [(1, long + " extra")]), "text",
+                   "doc_id", ldir, near_dup_threshold=0.6)
+    assert compact_ledger(spark, ldir) == 2
+    with pytest.raises(ValueError, match="modes don't mix"):
+        ingest_deduped(_docs(spark, [(2, "zz")]), "text", "doc_id", ldir)
+    # and the compacted fuzzy ledger still fuzzy-screens
+    _, s = ingest_deduped(
+        _docs(spark, [(3, long.replace("ten", "TEN"))]), "text",
+        "doc_id", ldir, near_dup_threshold=0.6)
+    assert s["ledger_near_dupes"] >= 0 and s["batch"] == 1
