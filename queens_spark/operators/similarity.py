@@ -787,10 +787,28 @@ def int8_topk_ip(
             F.col(id_col), F.col("z.amax").alias("amax"), F.col("z.q").alias("q")
         )
     )
+    return int8_topk_ip_codes(qz, id_col, query_ids, k=k)
+
+
+def int8_topk_ip_codes(
+    qz: DataFrame,
+    id_col: str,
+    query_ids: list[int],
+    k: int = 10,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`int8_topk_ip` over an ALREADY-QUANTIZED (id, amax, q)
+    frame — the entry point for STORED int8 codes (a vector index's
+    artifact), where quantization happened once at build time and the
+    search touches 1 byte/dim, never the raw vectors. *candidates*
+    restricts the SCANNED side only (metadata-filtered search);
+    query-id lookup always runs against the full *qz*."""
     queries = {
         r[id_col]: r
         for r in qz.where(F.col(id_col).isin([int(q) for q in query_ids])).collect()
     }
+    if candidates is not None:
+        qz = candidates
     branches = []
     for qid in query_ids:
         row = queries.get(qid)

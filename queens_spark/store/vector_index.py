@@ -106,6 +106,27 @@ def source_fingerprint(*paths: str) -> str:
     return "|".join(parts)
 
 
+def _write_int8(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    meta_cols: list[str] | None,
+    path: str,
+) -> None:
+    """(id[, meta...], amax, q tinyint[]) — the int8 artifact, meta
+    co-located like the PQ codes so filtered searches push down."""
+    df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (meta_cols or [])],
+        int8_quantize(vec_col).alias("z"),
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in (meta_cols or [])],
+        F.col("z.amax").alias("amax"),
+        F.col("z.q").alias("q"),
+    ).write.mode("overwrite").parquet(path)
+
+
 class VectorIndex:
     """A loaded index: search entry points over the STORED artifacts.
 
@@ -224,6 +245,29 @@ class VectorIndex:
             v.select(self.id_col, cos.alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc(self.id_col))
             .limit(k)
+        )
+
+    def int8_topk(
+        self, query_ids: list[int], k: int = 10, predicate=None
+    ) -> DataFrame:
+        """Inner-product top-k over the STORED int8 codes (1 byte/dim
+        — 4× less scan than fp32) for a small batch of indexed query
+        ids: per-query TakeOrdered branches union into one job, no
+        shuffle, no quantize stage — the stored-artifact twin of
+        operators/similarity.py:int8_topk_ip."""
+        from queens_spark.operators.similarity import int8_topk_ip_codes
+
+        codes = self.int8_codes()
+        return int8_topk_ip_codes(
+            codes,
+            self.id_col,
+            query_ids,
+            k=k,
+            candidates=(
+                None
+                if predicate is None
+                else self._filtered(codes, predicate)
+            ),
         )
 
     def batch_adc_topk(
@@ -397,13 +441,7 @@ def build_vector_index(
     ).write.mode("overwrite").parquet(codes_path)
 
     int8_path = os.path.join(vdir, "int8_codes")
-    df.select(
-        F.col(id_col), int8_quantize(vec_col).alias("z")
-    ).select(
-        F.col(id_col),
-        F.col("z.amax").alias("amax"),
-        F.col("z.q").alias("q"),
-    ).write.mode("overwrite").parquet(int8_path)
+    _write_int8(df, vec_col, id_col, meta_cols, int8_path)
 
     ivf_path = cent_path = None
     if centroid_ids:
@@ -529,13 +567,7 @@ def append_vector_index(
     ).write.mode("overwrite").parquet(codes_path)
 
     int8_path = os.path.join(vdir, f"int8_codes_seg{seg}")
-    df_new.select(
-        F.col(id_col), int8_quantize(vec_col).alias("z")
-    ).select(
-        F.col(id_col),
-        F.col("z.amax").alias("amax"),
-        F.col("z.q").alias("q"),
-    ).write.mode("overwrite").parquet(int8_path)
+    _write_int8(df_new, vec_col, id_col, meta, int8_path)
 
     entry["pq_codes_path"] = _paths(entry["pq_codes_path"]) + [codes_path]
     entry["int8_codes_path"] = _paths(entry["int8_codes_path"]) + [int8_path]

@@ -528,3 +528,28 @@ def test_compact_merges_segments_searches_unchanged(spark, emb, tmp_path):
     # single-segment compaction is a no-op (no version bump)
     again = compact_vector_index(spark, idir, "e")
     assert again.entry["version"] == post.entry["version"]
+
+
+def test_int8_search_from_stored_codes(spark, emb, tmp_path):
+    """int8_topk over the stored artifact equals the inline
+    int8_topk_ip pipeline (same quantizer at build time); predicate
+    filters via co-located metadata; no quantize pass in the plan."""
+    from queens_spark.operators.similarity import int8_topk_ip
+
+    idir = str(tmp_path / "vidx")
+    build_vector_index(emb, "embedding", "vec_id", "e", idir,
+                       meta_cols=["label"])
+    idx = load_vector_index(spark, idir, "e")
+
+    got = idx.int8_topk([3, 7], k=5)
+    plan = plan_of(got)
+    assert "embeddings.parquet" not in plan  # stored codes only
+    inline = int8_topk_ip(emb, "embedding", "vec_id", [3, 7], k=5)
+    key = lambda rows: sorted(
+        (r["query_id"], r["vec_id"], r["dot_q"], r["approx_ip"])
+        for r in rows)
+    assert key(got.collect()) == key(inline.collect())
+
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    filt = idx.int8_topk([3], k=5, predicate="label = 2").collect()
+    assert filt and all(labels[r["vec_id"]] == 2 for r in filt)
