@@ -5202,3 +5202,161 @@ def q115_anomaly_days(spark, sf_dir):
             (F.col("dev_n2") > F.col("thr2")).alias("is_anomaly"),
         )
     )
+
+
+def _ivfpq_recall_oracle(k: int, n_probe: int, n_queries: int) -> str:
+    from queens_spark.operators.similarity import (
+        duckdb_int_dot,
+        duckdb_pq_codes_cte,
+    )
+
+    dsub = 8
+
+    def cos(vq, vn2, qq, qn2):
+        return (
+            f"CAST({duckdb_int_dot(vq, qq)} AS DOUBLE)"
+            f" / (sqrt(CAST({vn2} AS DOUBLE)) * sqrt(CAST({qn2} AS DOUBLE)))"
+        )
+
+    return (
+        "WITH "
+        + duckdb_pq_codes_cte("embeddings", "embedding", "vec_id", 16)
+        + f""",
+    nrm AS (
+      SELECT vid, q, {duckdb_int_dot('q', 'q')} AS n2 FROM pqv
+    ),
+    qs AS (
+      SELECT vid AS qid, q AS qq, n2 AS qn2 FROM nrm WHERE vid < {n_queries}
+    ),
+    cents AS (
+      SELECT vid AS centroid_id, q AS cq, n2 AS cn2
+      FROM nrm WHERE vid % 200 = 0
+    ),
+    exact AS (
+      SELECT qid, vid FROM (
+        SELECT q.qid, v.vid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY {cos('v.q', 'v.n2', 'q.qq', 'q.qn2')} DESC,
+                          v.vid ASC) AS rk
+        FROM nrm v, qs q
+      ) WHERE rk <= {k}
+    ),
+    pqlut AS (
+      SELECT qv.qid, s.s, sd.cid,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, {dsub} + 1),
+            i -> (qv.qq[s.s * {dsub} + i] - sd.q[s.s * {dsub} + i])
+               * (qv.qq[s.s * {dsub} + i] - sd.q[s.s * {dsub} + i]))),
+          (acc, x) -> acc + x) AS d
+      FROM qs qv, range(0, 8) s(s), pqseeds sd
+    ),
+    assigned AS (
+      SELECT vid, centroid_id FROM (
+        SELECT v.vid, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vid
+                 ORDER BY {cos('v.q', 'v.n2', 'c.cq', 'c.cn2')} DESC,
+                          c.centroid_id ASC) AS rk
+        FROM nrm v, cents c
+      ) WHERE rk = 1
+    ),
+    probe AS (
+      SELECT qid, centroid_id FROM (
+        SELECT q.qid, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY {cos('c.cq', 'c.cn2', 'q.qq', 'q.qn2')} DESC,
+                          c.centroid_id ASC) AS rk
+        FROM cents c, qs q
+      ) WHERE rk <= {n_probe}
+    ),
+    adc AS (
+      SELECT l.qid, c.vid, CAST(sum(l.d) AS BIGINT) AS adist
+      FROM pqcodes c
+      JOIN pqlut l ON l.s = c.s AND l.cid = c.cid
+      JOIN assigned a ON a.vid = c.vid
+      JOIN probe p ON p.qid = l.qid AND p.centroid_id = a.centroid_id
+      GROUP BY l.qid, c.vid
+    ),
+    ivfpq AS (
+      SELECT qid, vid FROM (
+        SELECT qid, vid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY adist ASC, vid ASC) AS rk
+        FROM adc
+      ) WHERE rk <= {k}
+    )
+    SELECT q.qid AS query_id,
+           CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           CAST((coalesce(h.hits, 0) * 100) // {k} AS BIGINT) AS recall_pct
+    FROM qs q LEFT JOIN (
+      SELECT e.qid, count(*) AS hits
+      FROM exact e JOIN ivfpq i ON i.qid = e.qid AND i.vid = e.vid
+      GROUP BY e.qid
+    ) h ON h.qid = q.qid"""
+    )
+
+
+@register("q116_ivfpq_recall", _ivfpq_recall_oracle(10, 2, 10))
+def q116_ivfpq_recall(spark, sf_dir):
+    """Recall@10 of the STORED IVF-PQ path (q108's one-pruned-scan
+    search) against exact quantized cosine, for a 10-query block —
+    the eval that tells you what the deployed index's n_probe and
+    codebook actually cost in quality, run the way production would:
+    every approximate search reads only the stored cell-partitioned
+    codes, the exact baseline scores through batch_topk_cosine's
+    per-partition pools (corpus never shuffles), and the ten
+    approximate branches union into one job. Integer hits /
+    recall_pct, bit-identical to the twin."""
+    from queens_spark.operators.similarity import batch_topk_cosine
+
+    k, n_probe, n_queries = 10, 2, 10
+    emb = load(spark, sf_dir, "embeddings")
+    cent_ids = [
+        r[0]
+        for r in emb.where(F.col("vec_id") % 200 == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    idx = _embeddings_index(spark, sf_dir, centroid_ids=cent_ids)
+    qrows = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    exact = batch_topk_cosine(
+        emb.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        ),
+        emb.select("vec_id", "embedding"),
+        vec_col="embedding",
+        id_col="vec_id",
+        query_id_col="qid",
+        k=k,
+    ).select(F.col("query_id").alias("qid"), "vec_id")
+    branches = [
+        idx.ivfpq_topk(
+            [float(x) for x in r["embedding"]], n_probe=n_probe, k=k
+        ).select(
+            F.lit(int(r["vec_id"])).cast("bigint").alias("qid"), "vec_id"
+        )
+        for r in qrows
+    ]
+    approx = branches[0]
+    for b in branches[1:]:
+        approx = approx.unionAll(b)
+    hits = (
+        exact.join(approx, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("__h"))
+    )
+    qids = spark.range(n_queries).select(F.col("id").alias("qid"))
+    return (
+        qids.join(hits, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce("__h", F.lit(0)).cast("bigint").alias("hits"),
+            F.expr(f"coalesce(__h, 0) * 100 div {k}")
+            .cast("bigint")
+            .alias("recall_pct"),
+        )
+    )
