@@ -4358,7 +4358,7 @@ def _pq_rerank_oracle(query_id: int, shortlist: int, k: int) -> str:
     shortlist AS (
       SELECT c.vid FROM pqcodes c JOIN pqlut l ON l.s = c.s AND l.cid = c.cid
       GROUP BY c.vid
-      ORDER BY CAST(sum(l.d) AS BIGINT) ASC, vid ASC
+      ORDER BY CAST(sum(l.d) AS BIGINT) ASC, c.vid ASC
       LIMIT {shortlist}
     ),
     nrm AS (
@@ -5359,4 +5359,105 @@ def q116_ivfpq_recall(spark, sf_dir):
             .cast("bigint")
             .alias("recall_pct"),
         )
+    )
+
+
+def _ivfpq_two_stage_oracle(
+    query_id: int, n_probe: int, shortlist: int, k: int
+) -> str:
+    from queens_spark.operators.similarity import (
+        duckdb_int_dot,
+        duckdb_pq_codes_cte,
+    )
+
+    dsub = 8
+    cosc = (
+        f"CAST({duckdb_int_dot('cq', 'qq')} AS DOUBLE)"
+        f" / (sqrt(CAST(cn2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))"
+    )
+    cosa = (
+        f"CAST({duckdb_int_dot('v.q', 'c.cq')} AS DOUBLE)"
+        f" / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))"
+    )
+    return (
+        "WITH "
+        + duckdb_pq_codes_cte("embeddings", "embedding", "vec_id", 16)
+        + f""",
+    pqlut AS (
+      SELECT s.s, sd.cid,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, {dsub} + 1),
+            i -> (qv.q[s.s * {dsub} + i] - sd.q[s.s * {dsub} + i])
+               * (qv.q[s.s * {dsub} + i] - sd.q[s.s * {dsub} + i]))),
+          (acc, x) -> acc + x) AS d
+      FROM (SELECT q FROM pqv WHERE vid = {query_id}) qv,
+           range(0, 8) s(s), pqseeds sd
+    ),
+    nrm AS (
+      SELECT vid, q, {duckdb_int_dot('q', 'q')} AS n2 FROM pqv
+    ),
+    cents AS (
+      SELECT vid AS centroid_id, q AS cq, n2 AS cn2
+      FROM nrm WHERE vid % 200 = 0
+    ),
+    qn AS (SELECT q AS qq, n2 AS qn2 FROM nrm WHERE vid = {query_id}),
+    probe AS (
+      SELECT centroid_id FROM cents, qn
+      ORDER BY {cosc} DESC, centroid_id ASC
+      LIMIT {n_probe}
+    ),
+    scored AS (
+      SELECT v.vid, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vid
+               ORDER BY {cosa} DESC, c.centroid_id ASC) AS rk
+      FROM nrm v, cents c
+    ),
+    assigned AS (SELECT vid, centroid_id FROM scored WHERE rk = 1),
+    short AS (
+      SELECT c.vid FROM pqcodes c
+      JOIN pqlut l ON l.s = c.s AND l.cid = c.cid
+      JOIN assigned a ON a.vid = c.vid
+      WHERE a.centroid_id IN (SELECT centroid_id FROM probe)
+      GROUP BY c.vid
+      ORDER BY CAST(sum(l.d) AS BIGINT) ASC, c.vid ASC
+      LIMIT {shortlist}
+    )
+    SELECT v.vid AS vec_id,
+           CAST({duckdb_int_dot('v.q', 'qn.qq')} AS DOUBLE)
+             / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(qn.qn2 AS DOUBLE)))
+             AS cosine
+    FROM nrm v
+    JOIN short s ON s.vid = v.vid, qn
+    ORDER BY cosine DESC, vec_id ASC LIMIT {k}"""
+    )
+
+
+@register(
+    "q117_ivfpq_two_stage", _ivfpq_two_stage_oracle(42, 2, 50, 10)
+)
+def q117_ivfpq_two_stage(spark, sf_dir):
+    """The complete FAISS-style retrieval pipeline from the STORED
+    index: cell-pruned ADC shortlist (q108's one-partition-pruned
+    scan of 4-byte codes over n_probe=2 cells) feeding an exact
+    integer-cosine re-rank of ONLY the 50 shortlisted raw vectors
+    (broadcast-join lookup). At 100 TB the corpus contributes
+    n_probe/n_cells of its codes to stage 1 and 50 rows to stage 2 —
+    the end-state every production ANN deployment converges on
+    (store/vector_index.py:ivfpq_two_stage)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 42)
+        .select("embedding")
+        .collect()[0]["embedding"]
+    ]
+    cent_ids = [
+        r[0]
+        for r in emb.where(F.col("vec_id") % 200 == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    idx = _embeddings_index(spark, sf_dir, centroid_ids=cent_ids)
+    return idx.ivfpq_two_stage(
+        emb, "embedding", qvec, n_probe=2, shortlist=50, k=10
     )

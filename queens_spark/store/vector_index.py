@@ -228,12 +228,25 @@ class VectorIndex:
         (a candidate-sized broadcast-join lookup). Bit-identical to
         the inline pipeline on the same codebook, so the q103 oracle
         is unchanged."""
+        short = self.adc_topk(query_vec, k=shortlist).select(self.id_col)
+        return self._exact_rerank(corpus, vec_col, query_vec, short, k)
+
+    def _exact_rerank(
+        self,
+        corpus: DataFrame,
+        vec_col: str,
+        query_vec: list[float],
+        short: DataFrame,
+        k: int,
+    ) -> DataFrame:
+        """Stage 2 shared by the two-stage searches: exact integer
+        cosine over ONLY the shortlisted raw vectors (broadcast-join
+        lookup), TakeOrdered finish."""
         from queens_spark.operators.similarity import (
             cosine_from_ints,
             int_dot,
         )
 
-        short = self.adc_topk(query_vec, k=shortlist).select(self.id_col)
         qq = quantize(F.array(*[F.lit(float(x)) for x in query_vec]))
         v = corpus.join(F.broadcast(short), self.id_col).select(
             self.id_col, quantize(vec_col).alias("vq")
@@ -246,6 +259,28 @@ class VectorIndex:
             .orderBy(F.desc("cosine"), F.asc(self.id_col))
             .limit(k)
         )
+
+    def ivfpq_two_stage(
+        self,
+        corpus: DataFrame,
+        vec_col: str,
+        query_vec: list[float],
+        n_probe: int = 2,
+        shortlist: int = 50,
+        k: int = 10,
+        predicate=None,
+    ) -> DataFrame:
+        """The full FAISS-style deployment pipeline from the stored
+        index: cell-pruned ADC shortlist (:meth:`ivfpq_topk` — one
+        partition-pruned scan of 4 B/vector over n_probe cells), then
+        exact integer-cosine re-rank of ONLY the shortlisted raw
+        vectors. At 100 TB the corpus is touched for *shortlist* rows
+        and scanned for n_probe/n_cells of its 4-byte codes — nothing
+        else moves."""
+        short = self.ivfpq_topk(
+            query_vec, n_probe=n_probe, k=shortlist, predicate=predicate
+        ).select(self.id_col)
+        return self._exact_rerank(corpus, vec_col, query_vec, short, k)
 
     def int8_topk(
         self, query_ids: list[int], k: int = 10, predicate=None
