@@ -100,6 +100,33 @@ def build_parser() -> argparse.ArgumentParser:
     sv = sub.add_parser("serve", help="run the HTTP API (requires fastapi)")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8000)
+
+    vx = sub.add_parser(
+        "vindex",
+        help="warehouse vector-index lifecycle: build/append/compact/"
+             "search over a parquet corpus of (id, vector) rows",
+    )
+    vx.add_argument("action",
+                    choices=["build", "append", "compact", "search"])
+    vx.add_argument("name", help="index name in the warehouse manifest")
+    vx.add_argument("--source", default=None,
+                    help="corpus parquet path (build/append; search "
+                         "uses it to fetch the query vector)")
+    vx.add_argument("--vec-col", default="embedding")
+    vx.add_argument("--id-col", default="vec_id")
+    vx.add_argument("--cells-every", type=int, default=None,
+                    help="build an IVF coarse quantizer from every Nth "
+                         "id (enables ivfpq search)")
+    vx.add_argument("--meta-cols", default=None,
+                    help="comma-separated metadata columns to co-locate "
+                         "with the codes (enables --where)")
+    vx.add_argument("--query-id", type=int, default=None,
+                    help="search: id (in --source) whose vector is the "
+                         "query")
+    vx.add_argument("--k", type=int, default=10)
+    vx.add_argument("--n-probe", type=int, default=2)
+    vx.add_argument("--where", default=None,
+                    help="search: SQL predicate over --meta-cols")
     return p
 
 
@@ -210,6 +237,8 @@ def _run(args) -> int:
         cfg_dir = ensure_user_configs()
         created = initialize(engine, args.collection)
         print(json.dumps({"config_dir": cfg_dir, "created": created}))
+    elif args.command == "vindex":
+        return _run_vindex(spark, engine, args)
     elif args.command == "serve":
         import uvicorn
 
@@ -221,3 +250,89 @@ def _run(args) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def _run_vindex(spark, engine, args) -> int:
+    """`vindex` subcommand: the stored-index lifecycle from the shell.
+    build/append read a parquet corpus; search serves purely from the
+    stored artifacts (the query vector is the only --source touch)."""
+    from pyspark.sql import functions as F
+
+    name = args.name
+    meta = args.meta_cols.split(",") if args.meta_cols else None
+
+    def corpus():
+        if not args.source:
+            raise ValueError(f"vindex {args.action} requires --source")
+        return spark.read.parquet(args.source)
+
+    if args.action == "build":
+        df = corpus()
+        kw = {}
+        if args.cells_every:
+            kw["centroid_ids"] = [
+                r[0]
+                for r in df.where(
+                    F.col(args.id_col) % args.cells_every == 0
+                ).select(args.id_col).collect()
+            ]
+        if meta:
+            kw["meta_cols"] = meta
+        from queens_spark.store.vector_index import source_fingerprint
+
+        idx = engine.build_vector_index(
+            df, args.vec_col, args.id_col, name,
+            fingerprint=source_fingerprint(args.source), **kw,
+        )
+        print(json.dumps({
+            "built": name,
+            "version": idx.entry["version"],
+            "ivf_cells": len(idx.entry.get("centroid_ids") or []),
+            "meta_cols": idx.entry.get("meta_cols"),
+        }))
+    elif args.action == "append":
+        from queens_spark.store.vector_index import source_fingerprint
+
+        idx = engine.append_vector_index(
+            corpus(), name, fingerprint=source_fingerprint(args.source)
+        )
+        print(json.dumps({
+            "appended": name,
+            "segments": len(
+                idx.entry["pq_codes_path"]
+                if isinstance(idx.entry["pq_codes_path"], list) else [0]
+            ),
+        }))
+    elif args.action == "compact":
+        import os as _os
+
+        from queens_spark.store.vector_index import compact_vector_index
+
+        idx = compact_vector_index(
+            spark,
+            _os.path.join(engine.warehouse.root, "system", "vector_index"),
+            name,
+        )
+        print(json.dumps({"compacted": name,
+                          "version": idx.entry["version"]}))
+    else:  # search
+        if args.query_id is None:
+            raise ValueError("vindex search requires --query-id")
+        qvec = [
+            float(x)
+            for x in corpus()
+            .where(F.col(args.id_col) == args.query_id)
+            .select(args.vec_col)
+            .collect()[0][0]
+        ]
+        idx = engine.vector_index(name)
+        if idx.entry.get("ivf_assign_path"):
+            out = idx.ivfpq_topk(qvec, n_probe=args.n_probe, k=args.k,
+                                 predicate=args.where)
+        else:
+            out = idx.adc_topk(qvec, k=args.k, predicate=args.where)
+        print(json.dumps({"results": [
+            {args.id_col: r[args.id_col], "adist": r["adist"]}
+            for r in out.collect()
+        ]}))
+    return 0

@@ -498,3 +498,42 @@ def test_read_corpus_jsonl_schema_guard(spark):
     bad_schema = T.StructType([T.StructField("_corrupt_record", T.StringType())])
     with pytest.raises(ValueError, match="_corrupt_record"):
         read_corpus_jsonl(spark, "/nonexistent", bad_schema)
+
+
+def test_cli_vindex_lifecycle(tmp_path, capsys):
+    """`vindex` from the shell: build (with IVF cells + meta), search
+    (served from the stored artifacts), append, compact."""
+    import json as _json
+
+    from queens_spark.cli import main
+
+    wh = str(tmp_path / "wh")
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    assert main(["--warehouse", wh, "vindex", "build", "emb",
+                 "--source", src, "--cells-every", "200",
+                 "--meta-cols", "label"]) == 0
+    built = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["built"] == "emb" and built["ivf_cells"] >= 2
+
+    assert main(["--warehouse", wh, "vindex", "search", "emb",
+                 "--source", src, "--query-id", "7", "--k", "5"]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(res["results"]) == 5
+    assert res["results"][0]["vec_id"] == 7  # self is nearest (adist 0)
+
+    assert main(["--warehouse", wh, "vindex", "search", "emb",
+                 "--source", src, "--query-id", "7", "--k", "3",
+                 "--where", "label = 3"]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(res["results"]) == 3
+
+    assert main(["--warehouse", wh, "vindex", "append", "emb",
+                 "--source", src]) == 0
+    appended = _json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert appended["segments"] == 2
+
+    assert main(["--warehouse", wh, "vindex", "compact", "emb"]) == 0
+    compacted = _json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert compacted["compacted"] == "emb"
