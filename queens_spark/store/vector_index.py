@@ -346,6 +346,34 @@ class VectorIndex:
             self.id_col, qids, luts, k=k,
         )
 
+    def describe(self) -> dict:
+        """Manifest summary for ops tooling: what is stored, where,
+        how many segments, built with which params."""
+        e = self.entry
+        return {
+            "name": self.name,
+            "version": int(e["version"]),
+            "m": self.m,
+            "vec_col": e["vec_col"],
+            "id_col": self.id_col,
+            "ivf_cells": len(e.get("centroid_ids") or []),
+            "meta_cols": e.get("meta_cols"),
+            "segments": len(_paths(e["pq_codes_path"])),
+            "fingerprint": e.get("fingerprint"),
+        }
+
+    def cell_stats(self) -> DataFrame:
+        """(centroid_id, n_vectors) — the IVF balance audit. Skewed
+        cells mean a hot probe scans a disproportionate share of the
+        corpus; rebuild with better-spread centroid_ids (or more
+        cells) when max/median blows up. One counter-width aggregation
+        over the assignment scan."""
+        return (
+            self.ivf_assignment()
+            .groupBy(F.col("centroid_id").cast("bigint").alias("centroid_id"))
+            .agg(F.count(F.lit(1)).alias("n_vectors"))
+        )
+
     def probe_cells(
         self, query_vec: list[float], n_probe: int = 2
     ) -> list[int]:

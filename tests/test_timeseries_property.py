@@ -170,3 +170,49 @@ def test_resample_gap_fill_semantics(spark):
         ("a", 4): (1, 1000, 1000),
         ("b", 3): (1, 99, 99),     # span is per-key (one bucket)
     }
+
+
+def test_resample_gap_fill_matches_reference(spark):
+    """Randomized check vs a pure-Python reference: dense per-key
+    spans, zero fills, exact-cents sums, carry semantics."""
+    import datetime
+    import itertools
+    import random
+
+    from pyspark.sql import Row
+
+    from queens_spark.operators.timeseries import resample_gap_fill
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        rows.append(Row(
+            k=rng.choice(["a", "b", "c"]),
+            ts=datetime.datetime(2024, 1, 1 + rng.randrange(12),
+                                 rng.randrange(24)),
+            value=round(rng.uniform(-5, 50), 2),
+        ))
+    got = {(r["k"], r["bucket"].date()):
+           (r["n_events"], r["sum_cents"], r["carry_cents"])
+           for r in resample_gap_fill(
+               spark.createDataFrame(rows), "k", "ts", "value"
+           ).collect()}
+
+    import math
+    per = {}
+    for r in rows:
+        key = (r.k, r.ts.date())
+        n, s = per.get(key, (0, 0))
+        per[key] = (n + 1, s + math.floor(r.value * 100))
+    expected = {}
+    for k in {r.k for r in rows}:
+        days = [d for (kk, d) in per if kk == k]
+        carry = None
+        d = min(days)
+        while d <= max(days):
+            n, s = per.get((k, d), (0, 0))
+            if (k, d) in per:
+                carry = s
+            expected[(k, d)] = (n, s, carry)
+            d += datetime.timedelta(days=1)
+    assert got == expected

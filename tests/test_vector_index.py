@@ -553,3 +553,44 @@ def test_int8_search_from_stored_codes(spark, emb, tmp_path):
     labels = {r["vec_id"]: r["label"] for r in emb.collect()}
     filt = idx.int8_topk([3], k=5, predicate="label = 2").collect()
     assert filt and all(labels[r["vec_id"]] == 2 for r in filt)
+
+
+def test_two_stage_ivfpq_with_predicate_and_ops_tooling(
+    spark, emb, tmp_path
+):
+    """ivfpq_two_stage: shortlist equals ivfpq_topk's ids; with a
+    predicate every result honors it; describe/cell_stats report the
+    stored layout."""
+    idir = str(tmp_path / "vidx")
+    cent_ids = [r[0] for r in
+                emb.where(F.col("vec_id") % 200 == 0)
+                .select("vec_id").collect()]
+    build_vector_index(emb, "embedding", "vec_id", "e", idir,
+                       centroid_ids=cent_ids, meta_cols=["label"])
+    idx = load_vector_index(spark, idir, "e")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]]
+
+    out = idx.ivfpq_two_stage(emb, "embedding", qvec, n_probe=2,
+                              shortlist=20, k=5).collect()
+    short_ids = {r["vec_id"] for r in
+                 idx.ivfpq_topk(qvec, n_probe=2, k=20).collect()}
+    assert len(out) == 5
+    assert {r["vec_id"] for r in out} <= short_ids
+    # exact re-rank order: cosine desc, id asc
+    assert [r["cosine"] for r in out] == sorted(
+        (r["cosine"] for r in out), reverse=True)
+
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    filt = idx.ivfpq_two_stage(emb, "embedding", qvec, n_probe=2,
+                               shortlist=20, k=5,
+                               predicate="label = 3").collect()
+    assert filt and all(labels[r["vec_id"]] == 3 for r in filt)
+
+    d = idx.describe()
+    assert d["ivf_cells"] == len(cent_ids) and d["segments"] == 1
+    assert d["meta_cols"] == ["label"]
+    stats = {r["centroid_id"]: r["n_vectors"]
+             for r in idx.cell_stats().collect()}
+    assert set(stats) == set(cent_ids)
+    assert sum(stats.values()) == emb.count()
