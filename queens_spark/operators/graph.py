@@ -56,10 +56,19 @@ def integer_pagerank(
     scale: int = PR_SCALE,
     checkpoint_every: int | None = None,
     max_driver_edges: int = MAX_DRIVER_EDGES,
+    seed_nodes: list | None = None,
 ) -> DataFrame:
     """Weighted PageRank; returns (node, rank) with rank in
     parts-per-*scale*. See module docstring for the exact-arithmetic
     contract; the DuckDB twin is :func:`duckdb_pagerank_ctes`.
+
+    With *seed_nodes*, this is PERSONALIZED PageRank: the teleport
+    mass ``(1-d)`` lands only on the seed set (split evenly, same
+    truncating division) and the walk starts there — the
+    "importance relative to THESE nodes" primitive behind
+    graph-based recommendation and seed-expanded curation. Every
+    seed must exist in the graph (ValueError otherwise: a typo'd
+    seed silently teleporting nowhere would skew all ranks).
     """
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
@@ -118,14 +127,33 @@ def integer_pagerank(
             nodes_set.add(r["s"])
             nodes_set.add(r["d"])
         n = len(nodes_set)
-        base = ((scale * (100 - damping_pct)) // 100) // n
-        ranks = {v: scale // n for v in nodes_set}
+        if seed_nodes is not None:
+            seeds = set(seed_nodes)
+            missing = seeds - nodes_set
+            if not seeds or missing:
+                raise ValueError(
+                    f"seed_nodes must be a non-empty subset of the "
+                    f"graph's nodes; missing: {sorted(missing)}"
+                )
+            base_seed = ((scale * (100 - damping_pct)) // 100) // len(seeds)
+            base_of = {
+                v: base_seed if v in seeds else 0 for v in nodes_set
+            }
+            ranks = {
+                v: scale // len(seeds) if v in seeds else 0
+                for v in nodes_set
+            }
+        else:
+            base = ((scale * (100 - damping_pct)) // 100) // n
+            base_of = {v: base for v in nodes_set}
+            ranks = {v: scale // n for v in nodes_set}
         for _ in range(iters):
             agg = {v: 0 for v in nodes_set}
             for r in probe:
                 agg[r["d"]] += ranks[r["s"]] * int(r["w"]) // wout[r["s"]]
             ranks = {
-                v: base + damping_pct * agg[v] // 100 for v in nodes_set
+                v: base_of[v] + damping_pct * agg[v] // 100
+                for v in nodes_set
             }
         return spark.createDataFrame(
             sorted(ranks.items()), "node string, rank bigint"
@@ -142,8 +170,26 @@ def integer_pagerank(
     # |V| is the node DIMENSION (event types, domains, ...) — a
     # bounded driver count, same convention as the dedup hot list
     n_nodes = nodes.count()
-    base = ((scale * (100 - damping_pct)) // 100) // n_nodes
-    init = scale // n_nodes
+    if seed_nodes is not None:
+        seeds = list(dict.fromkeys(seed_nodes))
+        present = nodes.where(F.col("node").isin(seeds)).count()
+        if not seeds or present != len(seeds):
+            raise ValueError(
+                "seed_nodes must be a non-empty subset of the graph's "
+                "nodes"
+            )
+        base_seed = ((scale * (100 - damping_pct)) // 100) // len(seeds)
+        is_seed = F.col("node").isin(seeds)
+        base_col = F.when(is_seed, F.lit(base_seed)).otherwise(
+            F.lit(0)
+        ).cast("bigint")
+        init_col = F.when(
+            is_seed, F.lit(scale // len(seeds))
+        ).otherwise(F.lit(0)).cast("bigint")
+    else:
+        base = ((scale * (100 - damping_pct)) // 100) // n_nodes
+        base_col = F.lit(base).cast("bigint")
+        init_col = F.lit(scale // n_nodes).cast("bigint")
     wout = narrow.groupBy("s").agg(F.sum("w").alias("__wout"))
     # every iteration re-reads this joined frame; release_caches()
     # frees it (and the narrow probe cache) after materialization
@@ -154,7 +200,7 @@ def integer_pagerank(
             F.col("w").alias("__w"),
         ).join(wout.withColumnRenamed("s", "__src"), "__src")
     )
-    ranks = nodes.withColumn("rank", F.lit(init).cast("bigint"))
+    ranks = nodes.withColumn("rank", init_col)
     for i in range(iters):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "__src"), "__src")
@@ -170,7 +216,7 @@ def integer_pagerank(
             "node",
             # fixed truncation point 2: the damping product
             (
-                F.lit(base)
+                base_col
                 + F.expr(
                     f"{damping_pct} * coalesce(__s, 0L) div 100"
                 )
@@ -186,12 +232,19 @@ def duckdb_pagerank_ctes(
     iters: int = 10,
     damping_pct: int = 85,
     scale: int = PR_SCALE,
+    seed_nodes: list | None = None,
 ) -> str:
     """DuckDB twin: CTE chain ending in ``pr(node, rank)`` that
     reproduces :func:`integer_pagerank` bit-for-bit. *edges_cte* must
     be a CTE body selecting (src, dst, w). The unrolled iterations are
     the price of exactness — a recursive CTE cannot express the
-    per-iteration global re-aggregation cleanly."""
+    per-iteration global re-aggregation cleanly. *seed_nodes* mirrors
+    the personalized variant: teleport mass and the start distribution
+    land only on the seed set."""
+
+    def lit(v) -> str:
+        return f"'{v}'" if isinstance(v, str) else str(int(v))
+
     parts = [
         f"predges AS ({edges_cte})",
         "prnodes AS (SELECT DISTINCT node FROM ("
@@ -200,12 +253,29 @@ def duckdb_pagerank_ctes(
         "prn AS (SELECT count(*) AS n FROM prnodes)",
         "prwout AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout "
         "FROM predges GROUP BY src)",
-        f"pr0 AS (SELECT node, CAST(CAST({scale} AS BIGINT) // n AS BIGINT) "
-        "AS rank FROM prnodes, prn)",
     ]
-    base = (
-        f"((CAST({scale} AS BIGINT) * {100 - damping_pct}) // 100) // n"
-    )
+    if seed_nodes is not None:
+        seeds = list(dict.fromkeys(seed_nodes))
+        in_seeds = f"node IN ({', '.join(lit(s) for s in seeds)})"
+        n_seeds = len(seeds)
+        parts.append(
+            f"pr0 AS (SELECT node, CAST(CASE WHEN {in_seeds} THEN "
+            f"CAST({scale} AS BIGINT) // {n_seeds} ELSE 0 END AS BIGINT) "
+            "AS rank FROM prnodes)"
+        )
+        base = (
+            f"(CASE WHEN nn.node IN ({', '.join(lit(s) for s in seeds)}) "
+            f"THEN ((CAST({scale} AS BIGINT) * {100 - damping_pct}) "
+            f"// 100) // {n_seeds} ELSE 0 END)"
+        )
+    else:
+        parts.append(
+            f"pr0 AS (SELECT node, CAST(CAST({scale} AS BIGINT) // n "
+            "AS BIGINT) AS rank FROM prnodes, prn)"
+        )
+        base = (
+            f"((CAST({scale} AS BIGINT) * {100 - damping_pct}) // 100) // n"
+        )
     for i in range(iters):
         parts.append(
             f"pr{i + 1} AS (SELECT nn.node, "

@@ -5461,3 +5461,56 @@ def q117_ivfpq_two_stage(spark, sf_dir):
     return idx.ivfpq_two_stage(
         emb, "embedding", qvec, n_probe=2, shortlist=50, k=10
     )
+
+
+def _ppr_oracle(seeds: list[str]) -> str:
+    from queens_spark.operators.graph import duckdb_pagerank_ctes
+
+    edges = """
+      SELECT src, dst, n AS w FROM (
+        SELECT src, dst, count(*) AS n FROM (
+          SELECT event_type AS src,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          FROM events
+        ) WHERE dst IS NOT NULL
+        GROUP BY src, dst
+      )
+    """
+    return (
+        "WITH "
+        + duckdb_pagerank_ctes(edges, iters=10, seed_nodes=seeds)
+        + "\n    SELECT node AS event_type, rank AS rank_ppb FROM pr"
+    )
+
+
+@register("q118_personalized_pagerank", _ppr_oracle(["click"]))
+def q118_personalized_pagerank(spark, sf_dir):
+    """PERSONALIZED PageRank over the q101 transition graph, teleport
+    seeded at {click}: importance relative to the seed — "which event
+    types does behavior starting from a click flow into" — the
+    graph-based recommendation / seed-expanded curation primitive
+    (random-walk-with-restart). Same exact integer arithmetic and
+    10-CTE unrolled twin as q101; the only deltas are the start
+    distribution and the teleport mass landing solely on the seed set
+    (split by truncating division). A seed absent from the graph
+    raises instead of silently teleporting nowhere
+    (operators/graph.py:integer_pagerank)."""
+    from queens_spark.operators.graph import integer_pagerank
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return integer_pagerank(
+        edges, "src", "dst", "w", iters=10, seed_nodes=["click"]
+    ).select(
+        F.col("node").alias("event_type"), F.col("rank").alias("rank_ppb")
+    )

@@ -103,3 +103,40 @@ def test_pagerank_empty_edges_raises(spark):
     e = _edges(spark, [("a", "b", 1)]).where("w > 99")
     with pytest.raises(ValueError, match="empty"):
         integer_pagerank(e, "src", "dst", "w")
+
+
+def test_personalized_pagerank_paths_identical_and_seed_semantics(spark):
+    """PPR: driver and distributed paths bit-identical; teleport mass
+    lands only on seeds (non-seed nodes rank purely via in-links —
+    a node with no path from the seeds ranks 0); bad seeds raise."""
+    import pytest
+
+    from queens_spark.operators.dedup import release_caches
+
+    rows = [("a", "b", 3), ("b", "c", 2), ("c", "a", 5), ("a", "c", 1),
+            ("c", "b", 4), ("d", "a", 2), ("b", "d", 1),
+            ("x", "y", 1)]  # x->y island: unreachable from seeds
+    e = _edges(spark, rows)
+    drv = {r["node"]: r["rank"] for r in
+           integer_pagerank(e, "src", "dst", "w", iters=5,
+                            seed_nodes=["a"]).collect()}
+    dist = {r["node"]: r["rank"] for r in
+            integer_pagerank(e, "src", "dst", "w", iters=5,
+                             seed_nodes=["a"],
+                             max_driver_edges=0).collect()}
+    release_caches()
+    assert drv == dist and len(drv) == 6
+    assert drv["y"] == 0          # island: no seed mass reaches it
+    assert drv["a"] > drv["d"]    # the seed holds the teleport mass
+    # differs from uniform PageRank (the personalization matters)
+    uni = {r["node"]: r["rank"] for r in
+           integer_pagerank(e, "src", "dst", "w", iters=5).collect()}
+    release_caches()
+    assert drv != uni
+
+    with pytest.raises(ValueError, match="subset"):
+        integer_pagerank(e, "src", "dst", "w", seed_nodes=["nope"])
+    release_caches()
+    with pytest.raises(ValueError, match="subset"):
+        integer_pagerank(e, "src", "dst", "w", seed_nodes=[])
+    release_caches()
