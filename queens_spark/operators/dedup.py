@@ -1546,3 +1546,48 @@ def duckdb_strip_common_lines(
              chr(10)) AS clean_text
     FROM {table}, __cl
     """
+
+
+def minhash_agreement_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.875
+) -> DataFrame:
+    """MinHash near-dup pairs confirmed by LANE AGREEMENT instead of
+    exact Jaccard: banded candidates, then keep pairs whose signatures
+    agree on ≥ ⌈k·threshold⌉ of the k lanes. This is the estimator the
+    persistent dedup ledger's fuzzy mode runs
+    (store/dedup_ledger.py) — at ledger scale the original shingle
+    sets are gone (only the 16-lane signatures persist), so agreement
+    IS the verification. Agreement/k is an unbiased Jaccard estimate;
+    the confirm is one integer comparison — bit-portable where
+    :func:`minhash_dedup_pairs`'s float Jaccard ratio needs care.
+
+    Scale shape: one cached (doc, sig) projection feeds the band
+    self-join and both verify sides; the band shuffle buckets grow
+    with true-duplicate density; the verify join is |candidates|
+    wide carrying two 16-int arrays. Returns (id_a, id_b, matches)
+    with matches ≥ the integer bar.
+    """
+    need = int(-(-MINHASH_K * float(threshold) // 1))
+    sigs = _persist(
+        ensure_min_partitions(df)
+        .where(F.size(shingle_hashes(text_col)) > 0)
+        .select(
+            F.col(id_col).alias("doc"),
+            minhash_signature(text_col).alias("sig"),
+        )
+    )
+    cand = _band_pairs(sigs)
+    sa = sigs.select(F.col("doc").alias("id_a"), F.col("sig").alias("__sa"))
+    sb = sigs.select(F.col("doc").alias("id_b"), F.col("sig").alias("__sb"))
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    ).cast("bigint")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", matches.alias("matches"))
+        .where(F.col("matches") >= need)
+    )

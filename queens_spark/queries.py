@@ -5514,3 +5514,73 @@ def q118_personalized_pagerank(spark, sf_dir):
     ).select(
         F.col("node").alias("event_type"), F.col("rank").alias("rank_ppb")
     )
+
+
+def _minhash_agreement_oracle(threshold: float) -> str:
+    from queens_spark.operators.dedup import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_K,
+        MINHASH_P,
+        duckdb_shingle_hashes,
+    )
+
+    need = int(-(-MINHASH_K * threshold // 1))
+    sig_elems = ", ".join(
+        f"list_min(list_transform(hs, x -> ({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MINHASH_P}))"
+        for i in range(MINHASH_K)
+    )
+    band_selects = []
+    for band in range(LSH_BANDS):
+        cols = " || '_' || ".join(
+            f"CAST(sig[{band * LSH_ROWS + r + 1}] AS VARCHAR)"
+            for r in range(LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band_id, {cols} AS band_sig FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH h AS (
+      SELECT doc_id, hs FROM (
+        SELECT doc_id, {duckdb_shingle_hashes('text')} AS hs FROM documents)
+      WHERE len(hs) > 0
+    ), sig AS (
+      SELECT doc_id, [{sig_elems}] AS sig FROM h
+    ), bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_filter(range(1, {MINHASH_K} + 1),
+                                i -> sa.sig[i] = sb.sig[i]))
+                AS BIGINT) AS matches
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+    WHERE len(list_filter(range(1, {MINHASH_K} + 1),
+                          i -> sa.sig[i] = sb.sig[i])) >= {need}
+    """
+
+
+@register("q119_minhash_agreement", _minhash_agreement_oracle(0.875))
+def q119_minhash_agreement(spark, sf_dir):
+    """MinHash near-dup pairs confirmed by LANE AGREEMENT (≥ ⌈16·7/8⌉
+    = 14 of 16 lanes equal) — the signature-only estimator the
+    persistent dedup ledger's fuzzy mode screens with, where the
+    original shingle sets no longer exist and agreement IS the
+    verification. One integer comparison per candidate (bit-portable
+    where a float Jaccard ratio is not); banded candidates, a
+    |candidates|-wide verify join carrying two 16-int arrays, nothing
+    O(n²) (operators/dedup.py:minhash_agreement_pairs)."""
+    from queens_spark.operators.dedup import minhash_agreement_pairs
+
+    return minhash_agreement_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        threshold=0.875,
+    )
