@@ -243,7 +243,11 @@ def duckdb_pagerank_ctes(
     land only on the seed set."""
 
     def lit(v) -> str:
-        return f"'{v}'" if isinstance(v, str) else str(int(v))
+        # escape embedded quotes: a seed like "O'Brien" must emit
+        # 'O''Brien', not malformed (injectable) SQL
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(int(v))
 
     parts = [
         f"predges AS ({edges_cte})",

@@ -1032,6 +1032,12 @@ def batch_topk_cosine(
     qmat = np.array([r["v"] for r in qrows], dtype=np.float64)
     qcodes = np.floor(qmat * float(QUANT)).astype(np.int64)
     qsn = np.sqrt((qcodes * qcodes).sum(axis=1).astype(np.float64))
+    if np.any(qsn == 0.0):
+        bad = qids[qsn == 0.0][:5].tolist()
+        raise ValueError(
+            f"query vectors {bad} have zero quantized norm; "
+            "cosine is undefined — drop or rescale them"
+        )
     bc = corpus.sparkSession.sparkContext.broadcast((qids, qcodes, qsn))
 
     def run(batches):
@@ -1056,6 +1062,12 @@ def batch_topk_cosine(
             vsn = np.sqrt(
                 (codes * codes).sum(axis=1).astype(np.float64)
             )
+            if np.any(vsn == 0.0):
+                bad = ids[vsn == 0.0][:5].tolist()
+                raise ValueError(
+                    f"corpus vectors {bad} have zero quantized norm; "
+                    "cosine is undefined — screen them out upstream"
+                )
             # same op order as cosine_from_ints / the DuckDB twin:
             # dot → double, ÷ (sqrt(n2) · sqrt(qn2))
             cosm = dots.astype(np.float64) / (vsn[:, None] * b_qsn[None, :])

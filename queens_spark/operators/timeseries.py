@@ -119,12 +119,20 @@ def range_join(
     )
 
 
+#: Dense-grid safety cap for :func:`resample_gap_fill`: one key
+#: spanning this many buckets at the chosen unit is almost certainly a
+#: unit mistake (3 years of minutes ≈ 1.6M rows PER KEY) — raise
+#: before the explode instead of silently generating it.
+MAX_GRID_ROWS_PER_KEY = 2_000_000
+
+
 def resample_gap_fill(
     df: DataFrame,
     key_col: str,
     ts_col: str,
     value_col: str,
     unit: str = "day",
+    max_grid_rows_per_key: int = MAX_GRID_ROWS_PER_KEY,
 ) -> DataFrame:
     """Regularize an event stream onto a dense per-key time grid —
     the resample/gap-fill step every time-series feature pipeline
@@ -148,7 +156,15 @@ def resample_gap_fill(
     per key — guard your unit against multi-year spans); the
     grid-to-aggregate join is key+bucket-hashed and AQE broadcasts
     whichever side is small; the carry window partitions by key,
-    bounded by span length. Nothing corpus-sized sorts globally."""
+    bounded by span length. Nothing corpus-sized sorts globally.
+
+    Guard: the grid explodes span/unit rows PER KEY, so a multi-year
+    span at a fine *unit* silently generates millions of rows per key.
+    The span aggregate (already computed, counter-width per key) is
+    checked BEFORE the explode; any key whose grid would exceed
+    *max_grid_rows_per_key* raises a ValueError naming it — the house
+    rule for documented failure modes (cf. bm25's int64 envelope
+    guard, strip_common_lines' cap)."""
     b = F.date_trunc(unit, F.col(ts_col))
     per = (
         df.select(
@@ -164,9 +180,34 @@ def resample_gap_fill(
             F.sum("__cents").alias("__s"),
         )
     )
-    span = per.groupBy(key_col).agg(
-        F.min("bucket").alias("__mn"), F.max("bucket").alias("__mx")
+    from queens_spark.operators.dedup import _persist
+
+    # persisted: the guard probe below and the grid both read it, and
+    # it is tiny (one row per key) — the (key, bucket) aggregation
+    # upstream runs once, not twice
+    span = _persist(
+        per.groupBy(key_col).agg(
+            F.min("bucket").alias("__mn"), F.max("bucket").alias("__mx")
+        )
     )
+    worst = (
+        span.select(
+            F.col(key_col),
+            (F.expr(f"timestampdiff({unit}, __mn, __mx)") + 1).alias(
+                "__rows"
+            ),
+        )
+        .orderBy(F.desc("__rows"))
+        .limit(1)
+        .collect()
+    )
+    if worst and int(worst[0]["__rows"]) > int(max_grid_rows_per_key):
+        raise ValueError(
+            f"resample_gap_fill: key {worst[0][key_col]!r} spans "
+            f"{int(worst[0]['__rows'])} {unit} buckets, over the "
+            f"{int(max_grid_rows_per_key)}-row-per-key grid cap; "
+            "coarsen unit or raise max_grid_rows_per_key"
+        )
     grid = span.select(
         F.col(key_col),
         F.explode(

@@ -86,6 +86,25 @@ def _read_manifest(ledger_dir: str) -> dict:
         return {"segments": []}
 
 
+def _next_seg_id(manifest: dict) -> int:
+    """Monotonic segment counter, persisted as ``next_seg``. Segment
+    dir names must NEVER repeat: ``seg{len(segments)}`` collides after
+    a compact→ingest→compact cycle (compacting 3 segments yields
+    ``seg3__compacted``; two ingests later the next compact would
+    derive ``seg3__compacted`` again and overwrite the path it is
+    reading). Legacy manifests without the counter derive it from the
+    max numeric suffix already on disk."""
+    n = manifest.get("next_seg")
+    if n is not None:
+        return int(n)
+    mx = -1
+    for s in manifest.get("segments", []):
+        num = os.path.basename(s)[3:].split("__")[0]
+        if num.isdigit():
+            mx = max(mx, int(num))
+    return mx + 1
+
+
 def _write_manifest(ledger_dir: str, manifest: dict) -> None:
     os.makedirs(ledger_dir, exist_ok=True)
     tmp = _manifest_path(ledger_dir) + "__tmp"
@@ -255,9 +274,8 @@ def ingest_deduped(
                 )
                 new = new.join(drop_l, id_col, "left_anti")
 
-        manifest_seg = os.path.join(
-            ledger_dir, f"seg{len(manifest['segments'])}"
-        )
+        seg_id = _next_seg_id(manifest)
+        manifest_seg = os.path.join(ledger_dir, f"seg{seg_id}")
         out_cols = ["fingerprint", id_col] + (
             ["sig"] if mode == "minhash" else []
         )
@@ -265,13 +283,17 @@ def ingest_deduped(
         n_accepted = spark.read.parquet(manifest_seg).count()
         if mode == "minhash":
             n_in_batch_near = drop_in.count()
-            n_ledger_near = n_after_exact - n_in_batch_near - n_accepted
+            # counted DIRECTLY, not derived by subtraction — a future
+            # change to n_accepted's provenance must not skew this stat
+            if ledger is not None:
+                n_ledger_near = drop_l.count()
             sigs.unpersist()
             n_exact_ledger = n_unique - n_after_exact
         else:
             n_exact_ledger = n_unique - n_accepted
         manifest["segments"] = manifest["segments"] + [manifest_seg]
         manifest["mode"] = mode
+        manifest["next_seg"] = seg_id + 1
         _write_manifest(ledger_dir, manifest)
     finally:
         canon.unpersist()
@@ -299,11 +321,20 @@ def compact_ledger(spark: SparkSession, ledger_dir: str) -> int:
     segs = manifest["segments"]
     if len(segs) <= 1:
         return 0
-    merged = os.path.join(ledger_dir, f"seg{len(segs)}__compacted")
+    seg_id = _next_seg_id(manifest)
+    merged = os.path.join(ledger_dir, f"seg{seg_id}__compacted")
+    # the counter guarantees this, but reading and overwriting the
+    # same path would corrupt the ledger — fail loudly, never write
+    if merged in segs:
+        raise RuntimeError(
+            f"compaction target {merged} is a live segment; "
+            "ledger manifest counter is corrupt"
+        )
     spark.read.parquet(*segs).write.mode("overwrite").parquet(merged)
     # preserve every other manifest key (mode!) — replacing the whole
     # manifest would silently let exact ingests into a fuzzy ledger
     manifest["segments"] = [merged]
+    manifest["next_seg"] = seg_id + 1
     _write_manifest(ledger_dir, manifest)
     for s in segs:
         shutil.rmtree(s, ignore_errors=True)

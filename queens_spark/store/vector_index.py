@@ -387,6 +387,17 @@ class VectorIndex:
         cents = self.centroids().collect()
         q = [int(math.floor(float(x) * QUANT)) for x in query_vec]
         qn = math.sqrt(float(sum(x * x for x in q)))
+        if qn == 0.0:
+            raise ValueError(
+                "query vector has zero quantized norm (all components "
+                f"in [0, 1/{QUANT})); cosine is undefined"
+            )
+        zero_cells = [int(r["centroid_id"]) for r in cents if not r["cn2"]]
+        if zero_cells:
+            raise ValueError(
+                f"stored centroids {zero_cells} have zero norm; "
+                "rebuild the index with non-degenerate centroid_ids"
+            )
 
         def cos(row) -> float:
             dot = sum(int(a) * int(b) for a, b in zip(row["cq"], q))

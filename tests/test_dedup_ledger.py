@@ -146,3 +146,70 @@ def test_compact_preserves_mode(spark, tmp_path):
         _docs(spark, [(3, long.replace("ten", "TEN"))]), "text",
         "doc_id", ldir, near_dup_threshold=0.6)
     assert s["ledger_near_dupes"] >= 0 and s["batch"] == 1
+
+
+def test_compact_ingest_compact_cycle(spark, tmp_path):
+    """Segment dir names never repeat: compact -> ingest x2 -> compact
+    used to re-derive the SAME seg{n}__compacted name and overwrite a
+    path it was reading (AnalysisException, permanently broken
+    compaction). The manifest's monotonic counter prevents it."""
+    ldir = str(tmp_path / "ledger")
+    for i, t in enumerate(["a", "b", "c"]):
+        ingest_deduped(_docs(spark, [(i, t)]), "text", "doc_id", ldir)
+    assert compact_ledger(spark, ldir) == 3
+    ingest_deduped(_docs(spark, [(10, "d")]), "text", "doc_id", ldir)
+    ingest_deduped(_docs(spark, [(11, "e")]), "text", "doc_id", ldir)
+    assert compact_ledger(spark, ldir) == 3  # used to explode here
+    assert {r["doc_id"] for r in
+            ledger_fingerprints(spark, ldir).collect()} == {0, 1, 2, 10, 11}
+    # the cycle keeps working indefinitely
+    ingest_deduped(_docs(spark, [(12, "f")]), "text", "doc_id", ldir)
+    assert compact_ledger(spark, ldir) == 2
+    assert ledger_fingerprints(spark, ldir).count() == 6
+
+
+def test_legacy_manifest_without_counter(spark, tmp_path):
+    """Pre-counter manifests (no next_seg key) derive the counter from
+    the max numeric segment suffix on disk — no collision, no loss."""
+    import json
+
+    from queens_spark.store.dedup_ledger import _manifest_path
+
+    ldir = str(tmp_path / "ledger")
+    ingest_deduped(_docs(spark, [(0, "a")]), "text", "doc_id", ldir)
+    ingest_deduped(_docs(spark, [(1, "b")]), "text", "doc_id", ldir)
+    with open(_manifest_path(ldir)) as fh:
+        m = json.load(fh)
+    m.pop("next_seg")
+    with open(_manifest_path(ldir), "w") as fh:
+        json.dump(m, fh)
+    ingest_deduped(_docs(spark, [(2, "c")]), "text", "doc_id", ldir)
+    with open(_manifest_path(ldir)) as fh:
+        m2 = json.load(fh)
+    assert len(set(m2["segments"])) == 3
+    assert {r["doc_id"] for r in
+            ledger_fingerprints(spark, ldir).collect()} == {0, 1, 2}
+
+
+def test_fuzzy_stats_are_consistent(spark, tmp_path):
+    """Drop counts are COUNTED, not derived: every batch row is
+    accounted for exactly once across the stats."""
+    ldir = str(tmp_path / "fuzzy")
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    b1 = _docs(spark, [(0, base), (1, base.replace("tonight", "today")),
+                       (2, base), (3, "hi")])
+    _, s1 = ingest_deduped(b1, "text", "doc_id", ldir,
+                           near_dup_threshold=0.6)
+    assert (s1["in_batch_dupes"] + s1["ledger_dupes"]
+            + s1["in_batch_near_dupes"] + s1["ledger_near_dupes"]
+            + s1["accepted"]) == s1["batch"]
+    b2 = _docs(spark, [(10, base.replace("quick", "rapid")),
+                       (11, "hi"), (12, "completely novel content with "
+                       "enough distinct words to shingle and hash")])
+    _, s2 = ingest_deduped(b2, "text", "doc_id", ldir,
+                           near_dup_threshold=0.6)
+    assert s2["ledger_near_dupes"] == 1 and s2["ledger_dupes"] == 1
+    assert (s2["in_batch_dupes"] + s2["ledger_dupes"]
+            + s2["in_batch_near_dupes"] + s2["ledger_near_dupes"]
+            + s2["accepted"]) == s2["batch"]

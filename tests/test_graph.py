@@ -140,3 +140,31 @@ def test_personalized_pagerank_paths_identical_and_seed_semantics(spark):
     with pytest.raises(ValueError, match="subset"):
         integer_pagerank(e, "src", "dst", "w", seed_nodes=[])
     release_caches()
+
+
+def test_oracle_ctes_escape_quoted_seeds(spark):
+    """A seed node containing an apostrophe must emit doubled-quote
+    SQL ('O''Brien'), parse in DuckDB, and stay bit-identical to the
+    Spark path — not produce malformed (injectable) oracle SQL."""
+    import duckdb
+
+    from queens_spark.operators.graph import duckdb_pagerank_ctes
+
+    rows = [("o'brien", "b", 2), ("b", "o'brien", 3), ("b", "c", 1)]
+    e = _edges(spark, rows)
+    got = {r["node"]: r["rank"] for r in
+           integer_pagerank(e, "src", "dst", "w", iters=4,
+                            seed_nodes=["o'brien"]).collect()}
+    from queens_spark.operators.dedup import release_caches
+    release_caches()
+
+    def q(v):
+        return "'" + v.replace("'", "''") + "'"
+
+    vals = ", ".join(f"({q(s)}, {q(d)}, {w})" for s, d, w in rows)
+    ctes = duckdb_pagerank_ctes(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst, w)",
+        iters=4, seed_nodes=["o'brien"])
+    oracle = dict(duckdb.sql(
+        f"WITH {ctes} SELECT node, rank FROM pr").fetchall())
+    assert got == oracle

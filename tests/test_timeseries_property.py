@@ -216,3 +216,31 @@ def test_resample_gap_fill_matches_reference(spark):
             expected[(k, d)] = (n, s, carry)
             d += datetime.timedelta(days=1)
     assert got == expected
+
+
+def test_resample_gap_fill_grid_guard(spark):
+    """A key whose span/unit grid would exceed the per-key cap raises
+    BEFORE the explode, naming the key — the documented failure mode
+    (multi-year span at minute grain) is enforced, not just warned."""
+    import datetime
+
+    import pytest
+    from pyspark.sql import Row
+
+    from queens_spark.operators.timeseries import resample_gap_fill
+
+    d = datetime.datetime
+    df = spark.createDataFrame([
+        Row(k="ok", ts=d(2024, 1, 1), value=1.0),
+        Row(k="ok", ts=d(2024, 1, 3), value=1.0),
+        Row(k="wide", ts=d(2020, 1, 1), value=1.0),
+        Row(k="wide", ts=d(2024, 1, 1), value=1.0),
+    ])
+    with pytest.raises(ValueError, match="'wide'"):
+        resample_gap_fill(df, "k", "ts", "value", unit="day",
+                          max_grid_rows_per_key=30)
+    # under the cap the operator is unchanged
+    out = resample_gap_fill(df, "k", "ts", "value", unit="day",
+                            max_grid_rows_per_key=2000)
+    assert out.where("k = 'wide'").count() == 1462  # 2020-01-01..2024-01-01
+    assert out.where("k = 'ok'").count() == 3

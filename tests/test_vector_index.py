@@ -594,3 +594,21 @@ def test_two_stage_ivfpq_with_predicate_and_ops_tooling(
              for r in idx.cell_stats().collect()}
     assert set(stats) == set(cent_ids)
     assert sum(stats.values()) == emb.count()
+
+
+def test_probe_cells_zero_norm_query_raises(spark, tmp_path):
+    """An all-zero query vector must raise a clear ValueError from
+    probe_cells, not ZeroDivisionError."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idir = str(tmp_path / "vi")
+    cents = [r["vec_id"] for r in
+             emb.where(F.col("vec_id") % 100 == 0)
+             .select("vec_id").collect()]
+    idx = build_vector_index(emb, "embedding", "vec_id", "z", idir,
+                             centroid_ids=cents)
+    dim = len(emb.limit(1).collect()[0]["embedding"])
+    with pytest.raises(ValueError, match="zero quantized norm"):
+        idx.probe_cells([0.0] * dim, n_probe=2)

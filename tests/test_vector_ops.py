@@ -452,3 +452,19 @@ def test_pq_refine_int_entry_point_matches_and_iterates(spark):
         return total
 
     assert distortion(cb2) <= distortion(cb_int)
+
+
+def test_batch_topk_cosine_zero_norm_query_raises(spark):
+    """A zero-norm query (or one whose components all quantize to 0)
+    has undefined cosine — explicit ValueError, not silent NaN rows."""
+    import pytest
+    from pyspark.sql import Row, functions as F
+
+    from queens_spark.operators.similarity import batch_topk_cosine
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.limit(1).collect()[0]["embedding"])
+    q = spark.createDataFrame(
+        [Row(query_id=99, embedding=[0.0] * dim)])
+    with pytest.raises(ValueError, match="zero quantized norm"):
+        batch_topk_cosine(q, emb, "embedding", "vec_id")
