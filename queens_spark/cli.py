@@ -127,6 +127,25 @@ def build_parser() -> argparse.ArgumentParser:
     vx.add_argument("--n-probe", type=int, default=2)
     vx.add_argument("--where", default=None,
                     help="search: SQL predicate over --meta-cols")
+
+    tx = sub.add_parser(
+        "tindex",
+        help="warehouse text-index lifecycle: build/append/compact/"
+             "search (BM25) over a parquet corpus of (id, text) rows",
+    )
+    tx.add_argument("action",
+                    choices=["build", "append", "compact", "search"])
+    tx.add_argument("name", help="index name in the warehouse manifest")
+    tx.add_argument("--source", default=None,
+                    help="corpus parquet path (build/append only — "
+                         "search reads stored postings exclusively)")
+    tx.add_argument("--text-col", default="text")
+    tx.add_argument("--id-col", default="doc_id")
+    tx.add_argument("--n-buckets", type=int, default=None,
+                    help="token-hash bucket count (build only)")
+    tx.add_argument("--terms", default=None,
+                    help="search: comma-separated query terms")
+    tx.add_argument("--k", type=int, default=10)
     return p
 
 
@@ -239,6 +258,8 @@ def _run(args) -> int:
         print(json.dumps({"config_dir": cfg_dir, "created": created}))
     elif args.command == "vindex":
         return _run_vindex(spark, engine, args)
+    elif args.command == "tindex":
+        return _run_tindex(spark, engine, args)
     elif args.command == "serve":
         import uvicorn
 
@@ -333,6 +354,63 @@ def _run_vindex(spark, engine, args) -> int:
             out = idx.adc_topk(qvec, k=args.k, predicate=args.where)
         print(json.dumps({"results": [
             {args.id_col: r[args.id_col], "adist": r["adist"]}
+            for r in out.collect()
+        ]}))
+    return 0
+
+
+def _run_tindex(spark, engine, args) -> int:
+    """`tindex` subcommand: the stored postings lifecycle from the
+    shell. build/append tokenize a parquet corpus once; search serves
+    BM25 purely from the stored postings — no --source touch at all."""
+    name = args.name
+
+    def corpus():
+        if not args.source:
+            raise ValueError(f"tindex {args.action} requires --source")
+        return spark.read.parquet(args.source)
+
+    if args.action == "build":
+        from queens_spark.store.vector_index import source_fingerprint
+
+        kw = {}
+        if args.n_buckets:
+            kw["n_buckets"] = args.n_buckets
+        idx = engine.build_text_index(
+            corpus(), args.text_col, args.id_col, name,
+            fingerprint=source_fingerprint(args.source), **kw,
+        )
+        print(json.dumps({"built": name, **idx.describe()}))
+    elif args.action == "append":
+        from queens_spark.store.vector_index import source_fingerprint
+
+        idx = engine.append_text_index(
+            corpus(), name, fingerprint=source_fingerprint(args.source)
+        )
+        print(json.dumps({"appended": name,
+                          "segments": len(idx.entry["segments"])}))
+    elif args.action == "compact":
+        import os as _os
+
+        from queens_spark.store.text_index import compact_text_index
+
+        idx = compact_text_index(
+            spark,
+            _os.path.join(engine.warehouse.root, "system", "text_index"),
+            name,
+        )
+        print(json.dumps({"compacted": name,
+                          "version": idx.entry["version"]}))
+    else:  # search
+        if not args.terms:
+            raise ValueError("tindex search requires --terms")
+        idx = engine.text_index(name)
+        out = idx.bm25_topk(
+            [t for t in args.terms.split(",") if t], k=args.k
+        )
+        print(json.dumps({"results": [
+            {"doc": r["doc"], "bm25_e5": r["bm25_e5"],
+             "n_terms": r["n_terms"]}
             for r in out.collect()
         ]}))
     return 0

@@ -144,6 +144,45 @@ class Engine:
             expected_fingerprint=expected_fingerprint,
         )
 
+    # ------------------------------------------------------ text index
+
+    def _text_index_dir(self) -> str:
+        import os
+
+        return os.path.join(self.warehouse.root, "system", "text_index")
+
+    def build_text_index(
+        self, df: DataFrame, text_col: str, id_col: str, name: str, **kw
+    ):
+        """Build (or refresh) a named lexical postings index as a
+        warehouse artifact (store/text_index.py): one tokenize pass
+        now, BM25 served from bucket-pruned postings scans in any
+        later session via :meth:`text_index`."""
+        from queens_spark.store.text_index import build_text_index
+
+        return build_text_index(
+            df, text_col, id_col, name, self._text_index_dir(), **kw
+        )
+
+    def append_text_index(self, df_new: DataFrame, name: str, **kw):
+        """Incremental refresh: tokenize ONLY *df_new* and add it as a
+        new postings segment — O(new-data) per ingest, searches over
+        the grown corpus bit-identical to a full rebuild."""
+        from queens_spark.store.text_index import append_text_index
+
+        return append_text_index(df_new, name, self._text_index_dir(), **kw)
+
+    def text_index(self, name: str, expected_fingerprint: str | None = None):
+        """Load a previously built postings index from the warehouse
+        manifest — no corpus touch, no tokenize stage in search
+        plans."""
+        from queens_spark.store.text_index import load_text_index
+
+        return load_text_index(
+            self.spark, self._text_index_dir(), name,
+            expected_fingerprint=expected_fingerprint,
+        )
+
     # ------------------------------------------------------------- read
 
     def compact(

@@ -92,6 +92,39 @@ def _embeddings_index(
     )
 
 
+def _documents_text_index(spark: SparkSession, sf_dir: str):
+    """Stored lexical (postings) index for the sf_dir's documents
+    table — the deployment shape of keyword retrieval
+    (store/text_index.py), twin of :func:`_embeddings_index`: the
+    FIRST run per corpus pays the tokenize pass and persists
+    bucket-partitioned (id, token, tf, dl) postings + manifest stats;
+    every later run (any session, any process) serves BM25 from a
+    bucket-pruned postings scan — no tokenize stage, no corpus-stats
+    pass, no touch of documents.parquet in the plan. The fingerprint
+    is the corpus file's stat, so regenerated testdata rebuilds
+    instead of serving stale postings."""
+    import hashlib
+    import os
+    import tempfile
+
+    from queens_spark.store.text_index import build_or_load_text_index
+    from queens_spark.store.vector_index import source_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = os.path.join(
+        tempfile.gettempdir(), "queens_spark_tindex", key
+    )
+    return build_or_load_text_index(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        "documents",
+        index_dir,
+        fingerprint=source_fingerprint(src),
+    )
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "documents":
         # Shingling/hashing over documents is per-row heavy, and the
@@ -4807,15 +4840,16 @@ def q110_bm25_retrieval(spark, sf_dir):
     principled lexical scorer underneath). Exact integer BM25 with
     k1=6/5, b=3/4 and RATIONAL idf (2N-2df+1)/(2df+1) — unlogged
     because ln() is not bit-portable, monotone in df so the rare term
-    ('dup', df≈5%) dominates the common ones. One wordcount shuffle;
-    doc lengths reuse the tf frame; the df aggregation and score join
-    touch only query-term rows; TakeOrdered finishes
-    (operators/corpus.py:bm25_topk)."""
-    from queens_spark.operators.corpus import bm25_topk
-
-    return bm25_topk(
-        load(spark, sf_dir, "documents"), "text", "doc_id",
-        ["dup", "spark", "merge"], k=10,
+    ('dup', df≈5%) dominates the common ones. Served from the STORED
+    postings index (store/text_index.py — bit-identical to the inline
+    operators/corpus.py:bm25_topk, so this oracle is unchanged): the
+    plan is one bucket-pruned postings scan (PartitionFilters on the
+    query terms' crc32 buckets), a counter-width df aggregation over
+    query-term rows only, TakeOrdered — no tokenize stage, no corpus
+    stats pass, documents.parquet untouched (plan-gated,
+    tests/test_plans.py)."""
+    return _documents_text_index(spark, sf_dir).bm25_topk(
+        ["dup", "spark", "merge"], k=10
     )
 
 
@@ -4891,16 +4925,17 @@ def _hybrid_bm25_ann_oracle(query_id: int, pool: int, k: int, rrf_k: int) -> str
 )
 def q111_hybrid_bm25_ann(spark, sf_dir):
     """The production hybrid-retrieval stack end-to-end: an exact
-    integer BM25 pool (q110's scorer, query = doc 42's distinct
-    tokens) and a STORED-INDEX ADC pool (q103's stage 1 — 4-byte
-    codes, no encode stage) fused with scaled-integer reciprocal-rank
-    fusion (q77's Σ ⌊1e12/(60+rank)⌋ — exact and summation-order-
-    free). The query document is excluded from both pools. Both pools
-    are TakeOrdered heads; ranks are windows over ≤50-row pools; the
-    fusion join touches ≤ 2·pool rows — nothing corpus-sized
-    shuffles, and at 100 TB the vector side reads the stored codes
-    only."""
-    from queens_spark.operators.corpus import bm25_topk
+    integer BM25 pool served from the STORED postings index (q110's
+    scorer over store/text_index.py artifacts, query = doc 42's
+    distinct tokens) and a STORED-INDEX ADC pool (q103's stage 1 —
+    4-byte codes, no encode stage) fused with scaled-integer
+    reciprocal-rank fusion (q77's Σ ⌊1e12/(60+rank)⌋ — exact and
+    summation-order-free). The query document is excluded from both
+    pools. Both pools are TakeOrdered heads; ranks are windows over
+    ≤50-row pools; the fusion join touches ≤ 2·pool rows — and BOTH
+    retrieval sides now read stored artifacts only: the corpus is
+    touched for one pushdown-filtered row (the query doc's text),
+    never tokenized or encoded in the plan."""
     from queens_spark.operators.text import tokens as _tok
 
     pool, k, rrf_k, qid = 50, 10, 60, 42
@@ -4916,7 +4951,8 @@ def q111_hybrid_bm25_ann(spark, sf_dir):
         }
     )
     bm = (
-        bm25_topk(docs, "text", "doc_id", terms, k=pool + 1)
+        _documents_text_index(spark, sf_dir)
+        .bm25_topk(terms, k=pool + 1)
         .where(F.col("doc") != qid)
         .select(F.col("doc").alias("doc_id"), "bm25_e5")
     )

@@ -1,0 +1,481 @@
+"""Warehouse-persisted lexical (postings) index: tokenize once on
+ingest, serve every BM25 query from the stored frames.
+
+:func:`~queens_spark.operators.corpus.bm25_topk` is a pure function —
+it re-runs ``term_frequencies(df)`` (a full-corpus tokenize + wordcount
+shuffle) inside every call. Right for oracle-checked catalog queries,
+wrong for deployment: at 100 TB every lexical query would pay a
+full-corpus pass. This module is the lexical twin of the vector side's
+stored-artifact lifecycle (store/vector_index.py — same manifest
+treatment, same atomic-flip crash safety, same reference analog: the
+stage-once/read-snapshot pattern, queens/core/read_write.py:340-404):
+
+- :func:`build_text_index` runs ONE tokenize pass and persists, under
+  a versioned directory::
+
+      postings/   parquet (id, token, tf, dl), disk-partitioned by
+                  tok_bucket = crc32(token) % n_buckets
+
+  The document length ``dl`` is DENORMALIZED onto every posting row,
+  so serving a query needs no doc-length join: a search is one
+  bucket-pruned scan of the postings (PartitionFilters on the query
+  terms' buckets + a token row-group filter), a counter-width df
+  aggregation over those rows only, and a TakeOrdered finish. Corpus
+  stats (N docs, T total tokens, max dl) live in the manifest per
+  SEGMENT and merge by sum/max at serve time — no stats pass either.
+- :func:`append_text_index` tokenizes ONLY the new batch and adds it
+  as a new segment (O(new-data) per ingest); the manifest flips after
+  the segment lands, so a crash mid-append leaves an invisible orphan.
+  The caller owns doc novelty (appending an already-indexed doc would
+  double-count it — same convention as the vector index and as
+  double-ingesting a row).
+- :func:`compact_text_index` merges a long append history back into
+  one segment (pure rewrite, content unchanged).
+- :func:`load_text_index` restores the index in ANY later session from
+  the manifest alone; an expected fingerprint turns a stale index into
+  a rebuild signal instead of silently serving pre-re-ingest postings.
+
+Served scores are BIT-IDENTICAL to :func:`bm25_topk` on the same
+corpus: the postings hold the same integer (tf, dl) the inline path
+derives, and the manifest stats are the same (N, T, maxdl), so the
+exact rational-idf arithmetic — and therefore the q110/q111 DuckDB
+oracles — is unchanged.
+
+Scale shape: the bucket count bounds the served scan at
+|query-term buckets|/n_buckets of the postings bytes (the lexical
+analog of IVF's n_probe/n_cells pruned scan); postings within a file
+are sorted by token so parquet min/max stats skip row groups inside a
+bucket. crc32 is used for bucketing because Spark's ``crc32`` and
+Python's ``zlib.crc32`` agree byte-for-byte, letting the driver compute
+a query term's bucket without touching the cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from queens_spark.operators.corpus import BM25_SCALE, term_frequencies
+
+MANIFEST_NAME = "text_index_manifest.json"
+
+#: Default token-hash bucket count: a query's scan is bounded by
+#: |distinct term buckets|/n_buckets of the postings. Raise at scale
+#: (more, smaller pruned units); lower for tiny corpora (fewer dirs).
+N_BUCKETS = 64
+
+
+def _manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, MANIFEST_NAME)
+
+
+def _read_manifest(index_dir: str) -> dict:
+    try:
+        with open(_manifest_path(index_dir)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _write_manifest(index_dir: str, entries: dict) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = _manifest_path(index_dir) + "__tmp"
+    with open(tmp, "w") as fh:
+        json.dump(entries, fh, sort_keys=True)
+    os.replace(tmp, _manifest_path(index_dir))
+
+
+def token_bucket(token: str, n_buckets: int) -> int:
+    """Driver-side twin of the stored ``tok_bucket`` column:
+    crc32(utf-8 bytes) mod n_buckets — byte-identical to Spark's
+    ``crc32(encode(token, 'utf-8')) % n_buckets``."""
+    return zlib.crc32(token.encode("utf-8")) % n_buckets
+
+
+def _postings(df: DataFrame, text_col: str, id_col: str, n_buckets: int) -> DataFrame:
+    """(id, token, tf, dl, tok_bucket) — ONE tokenize pass. tf and dl
+    are exactly term_frequencies' integers (dl = Σ tf per doc via a
+    doc-partitioned window over the tf frame — no second tokenize),
+    so served scores match the inline scorer bit-for-bit."""
+    from pyspark.sql import Window
+
+    tf = term_frequencies(df, text_col, id_col)
+    w = Window.partitionBy("doc")
+    return tf.select(
+        F.col("doc").alias(id_col),
+        "token",
+        "tf",
+        F.sum("tf").over(w).alias("dl"),
+        (F.crc32(F.encode(F.col("token"), "utf-8")) % n_buckets)
+        .cast("int")
+        .alias("tok_bucket"),
+    )
+
+
+def _seg_stats(spark: SparkSession, postings_path: str) -> dict:
+    """Per-segment corpus stats from the WRITTEN postings (anchored on
+    disk, like the ledger's accepted count): distinct docs, total
+    tokens, max doc length. One counter-width aggregation."""
+    p = spark.read.parquet(postings_path)
+    row = (
+        p.groupBy(p.columns[0])
+        .agg(F.sum("tf").alias("__dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__dl").alias("t"),
+            F.max("__dl").alias("maxdl"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_docs": int(row["n"] or 0),
+        "total_tokens": int(row["t"] or 0),
+        "maxdl": int(row["maxdl"] or 0),
+    }
+
+
+class TextIndex:
+    """A loaded postings index: BM25 serving over the STORED frames.
+
+    Construct via :func:`build_text_index` / :func:`load_text_index`;
+    the instance holds only the manifest entry (segment paths + their
+    stats) — every search is a plan over the postings parquet, never
+    the raw documents, with no tokenize stage anywhere.
+    """
+
+    def __init__(self, spark: SparkSession, name: str, entry: dict):
+        self.spark = spark
+        self.name = name
+        self.entry = entry
+        self.id_col = entry["id_col"]
+        self.n_buckets = int(entry["n_buckets"])
+        self.fingerprint = entry.get("fingerprint")
+
+    # ------------------------------------------------------ artifacts
+
+    def postings(self) -> DataFrame:
+        """All segments unioned. Each segment is its own
+        tok_bucket-partitioned root, so segments read separately
+        (multi-root partition discovery conflicts) and union — a
+        bucket predicate partition-prunes inside EVERY segment scan,
+        and union adds no exchange."""
+        dfs = [
+            self.spark.read.parquet(s["path"])
+            for s in self.entry["segments"]
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def stats(self) -> tuple[int, int, int]:
+        """(N docs, T total tokens, max dl) merged across segments —
+        manifest-only, no corpus or postings pass. Correct as long as
+        the caller kept segments doc-disjoint (the append contract)."""
+        segs = self.entry["segments"]
+        return (
+            sum(int(s["n_docs"]) for s in segs),
+            sum(int(s["total_tokens"]) for s in segs),
+            max(int(s["maxdl"]) for s in segs),
+        )
+
+    def describe(self) -> dict:
+        n, t, maxdl = self.stats()
+        return {
+            "name": self.name,
+            "version": int(self.entry["version"]),
+            "id_col": self.id_col,
+            "n_buckets": self.n_buckets,
+            "segments": len(self.entry["segments"]),
+            "n_docs": n,
+            "total_tokens": t,
+            "maxdl": maxdl,
+            "fingerprint": self.fingerprint,
+        }
+
+    # ------------------------------------------------------- serving
+
+    def query_postings(self, query_terms: list[str]) -> DataFrame:
+        """The query terms' posting rows via a BUCKET-PRUNED scan:
+        the terms' crc32 buckets (computed driver-side) become a
+        partition filter, the token IN (...) predicate skips row
+        groups inside the surviving buckets. The fraction of postings
+        bytes read is bounded by |buckets|/n_buckets."""
+        terms = sorted(set(query_terms))
+        if not terms:
+            raise ValueError("query_terms must be non-empty")
+        buckets = sorted({token_bucket(t, self.n_buckets) for t in terms})
+        return self.postings().where(
+            F.col("tok_bucket").isin(buckets) & F.col("token").isin(terms)
+        )
+
+    def bm25_topk(
+        self,
+        query_terms: list[str],
+        k: int = 10,
+        scale: int = BM25_SCALE,
+    ) -> DataFrame:
+        """Okapi BM25 top-*k* served from the stored postings —
+        bit-identical to
+        :func:`~queens_spark.operators.corpus.bm25_topk` on the
+        indexed corpus (same integer tf/dl/df/N/T, same exact
+        rational-idf arithmetic, same (score desc, doc asc)
+        tie-break), with NO tokenize stage and NO corpus stats pass in
+        the plan: one bucket-pruned postings scan, a counter-width df
+        aggregation over query-term rows only (broadcast back), a
+        per-doc sum, TakeOrdered. The int64 envelope guard runs on
+        manifest stats alone."""
+        n_docs, total, maxdl = self.stats()
+        if n_docs == 0:
+            raise ValueError(f"text index {self.name!r} is empty")
+        if scale * (2 * n_docs + 1) * 44 * maxdl * total >= 2**63:
+            raise ValueError(
+                f"bm25 int64 envelope exceeded (N={n_docs}, T={total}, "
+                f"maxdl={maxdl}, scale={scale}); lower scale or shard"
+            )
+        qtf = self.query_postings(query_terms).withColumnRenamed(
+            self.id_col, "doc"
+        )
+        dfc = qtf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+        num = f"{scale} * (2*{n_docs} - 2*df_docs + 1) * 44 * tf * {total}"
+        den = (
+            f"(2*df_docs + 1) * (20*tf*{total} + 6*{total} + "
+            f"18*dl*{n_docs})"
+        )
+        return (
+            qtf.join(F.broadcast(dfc), "token")
+            .groupBy("doc")
+            .agg(
+                F.expr(f"sum(({num}) div ({den}))").alias("bm25_e5"),
+                F.count(F.lit(1)).alias("n_terms"),
+            )
+            .orderBy(F.desc("bm25_e5"), F.asc("doc"))
+            .limit(k)
+        )
+
+
+def _write_postings_segment(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    path: str,
+) -> int:
+    """One tokenize pass → bucket-partitioned, token-sorted postings.
+    repartition on tok_bucket co-locates each bucket in one task
+    (small file count at local scale; pass a larger shuffle-partition
+    conf on a real cluster for more write parallelism), and the
+    within-file token sort gives parquet min/max stats that skip row
+    groups under a token IN (...) predicate.
+
+    Returns the posting-row count. A zero-row frame writes NOTHING
+    (an empty partitioned parquet dir cannot be read back — no files
+    to infer the schema from), so callers must skip empty segments;
+    the persist makes the emptiness probe and the write share one
+    tokenize pass."""
+    p = _postings(df, text_col, id_col, n_buckets).persist()
+    try:
+        n = p.count()
+        if n:
+            (
+                p.repartition("tok_bucket")
+                .sortWithinPartitions("token")
+                .write.mode("overwrite")
+                .partitionBy("tok_bucket")
+                .parquet(path)
+            )
+        return n
+    finally:
+        p.unpersist()
+
+
+def build_text_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    name: str,
+    index_dir: str,
+    n_buckets: int = N_BUCKETS,
+    fingerprint: str | None = None,
+) -> TextIndex:
+    """ONE corpus tokenize pass, then the manifest flip. Versioned
+    directory + atomic manifest replace (the vector-index convention):
+    a crash mid-build leaves the previous version live; stale version
+    dirs GC on the next successful build."""
+    entries = _read_manifest(index_dir)
+    version = int(entries.get(name, {}).get("version", 0)) + 1
+    vdir = os.path.join(index_dir, name, f"v{version}")
+    postings_path = os.path.join(vdir, "postings_seg0")
+    if not _write_postings_segment(
+        df, text_col, id_col, n_buckets, postings_path
+    ):
+        raise ValueError(
+            "cannot build a text index over an empty corpus "
+            "(no documents or no tokens)"
+        )
+    seg = {"path": postings_path}
+    seg.update(_seg_stats(df.sparkSession, postings_path))
+    entry = {
+        "version": version,
+        "id_col": id_col,
+        "text_col": text_col,
+        "n_buckets": int(n_buckets),
+        "segments": [seg],
+        "next_seg": 1,
+        "fingerprint": fingerprint,
+    }
+    entries[name] = entry
+    _write_manifest(index_dir, entries)
+    base = os.path.join(index_dir, name)
+    for d in os.listdir(base):
+        if d.startswith("v") and d != f"v{version}":
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    return TextIndex(df.sparkSession, name, entry)
+
+
+def append_text_index(
+    df_new: DataFrame,
+    name: str,
+    index_dir: str,
+    fingerprint: str | None = None,
+) -> TextIndex:
+    """O(new-data) refresh: tokenize ONLY *df_new* and add it as a new
+    postings segment; manifest (segment list + per-segment stats)
+    flips LAST, so a crash mid-append leaves an invisible orphan dir.
+    Serving stats merge by sum/max, so searches over the grown corpus
+    are bit-identical to a full rebuild on (old ∪ new) — provided the
+    caller kept the batch doc-disjoint from what is indexed (the same
+    id-novelty contract as append_vector_index)."""
+    entries = _read_manifest(index_dir)
+    if name not in entries:
+        raise KeyError(f"no text index {name!r} in {index_dir}; build first")
+    entry = dict(entries[name])
+    vdir = os.path.join(index_dir, name, f"v{entry['version']}")
+    seg_id = int(entry.get("next_seg", len(entry["segments"])))
+    postings_path = os.path.join(vdir, f"postings_seg{seg_id}")
+    if not _write_postings_segment(
+        df_new, entry["text_col"], entry["id_col"],
+        int(entry["n_buckets"]), postings_path,
+    ):
+        # empty batch: no segment to add — still record the new source
+        # fingerprint (the append SAW this source state) and flip
+        if fingerprint is not None:
+            entry["fingerprint"] = fingerprint
+            entries[name] = entry
+            _write_manifest(index_dir, entries)
+        return TextIndex(df_new.sparkSession, name, entry)
+    seg = {"path": postings_path}
+    seg.update(_seg_stats(df_new.sparkSession, postings_path))
+    entry["segments"] = list(entry["segments"]) + [seg]
+    entry["next_seg"] = seg_id + 1
+    if fingerprint is not None:
+        entry["fingerprint"] = fingerprint
+    entries[name] = entry
+    _write_manifest(index_dir, entries)
+    return TextIndex(df_new.sparkSession, name, entry)
+
+
+def compact_text_index(
+    spark: SparkSession, index_dir: str, name: str
+) -> TextIndex:
+    """Merge a many-segment postings history into one segment under a
+    new version dir — pure rewrite of the STORED rows (no tokenize, no
+    corpus touch); stats merge by sum/max, content is the same rows,
+    so every search is unchanged. Manifest flips after the write;
+    superseded versions GC after the flip."""
+    entries = _read_manifest(index_dir)
+    if name not in entries:
+        raise KeyError(f"no text index {name!r} in {index_dir}; build first")
+    entry = dict(entries[name])
+    segs = entry["segments"]
+    if len(segs) <= 1:
+        return TextIndex(spark, name, entry)
+    version = int(entry["version"]) + 1
+    vdir = os.path.join(index_dir, name, f"v{version}")
+    postings_path = os.path.join(vdir, "postings_seg0")
+    idx = TextIndex(spark, name, entry)
+    (
+        idx.postings()
+        # tok_bucket reads back as a STRING partition column
+        # (type-inference off session-wide); restore the written
+        # int layout, re-sorted for row-group stats
+        .withColumn("tok_bucket", F.col("tok_bucket").cast("int"))
+        .repartition("tok_bucket")
+        .sortWithinPartitions("token")
+        .write.mode("overwrite")
+        .partitionBy("tok_bucket")
+        .parquet(postings_path)
+    )
+    merged = {
+        "path": postings_path,
+        "n_docs": sum(int(s["n_docs"]) for s in segs),
+        "total_tokens": sum(int(s["total_tokens"]) for s in segs),
+        "maxdl": max(int(s["maxdl"]) for s in segs),
+    }
+    entry["segments"] = [merged]
+    entry["version"] = version
+    entry["next_seg"] = 1
+    entries[name] = entry
+    _write_manifest(index_dir, entries)
+    base = os.path.join(index_dir, name)
+    for d in os.listdir(base):
+        if d.startswith("v") and d != f"v{version}":
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    return TextIndex(spark, name, entry)
+
+
+def load_text_index(
+    spark: SparkSession,
+    index_dir: str,
+    name: str,
+    expected_fingerprint: str | None = None,
+) -> TextIndex:
+    """Restore a built index from the manifest — no corpus touch, no
+    tokenize stage in any subsequent search plan. KeyError if never
+    built; ValueError if *expected_fingerprint* says the source moved
+    since the build (serve-stale would silently drop re-ingested docs
+    from every lexical query)."""
+    entries = _read_manifest(index_dir)
+    if name not in entries:
+        raise KeyError(
+            f"no text index {name!r} in {index_dir}; built: {sorted(entries)}"
+        )
+    entry = entries[name]
+    if (
+        expected_fingerprint is not None
+        and entry.get("fingerprint") != expected_fingerprint
+    ):
+        raise ValueError(
+            f"text index {name!r} is stale (source fingerprint changed "
+            "since build); rebuild with build_text_index"
+        )
+    return TextIndex(spark, name, entry)
+
+
+def build_or_load_text_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    name: str,
+    index_dir: str,
+    fingerprint: str | None = None,
+    **build_kwargs,
+) -> TextIndex:
+    """The ingest-hook composition: serve the stored postings when the
+    fingerprint still matches the source, rebuild otherwise — first
+    run pays the tokenize, every later session gets pure index
+    reads."""
+    try:
+        return load_text_index(
+            df.sparkSession, index_dir, name,
+            expected_fingerprint=fingerprint,
+        )
+    except (KeyError, ValueError):
+        return build_text_index(
+            df, text_col, id_col, name, index_dir,
+            fingerprint=fingerprint, **build_kwargs,
+        )

@@ -434,3 +434,18 @@ def test_q102_exact_side_corpus_never_shuffles(spark):
     exchange_nodes = [ln for ln in tree if "Exchange" in ln]
     assert len(exchange_nodes) == 1, exchange_nodes
     assert "hashpartitioning(query_id" in plan
+
+
+def test_q110_bm25_serves_from_stored_postings(spark):
+    """q110's lexical retrieval reads the STORED postings index only:
+    bucket partition pruning in the scan, no tokenize/explode stage
+    (Generate), no touch of documents.parquet, TakeOrdered finish —
+    the per-query full-corpus tokenize+shuffle is gone."""
+    from queens_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q110_bm25_retrieval"](spark, SF_DIR))
+    assert "PartitionFilters" in plan
+    assert "tok_bucket" in plan
+    assert "Generate" not in plan
+    assert "documents.parquet" not in plan
+    assert "TakeOrderedAndProject" in plan

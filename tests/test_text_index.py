@@ -1,0 +1,199 @@
+"""Text-index (stored BM25 postings) lifecycle: build -> persist ->
+cross-session load -> serve with NO tokenize stage; append == rebuild
+bit-identically; compaction; staleness; orphan invisibility; Engine +
+CLI surfaces."""
+
+import contextlib
+import io
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from queens_spark.operators.corpus import bm25_topk
+from queens_spark.store.text_index import (
+    build_or_load_text_index,
+    build_text_index,
+    append_text_index,
+    compact_text_index,
+    load_text_index,
+    token_bucket,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+TERMS = ["dup", "spark", "merge"]
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+def _rows(df):
+    return [(r["doc"], r["bm25_e5"], r["n_terms"]) for r in df.collect()]
+
+
+def test_served_bm25_bit_identical_to_inline(spark, docs, tmp_path):
+    """The stored-postings scorer must reproduce the inline
+    full-corpus scorer exactly: same integer tf/dl/df/N/T, same
+    rational-idf arithmetic, same tie-break — so q110's oracle is
+    unchanged when it serves from the index."""
+    idir = str(tmp_path / "tidx")
+    build_text_index(docs, "text", "doc_id", "d", idir)
+    idx = load_text_index(spark, idir, "d")  # fresh handle
+    assert _rows(idx.bm25_topk(TERMS, k=10)) == _rows(
+        bm25_topk(docs, "text", "doc_id", TERMS, k=10)
+    )
+
+
+def test_served_plan_has_no_tokenize_and_prunes_buckets(spark, docs, tmp_path):
+    """The deployment claim, plan-gated: a served search reads ONLY
+    the postings artifact — bucket partition pruning in the scan, no
+    explode/tokenize stage (Generate), no documents.parquet, and no
+    corpus-stats job (stats come from the manifest)."""
+    idir = str(tmp_path / "tidx")
+    build_text_index(docs, "text", "doc_id", "d", idir)
+    idx = load_text_index(spark, idir, "d")
+    plan = plan_of(idx.bm25_topk(TERMS, k=10))
+    assert "PartitionFilters" in plan
+    assert "tok_bucket" in plan.split("PartitionFilters", 1)[1][:400]
+    assert "Generate" not in plan          # no explode/tokenize stage
+    assert "documents.parquet" not in plan  # corpus never touched
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_append_equals_full_rebuild(spark, docs, tmp_path):
+    """Index half the corpus, append the other half: stats (manifest
+    sum/max) and served scores must be BIT-IDENTICAL to one build over
+    the full corpus — the O(new-data) ingest contract."""
+    a = docs.where(F.col("doc_id") < 250)
+    b = docs.where(F.col("doc_id") >= 250)
+    inc_dir = str(tmp_path / "inc")
+    full_dir = str(tmp_path / "full")
+    build_text_index(a, "text", "doc_id", "d", inc_dir)
+    inc = append_text_index(b, "d", inc_dir)
+    full = build_text_index(docs, "text", "doc_id", "d", full_dir)
+    assert inc.stats() == full.stats()
+    assert _rows(inc.bm25_topk(TERMS, k=10)) == _rows(
+        full.bm25_topk(TERMS, k=10)
+    )
+    # and each segment's scan still bucket-prunes after the union
+    plan = plan_of(inc.bm25_topk(TERMS, k=10))
+    assert plan.count("PartitionFilters") >= 2
+
+
+def test_append_then_compact_unchanged(spark, docs, tmp_path):
+    idir = str(tmp_path / "tidx")
+    build_text_index(docs.where(F.col("doc_id") < 250),
+                     "text", "doc_id", "d", idir)
+    append_text_index(docs.where(F.col("doc_id") >= 250), "d", idir)
+    before = _rows(load_text_index(spark, idir, "d").bm25_topk(TERMS, k=10))
+    idx = compact_text_index(spark, idir, "d")
+    assert len(idx.entry["segments"]) == 1
+    assert _rows(idx.bm25_topk(TERMS, k=10)) == before
+    # single-segment compact is a no-op (same version)
+    v = idx.entry["version"]
+    assert compact_text_index(spark, idir, "d").entry["version"] == v
+    # the lifecycle keeps working after compaction
+    idx2 = append_text_index(
+        docs.where(F.col("doc_id") < 0), "d", idir)  # empty batch ok
+    assert _rows(load_text_index(spark, idir, "d").bm25_topk(TERMS, k=10)) \
+        == before
+
+
+def test_orphan_segment_invisible(spark, docs, tmp_path):
+    """A postings dir the manifest never listed (crash mid-append) is
+    not part of the index."""
+    idir = str(tmp_path / "tidx")
+    idx = build_text_index(docs, "text", "doc_id", "d", idir)
+    n, t, maxdl = idx.stats()
+    vdir = os.path.dirname(idx.entry["segments"][0]["path"])
+    docs.limit(5).select(
+        F.col("doc_id"), F.lit("tok").alias("token"),
+        F.lit(1).alias("tf"), F.lit(1).alias("dl"),
+        F.lit(0).alias("tok_bucket"),
+    ).write.parquet(os.path.join(vdir, "postings_seg_orphan"))
+    again = load_text_index(spark, idir, "d")
+    assert again.stats() == (n, t, maxdl)
+    assert len(again.entry["segments"]) == 1
+
+
+def test_staleness_and_build_or_load(spark, docs, tmp_path):
+    idir = str(tmp_path / "tidx")
+    build_text_index(docs, "text", "doc_id", "d", idir, fingerprint="fp1")
+    assert load_text_index(spark, idir, "d",
+                           expected_fingerprint="fp1").fingerprint == "fp1"
+    with pytest.raises(ValueError, match="stale"):
+        load_text_index(spark, idir, "d", expected_fingerprint="fp2")
+    with pytest.raises(KeyError):
+        load_text_index(spark, idir, "nope")
+    # build_or_load: matching fingerprint loads (same version);
+    # changed fingerprint rebuilds (version bump)
+    same = build_or_load_text_index(docs, "text", "doc_id", "d", idir,
+                                    fingerprint="fp1")
+    assert same.entry["version"] == 1
+    rebuilt = build_or_load_text_index(docs, "text", "doc_id", "d", idir,
+                                       fingerprint="fp2")
+    assert rebuilt.entry["version"] == 2
+
+
+def test_guards(spark, docs, tmp_path):
+    idir = str(tmp_path / "tidx")
+    idx = build_text_index(docs, "text", "doc_id", "d", idir)
+    with pytest.raises(ValueError, match="non-empty"):
+        idx.bm25_topk([])
+    with pytest.raises(ValueError, match="envelope"):
+        idx.bm25_topk(TERMS, scale=2**62)
+    with pytest.raises(KeyError):
+        append_text_index(docs, "nope", idir)
+    with pytest.raises(KeyError):
+        compact_text_index(spark, idir, "nope")
+
+
+def test_token_bucket_matches_spark(spark):
+    """Driver-side crc32 bucketing must agree byte-for-byte with the
+    stored column's Spark expression — it IS the partition pruner."""
+    toks = ["dup", "spark", "merge", "café", "日本語", ""]
+    df = spark.createDataFrame([(t,) for t in toks], ["token"])
+    got = {
+        r["token"]: r["b"]
+        for r in df.select(
+            "token",
+            (F.crc32(F.encode(F.col("token"), "utf-8")) % 64)
+            .cast("int").alias("b"),
+        ).collect()
+    }
+    assert got == {t: token_bucket(t, 64) for t in toks}
+
+
+def test_engine_and_cli_surfaces(spark, docs, tmp_path, capsys):
+    from queens_spark.cli import main
+    from queens_spark.facade import Engine
+
+    root = str(tmp_path / "wh")
+    eng = Engine(spark, root)
+    eng.build_text_index(docs.where(F.col("doc_id") < 400),
+                         "text", "doc_id", "docs")
+    eng.append_text_index(docs.where(F.col("doc_id") >= 400), "docs")
+    idx = eng.text_index("docs")
+    assert idx.describe()["n_docs"] == docs.count()
+    assert len(idx.entry["segments"]) == 2
+    # empty append adds no segment (nothing to read back)
+    eng.append_text_index(docs.where(F.lit(False)), "docs")
+    assert len(eng.text_index("docs").entry["segments"]) == 2
+
+    rc = main(["--warehouse", root, "tindex", "search", "docs",
+               "--terms", "dup,spark", "--k", "3"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["results"]) == 3
+    rc = main(["--warehouse", root, "tindex", "search", "docs"])
+    assert rc == 2  # missing --terms -> taxonomy error path
