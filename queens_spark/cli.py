@@ -107,7 +107,8 @@ def build_parser() -> argparse.ArgumentParser:
              "search over a parquet corpus of (id, vector) rows",
     )
     vx.add_argument("action",
-                    choices=["build", "append", "compact", "search"])
+                    choices=["build", "append", "compact", "search",
+                             "delete"])
     vx.add_argument("name", help="index name in the warehouse manifest")
     vx.add_argument("--source", default=None,
                     help="corpus parquet path (build/append; search "
@@ -126,7 +127,9 @@ def build_parser() -> argparse.ArgumentParser:
     vx.add_argument("--k", type=int, default=10)
     vx.add_argument("--n-probe", type=int, default=2)
     vx.add_argument("--where", default=None,
-                    help="search: SQL predicate over --meta-cols")
+                    help="search/delete: SQL predicate over --meta-cols")
+    vx.add_argument("--ids", default=None,
+                    help="delete: comma-separated ids to tombstone")
 
     tx = sub.add_parser(
         "tindex",
@@ -336,6 +339,23 @@ def _run_vindex(spark, engine, args) -> int:
         )
         print(json.dumps({"compacted": name,
                           "version": idx.entry["version"]}))
+    elif args.action == "delete":
+        if (args.ids is None) == (args.where is None):
+            raise ValueError(
+                "vindex delete requires exactly one of --ids/--where"
+            )
+        idx = engine.delete_from_vector_index(
+            name,
+            ids=(
+                [int(x) for x in args.ids.split(",") if x]
+                if args.ids else None
+            ),
+            predicate=args.where,
+        )
+        print(json.dumps({
+            "deleted_from": name,
+            "tombstone_segments": idx.describe()["tombstone_segments"],
+        }))
     else:  # search
         if args.query_id is None:
             raise ValueError("vindex search requires --query-id")

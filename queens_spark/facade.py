@@ -134,6 +134,23 @@ class Engine:
             df_new, name, self._vector_index_dir(), **kw
         )
 
+    def delete_from_vector_index(
+        self, name: str, ids: list | None = None, predicate=None
+    ):
+        """Tombstone vectors out of the named index (by explicit ids
+        or a meta_cols predicate): every search excludes them
+        immediately; :func:`compact_vector_index` later applies the
+        deletes physically. Re-appending a deleted id serves the new
+        vector."""
+        from queens_spark.store.vector_index import (
+            delete_from_vector_index,
+        )
+
+        return delete_from_vector_index(
+            self.spark, self._vector_index_dir(), name,
+            ids=ids, predicate=predicate,
+        )
+
     def vector_index(self, name: str, expected_fingerprint: str | None = None):
         """Load a previously built ANN index from the warehouse
         manifest — no corpus touch, no encode stage in search plans."""

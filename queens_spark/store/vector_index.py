@@ -151,11 +151,55 @@ class VectorIndex:
 
     # ------------------------------------------------------ artifacts
 
+    def _tombstones_covering(self, seg_idx: int) -> DataFrame | None:
+        """Deleted ids that apply to artifact segment *seg_idx*.
+        Tombstones are COVERAGE-SCOPED: each delete records how many
+        artifact segments existed when it was written and hides its
+        ids only in those — so re-appending a deleted id serves the
+        NEW segment's vector while the old physical row stays hidden
+        (the latest-version-wins semantics of the warehouse, expressed
+        index-side). None when no delete covers the segment (the
+        common case: the reader then adds NO join at all, preserving
+        the zero-join probe plans)."""
+        dels = [
+            d for d in (self.entry.get("deletes_path") or [])
+            if int(d["covers"]) > seg_idx
+        ]
+        if not dels:
+            return None
+        return self.spark.read.parquet(
+            *[d["path"] for d in dels]
+        ).select(self.id_col)
+
+    def _minus_deleted(self, df: DataFrame, seg_idx: int) -> DataFrame:
+        """Anti-join the covering tombstones out of one artifact
+        segment's scan. The tombstone side is deletes-sized (AQE
+        broadcasts it while it is small — the usual state between
+        compactions; a huge tombstone set is the signal to run
+        compact_vector_index, which applies deletes physically and
+        removes this join entirely)."""
+        t = self._tombstones_covering(seg_idx)
+        return df if t is None else df.join(t, self.id_col, "left_anti")
+
+    def _read_segments(self, paths_entry) -> DataFrame:
+        """Union the artifact segments with per-segment tombstone
+        scoping. Without deletes this is ONE multi-path scan (plan
+        shape unchanged); with deletes each segment anti-joins only
+        the tombstones that cover it."""
+        paths = _paths(paths_entry)
+        if not (self.entry.get("deletes_path") or []):
+            return self.spark.read.parquet(*paths)
+        out = None
+        for i, p in enumerate(paths):
+            df = self._minus_deleted(self.spark.read.parquet(p), i)
+            out = df if out is None else out.unionByName(df)
+        return out
+
     def pq_codes(self) -> DataFrame:
-        return self.spark.read.parquet(*_paths(self.entry["pq_codes_path"]))
+        return self._read_segments(self.entry["pq_codes_path"])
 
     def int8_codes(self) -> DataFrame:
-        return self.spark.read.parquet(*_paths(self.entry["int8_codes_path"]))
+        return self._read_segments(self.entry["int8_codes_path"])
 
     def ivf_assignment(self) -> DataFrame:
         if not self.entry.get("ivf_assign_path"):
@@ -164,13 +208,10 @@ class VectorIndex:
         # segments read separately (multi-root partition discovery
         # conflicts) and union — a cell predicate partition-prunes
         # inside EVERY segment scan, and union adds no exchange
-        dfs = [
-            self.spark.read.parquet(p)
-            for p in _paths(self.entry["ivf_assign_path"])
-        ]
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
+        out = None
+        for i, p in enumerate(_paths(self.entry["ivf_assign_path"])):
+            df = self._minus_deleted(self.spark.read.parquet(p), i)
+            out = df if out is None else out.unionByName(df)
         return out
 
     def centroids(self) -> DataFrame:
@@ -359,6 +400,7 @@ class VectorIndex:
             "ivf_cells": len(e.get("centroid_ids") or []),
             "meta_cols": e.get("meta_cols"),
             "segments": len(_paths(e["pq_codes_path"])),
+            "tombstone_segments": len(_paths(e.get("deletes_path") or [])),
             "fingerprint": e.get("fingerprint"),
         }
 
@@ -618,8 +660,11 @@ def append_vector_index(
     LAST (same convention as the build); a crash mid-append leaves
     unlisted orphan dirs that no reader ever sees. *fingerprint*
     replaces the stored one (the post-append source state). The
-    caller owns id novelty — appending an already-indexed id would
-    surface it twice, exactly like double-ingesting a row.
+    caller owns id novelty for LIVE ids — appending an already-indexed
+    live id would surface it twice, exactly like double-ingesting a
+    row. Appending a DELETED id is the supported re-ingest path: the
+    coverage-scoped tombstone keeps hiding the old segments' row and
+    the new segment serves (see :func:`delete_from_vector_index`).
     """
     from queens_spark.operators.similarity import ivf_assign
 
@@ -670,6 +715,75 @@ def append_vector_index(
     return VectorIndex(df_new.sparkSession, name, entry)
 
 
+def delete_from_vector_index(
+    spark: SparkSession,
+    index_dir: str,
+    name: str,
+    ids: list | None = None,
+    predicate=None,
+) -> VectorIndex:
+    """Tombstone deletes — the index-side analog of the warehouse's
+    latest-version-wins staging: a production index over a re-ingested
+    or re-deduped corpus must be able to retire vectors without a
+    full rebuild.
+
+    Writes the doomed ids as a new DELETES segment (one narrow id
+    column); every artifact reader (pq_codes / int8_codes /
+    ivf_assignment) anti-joins the tombstones, so ALL search entry
+    points exclude them immediately. The physical rows stay on disk
+    until :func:`compact_vector_index`, which applies deletes
+    physically and drops the tombstone set (restoring the zero-join
+    probe plans). *ids* is an explicit list; *predicate* (Column or
+    SQL string over ``meta_cols``) deletes by metadata — resolved
+    against the stored codes scan, no raw-vector touch. Crash safety:
+    the segment lands first, the manifest flips last (an orphan
+    deletes dir no reader sees).
+
+    Tombstones are coverage-scoped (they record how many artifact
+    segments existed at delete time and hide their ids only there),
+    so deleting an id that was never indexed is a harmless tombstone
+    and RE-APPENDING a deleted id via :func:`append_vector_index`
+    serves the new segment's vector while the old row stays hidden —
+    no tombstone surgery needed."""
+    entries = _read_manifest(index_dir)
+    if name not in entries:
+        raise KeyError(
+            f"no vector index {name!r} in {index_dir}; build first"
+        )
+    entry = dict(entries[name])
+    id_col = entry["id_col"]
+    idx = VectorIndex(spark, name, entry)
+    if (ids is None) == (predicate is None):
+        raise ValueError("pass exactly one of ids= or predicate=")
+    if ids is not None:
+        if not list(ids):
+            return idx
+        doomed = spark.createDataFrame(
+            [(int(i),) for i in ids], [id_col]
+        ).distinct()
+    else:
+        doomed = idx._filtered(idx.pq_codes(), predicate).select(id_col)
+    vdir = os.path.join(index_dir, name, f"v{entry['version']}")
+    # monotonic counter, never reused — an append that rewrites the
+    # tombstone set shrinks the PATH LIST, so len() could re-derive a
+    # live dir name (the compact→ingest→compact collision class)
+    seg = int(entry.get(
+        "next_delete_seg", len(_paths(entry.get("deletes_path") or []))
+    ))
+    del_path = os.path.join(vdir, f"deletes_seg{seg}")
+    doomed.write.mode("overwrite").parquet(del_path)
+    entry["deletes_path"] = list(entry.get("deletes_path") or []) + [
+        {
+            "path": del_path,
+            "covers": len(_paths(entry["pq_codes_path"])),
+        }
+    ]
+    entry["next_delete_seg"] = seg + 1
+    entries[name] = entry
+    _write_manifest(index_dir, entries)
+    return VectorIndex(spark, name, entry)
+
+
 def compact_vector_index(
     spark: SparkSession, index_dir: str, name: str
 ) -> VectorIndex:
@@ -694,7 +808,7 @@ def compact_vector_index(
     ) and (
         not entry.get("ivf_assign_path")
         or len(_paths(entry["ivf_assign_path"])) == 1
-    ):
+    ) and not entry.get("deletes_path"):
         return VectorIndex(spark, name, entry)  # nothing to merge
 
     version = int(entry["version"]) + 1
@@ -725,6 +839,13 @@ def compact_vector_index(
         )
         entry["centroids_path"] = cent_path
         entry["ivf_assign_path"] = ivf_path
+    # the artifact readers above already anti-joined the tombstones,
+    # so the rewritten artifacts hold only live rows — deletes are now
+    # applied PHYSICALLY; drop the tombstone set (restores the
+    # zero-join probe plans) and reset its counter (fresh version dir:
+    # old names cannot collide)
+    entry["deletes_path"] = None
+    entry["next_delete_seg"] = 0
     entry["version"] = version
     entries[name] = entry
     _write_manifest(index_dir, entries)

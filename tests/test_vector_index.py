@@ -612,3 +612,157 @@ def test_probe_cells_zero_norm_query_raises(spark, tmp_path):
     dim = len(emb.limit(1).collect()[0]["embedding"])
     with pytest.raises(ValueError, match="zero quantized norm"):
         idx.probe_cells([0.0] * dim, n_probe=2)
+
+
+def test_delete_tombstones_all_search_entry_points(spark, emb, tmp_path):
+    """Tombstoned ids vanish from EVERY search path immediately —
+    ADC, IVF-PQ probe, int8, batch ADC, and both two-stage rerankers —
+    and a fresh manifest load sees the deletes too."""
+    from queens_spark.store.vector_index import delete_from_vector_index
+
+    idir = str(tmp_path / "vidx")
+    cents = [r["vec_id"] for r in
+             emb.where(F.col("vec_id") % 100 == 0)
+             .select("vec_id").collect()]
+    build_vector_index(emb, "embedding", "vec_id", "e", idir,
+                       centroid_ids=cents)
+    idx = load_vector_index(spark, idir, "e")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    doomed = [r["vec_id"]
+              for r in idx.adc_topk(qvec, k=4).collect()
+              if r["vec_id"] != 7][:3]
+    assert len(doomed) == 3
+    idx = delete_from_vector_index(spark, idir, "e", ids=doomed)
+    n = emb.count()
+    searches = [
+        idx.adc_topk(qvec, k=n),
+        idx.ivfpq_topk(qvec, n_probe=len(cents), k=n),
+        idx.two_stage_search(emb, "embedding", qvec, shortlist=n, k=n),
+        idx.ivfpq_two_stage(emb, "embedding", qvec,
+                            n_probe=len(cents), shortlist=n, k=n),
+        idx.int8_topk([7], k=n),
+        idx.batch_adc_topk(
+            emb.where(F.col("vec_id") == 7).select(
+                F.col("vec_id").alias("query_id"), "embedding"),
+            k=n),
+    ]
+    for out in searches:
+        got = {r["vec_id"] for r in out.collect()}
+        assert not (set(doomed) & got), sorted(set(doomed) & got)
+    fresh = load_vector_index(spark, idir, "e")
+    assert fresh.describe()["tombstone_segments"] == 1
+    assert not (set(doomed) & {
+        r["vec_id"] for r in fresh.adc_topk(qvec, k=n).collect()
+    })
+
+
+def test_compact_applies_deletes_physically(spark, emb, tmp_path):
+    """Compaction rewrites the artifacts WITHOUT the tombstoned rows
+    (files shrink), drops the tombstone set, and restores the
+    zero-join search plan; results are unchanged."""
+    from queens_spark.store.vector_index import (
+        compact_vector_index,
+        delete_from_vector_index,
+    )
+
+    idir = str(tmp_path / "vidx")
+    build_vector_index(emb, "embedding", "vec_id", "e", idir)
+    doomed = [11, 22, 33]
+    idx = delete_from_vector_index(spark, idir, "e", ids=doomed)
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    before = [(r["vec_id"], r["adist"])
+              for r in idx.adc_topk(qvec, k=10).collect()]
+    plan_with_tombstones = plan_of(idx.adc_topk(qvec, k=10))
+    assert "Join" in plan_with_tombstones  # anti-join while tombstoned
+    idx2 = compact_vector_index(spark, idir, "e")
+    assert idx2.entry["deletes_path"] is None
+    # physical: the raw artifact (no reader-side anti-join) shrank
+    import pyspark.sql.functions as _F
+    raw = spark.read.parquet(idx2.entry["pq_codes_path"])
+    assert raw.count() == emb.count() - len(doomed)
+    assert raw.where(_F.col("vec_id").isin(doomed)).count() == 0
+    after = [(r["vec_id"], r["adist"])
+             for r in idx2.adc_topk(qvec, k=10).collect()]
+    assert after == before
+    assert "Join" not in plan_of(idx2.adc_topk(qvec, k=10))
+
+
+def test_append_after_delete_serves_new_vector_only(spark, emb, tmp_path):
+    """Re-appending a deleted id serves the NEW segment's vector
+    exactly once — the coverage-scoped tombstone keeps hiding the old
+    physical row; ids not re-appended stay deleted; deleting AFTER a
+    re-append hides the new row too."""
+    from queens_spark.store.vector_index import (
+        append_vector_index,
+        delete_from_vector_index,
+    )
+
+    idir = str(tmp_path / "vidx")
+    build_vector_index(emb.where(F.col("vec_id") < 400),
+                       "embedding", "vec_id", "e", idir)
+    delete_from_vector_index(spark, idir, "e", ids=[5, 6])
+    idx = append_vector_index(emb.where(F.col("vec_id") == 5), "e", idir)
+    codes = idx.pq_codes().where(F.col("vec_id").isin([5, 6])).collect()
+    assert [r["vec_id"] for r in codes] == [5]  # 5 back (once), 6 gone
+    idx = append_vector_index(emb.where(F.col("vec_id") == 6), "e", idir)
+    assert idx.pq_codes().count() == 400  # both back, nothing doubled
+    # a delete issued after the re-append covers the new segment too
+    idx = delete_from_vector_index(spark, idir, "e", ids=[5])
+    assert idx.pq_codes().where(F.col("vec_id") == 5).count() == 0
+    # compaction applies the net effect physically
+    from queens_spark.store.vector_index import compact_vector_index
+
+    idx = compact_vector_index(spark, idir, "e")
+    raw = spark.read.parquet(idx.entry["pq_codes_path"])
+    assert raw.count() == 399
+    assert raw.where(F.col("vec_id") == 6).count() == 1
+
+
+def test_delete_guards_and_predicate_mode(spark, emb, tmp_path):
+    from queens_spark.store.vector_index import delete_from_vector_index
+
+    idir = str(tmp_path / "vidx")
+    build_vector_index(emb, "embedding", "vec_id", "e", idir,
+                       meta_cols=["label"])
+    with pytest.raises(ValueError, match="exactly one"):
+        delete_from_vector_index(spark, idir, "e")
+    with pytest.raises(ValueError, match="exactly one"):
+        delete_from_vector_index(spark, idir, "e", ids=[1],
+                                 predicate="label = 0")
+    with pytest.raises(KeyError):
+        delete_from_vector_index(spark, idir, "nope", ids=[1])
+    # empty ids: no-op, no tombstone segment
+    idx = delete_from_vector_index(spark, idir, "e", ids=[])
+    assert idx.describe()["tombstone_segments"] == 0
+    # predicate mode deletes by co-located metadata, no raw vectors
+    n_lab0 = emb.where(F.col("label") == 0).count()
+    idx = delete_from_vector_index(spark, idir, "e",
+                                   predicate="label = 0")
+    assert idx.pq_codes().count() == emb.count() - n_lab0
+    assert idx.pq_codes().where(F.col("label") == 0).count() == 0
+
+
+def test_delete_engine_and_cli_surfaces(spark, emb, tmp_path, capsys):
+    import json as _json
+
+    from queens_spark.cli import main
+    from queens_spark.facade import Engine
+
+    root = str(tmp_path / "wh")
+    eng = Engine(spark, root)
+    eng.build_vector_index(emb, "embedding", "vec_id", "e")
+    idx = eng.delete_from_vector_index("e", ids=[1, 2])
+    assert idx.describe()["tombstone_segments"] == 1
+    rc = main(["--warehouse", root, "vindex", "delete", "e",
+               "--ids", "3,4"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"deleted_from": "e", "tombstone_segments": 2}
+    assert eng.vector_index("e").pq_codes().where(
+        F.col("vec_id").isin([1, 2, 3, 4])).count() == 0
+    # taxonomy: both selectors -> error exit
+    rc = main(["--warehouse", root, "vindex", "delete", "e",
+               "--ids", "1", "--where", "label = 0"])
+    assert rc == 2
