@@ -118,6 +118,9 @@ def build_parser() -> argparse.ArgumentParser:
     vx.add_argument("--cells-every", type=int, default=None,
                     help="build an IVF coarse quantizer from every Nth "
                          "id (enables ivfpq search)")
+    vx.add_argument("--coarse-iters", type=int, default=0,
+                    help="train the IVF cells with N integer Lloyd "
+                         "rounds (fixes seed-cell skew)")
     vx.add_argument("--meta-cols", default=None,
                     help="comma-separated metadata columns to co-locate "
                          "with the codes (enables --where)")
@@ -302,6 +305,8 @@ def _run_vindex(spark, engine, args) -> int:
             ]
         if meta:
             kw["meta_cols"] = meta
+        if args.coarse_iters:
+            kw["coarse_iters"] = args.coarse_iters
         from queens_spark.store.vector_index import source_fingerprint
 
         idx = engine.build_vector_index(

@@ -689,6 +689,167 @@ def ivf_assign(
     )
 
 
+def train_coarse_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroid_ids: list[int],
+    iters: int = 1,
+) -> list[tuple[int, list[int]]]:
+    """Integer Lloyd training for the IVF COARSE quantizer — the
+    missing half of the cell_stats() audit: caller-picked seed cells
+    (``vec_id % 200``-style) can be arbitrarily skewed, and at 100 TB
+    a hot cell is the difference between reading n_probe/n_cells of
+    the codes and reading half the corpus. Each round assigns every
+    vector to its nearest current centroid by the EXACT quantized
+    cosine :func:`ivf_assign` uses (ties to the lowest centroid id),
+    then recomputes each centroid as the element-wise INTEGER mean of
+    its members (``sum div count`` — the :func:`pq_refine_codebooks`
+    convention, truncation identical on both engines, so a DuckDB
+    twin reproduces every trained element bit-for-bit). Empty cells
+    keep their previous centroid. Centroid labels stay the seed ids.
+
+    Returns ``[(centroid_id, trained_cq)]`` sorted by id — feed to
+    :func:`ivf_assign` via a centroids frame, or let
+    ``build_vector_index(coarse_iters=...)`` do both and persist.
+
+    Scale shape per round: ONE Arrow-batched corpus pass emitting
+    n_cells·dim partial SUM/COUNT counters per task (map-side
+    combined by the groupBy — the shuffle carries counters, never
+    vectors); the centroid set is driver-scale by construction, like
+    any trained quantizer artifact. The DuckDB twin is
+    :func:`duckdb_trained_cents_ctes`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    seed_rows = (
+        df.where(F.col(id_col).isin([int(c) for c in centroid_ids]))
+        .select(F.col(id_col).alias("cid"), quantize(vec_col).alias("cq"))
+        .orderBy("cid")
+        .collect()
+    )
+    if len(seed_rows) < 2:
+        raise ValueError(
+            f"need >= 2 centroid seeds, got {len(seed_rows)}"
+        )
+    cids = [int(r["cid"]) for r in seed_rows]
+    cb = np.array([[int(x) for x in r["cq"]] for r in seed_rows],
+                  dtype=np.int64)
+    dim = cb.shape[1]
+
+    for _ in range(int(iters)):
+        cbm = cb.copy()
+        cn = np.sqrt((cbm * cbm).sum(axis=1).astype(np.float64))
+
+        def stats(batches, cbm=cbm, cn=cn):
+            nc = len(cbm)
+            sums = np.zeros((nc, dim), dtype=np.int64)
+            counts = np.zeros(nc, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.floor(
+                    np.array(pdf["__v"].tolist(), dtype=np.float64)
+                    * QUANT
+                ).astype(np.int64)
+                vn = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+                cos = (mat @ cbm.T).astype(np.float64) / (
+                    vn[:, None] * cn[None, :]
+                )
+                # centroids are in ascending-id order, so argmax's
+                # first-max-wins IS the lowest-id tie-break of
+                # ivf_assign's max(struct(cosine, -cid))
+                best = cos.argmax(axis=1)
+                np.add.at(sums, best, mat)
+                counts += np.bincount(best, minlength=nc)
+            rows = []
+            for c in range(nc):
+                if not counts[c]:
+                    continue
+                for i in range(dim):
+                    rows.append((c, i, int(sums[c, i]), int(counts[c])))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["cix", "dim", "psum", "pn"]
+                )
+
+        part = df.select(F.col(vec_col).alias("__v")).mapInPandas(
+            stats, "cix int, dim int, psum bigint, pn bigint"
+        )
+        rows = (
+            part.groupBy("cix", "dim")
+            .agg(F.sum("psum").alias("__sum"), F.sum("pn").alias("__n"))
+            # `div` in Spark == `//` on DuckDB BIGINTs (probed — the
+            # q105 integer-Lloyd convention), so trained elements are
+            # bit-portable
+            .select("cix", "dim", F.expr("__sum div __n").alias("el"))
+            .collect()
+        )
+        nxt = cb.copy()  # empty cells keep their previous centroid
+        for r in rows:
+            nxt[r["cix"], r["dim"]] = int(r["el"])
+        cb = nxt
+    return [(cids[i], [int(x) for x in cb[i]]) for i in range(len(cids))]
+
+
+def duckdb_trained_cents_ctes(
+    iters: int, dim: int, modulo: int = 200, src: str = "nrm"
+) -> str:
+    """DuckDB twin of :func:`train_coarse_centroids` seeded from
+    ``vid % modulo = 0`` rows of *src* (a CTE with (vid, q, n2)):
+    a CTE chain ending in ``cents(centroid_id, cq, cn2)`` after
+    *iters* unrolled Lloyd rounds — unrolled for the same reason as
+    :func:`~queens_spark.operators.graph.duckdb_pagerank_ctes` (a
+    recursive CTE cannot express the per-round global re-aggregation
+    cleanly). Splice after *src* in a stored-index oracle and the
+    downstream probe/assignment SQL is unchanged."""
+    cos = (
+        f"CAST({duckdb_int_dot('v.q', 'c.cq')} AS DOUBLE)"
+        f" / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))"
+    )
+    parts = [
+        f"cents0 AS (SELECT vid AS centroid_id, q AS cq, n2 AS cn2 "
+        f"FROM {src} WHERE vid % {modulo} = 0)"
+    ]
+    for i in range(int(iters)):
+        parts.append(
+            f"casg{i} AS (SELECT vid, centroid_id, q FROM ("
+            f"SELECT v.vid, c.centroid_id, v.q, "
+            f"ROW_NUMBER() OVER (PARTITION BY v.vid "
+            f"ORDER BY {cos} DESC, c.centroid_id ASC) AS rk "
+            f"FROM {src} v, cents{i} c) WHERE rk = 1)"
+        )
+        parts.append(
+            f"cel{i} AS (SELECT centroid_id, t.i - 1 AS dim, "
+            f"CAST(sum(q[t.i]) // count(*) AS BIGINT) AS el "
+            f"FROM casg{i}, range(1, {dim} + 1) t(i) "
+            f"GROUP BY centroid_id, t.i)"
+        )
+        parts.append(
+            f"cprev{i} AS (SELECT centroid_id, t.i - 1 AS dim, "
+            f"cq[t.i] AS el FROM cents{i}, range(1, {dim} + 1) t(i))"
+        )
+        parts.append(
+            f"cmrg{i} AS (SELECT p.centroid_id, p.dim, "
+            f"coalesce(e.el, p.el) AS el FROM cprev{i} p "
+            f"LEFT JOIN cel{i} e ON e.centroid_id = p.centroid_id "
+            f"AND e.dim = p.dim)"
+        )
+        parts.append(
+            f"cents{i + 1} AS (SELECT centroid_id, cq, "
+            f"{duckdb_int_dot('cq', 'cq')} AS cn2 FROM ("
+            f"SELECT centroid_id, list(el ORDER BY dim) AS cq "
+            f"FROM cmrg{i} GROUP BY centroid_id))"
+        )
+    parts.append(
+        f"cents AS (SELECT centroid_id, cq, cn2 FROM cents{int(iters)})"
+    )
+    return ",\n    ".join(parts)
+
+
 # ------------------------------------------- int8 scalar quantization
 
 INT8_MAX = 127

@@ -87,8 +87,16 @@ def _embeddings_index(
         meta_cols=["label"],
         # With cells requested (q108/q109), an index built without
         # IVF upgrades in place; callers that omit them (q103) keep
-        # serving the upgraded index unchanged.
-        **({"centroid_ids": centroid_ids} if centroid_ids else {}),
+        # serving the upgraded index unchanged. Cells are TRAINED
+        # (one integer Lloyd round over the seed pick — q120 proves
+        # the training bit-identical to the oracles' unrolled chain):
+        # the deployment posture, since untrained seed cells skew and
+        # a hot cell breaks the n_probe/n_cells probe-scan bound.
+        **(
+            {"centroid_ids": centroid_ids, "coarse_iters": 1}
+            if centroid_ids
+            else {}
+        ),
     )
 
 
@@ -4617,6 +4625,22 @@ def q107_batch_exact_knn(spark, sf_dir):
     )
 
 
+
+# Trained-cells CTE chain shared by every stored-index oracle (q108/
+# q109/q116/q117): one integer Lloyd round over the vid % 200 seed
+# cells, bit-identical to the index build's coarse_iters=1 training
+# (proven standalone by q120's two-round twin). Spliced into each
+# oracle's f-string where the naive cents block used to sit, so the
+# downstream probe/assignment SQL is unchanged.
+def _trained_cents() -> str:
+    from queens_spark.operators.similarity import duckdb_trained_cents_ctes
+
+    return duckdb_trained_cents_ctes(1, 64, src="nrm")
+
+
+_TRAINED_CENTS = _trained_cents()
+
+
 def _ivfpq_oracle(query_id: int, n_probe: int, k: int) -> str:
     from queens_spark.operators.similarity import (
         duckdb_int_dot,
@@ -4649,10 +4673,7 @@ def _ivfpq_oracle(query_id: int, n_probe: int, k: int) -> str:
     nrm AS (
       SELECT vid, q, {duckdb_int_dot('q', 'q')} AS n2 FROM pqv
     ),
-    cents AS (
-      SELECT vid AS centroid_id, q AS cq, n2 AS cn2
-      FROM nrm WHERE vid % 200 = 0
-    ),
+    {_TRAINED_CENTS},
     qn AS (SELECT q AS qq, n2 AS qn2 FROM nrm WHERE vid = {query_id}),
     probe AS (
       SELECT centroid_id FROM cents, qn
@@ -4687,9 +4708,11 @@ def q108_ivfpq_search(spark, sf_dir):
     10. No joins, no shuffles, no encode stage; the fraction of the
     corpus read is n_probe/n_cells of 4 B/vector, the layout that
     keeps a 100 TB corpus searchable from parquet alone. Coarse
-    quantizer: cells at vec_id % 200 == 0, probe and assignment both
-    exact quantized cosine with (cosine DESC, cell ASC) tie-break —
-    bit-identical to the twin."""
+    quantizer: seed cells at vec_id % 200 == 0 TRAINED with one
+    integer Lloyd round (build coarse_iters=1 — q120 proves the
+    training arithmetic against its own twin); probe and assignment
+    both exact quantized cosine with (cosine DESC, cell ASC)
+    tie-break — bit-identical to the twin's unrolled chain."""
     emb = load(spark, sf_dir, "embeddings")
     qvec = [
         float(x)
@@ -4741,10 +4764,7 @@ def _filtered_ivfpq_oracle(
     nrm AS (
       SELECT vid, q, {duckdb_int_dot('q', 'q')} AS n2 FROM pqv
     ),
-    cents AS (
-      SELECT vid AS centroid_id, q AS cq, n2 AS cn2
-      FROM nrm WHERE vid % 200 = 0
-    ),
+    {_TRAINED_CENTS},
     qn AS (SELECT q AS qq, n2 AS qn2 FROM nrm WHERE vid = {query_id}),
     probe AS (
       SELECT centroid_id FROM cents, qn
@@ -5264,10 +5284,7 @@ def _ivfpq_recall_oracle(k: int, n_probe: int, n_queries: int) -> str:
     qs AS (
       SELECT vid AS qid, q AS qq, n2 AS qn2 FROM nrm WHERE vid < {n_queries}
     ),
-    cents AS (
-      SELECT vid AS centroid_id, q AS cq, n2 AS cn2
-      FROM nrm WHERE vid % 200 = 0
-    ),
+    {_TRAINED_CENTS},
     exact AS (
       SELECT qid, vid FROM (
         SELECT q.qid, v.vid,
@@ -5432,10 +5449,7 @@ def _ivfpq_two_stage_oracle(
     nrm AS (
       SELECT vid, q, {duckdb_int_dot('q', 'q')} AS n2 FROM pqv
     ),
-    cents AS (
-      SELECT vid AS centroid_id, q AS cq, n2 AS cn2
-      FROM nrm WHERE vid % 200 = 0
-    ),
+    {_TRAINED_CENTS},
     qn AS (SELECT q AS qq, n2 AS qn2 FROM nrm WHERE vid = {query_id}),
     probe AS (
       SELECT centroid_id FROM cents, qn
@@ -5619,4 +5633,80 @@ def q119_minhash_agreement(spark, sf_dir):
     return minhash_agreement_pairs(
         load(spark, sf_dir, "documents"), "text", "doc_id",
         threshold=0.875,
+    )
+
+
+def _trained_cells_oracle(iters: int) -> str:
+    from queens_spark.operators.similarity import (
+        duckdb_int_dot,
+        duckdb_quantize,
+        duckdb_trained_cents_ctes,
+    )
+
+    qv = duckdb_quantize("embedding")
+    cos = (
+        f"CAST({duckdb_int_dot('v.q', 'c.cq')} AS DOUBLE)"
+        f" / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))"
+    )
+    return f"""
+    WITH nrm AS (
+      SELECT vid, q, {duckdb_int_dot('q', 'q')} AS n2
+      FROM (SELECT vec_id AS vid, {qv} AS q FROM embeddings)
+    ),
+    {duckdb_trained_cents_ctes(iters, 64, src="nrm")},
+    fasg AS (
+      SELECT vid, centroid_id FROM (
+        SELECT v.vid, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vid
+                 ORDER BY {cos} DESC, c.centroid_id ASC) AS rk
+        FROM nrm v, cents c
+      ) WHERE rk = 1
+    )
+    SELECT c.centroid_id, count(*) AS n_vectors, c.cn2 AS cn2
+    FROM fasg a JOIN cents c ON c.centroid_id = a.centroid_id
+    GROUP BY c.centroid_id, c.cn2
+    ORDER BY c.centroid_id"""
+
+
+@register("q120_trained_ivf_cells", _trained_cells_oracle(2))
+def q120_trained_ivf_cells(spark, sf_dir):
+    """TRAINED IVF coarse quantizer: two integer Lloyd rounds over the
+    corpus (assign by exact quantized cosine, lowest-id ties; update
+    = element-wise `sum div count` integer mean, empty cells keep
+    their centroid — similarity.py:train_coarse_centroids), then the
+    final assignment's cell sizes + each trained centroid's integer
+    norm. Seed cells are vec_id % 200 == 0; training moves them to
+    where the data actually is, which is what fixes probe-time skew
+    at 100 TB (a hot cell turns n_probe/n_cells of the scan into half
+    the corpus — cell_stats() audits it, this operator FIXES it).
+    Every trained element is bit-portable (the q105 Lloyd convention),
+    so the twin reproduces cn2 and every cell count exactly. Scale:
+    each round is ONE Arrow-batched corpus pass shuffling
+    n_cells*dim counters; the assignment is a broadcast argmax; the
+    cell-size aggregation is counter-width."""
+    from queens_spark.operators.similarity import (
+        ivf_assign,
+        train_coarse_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_ids = [
+        r[0]
+        for r in emb.where(F.col("vec_id") % 200 == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    trained = train_coarse_centroids(
+        emb, "embedding", "vec_id", cent_ids, iters=2
+    )
+    cents_df = spark.createDataFrame(
+        [(cid, cq, sum(x * x for x in cq)) for cid, cq in trained],
+        "centroid_id bigint, cq array<bigint>, cn2 bigint",
+    )
+    return (
+        ivf_assign(emb, "embedding", "vec_id", centroids_df=cents_df)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .join(cents_df.select("centroid_id", "cn2"), "centroid_id")
+        .select("centroid_id", "n_vectors", "cn2")
     )

@@ -398,6 +398,7 @@ class VectorIndex:
             "vec_col": e["vec_col"],
             "id_col": self.id_col,
             "ivf_cells": len(e.get("centroid_ids") or []),
+            "coarse_iters": int(e.get("coarse_iters", 0)),
             "meta_cols": e.get("meta_cols"),
             "segments": len(_paths(e["pq_codes_path"])),
             "tombstone_segments": len(_paths(e.get("deletes_path") or [])),
@@ -508,6 +509,7 @@ def build_vector_index(
     m: int = PQ_M,
     refine_iters: int = 0,
     centroid_ids: list[int] | None = None,
+    coarse_iters: int = 0,
     fingerprint: str | None = None,
     meta_cols: list[str] | None = None,
 ) -> VectorIndex:
@@ -520,7 +522,12 @@ def build_vector_index(
     manifest always match the stored codes. With *centroid_ids*, the
     IVF coarse quantizer (assignment + centroid frame) is persisted
     too, the assignment disk-partitioned by cell for probe-time
-    partition pruning. *fingerprint* (see :func:`source_fingerprint`)
+    partition pruning; *coarse_iters* Lloyd rounds
+    (:func:`~queens_spark.operators.similarity.train_coarse_centroids`)
+    TRAIN those cells before anything persists — seed cells are just
+    starting points, and trained cells fix the skew that makes a hot
+    probe scan half the corpus (audit with :meth:`VectorIndex.cell_stats`).
+    *fingerprint* (see :func:`source_fingerprint`)
     records what was indexed, for staleness detection at load.
     *meta_cols* co-locates the named metadata columns with the codes
     (and, via the build join, with the cell-partitioned assignment),
@@ -564,26 +571,50 @@ def build_vector_index(
         from queens_spark.operators.similarity import ivf_assign
 
         cent_path = os.path.join(vdir, "centroids")
-        (
-            df.where(F.col(id_col).isin([int(c) for c in centroid_ids]))
-            .select(
-                F.col(id_col).cast("bigint").alias("centroid_id"),
-                quantize(vec_col).alias("cq"),
+        if coarse_iters:
+            from queens_spark.operators.similarity import (
+                train_coarse_centroids,
             )
-            .withColumn("cn2", int_norm2(F.col("cq")))
-            .write.mode("overwrite")
-            .parquet(cent_path)
-        )
+
+            trained = train_coarse_centroids(
+                df, vec_col, id_col,
+                [int(c) for c in centroid_ids], iters=coarse_iters,
+            )
+            df.sparkSession.createDataFrame(
+                [
+                    (cid, cq, sum(x * x for x in cq))
+                    for cid, cq in trained
+                ],
+                "centroid_id bigint, cq array<bigint>, cn2 bigint",
+            ).write.mode("overwrite").parquet(cent_path)
+        else:
+            (
+                df.where(
+                    F.col(id_col).isin([int(c) for c in centroid_ids])
+                )
+                .select(
+                    F.col(id_col).cast("bigint").alias("centroid_id"),
+                    quantize(vec_col).alias("cq"),
+                )
+                .withColumn("cn2", int_norm2(F.col("cq")))
+                .write.mode("overwrite")
+                .parquet(cent_path)
+            )
         ivf_path = os.path.join(vdir, "ivf_assign")
         # The assignment carries each vector's packed PQ code
         # CO-LOCATED in its cell's disk partition (the FAISS IVFPQ
         # layout): an ivfpq_topk probe is then one partition-pruned
         # scan of 4 B/vector — no id join back to the codes artifact.
         # Build-time id join only; read from the already-written codes
-        # parquet so the encode pass runs once.
+        # parquet so the encode pass runs once. Assignment always goes
+        # through the WRITTEN centroid frame, so trained and untrained
+        # cells take the identical path.
         codes = df.sparkSession.read.parquet(codes_path)
         (
-            ivf_assign(df, vec_col, id_col, [int(c) for c in centroid_ids])
+            ivf_assign(
+                df, vec_col, id_col,
+                centroids_df=df.sparkSession.read.parquet(cent_path),
+            )
             .select(F.col(id_col), F.col("centroid_id"))
             .join(codes, id_col)
             .write.mode("overwrite")
@@ -602,6 +633,7 @@ def build_vector_index(
         "ivf_assign_path": ivf_path,
         "centroids_path": cent_path,
         "centroid_ids": [int(c) for c in centroid_ids] if centroid_ids else None,
+        "coarse_iters": int(coarse_iters),
         "meta_cols": list(meta_cols) if meta_cols else None,
         "fingerprint": fingerprint,
     }
@@ -918,6 +950,12 @@ def build_or_load_vector_index(
             raise ValueError("stored index lacks the requested IVF cells")
         if "m" in build_kwargs and int(build_kwargs["m"]) != idx.m:
             raise ValueError("stored index has a different PQ m")
+        if "coarse_iters" in build_kwargs and int(
+            build_kwargs["coarse_iters"]
+        ) != int(idx.entry.get("coarse_iters", 0)):
+            raise ValueError(
+                "stored index has a different coarse-quantizer training"
+            )
         want_meta = build_kwargs.get("meta_cols")
         if want_meta is not None and not set(want_meta) <= set(
             idx.entry.get("meta_cols") or []

@@ -766,3 +766,69 @@ def test_delete_engine_and_cli_surfaces(spark, emb, tmp_path, capsys):
     rc = main(["--warehouse", root, "vindex", "delete", "e",
                "--ids", "1", "--where", "label = 0"])
     assert rc == 2
+
+
+def test_trained_coarse_cells_fix_skew(spark, tmp_path):
+    """The VERDICT-r8 skew scenario: seed centroids all drawn from one
+    tight cluster leave most cells starved and one cell holding the
+    rest of the corpus; Lloyd training migrates the centroids to the
+    data, so cell_stats' max/median collapses toward balance while
+    results stay a valid assignment (every vector in exactly one
+    cell)."""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(7)
+    dim = 16
+    # four well-separated clusters of 100 vectors; ids 0-3 (the seed
+    # pick) all land in cluster 0 -> untrained cells are pathological
+    centers = []
+    for c in range(4):
+        v = [0.05] * dim
+        v[4 * c: 4 * c + 4] = [1.0, 0.9, 0.8, 0.7]
+        centers.append(v)
+    rows = []
+    for i in range(400):
+        base = centers[0] if i < 4 else centers[i % 4]
+        rows.append(Row(
+            vec_id=i,
+            embedding=[x + rng.uniform(0, 0.02) for x in base],
+        ))
+    emb = spark.createDataFrame(rows)
+
+    naive_dir = str(tmp_path / "naive")
+    trained_dir = str(tmp_path / "trained")
+    seeds = [0, 1, 2, 3]
+    n_idx = build_vector_index(emb, "embedding", "vec_id", "e",
+                               naive_dir, m=4, centroid_ids=seeds)
+    t_idx = build_vector_index(emb, "embedding", "vec_id", "e",
+                               trained_dir, m=4, centroid_ids=seeds,
+                               coarse_iters=3)
+
+    def max_med(idx):
+        sizes = sorted(r["n_vectors"]
+                       for r in idx.cell_stats().collect())
+        total = sum(sizes)
+        med = sizes[len(sizes) // 2]
+        return total, max(sizes), max(sizes) / med
+
+    n_total, n_max, n_ratio = max_med(n_idx)
+    t_total, t_max, t_ratio = max_med(t_idx)
+    assert n_total == t_total == 400  # valid assignment either way
+    # untrained (deterministic seed): cells [20, 75, 112, 193] — the
+    # hottest cell holds ~half the corpus; trained: [99, 99, 99, 103]
+    assert n_max >= 180
+    assert t_max <= 110
+    assert t_ratio < n_ratio
+    assert t_idx.describe()["coarse_iters"] == 3
+
+
+def test_train_coarse_centroids_guards(spark, emb):
+    from queens_spark.operators.similarity import train_coarse_centroids
+
+    with pytest.raises(ValueError, match="iters"):
+        train_coarse_centroids(emb, "embedding", "vec_id", [0, 200],
+                               iters=0)
+    with pytest.raises(ValueError, match=">= 2 centroid seeds"):
+        train_coarse_centroids(emb, "embedding", "vec_id", [0], iters=1)
