@@ -70,7 +70,58 @@ class Engine:
             raise UnknownColumnError(f"unknown data collection '{collection}'")
         return self.schemas[collection]
 
-    def ingest(self, df: DataFrame, collection: str, table_name: str, **kw) -> int:
+    def ingest(
+        self,
+        df: DataFrame,
+        collection: str,
+        table_name: str,
+        dedup_text_col: str | None = None,
+        dedup_id_col: str | None = None,
+        dedup_ledger: str | None = None,
+        dedup_near_threshold: float | None = None,
+        **kw,
+    ) -> int | None:
+        """Append one logical table's frame to raw (flip-flag
+        protocol, store/warehouse.py).
+
+        With *dedup_text_col* + *dedup_id_col*, the frame is screened
+        through the persistent dedup ledger INSIDE the ingest — the
+        reference's posture that provenance happens inside ingest,
+        not beside it (queens/core/read_write.py:267-337): only
+        content never accepted by ANY earlier ingest is appended, the
+        survivors' fingerprints are recorded, and the screen stats
+        land in the version's ``table_description`` in the ingest
+        log. *dedup_ledger* names the ledger (default: the
+        collection); *dedup_near_threshold* turns on MinHash
+        near-dup screening. Returns the ingest_id — or None when the
+        WHOLE batch was duplicate: no version is appended then,
+        because an empty latest version would blank the staged table
+        at the next stage() (latest-wins per table).
+
+        Staging semantics are unchanged: re-ingesting a table_name
+        REPLACES it at the next stage(). A corpus built batch-by-batch
+        should therefore ingest each screened batch under its own
+        table_name (the corpus is the union of tables) — the ledger
+        is what makes that union duplicate-free across batches."""
+        if (dedup_text_col is None) != (dedup_id_col is None):
+            raise ValueError(
+                "dedup_text_col and dedup_id_col go together"
+            )
+        if dedup_text_col is not None:
+            import json as _json
+
+            df, stats = self.ingest_deduped(
+                df, dedup_text_col, dedup_id_col,
+                ledger=dedup_ledger or collection,
+                near_dup_threshold=dedup_near_threshold,
+            )
+            if stats["accepted"] == 0:
+                return None
+            blob = "dedup " + _json.dumps(stats, sort_keys=True)
+            desc = kw.get("table_description")
+            kw["table_description"] = (
+                f"{desc} | {blob}" if desc else blob
+            )
         return self.warehouse.ingest_frame(
             df, self.schema_for(collection), table_name, **kw
         )

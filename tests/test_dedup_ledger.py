@@ -213,3 +213,65 @@ def test_fuzzy_stats_are_consistent(spark, tmp_path):
     assert (s2["in_batch_dupes"] + s2["ledger_dupes"]
             + s2["in_batch_near_dupes"] + s2["ledger_near_dupes"]
             + s2["accepted"]) == s2["batch"]
+
+
+def test_ledger_wired_into_engine_ingest(spark, tmp_path):
+    """Provenance happens INSIDE ingest: with dedup_* args,
+    Engine.ingest screens the frame through the persistent ledger,
+    appends only fresh content, records the stats in the version's
+    table_description, and refuses to append an all-duplicate batch
+    (returns None — an empty latest version would blank the staged
+    table)."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from queens_spark.facade import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+
+    def frame(items):
+        return spark.createDataFrame([
+            Row(row=i, label=lab, year=2000 + i, fuel="gas",
+                group="G", unit="u", value=float(i))
+            for i, lab in items
+        ])
+
+    ts = datetime.datetime(2024, 1, 1)
+    iid = eng.ingest(frame([(0, "alpha doc"), (1, "alpha  DOC"),
+                            (2, "beta doc")]),
+                     "dukes", "b1", ingest_ts=ts,
+                     dedup_text_col="label", dedup_id_col="row")
+    assert iid is not None
+    eng.stage("dukes")
+    got = {r["row"] for r in eng.query("dukes", "b1", {}).collect()}
+    assert got == {0, 2}  # in-batch normalized dup dropped
+    log = eng.warehouse.read_log("dukes").where("success = 1").collect()
+    assert any(r["table_description"] and "dedup {" in
+               r["table_description"] and '"accepted": 2' in
+               r["table_description"] for r in log)
+
+    # batch 2 under its OWN table_name: ledger drops the cross-batch
+    # dup, only fresh content lands
+    iid2 = eng.ingest(frame([(10, "beta doc"), (11, "gamma doc")]),
+                      "dukes", "b2", ingest_ts=ts,
+                      dedup_text_col="label", dedup_id_col="row")
+    assert iid2 is not None
+    eng.stage("dukes")
+    assert {r["row"] for r in eng.query("dukes", "b2", {}).collect()} \
+        == {11}
+    # corpus = union of batch tables, duplicate-free across batches
+    assert {r["row"] for r in eng.query("dukes", "b1", {}).collect()} \
+        == {0, 2}
+
+    # an all-duplicate batch appends NOTHING (and b2 stays intact)
+    assert eng.ingest(frame([(20, "alpha doc"), (21, "gamma doc")]),
+                      "dukes", "b2", ingest_ts=ts,
+                      dedup_text_col="label", dedup_id_col="row") is None
+    eng.stage("dukes")
+    assert {r["row"] for r in eng.query("dukes", "b2", {}).collect()} \
+        == {11}
+
+    with pytest.raises(ValueError, match="go together"):
+        eng.ingest(frame([(30, "x")]), "dukes", "b3",
+                   dedup_text_col="label")
