@@ -1,0 +1,110 @@
+"""End-to-end corpus refresh: the round-9 lifecycle tiers composed —
+a new batch flows ledger-screen → warehouse append → O(batch) index
+appends (text + vector), after which hybrid retrieval and
+decontamination both see the new documents with no full-corpus stage
+anywhere in a served plan."""
+
+import contextlib
+import io
+
+from pyspark.sql import Window, functions as F
+
+from queens_spark.facade import Engine
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_corpus_refresh_end_to_end(spark, tmp_path):
+    eng = Engine(spark, str(tmp_path / "wh"))
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    # ---- day 1: build the corpus + both indexes on batch 1
+    b1 = docs.where(F.col("doc_id") < 300)
+    fresh1, s1 = eng.ingest_deduped(b1, "text", "doc_id")
+    n1 = s1["accepted"]
+    assert n1 <= 300
+    fresh1_ids = fresh1.select("doc_id")
+    eng.build_text_index(fresh1, "text", "doc_id", "corpus")
+    eng.build_vector_index(
+        emb.join(fresh1_ids.withColumnRenamed("doc_id", "vec_id"),
+                 "vec_id"),
+        "embedding", "vec_id", "corpus",
+    )
+
+    # ---- day 2: batch 2 = genuinely new docs + re-crawled dups
+    dups = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    b2 = docs.where((F.col("doc_id") >= 300)).select(
+        "doc_id", "text"
+    ).unionByName(dups)
+    fresh2, s2 = eng.ingest_deduped(b2, "text", "doc_id")
+    # every re-crawled dup is screened out by the ledger
+    assert s2["ledger_dupes"] >= 10
+    assert fresh2.where(F.col("doc_id") >= 10_000).count() == 0
+    n2 = s2["accepted"]
+
+    # O(batch) index refresh: only the survivors are tokenized/encoded
+    tidx = eng.append_text_index(fresh2, "corpus")
+    vidx = eng.append_vector_index(
+        emb.join(fresh2.select("doc_id").withColumnRenamed(
+            "doc_id", "vec_id"), "vec_id"),
+        "corpus",
+    )
+    assert tidx.describe()["n_docs"] == n1 + n2
+    assert vidx.pq_codes().count() == n1 + n2
+
+    # ---- retrieval sees the new docs, from stored artifacts only
+    qid = 450  # a batch-2 document
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == qid)
+            .collect()[0]["embedding"]]
+    terms = sorted({r["t"] for r in docs.where(F.col("doc_id") == qid)
+                    .select(F.explode(F.split("text", r"\s+")).alias("t"))
+                    .where(F.col("t") != "").distinct().collect()})
+
+    tidx = eng.text_index("corpus")   # fresh handles: manifest only
+    vidx = eng.vector_index("corpus")
+    pool, rrf_k = 20, 60
+    bm = tidx.bm25_topk(terms, k=pool).withColumn(
+        "bm25_rank", F.row_number().over(
+            Window.orderBy(F.desc("bm25_e5"), F.asc("doc"))
+        ).cast("bigint")
+    ).select(F.col("doc").alias("doc_id"), "bm25_rank")
+    ad = vidx.adc_topk(qvec, k=pool).withColumn(
+        "adc_rank", F.row_number().over(
+            Window.orderBy(F.asc("adist"), F.asc("vec_id"))
+        ).cast("bigint")
+    ).select(F.col("vec_id").alias("doc_id"), "adc_rank")
+    fused = bm.join(ad, "doc_id", "full_outer").select(
+        "doc_id",
+        (F.coalesce(F.expr(f"1000000000000 div ({rrf_k} + bm25_rank)"),
+                    F.lit(0))
+         + F.coalesce(F.expr(f"1000000000000 div ({rrf_k} + adc_rank)"),
+                      F.lit(0))).alias("rrf_e12"),
+    ).orderBy(F.desc("rrf_e12"), F.asc("doc_id")).limit(10)
+    plan = plan_of(fused)
+    # hybrid retrieval runs on STORED artifacts: no tokenize stage, no
+    # corpus parquet, no encode — O(query), not O(corpus)
+    assert "Generate" not in plan
+    assert "documents.parquet" not in plan
+    assert "embeddings.parquet" not in plan
+    top = [r["doc_id"] for r in fused.collect()]
+    assert top[0] == qid  # the batch-2 doc retrieves itself
+    assert any(d >= 300 for d in top)
+
+    # ---- decontamination: a later batch containing batch-2 content
+    # is screened against EVERYTHING accepted so far
+    b3 = docs.where(F.col("doc_id") == qid).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"), "text"
+    )
+    _, s3 = eng.ingest_deduped(b3, "text", "doc_id")
+    assert s3 == {"batch": 1, "in_batch_dupes": 0,
+                  "ledger_dupes": 1, "accepted": 0}
