@@ -140,7 +140,8 @@ def build_parser() -> argparse.ArgumentParser:
              "search (BM25) over a parquet corpus of (id, text) rows",
     )
     tx.add_argument("action",
-                    choices=["build", "append", "compact", "search"])
+                    choices=["build", "append", "compact", "search",
+                             "delete"])
     tx.add_argument("name", help="index name in the warehouse manifest")
     tx.add_argument("--source", default=None,
                     help="corpus parquet path (build/append only — "
@@ -151,6 +152,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="token-hash bucket count (build only)")
     tx.add_argument("--terms", default=None,
                     help="search: comma-separated query terms")
+    tx.add_argument("--ids", default=None,
+                    help="delete: comma-separated doc ids to tombstone")
     tx.add_argument("--k", type=int, default=10)
     return p
 
@@ -426,6 +429,17 @@ def _run_tindex(spark, engine, args) -> int:
         )
         print(json.dumps({"compacted": name,
                           "version": idx.entry["version"]}))
+    elif args.action == "delete":
+        if not args.ids:
+            raise ValueError("tindex delete requires --ids")
+        idx = engine.delete_from_text_index(
+            name, [int(x) for x in args.ids.split(",") if x]
+        )
+        print(json.dumps({
+            "deleted_from": name,
+            "tombstone_segments":
+                idx.describe()["tombstone_segments"],
+        }))
     else:  # search
         if not args.terms:
             raise ValueError("tindex search requires --terms")

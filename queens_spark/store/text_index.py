@@ -157,29 +157,59 @@ class TextIndex:
 
     # ------------------------------------------------------ artifacts
 
-    def postings(self) -> DataFrame:
-        """All segments unioned. Each segment is its own
-        tok_bucket-partitioned root, so segments read separately
-        (multi-root partition discovery conflicts) and union — a
-        bucket predicate partition-prunes inside EVERY segment scan,
-        and union adds no exchange."""
-        dfs = [
-            self.spark.read.parquet(s["path"])
-            for s in self.entry["segments"]
+    def _tombstones_covering(self, seg_idx: int) -> DataFrame | None:
+        """Deleted doc ids applying to postings segment *seg_idx* —
+        coverage-scoped exactly like the vector index's
+        (store/vector_index.py): each delete records how many
+        segments existed when it was written and hides its ids only
+        in those, so re-appending a retired doc serves the NEW
+        segment's postings while the old rows stay hidden. None when
+        no delete covers the segment (no join added)."""
+        dels = [
+            d for d in (self.entry.get("deletes") or [])
+            if int(d["covers"]) > seg_idx
         ]
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
+        if not dels:
+            return None
+        return self.spark.read.parquet(
+            *[d["path"] for d in dels]
+        ).select(self.id_col)
+
+    def postings(self) -> DataFrame:
+        """All segments unioned, minus covering tombstones. Each
+        segment is its own tok_bucket-partitioned root, so segments
+        read separately (multi-root partition discovery conflicts)
+        and union — a bucket predicate partition-prunes inside EVERY
+        segment scan, and union adds no exchange; the tombstone
+        anti-join (deletes-sized right side) appears only on covered
+        segments."""
+        out = None
+        for i, s in enumerate(self.entry["segments"]):
+            df = self.spark.read.parquet(s["path"])
+            t = self._tombstones_covering(i)
+            if t is not None:
+                df = df.join(t, self.id_col, "left_anti")
+            out = df if out is None else out.unionByName(df)
         return out
 
     def stats(self) -> tuple[int, int, int]:
         """(N docs, T total tokens, max dl) merged across segments —
-        manifest-only, no corpus or postings pass. Correct as long as
-        the caller kept segments doc-disjoint (the append contract)."""
+        manifest-only, no corpus or postings pass. Deletes subtract
+        their EXACT per-delete (docs, tokens) deltas (computed from
+        the covered postings when the tombstone was written), so N
+        and T — the quantities in the BM25 score — equal a rebuild on
+        the survivors bit-for-bit. maxdl stays the segment max (an
+        upper bound after deletes: it only feeds the int64 envelope
+        guard, where an over-estimate is conservative). Correct as
+        long as the caller kept segments doc-disjoint for LIVE ids
+        (the append contract)."""
         segs = self.entry["segments"]
+        dels = self.entry.get("deletes") or []
         return (
-            sum(int(s["n_docs"]) for s in segs),
-            sum(int(s["total_tokens"]) for s in segs),
+            sum(int(s["n_docs"]) for s in segs)
+            - sum(int(d["n_docs"]) for d in dels),
+            sum(int(s["total_tokens"]) for s in segs)
+            - sum(int(d["tokens"]) for d in dels),
             max(int(s["maxdl"]) for s in segs),
         )
 
@@ -191,6 +221,7 @@ class TextIndex:
             "id_col": self.id_col,
             "n_buckets": self.n_buckets,
             "segments": len(self.entry["segments"]),
+            "tombstone_segments": len(self.entry.get("deletes") or []),
             "n_docs": n,
             "total_tokens": t,
             "maxdl": maxdl,
@@ -379,46 +410,123 @@ def append_text_index(
     return TextIndex(df_new.sparkSession, name, entry)
 
 
+def delete_from_text_index(
+    spark: SparkSession,
+    index_dir: str,
+    name: str,
+    ids: list,
+) -> TextIndex:
+    """Tombstone documents out of the postings index — the lexical
+    twin of :func:`~queens_spark.store.vector_index.delete_from_vector_index`:
+    a corpus that retires documents (dedup verdicts, takedowns,
+    re-ingests) must drop them from BM25 serving without a rebuild.
+
+    The doomed ids land as a narrow tombstone segment together with
+    their EXACT stats delta (how many of them are actually indexed in
+    the covered segments, and their total token mass — one
+    deletes-keyed probe of the postings, never a full tokenize), so
+    served scores equal a rebuild on the survivors bit-for-bit
+    (tested). Coverage-scoped like the vector side: re-appending a
+    retired doc id serves the new segment's postings. Physical rows
+    disappear at :func:`compact_text_index`, which also folds the
+    stats deltas back into real segment stats. Crash safety: segment
+    first, manifest flip last."""
+    entries = _read_manifest(index_dir)
+    if name not in entries:
+        raise KeyError(f"no text index {name!r} in {index_dir}; build first")
+    entry = dict(entries[name])
+    id_col = entry["id_col"]
+    idx = TextIndex(spark, name, entry)
+    if not list(ids):
+        return idx
+    doomed = spark.createDataFrame(
+        [(int(i),) for i in ids], f"{id_col} bigint"
+    ).distinct()
+    # exact delta over what is CURRENTLY served: one row per (doc)
+    # suffices because dl is denormalized onto every posting row
+    hit = (
+        idx.postings()
+        .join(doomed, id_col, "semi")
+        .groupBy(id_col)
+        .agg(F.first("dl").alias("__dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__dl").alias("t"),
+        )
+        .collect()[0]
+    )
+    vdir = os.path.join(index_dir, name, f"v{entry['version']}")
+    seg_id = int(entry.get("next_delete_seg", len(entry.get("deletes") or [])))
+    del_path = os.path.join(vdir, f"deletes_seg{seg_id}")
+    doomed.write.mode("overwrite").parquet(del_path)
+    entry["deletes"] = list(entry.get("deletes") or []) + [
+        {
+            "path": del_path,
+            "covers": len(entry["segments"]),
+            "n_docs": int(hit["n"] or 0),
+            "tokens": int(hit["t"] or 0),
+        }
+    ]
+    entry["next_delete_seg"] = seg_id + 1
+    entries[name] = entry
+    _write_manifest(index_dir, entries)
+    return TextIndex(spark, name, entry)
+
+
 def compact_text_index(
     spark: SparkSession, index_dir: str, name: str
 ) -> TextIndex:
     """Merge a many-segment postings history into one segment under a
     new version dir — pure rewrite of the STORED rows (no tokenize, no
-    corpus touch); stats merge by sum/max, content is the same rows,
-    so every search is unchanged. Manifest flips after the write;
-    superseded versions GC after the flip."""
+    corpus touch). Tombstoned docs are applied PHYSICALLY (the reader
+    below already excludes them) and the stats recompute from the
+    WRITTEN rows, so the post-compact manifest is exact with no
+    deltas; every search is unchanged. Manifest flips after the
+    write; superseded versions GC after the flip."""
     entries = _read_manifest(index_dir)
     if name not in entries:
         raise KeyError(f"no text index {name!r} in {index_dir}; build first")
     entry = dict(entries[name])
     segs = entry["segments"]
-    if len(segs) <= 1:
+    if len(segs) <= 1 and not entry.get("deletes"):
         return TextIndex(spark, name, entry)
     version = int(entry["version"]) + 1
     vdir = os.path.join(index_dir, name, f"v{version}")
     postings_path = os.path.join(vdir, "postings_seg0")
     idx = TextIndex(spark, name, entry)
-    (
-        idx.postings()
-        # tok_bucket reads back as a STRING partition column
-        # (type-inference off session-wide); restore the written
-        # int layout, re-sorted for row-group stats
-        .withColumn("tok_bucket", F.col("tok_bucket").cast("int"))
-        .repartition("tok_bucket")
-        .sortWithinPartitions("token")
-        .write.mode("overwrite")
-        .partitionBy("tok_bucket")
-        .parquet(postings_path)
-    )
-    merged = {
-        "path": postings_path,
-        "n_docs": sum(int(s["n_docs"]) for s in segs),
-        "total_tokens": sum(int(s["total_tokens"]) for s in segs),
-        "maxdl": max(int(s["maxdl"]) for s in segs),
-    }
+    live = idx.postings().persist()
+    try:
+        if live.count() == 0:
+            # everything tombstoned: an empty partitioned dir cannot
+            # be read back — refuse rather than flip to a broken state
+            raise ValueError(
+                f"compacting text index {name!r} would empty it "
+                "(every document is deleted); rebuild instead"
+            )
+        (
+            live
+            # tok_bucket reads back as a STRING partition column
+            # (type-inference off session-wide); restore the written
+            # int layout, re-sorted for row-group stats
+            .withColumn("tok_bucket", F.col("tok_bucket").cast("int"))
+            .repartition("tok_bucket")
+            .sortWithinPartitions("token")
+            .write.mode("overwrite")
+            .partitionBy("tok_bucket")
+            .parquet(postings_path)
+        )
+    finally:
+        live.unpersist()
+    # stats from the WRITTEN rows: after tombstones are applied
+    # physically the deltas fold away and maxdl tightens back to the
+    # true survivor maximum
+    merged = {"path": postings_path}
+    merged.update(_seg_stats(spark, postings_path))
     entry["segments"] = [merged]
+    entry["deletes"] = None
     entry["version"] = version
     entry["next_seg"] = 1
+    entry["next_delete_seg"] = 0
     entries[name] = entry
     _write_manifest(index_dir, entries)
     base = os.path.join(index_dir, name)

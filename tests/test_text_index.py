@@ -197,3 +197,88 @@ def test_engine_and_cli_surfaces(spark, docs, tmp_path, capsys):
     assert len(out["results"]) == 3
     rc = main(["--warehouse", root, "tindex", "search", "docs"])
     assert rc == 2  # missing --terms -> taxonomy error path
+
+
+def test_delete_equals_rebuild_bit_identically(spark, docs, tmp_path):
+    """Tombstoning docs D must make every served BM25 score equal a
+    fresh build over corpus \\ D — same N, T, df, tf, dl end to end
+    (the stats deltas are exact, not approximate)."""
+    from queens_spark.store.text_index import delete_from_text_index
+
+    doomed = [26, 236, 134, 7]
+    idir = str(tmp_path / "full")
+    rdir = str(tmp_path / "rebuilt")
+    build_text_index(docs, "text", "doc_id", "d", idir)
+    idx = delete_from_text_index(spark, idir, "d", doomed)
+    rebuilt = build_text_index(
+        docs.where(~F.col("doc_id").isin(doomed)),
+        "text", "doc_id", "d", rdir,
+    )
+    assert idx.stats()[:2] == rebuilt.stats()[:2]  # N, T exact
+    assert _rows(idx.bm25_topk(TERMS, k=20)) == _rows(
+        rebuilt.bm25_topk(TERMS, k=20)
+    )
+    # deleting ids that were never indexed is a harmless tombstone
+    idx = delete_from_text_index(spark, idir, "d", [10_000, 10_001])
+    assert idx.stats()[:2] == rebuilt.stats()[:2]
+    assert _rows(idx.bm25_topk(TERMS, k=20)) == _rows(
+        rebuilt.bm25_topk(TERMS, k=20)
+    )
+
+
+def test_delete_compact_and_reappend_cycle(spark, docs, tmp_path):
+    """Compaction applies tombstones physically (rows gone, stats
+    exact, deltas folded); re-appending a retired doc serves the new
+    postings (coverage scoping)."""
+    from queens_spark.store.text_index import delete_from_text_index
+
+    idir = str(tmp_path / "tidx")
+    build_text_index(docs, "text", "doc_id", "d", idir)
+    idx = delete_from_text_index(spark, idir, "d", [26, 236])
+    before = _rows(idx.bm25_topk(TERMS, k=10))
+    assert 26 not in {r[0] for r in before}
+    idx = compact_text_index(spark, idir, "d")
+    assert idx.entry["deletes"] is None
+    assert idx.describe()["tombstone_segments"] == 0
+    raw = idx.postings()
+    assert raw.where(F.col("doc_id").isin([26, 236])).count() == 0
+    assert _rows(idx.bm25_topk(TERMS, k=10)) == before
+    # re-ingest the retired docs: tombstones are gone post-compact,
+    # so a plain append serves them again
+    idx = append_text_index(
+        docs.where(F.col("doc_id").isin([26, 236])), "d", idir)
+    full = build_text_index(docs, "text", "doc_id", "d",
+                            str(tmp_path / "full"))
+    assert idx.stats() == full.stats()
+    assert _rows(idx.bm25_topk(TERMS, k=10)) == _rows(
+        full.bm25_topk(TERMS, k=10))
+    # coverage scoping: delete-then-reappend WITHOUT compacting also
+    # serves the new postings exactly once
+    idx = delete_from_text_index(spark, idir, "d", [26])
+    idx = append_text_index(
+        docs.where(F.col("doc_id") == 26), "d", idir)
+    assert idx.stats() == full.stats()
+    assert _rows(idx.bm25_topk(TERMS, k=10)) == _rows(
+        full.bm25_topk(TERMS, k=10))
+
+
+def test_delete_surfaces(spark, docs, tmp_path, capsys):
+    import json as _json
+
+    from queens_spark.cli import main
+    from queens_spark.facade import Engine
+
+    root = str(tmp_path / "wh")
+    eng = Engine(spark, root)
+    eng.build_text_index(docs, "text", "doc_id", "docs")
+    idx = eng.delete_from_text_index("docs", [26])
+    assert idx.describe()["tombstone_segments"] == 1
+    rc = main(["--warehouse", root, "tindex", "delete", "docs",
+               "--ids", "236"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"deleted_from": "docs", "tombstone_segments": 2}
+    got = {r[0] for r in _rows(eng.text_index("docs")
+                               .bm25_topk(TERMS, k=20))}
+    assert not ({26, 236} & got)
+    assert main(["--warehouse", root, "tindex", "delete", "docs"]) == 2
