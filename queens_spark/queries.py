@@ -5710,3 +5710,67 @@ def q120_trained_ivf_cells(spark, sf_dir):
         .join(cents_df.select("centroid_id", "cn2"), "centroid_id")
         .select("centroid_id", "n_vectors", "cn2")
     )
+
+
+def _batch_bm25_oracle(n_queries: int, k: int) -> str:
+    from queens_spark.operators.corpus import BM25_SCALE
+
+    num = (
+        f"({BM25_SCALE} * (2*nt.n - 2*dfc.df_docs + 1) * 44 * t.tf * nt.t)"
+    )
+    den = (
+        "((2*dfc.df_docs + 1) * (20*t.tf*nt.t + 6*nt.t + 18*dl.dl*nt.n))"
+    )
+    return f"""
+    WITH tf AS (
+      SELECT doc_id AS doc, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY doc_id, token
+    ), dl AS (SELECT doc, sum(tf) AS dl FROM tf GROUP BY doc),
+    nt AS (SELECT count(*) AS n, sum(dl) AS t FROM dl),
+    qt AS (SELECT DISTINCT doc AS query_id, token FROM tf
+           WHERE doc < {n_queries}),
+    dfc AS (SELECT token, count(*) AS df_docs FROM tf
+            WHERE token IN (SELECT DISTINCT token FROM qt)
+            GROUP BY token),
+    scored AS (
+      SELECT q.query_id, t.doc,
+             CAST(sum({num} // {den}) AS BIGINT) AS bm25_e5,
+             count(*) AS n_terms
+      FROM qt q
+      JOIN tf t ON t.token = q.token
+      JOIN dfc ON dfc.token = t.token
+      JOIN dl ON dl.doc = t.doc, nt
+      GROUP BY q.query_id, t.doc
+    )
+    SELECT query_id, doc, bm25_e5, n_terms FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY bm25_e5 DESC, doc ASC) AS rk
+      FROM scored
+    ) WHERE rk <= {k}"""
+
+
+@register("q121_batch_bm25", _batch_bm25_oracle(5, 5))
+def q121_batch_bm25(spark, sf_dir):
+    """TABLE-driven BM25 retrieval from the stored postings index —
+    the lexical twin of q112's batch ADC: five query documents' token
+    sets score against the whole corpus in ONE bucket-pruned postings
+    scan (store/text_index.py:batch_bm25_topk). The global per-token
+    df aggregation runs once and broadcasts; the (query_id, token)
+    pairs broadcast; only matching postings rows shuffle (bounded by
+    query-term hits, never the corpus); a per-query window ranks ≤
+    |hits| rows. Same exact integer arithmetic as q110 per query —
+    one scan instead of five."""
+    from queens_spark.operators.text import tokens as _tok
+
+    qdf = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            _tok("text").alias("terms"),
+        )
+    )
+    return _documents_text_index(spark, sf_dir).batch_bm25_topk(
+        qdf, k=5
+    )

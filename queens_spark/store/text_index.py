@@ -289,6 +289,94 @@ class TextIndex:
         )
 
 
+    def batch_bm25_topk(
+        self,
+        queries_df: DataFrame,
+        query_id_col: str = "query_id",
+        terms_col: str = "terms",
+        k: int = 10,
+        scale: int = BM25_SCALE,
+    ) -> DataFrame:
+        """TABLE-driven BM25: score a whole query block against the
+        stored postings in ONE bucket-pruned scan — the lexical twin
+        of the vector side's
+        :meth:`~queens_spark.store.vector_index.VectorIndex.batch_adc_topk`
+        (offline eval, hard-negative mining, routing — shapes where a
+        per-query plan would scan the postings |queries| times).
+
+        *queries_df* carries (*query_id_col* bigint, *terms_col*
+        array<string>); the block is collected driver-side (bounded by
+        the broadcast cap) and its (query_id, token) pairs broadcast.
+        The plan: one postings scan pruned to the UNION of all query
+        terms' buckets, a counter-width GLOBAL df aggregation over
+        those rows (df is per token — shared across queries, computed
+        once), two broadcast joins, a (query_id, doc) score
+        aggregation and a per-query window rank. Only matching
+        postings rows shuffle — bounded by query-term hits, never the
+        corpus. Scores are the same exact integers as
+        :meth:`bm25_topk` per query (tested).
+
+        Returns (query_id, doc, bm25_e5, n_terms), top-k per query
+        with the (score desc, doc asc) tie-break."""
+        from queens_spark.operators.similarity import MAX_BATCH_QUERIES
+        from pyspark.sql import Window
+
+        rows = queries_df.select(
+            F.col(query_id_col).alias("qid"),
+            F.col(terms_col).alias("terms"),
+        ).limit(MAX_BATCH_QUERIES + 1).collect()
+        if len(rows) > MAX_BATCH_QUERIES:
+            raise ValueError(
+                f"query table exceeds the broadcast cap "
+                f"({MAX_BATCH_QUERIES}); shard the query table"
+            )
+        pairs = sorted({
+            (int(r["qid"]), t) for r in rows for t in (r["terms"] or [])
+        })
+        if not pairs:
+            raise ValueError("query table has no terms")
+        n_docs, total, maxdl = self.stats()
+        if n_docs == 0:
+            raise ValueError(f"text index {self.name!r} is empty")
+        if scale * (2 * n_docs + 1) * 44 * maxdl * total >= 2**63:
+            raise ValueError(
+                f"bm25 int64 envelope exceeded (N={n_docs}, T={total}, "
+                f"maxdl={maxdl}, scale={scale}); lower scale or shard"
+            )
+        all_terms = sorted({t for _, t in pairs})
+        qtf = self.query_postings(all_terms).withColumnRenamed(
+            self.id_col, "doc"
+        )
+        dfc = qtf.groupBy("token").agg(
+            F.count(F.lit(1)).alias("df_docs")
+        )
+        qt = self.spark.createDataFrame(
+            pairs, "query_id bigint, token string"
+        )
+        num = f"{scale} * (2*{n_docs} - 2*df_docs + 1) * 44 * tf * {total}"
+        den = (
+            f"(2*df_docs + 1) * (20*tf*{total} + 6*{total} + "
+            f"18*dl*{n_docs})"
+        )
+        scored = (
+            qtf.join(F.broadcast(dfc), "token")
+            .join(F.broadcast(qt), "token")
+            .groupBy("query_id", "doc")
+            .agg(
+                F.expr(f"sum(({num}) div ({den}))").alias("bm25_e5"),
+                F.count(F.lit(1)).alias("n_terms"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("bm25_e5"), F.asc("doc")
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .select("query_id", "doc", "bm25_e5", "n_terms")
+        )
+
+
 def _write_postings_segment(
     df: DataFrame,
     text_col: str,

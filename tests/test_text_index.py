@@ -282,3 +282,30 @@ def test_delete_surfaces(spark, docs, tmp_path, capsys):
                                .bm25_topk(TERMS, k=20))}
     assert not ({26, 236} & got)
     assert main(["--warehouse", root, "tindex", "delete", "docs"]) == 2
+
+
+def test_batch_bm25_matches_single_query_and_guards(spark, docs, tmp_path):
+    """batch_bm25_topk must reproduce bm25_topk's exact scores per
+    query block entry, in one postings pass."""
+    from pyspark.sql import Row
+
+    idir = str(tmp_path / "tidx")
+    build_text_index(docs, "text", "doc_id", "d", idir)
+    idx = load_text_index(spark, idir, "d")
+    queries = {1: ["dup", "spark", "merge"], 2: ["the", "dup"]}
+    qdf = spark.createDataFrame(
+        [Row(query_id=q, terms=t) for q, t in queries.items()])
+    got = {
+        (r["query_id"], r["doc"], r["bm25_e5"], r["n_terms"])
+        for r in idx.batch_bm25_topk(qdf, k=7).collect()
+    }
+    want = set()
+    for q, terms in queries.items():
+        for r in idx.bm25_topk(terms, k=7).collect():
+            want.add((q, r["doc"], r["bm25_e5"], r["n_terms"]))
+    assert got == want
+    # plan: still bucket-pruned, still no tokenize stage
+    plan = plan_of(idx.batch_bm25_topk(qdf, k=7))
+    assert "PartitionFilters" in plan and "Generate" not in plan
+    with pytest.raises(ValueError, match="no terms"):
+        idx.batch_bm25_topk(qdf.where(F.lit(False)))
