@@ -130,6 +130,10 @@ def _documents_text_index(spark: SparkSession, sf_dir: str):
         "documents",
         index_dir,
         fingerprint=source_fingerprint(src),
+        # source/lang ride the postings rows (denormalized like dl) so
+        # filtered searches (q122) push their predicate into the
+        # pruned scan — no documents join
+        meta_cols=["source", "lang"],
     )
 
 
@@ -5773,4 +5777,57 @@ def q121_batch_bm25(spark, sf_dir):
     )
     return _documents_text_index(spark, sf_dir).batch_bm25_topk(
         qdf, k=5
+    )
+
+
+def _filtered_bm25_oracle(terms: list[str], source: str, k: int) -> str:
+    from queens_spark.operators.corpus import BM25_SCALE
+
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+    WITH tf AS (
+      SELECT doc_id AS doc, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY doc_id, token
+    ), dl AS (
+      SELECT doc, sum(tf) AS dl FROM tf GROUP BY doc
+    ), nt AS (
+      SELECT count(*) AS n, sum(dl) AS t FROM dl
+    ), qtf AS (
+      SELECT * FROM tf WHERE token IN ({tl})
+    ), dfc AS (
+      SELECT token, count(*) AS df_docs FROM qtf GROUP BY token
+    )
+    SELECT q.doc AS doc,
+           CAST(sum(
+             ({BM25_SCALE} * (2*nt.n - 2*dfc.df_docs + 1) * 44 * q.tf * nt.t)
+             // ((2*dfc.df_docs + 1)
+                 * (20*q.tf*nt.t + 6*nt.t + 18*dl.dl*nt.n))
+           ) AS BIGINT) AS bm25_e5,
+           count(*) AS n_terms
+    FROM qtf q
+    JOIN dfc ON dfc.token = q.token
+    JOIN dl ON dl.doc = q.doc
+    JOIN documents d ON d.doc_id = q.doc, nt
+    WHERE d.source = '{source}'
+    GROUP BY q.doc
+    ORDER BY bm25_e5 DESC, q.doc ASC LIMIT {k}"""
+
+
+@register(
+    "q122_filtered_bm25",
+    _filtered_bm25_oracle(["dup", "spark", "merge"], "src7", 10),
+)
+def q122_filtered_bm25(spark, sf_dir):
+    """FILTERED lexical search — q109's restrict-then-rank shape on
+    the BM25 side: candidates limited to source='src7' documents via
+    a predicate on the metadata columns DENORMALIZED onto the stored
+    postings (no documents join anywhere in the plan — the filter
+    lands on the same bucket-pruned scan), while scores stay the
+    documents' global BM25 (corpus-wide df/N/T: the filter narrows
+    the pool, it does not redefine the score). k never starves the
+    way post-filtering a global top-k would
+    (store/text_index.py:bm25_topk predicate=...)."""
+    return _documents_text_index(spark, sf_dir).bm25_topk(
+        ["dup", "spark", "merge"], k=10, predicate="source = 'src7'"
     )

@@ -59,7 +59,7 @@ import zlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from queens_spark.operators.corpus import BM25_SCALE, term_frequencies
+from queens_spark.operators.corpus import BM25_SCALE
 
 MANIFEST_NAME = "text_index_manifest.json"
 
@@ -96,17 +96,39 @@ def token_bucket(token: str, n_buckets: int) -> int:
     return zlib.crc32(token.encode("utf-8")) % n_buckets
 
 
-def _postings(df: DataFrame, text_col: str, id_col: str, n_buckets: int) -> DataFrame:
-    """(id, token, tf, dl, tok_bucket) — ONE tokenize pass. tf and dl
-    are exactly term_frequencies' integers (dl = Σ tf per doc via a
-    doc-partitioned window over the tf frame — no second tokenize),
-    so served scores match the inline scorer bit-for-bit."""
+def _postings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    meta_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id[, meta...], token, tf, dl, tok_bucket) — ONE tokenize pass.
+    tf and dl are exactly term_frequencies' integers (dl = Σ tf per
+    doc via a doc-partitioned window over the tf frame — no second
+    tokenize), so served scores match the inline scorer bit-for-bit.
+    *meta_cols* denormalize document metadata onto every posting row
+    (like dl), so filtered searches need no documents join — the
+    predicate lands on the pruned postings scan."""
     from pyspark.sql import Window
 
-    tf = term_frequencies(df, text_col, id_col)
+    from queens_spark.operators.text import tokens
+
+    meta = list(meta_cols or [])
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            *[F.col(c) for c in meta],
+            F.explode(tokens(text_col)).alias("token"),
+        )
+        # meta is functionally dependent on doc: same groups, wider key
+        .groupBy("doc", "token", *meta)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     w = Window.partitionBy("doc")
     return tf.select(
         F.col("doc").alias(id_col),
+        *meta,
         "token",
         "tf",
         F.sum("tf").over(w).alias("dl"),
@@ -230,6 +252,24 @@ class TextIndex:
 
     # ------------------------------------------------------- serving
 
+    def _filtered(self, df: DataFrame, predicate) -> DataFrame:
+        """Apply a metadata *predicate* (Column or SQL string) to a
+        postings scan. The index must have been built with
+        ``meta_cols`` carrying the referenced columns — denormalized
+        onto the postings like dl, so the predicate PUSHES DOWN into
+        the pruned scan (no documents join): restrict-then-rank, the
+        q109 filtered-search shape on the lexical side."""
+        if predicate is None:
+            return df
+        if not self.entry.get("meta_cols"):
+            raise ValueError(
+                f"text index {self.name!r} was built without meta_cols; "
+                "rebuild with meta_cols=[...] to filter searches"
+            )
+        return df.where(
+            F.expr(predicate) if isinstance(predicate, str) else predicate
+        )
+
     def query_postings(self, query_terms: list[str]) -> DataFrame:
         """The query terms' posting rows via a BUCKET-PRUNED scan:
         the terms' crc32 buckets (computed driver-side) become a
@@ -249,6 +289,7 @@ class TextIndex:
         query_terms: list[str],
         k: int = 10,
         scale: int = BM25_SCALE,
+        predicate=None,
     ) -> DataFrame:
         """Okapi BM25 top-*k* served from the stored postings —
         bit-identical to
@@ -259,7 +300,11 @@ class TextIndex:
         the plan: one bucket-pruned postings scan, a counter-width df
         aggregation over query-term rows only (broadcast back), a
         per-doc sum, TakeOrdered. The int64 envelope guard runs on
-        manifest stats alone."""
+        manifest stats alone. *predicate* (over ``meta_cols``)
+        restricts the CANDIDATE pool scan-side; scores stay the
+        documents' global BM25 (df/N/T corpus-wide — the q109
+        restrict-then-rank convention: the filter narrows the pool,
+        it does not redefine the score)."""
         n_docs, total, maxdl = self.stats()
         if n_docs == 0:
             raise ValueError(f"text index {self.name!r} is empty")
@@ -271,6 +316,8 @@ class TextIndex:
         qtf = self.query_postings(query_terms).withColumnRenamed(
             self.id_col, "doc"
         )
+        # df is GLOBAL (pre-filter): the predicate narrows candidates,
+        # not the corpus statistics
         dfc = qtf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
         num = f"{scale} * (2*{n_docs} - 2*df_docs + 1) * 44 * tf * {total}"
         den = (
@@ -278,7 +325,8 @@ class TextIndex:
             f"18*dl*{n_docs})"
         )
         return (
-            qtf.join(F.broadcast(dfc), "token")
+            self._filtered(qtf, predicate)
+            .join(F.broadcast(dfc), "token")
             .groupBy("doc")
             .agg(
                 F.expr(f"sum(({num}) div ({den}))").alias("bm25_e5"),
@@ -296,6 +344,7 @@ class TextIndex:
         terms_col: str = "terms",
         k: int = 10,
         scale: int = BM25_SCALE,
+        predicate=None,
     ) -> DataFrame:
         """TABLE-driven BM25: score a whole query block against the
         stored postings in ONE bucket-pruned scan — the lexical twin
@@ -359,7 +408,8 @@ class TextIndex:
             f"18*dl*{n_docs})"
         )
         scored = (
-            qtf.join(F.broadcast(dfc), "token")
+            self._filtered(qtf, predicate)
+            .join(F.broadcast(dfc), "token")
             .join(F.broadcast(qt), "token")
             .groupBy("query_id", "doc")
             .agg(
@@ -383,6 +433,7 @@ def _write_postings_segment(
     id_col: str,
     n_buckets: int,
     path: str,
+    meta_cols: list[str] | None = None,
 ) -> int:
     """One tokenize pass → bucket-partitioned, token-sorted postings.
     repartition on tok_bucket co-locates each bucket in one task
@@ -396,7 +447,7 @@ def _write_postings_segment(
     to infer the schema from), so callers must skip empty segments;
     the persist makes the emptiness probe and the write share one
     tokenize pass."""
-    p = _postings(df, text_col, id_col, n_buckets).persist()
+    p = _postings(df, text_col, id_col, n_buckets, meta_cols).persist()
     try:
         n = p.count()
         if n:
@@ -420,6 +471,7 @@ def build_text_index(
     index_dir: str,
     n_buckets: int = N_BUCKETS,
     fingerprint: str | None = None,
+    meta_cols: list[str] | None = None,
 ) -> TextIndex:
     """ONE corpus tokenize pass, then the manifest flip. Versioned
     directory + atomic manifest replace (the vector-index convention):
@@ -430,7 +482,8 @@ def build_text_index(
     vdir = os.path.join(index_dir, name, f"v{version}")
     postings_path = os.path.join(vdir, "postings_seg0")
     if not _write_postings_segment(
-        df, text_col, id_col, n_buckets, postings_path
+        df, text_col, id_col, n_buckets, postings_path,
+        meta_cols=meta_cols,
     ):
         raise ValueError(
             "cannot build a text index over an empty corpus "
@@ -445,6 +498,7 @@ def build_text_index(
         "n_buckets": int(n_buckets),
         "segments": [seg],
         "next_seg": 1,
+        "meta_cols": list(meta_cols) if meta_cols else None,
         "fingerprint": fingerprint,
     }
     entries[name] = entry
@@ -479,6 +533,7 @@ def append_text_index(
     if not _write_postings_segment(
         df_new, entry["text_col"], entry["id_col"],
         int(entry["n_buckets"]), postings_path,
+        meta_cols=entry.get("meta_cols"),
     ):
         # empty batch: no segment to add — still record the new source
         # fingerprint (the append SAW this source state) and flip
@@ -664,12 +719,20 @@ def build_or_load_text_index(
     """The ingest-hook composition: serve the stored postings when the
     fingerprint still matches the source, rebuild otherwise — first
     run pays the tokenize, every later session gets pure index
-    reads."""
+    reads. Requesting ``meta_cols`` the stored index lacks also
+    rebuilds (an index without the columns cannot serve filtered
+    searches); omitting them means "whatever is stored is fine"."""
     try:
-        return load_text_index(
+        idx = load_text_index(
             df.sparkSession, index_dir, name,
             expected_fingerprint=fingerprint,
         )
+        want_meta = build_kwargs.get("meta_cols")
+        if want_meta is not None and not set(want_meta) <= set(
+            idx.entry.get("meta_cols") or []
+        ):
+            raise ValueError("stored index lacks the requested meta_cols")
+        return idx
     except (KeyError, ValueError):
         return build_text_index(
             df, text_col, id_col, name, index_dir,

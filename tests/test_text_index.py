@@ -309,3 +309,46 @@ def test_batch_bm25_matches_single_query_and_guards(spark, docs, tmp_path):
     assert "PartitionFilters" in plan and "Generate" not in plan
     with pytest.raises(ValueError, match="no terms"):
         idx.batch_bm25_topk(qdf.where(F.lit(False)))
+
+
+def test_filtered_bm25_restrict_then_rank(spark, docs, tmp_path):
+    """meta_cols denormalize onto the postings; a predicate restricts
+    the candidate pool scan-side while scores stay global BM25 —
+    every returned doc satisfies the filter, scores equal the
+    unfiltered scorer's for those docs, and no documents join exists
+    in the plan."""
+    idir = str(tmp_path / "tidx")
+    build_text_index(docs, "text", "doc_id", "d", idir,
+                     meta_cols=["source", "lang"])
+    idx = load_text_index(spark, idir, "d")
+    flt = idx.bm25_topk(TERMS, k=10, predicate="source = 'src7'")
+    rows = flt.collect()
+    assert rows
+    srcs = {r["source"] for r in
+            docs.join(flt.select(F.col("doc").alias("doc_id")),
+                      "doc_id").select("source").collect()}
+    assert srcs == {"src7"}
+    unf = {r["doc"]: (r["bm25_e5"], r["n_terms"])
+           for r in idx.bm25_topk(TERMS, k=500).collect()}
+    for r in rows:
+        assert unf[r["doc"]] == (r["bm25_e5"], r["n_terms"])
+    plan = plan_of(flt)
+    assert "documents.parquet" not in plan and "Generate" not in plan
+    # batch path takes the same predicate
+    from pyspark.sql import Row
+
+    b = idx.batch_bm25_topk(
+        spark.createDataFrame([Row(query_id=1, terms=TERMS)]),
+        k=10, predicate="source = 'src7'")
+    assert [(r["doc"], r["bm25_e5"]) for r in b.collect()] == \
+        [(r["doc"], r["bm25_e5"]) for r in rows]
+    # an index without meta_cols refuses predicates
+    ndir = str(tmp_path / "nometa")
+    build_text_index(docs, "text", "doc_id", "d", ndir)
+    with pytest.raises(ValueError, match="meta_cols"):
+        load_text_index(spark, ndir, "d").bm25_topk(
+            TERMS, predicate="source = 'src7'")
+    # build_or_load upgrades an index lacking requested meta_cols
+    up = build_or_load_text_index(docs, "text", "doc_id", "d", ndir,
+                                  meta_cols=["source"])
+    assert up.entry["version"] == 2
