@@ -108,7 +108,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     vx.add_argument("action",
                     choices=["build", "append", "compact", "search",
-                             "delete"])
+                             "delete", "retrain"])
     vx.add_argument("name", help="index name in the warehouse manifest")
     vx.add_argument("--source", default=None,
                     help="corpus parquet path (build/append; search "
@@ -347,6 +347,23 @@ def _run_vindex(spark, engine, args) -> int:
         )
         print(json.dumps({"compacted": name,
                           "version": idx.entry["version"]}))
+    elif args.action == "retrain":
+        import os as _os
+
+        from queens_spark.store.vector_index import (
+            retrain_coarse_quantizer,
+        )
+
+        idx = retrain_coarse_quantizer(
+            corpus(), name,
+            _os.path.join(engine.warehouse.root, "system", "vector_index"),
+            coarse_iters=args.coarse_iters or 1,
+        )
+        print(json.dumps({
+            "retrained": name,
+            "version": idx.entry["version"],
+            "coarse_iters": idx.describe()["coarse_iters"],
+        }))
     elif args.action == "delete":
         if (args.ids is None) == (args.where is None):
             raise ValueError(

@@ -202,6 +202,19 @@ class Engine:
             ids=ids, predicate=predicate,
         )
 
+    def retrain_vector_index(
+        self, df: DataFrame, name: str, coarse_iters: int = 1
+    ):
+        """Retrain the named index's IVF cells in place (no
+        re-encode): the cell_stats()-says-skewed maintenance op."""
+        from queens_spark.store.vector_index import (
+            retrain_coarse_quantizer,
+        )
+
+        return retrain_coarse_quantizer(
+            df, name, self._vector_index_dir(), coarse_iters=coarse_iters
+        )
+
     def vector_index(self, name: str, expected_fingerprint: str | None = None):
         """Load a previously built ANN index from the warehouse
         manifest — no corpus touch, no encode stage in search plans."""

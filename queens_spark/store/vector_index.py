@@ -888,6 +888,88 @@ def compact_vector_index(
     return VectorIndex(spark, name, entry)
 
 
+def retrain_coarse_quantizer(
+    df: DataFrame,
+    name: str,
+    index_dir: str,
+    coarse_iters: int = 1,
+) -> VectorIndex:
+    """The maintenance op `cell_stats()` points at: when the audit
+    shows a hot cell, retrain the coarse quantizer and REASSIGN
+    without touching the PQ codebook or re-encoding anything — the
+    stored codes are reused row-for-row; only the centroids frame and
+    the cell-partitioned assignment rewrite (under a new version dir,
+    manifest flips last, old version GC'd). Cost: coarse_iters Lloyd
+    passes + one assignment pass over *df* (the indexed corpus) — no
+    encode stage anywhere. ADC/int8/two-stage searches are unchanged
+    (same codes); only which cells a probe prunes to improves.
+
+    Requires a single-segment, tombstone-free index (compact first):
+    the rewritten assignment is one segment, and stitching coverage-
+    scoped tombstones or multi-segment code paths onto it would be
+    guesswork rather than bookkeeping."""
+    spark = df.sparkSession
+    entries = _read_manifest(index_dir)
+    if name not in entries:
+        raise KeyError(
+            f"no vector index {name!r} in {index_dir}; build first"
+        )
+    entry = dict(entries[name])
+    if not entry.get("centroid_ids"):
+        raise ValueError(
+            f"index {name!r} was built without IVF; nothing to retrain"
+        )
+    if entry.get("deletes_path") or len(_paths(entry["pq_codes_path"])) > 1:
+        raise ValueError(
+            "retrain requires a compacted index (single segment, no "
+            "tombstones); run compact_vector_index first"
+        )
+    from queens_spark.operators.similarity import (
+        ivf_assign,
+        train_coarse_centroids,
+    )
+
+    vec_col, id_col = entry["vec_col"], entry["id_col"]
+    trained = train_coarse_centroids(
+        df, vec_col, id_col,
+        [int(c) for c in entry["centroid_ids"]], iters=coarse_iters,
+    )
+    version = int(entry["version"]) + 1
+    vdir = os.path.join(index_dir, name, f"v{version}")
+    cent_path = os.path.join(vdir, "centroids")
+    spark.createDataFrame(
+        [(cid, cq, sum(x * x for x in cq)) for cid, cq in trained],
+        "centroid_id bigint, cq array<bigint>, cn2 bigint",
+    ).write.mode("overwrite").parquet(cent_path)
+    # reuse the STORED codes verbatim; only the cell key changes
+    codes = spark.read.parquet(entry["pq_codes_path"])
+    ivf_path = os.path.join(vdir, "ivf_assign")
+    (
+        ivf_assign(
+            df, vec_col, id_col,
+            centroids_df=spark.read.parquet(cent_path),
+        )
+        .select(F.col(id_col), F.col("centroid_id"))
+        .join(codes, id_col)
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(ivf_path)
+    )
+    # codes/int8 artifacts stay in their existing version dir (the
+    # manifest keeps pointing at them) — retrain therefore does NOT
+    # GC old version dirs; superseded IVF dirs are harmless orphans
+    # until the next full build/compact sweeps everything
+    entry["centroids_path"] = cent_path
+    entry["ivf_assign_path"] = ivf_path
+    entry["coarse_iters"] = int(entry.get("coarse_iters", 0)) + int(
+        coarse_iters
+    )
+    entry["version"] = version
+    entries[name] = entry
+    _write_manifest(index_dir, entries)
+    return VectorIndex(spark, name, entry)
+
+
 def load_vector_index(
     spark: SparkSession,
     index_dir: str,

@@ -832,3 +832,60 @@ def test_train_coarse_centroids_guards(spark, emb):
                                iters=0)
     with pytest.raises(ValueError, match=">= 2 centroid seeds"):
         train_coarse_centroids(emb, "embedding", "vec_id", [0], iters=1)
+
+
+def test_retrain_coarse_quantizer_in_place(spark, tmp_path):
+    """Retrain fixes the skew the audit found WITHOUT re-encoding:
+    codes bytes identical before/after, ADC results unchanged,
+    cell_stats rebalanced, IVF-PQ probe serves the same layout."""
+    import random
+
+    from pyspark.sql import Row
+
+    from queens_spark.store.vector_index import (
+        delete_from_vector_index,
+        retrain_coarse_quantizer,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    centers = []
+    for c in range(4):
+        v = [0.05] * dim
+        v[4 * c: 4 * c + 4] = [1.0, 0.9, 0.8, 0.7]
+        centers.append(v)
+    rows = [Row(vec_id=i,
+                embedding=[x + rng.uniform(0, 0.02)
+                           for x in (centers[0] if i < 4
+                                     else centers[i % 4])])
+            for i in range(400)]
+    emb = spark.createDataFrame(rows)
+    idir = str(tmp_path / "vidx")
+    idx = build_vector_index(emb, "embedding", "vec_id", "e", idir,
+                             m=4, centroid_ids=[0, 1, 2, 3])
+    qvec = [float(x) for x in rows[42]["embedding"]]
+    adc_before = [(r["vec_id"], r["adist"])
+                  for r in idx.adc_topk(qvec, k=10).collect()]
+    codes_before = {r["vec_id"]: r["pq_code"]
+                    for r in idx.pq_codes().collect()}
+    skew_before = max(r["n_vectors"]
+                      for r in idx.cell_stats().collect())
+
+    idx2 = retrain_coarse_quantizer(emb, "e", idir, coarse_iters=3)
+    assert max(r["n_vectors"]
+               for r in idx2.cell_stats().collect()) < skew_before
+    # codes untouched, ADC identical
+    assert {r["vec_id"]: r["pq_code"]
+            for r in idx2.pq_codes().collect()} == codes_before
+    assert [(r["vec_id"], r["adist"])
+            for r in idx2.adc_topk(qvec, k=10).collect()] == adc_before
+    # probe still one pruned co-located scan, fresh handle agrees
+    fresh = load_vector_index(spark, idir, "e")
+    out = fresh.ivfpq_topk(qvec, n_probe=1, k=5)
+    plan = plan_of(out)
+    assert "PartitionFilters" in plan and "Join" not in plan
+    assert out.count() == 5
+    # guards: tombstoned index must compact first
+    delete_from_vector_index(spark, idir, "e", ids=[5])
+    with pytest.raises(ValueError, match="compact"):
+        retrain_coarse_quantizer(emb, "e", idir)
