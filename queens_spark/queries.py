@@ -132,8 +132,10 @@ def _documents_text_index(spark: SparkSession, sf_dir: str):
         fingerprint=source_fingerprint(src),
         # source/lang ride the postings rows (denormalized like dl) so
         # filtered searches (q122) push their predicate into the
-        # pruned scan — no documents join
+        # pruned scan — no documents join; positional postings enable
+        # exact phrase search (q123) and change no BM25 arithmetic
         meta_cols=["source", "lang"],
+        positions=True,
     )
 
 
@@ -5830,4 +5832,59 @@ def q122_filtered_bm25(spark, sf_dir):
     (store/text_index.py:bm25_topk predicate=...)."""
     return _documents_text_index(spark, sf_dir).bm25_topk(
         ["dup", "spark", "merge"], k=10, predicate="source = 'src7'"
+    )
+
+
+def _phrase_oracle(terms: list[str], k: int) -> str:
+    def q(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    distinct = sorted(set(terms))
+    cte_of = {t: f"ph{i}" for i, t in enumerate(distinct)}
+    ctes = ",\n    ".join(
+        f"{cte_of[t]} AS (SELECT doc, list(pos ORDER BY pos) AS pos "
+        f"FROM tok WHERE token = {q(t)} GROUP BY doc)"
+        for t in distinct
+    )
+    joins = " ".join(
+        f"JOIN {cte_of[t]} ON {cte_of[t]}.doc = {cte_of[terms[0]]}.doc"
+        for t in distinct
+        if t != terms[0]
+    )
+    conds = " AND ".join(
+        f"list_contains({cte_of[t]}.pos, p + {i})"
+        for i, t in enumerate(terms[1:], start=1)
+    ) or "TRUE"
+    return f"""
+    WITH tok AS (
+      SELECT doc, s.p - 1 AS pos, s.t AS token FROM (
+        SELECT doc_id AS doc,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> struct_pack(p := i, t := toks[i]))) AS s
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents))
+    ),
+    {ctes}
+    SELECT doc, n_occurrences FROM (
+      SELECT {cte_of[terms[0]]}.doc AS doc,
+             CAST(len(list_filter({cte_of[terms[0]]}.pos,
+                  p -> {conds})) AS BIGINT) AS n_occurrences
+      FROM {cte_of[terms[0]]} {joins}
+    ) WHERE n_occurrences > 0
+    ORDER BY n_occurrences DESC, doc ASC LIMIT {k}"""
+
+
+@register("q123_phrase_search", _phrase_oracle(["table", "hash"], 10))
+def q123_phrase_search(spark, sf_dir):
+    """EXACT phrase search from the stored POSITIONAL postings — the
+    retrieval primitive Spark has no native operator for, served with
+    no tokenize stage: the phrase's terms drive the same bucket-pruned
+    scan as BM25, a per-candidate token→positions map assembles in one
+    aggregation, and the occurrence count ("term i at start+i for
+    every i") is a pure JVM higher-order fold — integers end to end,
+    so the twin reproduces every count (store/text_index.py:
+    phrase_topk). At 100 TB the scan reads |distinct phrase
+    terms|/n_buckets of the postings and only docs containing ALL
+    terms reach the fold."""
+    return _documents_text_index(spark, sf_dir).phrase_topk(
+        ["table", "hash"], k=10
     )

@@ -102,35 +102,55 @@ def _postings(
     id_col: str,
     n_buckets: int,
     meta_cols: list[str] | None = None,
+    positions: bool = False,
 ) -> DataFrame:
-    """(id[, meta...], token, tf, dl, tok_bucket) — ONE tokenize pass.
-    tf and dl are exactly term_frequencies' integers (dl = Σ tf per
-    doc via a doc-partitioned window over the tf frame — no second
-    tokenize), so served scores match the inline scorer bit-for-bit.
-    *meta_cols* denormalize document metadata onto every posting row
-    (like dl), so filtered searches need no documents join — the
-    predicate lands on the pruned postings scan."""
+    """(id[, meta...], token, tf[, positions], dl, tok_bucket) — ONE
+    tokenize pass. tf and dl are exactly term_frequencies' integers
+    (dl = Σ tf per doc via a doc-partitioned window over the tf frame
+    — no second tokenize), so served scores match the inline scorer
+    bit-for-bit. *meta_cols* denormalize document metadata onto every
+    posting row (like dl), so filtered searches need no documents
+    join — the predicate lands on the pruned postings scan. With
+    *positions*, each row also carries the token's sorted 0-based
+    occurrence positions (posexplode), enabling exact phrase search;
+    tf = size(positions) by construction, so scores are unchanged."""
     from pyspark.sql import Window
 
     from queens_spark.operators.text import tokens
 
     meta = list(meta_cols or [])
-    tf = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            *[F.col(c) for c in meta],
-            F.explode(tokens(text_col)).alias("token"),
+    if positions:
+        tf = (
+            df.select(
+                F.col(id_col).alias("doc"),
+                *[F.col(c) for c in meta],
+                F.posexplode(tokens(text_col)).alias("__pos", "token"),
+            )
+            .groupBy("doc", "token", *meta)
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.sort_array(F.collect_list("__pos")).alias("positions"),
+            )
         )
-        # meta is functionally dependent on doc: same groups, wider key
-        .groupBy("doc", "token", *meta)
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    else:
+        tf = (
+            df.select(
+                F.col(id_col).alias("doc"),
+                *[F.col(c) for c in meta],
+                F.explode(tokens(text_col)).alias("token"),
+            )
+            # meta is functionally dependent on doc: same groups,
+            # wider key
+            .groupBy("doc", "token", *meta)
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
     w = Window.partitionBy("doc")
     return tf.select(
         F.col("doc").alias(id_col),
         *meta,
         "token",
         "tf",
+        *(["positions"] if positions else []),
         F.sum("tf").over(w).alias("dl"),
         (F.crc32(F.encode(F.col("token"), "utf-8")) % n_buckets)
         .cast("int")
@@ -244,6 +264,7 @@ class TextIndex:
             "n_buckets": self.n_buckets,
             "segments": len(self.entry["segments"]),
             "tombstone_segments": len(self.entry.get("deletes") or []),
+            "positions": bool(self.entry.get("positions")),
             "n_docs": n,
             "total_tokens": t,
             "maxdl": maxdl,
@@ -336,6 +357,82 @@ class TextIndex:
             .limit(k)
         )
 
+
+    def phrase_topk(
+        self,
+        phrase_terms: list[str],
+        k: int = 10,
+        predicate=None,
+    ) -> DataFrame:
+        """EXACT phrase search over positional postings — the
+        retrieval primitive Spark has no native operator for: find
+        documents containing *phrase_terms* as CONSECUTIVE tokens and
+        rank by occurrence count. Requires an index built with
+        ``positions=True`` (each posting row carries the token's
+        sorted 0-based positions).
+
+        Plan shape: the phrase's distinct terms drive the same
+        bucket-pruned postings scan as BM25 (|distinct terms| buckets
+        of |postings| bytes); per candidate document a token→positions
+        map assembles in one aggregation (map size = phrase length),
+        and the occurrence count is a pure JVM higher-order-function
+        fold — a start position p counts when every term i sits at
+        p+i. No tokenize stage, no corpus touch, no UDF; docs missing
+        any phrase term never reach the fold (an all-terms-present
+        filter runs first). Duplicate terms in the phrase ("the x
+        the") are handled naturally — the map lookup hits the same
+        positions array at two offsets.
+
+        Returns (doc, n_occurrences), occurrences DESC with doc ASC
+        tie-break, phrase-free docs excluded."""
+        terms = [str(t) for t in phrase_terms]
+        if not terms:
+            raise ValueError("phrase_terms must be non-empty")
+        if not self.entry.get("positions"):
+            raise ValueError(
+                f"text index {self.name!r} was built without positional "
+                "postings; rebuild with positions=True to phrase-search"
+            )
+        distinct = sorted(set(terms))
+        cand = self._filtered(
+            self.query_postings(distinct), predicate
+        ).withColumnRenamed(self.id_col, "doc")
+        pm = (
+            cand.groupBy("doc")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("token", "positions"))
+                ).alias("pm"),
+                F.count(F.lit(1)).alias("__nt"),
+            )
+            # every distinct phrase term must appear in the doc
+            .where(F.col("__nt") == len(distinct))
+        )
+        base = F.element_at(F.col("pm"), F.lit(terms[0]))
+        offsets = list(enumerate(terms[1:], start=1))
+
+        # single-parameter signature: pyspark derives HOF lambda arity
+        # from the Python signature, so the composition must not add
+        # parameters
+        def _consecutive(p):
+            cond = None
+            for i, t in offsets:
+                c = F.array_contains(
+                    F.element_at(F.col("pm"), F.lit(t)), p + i
+                )
+                cond = c if cond is None else (cond & c)
+            return cond
+
+        starts = base if not offsets else F.filter(base, _consecutive)
+        return (
+            pm.select(
+                "doc",
+                F.size(starts).cast("bigint").alias("n_occurrences"),
+            )
+            .where(F.col("n_occurrences") > 0)
+            .orderBy(F.desc("n_occurrences"), F.asc("doc"))
+            .limit(k)
+        )
 
     def batch_bm25_topk(
         self,
@@ -434,6 +531,7 @@ def _write_postings_segment(
     n_buckets: int,
     path: str,
     meta_cols: list[str] | None = None,
+    positions: bool = False,
 ) -> int:
     """One tokenize pass → bucket-partitioned, token-sorted postings.
     repartition on tok_bucket co-locates each bucket in one task
@@ -447,7 +545,9 @@ def _write_postings_segment(
     to infer the schema from), so callers must skip empty segments;
     the persist makes the emptiness probe and the write share one
     tokenize pass."""
-    p = _postings(df, text_col, id_col, n_buckets, meta_cols).persist()
+    p = _postings(
+        df, text_col, id_col, n_buckets, meta_cols, positions
+    ).persist()
     try:
         n = p.count()
         if n:
@@ -472,6 +572,7 @@ def build_text_index(
     n_buckets: int = N_BUCKETS,
     fingerprint: str | None = None,
     meta_cols: list[str] | None = None,
+    positions: bool = False,
 ) -> TextIndex:
     """ONE corpus tokenize pass, then the manifest flip. Versioned
     directory + atomic manifest replace (the vector-index convention):
@@ -483,7 +584,7 @@ def build_text_index(
     postings_path = os.path.join(vdir, "postings_seg0")
     if not _write_postings_segment(
         df, text_col, id_col, n_buckets, postings_path,
-        meta_cols=meta_cols,
+        meta_cols=meta_cols, positions=positions,
     ):
         raise ValueError(
             "cannot build a text index over an empty corpus "
@@ -499,6 +600,7 @@ def build_text_index(
         "segments": [seg],
         "next_seg": 1,
         "meta_cols": list(meta_cols) if meta_cols else None,
+        "positions": bool(positions),
         "fingerprint": fingerprint,
     }
     entries[name] = entry
@@ -534,6 +636,7 @@ def append_text_index(
         df_new, entry["text_col"], entry["id_col"],
         int(entry["n_buckets"]), postings_path,
         meta_cols=entry.get("meta_cols"),
+        positions=bool(entry.get("positions")),
     ):
         # empty batch: no segment to add — still record the new source
         # fingerprint (the append SAW this source state) and flip
@@ -732,6 +835,10 @@ def build_or_load_text_index(
             idx.entry.get("meta_cols") or []
         ):
             raise ValueError("stored index lacks the requested meta_cols")
+        if build_kwargs.get("positions") and not idx.entry.get(
+            "positions"
+        ):
+            raise ValueError("stored index lacks positional postings")
         return idx
     except (KeyError, ValueError):
         return build_text_index(

@@ -352,3 +352,58 @@ def test_filtered_bm25_restrict_then_rank(spark, docs, tmp_path):
     up = build_or_load_text_index(docs, "text", "doc_id", "d", ndir,
                                   meta_cols=["source"])
     assert up.entry["version"] == 2
+
+
+def test_phrase_search_exact_and_guards(spark, docs, tmp_path):
+    """Positional postings: phrase_topk counts exact consecutive-token
+    occurrences (verified against a brute-force scan), works across
+    appended segments, respects predicates, and refuses an index
+    built without positions."""
+    import re
+
+    idir = str(tmp_path / "tidx")
+    build_text_index(docs.where(F.col("doc_id") < 250), "text",
+                     "doc_id", "d", idir,
+                     meta_cols=["source"], positions=True)
+    append_text_index(docs.where(F.col("doc_id") >= 250), "d", idir)
+    idx = load_text_index(spark, idir, "d")
+
+    def brute(phrase, restrict=None):
+        got = {}
+        for r in docs.collect():
+            if restrict and not restrict(r):
+                continue
+            toks = [t for t in re.split(r"\s+", r["text"]) if t]
+            n = sum(1 for i in range(len(toks) - len(phrase) + 1)
+                    if toks[i:i + len(phrase)] == phrase)
+            if n:
+                got[r["doc_id"]] = n
+        return sorted(got.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    out = [(r["doc"], r["n_occurrences"])
+           for r in idx.phrase_topk(["table", "hash"], k=10).collect()]
+    assert out == brute(["table", "hash"])[:10] and out
+    # duplicate-term phrase exercises the same-array-two-offsets path
+    dup = [(r["doc"], r["n_occurrences"])
+           for r in idx.phrase_topk(["the", "the"], k=10).collect()]
+    assert dup == brute(["the", "the"])[:10]
+    # filtered phrase search
+    flt = [(r["doc"], r["n_occurrences"])
+           for r in idx.phrase_topk(["table", "hash"], k=10,
+                                    predicate="source = 'src7'")
+           .collect()]
+    assert flt == brute(["table", "hash"],
+                        restrict=lambda r: r["source"] == "src7")[:10]
+    # plan: no tokenize stage, bucket-pruned
+    plan = plan_of(idx.phrase_topk(["table", "hash"], k=10))
+    assert "Generate" not in plan and "PartitionFilters" in plan
+    with pytest.raises(ValueError, match="non-empty"):
+        idx.phrase_topk([])
+    ndir = str(tmp_path / "nopos")
+    build_text_index(docs, "text", "doc_id", "d", ndir)
+    with pytest.raises(ValueError, match="positional"):
+        load_text_index(spark, ndir, "d").phrase_topk(["table", "hash"])
+    # build_or_load upgrades a positions-less index on request
+    up = build_or_load_text_index(docs, "text", "doc_id", "d", ndir,
+                                  positions=True)
+    assert up.entry["version"] == 2 and up.describe()["positions"]
