@@ -5888,3 +5888,111 @@ def q123_phrase_search(spark, sf_dir):
     return _documents_text_index(spark, sf_dir).phrase_topk(
         ["table", "hash"], k=10
     )
+
+
+def _conjunctive_bm25_oracle(terms: list[str], k: int) -> str:
+    from queens_spark.operators.corpus import BM25_SCALE
+
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+    WITH tf AS (
+      SELECT doc_id AS doc, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY doc_id, token
+    ), dl AS (
+      SELECT doc, sum(tf) AS dl FROM tf GROUP BY doc
+    ), nt AS (
+      SELECT count(*) AS n, sum(dl) AS t FROM dl
+    ), qtf AS (
+      SELECT * FROM tf WHERE token IN ({tl})
+    ), dfc AS (
+      SELECT token, count(*) AS df_docs FROM qtf GROUP BY token
+    )
+    SELECT q.doc AS doc,
+           CAST(sum(
+             ({BM25_SCALE} * (2*nt.n - 2*dfc.df_docs + 1) * 44 * q.tf * nt.t)
+             // ((2*dfc.df_docs + 1)
+                 * (20*q.tf*nt.t + 6*nt.t + 18*dl.dl*nt.n))
+           ) AS BIGINT) AS bm25_e5,
+           count(*) AS n_terms
+    FROM qtf q
+    JOIN dfc ON dfc.token = q.token
+    JOIN dl ON dl.doc = q.doc, nt
+    GROUP BY q.doc
+    HAVING count(*) = {len(set(terms))}
+    ORDER BY bm25_e5 DESC, q.doc ASC LIMIT {k}"""
+
+
+@register(
+    "q124_conjunctive_bm25",
+    _conjunctive_bm25_oracle(["dup", "spark", "merge"], 10),
+)
+def q124_conjunctive_bm25(spark, sf_dir):
+    """Conjunctive (AND) BM25 — web-search default semantics: only
+    documents matching EVERY query term rank. Same stored-postings
+    plan as q110 with a post-aggregation matched-term-count filter,
+    so scores are unchanged and no extra pass runs; rarer on purpose
+    than the disjunctive top-10 (the intersection is small), which is
+    exactly why AND semantics matter for precision
+    (store/text_index.py:bm25_topk require_all=True)."""
+    return _documents_text_index(spark, sf_dir).bm25_topk(
+        ["dup", "spark", "merge"], k=10, require_all=True
+    )
+
+
+def _proximity_oracle(terms: list[str], window: int, k: int) -> str:
+    def q(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    distinct = sorted(set(terms))
+    cte_of = {t: f"px{i}" for i, t in enumerate(distinct)}
+    ctes = ",\n    ".join(
+        f"{cte_of[t]} AS (SELECT doc, list(pos ORDER BY pos) AS pos "
+        f"FROM tok WHERE token = {q(t)} GROUP BY doc)"
+        for t in distinct
+    )
+    first = cte_of[terms[0]]
+    joins = " ".join(
+        f"JOIN {cte_of[t]} ON {cte_of[t]}.doc = {first}.doc"
+        for t in distinct
+        if t != terms[0]
+    )
+    conds = " AND ".join(
+        f"len(list_filter({cte_of[t]}.pos, "
+        f"q -> abs(q - p) <= {int(window)})) > 0"
+        for t in distinct
+        if t != terms[0]
+    ) or "TRUE"
+    return f"""
+    WITH tok AS (
+      SELECT doc, s.p - 1 AS pos, s.t AS token FROM (
+        SELECT doc_id AS doc,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> struct_pack(p := i, t := toks[i]))) AS s
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents))
+    ),
+    {ctes}
+    SELECT doc, n_windows FROM (
+      SELECT {first}.doc AS doc,
+             CAST(len(list_filter({first}.pos,
+                  p -> {conds})) AS BIGINT) AS n_windows
+      FROM {first} {joins}
+    ) WHERE n_windows > 0
+    ORDER BY n_windows DESC, doc ASC LIMIT {k}"""
+
+
+@register(
+    "q125_proximity_search", _proximity_oracle(["table", "join"], 4, 10)
+)
+def q125_proximity_search(spark, sf_dir):
+    """Unordered proximity search — all terms within a ±4-token
+    neighborhood, ranked by co-occurrence window count: the relevance
+    middle ground between bag-of-words BM25 (q110, no position
+    signal) and exact phrase adjacency (q123). Served from the stored
+    positional postings with the q123 plan family (bucket-pruned
+    scan, all-terms-present filter, token→positions map, JVM
+    exists-within-window fold); integer counts, twin-reproducible
+    (store/text_index.py:proximity_topk)."""
+    return _documents_text_index(spark, sf_dir).proximity_topk(
+        ["table", "join"], window=4, k=10
+    )

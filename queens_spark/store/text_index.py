@@ -311,6 +311,7 @@ class TextIndex:
         k: int = 10,
         scale: int = BM25_SCALE,
         predicate=None,
+        require_all: bool = False,
     ) -> DataFrame:
         """Okapi BM25 top-*k* served from the stored postings —
         bit-identical to
@@ -325,7 +326,11 @@ class TextIndex:
         restricts the CANDIDATE pool scan-side; scores stay the
         documents' global BM25 (df/N/T corpus-wide — the q109
         restrict-then-rank convention: the filter narrows the pool,
-        it does not redefine the score)."""
+        it does not redefine the score). *require_all* keeps only
+        documents matching EVERY query term (conjunctive / AND
+        retrieval — web-search default semantics): a post-aggregation
+        filter on the matched-term count, so scores are unchanged and
+        no extra pass runs."""
         n_docs, total, maxdl = self.stats()
         if n_docs == 0:
             raise ValueError(f"text index {self.name!r} is empty")
@@ -345,7 +350,7 @@ class TextIndex:
             f"(2*df_docs + 1) * (20*tf*{total} + 6*{total} + "
             f"18*dl*{n_docs})"
         )
-        return (
+        scored = (
             self._filtered(qtf, predicate)
             .join(F.broadcast(dfc), "token")
             .groupBy("doc")
@@ -353,9 +358,12 @@ class TextIndex:
                 F.expr(f"sum(({num}) div ({den}))").alias("bm25_e5"),
                 F.count(F.lit(1)).alias("n_terms"),
             )
-            .orderBy(F.desc("bm25_e5"), F.asc("doc"))
-            .limit(k)
         )
+        if require_all:
+            scored = scored.where(
+                F.col("n_terms") == len(set(query_terms))
+            )
+        return scored.orderBy(F.desc("bm25_e5"), F.asc("doc")).limit(k)
 
 
     def phrase_topk(
@@ -431,6 +439,75 @@ class TextIndex:
             )
             .where(F.col("n_occurrences") > 0)
             .orderBy(F.desc("n_occurrences"), F.asc("doc"))
+            .limit(k)
+        )
+
+    def proximity_topk(
+        self,
+        query_terms: list[str],
+        window: int = 5,
+        k: int = 10,
+        predicate=None,
+    ) -> DataFrame:
+        """Unordered PROXIMITY search over positional postings: rank
+        documents by how often ALL query terms co-occur within a
+        ±*window*-token neighborhood — the relevance middle ground
+        between bag-of-words BM25 (no position signal) and
+        :meth:`phrase_topk` (exact adjacency). The count is the number
+        of positions p of the first term such that every other term
+        has an occurrence q with \\|q − p\\| ≤ window — integers end
+        to end, twin-reproducible.
+
+        Same plan family as the phrase search: bucket-pruned scan of
+        the distinct terms' postings, all-terms-present filter, one
+        token→positions map per candidate, a JVM exists-within-window
+        fold. Docs missing any term never reach the fold."""
+        terms = [str(t) for t in query_terms]
+        if not terms:
+            raise ValueError("query_terms must be non-empty")
+        if int(window) < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        if not self.entry.get("positions"):
+            raise ValueError(
+                f"text index {self.name!r} was built without positional "
+                "postings; rebuild with positions=True"
+            )
+        distinct = sorted(set(terms))
+        cand = self._filtered(
+            self.query_postings(distinct), predicate
+        ).withColumnRenamed(self.id_col, "doc")
+        pm = (
+            cand.groupBy("doc")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("token", "positions"))
+                ).alias("pm"),
+                F.count(F.lit(1)).alias("__nt"),
+            )
+            .where(F.col("__nt") == len(distinct))
+        )
+        others = [t for t in distinct if t != terms[0]]
+        w = int(window)
+
+        def _near_all(p):
+            cond = None
+            for t in others:
+                c = F.exists(
+                    F.element_at(F.col("pm"), F.lit(t)),
+                    lambda q: F.abs(q - p) <= w,
+                )
+                cond = c if cond is None else (cond & c)
+            return F.lit(True) if cond is None else cond
+
+        base = F.element_at(F.col("pm"), F.lit(terms[0]))
+        starts = F.filter(base, _near_all) if others else base
+        return (
+            pm.select(
+                "doc",
+                F.size(starts).cast("bigint").alias("n_windows"),
+            )
+            .where(F.col("n_windows") > 0)
+            .orderBy(F.desc("n_windows"), F.asc("doc"))
             .limit(k)
         )
 

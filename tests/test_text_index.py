@@ -407,3 +407,40 @@ def test_phrase_search_exact_and_guards(spark, docs, tmp_path):
     up = build_or_load_text_index(docs, "text", "doc_id", "d", ndir,
                                   positions=True)
     assert up.entry["version"] == 2 and up.describe()["positions"]
+
+
+def test_conjunctive_and_proximity(spark, docs, tmp_path):
+    """require_all keeps only all-terms docs with unchanged scores;
+    proximity_topk counts within-window co-occurrences (verified
+    against a brute-force scan)."""
+    import re
+
+    idir = str(tmp_path / "tidx")
+    build_text_index(docs, "text", "doc_id", "d", idir, positions=True)
+    idx = load_text_index(spark, idir, "d")
+
+    both = idx.bm25_topk(TERMS, k=500, require_all=True).collect()
+    assert both and all(r["n_terms"] == 3 for r in both)
+    unf = {r["doc"]: r["bm25_e5"]
+           for r in idx.bm25_topk(TERMS, k=500).collect()}
+    assert all(unf[r["doc"]] == r["bm25_e5"] for r in both)
+
+    w, terms = 4, ["table", "join"]
+    got = [(r["doc"], r["n_windows"])
+           for r in idx.proximity_topk(terms, window=w, k=10).collect()]
+    brute = {}
+    for r in docs.collect():
+        toks = [t for t in re.split(r"\s+", r["text"]) if t]
+        pos = {t: [i for i, x in enumerate(toks) if x == t]
+               for t in terms}
+        if any(not pos[t] for t in terms):
+            continue
+        n = sum(1 for p in pos[terms[0]]
+                if all(any(abs(q - p) <= w for q in pos[t])
+                       for t in terms[1:]))
+        if n:
+            brute[r["doc_id"]] = n
+    expect = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == expect and got
+    with pytest.raises(ValueError, match="window"):
+        idx.proximity_topk(terms, window=0)
