@@ -130,6 +130,7 @@ def ingest_deduped(
     id_col: str,
     ledger_dir: str,
     near_dup_threshold: float | None = None,
+    token: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Screen *df* against the ledger, accept what is new, record it.
 
@@ -163,6 +164,14 @@ def ingest_deduped(
     band-keyed joins whose bucket sizes grow with true-duplicate
     density, verified on 16-lane signatures — the batch shuffles,
     the ledger side streams through its scan once per join.
+
+    *token* makes the ingest IDEMPOTENT for redelivery (streaming
+    foreachBatch, retried jobs): the manifest records which segment a
+    token produced, and a re-ingest bearing a seen token SKIPS the
+    screen-and-record entirely, returning the same fresh frame
+    (anchored on that token's recorded segment) and its stats — the
+    exactly-once anchor that lets downstream index appends compose
+    (see streaming/corpus.py).
     """
     from queens_spark.operators.dedup import (
         MINHASH_K,
@@ -172,6 +181,15 @@ def ingest_deduped(
 
     spark = df.sparkSession
     manifest = _read_manifest(ledger_dir)
+    if token is not None and token in manifest.get("tokens", {}):
+        seg = manifest["tokens"][token]
+        accepted = spark.read.parquet(seg)
+        fresh = df.join(accepted.select(id_col), id_col, "semi")
+        return fresh, {
+            "batch": df.count(),
+            "accepted": accepted.count(),
+            "replayed": True,
+        }
     mode = "minhash" if near_dup_threshold is not None else "exact"
     have = manifest.get("mode")
     if have is not None and have != mode:
@@ -294,6 +312,8 @@ def ingest_deduped(
         manifest["segments"] = manifest["segments"] + [manifest_seg]
         manifest["mode"] = mode
         manifest["next_seg"] = seg_id + 1
+        if token is not None:
+            manifest.setdefault("tokens", {})[str(token)] = manifest_seg
         _write_manifest(ledger_dir, manifest)
     finally:
         canon.unpersist()

@@ -694,6 +694,7 @@ def append_text_index(
     name: str,
     index_dir: str,
     fingerprint: str | None = None,
+    token: str | None = None,
 ) -> TextIndex:
     """O(new-data) refresh: tokenize ONLY *df_new* and add it as a new
     postings segment; manifest (segment list + per-segment stats)
@@ -701,11 +702,20 @@ def append_text_index(
     Serving stats merge by sum/max, so searches over the grown corpus
     are bit-identical to a full rebuild on (old ∪ new) — provided the
     caller kept the batch doc-disjoint from what is indexed (the same
-    id-novelty contract as append_vector_index)."""
+    id-novelty contract as append_vector_index).
+
+    *token* makes the append IDEMPOTENT for redelivery: a token the
+    manifest has already applied turns the call into a no-op — the
+    exactly-once half that pairs with the ledger's token replay
+    (streaming/corpus.py composes both)."""
     entries = _read_manifest(index_dir)
     if name not in entries:
         raise KeyError(f"no text index {name!r} in {index_dir}; build first")
     entry = dict(entries[name])
+    if token is not None and str(token) in (
+        entry.get("applied_tokens") or []
+    ):
+        return TextIndex(df_new.sparkSession, name, entry)
     vdir = os.path.join(index_dir, name, f"v{entry['version']}")
     seg_id = int(entry.get("next_seg", len(entry["segments"])))
     postings_path = os.path.join(vdir, f"postings_seg{seg_id}")
@@ -726,6 +736,10 @@ def append_text_index(
     seg.update(_seg_stats(df_new.sparkSession, postings_path))
     entry["segments"] = list(entry["segments"]) + [seg]
     entry["next_seg"] = seg_id + 1
+    if token is not None:
+        entry["applied_tokens"] = list(
+            entry.get("applied_tokens") or []
+        ) + [str(token)]
     if fingerprint is not None:
         entry["fingerprint"] = fingerprint
     entries[name] = entry

@@ -675,6 +675,7 @@ def append_vector_index(
     name: str,
     index_dir: str,
     fingerprint: str | None = None,
+    token: str | None = None,
 ) -> VectorIndex:
     """O(new-data) index refresh: encode ONLY *df_new*'s vectors with
     the STORED codebook / quantizers and add them as a new SEGMENT of
@@ -706,6 +707,12 @@ def append_vector_index(
             f"no vector index {name!r} in {index_dir}; build first"
         )
     entry = dict(entries[name])
+    # idempotency token: an already-applied token is a no-op (the
+    # exactly-once pair of the ledger's token replay)
+    if token is not None and str(token) in (
+        entry.get("applied_tokens") or []
+    ):
+        return VectorIndex(df_new.sparkSession, name, entry)
     vec_col, id_col = entry["vec_col"], entry["id_col"]
     meta = entry.get("meta_cols")
     cb = [[int(x) for x in row] for row in entry["codebook"]]
@@ -740,6 +747,10 @@ def append_vector_index(
             ivf_path
         ]
 
+    if token is not None:
+        entry["applied_tokens"] = list(
+            entry.get("applied_tokens") or []
+        ) + [str(token)]
     if fingerprint is not None:
         entry["fingerprint"] = fingerprint
     entries[name] = entry

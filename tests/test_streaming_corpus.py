@@ -1,0 +1,128 @@
+"""Streaming corpus builder: exactly-once ledger screen + index
+append under redelivery (idempotency tokens), and the live
+foreachBatch composition over a file stream."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from queens_spark.store.dedup_ledger import (
+    ingest_deduped,
+    ledger_fingerprints,
+)
+from queens_spark.store.text_index import (
+    append_text_index,
+    build_text_index,
+    load_text_index,
+)
+
+LONGA = ("alpha beta gamma delta epsilon zeta eta theta iota "
+         "kappa lambda mu nu xi omicron pi rho sigma tau")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def test_token_replay_ledger(spark, tmp_path):
+    """A redelivered token skips the screen and returns the SAME
+    accepted set — a crash between ledger flip and index append can
+    no longer lose the batch's docs."""
+    ldir = str(tmp_path / "ledger")
+    b = _docs(spark, [(0, "aa bb"), (1, "aa  bb"), (2, "cc")])
+    fresh1, s1 = ingest_deduped(b, "text", "doc_id", ldir, token="b0")
+    assert s1["accepted"] == 2
+    # redelivery: same token, same batch
+    fresh2, s2 = ingest_deduped(b, "text", "doc_id", ldir, token="b0")
+    assert s2 == {"batch": 3, "accepted": 2, "replayed": True}
+    assert ({r["doc_id"] for r in fresh2.collect()}
+            == {r["doc_id"] for r in fresh1.collect()} == {0, 2})
+    # the ledger did NOT grow a second segment
+    assert ledger_fingerprints(spark, ldir).count() == 2
+    # a DIFFERENT token screens normally (all dups now)
+    _, s3 = ingest_deduped(b, "text", "doc_id", ldir, token="b1")
+    assert s3["accepted"] == 0
+
+
+def test_token_replay_index_appends(spark, tmp_path):
+    """A redelivered token is a no-op on both index appends."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tdir = str(tmp_path / "t")
+    build_text_index(docs.where(F.col("doc_id") < 400),
+                     "text", "doc_id", "d", tdir)
+    b2 = docs.where(F.col("doc_id") >= 400)
+    append_text_index(b2, "d", tdir, token="x")
+    idx = append_text_index(b2, "d", tdir, token="x")  # redelivered
+    assert len(idx.entry["segments"]) == 2
+    assert idx.describe()["n_docs"] == docs.count()
+
+    from queens_spark.store.vector_index import (
+        append_vector_index,
+        build_vector_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vdir = str(tmp_path / "v")
+    build_vector_index(emb.where(F.col("vec_id") < 400),
+                       "embedding", "vec_id", "e", vdir)
+    nb = emb.where(F.col("vec_id") >= 400)
+    append_vector_index(nb, "e", vdir, token="x")
+    vidx = append_vector_index(nb, "e", vdir, token="x")
+    assert vidx.pq_codes().count() == emb.count()
+
+
+def test_stream_ingest_corpus_end_to_end(spark, tmp_path):
+    """Live composition over a file stream: two availableNow runs;
+    batch 2 contains re-crawled dups of batch 1 — the served index
+    ends up with exactly the distinct corpus, and a THIRD run with no
+    new files changes nothing."""
+    from queens_spark.streaming.corpus import stream_ingest_corpus
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    ldir = str(tmp_path / "ledger")
+    idir = str(tmp_path / "tidx")
+    ckpt = str(tmp_path / "ckpt")
+
+    # seed index on the first corpus slice (the stream appends to it)
+    seed = _docs(spark, [(0, LONGA + " zero"), (1, LONGA + " one")])
+    build_text_index(seed, "text", "doc_id", "corpus", idir)
+    ingest_deduped(seed, "text", "doc_id", ldir)  # seed the ledger too
+
+    schema = "doc_id bigint, text string"
+
+    def run():
+        stream = (spark.readStream.schema(schema)
+                  .json(src))
+        q = stream_ingest_corpus(
+            stream, "text", "doc_id", ldir, idir, "corpus", ckpt)
+        q.awaitTermination(120)
+
+    def write_file(name, rows):
+        with open(os.path.join(src, name), "w") as fh:
+            for i, t in rows:
+                fh.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    write_file("b1.json", [(10, LONGA + " ten"),
+                           (11, LONGA + " zero"),    # dup of doc 0
+                           (12, LONGA + " twelve")])
+    run()
+    idx = load_text_index(spark, idir, "corpus")
+    assert idx.describe()["n_docs"] == 4  # 0, 1, 10, 12
+
+    write_file("b2.json", [(20, LONGA + " ten"),     # dup of doc 10
+                           (21, LONGA + " twentyone")])
+    run()
+    idx = load_text_index(spark, idir, "corpus")
+    assert idx.describe()["n_docs"] == 5
+    hit = idx.bm25_topk(["twentyone"], k=3).collect()
+    assert [r["doc"] for r in hit] == [21]
+    # nothing new: a third run is a no-op
+    run()
+    assert load_text_index(spark, idir, "corpus").describe()["n_docs"] == 5
+    # and every batch screened against the FULL history
+    _, s = ingest_deduped(_docs(spark, [(99, LONGA + " twentyone")]),
+                          "text", "doc_id", ldir)
+    assert s["accepted"] == 0
