@@ -275,6 +275,39 @@ class Engine:
             expected_fingerprint=expected_fingerprint,
         )
 
+    def hybrid_search(
+        self,
+        text_index_name: str,
+        vector_index_name: str,
+        query_terms: list[str],
+        query_vec: list[float],
+        k: int = 10,
+        pool: int = 50,
+        rrf_k: int = 60,
+    ):
+        """Production hybrid retrieval over the warehouse's STORED
+        indexes (the q111 shape as an API): a BM25 pool from the
+        postings index and an ADC pool from the vector index, fused
+        with scaled-integer reciprocal ranks
+        (operators/retrieval.py:rrf_fuse). Both pools are TakeOrdered
+        heads read from stored artifacts — no tokenize and no encode
+        stage anywhere; the fusion joins ≤ 2·pool rows. Requires both
+        indexes built over the same document ids."""
+        from queens_spark.operators.retrieval import rrf_fuse
+
+        tidx = self.text_index(text_index_name)
+        vidx = self.vector_index(vector_index_name)
+        bm = tidx.bm25_topk(query_terms, k=pool).select(
+            F.col("doc").alias("__id"), "bm25_e5"
+        )
+        ad = vidx.adc_topk(query_vec, k=pool).select(
+            F.col(vidx.id_col).alias("__id"), "adist"
+        )
+        return rrf_fuse(
+            [(bm, "bm25_e5", False), (ad, "adist", True)],
+            "__id", k=k, rrf_k=rrf_k,
+        ).withColumnRenamed("__id", "doc")
+
     # ------------------------------------------------------------- read
 
     def compact(

@@ -7,6 +7,8 @@ anywhere in a served plan."""
 import contextlib
 import io
 
+import pytest
+
 from pyspark.sql import Window, functions as F
 
 from queens_spark.facade import Engine
@@ -108,3 +110,50 @@ def test_corpus_refresh_end_to_end(spark, tmp_path):
     _, s3 = eng.ingest_deduped(b3, "text", "doc_id")
     assert s3 == {"batch": 1, "in_batch_dupes": 0,
                   "ledger_dupes": 1, "accepted": 0}
+
+
+def test_engine_hybrid_search_and_rrf_fuse(spark, tmp_path):
+    """Engine.hybrid_search fuses the stored BM25 and ADC pools with
+    exact integer RRF; rrf_fuse itself is verified against a python
+    reference on the same pools, and the served plan touches neither
+    corpus parquet."""
+    from pyspark.sql import functions as F
+
+    from queens_spark.facade import Engine
+    from queens_spark.operators.retrieval import RRF_SCALE, rrf_fuse
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    eng.build_text_index(docs, "text", "doc_id", "c")
+    eng.build_vector_index(emb, "embedding", "vec_id", "c")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 42).collect()[0]["embedding"]]
+    terms = ["dup", "spark", "merge"]
+    out = eng.hybrid_search("c", "c", terms, qvec, k=10, pool=20)
+    plan_txt = out._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan_txt
+    assert "embeddings.parquet" not in plan_txt
+    rows = out.collect()
+    assert len(rows) == 10
+
+    # python reference over the same pools
+    bm = [(r["doc"], r["bm25_e5"]) for r in
+          eng.text_index("c").bm25_topk(terms, k=20).collect()]
+    ad = [(r["vec_id"], r["adist"]) for r in
+          eng.vector_index("c").adc_topk(qvec, k=20).collect()]
+    ranks: dict[int, list] = {}
+    for i, (pool, asc) in enumerate([(bm, False), (ad, True)]):
+        ordered = sorted(pool, key=lambda kv: ((kv[1] if asc else -kv[1]),
+                                               kv[0]))
+        for rk, (d, _) in enumerate(ordered, 1):
+            ranks.setdefault(d, [None, None])[i] = rk
+    want = sorted(
+        ((sum(RRF_SCALE // (60 + r) for r in rs if r), d)
+         for d, rs in ranks.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    assert [(r["rrf_e12"], r["doc"]) for r in rows] == want
+
+    with pytest.raises(ValueError, match=">= 2 pools"):
+        rrf_fuse([(out, "rrf_e12", False)], "doc")
