@@ -154,6 +154,23 @@ def build_parser() -> argparse.ArgumentParser:
                     help="search: comma-separated query terms")
     tx.add_argument("--ids", default=None,
                     help="delete: comma-separated doc ids to tombstone")
+    tx.add_argument("--where", default=None,
+                    help="search/delete: SQL predicate over the index's "
+                         "meta_cols")
+    tx.add_argument("--phrase", action="store_true",
+                    help="search: treat --terms as an exact phrase "
+                         "(needs a positions=True index)")
+    tx.add_argument("--near", type=int, default=None,
+                    help="search: proximity window — all terms within "
+                         "N tokens (needs a positions=True index)")
+    tx.add_argument("--require-all", action="store_true",
+                    help="search: conjunctive (AND) BM25")
+    tx.add_argument("--meta-cols", default=None,
+                    help="build: comma-separated metadata columns to "
+                         "denormalize onto the postings")
+    tx.add_argument("--positions", action="store_true",
+                    help="build: store token positions (enables "
+                         "--phrase / --near)")
     tx.add_argument("--k", type=int, default=10)
     return p
 
@@ -421,6 +438,10 @@ def _run_tindex(spark, engine, args) -> int:
         kw = {}
         if args.n_buckets:
             kw["n_buckets"] = args.n_buckets
+        if args.meta_cols:
+            kw["meta_cols"] = args.meta_cols.split(",")
+        if args.positions:
+            kw["positions"] = True
         idx = engine.build_text_index(
             corpus(), args.text_col, args.id_col, name,
             fingerprint=source_fingerprint(args.source), **kw,
@@ -447,10 +468,17 @@ def _run_tindex(spark, engine, args) -> int:
         print(json.dumps({"compacted": name,
                           "version": idx.entry["version"]}))
     elif args.action == "delete":
-        if not args.ids:
-            raise ValueError("tindex delete requires --ids")
+        if (args.ids is None) == (args.where is None):
+            raise ValueError(
+                "tindex delete requires exactly one of --ids/--where"
+            )
         idx = engine.delete_from_text_index(
-            name, [int(x) for x in args.ids.split(",") if x]
+            name,
+            ids=(
+                [int(x) for x in args.ids.split(",") if x]
+                if args.ids else None
+            ),
+            predicate=args.where,
         )
         print(json.dumps({
             "deleted_from": name,
@@ -460,13 +488,23 @@ def _run_tindex(spark, engine, args) -> int:
     else:  # search
         if not args.terms:
             raise ValueError("tindex search requires --terms")
+        terms = [t for t in args.terms.split(",") if t]
         idx = engine.text_index(name)
-        out = idx.bm25_topk(
-            [t for t in args.terms.split(",") if t], k=args.k
-        )
-        print(json.dumps({"results": [
-            {"doc": r["doc"], "bm25_e5": r["bm25_e5"],
-             "n_terms": r["n_terms"]}
-            for r in out.collect()
-        ]}))
+        if args.phrase:
+            out = idx.phrase_topk(terms, k=args.k, predicate=args.where)
+            rows = [{"doc": r["doc"],
+                     "n_occurrences": r["n_occurrences"]}
+                    for r in out.collect()]
+        elif args.near is not None:
+            out = idx.proximity_topk(terms, window=args.near, k=args.k,
+                                     predicate=args.where)
+            rows = [{"doc": r["doc"], "n_windows": r["n_windows"]}
+                    for r in out.collect()]
+        else:
+            out = idx.bm25_topk(terms, k=args.k, predicate=args.where,
+                                require_all=args.require_all)
+            rows = [{"doc": r["doc"], "bm25_e5": r["bm25_e5"],
+                     "n_terms": r["n_terms"]}
+                    for r in out.collect()]
+        print(json.dumps({"results": rows}))
     return 0

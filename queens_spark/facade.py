@@ -253,15 +253,19 @@ class Engine:
 
         return append_text_index(df_new, name, self._text_index_dir(), **kw)
 
-    def delete_from_text_index(self, name: str, ids: list):
-        """Tombstone documents out of the named postings index: BM25
-        serving excludes them immediately (scores exactly equal a
-        rebuild on the survivors); compact_text_index applies the
-        deletes physically."""
+    def delete_from_text_index(
+        self, name: str, ids: list | None = None, predicate=None
+    ):
+        """Tombstone documents out of the named postings index (by
+        explicit ids or a meta_cols predicate): BM25 serving excludes
+        them immediately (scores exactly equal a rebuild on the
+        survivors); compact_text_index applies the deletes
+        physically."""
         from queens_spark.store.text_index import delete_from_text_index
 
         return delete_from_text_index(
-            self.spark, self._text_index_dir(), name, ids
+            self.spark, self._text_index_dir(), name,
+            ids=ids, predicate=predicate,
         )
 
     def text_index(self, name: str, expected_fingerprint: str | None = None):

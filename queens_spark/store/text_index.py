@@ -751,7 +751,8 @@ def delete_from_text_index(
     spark: SparkSession,
     index_dir: str,
     name: str,
-    ids: list,
+    ids: list | None = None,
+    predicate=None,
 ) -> TextIndex:
     """Tombstone documents out of the postings index — the lexical
     twin of :func:`~queens_spark.store.vector_index.delete_from_vector_index`:
@@ -767,18 +768,28 @@ def delete_from_text_index(
     retired doc id serves the new segment's postings. Physical rows
     disappear at :func:`compact_text_index`, which also folds the
     stats deltas back into real segment stats. Crash safety: segment
-    first, manifest flip last."""
+    first, manifest flip last. *ids* is an explicit list; *predicate*
+    (Column or SQL string over ``meta_cols``) deletes by metadata —
+    resolved against the served postings, no corpus touch (the
+    vector side's delete-by-predicate, lexical twin)."""
     entries = _read_manifest(index_dir)
     if name not in entries:
         raise KeyError(f"no text index {name!r} in {index_dir}; build first")
     entry = dict(entries[name])
     id_col = entry["id_col"]
     idx = TextIndex(spark, name, entry)
-    if not list(ids):
-        return idx
-    doomed = spark.createDataFrame(
-        [(int(i),) for i in ids], f"{id_col} bigint"
-    ).distinct()
+    if (ids is None) == (predicate is None):
+        raise ValueError("pass exactly one of ids= or predicate=")
+    if ids is not None:
+        if not list(ids):
+            return idx
+        doomed = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} bigint"
+        ).distinct()
+    else:
+        doomed = idx._filtered(
+            idx.postings(), predicate
+        ).select(id_col).distinct()
     # exact delta over what is CURRENTLY served: one row per (doc)
     # suffices because dl is denormalized onto every posting row
     hit = (

@@ -444,3 +444,44 @@ def test_conjunctive_and_proximity(spark, docs, tmp_path):
     assert got == expect and got
     with pytest.raises(ValueError, match="window"):
         idx.proximity_topk(terms, window=0)
+
+
+def test_predicate_delete_and_cli_modes(spark, docs, tmp_path, capsys):
+    """delete by meta predicate (lexical twin of the vector side's);
+    CLI serves phrase/proximity/conjunctive modes."""
+    import json as _json
+
+    from queens_spark.cli import main
+    from queens_spark.facade import Engine
+    from queens_spark.store.text_index import delete_from_text_index
+
+    root = str(tmp_path / "wh")
+    eng = Engine(spark, root)
+    eng.build_text_index(docs, "text", "doc_id", "docs",
+                         meta_cols=["source"], positions=True)
+    n_src7 = docs.where(F.col("source") == 'src7').count()
+    idx = eng.delete_from_text_index("docs", predicate="source = 'src7'")
+    assert idx.describe()["n_docs"] == docs.count() - n_src7
+    rebuilt = build_text_index(
+        docs.where(F.col("source") != 'src7'),
+        "text", "doc_id", "d", str(tmp_path / "r"))
+    assert idx.stats()[:2] == rebuilt.stats()[:2]
+    with pytest.raises(ValueError, match="exactly one"):
+        delete_from_text_index(
+            spark, eng._text_index_dir(), "docs")
+
+    rc = main(["--warehouse", root, "tindex", "search", "docs",
+               "--terms", "table,hash", "--phrase", "--k", "3"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["results"] and "n_occurrences" in out["results"][0]
+    rc = main(["--warehouse", root, "tindex", "search", "docs",
+               "--terms", "table,join", "--near", "4", "--k", "3"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["results"] and "n_windows" in out["results"][0]
+    rc = main(["--warehouse", root, "tindex", "search", "docs",
+               "--terms", "dup,spark,merge", "--require-all"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert all(r["n_terms"] == 3 for r in out["results"])
