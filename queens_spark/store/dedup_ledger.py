@@ -336,7 +336,15 @@ def compact_ledger(spark: SparkSession, ledger_dir: str) -> int:
     """Merge a many-segment ledger into one segment (content
     unchanged): new segment written first, manifest flips to it,
     superseded segment dirs removed after the flip. Returns the
-    number of segments merged (0 = no-op)."""
+    number of segments merged (0 = no-op).
+
+    Compaction CLEARS the idempotency-token map (tokens point at
+    per-batch segments, which no longer exist after the merge): run
+    it only when the streaming pipeline feeding the ledger is caught
+    up — a token replayed after compaction re-screens, and since
+    everything it accepted is in the merged ledger, it re-accepts
+    nothing; pair compaction with a caught-up index (no pending
+    un-applied tokens) so that is a true no-op."""
     manifest = _read_manifest(ledger_dir)
     segs = manifest["segments"]
     if len(segs) <= 1:
@@ -355,6 +363,10 @@ def compact_ledger(spark: SparkSession, ledger_dir: str) -> int:
     # manifest would silently let exact ingests into a fuzzy ledger
     manifest["segments"] = [merged]
     manifest["next_seg"] = seg_id + 1
+    # token segments are gone after the merge — a dangling map would
+    # make a replay read deleted paths; cleared = replay re-screens
+    # (and re-accepts nothing: everything is in the merged ledger)
+    manifest.pop("tokens", None)
     _write_manifest(ledger_dir, manifest)
     for s in segs:
         shutil.rmtree(s, ignore_errors=True)

@@ -126,3 +126,23 @@ def test_stream_ingest_corpus_end_to_end(spark, tmp_path):
     _, s = ingest_deduped(_docs(spark, [(99, LONGA + " twentyone")]),
                           "text", "doc_id", ldir)
     assert s["accepted"] == 0
+
+
+def test_compaction_clears_token_map(spark, tmp_path):
+    """Ledger compaction merges away the per-batch segments the token
+    map points at — the map clears with it, and a post-compaction
+    replay re-screens safely (re-accepting nothing)."""
+    from queens_spark.store.dedup_ledger import compact_ledger
+
+    ldir = str(tmp_path / "ledger")
+    b1 = _docs(spark, [(0, "aa"), (1, "bb")])
+    b2 = _docs(spark, [(2, "cc")])
+    ingest_deduped(b1, "text", "doc_id", ldir, token="t1")
+    ingest_deduped(b2, "text", "doc_id", ldir, token="t2")
+    assert compact_ledger(spark, ldir) == 2
+    # replayed token after compaction: no dangling path read, just a
+    # normal screen that re-accepts nothing
+    fresh, s = ingest_deduped(b1, "text", "doc_id", ldir, token="t1")
+    assert "replayed" not in s and s["accepted"] == 0
+    assert fresh.count() == 0
+    assert ledger_fingerprints(spark, ldir).count() == 3
