@@ -108,7 +108,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     vx.add_argument("action",
                     choices=["build", "append", "compact", "search",
-                             "delete", "retrain"])
+                             "delete", "retrain", "describe"])
     vx.add_argument("name", help="index name in the warehouse manifest")
     vx.add_argument("--source", default=None,
                     help="corpus parquet path (build/append; search "
@@ -141,7 +141,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     tx.add_argument("action",
                     choices=["build", "append", "compact", "search",
-                             "delete"])
+                             "delete", "describe"])
     tx.add_argument("name", help="index name in the warehouse manifest")
     tx.add_argument("--source", default=None,
                     help="corpus parquet path (build/append only — "
@@ -364,6 +364,8 @@ def _run_vindex(spark, engine, args) -> int:
         )
         print(json.dumps({"compacted": name,
                           "version": idx.entry["version"]}))
+    elif args.action == "describe":
+        print(json.dumps(engine.vector_index(name).describe()))
     elif args.action == "retrain":
         import os as _os
 
@@ -467,6 +469,8 @@ def _run_tindex(spark, engine, args) -> int:
         )
         print(json.dumps({"compacted": name,
                           "version": idx.entry["version"]}))
+    elif args.action == "describe":
+        print(json.dumps(engine.text_index(name).describe()))
     elif args.action == "delete":
         if (args.ids is None) == (args.where is None):
             raise ValueError(

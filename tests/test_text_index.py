@@ -485,3 +485,25 @@ def test_predicate_delete_and_cli_modes(spark, docs, tmp_path, capsys):
     assert rc == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert all(r["n_terms"] == 3 for r in out["results"])
+
+
+def test_cli_describe_actions(spark, docs, tmp_path, capsys):
+    import json as _json
+
+    from queens_spark.cli import main
+    from queens_spark.facade import Engine
+
+    root = str(tmp_path / "wh")
+    eng = Engine(spark, root)
+    eng.build_text_index(docs, "text", "doc_id", "docs",
+                         positions=True)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    eng.build_vector_index(emb, "embedding", "vec_id", "vecs")
+    rc = main(["--warehouse", root, "tindex", "describe", "docs"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == docs.count() and out["positions"]
+    rc = main(["--warehouse", root, "vindex", "describe", "vecs"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["name"] == "vecs" and out["segments"] == 1
