@@ -5996,3 +5996,77 @@ def q125_proximity_search(spark, sf_dir):
     return _documents_text_index(spark, sf_dir).proximity_topk(
         ["table", "join"], window=4, k=10
     )
+
+
+def _more_like_this_oracle(query_id: int, n_terms: int, k: int) -> str:
+    from queens_spark.operators.corpus import BM25_SCALE
+
+    return f"""
+    WITH tf AS (
+      SELECT doc_id AS doc, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY doc_id, token
+    ), dl AS (
+      SELECT doc, sum(tf) AS dl FROM tf GROUP BY doc
+    ), nt AS (
+      SELECT count(*) AS n, sum(dl) AS t FROM dl
+    ), qterms AS (
+      SELECT DISTINCT token FROM tf WHERE doc = {query_id}
+    ), qdf AS (
+      SELECT token, count(*) AS df_all FROM tf
+      WHERE token IN (SELECT token FROM qterms) GROUP BY token
+    ), sel AS (
+      SELECT token FROM qdf ORDER BY df_all ASC, token ASC
+      LIMIT {n_terms}
+    ), qtf AS (
+      SELECT * FROM tf WHERE token IN (SELECT token FROM sel)
+    ), dfc AS (
+      SELECT token, count(*) AS df_docs FROM qtf GROUP BY token
+    ), scored AS (
+      SELECT q.doc AS doc,
+             CAST(sum(
+               ({BM25_SCALE} * (2*nt.n - 2*dfc.df_docs + 1) * 44 * q.tf * nt.t)
+               // ((2*dfc.df_docs + 1)
+                   * (20*q.tf*nt.t + 6*nt.t + 18*dl.dl*nt.n))
+             ) AS BIGINT) AS bm25_e5,
+             count(*) AS n_terms
+      FROM qtf q
+      JOIN dfc ON dfc.token = q.token
+      JOIN dl ON dl.doc = q.doc, nt
+      WHERE q.doc <> {query_id}
+      GROUP BY q.doc
+    )
+    SELECT doc, bm25_e5, n_terms FROM scored
+    ORDER BY bm25_e5 DESC, doc ASC LIMIT {k}"""
+
+
+@register("q126_more_like_this", _more_like_this_oracle(42, 5, 10))
+def q126_more_like_this(spark, sf_dir):
+    """More-like-this retrieval, fully index-served: doc 42's FIVE
+    RAREST terms (document frequency from a bucket-pruned postings
+    scan — a document's rare terms identify it; df ASC, token ASC
+    ties, deterministic) become the BM25 query, the query doc
+    excluded from the pool. The corpus is touched for one
+    pushdown-filtered row (the query doc's text); the term selection
+    and the search both read stored postings only — the
+    find-similar-documents primitive of curation and dedup triage
+    (store/text_index.py:rarest_terms + bm25_topk)."""
+    from queens_spark.operators.text import tokens as _tok
+
+    qid, n_terms, k = 42, 5, 10
+    idx = _documents_text_index(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    all_terms = [
+        r["t"]
+        for r in docs.where(F.col("doc_id") == qid)
+        .select(F.explode(_tok("text")).alias("t"))
+        .distinct()
+        .collect()
+    ]
+    sel = idx.rarest_terms(all_terms, n_terms)
+    return (
+        idx.bm25_topk(sel, k=k + 1)
+        .where(F.col("doc") != qid)
+        .orderBy(F.desc("bm25_e5"), F.asc("doc"))
+        .limit(k)
+    )

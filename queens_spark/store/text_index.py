@@ -366,6 +366,27 @@ class TextIndex:
         return scored.orderBy(F.desc("bm25_e5"), F.asc("doc")).limit(k)
 
 
+    def rarest_terms(self, terms: list[str], n: int) -> list[str]:
+        """The *n* rarest of *terms* by document frequency (df ASC,
+        token ASC ties) — the characteristic-term selection step of a
+        more-like-this query: a document's rare terms identify it,
+        its common ones don't. One bucket-pruned scan + a
+        counter-width df aggregation over the candidate terms only;
+        terms absent from the corpus rank rarest of all (df 0).
+        Deterministic, so a SQL twin reproduces the selection."""
+        terms = sorted(set(terms))
+        if not terms:
+            raise ValueError("terms must be non-empty")
+        dfs = {
+            r["token"]: int(r["n"])
+            for r in self.query_postings(terms)
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        ranked = sorted(terms, key=lambda t: (dfs.get(t, 0), t))
+        return ranked[: int(n)]
+
     def phrase_topk(
         self,
         phrase_terms: list[str],

@@ -507,3 +507,24 @@ def test_cli_describe_actions(spark, docs, tmp_path, capsys):
     assert rc == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["name"] == "vecs" and out["segments"] == 1
+
+
+def test_rarest_terms_selection(spark, docs, tmp_path):
+    """df-ascending characteristic-term pick, deterministic ties;
+    absent terms rank rarest (df 0)."""
+    idir = str(tmp_path / "tidx")
+    build_text_index(docs, "text", "doc_id", "d", idir)
+    idx = load_text_index(spark, idir, "d")
+    from queens_spark.operators.corpus import term_frequencies
+
+    df_all = {r["token"]: r["n"]
+              for r in term_frequencies(docs, "text", "doc_id")
+              .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    cand = ["the", "dup", "spark", "merge", "table"]
+    got = idx.rarest_terms(cand, 3)
+    want = sorted(cand, key=lambda t: (df_all.get(t, 0), t))[:3]
+    assert got == want
+    assert idx.rarest_terms(["zzz_absent", "the"], 1) == ["zzz_absent"]
+    with pytest.raises(ValueError, match="non-empty"):
+        idx.rarest_terms([], 3)
