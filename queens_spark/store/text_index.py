@@ -23,17 +23,31 @@ stage-once/read-snapshot pattern, queens/core/read_write.py:340-404):
   aggregation over those rows only, and a TakeOrdered finish. Corpus
   stats (N docs, T total tokens, max dl) live in the manifest per
   SEGMENT and merge by sum/max at serve time — no stats pass either.
+  With ``meta_cols`` document metadata denormalizes onto the postings
+  too (filtered search with no documents join), and ``positions=True``
+  stores each token's sorted occurrence positions (phrase + proximity
+  search; tf = size(positions), so BM25 is unchanged).
 - :func:`append_text_index` tokenizes ONLY the new batch and adds it
   as a new segment (O(new-data) per ingest); the manifest flips after
   the segment lands, so a crash mid-append leaves an invisible orphan.
-  The caller owns doc novelty (appending an already-indexed doc would
-  double-count it — same convention as the vector index and as
-  double-ingesting a row).
+  The caller owns doc novelty for live ids (appending an already-
+  indexed doc would double-count it — same convention as the vector
+  index and as double-ingesting a row); an idempotency ``token``
+  makes redelivered appends no-ops (streaming/corpus.py).
+- :func:`delete_from_text_index` retires documents via coverage-scoped
+  tombstones with EXACT stats deltas — served scores equal a rebuild
+  on the survivors, and re-appending a retired id serves the new row.
 - :func:`compact_text_index` merges a long append history back into
-  one segment (pure rewrite, content unchanged).
+  one segment and applies tombstones physically (stats recomputed
+  from the written rows).
 - :func:`load_text_index` restores the index in ANY later session from
   the manifest alone; an expected fingerprint turns a stale index into
   a rebuild signal instead of silently serving pre-re-ingest postings.
+
+Serving: :meth:`TextIndex.bm25_topk` (OR/AND), :meth:`batch_bm25_topk`
+(one scan per query table), :meth:`phrase_topk`, :meth:`proximity_topk`,
+:meth:`rarest_terms` (more-like-this term selection) — every one a
+bucket-pruned postings plan with no tokenize stage.
 
 Served scores are BIT-IDENTICAL to :func:`bm25_topk` on the same
 corpus: the postings hold the same integer (tf, dl) the inline path
