@@ -155,13 +155,16 @@ class Engine:
         id_col: str,
         ledger: str = "documents",
         near_dup_threshold: float | None = None,
+        token: str | None = None,
     ):
         """Incremental corpus building: screen *df* against the named
         persistent dedup ledger (everything accepted in ANY earlier
         run), accept only new content, and record its fingerprints
         crash-safely (store/dedup_ledger.py). With
         *near_dup_threshold*, MinHash near-duplicates of ledger
-        content are screened too. Returns (fresh_df, stats)."""
+        content are screened too; *token* makes redelivered batches
+        idempotent (streaming/corpus.py contract). Returns
+        (fresh_df, stats)."""
         import os
 
         from queens_spark.store.dedup_ledger import ingest_deduped
@@ -172,6 +175,7 @@ class Engine:
                 self.warehouse.root, "system", "dedup_ledger", ledger
             ),
             near_dup_threshold=near_dup_threshold,
+            token=token,
         )
 
     def append_vector_index(self, df_new: DataFrame, name: str, **kw):
