@@ -152,6 +152,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="token-hash bucket count (build only)")
     tx.add_argument("--terms", default=None,
                     help="search: comma-separated query terms")
+    tx.add_argument("--queries", default=None,
+                    help="search: parquet of (query_id, terms "
+                         "array<string>) — batch BM25, one postings "
+                         "scan for the whole block")
     tx.add_argument("--ids", default=None,
                     help="delete: comma-separated doc ids to tombstone")
     tx.add_argument("--where", default=None,
@@ -490,8 +494,22 @@ def _run_tindex(spark, engine, args) -> int:
                 idx.describe()["tombstone_segments"],
         }))
     else:  # search
+        if args.queries:
+            idx = engine.text_index(name)
+            out = idx.batch_bm25_topk(
+                spark.read.parquet(args.queries),
+                k=args.k, predicate=args.where,
+            )
+            print(json.dumps({"results": [
+                {"query_id": r["query_id"], "doc": r["doc"],
+                 "bm25_e5": r["bm25_e5"], "n_terms": r["n_terms"]}
+                for r in out.collect()
+            ]}))
+            return 0
         if not args.terms:
-            raise ValueError("tindex search requires --terms")
+            raise ValueError(
+                "tindex search requires --terms or --queries"
+            )
         terms = [t for t in args.terms.split(",") if t]
         idx = engine.text_index(name)
         if args.phrase:

@@ -981,6 +981,36 @@ def retrain_coarse_quantizer(
     return VectorIndex(spark, name, entry)
 
 
+def rebalance_if_skewed(
+    df: DataFrame,
+    name: str,
+    index_dir: str,
+    max_over_median: float = 4.0,
+    coarse_iters: int = 1,
+) -> tuple[VectorIndex, bool]:
+    """The audit→fix loop as one maintenance call: read
+    :meth:`VectorIndex.cell_stats`, and when the hottest cell exceeds
+    *max_over_median* × the median cell, run
+    :func:`retrain_coarse_quantizer` (no re-encode — codes reused).
+    Returns ``(index, retrained)``; schedule it after appends the way
+    compaction is scheduled after ingests. The threshold is in
+    probe-cost terms: a cell k× the median makes a probe that hits it
+    read ~k× its fair share of the corpus."""
+    spark = df.sparkSession
+    idx = load_vector_index(spark, index_dir, name)
+    sizes = sorted(
+        int(r["n_vectors"]) for r in idx.cell_stats().collect()
+    )
+    if not sizes:
+        return idx, False
+    med = sizes[len(sizes) // 2]
+    if med == 0 or sizes[-1] <= max_over_median * med:
+        return idx, False
+    return retrain_coarse_quantizer(
+        df, name, index_dir, coarse_iters=coarse_iters
+    ), True
+
+
 def load_vector_index(
     spark: SparkSession,
     index_dir: str,

@@ -528,3 +528,26 @@ def test_rarest_terms_selection(spark, docs, tmp_path):
     assert idx.rarest_terms(["zzz_absent", "the"], 1) == ["zzz_absent"]
     with pytest.raises(ValueError, match="non-empty"):
         idx.rarest_terms([], 3)
+
+
+def test_cli_batch_search(spark, docs, tmp_path, capsys):
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from queens_spark.cli import main
+    from queens_spark.facade import Engine
+
+    root = str(tmp_path / "wh")
+    Engine(spark, root).build_text_index(docs, "text", "doc_id", "docs")
+    qpath = str(tmp_path / "q.parquet")
+    spark.createDataFrame([
+        Row(query_id=1, terms=["dup", "spark"]),
+        Row(query_id=2, terms=["merge"]),
+    ]).write.parquet(qpath)
+    rc = main(["--warehouse", root, "tindex", "search", "docs",
+               "--queries", qpath, "--k", "3"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {r["query_id"] for r in out["results"]} == {1, 2}
+    assert len(out["results"]) == 6

@@ -889,3 +889,48 @@ def test_retrain_coarse_quantizer_in_place(spark, tmp_path):
     delete_from_vector_index(spark, idir, "e", ids=[5])
     with pytest.raises(ValueError, match="compact"):
         retrain_coarse_quantizer(emb, "e", idir)
+
+
+def test_rebalance_if_skewed(spark, tmp_path):
+    """The audit->fix loop: a balanced index is left alone; a skewed
+    one retrains in place (codes untouched) and a second call is then
+    a no-op."""
+    import random
+
+    from pyspark.sql import Row
+
+    from queens_spark.store.vector_index import rebalance_if_skewed
+
+    rng = random.Random(7)
+    dim = 16
+    centers = []
+    for c in range(4):
+        v = [0.05] * dim
+        v[4 * c: 4 * c + 4] = [1.0, 0.9, 0.8, 0.7]
+        centers.append(v)
+    rows = [Row(vec_id=i,
+                embedding=[x + rng.uniform(0, 0.02)
+                           for x in (centers[0] if i < 4
+                                     else centers[i % 4])])
+            for i in range(400)]
+    emb = spark.createDataFrame(rows)
+    idir = str(tmp_path / "vidx")
+    build_vector_index(emb, "embedding", "vec_id", "e", idir,
+                       m=4, centroid_ids=[0, 1, 2, 3])
+    codes_before = {r["vec_id"]: r["pq_code"] for r in
+                    load_vector_index(spark, idir, "e")
+                    .pq_codes().collect()}
+    # untrained cells [20, 75, 112, 193]: 193 > 1.5 * 112 -> retrain
+    idx, did = rebalance_if_skewed(emb, "e", idir,
+                                   max_over_median=1.5,
+                                   coarse_iters=3)
+    assert did
+    sizes = sorted(r["n_vectors"] for r in idx.cell_stats().collect())
+    assert sizes[-1] <= 1.5 * sizes[len(sizes) // 2]
+    assert {r["vec_id"]: r["pq_code"]
+            for r in idx.pq_codes().collect()} == codes_before
+    # balanced now: second call is a no-op (same version)
+    v = idx.entry["version"]
+    idx2, did2 = rebalance_if_skewed(emb, "e", idir,
+                                     max_over_median=1.5)
+    assert not did2 and idx2.entry["version"] == v
