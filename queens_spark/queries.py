@@ -6070,3 +6070,72 @@ def q126_more_like_this(spark, sf_dir):
         .orderBy(F.desc("bm25_e5"), F.asc("doc"))
         .limit(k)
     )
+
+
+def _batch_mlt_oracle(n_queries: int, n_terms: int, k: int) -> str:
+    from queens_spark.operators.corpus import BM25_SCALE
+
+    return f"""
+    WITH tf AS (
+      SELECT doc_id AS doc, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY doc_id, token
+    ), dl AS (
+      SELECT doc, sum(tf) AS dl FROM tf GROUP BY doc
+    ), nt AS (
+      SELECT count(*) AS n, sum(dl) AS t FROM dl
+    ), qterms AS (
+      SELECT DISTINCT doc AS query_id, token FROM tf
+      WHERE doc < {n_queries}
+    ), qdf AS (
+      SELECT token, count(*) AS df_all FROM tf
+      WHERE token IN (SELECT DISTINCT token FROM qterms)
+      GROUP BY token
+    ), sel AS (
+      SELECT query_id, token FROM (
+        SELECT q.query_id, q.token,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY d.df_all ASC, q.token ASC) AS rk
+        FROM qterms q JOIN qdf d ON d.token = q.token
+      ) WHERE rk <= {n_terms}
+    ), qtf AS (
+      SELECT * FROM tf
+      WHERE token IN (SELECT DISTINCT token FROM sel)
+    ), dfc AS (
+      SELECT token, count(*) AS df_docs FROM qtf GROUP BY token
+    ), scored AS (
+      SELECT s.query_id, t.doc,
+             CAST(sum(
+               ({BM25_SCALE} * (2*nt.n - 2*dfc.df_docs + 1) * 44 * t.tf * nt.t)
+               // ((2*dfc.df_docs + 1)
+                   * (20*t.tf*nt.t + 6*nt.t + 18*dl.dl*nt.n))
+             ) AS BIGINT) AS bm25_e5,
+             count(*) AS n_terms
+      FROM sel s
+      JOIN qtf t ON t.token = s.token
+      JOIN dfc ON dfc.token = t.token
+      JOIN dl ON dl.doc = t.doc, nt
+      WHERE t.doc <> s.query_id
+      GROUP BY s.query_id, t.doc
+    )
+    SELECT query_id, doc, bm25_e5, n_terms FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY bm25_e5 DESC, doc ASC) AS rk
+      FROM scored
+    ) WHERE rk <= {k}"""
+
+
+@register("q127_batch_more_like_this", _batch_mlt_oracle(5, 5, 5))
+def q127_batch_more_like_this(spark, sf_dir):
+    """Batch more-like-this — q126's find-similar-documents for a
+    BLOCK of five query docs at once, fully distributed
+    (store/text_index.py:batch_more_like_this): each query doc's five
+    rarest terms (df from one token-keyed postings join — no driver
+    term list) drive a single batch BM25 pass, self-matches excluded.
+    The hard-negative-mining shape: at 100 TB the corpus is touched
+    for |queries| pushdown rows, the postings once for term
+    selection and once for scoring — never per query."""
+    return _documents_text_index(spark, sf_dir).batch_more_like_this(
+        load(spark, sf_dir, "documents"), "text",
+        query_ids=[0, 1, 2, 3, 4], n_terms=5, k=5,
+    )

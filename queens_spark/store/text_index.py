@@ -401,6 +401,78 @@ class TextIndex:
         ranked = sorted(terms, key=lambda t: (dfs.get(t, 0), t))
         return ranked[: int(n)]
 
+    def batch_more_like_this(
+        self,
+        docs_df: DataFrame,
+        text_col: str,
+        query_ids: list[int],
+        n_terms: int = 5,
+        k: int = 10,
+    ) -> DataFrame:
+        """More-like-this for a BLOCK of query documents — the
+        hard-negative-mining / near-dup-triage shape, fully
+        distributed: find each query doc's *n_terms* rarest terms and
+        retrieve its top-*k* most similar documents, in ONE postings
+        pass for the whole block.
+
+        Plan: the query docs' rows read via an id-pushdown filter of
+        *docs_df* (the only corpus touch — |queries| rows tokenized);
+        their candidate terms' document frequencies come from one
+        token-keyed join against the postings (no driver term list —
+        the term set of a large block stays distributed); a per-query
+        window picks the df-ascending rarest terms (token ties ASC,
+        deterministic); scoring runs through :meth:`batch_bm25_topk`
+        (broadcast pairs, global df computed once, only query-term
+        hits shuffle). Each query doc is excluded from its own
+        results — fetch k+1 then drop-self, order-equivalent to
+        excluding before ranking. Terms absent from the indexed
+        corpus are dropped from the budget (they cannot retrieve
+        anything; spending rarity slots on them starves the query).
+
+        Returns (query_id, doc, bm25_e5, n_terms) top-k per query."""
+        from pyspark.sql import Window
+
+        from queens_spark.operators.text import tokens
+
+        qids = [int(q) for q in query_ids]
+        if not qids:
+            raise ValueError("query_ids must be non-empty")
+        qt = (
+            docs_df.where(F.col(self.id_col).isin(qids))
+            .select(
+                F.col(self.id_col).alias("query_id"),
+                F.explode(tokens(text_col)).alias("token"),
+            )
+            .distinct()
+        )
+        dfs = (
+            self.postings()
+            .join(qt.select("token").distinct(), "token")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("__df"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("__df"), F.asc("token")
+        )
+        sel = (
+            qt.join(dfs, "token")
+            .withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= int(n_terms))
+        )
+        qdf = sel.groupBy("query_id").agg(
+            F.collect_list("token").alias("terms")
+        )
+        out = self.batch_bm25_topk(qdf, k=k + 1)
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.desc("bm25_e5"), F.asc("doc")
+        )
+        return (
+            out.where(F.col("doc") != F.col("query_id"))
+            .withColumn("__rk", F.row_number().over(w2))
+            .where(F.col("__rk") <= k)
+            .select("query_id", "doc", "bm25_e5", "n_terms")
+        )
+
     def phrase_topk(
         self,
         phrase_terms: list[str],

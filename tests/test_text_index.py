@@ -551,3 +551,34 @@ def test_cli_batch_search(spark, docs, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert {r["query_id"] for r in out["results"]} == {1, 2}
     assert len(out["results"]) == 6
+
+
+def test_batch_more_like_this_matches_single(spark, docs, tmp_path):
+    """The batch MLT block must agree per-query with the single-doc
+    composition (rarest_terms + bm25_topk, self excluded)."""
+    idir = str(tmp_path / "tidx")
+    build_text_index(docs, "text", "doc_id", "d", idir)
+    idx = load_text_index(spark, idir, "d")
+    qids = [3, 7]
+    got = {
+        (r["query_id"], r["doc"], r["bm25_e5"], r["n_terms"])
+        for r in idx.batch_more_like_this(
+            docs, "text", qids, n_terms=4, k=6).collect()
+    }
+    want = set()
+    for q in qids:
+        terms_all = [r["t"] for r in
+                     docs.where(F.col("doc_id") == q)
+                     .select(F.explode(F.split("text", r"\s+"))
+                             .alias("t"))
+                     .where(F.col("t") != "").distinct().collect()]
+        sel = idx.rarest_terms(terms_all, 4)
+        rows = (idx.bm25_topk(sel, k=7)
+                .where(F.col("doc") != q)
+                .orderBy(F.desc("bm25_e5"), F.asc("doc")).limit(6)
+                .collect())
+        for r in rows:
+            want.add((q, r["doc"], r["bm25_e5"], r["n_terms"]))
+    assert got == want and got
+    with pytest.raises(ValueError, match="non-empty"):
+        idx.batch_more_like_this(docs, "text", [])
