@@ -582,3 +582,36 @@ def test_batch_more_like_this_matches_single(spark, docs, tmp_path):
     assert got == want and got
     with pytest.raises(ValueError, match="non-empty"):
         idx.batch_more_like_this(docs, "text", [])
+
+
+def test_property_index_equals_inline_bm25(spark, tmp_path):
+    """Property check on random corpora: for any generated corpus and
+    query-term subset, the stored-postings scorer equals the inline
+    full-corpus scorer exactly — tf/dl/df/N/T and the rational-idf
+    arithmetic agree end to end (fixed seeds: deterministic)."""
+    import random
+
+    from pyspark.sql import Row
+
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        rows = [
+            Row(doc_id=i,
+                text=" ".join(rng.choices(vocab,
+                                          k=rng.randrange(1, 30))))
+            for i in range(rng.randrange(5, 40))
+        ]
+        docs = spark.createDataFrame(rows)
+        idir = str(tmp_path / f"t{seed}")
+        # split build+append at a random point: segment layout must
+        # not matter either
+        cut = rng.randrange(1, len(rows))
+        build_text_index(docs.where(F.col("doc_id") < cut),
+                         "text", "doc_id", "d", idir)
+        idx = append_text_index(docs.where(F.col("doc_id") >= cut),
+                                "d", idir)
+        terms = rng.sample(vocab, rng.randrange(1, 5))
+        assert _rows(idx.bm25_topk(terms, k=50)) == _rows(
+            bm25_topk(docs, "text", "doc_id", terms, k=50)
+        ), (seed, terms)
