@@ -6139,3 +6139,16 @@ def q127_batch_more_like_this(spark, sf_dir):
         load(spark, sf_dir, "documents"), "text",
         query_ids=[0, 1, 2, 3, 4], n_terms=5, k=5,
     )
+
+
+@register("q128_vocabulary_from_index", _vocab_oracle(100))
+def q128_vocabulary_from_index(spark, sf_dir):
+    """q67's vocabulary head SERVED from the stored postings index —
+    same oracle, no tokenize pass anywhere: one counter-width
+    aggregation over the persisted (doc, token, tf) rows, TakeOrdered
+    head, rank window over 100 rows. The build/serve split that makes
+    vocabulary maintenance O(new-batch) at 100 TB: each append's
+    tokens are already in the index, so frequency-pruning and
+    tokenizer-training reads never re-tokenize the corpus
+    (store/text_index.py:vocabulary)."""
+    return _documents_text_index(spark, sf_dir).vocabulary(top=100)

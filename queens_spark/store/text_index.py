@@ -380,6 +380,29 @@ class TextIndex:
         return scored.orderBy(F.desc("bm25_e5"), F.asc("doc")).limit(k)
 
 
+    def vocabulary(self, top: int = 100) -> DataFrame:
+        """Global top-*top* vocabulary SERVED from the postings: the
+        tokenizer-training / frequency-pruning primitive of
+        :func:`~queens_spark.operators.corpus.vocabulary`, with no
+        tokenize pass — one counter-width aggregation over the stored
+        (doc, token, tf) rows ((doc, token) is unique, so COUNT per
+        token IS the document frequency), a TakeOrdered head, a rank
+        window over *top* rows. Bit-identical to the inline operator
+        on the indexed corpus; tombstoned docs excluded."""
+        from pyspark.sql import Window
+
+        agg = self.postings().groupBy("token").agg(
+            F.sum("tf").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        head = agg.orderBy(
+            F.desc("n_occurrences"), F.asc("token")
+        ).limit(int(top))
+        w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+        return head.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        )
+
     def rarest_terms(self, terms: list[str], n: int) -> list[str]:
         """The *n* rarest of *terms* by document frequency (df ASC,
         token ASC ties) — the characteristic-term selection step of a

@@ -615,3 +615,20 @@ def test_property_index_equals_inline_bm25(spark, tmp_path):
         assert _rows(idx.bm25_topk(terms, k=50)) == _rows(
             bm25_topk(docs, "text", "doc_id", terms, k=50)
         ), (seed, terms)
+
+
+def test_vocabulary_served_equals_inline(spark, docs, tmp_path):
+    from queens_spark.operators.corpus import vocabulary
+
+    idir = str(tmp_path / "tidx")
+    build_text_index(docs.where(F.col("doc_id") < 250),
+                     "text", "doc_id", "d", idir)
+    idx = append_text_index(docs.where(F.col("doc_id") >= 250),
+                            "d", idir)
+    served = [(r["token"], r["n_occurrences"], r["n_docs"], r["rank"])
+              for r in idx.vocabulary(top=50).collect()]
+    inline = [(r["token"], r["n_occurrences"], r["n_docs"], r["rank"])
+              for r in vocabulary(docs, "text", "doc_id",
+                                  top=50).collect()]
+    assert served == inline and served
+    assert "Generate" not in plan_of(idx.vocabulary(top=50))
