@@ -739,6 +739,13 @@ def train_coarse_centroids(
     cb = np.array([[int(x) for x in r["cq"]] for r in seed_rows],
                   dtype=np.int64)
     dim = cb.shape[1]
+    zn = (cb * cb).sum(axis=1)
+    if np.any(zn == 0):
+        bad = [cids[i] for i in np.nonzero(zn == 0)[0][:5]]
+        raise ValueError(
+            f"centroid seeds {bad} have zero quantized norm; "
+            "cosine is undefined — pick non-degenerate seed ids"
+        )
 
     for _ in range(int(iters)):
         cbm = cb.copy()
@@ -756,6 +763,15 @@ def train_coarse_centroids(
                     * QUANT
                 ).astype(np.int64)
                 vn = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+                if np.any(vn == 0.0):
+                    # mirror the batch_topk_cosine guard: a zero-norm
+                    # row would yield NaN cosines and argmax would
+                    # silently assign it to an arbitrary cell
+                    raise ValueError(
+                        "corpus vectors with zero quantized norm "
+                        "reached coarse training; cosine is undefined "
+                        "— screen them out upstream"
+                    )
                 cos = (mat @ cbm.T).astype(np.float64) / (
                     vn[:, None] * cn[None, :]
                 )

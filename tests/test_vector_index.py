@@ -834,6 +834,31 @@ def test_train_coarse_centroids_guards(spark, emb):
         train_coarse_centroids(emb, "embedding", "vec_id", [0], iters=1)
 
 
+def test_train_coarse_centroids_zero_norm_guards(spark):
+    """Zero-norm rows must RAISE, not silently land in cell 0 via NaN
+    argmax (the serving paths already guard; training must too)."""
+    from queens_spark.operators.similarity import train_coarse_centroids
+
+    dim = 4
+    rows = [(i, [float(i % 3 + 1)] * dim) for i in range(1, 20)]
+    good = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    # a zero vector in the corpus (not a seed) -> assignment-pass guard
+    corpus = good.union(
+        spark.createDataFrame(
+            [(99, [0.0] * dim)], "vec_id bigint, embedding array<double>"
+        )
+    )
+    with pytest.raises(Exception, match="zero quantized norm"):
+        train_coarse_centroids(corpus, "embedding", "vec_id", [1, 2],
+                               iters=1)
+    # a zero vector AS a seed -> driver-side seed guard
+    with pytest.raises(ValueError, match="centroid seeds.*zero"):
+        train_coarse_centroids(corpus, "embedding", "vec_id", [1, 99],
+                               iters=1)
+
+
 def test_retrain_coarse_quantizer_in_place(spark, tmp_path):
     """Retrain fixes the skew the audit found WITHOUT re-encoding:
     codes bytes identical before/after, ADC results unchanged,
