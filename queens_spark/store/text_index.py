@@ -82,6 +82,12 @@ MANIFEST_NAME = "text_index_manifest.json"
 #: (more, smaller pruned units); lower for tiny corpora (fewer dirs).
 N_BUCKETS = 64
 
+#: Collect cap for batch_more_like_this's distinct candidate-term set
+#: (driver-side strings feeding a bucket-pruned df scan). ~100k short
+#: tokens is a few MB — far past what a MAX_BATCH_QUERIES-capped block
+#: produces; beyond it the df stage falls back to a distributed join.
+MAX_MLT_TERMS = 100_000
+
 
 def _manifest_path(index_dir: str) -> str:
     return os.path.join(index_dir, MANIFEST_NAME)
@@ -172,13 +178,15 @@ def _postings(
     )
 
 
-def _seg_stats(spark: SparkSession, postings_path: str) -> dict:
+def _seg_stats(spark: SparkSession, postings_path: str, id_col: str) -> dict:
     """Per-segment corpus stats from the WRITTEN postings (anchored on
     disk, like the ledger's accepted count): distinct docs, total
-    tokens, max doc length. One counter-width aggregation."""
+    tokens, max doc length. One counter-width aggregation, keyed on
+    the EXPLICIT id column — positional (`columns[0]`) keying would
+    silently aggregate over the wrong key if the write order changed."""
     p = spark.read.parquet(postings_path)
     row = (
-        p.groupBy(p.columns[0])
+        p.groupBy(id_col)
         .agg(F.sum("tf").alias("__dl"))
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -403,6 +411,48 @@ class TextIndex:
             "rank", F.row_number().over(w).cast("bigint")
         )
 
+    def token_stats(self, top: int = 20) -> DataFrame:
+        """Hot-token audit — the lexical twin of the vector side's
+        :meth:`~queens_spark.store.vector_index.VectorIndex.cell_stats`:
+        the *top* tokens by document frequency, with their occurrence
+        mass and crc32 bucket. One counter-width aggregation over the
+        stored (doc, token, tf) rows ((doc, token) is unique, so COUNT
+        per token IS the df), a TakeOrdered head, a rank window over
+        *top* rows — no tokenize, no corpus touch. A stop-word-heavy
+        corpus shows df_docs ≈ N rows here; their buckets hold a
+        disproportionate share of the postings bytes, so any query
+        containing one common term scans a hot bucket — the fix is a
+        ``max_df_ratio`` build (the df-capped contract, the retrain
+        of the lexical side)."""
+        from pyspark.sql import Window
+
+        agg = self.postings().groupBy("token").agg(
+            F.count(F.lit(1)).alias("df_docs"),
+            F.sum("tf").alias("occurrences"),
+            F.max(F.col("tok_bucket").cast("int")).alias("tok_bucket"),
+        )
+        head = agg.orderBy(F.desc("df_docs"), F.asc("token")).limit(
+            int(top)
+        )
+        w = Window.orderBy(F.desc("df_docs"), F.asc("token"))
+        return head.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        )
+
+    def bucket_stats(self) -> DataFrame:
+        """(tok_bucket, n_postings, n_tokens) — the bucket-skew audit
+        behind :meth:`token_stats`: a bucket holding k× the median
+        postings rows makes every query touching it scan ~k× its fair
+        share. One counter-width aggregation over the postings."""
+        return (
+            self.postings()
+            .groupBy(F.col("tok_bucket").cast("int").alias("tok_bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_postings"),
+                F.count_distinct("token").alias("n_tokens"),
+            )
+        )
+
     def rarest_terms(self, terms: list[str], n: int) -> list[str]:
         """The *n* rarest of *terms* by document frequency (df ASC,
         token ASC ties) — the characteristic-term selection step of a
@@ -440,9 +490,13 @@ class TextIndex:
 
         Plan: the query docs' rows read via an id-pushdown filter of
         *docs_df* (the only corpus touch — |queries| rows tokenized);
-        their candidate terms' document frequencies come from one
-        token-keyed join against the postings (no driver term list —
-        the term set of a large block stays distributed); a per-query
+        the block's distinct candidate terms are collected (bounded —
+        the block itself is capped at MAX_BATCH_QUERIES downstream)
+        so their document frequencies come from the same BUCKET-PRUNED
+        postings scan every other serving path uses
+        (:meth:`query_postings` — never a full postings pass; a block
+        whose term set exceeds the collect cap falls back to the
+        distributed token-keyed join); a per-query
         window picks the df-ascending rarest terms (token ties ASC,
         deterministic); scoring runs through :meth:`batch_bm25_topk`
         (broadcast pairs, global df computed once, only query-term
@@ -468,11 +522,28 @@ class TextIndex:
             )
             .distinct()
         )
-        dfs = (
-            self.postings()
-            .join(qt.select("token").distinct(), "token")
-            .groupBy("token")
-            .agg(F.count(F.lit(1)).alias("__df"))
+        # df stage over the candidate terms: collect the block's
+        # distinct terms (one tokenize of |queries| docs) and reuse
+        # the bucket-pruned scan — the full-postings join is only the
+        # fallback for a term set too large to collect, which the
+        # MAX_BATCH_QUERIES cap downstream makes effectively unreachable
+        term_rows = (
+            qt.select("token").distinct()
+            .limit(MAX_MLT_TERMS + 1).collect()
+        )
+        if not term_rows:
+            raise ValueError(
+                "query documents produced no tokens; check query_ids "
+                "against docs_df"
+            )
+        if len(term_rows) <= MAX_MLT_TERMS:
+            cand = self.query_postings([r["token"] for r in term_rows])
+        else:
+            cand = self.postings().join(
+                qt.select("token").distinct(), "token"
+            )
+        dfs = cand.groupBy("token").agg(
+            F.count(F.lit(1)).alias("__df")
         )
         w = Window.partitionBy("query_id").orderBy(
             F.asc("__df"), F.asc("token")
@@ -739,7 +810,8 @@ def _write_postings_segment(
     path: str,
     meta_cols: list[str] | None = None,
     positions: bool = False,
-) -> int:
+    max_df_ratio: float | None = None,
+) -> tuple[int, dict | None]:
     """One tokenize pass → bucket-partitioned, token-sorted postings.
     repartition on tok_bucket co-locates each bucket in one task
     (small file count at local scale; pass a larger shuffle-partition
@@ -747,25 +819,67 @@ def _write_postings_segment(
     within-file token sort gives parquet min/max stats that skip row
     groups under a token IN (...) predicate.
 
-    Returns the posting-row count. A zero-row frame writes NOTHING
-    (an empty partitioned parquet dir cannot be read back — no files
-    to infer the schema from), so callers must skip empty segments;
-    the persist makes the emptiness probe and the write share one
+    *max_df_ratio* is the df-capped stopword contract (the fix
+    :meth:`TextIndex.token_stats` points at): tokens appearing in
+    more than ``ratio × n_docs`` of THIS segment's documents are not
+    written — they contribute ≈0 BM25 via the rational idf while
+    their postings dominate the hot buckets. Segment stats (N, T,
+    maxdl — the quantities in the BM25 score) are computed on the
+    PRE-cap frame, so surviving terms score EXACTLY as they would in
+    an uncapped index (their tf/dl/df rows are untouched); only
+    capped-out terms stop retrieving. The cap is segment-scoped (each
+    build/append batch applies it to its own slice) — deterministic
+    and twin-reproducible per segment; a true stopword is frequent in
+    every batch and drops everywhere.
+
+    Returns ``(written_rows, precap_stats)`` where precap_stats is
+    None for uncapped writes (callers then read stats from disk via
+    :func:`_seg_stats` — anchored on the written bytes) and the
+    pre-cap ``{n_docs, total_tokens, maxdl}`` dict for capped ones.
+    A zero-row write leaves NOTHING on disk (an empty partitioned
+    parquet dir cannot be read back), so callers must skip empty
+    segments; the persist makes the probes and the write share one
     tokenize pass."""
     p = _postings(
         df, text_col, id_col, n_buckets, meta_cols, positions
     ).persist()
     try:
-        n = p.count()
+        stats = None
+        out = p
+        if max_df_ratio is not None:
+            row = (
+                p.groupBy(id_col)
+                .agg(F.first("dl").alias("__dl"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("__dl").alias("t"),
+                    F.max("__dl").alias("maxdl"),
+                )
+                .collect()[0]
+            )
+            stats = {
+                "n_docs": int(row["n"] or 0),
+                "total_tokens": int(row["t"] or 0),
+                "maxdl": int(row["maxdl"] or 0),
+            }
+            cap = float(max_df_ratio) * stats["n_docs"]
+            keep = (
+                p.groupBy("token")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .where(F.col("__df") <= cap)
+                .select("token")
+            )
+            out = p.join(F.broadcast(keep), "token").select(*p.columns)
+        n = out.count()
         if n:
             (
-                p.repartition("tok_bucket")
+                out.repartition("tok_bucket")
                 .sortWithinPartitions("token")
                 .write.mode("overwrite")
                 .partitionBy("tok_bucket")
                 .parquet(path)
             )
-        return n
+        return n, stats
     finally:
         p.unpersist()
 
@@ -780,25 +894,35 @@ def build_text_index(
     fingerprint: str | None = None,
     meta_cols: list[str] | None = None,
     positions: bool = False,
+    max_df_ratio: float | None = None,
 ) -> TextIndex:
     """ONE corpus tokenize pass, then the manifest flip. Versioned
     directory + atomic manifest replace (the vector-index convention):
     a crash mid-build leaves the previous version live; stale version
-    dirs GC on the next successful build."""
+    dirs GC on the next successful build. *max_df_ratio* builds a
+    df-CAPPED index (see :func:`_write_postings_segment` for the
+    exactness contract); the ratio persists in the manifest and every
+    later append applies it to its own batch."""
     entries = _read_manifest(index_dir)
     version = int(entries.get(name, {}).get("version", 0)) + 1
     vdir = os.path.join(index_dir, name, f"v{version}")
     postings_path = os.path.join(vdir, "postings_seg0")
-    if not _write_postings_segment(
+    n_written, precap = _write_postings_segment(
         df, text_col, id_col, n_buckets, postings_path,
         meta_cols=meta_cols, positions=positions,
-    ):
+        max_df_ratio=max_df_ratio,
+    )
+    if not n_written:
         raise ValueError(
             "cannot build a text index over an empty corpus "
-            "(no documents or no tokens)"
+            "(no documents, no tokens, or every token df-capped away)"
         )
     seg = {"path": postings_path}
-    seg.update(_seg_stats(df.sparkSession, postings_path))
+    seg.update(
+        precap
+        if precap is not None
+        else _seg_stats(df.sparkSession, postings_path, id_col)
+    )
     entry = {
         "version": version,
         "id_col": id_col,
@@ -808,6 +932,7 @@ def build_text_index(
         "next_seg": 1,
         "meta_cols": list(meta_cols) if meta_cols else None,
         "positions": bool(positions),
+        "max_df_ratio": max_df_ratio,
         "fingerprint": fingerprint,
     }
     entries[name] = entry
@@ -849,21 +974,35 @@ def append_text_index(
     vdir = os.path.join(index_dir, name, f"v{entry['version']}")
     seg_id = int(entry.get("next_seg", len(entry["segments"])))
     postings_path = os.path.join(vdir, f"postings_seg{seg_id}")
-    if not _write_postings_segment(
+    n_written, precap = _write_postings_segment(
         df_new, entry["text_col"], entry["id_col"],
         int(entry["n_buckets"]), postings_path,
         meta_cols=entry.get("meta_cols"),
         positions=bool(entry.get("positions")),
-    ):
+        max_df_ratio=entry.get("max_df_ratio"),
+    )
+    if not n_written:
         # empty batch: no segment to add — still record the new source
-        # fingerprint (the append SAW this source state) and flip
+        # fingerprint and the idempotency token (the append SAW this
+        # batch; recording keeps pending-token accounting exact) and flip
+        if token is not None:
+            entry["applied_tokens"] = list(
+                entry.get("applied_tokens") or []
+            ) + [str(token)]
         if fingerprint is not None:
             entry["fingerprint"] = fingerprint
+        if token is not None or fingerprint is not None:
             entries[name] = entry
             _write_manifest(index_dir, entries)
         return TextIndex(df_new.sparkSession, name, entry)
     seg = {"path": postings_path}
-    seg.update(_seg_stats(df_new.sparkSession, postings_path))
+    seg.update(
+        precap
+        if precap is not None
+        else _seg_stats(
+            df_new.sparkSession, postings_path, entry["id_col"]
+        )
+    )
     entry["segments"] = list(entry["segments"]) + [seg]
     entry["next_seg"] = seg_id + 1
     if token is not None:
@@ -952,7 +1091,10 @@ def delete_from_text_index(
 
 
 def compact_text_index(
-    spark: SparkSession, index_dir: str, name: str
+    spark: SparkSession,
+    index_dir: str,
+    name: str,
+    clear_applied_tokens: bool = False,
 ) -> TextIndex:
     """Merge a many-segment postings history into one segment under a
     new version dir — pure rewrite of the STORED rows (no tokenize, no
@@ -960,13 +1102,26 @@ def compact_text_index(
     below already excludes them) and the stats recompute from the
     WRITTEN rows, so the post-compact manifest is exact with no
     deltas; every search is unchanged. Manifest flips after the
-    write; superseded versions GC after the flip."""
+    write; superseded versions GC after the flip.
+
+    *clear_applied_tokens* drops the idempotency-token list (it grows
+    one entry per streaming micro-batch forever otherwise — unbounded
+    manifest I/O for long-lived streams). ONLY safe in tandem with —
+    strictly AFTER — :func:`~queens_spark.store.dedup_ledger.compact_ledger`
+    cleared the ledger's token map: a redelivered token then
+    re-screens at the ledger to accepted=0 and the index append never
+    fires; clearing while the ledger still replays the token would
+    double-index the batch. ``Engine.maintain`` sequences both."""
     entries = _read_manifest(index_dir)
     if name not in entries:
         raise KeyError(f"no text index {name!r} in {index_dir}; build first")
     entry = dict(entries[name])
     segs = entry["segments"]
     if len(segs) <= 1 and not entry.get("deletes"):
+        if clear_applied_tokens and entry.get("applied_tokens"):
+            entry.pop("applied_tokens", None)
+            entries[name] = entry
+            _write_manifest(index_dir, entries)
         return TextIndex(spark, name, entry)
     version = int(entry["version"]) + 1
     vdir = os.path.join(index_dir, name, f"v{version}")
@@ -997,14 +1152,25 @@ def compact_text_index(
         live.unpersist()
     # stats from the WRITTEN rows: after tombstones are applied
     # physically the deltas fold away and maxdl tightens back to the
-    # true survivor maximum
+    # true survivor maximum. A df-CAPPED index keeps the manifest-
+    # folded stats instead: its N/T deliberately count docs whose
+    # postings were capped away, and the written rows cannot recover
+    # that (the exactness contract of _write_postings_segment)
     merged = {"path": postings_path}
-    merged.update(_seg_stats(spark, postings_path))
+    if entry.get("max_df_ratio") is not None:
+        n, t, maxdl = idx.stats()
+        merged.update(
+            {"n_docs": n, "total_tokens": t, "maxdl": maxdl}
+        )
+    else:
+        merged.update(_seg_stats(spark, postings_path, entry["id_col"]))
     entry["segments"] = [merged]
     entry["deletes"] = None
     entry["version"] = version
     entry["next_seg"] = 1
     entry["next_delete_seg"] = 0
+    if clear_applied_tokens:
+        entry.pop("applied_tokens", None)
     entries[name] = entry
     _write_manifest(index_dir, entries)
     base = os.path.join(index_dir, name)
@@ -1071,6 +1237,10 @@ def build_or_load_text_index(
             "positions"
         ):
             raise ValueError("stored index lacks positional postings")
+        if "max_df_ratio" in build_kwargs and build_kwargs[
+            "max_df_ratio"
+        ] != idx.entry.get("max_df_ratio"):
+            raise ValueError("stored index has a different df cap")
         return idx
     except (KeyError, ValueError):
         return build_text_index(

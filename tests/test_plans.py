@@ -449,3 +449,24 @@ def test_q110_bm25_serves_from_stored_postings(spark):
     assert "Generate" not in plan
     assert "documents.parquet" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q127_batch_mlt_every_postings_scan_bucket_pruned(spark):
+    """batch_more_like_this's df stage must reuse the bucket-pruned
+    postings scan — EVERY postings scan in the plan carries a
+    tok_bucket PartitionFilter (the round-9 version's df stage read
+    ALL postings bytes: correct, but a full pass per query block)."""
+    import re
+
+    from queens_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q127_batch_more_like_this"](spark, SF_DIR))
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    postings_scans = 0
+    for b in blocks:
+        if not b.startswith("Scan parquet") or "postings_seg" not in b:
+            continue
+        postings_scans += 1
+        m = re.search(r"PartitionFilters: \[(.*?)\]", b)
+        assert m is not None and "tok_bucket" in m.group(1), b[:400]
+    assert postings_scans >= 2  # df stage + scoring stage

@@ -632,3 +632,163 @@ def test_vocabulary_served_equals_inline(spark, docs, tmp_path):
                                   top=50).collect()]
     assert served == inline and served
     assert "Generate" not in plan_of(idx.vocabulary(top=50))
+
+
+def test_token_stats_flags_stopwords(spark, tmp_path):
+    """The hot-token audit (lexical twin of cell_stats): a stop-word-
+    heavy corpus surfaces its stopwords with df ≈ N, and bucket_stats
+    shows their buckets holding a disproportionate share."""
+    from pyspark.sql import Row
+
+    n = 60
+    corpus = spark.createDataFrame([
+        Row(doc_id=i,
+            text=f"the and of document body{i} uniq{i} extra{i % 7}")
+        for i in range(n)
+    ])
+    idx = build_text_index(corpus, "text", "doc_id", "s",
+                           str(tmp_path / "t"))
+    top = idx.token_stats(top=5).collect()
+    assert [r["token"] for r in top[:4]] == ["and", "document", "of", "the"]
+    assert all(r["df_docs"] == n for r in top[:4])
+    assert [r["rank"] for r in top] == [1, 2, 3, 4, 5]
+    # buckets of the stopwords dominate posting rows
+    from queens_spark.store.text_index import token_bucket
+
+    hot = {token_bucket(t, idx.n_buckets) for t in ("the", "and", "of")}
+    bstats = {r["tok_bucket"]: r["n_postings"]
+              for r in idx.bucket_stats().collect()}
+    assert max(bstats[b] for b in hot) >= n
+
+
+def test_df_capped_build_exactness_contract(spark, tmp_path):
+    """A max_df_ratio build drops stopword postings but keeps BM25 of
+    SURVIVING terms bit-identical to the uncapped index (stats come
+    from the pre-cap frame; surviving tf/dl/df rows are untouched).
+    Appends apply the stored cap to their own batch; compaction
+    preserves the exact pre-cap stats."""
+    from pyspark.sql import Row
+
+    def mk(lo, hi):
+        return spark.createDataFrame([
+            Row(doc_id=i,
+                text=f"the the and document body{i} uniq{i} shared{i % 3}")
+            for i in range(lo, hi)
+        ])
+
+    full = build_text_index(mk(0, 40), "text", "doc_id", "f",
+                            str(tmp_path / "f"))
+    capped = build_text_index(mk(0, 40), "text", "doc_id", "c",
+                              str(tmp_path / "c"), max_df_ratio=0.5)
+    # stats identical (pre-cap anchoring)
+    assert capped.stats() == full.stats()
+    # stopwords gone from the capped postings
+    toks = {r["token"] for r in capped.postings().select("token")
+            .distinct().collect()}
+    assert "the" not in toks and "and" not in toks and "document" not in toks
+    assert "shared0" in toks  # df = ~13 of 40 <= 0.5*40
+    # surviving-term scores bit-identical
+    q = ["shared0", "uniq5"]
+    assert capped.bm25_topk(q, k=10).collect() == \
+        full.bm25_topk(q, k=10).collect()
+    # a capped-out term retrieves nothing (documented contract)
+    assert capped.bm25_topk(["the", "uniq5"], k=10).count() == \
+        full.bm25_topk(["uniq5"], k=10).count()
+
+    # append applies the stored cap to ITS batch
+    append_text_index(mk(40, 80), "c", str(tmp_path / "c"))
+    append_text_index(mk(40, 80), "f", str(tmp_path / "f"))
+    capped = load_text_index(spark, str(tmp_path / "c"), "c")
+    full = load_text_index(spark, str(tmp_path / "f"), "f")
+    assert capped.stats() == full.stats()
+    toks = {r["token"] for r in capped.postings().select("token")
+            .distinct().collect()}
+    assert "the" not in toks
+    assert capped.bm25_topk(q, k=10).collect() == \
+        full.bm25_topk(q, k=10).collect()
+
+    # compaction keeps the exact folded stats (written rows alone
+    # cannot recover pre-cap N/T)
+    before = capped.bm25_topk(q, k=10).collect()
+    capped = compact_text_index(spark, str(tmp_path / "c"), "c")
+    assert len(capped.entry["segments"]) == 1
+    assert capped.stats() == full.stats()
+    assert capped.bm25_topk(q, k=10).collect() == before
+
+    # build_or_load: cap mismatch rebuilds
+    idx2 = build_or_load_text_index(
+        mk(0, 40), "text", "doc_id", "c", str(tmp_path / "c"),
+        max_df_ratio=0.25,
+    )
+    assert idx2.entry["max_df_ratio"] == 0.25
+
+
+def test_cli_stats_registry_maintain(spark, docs, tmp_path, capsys):
+    """Shell surface for the round-10 operability verbs: tindex stats
+    (hot-token audit), registry register/list/unregister, maintain."""
+    from queens_spark.cli import main
+    from queens_spark.facade import Engine
+
+    root = str(tmp_path / "wh")
+    eng = Engine(spark, root)
+    eng.build_text_index(docs, "text", "doc_id", "docs")
+
+    rc = main(["--warehouse", root, "tindex", "stats", "docs",
+               "--top", "5"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["hot_tokens"]) == 5
+    assert out["hot_tokens"][0]["df_docs"] >= out["hot_tokens"][-1]["df_docs"]
+    assert out["buckets"] > 1 and out["max_over_median"] >= 1
+
+    rc = main(["--warehouse", root, "registry", "register", "docs",
+               "--kind", "text", "--name", "docs"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["--warehouse", root, "registry", "list", "docs"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == [{"kind": "text", "name": "docs"}]
+    rc = main(["--warehouse", root, "registry", "register", "docs"])
+    assert rc == 2  # missing --kind/--name -> taxonomy error path
+    capsys.readouterr()
+
+    # maintain: nothing fragmented -> clean no-op report
+    rc = main(["--warehouse", root, "maintain", "docs"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted"] == ["text:docs"]
+    assert out["ledger_segments_merged"] == 0
+
+    rc = main(["--warehouse", root, "registry", "unregister", "docs",
+               "--kind", "text", "--name", "docs"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["--warehouse", root, "registry", "list", "docs"])
+    assert rc == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    ) == []
+
+
+def test_cli_df_capped_build(spark, docs, tmp_path, capsys):
+    from queens_spark.cli import main
+
+    root = str(tmp_path / "wh")
+    src = str(tmp_path / "corpus.parquet")
+    docs.select("doc_id", "text").write.parquet(src)
+    rc = main(["--warehouse", root, "tindex", "build", "capped",
+               "--source", src, "--max-df-ratio", "0.5"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["built"] == "capped"
+    from queens_spark.store.text_index import load_text_index
+
+    idx = load_text_index(
+        spark, os.path.join(root, "system", "text_index"), "capped"
+    )
+    assert idx.entry["max_df_ratio"] == 0.5
+    # the true stopwords are gone from the hot-token audit
+    top = idx.token_stats(top=3).collect()
+    n = idx.stats()[0]
+    assert all(r["df_docs"] <= 0.5 * n for r in top)
