@@ -113,15 +113,140 @@ def _write_manifest(ledger_dir: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(ledger_dir))
 
 
+def _ledger_id_col(spark: SparkSession, seg: str) -> str:
+    """The canonical-id column of a ledger segment — whatever column
+    is not the fingerprint or the MinHash signature (the id name is
+    the caller's, recorded implicitly in the written schema)."""
+    cols = [
+        c for c in spark.read.parquet(seg).columns
+        if c not in ("fingerprint", "sig")
+    ]
+    if len(cols) != 1:
+        raise ValueError(f"cannot derive the ledger id column: {cols}")
+    return cols[0]
+
+
 def ledger_fingerprints(
     spark: SparkSession, ledger_dir: str
 ) -> DataFrame | None:
     """The accepted-content ledger as (fingerprint, id) — None when
-    no batch has ever been accepted."""
-    segs = _read_manifest(ledger_dir)["segments"]
+    no batch has ever been accepted. Retired rows
+    (:func:`delete_from_ledger`) are excluded via coverage-scoped
+    tombstones, exactly like the index readers: each delete hides its
+    ids only in the segments that existed when it was written, so
+    re-accepting equivalent content later serves the NEW row. With no
+    deletes (the common state between takedowns) this is ONE
+    multi-path scan — no join added."""
+    manifest = _read_manifest(ledger_dir)
+    segs = manifest["segments"]
     if not segs:
         return None
-    return spark.read.parquet(*segs)
+    dels = manifest.get("deletes") or []
+    if not dels:
+        return spark.read.parquet(*segs)
+    id_col = _ledger_id_col(spark, segs[0])
+    out = None
+    for i, seg in enumerate(segs):
+        df = spark.read.parquet(seg)
+        cov = [d["path"] for d in dels if int(d["covers"]) > i]
+        if cov:
+            df = df.join(
+                spark.read.parquet(*cov).select(id_col),
+                id_col, "left_anti",
+            )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def delete_from_ledger(
+    spark: SparkSession, ledger_dir: str, ids: list
+) -> int:
+    """Retire accepted content from the ledger by canonical id — the
+    ledger half of a document takedown (``Engine.retire_documents``
+    composes it with the index tombstones): once retired, the content
+    no longer blocks future ingests, so a legitimate re-crawl of
+    equivalent text is accepted again and re-serves. NOTE the
+    semantics: the ledger is an ACCEPTANCE record, not a ban list — a
+    takedown that must STAY down needs an upstream blocklist.
+
+    Tombstone mechanics mirror the index side: the doomed ids land as
+    a narrow coverage-scoped segment (they hide rows only in segments
+    that exist NOW, so a later re-acceptance of the same id serves),
+    the manifest flips last, and :func:`compact_ledger` applies
+    deletes physically. Returns how many ledger rows are retired."""
+    manifest = _read_manifest(ledger_dir)
+    segs = manifest["segments"]
+    if not segs or not list(ids):
+        return 0
+    id_col = _ledger_id_col(spark, segs[0])
+    doomed = spark.createDataFrame(
+        [(int(i),) for i in ids], f"{id_col} bigint"
+    ).distinct()
+    live = ledger_fingerprints(spark, ledger_dir)
+    hit = live.join(doomed, id_col, "semi").count()
+    seg_id = int(manifest.get("next_delete_seg", 0))
+    del_path = os.path.join(ledger_dir, f"deletes_seg{seg_id}")
+    doomed.write.mode("overwrite").parquet(del_path)
+    manifest["deletes"] = list(manifest.get("deletes") or []) + [
+        {"path": del_path, "covers": len(segs)}
+    ]
+    manifest["next_delete_seg"] = seg_id + 1
+    _write_manifest(ledger_dir, manifest)
+    return int(hit)
+
+
+def blocked_fingerprints(
+    spark: SparkSession, ledger_dir: str
+) -> DataFrame | None:
+    """The ledger's BLOCKLIST as a (fingerprint) frame — None when
+    empty. The blocklist is the other half of content governance the
+    acceptance ledger cannot express: the ledger records what was
+    accepted (retiring a row re-opens the door), the blocklist
+    records what must NEVER be accepted (a takedown that stays
+    down). Every ingest screen drops blocked fingerprints first and
+    reports them separately from dupes. Exact-fingerprint only (the
+    ban is on normalized content identity; near-dup banning would
+    need an upstream policy)."""
+    segs = _read_manifest(ledger_dir).get("blocked") or []
+    if not segs:
+        return None
+    return spark.read.parquet(*segs).select("fingerprint")
+
+
+def add_to_blocklist(
+    spark: SparkSession, ledger_dir: str, fingerprints: DataFrame
+) -> int:
+    """Append a (fingerprint) frame to the ledger's blocklist —
+    segment written first, manifest flips last (the ledger's crash
+    convention). Returns the number of fingerprints added. Idempotent
+    in effect: a fingerprint blocked twice blocks once (the screen is
+    a semi-join)."""
+    manifest = _read_manifest(ledger_dir)
+    seg_id = int(manifest.get("next_block_seg", 0))
+    path = os.path.join(ledger_dir, f"blocked_seg{seg_id}")
+    fp = fingerprints.select("fingerprint").distinct()
+    fp.write.mode("overwrite").parquet(path)
+    n = spark.read.parquet(path).count()
+    manifest["blocked"] = list(manifest.get("blocked") or []) + [path]
+    manifest["next_block_seg"] = seg_id + 1
+    _write_manifest(ledger_dir, manifest)
+    return n
+
+
+def block_texts(
+    spark: SparkSession, ledger_dir: str, texts: list[str]
+) -> int:
+    """Pre-emptively ban content by raw text: fingerprints computed
+    with the SAME normalization the ingest screen uses
+    (operators/text.py:doc_fingerprint), so any later batch carrying
+    equivalent text is dropped with ``stats["blocked"]`` counted."""
+    if not texts:
+        return 0
+    df = spark.createDataFrame([(t,) for t in texts], ["__t"])
+    return add_to_blocklist(
+        spark, ledger_dir,
+        df.select(doc_fingerprint("__t").alias("fingerprint")),
+    )
 
 
 def ingest_deduped(
@@ -221,11 +346,22 @@ def ingest_deduped(
     try:
         n_batch = fp.count()
         n_unique = canon.count()
+        # blocklist screen FIRST: banned content is neither a dupe nor
+        # an acceptance candidate — it is reported as "blocked"
+        blocked = blocked_fingerprints(spark, ledger_dir)
+        n_blocked = 0
+        if blocked is not None:
+            n_blocked = canon.join(
+                blocked, "fingerprint", "semi"
+            ).count()
+            canon_live = canon.join(blocked, "fingerprint", "left_anti")
+        else:
+            canon_live = canon
         ledger = ledger_fingerprints(spark, ledger_dir)
         new = (
-            canon
+            canon_live
             if ledger is None
-            else canon.join(
+            else canon_live.join(
                 ledger.select("fingerprint"), "fingerprint", "left_anti"
             )
         )
@@ -306,9 +442,9 @@ def ingest_deduped(
             if ledger is not None:
                 n_ledger_near = drop_l.count()
             sigs.unpersist()
-            n_exact_ledger = n_unique - n_after_exact
+            n_exact_ledger = n_unique - n_blocked - n_after_exact
         else:
-            n_exact_ledger = n_unique - n_accepted
+            n_exact_ledger = n_unique - n_blocked - n_accepted
         manifest["segments"] = manifest["segments"] + [manifest_seg]
         manifest["mode"] = mode
         manifest["next_seg"] = seg_id + 1
@@ -329,10 +465,43 @@ def ingest_deduped(
     if mode == "minhash":
         stats["in_batch_near_dupes"] = n_in_batch_near
         stats["ledger_near_dupes"] = n_ledger_near
+    if blocked is not None:
+        stats["blocked"] = n_blocked
     return fresh, stats
 
 
-def compact_ledger(spark: SparkSession, ledger_dir: str) -> int:
+def pending_tokens(
+    spark: SparkSession, ledger_dir: str, applied_tokens
+) -> list[str]:
+    """Ledger idempotency tokens whose accepted docs have NOT reached
+    an index — *applied_tokens* is that index's manifest list
+    (``entry["applied_tokens"]``). Zero-accept tokens never fire an
+    index append (the batch handler skips them), so they are excluded
+    (one driver-side row probe per unapplied token — ~none when the
+    stream is caught up).
+
+    Gate ledger compaction on this being EMPTY for every downstream
+    index: compaction clears the token map, and a token recorded in
+    the ledger but not yet applied to an index would otherwise
+    resolve to accepted=0 on redelivery — the batch silently never
+    indexed (permanent ledger/index divergence)."""
+    manifest = _read_manifest(ledger_dir)
+    applied = {str(t) for t in (applied_tokens or [])}
+    out = []
+    for tok, seg in sorted((manifest.get("tokens") or {}).items()):
+        if tok in applied:
+            continue
+        if spark.read.parquet(seg).limit(1).count() == 0:
+            continue
+        out.append(tok)
+    return out
+
+
+def compact_ledger(
+    spark: SparkSession,
+    ledger_dir: str,
+    require_applied=None,
+) -> int:
     """Merge a many-segment ledger into one segment (content
     unchanged): new segment written first, manifest flips to it,
     superseded segment dirs removed after the flip. Returns the
@@ -344,10 +513,25 @@ def compact_ledger(spark: SparkSession, ledger_dir: str) -> int:
     up — a token replayed after compaction re-screens, and since
     everything it accepted is in the merged ledger, it re-accepts
     nothing; pair compaction with a caught-up index (no pending
-    un-applied tokens) so that is a true no-op."""
+    un-applied tokens) so that is a true no-op. *require_applied*
+    ENFORCES that precondition: pass one applied-token collection per
+    downstream index (each index manifest's ``applied_tokens``) and
+    compaction refuses while any ledger token is still pending at any
+    of them (:func:`pending_tokens`) — ``Engine.maintain`` wires this
+    from the index registry."""
     manifest = _read_manifest(ledger_dir)
+    if require_applied is not None:
+        for applied in require_applied:
+            pend = pending_tokens(spark, ledger_dir, applied)
+            if pend:
+                raise ValueError(
+                    f"ledger at {ledger_dir} has tokens not yet applied "
+                    f"to every downstream index: {pend[:5]} — the stream "
+                    "is not caught up; drain it before compacting"
+                )
     segs = manifest["segments"]
-    if len(segs) <= 1:
+    dels = manifest.get("deletes") or []
+    if len(segs) <= 1 and not dels:
         return 0
     seg_id = _next_seg_id(manifest)
     merged = os.path.join(ledger_dir, f"seg{seg_id}__compacted")
@@ -358,11 +542,16 @@ def compact_ledger(spark: SparkSession, ledger_dir: str) -> int:
             f"compaction target {merged} is a live segment; "
             "ledger manifest counter is corrupt"
         )
-    spark.read.parquet(*segs).write.mode("overwrite").parquet(merged)
+    # the live view already excludes retired rows, so tombstones are
+    # applied PHYSICALLY by the rewrite (and dropped below)
+    ledger_fingerprints(spark, ledger_dir).write.mode(
+        "overwrite"
+    ).parquet(merged)
     # preserve every other manifest key (mode!) — replacing the whole
     # manifest would silently let exact ingests into a fuzzy ledger
     manifest["segments"] = [merged]
     manifest["next_seg"] = seg_id + 1
+    manifest["deletes"] = None
     # token segments are gone after the merge — a dangling map would
     # make a replay read deleted paths; cleared = replay re-screens
     # (and re-accepts nothing: everything is in the merged ledger)
@@ -370,4 +559,6 @@ def compact_ledger(spark: SparkSession, ledger_dir: str) -> int:
     _write_manifest(ledger_dir, manifest)
     for s in segs:
         shutil.rmtree(s, ignore_errors=True)
+    for d in dels:
+        shutil.rmtree(d["path"], ignore_errors=True)
     return len(segs)

@@ -828,7 +828,10 @@ def delete_from_vector_index(
 
 
 def compact_vector_index(
-    spark: SparkSession, index_dir: str, name: str
+    spark: SparkSession,
+    index_dir: str,
+    name: str,
+    clear_applied_tokens: bool = False,
 ) -> VectorIndex:
     """Merge a many-segment index (long append history) back into one
     artifact set — the maintenance pass completing the lifecycle the
@@ -837,7 +840,13 @@ def compact_vector_index(
     a new version dir gets the unioned codes / assignment / centroids,
     the manifest flips to single-path entries, superseded versions GC
     after the flip. Content is byte-for-byte the same rows, so every
-    search is unchanged (tested)."""
+    search is unchanged (tested).
+
+    *clear_applied_tokens* drops the idempotency-token list — ONLY
+    safe strictly AFTER ledger compaction cleared its token map (a
+    replayed token then re-screens to accepted=0 and never reaches
+    the index); see :func:`~queens_spark.store.text_index.compact_text_index`
+    for the full tandem contract. ``Engine.maintain`` sequences both."""
     entries = _read_manifest(index_dir)
     if name not in entries:
         raise KeyError(
@@ -852,6 +861,10 @@ def compact_vector_index(
         not entry.get("ivf_assign_path")
         or len(_paths(entry["ivf_assign_path"])) == 1
     ) and not entry.get("deletes_path"):
+        if clear_applied_tokens and entry.get("applied_tokens"):
+            entry.pop("applied_tokens", None)
+            entries[name] = entry
+            _write_manifest(index_dir, entries)
         return VectorIndex(spark, name, entry)  # nothing to merge
 
     version = int(entry["version"]) + 1
@@ -889,6 +902,8 @@ def compact_vector_index(
     # old names cannot collide)
     entry["deletes_path"] = None
     entry["next_delete_seg"] = 0
+    if clear_applied_tokens:
+        entry.pop("applied_tokens", None)
     entry["version"] = version
     entries[name] = entry
     _write_manifest(index_dir, entries)

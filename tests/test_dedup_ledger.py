@@ -275,3 +275,106 @@ def test_ledger_wired_into_engine_ingest(spark, tmp_path):
     with pytest.raises(ValueError, match="go together"):
         eng.ingest(frame([(30, "x")]), "dukes", "b3",
                    dedup_text_col="label")
+
+
+def test_delete_from_ledger_takedown_and_reentry(spark, tmp_path):
+    """Ledger retirement: retired fingerprints stop blocking, so the
+    re-crawl-after-takedown flow accepts equivalent content again;
+    coverage scoping keeps the re-accepted row live while the old one
+    stays hidden; compaction applies deletes physically."""
+    from pyspark.sql import Row
+
+    from queens_spark.store.dedup_ledger import (
+        compact_ledger,
+        delete_from_ledger,
+        ingest_deduped,
+        ledger_fingerprints,
+    )
+
+    ldir = str(tmp_path / "ledger")
+
+    def frame(items):
+        return spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in items]
+        )
+
+    b1 = frame([(0, "alpha body"), (1, "beta body")])
+    _, s1 = ingest_deduped(b1, "text", "doc_id", ldir)
+    assert s1["accepted"] == 2
+    # a dup is blocked while the ledger row lives
+    _, s2 = ingest_deduped(frame([(9, "alpha body")]),
+                           "text", "doc_id", ldir)
+    assert s2["accepted"] == 0
+
+    assert delete_from_ledger(spark, ldir, [0]) == 1
+    assert ledger_fingerprints(spark, ldir).count() == 1
+    # equivalent content re-enters under a new id
+    _, s3 = ingest_deduped(frame([(9, "alpha body")]),
+                           "text", "doc_id", ldir)
+    assert s3["accepted"] == 1
+    # ... and blocks again from now on
+    _, s4 = ingest_deduped(frame([(12, "alpha body")]),
+                           "text", "doc_id", ldir)
+    assert s4["accepted"] == 0
+
+    # coverage scoping: deleting id 9's ROW then re-accepting id 9
+    # itself serves the NEW row, not the hidden old one
+    delete_from_ledger(spark, ldir, [9])
+    _, s5 = ingest_deduped(frame([(9, "alpha body")]),
+                           "text", "doc_id", ldir)
+    assert s5["accepted"] == 1
+    assert ledger_fingerprints(spark, ldir).where(
+        "doc_id = 9").count() == 1
+
+    # compaction applies tombstones physically and the blocks survive
+    merged = compact_ledger(spark, ldir)
+    assert merged >= 2
+    assert ledger_fingerprints(spark, ldir).count() == 2  # beta + alpha(9)
+    _, s6 = ingest_deduped(frame([(20, "alpha body")]),
+                           "text", "doc_id", ldir)
+    assert s6["accepted"] == 0
+    # deleting an id that is not in the ledger is a harmless no-op
+    assert delete_from_ledger(spark, ldir, [999]) == 0
+
+
+def test_blocklist_bans_content_permanently(spark, tmp_path):
+    """The blocklist is the stays-down half of takedowns: blocked
+    fingerprints are dropped from every later ingest (reported as
+    'blocked', not dupes) even after the acceptance row is retired."""
+    from pyspark.sql import Row
+
+    from queens_spark.store.dedup_ledger import (
+        block_texts,
+        delete_from_ledger,
+        ingest_deduped,
+    )
+
+    ldir = str(tmp_path / "ledger")
+
+    def frame(items):
+        return spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in items]
+        )
+
+    _, s1 = ingest_deduped(frame([(0, "banned body"), (1, "ok body")]),
+                           "text", "doc_id", ldir)
+    assert s1["accepted"] == 2
+
+    # retire + block id 0's content
+    assert block_texts(spark, ldir, ["banned  BODY"]) == 1  # normalized
+    delete_from_ledger(spark, ldir, [0])
+
+    # equivalent content can NOT re-enter; ok content dupes normally
+    fresh, s2 = ingest_deduped(
+        frame([(5, "banned body"), (6, "ok body"), (7, "new body")]),
+        "text", "doc_id", ldir,
+    )
+    assert s2["blocked"] == 1
+    assert s2["ledger_dupes"] == 1
+    assert s2["accepted"] == 1
+    assert {r["doc_id"] for r in fresh.collect()} == {7}
+    # pre-emptive ban: content never accepted anywhere
+    assert block_texts(spark, ldir, ["future spam"]) == 1
+    _, s3 = ingest_deduped(frame([(9, "future  spam")]),
+                           "text", "doc_id", ldir)
+    assert s3["blocked"] == 1 and s3["accepted"] == 0

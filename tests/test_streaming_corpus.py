@@ -146,3 +146,107 @@ def test_compaction_clears_token_map(spark, tmp_path):
     assert "replayed" not in s and s["accepted"] == 0
     assert fresh.count() == 0
     assert ledger_fingerprints(spark, ldir).count() == 3
+
+
+def test_pending_tokens_and_gated_ledger_compaction(spark, tmp_path):
+    """compact_ledger(require_applied=...) refuses while a token is
+    recorded in the ledger but not applied to an index (ADVICE r9:
+    compacting then would strand the batch — redelivery re-screens to
+    accepted=0 and the batch is never indexed). Zero-accept tokens
+    never reach an index and must not block."""
+    from queens_spark.store.dedup_ledger import (
+        compact_ledger,
+        pending_tokens,
+    )
+
+    ldir = str(tmp_path / "ledger")
+    b1 = _docs(spark, [(0, LONGA + " zero"), (1, LONGA + " one")])
+    ingest_deduped(b1, "text", "doc_id", ldir, token="t1")
+    b2 = _docs(spark, [(2, LONGA + " two")])
+    ingest_deduped(b2, "text", "doc_id", ldir, token="t2")
+    # an all-duplicate batch's token: recorded, zero-accept
+    _, s = ingest_deduped(b1, "text", "doc_id", ldir, token="tz")
+    assert s["accepted"] == 0
+
+    # index applied only t1 -> t2 pending, tz excluded
+    assert pending_tokens(spark, ldir, ["t1"]) == ["t2"]
+    assert pending_tokens(spark, ldir, ["t1", "t2"]) == []
+    with pytest.raises(ValueError, match="not caught up"):
+        compact_ledger(spark, ldir, require_applied=[["t1"]])
+    # caught up everywhere: compaction proceeds and clears the map
+    assert compact_ledger(spark, ldir, require_applied=[["t1", "t2"]]) == 3
+    assert pending_tokens(spark, ldir, []) == []
+
+
+def test_index_compaction_clears_applied_tokens_tandem(spark, tmp_path):
+    """The unbounded-manifest fix (ADVICE r9): index compaction can
+    clear its applied-token list — ONLY after ledger compaction — and
+    the compact→replay cycle is a no-op on BOTH indexes."""
+    from queens_spark.store.dedup_ledger import compact_ledger
+    from queens_spark.store.text_index import compact_text_index
+    from queens_spark.store.vector_index import (
+        append_vector_index,
+        build_vector_index,
+        compact_vector_index,
+        load_vector_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ldir = str(tmp_path / "ledger")
+    tdir, vdir = str(tmp_path / "t"), str(tmp_path / "v")
+
+    seed_docs = docs.where(F.col("doc_id") < 400)
+    build_text_index(seed_docs, "text", "doc_id", "c", tdir)
+    build_vector_index(emb.where(F.col("vec_id") < 400),
+                       "embedding", "vec_id", "c", vdir)
+    ingest_deduped(seed_docs, "text", "doc_id", ldir)
+
+    batch = docs.where(F.col("doc_id") >= 400)
+    fresh, s = ingest_deduped(batch, "text", "doc_id", ldir, token="b1")
+    assert s["accepted"] > 0
+    append_text_index(fresh, "c", tdir, token="b1")
+    append_vector_index(
+        emb.where(F.col("vec_id") >= 400), "c", vdir, token="b1"
+    )
+    before_bm = load_text_index(spark, tdir, "c").bm25_topk(
+        ["the"], k=5).collect()
+
+    # default compaction KEEPS the token list (standalone compaction
+    # without ledger compaction must stay replay-safe)
+    tix = compact_text_index(spark, tdir, "c")
+    assert tix.entry.get("applied_tokens") == ["b1"]
+
+    # the maintain() ordering: ledger first, then clear on the indexes
+    compact_ledger(spark, ldir, require_applied=[["b1"], ["b1"]])
+    tix = compact_text_index(spark, tdir, "c", clear_applied_tokens=True)
+    vix = compact_vector_index(spark, vdir, "c", clear_applied_tokens=True)
+    assert "applied_tokens" not in tix.entry
+    assert "applied_tokens" not in vix.entry
+    assert len(tix.entry["segments"]) == 1
+
+    # replay of b1 after the sweep: re-screens to nothing, neither
+    # index append fires, serving unchanged
+    fresh2, s2 = ingest_deduped(batch, "text", "doc_id", ldir, token="b1")
+    assert s2["accepted"] == 0 and "replayed" not in s2
+    # (the streaming handler skips appends on accepted == 0)
+    after_bm = load_text_index(spark, tdir, "c").bm25_topk(
+        ["the"], k=5).collect()
+    assert after_bm == before_bm
+    assert load_vector_index(spark, vdir, "c").pq_codes().count() \
+        == emb.count()
+
+
+def test_empty_append_records_token(spark, tmp_path):
+    """An empty batch's append adds no segment but still records the
+    token — pending-token accounting stays exact (the append SAW the
+    batch)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tdir = str(tmp_path / "t")
+    build_text_index(docs.where(F.col("doc_id") < 50),
+                     "text", "doc_id", "d", tdir)
+    idx = append_text_index(
+        docs.where(F.col("doc_id") < 0), "d", tdir, token="e1"
+    )
+    assert idx.entry.get("applied_tokens") == ["e1"]
+    assert len(idx.entry["segments"]) == 1
