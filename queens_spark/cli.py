@@ -108,7 +108,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     vx.add_argument("action",
                     choices=["build", "append", "compact", "search",
-                             "delete", "retrain", "describe"])
+                             "delete", "retrain", "describe", "stats"])
     vx.add_argument("name", help="index name in the warehouse manifest")
     vx.add_argument("--source", default=None,
                     help="corpus parquet path (build/append; search "
@@ -141,7 +141,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     tx.add_argument("action",
                     choices=["build", "append", "compact", "search",
-                             "delete", "describe"])
+                             "delete", "describe", "stats"])
     tx.add_argument("name", help="index name in the warehouse manifest")
     tx.add_argument("--source", default=None,
                     help="corpus parquet path (build/append only — "
@@ -175,7 +175,56 @@ def build_parser() -> argparse.ArgumentParser:
     tx.add_argument("--positions", action="store_true",
                     help="build: store token positions (enables "
                          "--phrase / --near)")
+    tx.add_argument("--max-df-ratio", type=float, default=None,
+                    help="build: df-cap — drop tokens appearing in "
+                         "more than RATIO of a segment's docs "
+                         "(stopword pruning; surviving-term BM25 "
+                         "stays exact)")
+    tx.add_argument("--top", type=int, default=20,
+                    help="stats: how many hot tokens to report")
     tx.add_argument("--k", type=int, default=10)
+
+    mt = sub.add_parser(
+        "maintain",
+        help="one-call storage sweep for a collection's retrieval "
+             "stack: pending-token gate, ledger + registered-index "
+             "compaction (token bookkeeping cleared), IVF rebalance",
+    )
+    mt.add_argument("collection")
+    mt.add_argument("--ledger", default=None,
+                    help="dedup ledger name (default: the collection)")
+    mt.add_argument("--corpus", default=None,
+                    help="indexed corpus parquet — enables the IVF "
+                         "skew rebalance step")
+
+    rt = sub.add_parser(
+        "retire",
+        help="take documents down across the whole retrieval stack: "
+             "tombstone every registered index AND retire the ledger "
+             "fingerprints (equivalent content may re-enter later)",
+    )
+    rt.add_argument("collection")
+    rt.add_argument("--ids", default=None,
+                    help="comma-separated doc ids to retire")
+    rt.add_argument("--where", default=None,
+                    help="retire by metadata instead: SQL predicate "
+                         "over a registered text index's meta_cols "
+                         "(retention/expiry flows)")
+    rt.add_argument("--ledger", default=None,
+                    help="dedup ledger name (default: the collection)")
+    rt.add_argument("--block", action="store_true",
+                    help="also blocklist the retired fingerprints so "
+                         "equivalent content can never re-enter")
+
+    rg = sub.add_parser(
+        "registry",
+        help="which stored indexes a collection's ingests keep fresh "
+             "(auto-refresh inside Engine.ingest / stream ingestion)",
+    )
+    rg.add_argument("action", choices=["register", "unregister", "list"])
+    rg.add_argument("collection")
+    rg.add_argument("--kind", choices=["text", "vector"], default=None)
+    rg.add_argument("--name", default=None)
     return p
 
 
@@ -290,6 +339,42 @@ def _run(args) -> int:
         return _run_vindex(spark, engine, args)
     elif args.command == "tindex":
         return _run_tindex(spark, engine, args)
+    elif args.command == "maintain":
+        corpus = (
+            spark.read.parquet(args.corpus) if args.corpus else None
+        )
+        print(json.dumps(engine.maintain(
+            args.collection, corpus_df=corpus, ledger=args.ledger,
+        )))
+    elif args.command == "retire":
+        print(json.dumps(engine.retire_documents(
+            args.collection,
+            ids=(
+                [int(x) for x in args.ids.split(",") if x]
+                if args.ids else None
+            ),
+            predicate=args.where,
+            ledger=args.ledger,
+            block=args.block,
+        )))
+    elif args.command == "registry":
+        if args.action == "list":
+            print(json.dumps(engine.registered_indexes(args.collection)))
+        else:
+            if not (args.kind and args.name):
+                raise ValueError(
+                    f"registry {args.action} requires --kind and --name"
+                )
+            if args.action == "register":
+                engine.register_index(args.collection, args.kind, args.name)
+            else:
+                engine.unregister_index(
+                    args.collection, args.kind, args.name
+                )
+            print(json.dumps({
+                args.action: f"{args.kind}:{args.name}",
+                "collection": args.collection,
+            }))
     elif args.command == "serve":
         import uvicorn
 
@@ -370,6 +455,21 @@ def _run_vindex(spark, engine, args) -> int:
                           "version": idx.entry["version"]}))
     elif args.action == "describe":
         print(json.dumps(engine.vector_index(name).describe()))
+    elif args.action == "stats":
+        idx = engine.vector_index(name)
+        sizes = sorted(
+            int(r["n_vectors"]) for r in idx.cell_stats().collect()
+        )
+        med = sizes[len(sizes) // 2] if sizes else 0
+        print(json.dumps({
+            "name": name,
+            "cells": len(sizes),
+            "max_cell_vectors": sizes[-1] if sizes else 0,
+            "median_cell_vectors": med,
+            "max_over_median": (
+                round(sizes[-1] / med, 2) if med else None
+            ),
+        }))
     elif args.action == "retrain":
         import os as _os
 
@@ -448,6 +548,8 @@ def _run_tindex(spark, engine, args) -> int:
             kw["meta_cols"] = args.meta_cols.split(",")
         if args.positions:
             kw["positions"] = True
+        if args.max_df_ratio is not None:
+            kw["max_df_ratio"] = args.max_df_ratio
         idx = engine.build_text_index(
             corpus(), args.text_col, args.id_col, name,
             fingerprint=source_fingerprint(args.source), **kw,
@@ -475,6 +577,28 @@ def _run_tindex(spark, engine, args) -> int:
                           "version": idx.entry["version"]}))
     elif args.action == "describe":
         print(json.dumps(engine.text_index(name).describe()))
+    elif args.action == "stats":
+        idx = engine.text_index(name)
+        hot = [
+            {"token": r["token"], "df_docs": r["df_docs"],
+             "occurrences": r["occurrences"],
+             "tok_bucket": r["tok_bucket"]}
+            for r in idx.token_stats(top=args.top).collect()
+        ]
+        sizes = sorted(
+            r["n_postings"] for r in idx.bucket_stats().collect()
+        )
+        med = sizes[len(sizes) // 2] if sizes else 0
+        print(json.dumps({
+            "name": name,
+            "hot_tokens": hot,
+            "buckets": len(sizes),
+            "max_bucket_postings": sizes[-1] if sizes else 0,
+            "median_bucket_postings": med,
+            "max_over_median": (
+                round(sizes[-1] / med, 2) if med else None
+            ),
+        }))
     elif args.action == "delete":
         if (args.ids is None) == (args.where is None):
             raise ValueError(

@@ -79,6 +79,7 @@ class Engine:
         dedup_id_col: str | None = None,
         dedup_ledger: str | None = None,
         dedup_near_threshold: float | None = None,
+        token: str | None = None,
         **kw,
     ) -> int | None:
         """Append one logical table's frame to raw (flip-flag
@@ -98,6 +99,24 @@ class Engine:
         because an empty latest version would blank the staged table
         at the next stage() (latest-wins per table).
 
+        On the dedup path the screened survivors ALSO append to every
+        index :meth:`register_index` recorded for *collection* — the
+        reference's derived-state-refreshes-inside-the-write posture
+        (metadata rebuilt inside staging, queens/core/
+        read_write.py:464-531) extended to the serving indexes: one
+        ingest verb keeps the ledger, the warehouse, and all
+        registered indexes in sync. Each append is O(batch), encoding
+        and tokenizing with the STORED index params. *token* makes
+        the whole chain idempotent for retries: the ledger replays a
+        seen token's acceptance and every index append no-ops once
+        applied, so a crash between the ledger flip and the Nth
+        index's flip resolves exactly-once for ALL of them on
+        re-ingest with the same token (the warehouse may append an
+        extra version — harmless: staging is latest-wins per table).
+        Plain ingests (no dedup screen) never touch the indexes: the
+        screen is what guarantees the id-novelty contract appends
+        require.
+
         Staging semantics are unchanged: re-ingesting a table_name
         REPLACES it at the next stage(). A corpus built batch-by-batch
         should therefore ingest each screened batch under its own
@@ -114,6 +133,7 @@ class Engine:
                 df, dedup_text_col, dedup_id_col,
                 ledger=dedup_ledger or collection,
                 near_dup_threshold=dedup_near_threshold,
+                token=token,
             )
             if stats["accepted"] == 0:
                 return None
@@ -122,8 +142,223 @@ class Engine:
             kw["table_description"] = (
                 f"{desc} | {blob}" if desc else blob
             )
+            ingest_id = self.warehouse.ingest_frame(
+                df, self.schema_for(collection), table_name, **kw
+            )
+            self._refresh_registered_indexes(df, collection, token)
+            return ingest_id
         return self.warehouse.ingest_frame(
             df, self.schema_for(collection), table_name, **kw
+        )
+
+    # --------------------------------------------------- index registry
+
+    def _registry_dir(self) -> str:
+        import os
+
+        return os.path.join(self.warehouse.root, "system")
+
+    def register_index(self, collection: str, kind: str, name: str) -> None:
+        """Persist that *collection*'s ingests must keep the *kind*
+        ("text"/"vector") index *name* fresh (store/index_registry.py;
+        restored by any later session from the warehouse manifest).
+        The index must already be built — a typo fails HERE, not
+        silently at every later ingest."""
+        from queens_spark.store.index_registry import register_index
+
+        if kind == "text":
+            self.text_index(name)
+        elif kind == "vector":
+            self.vector_index(name)
+        register_index(self._registry_dir(), collection, kind, name)
+
+    def unregister_index(self, collection: str, kind: str, name: str) -> bool:
+        from queens_spark.store.index_registry import unregister_index
+
+        return unregister_index(self._registry_dir(), collection, kind, name)
+
+    def registered_indexes(self, collection: str) -> list[dict]:
+        from queens_spark.store.index_registry import registered_indexes
+
+        return registered_indexes(self._registry_dir(), collection)
+
+    def _index_appends(self, collection: str):
+        """One token-idempotent append callable per registered index,
+        in deterministic (kind, name) order. Column names come from
+        each index's own manifest, so the caller only supplies the
+        screened frame."""
+        from queens_spark.store.index_registry import registered_indexes
+
+        appends = []
+        for e in registered_indexes(self._registry_dir(), collection):
+            if e["kind"] == "text":
+                from queens_spark.store.text_index import append_text_index
+
+                appends.append(
+                    lambda fresh, token, n=e["name"]: append_text_index(
+                        fresh, n, self._text_index_dir(), token=token
+                    )
+                )
+            else:
+                from queens_spark.store.vector_index import (
+                    append_vector_index,
+                )
+
+                appends.append(
+                    lambda fresh, token, n=e["name"]: append_vector_index(
+                        fresh, n, self._vector_index_dir(), token=token
+                    )
+                )
+        return appends
+
+    def _refresh_registered_indexes(
+        self, fresh: DataFrame, collection: str, token: str | None
+    ) -> int:
+        """Append the screened survivors to every registered index
+        under the batch's idempotency token. Returns how many indexes
+        were refreshed."""
+        appends = self._index_appends(collection)
+        for append in appends:
+            append(fresh, token)
+        return len(appends)
+
+    def retire_documents(
+        self,
+        collection: str,
+        ids: list | None = None,
+        ledger: str | None = None,
+        block: bool = False,
+        predicate=None,
+    ) -> dict:
+        """The one-verb document TAKEDOWN across the whole retrieval
+        stack: tombstone *ids* out of every index registered for
+        *collection* (BM25 / ANN / hybrid stop serving them
+        immediately — scores equal a rebuild on the survivors) AND
+        retire their fingerprints from the dedup ledger, so equivalent
+        content may legitimately re-enter on a later crawl
+        (re-ingest-after-takedown). With *block*, the takedown STAYS
+        down: the retired fingerprints also land on the ledger's
+        blocklist, and every later ingest drops equivalent content
+        with ``stats["blocked"]`` counted (the legal-takedown /
+        poisoned-content flow). *predicate* (SQL over a registered
+        text index's ``meta_cols``) retires by metadata instead of an
+        id list — the retention/expiry flow (e.g. ``"lang = 'xx'"``
+        or a source ban): the ids resolve ONCE against the first
+        registered text index's postings so every store retires the
+        same set. Physical rows disappear at the next
+        :meth:`maintain` sweep. Returns per-store tombstone counts."""
+        if (ids is None) == (predicate is None):
+            raise ValueError("pass exactly one of ids= or predicate=")
+        if predicate is not None:
+            text = [
+                e for e in self.registered_indexes(collection)
+                if e["kind"] == "text"
+            ]
+            if not text:
+                raise ValueError(
+                    "predicate retirement needs a registered text "
+                    "index (meta_cols resolve against its postings)"
+                )
+            idx = self.text_index(text[0]["name"])
+            ids = sorted(
+                r[idx.id_col]
+                for r in idx._filtered(idx.postings(), predicate)
+                .select(idx.id_col).distinct().collect()
+            )
+            if not ids:
+                return {"indexes": [], "ledger_rows_retired": 0,
+                        "retired_count": 0}
+        import os
+
+        from pyspark.sql import functions as _F
+
+        from queens_spark.store.dedup_ledger import (
+            add_to_blocklist,
+            delete_from_ledger,
+            ledger_fingerprints,
+        )
+
+        report = {
+            "indexes": [],
+            "ledger_rows_retired": 0,
+            "retired_count": len(list(ids)),
+        }
+        ledger_dir = os.path.join(
+            self.warehouse.root, "system", "dedup_ledger",
+            ledger or collection,
+        )
+        for e in self.registered_indexes(collection):
+            if e["kind"] == "text":
+                self.delete_from_text_index(e["name"], ids=ids)
+            else:
+                self.delete_from_vector_index(e["name"], ids=ids)
+            report["indexes"].append(f"{e['kind']}:{e['name']}")
+        if block:
+            # fetch the doomed rows' fingerprints BEFORE the ledger
+            # delete hides them
+            live = ledger_fingerprints(self.spark, ledger_dir)
+            if live is not None:
+                id_col = [
+                    c for c in live.columns
+                    if c not in ("fingerprint", "sig")
+                ][0]
+                doomed = self.spark.createDataFrame(
+                    [(int(i),) for i in ids], f"{id_col} bigint"
+                )
+                report["blocked_fingerprints"] = add_to_blocklist(
+                    self.spark, ledger_dir,
+                    live.join(_F.broadcast(doomed), id_col, "semi")
+                    .select("fingerprint"),
+                )
+        report["ledger_rows_retired"] = delete_from_ledger(
+            self.spark, ledger_dir, ids
+        )
+        return report
+
+    def stream_ingest_corpus(
+        self,
+        stream_df: DataFrame,
+        collection: str,
+        text_col: str,
+        id_col: str,
+        checkpoint: str,
+        ledger: str | None = None,
+        near_dup_threshold: float | None = None,
+        query_name: str = "qs_corpus_ingest",
+    ):
+        """Registry-driven streaming corpus ingestion: every
+        micro-batch is screened through *collection*'s dedup ledger
+        and its survivors appended to EVERY index registered for the
+        collection, all under the batch's idempotency token
+        (streaming/corpus.py exactly-once contract). Register the
+        indexes first; restarting with the same *checkpoint* resumes
+        exactly-once on the ledger AND every index."""
+        import os
+
+        from queens_spark.streaming.corpus import make_corpus_batch_handler
+
+        appends = self._index_appends(collection)
+        if not appends:
+            raise ValueError(
+                f"no indexes registered for collection {collection!r}; "
+                "call register_index first (or use "
+                "streaming.corpus.stream_ingest_corpus directly)"
+            )
+        ledger_dir = os.path.join(
+            self.warehouse.root, "system", "dedup_ledger",
+            ledger or collection,
+        )
+        handle = make_corpus_batch_handler(
+            text_col, id_col, ledger_dir, appends,
+            near_dup_threshold=near_dup_threshold,
+            query_name=query_name,
+        )
+        return (
+            stream_df.writeStream.foreachBatch(handle)
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
         )
 
     def stage(self, collection: str, as_of=None) -> list[str]:
@@ -317,6 +552,100 @@ class Engine:
         ).withColumnRenamed("__id", "doc")
 
     # ------------------------------------------------------------- read
+
+    def maintain(
+        self,
+        collection: str,
+        corpus_df: DataFrame | None = None,
+        ledger: str | None = None,
+        max_over_median: float = 4.0,
+        coarse_iters: int = 1,
+    ) -> dict:
+        """One scheduled verb for the retrieval stack's whole storage
+        lifecycle: compact the dedup ledger and every index registered
+        for *collection*, clear the idempotency-token bookkeeping, and
+        (with *corpus_df*, the indexed corpus) rebalance skewed IVF
+        cells — the maintenance a production operator would otherwise
+        hand-sequence across four calls with a subtle ordering
+        contract. The ORDER is load-bearing:
+
+        1. pending-token gate: refuses while any ledger token has not
+           been applied to every registered index (the stream is not
+           caught up) — compacting then would strand the batch
+           (store/dedup_ledger.py:pending_tokens);
+        2. ``compact_ledger`` (clears the ledger token map);
+        3. compact every registered index with
+           ``clear_applied_tokens=True`` — safe ONLY now: a replayed
+           token re-screens at the compacted ledger to accepted=0, so
+           no index append fires (clearing before the ledger would
+           double-index);
+        4. ``rebalance_if_skewed`` on IVF vector indexes (needs the
+           compacted single-segment state step 3 produced).
+
+        A crash between steps leaves a safe state (the ledger clears
+        first, so replays always re-screen to nothing; un-cleared
+        index token lists are just unclaimed bytes until the next
+        sweep). Returns a report dict; searches before and after are
+        bit-identical (compaction is a pure rewrite, rebalance only
+        moves cell boundaries)."""
+        import os
+
+        from queens_spark.store.dedup_ledger import compact_ledger
+        from queens_spark.store.text_index import (
+            compact_text_index,
+            load_text_index,
+        )
+        from queens_spark.store.vector_index import (
+            compact_vector_index,
+            load_vector_index,
+            rebalance_if_skewed,
+        )
+
+        regs = self.registered_indexes(collection)
+        ledger_dir = os.path.join(
+            self.warehouse.root, "system", "dedup_ledger",
+            ledger or collection,
+        )
+        applied = []
+        for e in regs:
+            if e["kind"] == "text":
+                idx = load_text_index(
+                    self.spark, self._text_index_dir(), e["name"]
+                )
+            else:
+                idx = load_vector_index(
+                    self.spark, self._vector_index_dir(), e["name"]
+                )
+            applied.append(idx.entry.get("applied_tokens") or [])
+        merged = compact_ledger(
+            self.spark, ledger_dir, require_applied=applied
+        )
+        report = {
+            "ledger_segments_merged": merged,
+            "compacted": [],
+            "rebalanced": [],
+        }
+        for e in regs:
+            if e["kind"] == "text":
+                compact_text_index(
+                    self.spark, self._text_index_dir(), e["name"],
+                    clear_applied_tokens=True,
+                )
+            else:
+                idx = compact_vector_index(
+                    self.spark, self._vector_index_dir(), e["name"],
+                    clear_applied_tokens=True,
+                )
+                if corpus_df is not None and idx.entry.get("centroid_ids"):
+                    _, did = rebalance_if_skewed(
+                        corpus_df, e["name"], self._vector_index_dir(),
+                        max_over_median=max_over_median,
+                        coarse_iters=coarse_iters,
+                    )
+                    if did:
+                        report["rebalanced"].append(e["name"])
+            report["compacted"].append(f"{e['kind']}:{e['name']}")
+        return report
 
     def compact(
         self, collection: str, target_files: int = 1, which: str = "prod"

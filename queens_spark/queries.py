@@ -6152,3 +6152,90 @@ def q128_vocabulary_from_index(spark, sf_dir):
     tokenizer-training reads never re-tokenize the corpus
     (store/text_index.py:vocabulary)."""
     return _documents_text_index(spark, sf_dir).vocabulary(top=100)
+
+
+def _token_stats_oracle(top: int) -> str:
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY doc_id, token
+    ), agg AS (
+      SELECT token, count(*) AS df_docs, SUM(tf) AS occurrences
+      FROM tf GROUP BY token
+    )
+    SELECT token, df_docs, CAST(occurrences AS BIGINT) AS occurrences,
+           CAST(row_number() OVER (ORDER BY df_docs DESC, token) AS BIGINT) AS rank
+    FROM agg
+    ORDER BY rank
+    LIMIT {top}
+    """
+
+
+def _documents_capped_text_index(spark: SparkSession, sf_dir: str):
+    """A df-CAPPED sibling of :func:`_documents_text_index` (its own
+    name in the same /tmp manifest — independent build, same caching):
+    tokens appearing in more than half the corpus' documents are not
+    indexed (the stopword-pruning contract of
+    store/text_index.py:_write_postings_segment). Corpus stats anchor
+    on the PRE-cap frame, so surviving-term BM25 is bit-identical to
+    the uncapped index — which is exactly what q130's oracle checks."""
+    import hashlib
+    import os
+    import tempfile
+
+    from queens_spark.store.text_index import build_or_load_text_index
+    from queens_spark.store.vector_index import source_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    index_dir = os.path.join(
+        tempfile.gettempdir(), "queens_spark_tindex", key
+    )
+    return build_or_load_text_index(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        "documents_capped",
+        index_dir,
+        fingerprint=source_fingerprint(src),
+        max_df_ratio=0.5,
+    )
+
+
+@register("q130_capped_bm25", _bm25_oracle(["dup"], 10))
+def q130_capped_bm25(spark, sf_dir):
+    """BM25 over a df-CAPPED postings index (max_df_ratio=0.5 — the
+    token_stats()-driven stopword-pruning build) for the query
+    {dup, spark}: 'spark' sits in ~78%% of documents at every shipped
+    SF, so the cap dropped its postings entirely, while 'dup' (df≈5%%)
+    survives untouched. The oracle is the UNCAPPED single-term BM25
+    for {dup} — passing proves the whole capped contract at once:
+    (1) capped-out terms contribute nothing and retrieve nothing,
+    (2) surviving terms score bit-identically to a full index (N, T,
+    tf, dl, df all anchored pre-cap), (3) docs matching only the
+    capped term never appear. At 100 TB the cap converts the hot
+    stop-word buckets (most of the postings bytes) into nothing
+    scanned, for a vocabulary whose rational idf is ≈0 anyway."""
+    return _documents_capped_text_index(spark, sf_dir).bm25_topk(
+        ["dup", "spark"], k=10
+    )
+
+
+@register("q129_token_stats", _token_stats_oracle(50))
+def q129_token_stats(spark, sf_dir):
+    """Hot-token audit SERVED from the stored postings index — the
+    lexical twin of q118's cell-balance audit: the 50 highest-df
+    tokens with their occurrence mass (store/text_index.py:
+    token_stats). A stop-word-heavy corpus shows df ≈ N rows here,
+    whose crc32 buckets hold a disproportionate share of the postings
+    bytes — the signal to rebuild with max_df_ratio (the df-capped
+    stopword contract: surviving-term BM25 stays bit-identical, only
+    capped-out terms stop retrieving). One counter-width aggregation
+    over the stored (doc, token, tf) rows + a TakeOrdered head — no
+    tokenize, no corpus touch. Reference analog: the per-column
+    profile stats report (queens/etl/process.py:300-332) as an
+    index-health report."""
+    return _documents_text_index(spark, sf_dir).token_stats(top=50).select(
+        "token", "df_docs", "occurrences", "rank"
+    )

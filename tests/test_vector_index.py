@@ -959,3 +959,26 @@ def test_rebalance_if_skewed(spark, tmp_path):
     idx2, did2 = rebalance_if_skewed(emb, "e", idir,
                                      max_over_median=1.5)
     assert not did2 and idx2.entry["version"] == v
+
+
+def test_cli_vindex_stats(spark, emb, tmp_path, capsys):
+    """`vindex stats` — the cell-balance audit from the shell (the
+    lexical twin is `tindex stats`): the numbers rebalance_if_skewed
+    gates on, without writing anything."""
+    import json
+
+    from queens_spark.cli import main
+    from queens_spark.facade import Engine
+
+    root = str(tmp_path / "wh")
+    eng = Engine(spark, root)
+    eng.build_vector_index(
+        emb, "embedding", "vec_id", "e",
+        centroid_ids=[0, 100, 200, 300],
+    )
+    rc = main(["--warehouse", root, "vindex", "stats", "e"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["cells"] == 4
+    assert out["max_cell_vectors"] >= out["median_cell_vectors"] >= 1
+    assert out["max_over_median"] >= 1
