@@ -215,6 +215,23 @@ def build_parser() -> argparse.ArgumentParser:
     rt.add_argument("--block", action="store_true",
                     help="also blocklist the retired fingerprints so "
                          "equivalent content can never re-enter")
+    rt.add_argument("--block-near", type=float, default=None,
+                    help="with --block on a minhash ledger: also ban "
+                         "NEAR-duplicates at this lane-agreement "
+                         "threshold (0..1)")
+
+    bl = sub.add_parser(
+        "block",
+        help="pre-emptively ban content by raw text on a collection's "
+             "dedup ledger (optionally near-duplicates too)",
+    )
+    bl.add_argument("collection")
+    bl.add_argument("--text", action="append", required=True,
+                    help="text to ban (repeatable)")
+    bl.add_argument("--near", type=float, default=None,
+                    help="also ban near-duplicates at this "
+                         "lane-agreement threshold (0..1)")
+    bl.add_argument("--ledger", default=None)
 
     rg = sub.add_parser(
         "registry",
@@ -356,7 +373,16 @@ def _run(args) -> int:
             predicate=args.where,
             ledger=args.ledger,
             block=args.block,
+            block_near_threshold=args.block_near,
         )))
+    elif args.command == "block":
+        print(json.dumps({
+            "blocked": engine.block_texts(
+                args.collection, args.text,
+                near_threshold=args.near, ledger=args.ledger,
+            ),
+            "collection": args.collection,
+        }))
     elif args.command == "registry":
         if args.action == "list":
             print(json.dumps(engine.registered_indexes(args.collection)))

@@ -228,6 +228,7 @@ class Engine:
         ids: list | None = None,
         ledger: str | None = None,
         block: bool = False,
+        block_near_threshold: float | None = None,
         predicate=None,
     ) -> dict:
         """The one-verb document TAKEDOWN across the whole retrieval
@@ -295,7 +296,8 @@ class Engine:
             report["indexes"].append(f"{e['kind']}:{e['name']}")
         if block:
             # fetch the doomed rows' fingerprints BEFORE the ledger
-            # delete hides them
+            # delete hides them; a minhash ledger's sigs ride along so
+            # block_near_threshold can near-ban with no recompute
             live = ledger_fingerprints(self.spark, ledger_dir)
             if live is not None:
                 id_col = [
@@ -305,15 +307,46 @@ class Engine:
                 doomed = self.spark.createDataFrame(
                     [(int(i),) for i in ids], f"{id_col} bigint"
                 )
+                hit = live.join(_F.broadcast(doomed), id_col, "semi")
                 report["blocked_fingerprints"] = add_to_blocklist(
                     self.spark, ledger_dir,
-                    live.join(_F.broadcast(doomed), id_col, "semi")
-                    .select("fingerprint"),
+                    hit.select(
+                        "fingerprint",
+                        *(["sig"] if "sig" in hit.columns else []),
+                    ),
+                    near_threshold=block_near_threshold,
                 )
         report["ledger_rows_retired"] = delete_from_ledger(
             self.spark, ledger_dir, ids
         )
         return report
+
+    def block_texts(
+        self,
+        collection: str,
+        texts: list[str],
+        near_threshold: float | None = None,
+        ledger: str | None = None,
+    ) -> int:
+        """Pre-emptively ban content by raw text on *collection*'s
+        dedup ledger (normalization-equivalent text is dropped from
+        every later ingest, reported as ``stats["blocked"]``); with
+        *near_threshold*, MinHash signatures ride along and trivial
+        edits of the banned text are dropped too
+        (store/dedup_ledger.py:block_texts)."""
+        import os
+
+        from queens_spark.store.dedup_ledger import block_texts
+
+        return block_texts(
+            self.spark,
+            os.path.join(
+                self.warehouse.root, "system", "dedup_ledger",
+                ledger or collection,
+            ),
+            texts,
+            near_threshold=near_threshold,
+        )
 
     def stream_ingest_corpus(
         self,

@@ -195,6 +195,18 @@ def delete_from_ledger(
     return int(hit)
 
 
+def _blocked_entries(manifest: dict) -> list[dict]:
+    """Normalized blocklist entries: plain path strings (exact-only)
+    and dicts ({path, near, threshold}) read uniformly."""
+    out = []
+    for e in manifest.get("blocked") or []:
+        if isinstance(e, str):
+            out.append({"path": e, "near": False, "threshold": None})
+        else:
+            out.append(e)
+    return out
+
+
 def blocked_fingerprints(
     spark: SparkSession, ledger_dir: str
 ) -> DataFrame | None:
@@ -204,48 +216,106 @@ def blocked_fingerprints(
     accepted (retiring a row re-opens the door), the blocklist
     records what must NEVER be accepted (a takedown that stays
     down). Every ingest screen drops blocked fingerprints first and
-    reports them separately from dupes. Exact-fingerprint only (the
-    ban is on normalized content identity; near-dup banning would
-    need an upstream policy)."""
-    segs = _read_manifest(ledger_dir).get("blocked") or []
+    reports them separately from dupes. This frame is the EXACT tier;
+    near-banned entries (``near=True``) additionally screen by
+    MinHash band + lane agreement inside the ingest."""
+    segs = [
+        e["path"]
+        for e in _blocked_entries(_read_manifest(ledger_dir))
+    ]
     if not segs:
         return None
     return spark.read.parquet(*segs).select("fingerprint")
 
 
+def _near_blocked_sigs(
+    spark: SparkSession, manifest: dict
+) -> list[tuple[float, DataFrame]]:
+    """Near-ban segments grouped by confirmation threshold:
+    [(threshold, (fingerprint, sig) frame)]."""
+    by_t: dict[float, list[str]] = {}
+    for e in _blocked_entries(manifest):
+        if e.get("near"):
+            by_t.setdefault(float(e["threshold"]), []).append(e["path"])
+    return [
+        (t, spark.read.parquet(*paths).where(F.col("sig").isNotNull()))
+        for t, paths in sorted(by_t.items())
+    ]
+
+
 def add_to_blocklist(
-    spark: SparkSession, ledger_dir: str, fingerprints: DataFrame
+    spark: SparkSession,
+    ledger_dir: str,
+    fingerprints: DataFrame,
+    near_threshold: float | None = None,
 ) -> int:
-    """Append a (fingerprint) frame to the ledger's blocklist —
-    segment written first, manifest flips last (the ledger's crash
-    convention). Returns the number of fingerprints added. Idempotent
-    in effect: a fingerprint blocked twice blocks once (the screen is
-    a semi-join)."""
+    """Append a blocklist segment — written first, manifest flips
+    last (the ledger's crash convention). Returns the number of
+    fingerprints added. Idempotent in effect: a fingerprint blocked
+    twice blocks once (the screen is a semi-join).
+
+    With *near_threshold*, the segment also carries MinHash
+    signatures (a ``sig`` column on the input frame, or computed from
+    a ``__t`` text column) and the ingest screen ADDITIONALLY drops
+    any batch doc whose lane agreement with a banned signature
+    reaches ⌈k·threshold⌉ — the ban survives trivial edits (the
+    watermark-stripping / whitespace-shuffling adversary). Docs too
+    short to shingle carry NULL sigs and are banned exactly only."""
     manifest = _read_manifest(ledger_dir)
     seg_id = int(manifest.get("next_block_seg", 0))
     path = os.path.join(ledger_dir, f"blocked_seg{seg_id}")
-    fp = fingerprints.select("fingerprint").distinct()
+    cols = ["fingerprint"] + (
+        ["sig"]
+        if near_threshold is not None and "sig" in fingerprints.columns
+        else []
+    )
+    fp = fingerprints.select(*cols).distinct()
     fp.write.mode("overwrite").parquet(path)
     n = spark.read.parquet(path).count()
-    manifest["blocked"] = list(manifest.get("blocked") or []) + [path]
+    entry = {
+        "path": path,
+        "near": bool(near_threshold is not None and "sig" in cols),
+        "threshold": (
+            float(near_threshold) if near_threshold is not None else None
+        ),
+    }
+    manifest["blocked"] = list(manifest.get("blocked") or []) + [entry]
     manifest["next_block_seg"] = seg_id + 1
     _write_manifest(ledger_dir, manifest)
     return n
 
 
 def block_texts(
-    spark: SparkSession, ledger_dir: str, texts: list[str]
+    spark: SparkSession,
+    ledger_dir: str,
+    texts: list[str],
+    near_threshold: float | None = None,
 ) -> int:
     """Pre-emptively ban content by raw text: fingerprints computed
     with the SAME normalization the ingest screen uses
     (operators/text.py:doc_fingerprint), so any later batch carrying
-    equivalent text is dropped with ``stats["blocked"]`` counted."""
+    equivalent text is dropped with ``stats["blocked"]`` counted.
+    With *near_threshold*, MinHash signatures ride along and
+    NEAR-duplicates of the banned text are dropped too."""
     if not texts:
         return 0
+    from queens_spark.operators.dedup import (
+        minhash_signature,
+        shingle_hashes,
+    )
+
     df = spark.createDataFrame([(t,) for t in texts], ["__t"])
+    cols = [doc_fingerprint("__t").alias("fingerprint")]
+    if near_threshold is not None:
+        cols.append(
+            F.when(
+                F.size(shingle_hashes("__t")) > 0,
+                minhash_signature("__t"),
+            ).alias("sig")
+        )
     return add_to_blocklist(
-        spark, ledger_dir,
-        df.select(doc_fingerprint("__t").alias("fingerprint")),
+        spark, ledger_dir, df.select(*cols),
+        near_threshold=near_threshold,
     )
 
 
@@ -357,6 +427,63 @@ def ingest_deduped(
             canon_live = canon.join(blocked, "fingerprint", "left_anti")
         else:
             canon_live = canon
+        # near-ban tier: LSH-band candidates against near=True block
+        # segments, confirmed by lane agreement — banned content stays
+        # banned under trivial edits. Exact-mode ledgers compute batch
+        # sigs HERE, only when a near segment exists (never otherwise).
+        near_blocks = _near_blocked_sigs(spark, manifest)
+        if near_blocks:
+            if mode == "minhash":
+                bsig = canon_live.select(F.col(id_col), F.col("sig"))
+            else:
+                bsig = (
+                    df.join(canon_live.select(id_col), id_col, "semi")
+                    .select(
+                        F.col(id_col),
+                        F.when(
+                            F.size(shingle_hashes(text_col)) > 0,
+                            minhash_signature(text_col),
+                        ).alias("sig"),
+                    )
+                )
+            bb = _bands(bsig, id_col)
+            dropped = None
+            for t, seg in near_blocks:
+                need = int(-(-MINHASH_K * t // 1))
+                nb = _bands(
+                    seg.select(F.col("fingerprint").alias("__bf"), "sig"),
+                    "__bf",
+                )
+                nsig = seg.select(
+                    F.col("fingerprint").alias("__bf"),
+                    F.col("sig").alias("__sigb"),
+                )
+                hit = (
+                    bb.join(nb, ["band_id", "band_sig"])
+                    .select(id_col, "__bf")
+                    .distinct()
+                    .join(
+                        bsig.select(
+                            F.col(id_col), F.col("sig").alias("__siga")
+                        ),
+                        id_col,
+                    )
+                    .join(nsig, "__bf")
+                    .where(
+                        _lane_matches(F.col("__siga"), F.col("__sigb"))
+                        >= F.lit(need)
+                    )
+                    .select(id_col)
+                    .distinct()
+                )
+                dropped = (
+                    hit if dropped is None
+                    else dropped.unionByName(hit).distinct()
+                )
+            n_near = dropped.count()
+            if n_near:
+                canon_live = canon_live.join(dropped, id_col, "left_anti")
+                n_blocked += n_near
         ledger = ledger_fingerprints(spark, ledger_dir)
         new = (
             canon_live
@@ -465,7 +592,7 @@ def ingest_deduped(
     if mode == "minhash":
         stats["in_batch_near_dupes"] = n_in_batch_near
         stats["ledger_near_dupes"] = n_ledger_near
-    if blocked is not None:
+    if blocked is not None or near_blocks:
         stats["blocked"] = n_blocked
     return fresh, stats
 

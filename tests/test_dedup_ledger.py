@@ -378,3 +378,81 @@ def test_blocklist_bans_content_permanently(spark, tmp_path):
     _, s3 = ingest_deduped(frame([(9, "future  spam")]),
                            "text", "doc_id", ldir)
     assert s3["blocked"] == 1 and s3["accepted"] == 0
+
+
+def test_near_blocklist_bans_trivial_edits(spark, tmp_path):
+    """near_threshold blocking: a banned text's NEAR-duplicates (the
+    watermark-stripping adversary) are dropped too — in exact-mode
+    ledgers the batch signatures are computed only because a near
+    segment exists, never otherwise."""
+    from pyspark.sql import Row
+
+    from queens_spark.store.dedup_ledger import (
+        block_texts,
+        ingest_deduped,
+    )
+
+    banned = ("the forbidden document about dangerous topics "
+              "that must never enter the corpus " * 4)
+    near = banned + "watermark2024"  # appended-watermark adversary
+    far = ("an entirely different essay on gardening tulips and "
+           "watering schedules in早春 temperate climates " * 4)
+
+    ldir = str(tmp_path / "ledger")
+    assert block_texts(spark, ldir, [banned], near_threshold=0.6) == 1
+
+    def frame(items):
+        return spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in items]
+        )
+
+    fresh, s = ingest_deduped(
+        frame([(0, banned), (1, near), (2, far)]),
+        "text", "doc_id", ldir,
+    )
+    assert s["blocked"] == 2          # exact + near
+    assert s["accepted"] == 1
+    assert {r["doc_id"] for r in fresh.collect()} == {2}
+
+    # minhash-mode ledger: the near ban composes with fuzzy dedup
+    ldir2 = str(tmp_path / "ledger2")
+    block_texts(spark, ldir2, [banned], near_threshold=0.6)
+    fresh2, s2 = ingest_deduped(
+        frame([(5, near), (6, far)]),
+        "text", "doc_id", ldir2, near_dup_threshold=0.7,
+    )
+    assert s2["blocked"] == 1
+    assert s2["accepted"] == 1
+    # a doc too short to shingle is screened exactly only (no crash)
+    _, s3 = ingest_deduped(frame([(9, "tiny")]), "text", "doc_id", ldir)
+    assert s3["accepted"] == 1 and s3["blocked"] == 0
+
+
+def test_engine_block_texts_and_cli(spark, tmp_path, capsys):
+    import json as _json
+
+    from queens_spark.cli import main
+    from queens_spark.facade import Engine
+    from queens_spark.store.dedup_ledger import ingest_deduped
+
+    root = str(tmp_path / "wh")
+    eng = Engine(spark, root)
+    assert eng.block_texts("docs", ["spam body one"]) == 1
+    rc = main(["--warehouse", root, "block", "docs",
+               "--text", "spam body two"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["blocked"] == 1
+
+    from pyspark.sql import Row
+
+    ldir = f"{root}/system/dedup_ledger/docs"
+    _, s = ingest_deduped(
+        spark.createDataFrame([
+            Row(doc_id=0, text="SPAM  body one"),
+            Row(doc_id=1, text="spam body two"),
+            Row(doc_id=2, text="legit body"),
+        ]),
+        "text", "doc_id", ldir,
+    )
+    assert s["blocked"] == 2 and s["accepted"] == 1
