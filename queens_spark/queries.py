@@ -6154,6 +6154,89 @@ def q128_vocabulary_from_index(spark, sf_dir):
     return _documents_text_index(spark, sf_dir).vocabulary(top=100)
 
 
+def _mmr_oracle(query_id: int, pool: int, k: int) -> str:
+    # Unrolled greedy MMR (lam = 0.5): like the pagerank/Lloyd twins, a
+    # recursive CTE cannot express the per-step argmax over the growing
+    # selected set, so the k selection steps unroll. All similarities
+    # are the exact quantized-integer cosine; max over the empty
+    # selected set coalesces to 0.0 (first pick = most relevant).
+    from queens_spark.operators.similarity import (
+        duckdb_int_dot,
+        duckdb_quantize,
+    )
+
+    qq = duckdb_quantize(
+        f"(SELECT embedding FROM embeddings WHERE vec_id = {query_id})"
+    )
+    sim_ps = (
+        f"CAST({duckdb_int_dot('p.vq', 's.vq')} AS DOUBLE)"
+        f" / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(s.n2 AS DOUBLE)))"
+    )
+    parts = [
+        f"q AS (SELECT {qq} AS qq)",
+        f"v AS (SELECT vec_id, {duckdb_quantize('embedding')} AS vq "
+        f"FROM embeddings)",
+        f"n AS (SELECT vec_id, vq, {duckdb_int_dot('vq', 'vq')} AS n2 "
+        f"FROM v)",
+        f"pool AS MATERIALIZED (SELECT vec_id, vq, n2, "
+        f"CAST({duckdb_int_dot('vq', 'qq')} AS DOUBLE) / "
+        f"(sqrt(CAST(n2 AS DOUBLE)) * "
+        f"sqrt(CAST({duckdb_int_dot('qq', 'qq')} AS DOUBLE))) AS rel "
+        f"FROM n, q ORDER BY rel DESC, vec_id ASC LIMIT {pool})",
+        "sel0 AS (SELECT vec_id, vq, n2, rel, CAST(0 AS DOUBLE) AS mmr, "
+        "0 AS rk FROM pool WHERE false)",
+        # every sel{i} is referenced twice (cand/pick of step i+1) and
+        # pool is referenced k times: without MATERIALIZED DuckDB
+        # inlines them and the plan grows exponentially in k
+
+    ]
+    for i in range(1, int(k) + 1):
+        parts.append(
+            f"cand{i} AS (SELECT p.vec_id, p.vq, p.n2, p.rel, "
+            f"0.5 * p.rel - 0.5 * coalesce((SELECT max({sim_ps}) "
+            f"FROM sel{i - 1} s), 0.0) AS mmr FROM pool p "
+            f"WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{i - 1}))"
+        )
+        parts.append(
+            f"pick{i} AS (SELECT vec_id, vq, n2, rel, mmr, {i} AS rk "
+            f"FROM cand{i} ORDER BY mmr DESC, vec_id ASC LIMIT 1)"
+        )
+        parts.append(
+            f"sel{i} AS MATERIALIZED (SELECT * FROM sel{i - 1} "
+            f"UNION ALL SELECT * FROM pick{i})"
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT vec_id, rel AS relevance, mmr AS mmr_score,
+           CAST(rk AS BIGINT) AS mmr_rank
+    FROM sel{int(k)} ORDER BY mmr_rank
+    """
+
+
+@register("q131_mmr_rerank", _mmr_oracle(0, 30, 8))
+def q131_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance diversity rerank (lam=0.5) of the
+    30-deep exact-cosine pool for query vec_id=0, greedy top-8 — the
+    redundancy-aware retrieval finish (RAG context selection): a
+    near-dup-heavy corpus would otherwise fill the whole top-k with
+    copies of one document. Relevance is computed DISTRIBUTED (the
+    q30 exact integer-cosine scan + TakeOrdered); the greedy selection
+    is O(k·pool·dim) arithmetic over the collected 30-row pool — the
+    right shape at any corpus size since the pool is bounded by
+    construction. Exact integer dots divided as IEEE doubles make the
+    whole selection bit-portable to the unrolled DuckDB twin
+    (operators/retrieval.py:mmr_rerank)."""
+    from queens_spark.operators.retrieval import mmr_rerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return mmr_rerank(
+        emb, "embedding", "vec_id", [float(x) for x in qvec],
+        pool=30, k=8, lam=0.5,
+    )
+
+
 def _token_stats_oracle(top: int) -> str:
     return f"""
     WITH tf AS (

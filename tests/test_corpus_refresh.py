@@ -157,3 +157,50 @@ def test_engine_hybrid_search_and_rrf_fuse(spark, tmp_path):
 
     with pytest.raises(ValueError, match=">= 2 pools"):
         rrf_fuse([(out, "rrf_e12", False)], "doc")
+
+
+def test_mmr_rerank_diversifies_duplicate_heavy_pool(spark):
+    """MMR: a corpus where the most relevant vector appears as many
+    near-copies must NOT fill the top-k with copies — after the first
+    pick, the copies' max-sim penalty (≈1) sinks them below distinct
+    directions. Pure top-k (rank by relevance alone) is the control."""
+    from queens_spark.operators.retrieval import mmr_rerank
+
+    dim = 8
+    rows = []
+    # 5 near-copies of the query direction (ids 0-4), then 20 spread
+    for i in range(5):
+        rows.append((i, [10.0 + 0.001 * i] + [0.001 * i] * (dim - 1)))
+    for i in range(5, 25):
+        v = [1.0] * dim
+        v[i % dim] += 6.0
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = [10.0] + [0.0] * (dim - 1)
+
+    out = mmr_rerank(emb, "embedding", "vec_id", q, pool=25, k=5,
+                     lam=0.3).collect()
+    ids = [r["vec_id"] for r in out]
+    assert ids[0] == 0                      # most relevant first
+    assert sum(1 for i in ids if i < 5) == 1  # copies collapsed to one
+    assert ids == [0, 5, 6, 7, 9]  # numerically pre-verified greedy
+    assert [r["mmr_rank"] for r in out] == [1, 2, 3, 4, 5]
+    # relevance is the exact cosine (rank-1 pick ~ 1.0 to the query)
+    assert out[0]["relevance"] > 0.999
+    # lam=1.0 degenerates to pure relevance ranking (the control)
+    pure = mmr_rerank(emb, "embedding", "vec_id", q, pool=25, k=5,
+                      lam=1.0).collect()
+    assert [r["vec_id"] for r in pure] == [0, 1, 2, 3, 4]  # all copies
+
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(emb, "embedding", "vec_id", q, k=3, lam=1.5)
+    with pytest.raises(ValueError, match="pool >= k"):
+        mmr_rerank(emb, "embedding", "vec_id", q, pool=5, k=10)
+    # a zero-norm corpus vector fails LOUD, never a silent NaN rank:
+    # ANSI mode raises in the distributed relevance pass; the driver
+    # guard ("zero quantized norm") backstops non-ANSI sessions
+    zero = emb.union(spark.createDataFrame(
+        [(99, [0.0] * dim)], "vec_id bigint, embedding array<double>"))
+    with pytest.raises(Exception,
+                       match="DIVIDE_BY_ZERO|zero quantized norm"):
+        mmr_rerank(zero, "embedding", "vec_id", q, pool=26, k=3)
