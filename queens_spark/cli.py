@@ -167,6 +167,10 @@ def build_parser() -> argparse.ArgumentParser:
     tx.add_argument("--near", type=int, default=None,
                     help="search: proximity window — all terms within "
                          "N tokens (needs a positions=True index)")
+    tx.add_argument("--snippet", type=int, default=None,
+                    help="search: best-window snippet mode — rank docs "
+                         "by query-term hits in an N-token span "
+                         "(needs a positions=True index)")
     tx.add_argument("--require-all", action="store_true",
                     help="search: conjunctive (AND) BM25")
     tx.add_argument("--meta-cols", default=None,
@@ -232,6 +236,24 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also ban near-duplicates at this "
                          "lane-agreement threshold (0..1)")
     bl.add_argument("--ledger", default=None)
+
+    ie = sub.add_parser(
+        "index-export",
+        help="ship a stored index as a self-contained relocatable "
+             "bundle (promote/backup: artifacts, never a rebuild)",
+    )
+    ie.add_argument("kind", choices=["text", "vector"])
+    ie.add_argument("name")
+    ie.add_argument("dest")
+
+    ii = sub.add_parser(
+        "index-import",
+        help="install an exported index bundle into this warehouse "
+             "(tree copies first, manifest flips last)",
+    )
+    ii.add_argument("src")
+    ii.add_argument("--name", default=None,
+                    help="install under a different name")
 
     rg = sub.add_parser(
         "registry",
@@ -382,6 +404,15 @@ def _run(args) -> int:
                 near_threshold=args.near, ledger=args.ledger,
             ),
             "collection": args.collection,
+        }))
+    elif args.command == "index-export":
+        print(json.dumps({
+            "exported": args.name, "kind": args.kind,
+            "dest": engine.export_index(args.kind, args.name, args.dest),
+        }))
+    elif args.command == "index-import":
+        print(json.dumps({
+            "imported": engine.import_index(args.src, name=args.name),
         }))
     elif args.command == "registry":
         if args.action == "list":
@@ -666,6 +697,13 @@ def _run_tindex(spark, engine, args) -> int:
             out = idx.phrase_topk(terms, k=args.k, predicate=args.where)
             rows = [{"doc": r["doc"],
                      "n_occurrences": r["n_occurrences"]}
+                    for r in out.collect()]
+        elif args.snippet is not None:
+            out = idx.snippet_topk(terms, k=args.k, window=args.snippet,
+                                   predicate=args.where)
+            rows = [{"doc": r["doc"],
+                     "window_start": r["window_start"],
+                     "n_hits": r["n_hits"]}
                     for r in out.collect()]
         elif args.near is not None:
             out = idx.proximity_topk(terms, window=args.near, k=args.k,

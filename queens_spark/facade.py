@@ -321,6 +321,36 @@ class Engine:
         )
         return report
 
+    def export_index(self, kind: str, name: str, dest: str) -> str:
+        """Ship the named stored index as a self-contained relocatable
+        bundle (artifacts + rebased manifest entry) — the
+        promote/backup flow: validate in staging, copy ARTIFACTS to
+        prod, never rebuild (store/index_transport.py)."""
+        from queens_spark.store.index_transport import export_index
+
+        d = (
+            self._text_index_dir() if kind == "text"
+            else self._vector_index_dir()
+        )
+        return export_index(d, name, dest, kind=kind)
+
+    def import_index(self, src: str, name: str | None = None) -> str:
+        """Install an exported bundle into THIS warehouse (tree copies
+        first, manifest flips last); serves immediately via
+        :meth:`text_index` / :meth:`vector_index`."""
+        import json as _json
+        import os
+
+        from queens_spark.store.index_transport import import_index
+
+        with open(os.path.join(src, "bundle.json")) as fh:
+            kind = _json.load(fh)["kind"]
+        d = (
+            self._text_index_dir() if kind == "text"
+            else self._vector_index_dir()
+        )
+        return import_index(d, src, name=name)
+
     def block_texts(
         self,
         collection: str,
@@ -348,6 +378,32 @@ class Engine:
             near_threshold=near_threshold,
         )
 
+    def _max_registered_segments(self, collection: str) -> int:
+        """Largest segment count across the collection's registered
+        indexes — the fragmentation signal auto-maintenance triggers
+        on. Manifest-only (no Spark job)."""
+        from queens_spark.store.text_index import load_text_index
+        from queens_spark.store.vector_index import (
+            _paths,
+            load_vector_index,
+        )
+
+        worst = 0
+        for e in self.registered_indexes(collection):
+            if e["kind"] == "text":
+                idx = load_text_index(
+                    self.spark, self._text_index_dir(), e["name"]
+                )
+                worst = max(worst, len(idx.entry["segments"]))
+            else:
+                idx = load_vector_index(
+                    self.spark, self._vector_index_dir(), e["name"]
+                )
+                worst = max(
+                    worst, len(_paths(idx.entry["pq_codes_path"]))
+                )
+        return worst
+
     def stream_ingest_corpus(
         self,
         stream_df: DataFrame,
@@ -358,6 +414,7 @@ class Engine:
         ledger: str | None = None,
         near_dup_threshold: float | None = None,
         query_name: str = "qs_corpus_ingest",
+        auto_maintain_segments: int | None = None,
     ):
         """Registry-driven streaming corpus ingestion: every
         micro-batch is screened through *collection*'s dedup ledger
@@ -365,7 +422,17 @@ class Engine:
         collection, all under the batch's idempotency token
         (streaming/corpus.py exactly-once contract). Register the
         indexes first; restarting with the same *checkpoint* resumes
-        exactly-once on the ledger AND every index."""
+        exactly-once on the ledger AND every index.
+
+        *auto_maintain_segments* makes the stream SELF-MAINTAINING:
+        after a batch lands, if any registered index has grown past
+        that many segments, :meth:`maintain` runs right there — inside
+        ``foreachBatch`` the pipeline is caught up by construction
+        (this batch's token just applied everywhere, earlier batches
+        applied before theirs returned), so the pending-token gate
+        passes and the token bookkeeping clears safely. A micro-batch
+        cadence of appends no longer accretes unbounded segment lists
+        or manifest token maps without a separately-scheduled sweep."""
         import os
 
         from queens_spark.streaming.corpus import make_corpus_batch_handler
@@ -381,11 +448,25 @@ class Engine:
             self.warehouse.root, "system", "dedup_ledger",
             ledger or collection,
         )
-        handle = make_corpus_batch_handler(
+        inner = make_corpus_batch_handler(
             text_col, id_col, ledger_dir, appends,
             near_dup_threshold=near_dup_threshold,
             query_name=query_name,
         )
+        if auto_maintain_segments is None:
+            handle = inner
+        else:
+            cap = int(auto_maintain_segments)
+            if cap < 1:
+                raise ValueError(
+                    f"auto_maintain_segments must be >= 1, got {cap}"
+                )
+
+            def handle(batch_df: DataFrame, batch_id: int) -> None:
+                inner(batch_df, batch_id)
+                if self._max_registered_segments(collection) > cap:
+                    self.maintain(collection, ledger=ledger)
+
         return (
             stream_df.writeStream.foreachBatch(handle)
             .queryName(query_name)

@@ -6154,6 +6154,112 @@ def q128_vocabulary_from_index(spark, sf_dir):
     return _documents_text_index(spark, sf_dir).vocabulary(top=100)
 
 
+def _boosted_bm25_oracle(terms: list[str], k: int) -> str:
+    from queens_spark.operators.corpus import BM25_SCALE
+
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+    WITH tf AS (
+      SELECT doc_id AS doc, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY doc_id, token
+    ), dl AS (
+      SELECT doc, sum(tf) AS dl FROM tf GROUP BY doc
+    ), nt AS (
+      SELECT count(*) AS n, sum(dl) AS t FROM dl
+    ), qtf AS (
+      SELECT * FROM tf WHERE token IN ({tl})
+    ), dfc AS (
+      SELECT token, count(*) AS df_docs FROM qtf GROUP BY token
+    ), scored AS (
+      SELECT q.doc AS doc,
+             CAST(sum(
+               ({BM25_SCALE} * (2*nt.n - 2*dfc.df_docs + 1) * 44 * q.tf * nt.t)
+               // ((2*dfc.df_docs + 1)
+                   * (20*q.tf*nt.t + 6*nt.t + 18*dl.dl*nt.n))
+             ) AS BIGINT) AS bm25_e5,
+             count(*) AS n_terms
+      FROM qtf q
+      JOIN dfc ON dfc.token = q.token
+      JOIN dl ON dl.doc = q.doc, nt
+      GROUP BY q.doc
+    )
+    SELECT s.doc AS doc,
+           s.bm25_e5 * (CASE d.source
+                          WHEN 'src0' THEN 5 WHEN 'src1' THEN 3
+                          ELSE 1 END) AS boosted_e5,
+           s.bm25_e5, s.n_terms
+    FROM scored s JOIN documents d ON d.doc_id = s.doc
+    ORDER BY boosted_e5 DESC, doc ASC LIMIT {k}"""
+
+
+@register(
+    "q133_boosted_bm25", _boosted_bm25_oracle(["dup", "spark", "merge"], 10)
+)
+def q133_boosted_bm25(spark, sf_dir):
+    """BM25 with document-prior boosting — the simplest
+    learning-to-rank tier: each document's exact integer BM25 (the
+    q110 query) multiplied by an integer source-quality prior (src0=5,
+    src1=3, everything else 1 — the curated-over-crawl weighting a
+    training-data pipeline applies). Because `source` is DENORMALIZED
+    onto the stored postings (meta_cols, like dl), the ENTIRE boosted
+    ranking serves from the same bucket-pruned postings scan — the
+    oracle joins documents, the Spark plan touches no corpus. Integer
+    × integer keeps the ranking bit-portable
+    (store/text_index.py:boosted_bm25_topk)."""
+    return _documents_text_index(spark, sf_dir).boosted_bm25_topk(
+        ["dup", "spark", "merge"], "source", {"src0": 5, "src1": 3},
+        k=10,
+    )
+
+
+def _snippet_oracle(terms: list[str], window: int, k: int) -> str:
+    tl = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in sorted(set(terms))
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc, s.p - 1 AS pos FROM (
+        SELECT doc_id AS doc,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> struct_pack(p := i, t := toks[i]))) AS s
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents))
+      WHERE s.t IN ({tl})
+    ),
+    pm AS (SELECT doc, list(pos ORDER BY pos) AS pos FROM tok GROUP BY doc),
+    sc AS (
+      SELECT doc, pos,
+             list_transform(pos, p -> len(list_filter(pos,
+                 x -> x >= p AND x < p + {window}))) AS hits
+      FROM pm
+    )
+    SELECT doc,
+           CAST(pos[list_position(hits, list_max(hits))] AS BIGINT)
+             AS window_start,
+           CAST(list_max(hits) AS BIGINT) AS n_hits
+    FROM sc
+    ORDER BY n_hits DESC, doc ASC LIMIT {k}
+    """
+
+
+@register(
+    "q132_best_snippet", _snippet_oracle(["table", "hash", "join"], 12, 10)
+)
+def q132_best_snippet(spark, sf_dir):
+    """Best-window snippet selection from the stored POSITIONAL
+    postings — the highlight primitive of a result page: for each
+    candidate document the 12-token span with the most query-term
+    hits, documents ranked by that count. One bucket-pruned scan of
+    the three terms' postings, a per-doc sorted flatten of matched
+    positions, a nested JVM HOF counting in-window hits — no
+    tokenize, no documents touch, no UDF; both engines take the FIRST
+    position attaining the max, so window_start is twin-exact
+    (store/text_index.py:snippet_topk)."""
+    return _documents_text_index(spark, sf_dir).snippet_topk(
+        ["table", "hash", "join"], k=10, window=12
+    )
+
+
 def _mmr_oracle(query_id: int, pool: int, k: int) -> str:
     # Unrolled greedy MMR (lam = 0.5): like the pagerank/Lloyd twins, a
     # recursive CTE cannot express the per-step argmax over the growing
@@ -6308,7 +6414,8 @@ def q130_capped_bm25(spark, sf_dir):
 @register("q129_token_stats", _token_stats_oracle(50))
 def q129_token_stats(spark, sf_dir):
     """Hot-token audit SERVED from the stored postings index — the
-    lexical twin of q118's cell-balance audit: the 50 highest-df
+    lexical twin of the vector side's cell-balance audit (cell_stats
+    / q120's trained-cell sizes): the 50 highest-df
     tokens with their occurrence mass (store/text_index.py:
     token_stats). A stop-word-heavy corpus shows df ≈ N rows here,
     whose crc32 buckets hold a disproportionate share of the postings

@@ -712,6 +712,155 @@ class TextIndex:
             .limit(k)
         )
 
+    def boosted_bm25_topk(
+        self,
+        query_terms: list[str],
+        boost_col: str,
+        boosts: dict,
+        k: int = 10,
+        scale: int = BM25_SCALE,
+        default_boost: int = 1,
+        predicate=None,
+    ) -> DataFrame:
+        """BM25 with DOCUMENT-PRIOR boosting — the simplest
+        learning-to-rank tier: multiply each document's exact integer
+        BM25 by an integer weight keyed on one of its ``meta_cols``
+        (source quality priors: curated wiki over raw crawl, en over
+        mixed). Integer × integer keeps the ranking bit-portable.
+
+        Because the boost column is DENORMALIZED onto the postings
+        (like dl), the whole ranking serves from the same bucket-pruned
+        scan as :meth:`bm25_topk` — no documents join anywhere. Values
+        absent from *boosts* take *default_boost*; weights must be
+        positive ints (a zero weight would silently disappear docs —
+        use a predicate to exclude instead).
+
+        Returns (doc, boosted_e5, bm25_e5, n_terms), boosted DESC with
+        doc ASC ties."""
+        bad = {
+            v: w for v, w in boosts.items()
+            if int(w) != w or int(w) < 1
+        }
+        if bad or int(default_boost) < 1:
+            raise ValueError(
+                f"boosts must be positive integers, got {bad or default_boost}"
+            )
+        if not self.entry.get("meta_cols") or boost_col not in (
+            self.entry.get("meta_cols") or []
+        ):
+            raise ValueError(
+                f"text index {self.name!r} does not carry {boost_col!r} "
+                "in meta_cols; rebuild with meta_cols=[...]"
+            )
+        n_docs, total, maxdl = self.stats()
+        if n_docs == 0:
+            raise ValueError(f"text index {self.name!r} is empty")
+        wmax = max([int(w) for w in boosts.values()] + [int(default_boost)])
+        if wmax * scale * (2 * n_docs + 1) * 44 * maxdl * total >= 2**63:
+            raise ValueError(
+                f"boosted bm25 int64 envelope exceeded (N={n_docs}, "
+                f"T={total}, maxdl={maxdl}, scale={scale}, wmax={wmax})"
+            )
+        qtf = self._filtered(
+            self.query_postings(query_terms), predicate
+        ).withColumnRenamed(self.id_col, "doc")
+        dfc = qtf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+        num = f"{scale} * (2*{n_docs} - 2*df_docs + 1) * 44 * tf * {total}"
+        den = (
+            f"(2*df_docs + 1) * (20*tf*{total} + 6*{total} + "
+            f"18*dl*{n_docs})"
+        )
+        w = F.lit(int(default_boost))
+        for v, wt in sorted(boosts.items()):
+            w = F.when(F.col("__bc") == v, F.lit(int(wt))).otherwise(w)
+        return (
+            qtf.join(F.broadcast(dfc), "token")
+            .groupBy("doc")
+            .agg(
+                F.expr(f"sum(({num}) div ({den}))").alias("bm25_e5"),
+                F.count(F.lit(1)).alias("n_terms"),
+                # boost_col is functionally dependent on doc
+                F.first(boost_col).alias("__bc"),
+            )
+            .select(
+                "doc",
+                (F.col("bm25_e5") * w).alias("boosted_e5"),
+                "bm25_e5",
+                "n_terms",
+            )
+            .orderBy(F.desc("boosted_e5"), F.asc("doc"))
+            .limit(int(k))
+        )
+
+    def snippet_topk(
+        self,
+        query_terms: list[str],
+        k: int = 10,
+        window: int = 10,
+        predicate=None,
+    ) -> DataFrame:
+        """Best-window SNIPPET selection over positional postings —
+        the highlight/preview primitive a search result page needs:
+        for each candidate document, find the *window*-token span
+        ``[start, start+window)`` containing the most query-term
+        occurrences, rank documents by that hit count. Needs a
+        ``positions=True`` index.
+
+        Plan family of :meth:`phrase_topk`: one bucket-pruned scan of
+        the distinct terms' postings, a per-doc sorted flatten of the
+        matched positions (every position belongs to one token, so
+        the flattened array is duplicate-free), and a pure JVM nested
+        HOF — for each matched position p, count matched positions in
+        [p, p+window) — then array_max + first-attaining position.
+        No tokenize, no corpus touch, no UDF; the snippet text itself
+        is a downstream id-pushdown lookup of the document (never done
+        here — this ranks and locates, corpus-free).
+
+        Returns (doc, window_start, n_hits): hit count DESC, doc ASC;
+        window_start is the SMALLEST start achieving the max (both
+        engines take the first index of the max, so the twin
+        reproduces it)."""
+        terms = sorted({str(t) for t in query_terms})
+        if not terms:
+            raise ValueError("query_terms must be non-empty")
+        if int(window) < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        if not self.entry.get("positions"):
+            raise ValueError(
+                f"text index {self.name!r} was built without positional "
+                "postings; rebuild with positions=True"
+            )
+        cand = self._filtered(
+            self.query_postings(terms), predicate
+        ).withColumnRenamed(self.id_col, "doc")
+        pm = cand.groupBy("doc").agg(
+            F.sort_array(
+                F.flatten(F.collect_list("positions"))
+            ).alias("pos")
+        )
+        w = int(window)
+        hits = F.transform(
+            F.col("pos"),
+            lambda p: F.size(
+                F.filter(F.col("pos"), lambda x: (x >= p) & (x < p + w))
+            ),
+        )
+        return (
+            pm.withColumn("__h", hits)
+            .select(
+                "doc",
+                F.element_at(
+                    F.col("pos"),
+                    F.array_position(
+                        F.col("__h"), F.array_max(F.col("__h"))
+                    ).cast("int"),
+                ).cast("bigint").alias("window_start"),
+                F.array_max(F.col("__h")).cast("bigint").alias("n_hits"),
+            )
+            .orderBy(F.desc("n_hits"), F.asc("doc"))
+            .limit(int(k))
+        )
+
     def batch_bm25_topk(
         self,
         queries_df: DataFrame,

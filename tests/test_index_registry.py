@@ -453,3 +453,46 @@ def test_retire_by_predicate_retention_flow(spark, tmp_path):
     # a no-match predicate is a clean no-op
     assert eng.retire_documents(
         "docs", predicate="lang = 'zz'")["retired_count"] == 0
+
+
+def test_stream_auto_maintains_past_segment_cap(spark, tmp_path):
+    """auto_maintain_segments: the stream sweeps ITSELF — after a
+    batch pushes any registered index past the cap, maintain() runs
+    inside foreachBatch (caught up by construction), so segment lists
+    and token maps stay bounded without a scheduled job."""
+    eng = _engine_with_indexes(spark, tmp_path)
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, text string, embedding array<double>"
+
+    def write_file(name, items):
+        with open(os.path.join(src, name), "w") as fh:
+            for i, t in items:
+                fh.write(json.dumps({
+                    "doc_id": i, "text": t,
+                    "embedding": [
+                        float((i + j + 1) % 7 + 1) for j in range(DIM)
+                    ],
+                }) + "\n")
+
+    def run():
+        q = eng.stream_ingest_corpus(
+            spark.readStream.schema(schema).json(src),
+            "docs", "text", "doc_id", ckpt,
+            query_name="qs_auto_maint", auto_maintain_segments=2,
+        )
+        q.awaitTermination(120)
+
+    for n, i in (("a", 300), ("b", 301), ("c", 302)):
+        write_file(f"{n}.json", [(i, f"auto maint doc {i} {n*3}")])
+        run()
+    tix = eng.text_index("d")
+    # without the sweep this would be 1 seed + 3 appends = 4 segments
+    assert len(tix.entry["segments"]) <= 2
+    assert "applied_tokens" not in tix.entry or \
+        len(tix.entry.get("applied_tokens") or []) <= 2
+    assert tix.describe()["n_docs"] == 11
+    assert [r["doc"] for r in
+            tix.bm25_topk(["maint", "ccc"], k=3).collect()][:1] == [302]
+    assert eng.vector_index("v").pq_codes().count() == 11

@@ -1,0 +1,104 @@
+"""Index transport: export a stored index as a relocatable bundle,
+import it into another warehouse — searches bit-identical, no corpus
+touch, no rebuild."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from queens_spark.facade import Engine
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def test_text_index_export_import_roundtrip(spark, tmp_path):
+    docs = spark.read.parquet(DOCS)
+    src_eng = Engine(spark, str(tmp_path / "staging"))
+    src_eng.build_text_index(
+        docs.where(F.col("doc_id") < 300), "text", "doc_id", "d",
+        positions=True,
+    )
+    # a multi-segment index with a tombstone travels as-is
+    src_eng.append_text_index(docs.where(F.col("doc_id") >= 300), "d")
+    src_eng.delete_from_text_index("d", ids=[42])
+    before = src_eng.text_index("d").bm25_topk(
+        ["dup", "spark"], k=10).collect()
+
+    bundle = str(tmp_path / "bundle")
+    src_eng.export_index("text", "d", bundle)
+    assert os.path.exists(os.path.join(bundle, "bundle.json"))
+    with pytest.raises(ValueError, match="already holds"):
+        src_eng.export_index("text", "d", bundle)
+    with pytest.raises(KeyError):
+        src_eng.export_index("text", "nope", str(tmp_path / "b2"))
+
+    prod_eng = Engine(spark, str(tmp_path / "prod"))
+    assert prod_eng.import_index(bundle) == "d"
+    idx = prod_eng.text_index("d")
+    assert idx.bm25_topk(["dup", "spark"], k=10).collect() == before
+    assert idx.describe()["tombstone_segments"] == 1
+    # positional serving travels too
+    assert idx.phrase_topk(["table", "hash"], k=3).count() >= 0
+    # importing under a new name
+    assert prod_eng.import_index(bundle, name="d2") == "d2"
+    assert prod_eng.text_index("d2").bm25_topk(
+        ["dup", "spark"], k=10).collect() == before
+    # re-import over an existing name supersedes (version bump)
+    assert prod_eng.import_index(bundle) == "d"
+    assert prod_eng.text_index("d").entry["version"] == 2
+
+
+def test_vector_index_export_import_roundtrip(spark, tmp_path):
+    emb = spark.read.parquet(EMB)
+    src_eng = Engine(spark, str(tmp_path / "staging"))
+    cents = [r[0] for r in emb.where(F.col("vec_id") % 200 == 0)
+             .select("vec_id").collect()]
+    src_eng.build_vector_index(
+        emb, "embedding", "vec_id", "e", centroid_ids=cents,
+    )
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    before_adc = src_eng.vector_index("e").adc_topk(qvec, k=5).collect()
+    before_ivf = src_eng.vector_index("e").ivfpq_topk(
+        qvec, n_probe=2, k=5).collect()
+
+    bundle = str(tmp_path / "bundle")
+    src_eng.export_index("vector", "e", bundle)
+    prod_eng = Engine(spark, str(tmp_path / "prod"))
+    prod_eng.import_index(bundle)
+    idx = prod_eng.vector_index("e")
+    assert idx.adc_topk(qvec, k=5).collect() == before_adc
+    assert idx.ivfpq_topk(qvec, n_probe=2, k=5).collect() == before_ivf
+    # the imported index keeps living its lifecycle: append + compact
+    from queens_spark.store.vector_index import compact_vector_index
+
+    compacted = compact_vector_index(
+        spark, os.path.join(str(tmp_path / "prod"), "system",
+                            "vector_index"), "e",
+    )
+    assert compacted.adc_topk(qvec, k=5).collect() == before_adc
+
+
+def test_cli_export_import(spark, tmp_path, capsys):
+    import json
+
+    from queens_spark.cli import main
+
+    docs = spark.read.parquet(DOCS)
+    staging = str(tmp_path / "staging")
+    Engine(spark, staging).build_text_index(docs, "text", "doc_id", "d")
+    bundle = str(tmp_path / "bundle")
+    rc = main(["--warehouse", staging, "index-export", "text", "d",
+               bundle])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["exported"] == "d"
+    prod = str(tmp_path / "prod")
+    rc = main(["--warehouse", prod, "index-import", bundle])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["imported"] == "d"
+    assert Engine(spark, prod).text_index("d").bm25_topk(
+        ["dup"], k=3).count() == 3

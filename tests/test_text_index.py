@@ -792,3 +792,79 @@ def test_cli_df_capped_build(spark, docs, tmp_path, capsys):
     top = idx.token_stats(top=3).collect()
     n = idx.stats()[0]
     assert all(r["df_docs"] <= 0.5 * n for r in top)
+
+
+def test_snippet_topk_brute_force(spark, tmp_path):
+    """snippet_topk == a python sliding-window reference on a corpus
+    with KNOWN hit clusters; first-max-start tie convention; guards."""
+    from pyspark.sql import Row
+
+    corpus = spark.createDataFrame([
+        # doc 1: cluster of 3 hits at positions 5,6,7
+        Row(doc_id=1, text="a b c d e cat dog cat x y z w q r s t"),
+        # doc 2: two spread hits (positions 0 and 12)
+        Row(doc_id=2, text="cat b c d e f g h i j k l dog n o p"),
+        # doc 3: no hits
+        Row(doc_id=3, text="nothing to see here at all move along"),
+    ])
+    idx = build_text_index(corpus, "text", "doc_id", "s",
+                           str(tmp_path / "t"), positions=True)
+    out = idx.snippet_topk(["cat", "dog"], k=5, window=4).collect()
+    assert [(r["doc"], r["window_start"], r["n_hits"]) for r in out] == [
+        (1, 5, 3),   # window [5,9) covers cat dog cat
+        (2, 0, 1),   # spread hits: best any single, first start wins
+    ]
+    # a window large enough to cover doc 2's both hits
+    out = idx.snippet_topk(["cat", "dog"], k=5, window=13).collect()
+    assert [(r["doc"], r["n_hits"]) for r in out] == [(1, 3), (2, 2)]
+
+    with pytest.raises(ValueError, match="non-empty"):
+        idx.snippet_topk([])
+    with pytest.raises(ValueError, match="window"):
+        idx.snippet_topk(["cat"], window=0)
+    flat = build_text_index(corpus, "text", "doc_id", "f",
+                            str(tmp_path / "f"))  # no positions
+    with pytest.raises(ValueError, match="positional"):
+        flat.snippet_topk(["cat"])
+
+
+def test_boosted_bm25_prior_weighting(spark, docs, tmp_path):
+    """Document-prior boosting: integer weights reorder the ranking
+    deterministically, unit weights degenerate to plain BM25, and the
+    plan never touches the corpus (source rides the postings)."""
+    idir = str(tmp_path / "t")
+    idx = build_text_index(docs, "text", "doc_id", "d", idir,
+                           meta_cols=["source"])
+    plain = idx.bm25_topk(TERMS, k=10).collect()
+    unit = idx.boosted_bm25_topk(TERMS, "source", {}, k=10).collect()
+    assert [(r["doc"], r["bm25_e5"]) for r in unit] == \
+        [(r["doc"], r["bm25_e5"]) for r in plain]
+    assert all(r["boosted_e5"] == r["bm25_e5"] for r in unit)
+
+    boosted = idx.boosted_bm25_topk(
+        TERMS, "source", {"src3": 100}, k=10).collect()
+    # every src3 doc in the pool outranks every non-boosted doc
+    srcs = {r["doc_id"]: r["source"]
+            for r in docs.select("doc_id", "source").collect()}
+    ranks = [srcs[r["doc"]] for r in boosted]
+    first_plain = next(
+        (i for i, s in enumerate(ranks) if s != "src3"), len(ranks)
+    )
+    assert "src3" not in ranks[first_plain:]
+    assert first_plain >= 1  # the boost actually promoted src3 docs
+    assert all(
+        r["boosted_e5"] == r["bm25_e5"] * (100 if srcs[r["doc"]] == "src3"
+                                           else 1)
+        for r in boosted
+    )
+    plan = plan_of(idx.boosted_bm25_topk(TERMS, "source", {"src3": 2}))
+    assert "documents.parquet" not in plan and "Generate" not in plan
+
+    with pytest.raises(ValueError, match="positive integers"):
+        idx.boosted_bm25_topk(TERMS, "source", {"src3": 0})
+    with pytest.raises(ValueError, match="positive integers"):
+        idx.boosted_bm25_topk(TERMS, "source", {"src3": 1.5})
+    with pytest.raises(ValueError, match="meta_cols"):
+        idx.boosted_bm25_topk(TERMS, "lang", {"en": 2})
+    with pytest.raises(ValueError, match="envelope"):
+        idx.boosted_bm25_topk(TERMS, "source", {"src3": 2**40})
