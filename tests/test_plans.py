@@ -470,3 +470,17 @@ def test_q127_batch_mlt_every_postings_scan_bucket_pruned(spark):
         m = re.search(r"PartitionFilters: \[(.*?)\]", b)
         assert m is not None and "tok_bucket" in m.group(1), b[:400]
     assert postings_scans >= 2  # df stage + scoring stage
+
+
+def test_q132_q133_serve_from_stored_postings(spark):
+    """The round-10 serving finishes (snippets, prior-boosted BM25)
+    keep the stored-postings claim: bucket-pruned scans, no tokenize
+    stage, no documents.parquet anywhere in the plan."""
+    from queens_spark.queries import QUERIES
+
+    for name in ("q132_best_snippet", "q133_boosted_bm25"):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "PartitionFilters" in plan, name
+        assert "tok_bucket" in plan, name
+        assert "Generate" not in plan, name
+        assert "documents.parquet" not in plan, name
