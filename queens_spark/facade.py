@@ -321,6 +321,48 @@ class Engine:
         )
         return report
 
+    def search_page(
+        self,
+        text_index_name: str,
+        vector_index_name: str,
+        query_terms: list[str],
+        query_vec: list[float],
+        k: int = 10,
+        pool: int = 50,
+        rrf_k: int = 60,
+        snippet_window: int | None = None,
+    ) -> DataFrame:
+        """The full RESULT-PAGE verb: :meth:`hybrid_search`'s fused
+        BM25+ANN top-*k*, with each hit's best *snippet_window*-token
+        highlight location attached (positional text index required
+        when requested). The snippet pass reuses the same bucket-pruned
+        postings scan restricted to the PAGE's ids (k ids collected —
+        it IS the page), so the whole response is stored-index reads:
+        no tokenize, no encode, corpus untouched. Hits the lexical
+        side never matched carry NULL window_start/n_hits (a
+        vector-only hit has no term to highlight). Returns
+        (doc, rrf_e12, rank_0, rank_1[, window_start, n_hits]) in
+        fused order."""
+        fused = self.hybrid_search(
+            text_index_name, vector_index_name, query_terms, query_vec,
+            k=k, pool=pool, rrf_k=rrf_k,
+        )
+        if snippet_window is None:
+            return fused
+        ids = [r["doc"] for r in fused.collect()]
+        if not ids:
+            return fused.withColumn(
+                "window_start", F.lit(None).cast("bigint")
+            ).withColumn("n_hits", F.lit(None).cast("bigint"))
+        wins = self.text_index(text_index_name).snippet_topk(
+            query_terms, k=len(ids), window=snippet_window,
+            doc_ids=ids,
+        )
+        return (
+            fused.join(F.broadcast(wins), "doc", "left")
+            .orderBy(F.desc("rrf_e12"), F.asc("doc"))
+        )
+
     def export_index(self, kind: str, name: str, dest: str) -> str:
         """Ship the named stored index as a self-contained relocatable
         bundle (artifacts + rebased manifest entry) — the

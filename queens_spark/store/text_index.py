@@ -798,6 +798,7 @@ class TextIndex:
         k: int = 10,
         window: int = 10,
         predicate=None,
+        doc_ids: list | None = None,
     ) -> DataFrame:
         """Best-window SNIPPET selection over positional postings —
         the highlight/preview primitive a search result page needs:
@@ -819,7 +820,10 @@ class TextIndex:
         Returns (doc, window_start, n_hits): hit count DESC, doc ASC;
         window_start is the SMALLEST start achieving the max (both
         engines take the first index of the max, so the twin
-        reproduces it)."""
+        reproduces it). *doc_ids* restricts the candidates to a known
+        page of documents (Engine.search_page attaches windows to a
+        fused result page this way — the id list is page-sized by
+        construction and pushes into the pruned scan)."""
         terms = sorted({str(t) for t in query_terms})
         if not terms:
             raise ValueError("query_terms must be non-empty")
@@ -832,7 +836,12 @@ class TextIndex:
             )
         cand = self._filtered(
             self.query_postings(terms), predicate
-        ).withColumnRenamed(self.id_col, "doc")
+        )
+        if doc_ids is not None:
+            cand = cand.where(
+                F.col(self.id_col).isin([int(i) for i in doc_ids])
+            )
+        cand = cand.withColumnRenamed(self.id_col, "doc")
         pm = cand.groupBy("doc").agg(
             F.sort_array(
                 F.flatten(F.collect_list("positions"))

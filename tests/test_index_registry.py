@@ -496,3 +496,36 @@ def test_stream_auto_maintains_past_segment_cap(spark, tmp_path):
     assert [r["doc"] for r in
             tix.bm25_topk(["maint", "ccc"], k=3).collect()][:1] == [302]
     assert eng.vector_index("v").pq_codes().count() == 11
+
+
+def test_search_page_one_verb_with_snippets(spark, tmp_path):
+    """Engine.search_page: fused hybrid page + per-hit highlight
+    windows, all stored-index reads; vector-only hits carry NULL
+    windows."""
+    eng = Engine(spark, str(tmp_path / "wh"), schemas=docs_schemas())
+    seed = _frame(spark, [
+        (i, f"corpus doc {i} filler words " + ("amaranth " * (i % 3)))
+        for i in range(10)
+    ])
+    eng.build_text_index(seed, "text", "doc_id", "d", positions=True)
+    eng.build_vector_index(seed, "embedding", "doc_id", "v")
+
+    emb3 = [float((3 + j + 1) % 7 + 1) for j in range(DIM)]
+    page = eng.search_page(
+        "d", "v", ["amaranth"], emb3, k=6, pool=8, snippet_window=4,
+    ).collect()
+    assert len(page) >= 3
+    by_doc = {r["doc"]: r for r in page}
+    # lexical hits carry a window over the amaranth run
+    lex = [r for r in page if r["rank_0"] is not None]
+    assert lex and all(r["n_hits"] >= 1 for r in lex)
+    assert all(r["window_start"] >= 5 for r in lex)  # after the filler
+    # vector-only hits have no term to highlight
+    vec_only = [r for r in page if r["rank_0"] is None]
+    assert all(r["n_hits"] is None for r in vec_only)
+    # fused order preserved after the snippet join
+    scores = [r["rrf_e12"] for r in page]
+    assert scores == sorted(scores, reverse=True)
+    # no snippet request -> plain hybrid page
+    plain = eng.search_page("d", "v", ["amaranth"], emb3, k=3).columns
+    assert "window_start" not in plain

@@ -102,3 +102,35 @@ def test_cli_export_import(spark, tmp_path, capsys):
     assert out["imported"] == "d"
     assert Engine(spark, prod).text_index("d").bm25_topk(
         ["dup"], k=3).count() == 3
+
+
+def test_capped_index_transport_preserves_contract(spark, tmp_path):
+    """A df-capped index travels with its cap AND its pre-cap stats:
+    the destination serves bit-identical scores and appends keep
+    applying the stored ratio."""
+    from queens_spark.store.text_index import append_text_index
+
+    docs = spark.read.parquet(DOCS)
+    src_eng = Engine(spark, str(tmp_path / "staging"))
+    src_eng.build_text_index(
+        docs.where(F.col("doc_id") < 300), "text", "doc_id", "c",
+        max_df_ratio=0.5,
+    )
+    before = src_eng.text_index("c").bm25_topk(["dup"], k=5).collect()
+    bundle = str(tmp_path / "bundle")
+    src_eng.export_index("text", "c", bundle)
+
+    prod = str(tmp_path / "prod")
+    prod_eng = Engine(spark, prod)
+    prod_eng.import_index(bundle)
+    idx = prod_eng.text_index("c")
+    assert idx.entry["max_df_ratio"] == 0.5
+    assert idx.bm25_topk(["dup"], k=5).collect() == before
+    # appends at the destination keep the cap
+    idx2 = append_text_index(
+        docs.where(F.col("doc_id") >= 300), "c",
+        f"{prod}/system/text_index",
+    )
+    n = idx2.stats()[0]
+    hot = idx2.token_stats(top=1).collect()[0]
+    assert hot["df_docs"] <= 0.5 * n
