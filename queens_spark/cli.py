@@ -167,6 +167,10 @@ def build_parser() -> argparse.ArgumentParser:
     tx.add_argument("--near", type=int, default=None,
                     help="search: proximity window — all terms within "
                          "N tokens (needs a positions=True index)")
+    tx.add_argument("--fuzzy", type=int, default=None,
+                    help="search: typo-tolerant BM25 — resolve unknown "
+                         "terms against the index vocabulary within "
+                         "this Levenshtein distance")
     tx.add_argument("--snippet", type=int, default=None,
                     help="search: best-window snippet mode — rank docs "
                          "by query-term hits in an N-token span "
@@ -709,6 +713,14 @@ def _run_tindex(spark, engine, args) -> int:
             out = idx.proximity_topk(terms, window=args.near, k=args.k,
                                      predicate=args.where)
             rows = [{"doc": r["doc"], "n_windows": r["n_windows"]}
+                    for r in out.collect()]
+        elif args.fuzzy is not None:
+            out = idx.corrected_bm25_topk(
+                terms, k=args.k, max_dist=args.fuzzy,
+                predicate=args.where, require_all=args.require_all,
+            )
+            rows = [{"doc": r["doc"], "bm25_e5": r["bm25_e5"],
+                     "n_terms": r["n_terms"]}
                     for r in out.collect()]
         else:
             out = idx.bm25_topk(terms, k=args.k, predicate=args.where,

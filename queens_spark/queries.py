@@ -6154,6 +6154,78 @@ def q128_vocabulary_from_index(spark, sf_dir):
     return _documents_text_index(spark, sf_dir).vocabulary(top=100)
 
 
+def _corrected_bm25_oracle(terms: list[str], max_dist: int, k: int) -> str:
+    from queens_spark.operators.corpus import BM25_SCALE
+
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+    WITH tf AS (
+      SELECT doc_id AS doc, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents)
+      GROUP BY doc_id, token
+    ), dl AS (
+      SELECT doc, sum(tf) AS dl FROM tf GROUP BY doc
+    ), nt AS (
+      SELECT count(*) AS n, sum(dl) AS t FROM dl
+    ), vocab AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+    ), qs AS (
+      SELECT unnest([{tl}]) AS q
+    ), present AS (
+      SELECT q FROM qs WHERE q IN (SELECT token FROM vocab)
+    ), missing AS (
+      SELECT q FROM qs WHERE q NOT IN (SELECT token FROM vocab)
+    ), fixes AS (
+      SELECT q, token FROM (
+        SELECT m.q, v.token,
+               ROW_NUMBER() OVER (PARTITION BY m.q
+                 ORDER BY levenshtein(m.q, v.token) ASC,
+                          v.df DESC, v.token ASC) AS rk
+        FROM missing m JOIN vocab v
+          ON abs(len(v.token) - len(m.q)) <= {max_dist}
+         AND levenshtein(m.q, v.token) <= {max_dist}
+      ) WHERE rk = 1
+    ), rset AS (
+      SELECT q AS token FROM present UNION SELECT token FROM fixes
+    ), qtf AS (
+      SELECT * FROM tf WHERE token IN (SELECT token FROM rset)
+    ), dfc AS (
+      SELECT token, count(*) AS df_docs FROM qtf GROUP BY token
+    )
+    SELECT q.doc AS doc,
+           CAST(sum(
+             ({BM25_SCALE} * (2*nt.n - 2*dfc.df_docs + 1) * 44 * q.tf * nt.t)
+             // ((2*dfc.df_docs + 1)
+                 * (20*q.tf*nt.t + 6*nt.t + 18*dl.dl*nt.n))
+           ) AS BIGINT) AS bm25_e5,
+           count(*) AS n_terms
+    FROM qtf q
+    JOIN dfc ON dfc.token = q.token
+    JOIN dl ON dl.doc = q.doc, nt
+    GROUP BY q.doc
+    ORDER BY bm25_e5 DESC, q.doc ASC LIMIT {k}"""
+
+
+@register(
+    "q134_corrected_bm25",
+    _corrected_bm25_oracle(["dupz", "spark", "mergee"], 1, 10),
+)
+def q134_corrected_bm25(spark, sf_dir):
+    """Typo-tolerant BM25 — the did-you-mean tier of lexical
+    retrieval: the query {dupz, spark, mergee} carries two misspelled
+    terms; each resolves to its vocabulary-nearest indexed term within
+    Levenshtein 1 (ties: distance ASC, df DESC, token ASC —
+    deterministic, so the oracle reproduces the choice) and the
+    corrected query scores with the exact integer BM25 of q110. The
+    correction pass is one vocabulary-scale (token, df) aggregation,
+    length-banded before the edit-distance compare (levenshtein ≥
+    |length delta| — lossless pruning); indexed terms never pay it
+    (store/text_index.py:resolve_terms / corrected_bm25_topk)."""
+    return _documents_text_index(spark, sf_dir).corrected_bm25_topk(
+        ["dupz", "spark", "mergee"], k=10, max_dist=1,
+    )
+
+
 def _boosted_bm25_oracle(terms: list[str], k: int) -> str:
     from queens_spark.operators.corpus import BM25_SCALE
 

@@ -712,6 +712,97 @@ class TextIndex:
             .limit(k)
         )
 
+    def resolve_terms(
+        self, query_terms: list[str], max_dist: int = 1
+    ) -> dict:
+        """Typo-tolerant query-term resolution against the INDEX
+        vocabulary — the did-you-mean primitive: terms the index
+        already serves resolve to themselves (one bucket-pruned
+        probe); unknown terms resolve to their best vocabulary
+        candidate within Levenshtein *max_dist* — ties (distance ASC,
+        document frequency DESC, token ASC), so the choice is
+        deterministic and twin-reproducible — or to None when nothing
+        is close enough.
+
+        Plan shape: the correction pass is ONE aggregation over the
+        postings to (token, df) — vocabulary-scale, not corpus-scale
+        — length-banded before the edit-distance compare (levenshtein
+        ≥ |length difference|, so the band is lossless) and joined
+        against the broadcast missing-term list. At 100 TB keep a
+        vocabulary artifact (:meth:`vocabulary`) if corrections are
+        hot. NOTE: Spark's levenshtein counts CHARACTERS while
+        DuckDB's counts BYTES — identical on ASCII (the catalog
+        corpus), divergent on multi-byte text.
+
+        Returns {input_term: resolved_term_or_None}."""
+        terms = sorted({str(t) for t in query_terms})
+        if not terms:
+            raise ValueError("query_terms must be non-empty")
+        if int(max_dist) < 1:
+            raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+        present = {
+            r["token"]
+            for r in self.query_postings(terms)
+            .select("token").distinct().collect()
+        }
+        out = {t: (t if t in present else None) for t in terms}
+        missing = [t for t in terms if t not in present]
+        if not missing:
+            return out
+        from pyspark.sql import Window
+
+        vocab = self.postings().groupBy("token").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        m = self.spark.createDataFrame([(t,) for t in missing], ["__q"])
+        d = int(max_dist)
+        cand = vocab.join(
+            F.broadcast(m),
+            (
+                F.abs(F.length("token") - F.length("__q")) <= d
+            ) & (F.levenshtein("__q", "token") <= d),
+        )
+        w = Window.partitionBy("__q").orderBy(
+            F.levenshtein("__q", "token").asc(),
+            F.desc("__df"),
+            F.asc("token"),
+        )
+        for r in (
+            cand.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .select("__q", "token")
+            .collect()
+        ):
+            out[r["__q"]] = r["token"]
+        return out
+
+    def corrected_bm25_topk(
+        self,
+        query_terms: list[str],
+        k: int = 10,
+        max_dist: int = 1,
+        scale: int = BM25_SCALE,
+        predicate=None,
+        require_all: bool = False,
+    ) -> DataFrame:
+        """Typo-tolerant BM25: :meth:`resolve_terms` then
+        :meth:`bm25_topk` over the resolved set — a misspelled query
+        term retrieves what its vocabulary-nearest indexed term would
+        (unresolvable terms drop from the query; an all-unresolvable
+        query raises). Same output shape and exact integer scores as
+        the plain scorer on the corrected query."""
+        res = self.resolve_terms(query_terms, max_dist=max_dist)
+        resolved = sorted({t for t in res.values() if t is not None})
+        if not resolved:
+            raise ValueError(
+                f"no query terms resolve against the index vocabulary "
+                f"within distance {max_dist}: {sorted(res)}"
+            )
+        return self.bm25_topk(
+            resolved, k=k, scale=scale, predicate=predicate,
+            require_all=require_all,
+        )
+
     def boosted_bm25_topk(
         self,
         query_terms: list[str],

@@ -868,3 +868,32 @@ def test_boosted_bm25_prior_weighting(spark, docs, tmp_path):
         idx.boosted_bm25_topk(TERMS, "lang", {"en": 2})
     with pytest.raises(ValueError, match="envelope"):
         idx.boosted_bm25_topk(TERMS, "source", {"src3": 2**40})
+
+
+def test_resolve_terms_and_corrected_bm25(spark, tmp_path):
+    """Typo tolerance: indexed terms resolve to themselves, typos to
+    the (dist ASC, df DESC, token ASC) vocabulary winner, junk to
+    None; corrected scores equal plain BM25 on the corrected query."""
+    from pyspark.sql import Row
+
+    corpus = spark.createDataFrame([
+        Row(doc_id=0, text="shuffle exchange partition broadcast"),
+        Row(doc_id=1, text="shuffle shuffle partition skew salt"),
+        Row(doc_id=2, text="scuffle boots and a partition wall"),
+        Row(doc_id=3, text="broadcast join hint threshold"),
+    ])
+    idx = build_text_index(corpus, "text", "doc_id", "d",
+                           str(tmp_path / "t"))
+    res = idx.resolve_terms(["partition", "shufle", "zzzzzzzz"])
+    # 'shufle' is dist-1 from both 'shuffle' (df 2) and 'scuffle'
+    # (df 1): df breaks the tie
+    assert res == {"partition": "partition", "shufle": "shuffle",
+                   "zzzzzzzz": None}
+
+    got = idx.corrected_bm25_topk(["shufle", "partition"], k=4).collect()
+    want = idx.bm25_topk(["shuffle", "partition"], k=4).collect()
+    assert got == want
+    with pytest.raises(ValueError, match="no query terms resolve"):
+        idx.corrected_bm25_topk(["zzzzzzzz"], k=3)
+    with pytest.raises(ValueError, match="max_dist"):
+        idx.resolve_terms(["x"], max_dist=0)
