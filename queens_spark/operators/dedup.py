@@ -1020,6 +1020,186 @@ def duplicated_shingle_stats(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_count: int = 2,
+    p: int = HASH_MOD,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-SPAN removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    instead of dropping whole near-duplicate documents, remove every
+    token covered by an n-token span whose exact sequence occurs
+    ≥ *min_count* times ACROSS the corpus (occurrences, not distinct
+    docs — a span repeated inside ONE document is duplicated training
+    signal too). Returns (doc, n_tokens, n_removed, clean_text) for
+    every input document; the cleaned text is the surviving tokens
+    joined by single spaces.
+
+    Scale shape: one persisted (tokens, positional shingle hashes)
+    projection — tokens are char-hashed once and each window combines
+    n bigints in integer space (no per-shingle strings). The postings
+    shuffle on sh_hash for the occurrence count and again for the
+    semi-join back (same key: AQE reuses the exchange); duplicated
+    start positions aggregate per doc (bounded by tokens-per-doc) and
+    join back doc-keyed. Like q85's df ≥ min_df set, the duplicated
+    span set is NOT provably bounded (most of a crawl can be
+    boilerplate) so it stays a shuffled semi-join, never a broadcast.
+    Reconstruction is pure per-row JVM array code, LINEAR in document
+    length: sorted start positions merge into disjoint covered
+    intervals (one aggregate pass), and the kept text concatenates
+    the between-interval slices — never an O(tokens × spans) per-token
+    membership probe.
+    """
+    def combine(th: Column, i: Column) -> Column:
+        acc = F.element_at(th, i).cast("bigint")
+        for k in range(1, n):
+            acc = (acc * 131 + F.element_at(th, i + k)) % F.lit(p)
+        return acc
+
+    base = _persist(
+        ensure_min_partitions(df).select(
+            F.col(id_col).alias("doc"),
+            let_bound(
+                tokens(text_col),
+                lambda tk: F.struct(
+                    tk.alias("toks"),
+                    let_bound(
+                        F.transform(tk, lambda t: char_poly_hash(t, p)),
+                        lambda th: F.when(
+                            F.size(th) < n, F.array().cast("array<bigint>")
+                        ).otherwise(
+                            F.transform(
+                                F.sequence(F.lit(1), F.size(th) - n + 1),
+                                lambda i: combine(th, i),
+                            )
+                        ),
+                    ).alias("hashes"),
+                ),
+            ).alias("x"),
+        )
+    )
+    # (doc, start, sh_hash) postings; start is the 1-based token
+    # position where the span begins (posexplode is 0-based).
+    postings = base.select(
+        "doc",
+        F.posexplode("x.hashes").alias("pos0", "sh_hash"),
+    ).select("doc", (F.col("pos0") + 1).alias("start"), "sh_hash")
+    duplicated = (
+        postings.groupBy("sh_hash")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= F.lit(min_count))
+        .select("sh_hash")
+    )
+    starts = (
+        postings.join(duplicated, "sh_hash", "left_semi")
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list("start")).alias("starts"))
+    )
+
+    def merged_intervals(starts_col: Column) -> Column:
+        # Sorted same-length spans: each new start either extends the
+        # last interval (s <= last.e + 1; its end s+n-1 is always the
+        # new max) or opens a new one.
+        return F.aggregate(
+            starts_col,
+            F.array().cast("array<struct<b:int,e:int>>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (s <= F.element_at(acc, -1)["e"] + 1),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)["b"].alias("b"),
+                            (s + F.lit(n) - 1).cast("int").alias("e"),
+                        )
+                    ),
+                ),
+            ).otherwise(
+                F.concat(
+                    acc,
+                    F.array(
+                        F.struct(
+                            s.cast("int").alias("b"),
+                            (s + F.lit(n) - 1).cast("int").alias("e"),
+                        )
+                    ),
+                )
+            ),
+        )
+
+    def kept_tokens(toks: Column, ivs: Column) -> Column:
+        # Concatenate the token slices BETWEEN covered intervals:
+        # state = (next position to copy from, accumulated tokens).
+        return F.aggregate(
+            ivs,
+            F.struct(
+                F.lit(1).alias("p"),
+                F.array().cast("array<string>").alias("acc"),
+            ),
+            lambda st, iv: F.struct(
+                (iv["e"] + 1).alias("p"),
+                F.concat(
+                    st["acc"], F.slice(toks, st["p"], iv["b"] - st["p"])
+                ).alias("acc"),
+            ),
+            lambda st: F.concat(
+                st["acc"],
+                F.slice(
+                    toks,
+                    st["p"],
+                    F.greatest(
+                        F.size(toks) - st["p"] + 1, F.lit(0)
+                    ),
+                ),
+            ),
+        )
+
+    return (
+        base.join(starts, "doc", "left")
+        .select(
+            "doc",
+            F.col("x.toks").alias("toks"),
+            F.coalesce(
+                "starts", F.array().cast("array<int>")
+            ).alias("starts"),
+        )
+        .select(
+            "doc",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            let_bound(
+                kept_tokens(F.col("toks"), merged_intervals(F.col("starts"))),
+                lambda kept: F.struct(
+                    (F.size("toks") - F.size(kept))
+                    .cast("bigint")
+                    .alias("n_removed"),
+                    F.concat_ws(" ", kept).alias("clean_text"),
+                ),
+            ).alias("r"),
+        )
+        .select("doc", "n_tokens", "r.n_removed", "r.clean_text")
+    )
+
+
+def duckdb_positional_shingles(expr: str, n: int, p: int = HASH_MOD) -> str:
+    """DuckDB twin of the positional (ordered, non-distinct) shingle
+    hash list used by :func:`remove_duplicated_spans`: element i
+    (1-based) hashes tokens [i, i+n)."""
+    toks = f"list_filter(string_split_regex({expr}, '\\s+'), x -> x <> '')"
+    th = f"list_transform({toks}, t -> {duckdb_char_poly_hash('t')})"
+    acc = "__th[i]"
+    for k in range(1, n):
+        acc = f"(({acc}) * 131 + __th[i + {k}]) % {p}"
+    return (
+        f"(SELECT CASE WHEN len(__th) < {n} THEN [] "
+        f"ELSE list_transform(range(1, len(__th) - {n} + 2), "
+        f"i -> {acc}) END FROM (SELECT {th} AS __th) __psh)"
+    )
+
+
 # ---------------------------------------------- connected components
 
 def connected_components(

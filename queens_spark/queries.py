@@ -6501,3 +6501,112 @@ def q129_token_stats(spark, sf_dir):
     return _documents_text_index(spark, sf_dir).token_stats(top=50).select(
         "token", "df_docs", "occurrences", "rank"
     )
+
+
+def _span_dedup_oracle(n: int, min_count: int) -> str:
+    from queens_spark.operators.dedup import duckdb_positional_shingles
+
+    sh = duckdb_positional_shingles("text", n)
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+               AS toks,
+             {sh} AS hashes
+      FROM documents
+    ), h AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(hashes)+1),
+             i -> struct_pack(pos := i, h := hashes[i]))) AS u
+      FROM s
+    ), h2 AS (
+      SELECT doc_id, u.pos AS pos, u.h AS h FROM h
+    ), freq AS (
+      SELECT h FROM h2 GROUP BY h HAVING count(*) >= {min_count}
+    ), st AS (
+      SELECT doc_id, list_sort(list(pos)) AS starts
+      FROM h2 WHERE h IN (SELECT h FROM freq) GROUP BY doc_id
+    ), j AS (
+      SELECT s.doc_id, s.toks, coalesce(st.starts, []) AS starts
+      FROM s LEFT JOIN st ON st.doc_id = s.doc_id
+    ), k AS (
+      SELECT doc_id, toks,
+             list_filter(range(1, len(toks)+1),
+               jx -> len(list_filter(starts,
+                         sx -> sx <= jx AND jx < sx + {n})) = 0
+             ) AS kept
+      FROM j
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+           coalesce(
+             array_to_string(list_transform(kept, jx -> toks[jx]), ' '),
+             ''
+           ) AS clean_text
+    FROM k
+    """
+
+
+@register("q135_span_dedup", _span_dedup_oracle(8, 2))
+def q135_span_dedup(spark, sf_dir):
+    """Duplicated-SPAN removal — ExactSubstr dedup (Lee et al. 2022):
+    document-level dedup (q26-q29, q42) drops whole near-duplicates,
+    but real crawls duplicate SPANS — license boilerplate, navigation
+    chrome, quoted passages — inside otherwise-unique pages. Every
+    8-token span occurring ≥ 2 times corpus-wide (occurrences, not
+    distinct docs: within-doc repeats are duplicated training signal
+    too) is removed from every document; surviving tokens re-join as
+    the cleaned text. The oracle replays the identical positional
+    shingle hashes and coverage semantics (interval union ==
+    per-position probe), so clean_text matches byte-for-byte. Scale
+    shape (operators/dedup.py:remove_duplicated_spans): one persisted
+    tokenize+hash pass, sh_hash-keyed count + semi-join (exchange
+    reused), per-doc LINEAR interval-merge reconstruction in pure JVM
+    array code — the duplicated-span set is unbounded by design so it
+    never broadcasts."""
+    from queens_spark.operators.dedup import remove_duplicated_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return remove_duplicated_spans(
+        docs, "text", "doc_id", n=8, min_count=2
+    ).select(F.col("doc").alias("doc_id"), "n_tokens", "n_removed", "clean_text")
+
+
+def _bpe_pairs_oracle(top: int) -> str:
+    return f"""
+    WITH w AS (
+      SELECT unnest(
+        list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+      ) AS w FROM documents
+    ), wc AS (
+      SELECT w, count(*) AS c FROM w GROUP BY w
+    ), p AS (
+      SELECT c, unnest(list_transform(range(1, length(w)),
+             i -> struct_pack(l := substring(w, i, 1),
+                              r := substring(w, i+1, 1)))) AS u
+      FROM wc WHERE length(w) >= 2
+    )
+    SELECT u.l AS left_sym, u.r AS right_sym,
+           CAST(sum(c) AS BIGINT) AS pair_count
+    FROM p GROUP BY u.l, u.r
+    ORDER BY pair_count DESC, left_sym ASC, right_sym ASC LIMIT {top}
+    """
+
+
+@register("q136_bpe_pair_counts", _bpe_pairs_oracle(50))
+def q136_bpe_pair_counts(spark, sf_dir):
+    """BPE tokenizer training's merge-selection statistic: adjacent
+    character-pair counts weighted by corpus word frequency — the
+    first (and SQL-expressible) step of the merge loop; the full
+    iterative trainer (operators/corpus.py:learn_bpe — the
+    HuggingFace-trainer shape, one distributed wordcount then a
+    vocabulary-bounded driver loop) and the Arrow-batched encode UDF
+    (bpe_encode) are equivalence-tested in tests/test_bpe.py. Scale
+    shape: the corpus is read ONCE (wordcount, map-side combined);
+    pairs explode from the distinct-word VOCABULARY, not the corpus,
+    so the second aggregation is Heaps'-law bounded; TakeOrdered
+    finish."""
+    from queens_spark.operators.corpus import bpe_pair_counts
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, "text", top=50)
