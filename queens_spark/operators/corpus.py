@@ -27,6 +27,7 @@ zero-shuffle, these genuinely require corpus-wide aggregation):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from queens_spark.operators.text import tokens
@@ -243,3 +244,197 @@ def bm25_topk(
         .orderBy(F.desc("bm25_e5"), F.asc("doc"))
         .limit(k)
     )
+
+
+# ----------------------------------------------------- BPE training
+
+#: learn_bpe refuses to collect a vocabulary larger than this: the
+#: driver-side merge loop is justified ONLY because the (word, count)
+#: vocabulary is bounded (Heaps' law: ~millions of types for a 100 TB
+#: corpus — dimension-table sized), never corpus-sized.
+MAX_BPE_VOCAB = 5_000_000
+
+
+def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
+    """(w, c) corpus word counts — the one corpus-scale pass BPE
+    training needs; everything after operates on the vocabulary."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str, top: int = 50) -> DataFrame:
+    """Adjacent character-pair counts weighted by word frequency —
+    BPE training's FIRST merge-selection step (later steps operate on
+    merged symbols, which is inherently iterative: see
+    :func:`learn_bpe`), and the SQL-expressible one the correctness
+    gate checks. Returns the *top* pairs as (left_sym, right_sym,
+    pair_count), ties broken lexicographically.
+
+    Scale shape: one wordcount shuffle (map-side combine collapses
+    repeats), then pairs explode from the VOCABULARY (distinct words),
+    not the corpus — a second counter-width aggregation over at most
+    (avg word length × vocab) rows, finished by TakeOrdered. The
+    corpus is read once and never re-shuffled.
+    """
+    from queens_spark.operators.text import let_bound
+
+    words = word_frequencies(df, text_col).where(F.length("w") >= 2)
+    pairs = words.select(
+        "c",
+        F.explode(
+            let_bound(
+                F.split("w", ""),
+                lambda ch: F.transform(
+                    F.sequence(F.lit(1), F.size(ch) - 1),
+                    lambda i: F.struct(
+                        F.element_at(ch, i).alias("l"),
+                        F.element_at(ch, i + 1).alias("r"),
+                    ),
+                ),
+            )
+        ).alias("u"),
+    )
+    return (
+        pairs.groupBy(
+            F.col("u.l").alias("left_sym"), F.col("u.r").alias("right_sym")
+        )
+        .agg(F.sum("c").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(top)
+    )
+
+
+def learn_bpe(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    min_count: int = 2,
+    max_vocab: int = MAX_BPE_VOCAB,
+) -> list[tuple[str, str]]:
+    """Learn *n_merges* BPE merges from the corpus — the
+    HuggingFace-trainer shape: ONE distributed wordcount pass, then
+    the merge loop runs driver-side over the collected (word, count)
+    VOCABULARY (bounded by Heaps' law; guarded by *max_vocab* — this
+    is the one deliberate driver-side loop in the corpus tier, and it
+    is vocabulary-scale, never corpus-scale).
+
+    Merge selection per step: highest total pair count, ties broken
+    on the lexicographically smallest (left, right) — deterministic,
+    so re-training the same corpus yields identical merges. Stops
+    early when the best pair's count drops below *min_count*.
+    """
+    wf = word_frequencies(df, text_col)
+    n_types = wf.count()
+    if n_types > max_vocab:
+        raise ValueError(
+            f"vocabulary has {n_types} types > max_vocab={max_vocab}; "
+            "learn_bpe's driver loop is vocabulary-bounded by contract"
+        )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in wf.collect():
+        if len(r["w"]) >= 2:
+            vocab[tuple(r["w"])] = vocab.get(tuple(r["w"]), 0) + int(r["c"])
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        (la, rb), _cnt = best
+        merged = la + rb
+        nxt: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == la and syms[i + 1] == rb:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            nxt[t] = nxt.get(t, 0) + c
+        vocab = nxt
+        merges.append((la, rb))
+    return merges
+
+
+def bpe_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Segment one word with learned merges, lowest rank first — the
+    canonical GPT-2 apply loop. Pure Python: shared by the encode UDF
+    and the tests' reference segmentation."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_i, best_rank = -1, None
+        for i in range(len(syms) - 1):
+            rk = ranks.get((syms[i], syms[i + 1]))
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best_i, best_rank = i, rk
+        if best_rank is None:
+            break
+        # merge EVERY occurrence of that pair (left-to-right), the
+        # same replacement order learn_bpe's training loop applies
+        la, rb = syms[best_i], syms[best_i + 1]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == la and syms[i + 1] == rb:
+                out.append(la + rb)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize *text_col* with learned BPE merges → array<string>
+    column *out_col*. Iterative per-word merging is genuinely
+    inexpressible in Spark's built-in functions (each merge step
+    rewrites the symbol sequence the next step scans), so this is the
+    sanctioned slow path: ONE Arrow-batched pandas UDF, with the
+    merge table broadcast in the closure and a per-batch word cache
+    (word-salad corpora re-segment each type once per batch, not once
+    per occurrence). Zero shuffle; scales embarrassingly with corpus
+    partitions.
+    """
+    # module-level pandas import: the UDF's 'pd.Series' type hints are
+    # strings under `from __future__ import annotations`, and pyspark
+    # resolves them against the function's MODULE globals
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf(ArrayType(StringType()))
+    def enc(s: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def one(text: str | None) -> list[str]:
+            out: list[str] = []
+            for w in (text or "").split():
+                seg = cache.get(w)
+                if seg is None:
+                    seg = bpe_word(w, ranks)
+                    cache[w] = seg
+                out.extend(seg)
+            return out
+
+        return s.map(one)
+
+    return df.withColumn(out_col, enc(F.col(text_col)))
