@@ -438,3 +438,47 @@ def bpe_encode(
         return s.map(one)
 
     return df.withColumn(out_col, enc(F.col(text_col)))
+
+
+def lm_quality_buckets(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document under
+    the corpus's own bigram LM (:func:`lm_doc_scores` — exact
+    fixed-point mean conditional probability, the bit-portable
+    perplexity stand-in), then split the corpus into head / middle /
+    tail QUALITY buckets at one-third and two-thirds of cumulative
+    bigram mass, most-fluent first. All docs sharing a score value
+    land in the same bucket (boundaries are score-value thresholds),
+    so assignment is deterministic and join-reproducible.
+
+    Scale shape — the part that survives 100×: a naive cumulative sum
+    needs a GLOBAL-order window over the corpus (one task). Instead
+    the running mass is computed over the (score → mass) aggregation,
+    whose cardinality is bounded by the score's fixed-point domain
+    (≤ 1e6+1 distinct values REGARDLESS of corpus size); the bounded
+    bucket map then joins back on the score value (AQE broadcasts
+    it). The corpus itself never sorts.
+    """
+    scores = lm_doc_scores(df, text_col, id_col)
+    mass = scores.groupBy("avg_p_e6").agg(
+        F.sum("n_bigrams").alias("mass")
+    )
+    w_cum = Window.orderBy(F.desc("avg_p_e6")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    buckets = (
+        mass.withColumn("cum", F.sum("mass").over(w_cum))
+        .withColumn("t", F.sum("mass").over(w_all))
+        .select(
+            "avg_p_e6",
+            F.when(F.col("cum") * 3 <= F.col("t"), F.lit("head"))
+            .when(F.col("cum") * 3 <= 2 * F.col("t"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+    return scores.join(buckets, "avg_p_e6").select(
+        "doc", "n_bigrams", "avg_p_e6", "bucket"
+    )

@@ -6610,3 +6610,60 @@ def q136_bpe_pair_counts(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return bpe_pair_counts(docs, "text", top=50)
+
+
+def _lm_buckets_oracle() -> str:
+    return f"""
+    WITH pos AS (
+      SELECT doc_id AS doc,
+             string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+      FROM (SELECT doc_id, unnest({_DUCK_BIGRAMS}) AS bg FROM documents)
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS c2 FROM pos GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+    ), lm AS (
+      SELECT c2.w1 AS w1, w2, c2 * 1000000 // c1 AS p_e6
+      FROM c2 JOIN c1 ON c2.w1 = c1.w1
+    ), sc AS (
+      SELECT doc, count(*) AS n_bigrams,
+             CAST(SUM(p_e6) AS BIGINT) // count(*) AS avg_p_e6
+      FROM pos JOIN lm ON pos.w1 = lm.w1 AND pos.w2 = lm.w2
+      GROUP BY doc
+    ), m AS (
+      SELECT avg_p_e6, CAST(SUM(n_bigrams) AS BIGINT) AS mass
+      FROM sc GROUP BY avg_p_e6
+    ), c AS (
+      SELECT avg_p_e6,
+             SUM(mass) OVER (ORDER BY avg_p_e6 DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(mass) OVER () AS t
+      FROM m
+    ), b AS (
+      SELECT avg_p_e6,
+             CASE WHEN cum * 3 <= t THEN 'head'
+                  WHEN cum * 3 <= 2 * t THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM c
+    )
+    SELECT sc.doc AS doc, sc.n_bigrams, sc.avg_p_e6, b.bucket
+    FROM sc JOIN b ON b.avg_p_e6 = sc.avg_p_e6
+    """
+
+
+@register("q137_perplexity_buckets", _lm_buckets_oracle())
+def q137_perplexity_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing — the head/middle/tail quality split
+    every curated-crawl pipeline applies: docs score under the
+    corpus's own bigram LM (q79's exact fixed-point fluency proxy)
+    and split at 1/3 and 2/3 of cumulative bigram mass, most-fluent
+    first. The 100×-safe part (corpus.lm_quality_buckets): the running
+    mass windows over the (score → mass) aggregation — bounded by the
+    score's fixed-point domain at ≤ 1e6 rows regardless of corpus
+    size — and the bucket map joins back on the score value (AQE
+    broadcast); the corpus never globally sorts."""
+    from queens_spark.operators.corpus import lm_quality_buckets
+
+    return lm_quality_buckets(
+        load(spark, sf_dir, "documents"), "text", "doc_id"
+    )

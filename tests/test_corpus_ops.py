@@ -153,3 +153,45 @@ def test_bm25_matches_reference(spark, doc_words, qterms):
                "text", "doc_id", list(qterms), k=len(docs),
            ).collect()}
     assert got == _bm25_reference(docs, qterms)
+
+
+def test_lm_quality_buckets_semantics(spark):
+    from queens_spark.operators.corpus import lm_quality_buckets
+
+    # fluent = repeated template text (high bigram probability under
+    # the corpus's own LM); salad = one-off word pairs (low)
+    texts = (
+        ["the cat sat on the mat"] * 6
+        + ["the cat sat on a rug"] * 3
+        + ["zebra quark velvet onion gasket prism"]
+        + ["onion zebra prism quark gasket velvet"]
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    rows = lm_quality_buckets(df, "text", "doc_id").collect()
+    by_doc = {r["doc"]: r for r in rows}
+    assert len(rows) == len(texts)
+
+    # same score => same bucket (value-thresholded boundaries)
+    seen = {}
+    for r in rows:
+        if r["avg_p_e6"] in seen:
+            assert seen[r["avg_p_e6"]] == r["bucket"]
+        seen[r["avg_p_e6"]] = r["bucket"]
+
+    # bucket order is monotone in score: no tail doc outscores a head doc
+    rank = {"head": 0, "middle": 1, "tail": 2}
+    ordered = sorted(rows, key=lambda r: -r["avg_p_e6"])
+    assert [rank[r["bucket"]] for r in ordered] == sorted(
+        rank[r["bucket"]] for r in ordered
+    )
+
+    # the template docs are the most fluent; the salads score worst
+    assert by_doc[0]["avg_p_e6"] > by_doc[10]["avg_p_e6"]
+    assert by_doc[10]["bucket"] == "tail"
+
+    # head mass never exceeds a third of total (inclusive threshold)
+    total = sum(r["n_bigrams"] for r in rows)
+    head = sum(r["n_bigrams"] for r in rows if r["bucket"] == "head")
+    assert head * 3 <= total
