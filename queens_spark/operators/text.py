@@ -417,3 +417,70 @@ def duckdb_char_poly_hash(expr: str, p: int = HASH_MOD) -> str:
         f"i -> CAST(ascii(substring({expr}, i, 1)) AS BIGINT))), "
         f"(a, b) -> (a*31 + b) % {p})"
     )
+
+
+# ------------------------------------------------- filter cascade
+
+def filter_verdict(
+    text: Column | str,
+    min_tokens: int = 15,
+    lang: str = "en",
+    max_dup_line_frac: float = 0.3,
+    max_symbol_ratio: float = 0.1,
+    min_quality: float = 0.5,
+) -> Column:
+    """FineWeb/Gopher-style filter CASCADE verdict: the first failing
+    rule labels the document (cheap structural screens before
+    statistical ones — the order real pipelines use so the audit
+    funnel reads as a narrowing sequence), 'keep' if all pass:
+
+    too_short → language → repetition → symbols → low_quality → keep
+
+    Every signal is one of this module's bit-portable per-document
+    screens (pure array expressions, zero shuffle, linear scan);
+    thresholds compare identically-computed IEEE doubles, so the
+    verdict itself is engine-portable.
+    """
+    return (
+        F.when(token_count(text) < min_tokens, F.lit("too_short"))
+        .when(lang_id(text) != lang, F.lit("language"))
+        .when(dup_line_frac(text) > max_dup_line_frac, F.lit("repetition"))
+        .when(symbol_word_ratio(text) > max_symbol_ratio, F.lit("symbols"))
+        .when(quality_score(text) < min_quality, F.lit("low_quality"))
+        .otherwise(F.lit("keep"))
+    )
+
+
+def filter_funnel(
+    df, text_col: str, id_col: str, **thresholds
+) -> "DataFrame":
+    """The curation audit report: per cascade verdict, how many docs
+    and tokens land there and the exact basis-point share of the
+    corpus — what a data team ships with every corpus release. One
+    linear scan + a verdict-keyed counter aggregation (≤ 6 groups);
+    the share divides by a whole-frame window total over that
+    6-row frame, never a second corpus pass."""
+    from pyspark.sql import Window
+
+    per_doc = df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        filter_verdict(text_col, **thresholds).alias("verdict"),
+    )
+    agg = per_doc.groupBy("verdict").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    return agg.select(
+        "verdict",
+        "n_docs",
+        "n_tokens",
+        F.expr("n_docs * 10000").cast("bigint").alias("_num"),
+        F.sum("n_docs").over(w_all).alias("_tot"),
+    ).select(
+        "verdict",
+        "n_docs",
+        "n_tokens",
+        F.expr("_num div _tot").alias("doc_share_bp"),
+    )

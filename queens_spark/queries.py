@@ -6667,3 +6667,88 @@ def q137_perplexity_buckets(spark, sf_dir):
     return lm_quality_buckets(
         load(spark, sf_dir, "documents"), "text", "doc_id"
     )
+
+
+def _filter_funnel_oracle() -> str:
+    from queens_spark.operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    cases = []
+    for lang in langs:
+        others = [f"s_{lang} >= s_{o}" for o in langs if o != lang]
+        cases.append(
+            "WHEN " + " AND ".join(others + [f"s_{lang} > 0"])
+            + f" THEN '{lang}'"
+        )
+    lang_case = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    scores = ",\n             ".join(
+        f"{_duck_lang_score(m)} AS s_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    lines = ("list_filter(list_transform(string_split(text, chr(10)), "
+             "x -> trim(x)), x -> x <> '')")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tok,
+             CASE WHEN len({_DUCK_TOKS}) > 0
+                  THEN CAST(len(list_distinct({_DUCK_TOKS})) AS DOUBLE)
+                       / len({_DUCK_TOKS})
+                  ELSE 0.0 END AS ttr,
+             CAST(length(text) AS BIGINT) AS n,
+             CAST(length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+                  AS BIGINT) AS n_clean,
+             {lines} AS ls,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  AS BIGINT) AS n_hash,
+             CAST(len(regexp_extract_all(text, '\\.\\.\\.'))
+                  AS BIGINT) AS n_ellipsis,
+             {scores}
+      FROM documents
+    ), v AS (
+      SELECT doc_id, n_tok AS n_tokens,
+        CASE
+          WHEN n_tok < 15 THEN 'too_short'
+          WHEN ({lang_case}) <> 'en' THEN 'language'
+          WHEN (CASE WHEN len(ls) > 0
+                THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
+                     / CAST(len(ls) AS DOUBLE)
+                ELSE 0.0 END) > 0.3 THEN 'repetition'
+          WHEN (CASE WHEN n_tok > 0
+                THEN CAST(n_hash + n_ellipsis AS DOUBLE)
+                     / CAST(n_tok AS DOUBLE)
+                ELSE 0.0 END) > 0.1 THEN 'symbols'
+          WHEN (0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+                + 0.3 * (1.0 - CASE WHEN n > 0
+                     THEN CAST(n - n_clean AS DOUBLE) / n
+                     ELSE 0.0 END)
+                + 0.3 * ttr) < 0.5 THEN 'low_quality'
+          ELSE 'keep'
+        END AS verdict
+      FROM d
+    )
+    SELECT verdict,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           count(*) * 10000 // (SELECT count(*) FROM v) AS doc_share_bp
+    FROM v GROUP BY verdict
+    """
+
+
+@register("q138_filter_funnel", _filter_funnel_oracle())
+def q138_filter_funnel(spark, sf_dir):
+    """FineWeb/Gopher-style filter-cascade AUDIT: every document gets
+    its first-failing rule (too_short → language → repetition →
+    symbols → low_quality → keep — cheap structural screens before
+    statistical ones) and the funnel reports docs, token mass, and
+    exact basis-point share per verdict — the report a data team
+    ships with every corpus release. One linear corpus scan (each
+    screen is a zero-shuffle per-row expression from operators/
+    text.py), a ≤ 6-group counter aggregation, and a whole-frame
+    window over THAT 6-row frame for the share — never a second
+    corpus pass (operators/text.py:filter_verdict / filter_funnel)."""
+    from queens_spark.operators.text import filter_funnel
+
+    return filter_funnel(
+        load(spark, sf_dir, "documents"), "text", "doc_id"
+    )

@@ -89,3 +89,41 @@ def test_max_multiplicity_on_literals(spark):
     )
     row = df.collect()[0]
     assert row["m"] == 3 and row["empty"] == 0
+
+
+def test_filter_cascade_all_verdicts(spark):
+    from queens_spark.operators.text import filter_funnel, filter_verdict
+    from pyspark.sql import functions as F
+
+    fluent = ("the cat sat on the mat and the dog ran to the park "
+              "with a ball and a stick for fun today")
+    docs = [
+        (0, "tiny doc"),                                    # too_short
+        (1, "le chat est sur le tapis et le chien est la "
+            "et le chat est une bete et le chien aussi"),   # language
+        (2, "the line is a line\n" * 20 + "the end is near "
+            "and the cat is on the mat with a dog"),        # repetition
+        (3, "the " + "# " * 30 + "cat sat on the mat and "
+            "the dog ran to the park today is fine"),       # symbols
+        (4, "the the the the the the the the the the the "
+            "the the the the the"),                         # low_quality
+        (5, fluent),                                        # keep
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["v"]
+        for r in df.select(
+            "doc_id", filter_verdict("text").alias("v")
+        ).collect()
+    }
+    assert got == {
+        0: "too_short", 1: "language", 2: "repetition",
+        3: "symbols", 4: "low_quality", 5: "keep",
+    }, got
+
+    funnel = {r["verdict"]: r for r in
+              filter_funnel(df, "text", "doc_id").collect()}
+    assert len(funnel) == 6
+    assert all(r["n_docs"] == 1 for r in funnel.values())
+    # exact integer shares: 6 docs -> 1666 bp each
+    assert all(r["doc_share_bp"] == 1666 for r in funnel.values())
