@@ -177,6 +177,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "(needs a positions=True index)")
     tx.add_argument("--require-all", action="store_true",
                     help="search: conjunctive (AND) BM25")
+    tx.add_argument("--facet", default=None,
+                    help="search: facet histogram — matching-doc "
+                         "counts per value of this meta_cols column "
+                         "over the WHOLE candidate pool")
     tx.add_argument("--meta-cols", default=None,
                     help="build: comma-separated metadata columns to "
                          "denormalize onto the postings")
@@ -697,7 +701,14 @@ def _run_tindex(spark, engine, args) -> int:
             )
         terms = [t for t in args.terms.split(",") if t]
         idx = engine.text_index(name)
-        if args.phrase:
+        if args.facet is not None:
+            out = idx.facet_counts(
+                terms, args.facet, predicate=args.where,
+                require_all=args.require_all,
+            )
+            rows = [{"facet_value": r[args.facet], "n_docs": r["n_docs"]}
+                    for r in out.collect()]
+        elif args.phrase:
             out = idx.phrase_topk(terms, k=args.k, predicate=args.where)
             rows = [{"doc": r["doc"],
                      "n_occurrences": r["n_occurrences"]}

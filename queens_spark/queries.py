@@ -6752,3 +6752,39 @@ def q138_filter_funnel(spark, sf_dir):
     return filter_funnel(
         load(spark, sf_dir, "documents"), "text", "doc_id"
     )
+
+
+def _facet_oracle(terms: list[str], facet: str) -> str:
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+    WITH m AS (
+      SELECT DISTINCT doc_id, {facet} FROM (
+        SELECT doc_id, {facet}, unnest({_DUCK_TOKS}) AS token
+        FROM documents
+      ) WHERE token IN ({tl})
+    )
+    SELECT {facet} AS facet_value, count(*) AS n_docs
+    FROM m GROUP BY {facet}
+    ORDER BY n_docs DESC, facet_value ASC
+    """
+
+
+@register("q139_faceted_search", _facet_oracle(["dup", "merge"], "source"))
+def q139_faceted_search(spark, sf_dir):
+    """Faceted search — the result-set composition sidebar every
+    search UI ships: for the query {dup, merge}, matching-document
+    counts per source over the WHOLE candidate pool (standard facet
+    semantics: facets describe the result set, not the top-k page).
+    Served from the stored postings index with zero corpus touch: the
+    facet column rides the bucket-pruned scan via meta_cols (no
+    documents join), multi-term matches collapse per (doc, facet),
+    then one facet-width counter aggregation
+    (store/text_index.py:facet_counts)."""
+    return (
+        _documents_text_index(spark, sf_dir)
+        .facet_counts(["dup", "merge"], "source")
+        .select(
+            F.col("source").alias("facet_value"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+    )

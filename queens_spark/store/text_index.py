@@ -387,6 +387,50 @@ class TextIndex:
             )
         return scored.orderBy(F.desc("bm25_e5"), F.asc("doc")).limit(k)
 
+    def facet_counts(
+        self,
+        query_terms: list[str],
+        facet_col: str,
+        predicate=None,
+        require_all: bool = False,
+    ) -> DataFrame:
+        """Facet histogram over the MATCHING-document pool — the
+        search-UI sidebar ("results by source: src3 (41), src1
+        (38)…") and the result-set composition audit: for the query
+        terms, count matching documents per *facet_col* value.
+        Facets count the WHOLE candidate pool, not the top-k page —
+        standard facet semantics. Matching = any query term
+        (*require_all* switches to conjunctive), optionally
+        *predicate*-restricted like every other serving path.
+
+        Serving shape: the SAME bucket-pruned postings scan as
+        :meth:`bm25_topk` (the facet column rides the postings via
+        ``meta_cols`` — no documents join), a per-(doc, facet)
+        collapse of multi-term matches, then a facet-width counter
+        aggregation. Zero corpus touch; output cardinality is the
+        facet's value domain.
+        """
+        if facet_col not in (self.entry.get("meta_cols") or []):
+            raise ValueError(
+                f"facet column {facet_col!r} is not in this index's "
+                f"meta_cols {self.entry.get('meta_cols')}; rebuild with "
+                "meta_cols=[...] to facet on it"
+            )
+        qtf = self.query_postings(query_terms).withColumnRenamed(
+            self.id_col, "doc"
+        )
+        cand = (
+            self._filtered(qtf, predicate)
+            .groupBy("doc", facet_col)
+            .agg(F.count(F.lit(1)).alias("n_terms"))
+        )
+        if require_all:
+            cand = cand.where(F.col("n_terms") == len(set(query_terms)))
+        return (
+            cand.groupBy(facet_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc(facet_col))
+        )
 
     def vocabulary(self, top: int = 100) -> DataFrame:
         """Global top-*top* vocabulary SERVED from the postings: the

@@ -897,3 +897,90 @@ def test_resolve_terms_and_corrected_bm25(spark, tmp_path):
         idx.corrected_bm25_topk(["zzzzzzzz"], k=3)
     with pytest.raises(ValueError, match="max_dist"):
         idx.resolve_terms(["x"], max_dist=0)
+
+
+def test_facet_counts_matches_inline_and_modes(spark, docs, tmp_path):
+    """Facet histograms must equal a direct tokenize computation on
+    the corpus, in both any-term and require_all modes, and compose
+    with metadata predicates."""
+    idir = str(tmp_path / "tidx_facet")
+    build_text_index(
+        docs, "text", "doc_id", "d", idir, meta_cols=["source", "lang"]
+    )
+    idx = load_text_index(spark, idir, "d")
+    terms = ["dup", "merge"]
+
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    exploded = docs.select(
+        "doc_id", "source", F.explode(toks).alias("t")
+    ).where(F.col("t").isin(terms))
+
+    def expect(require_all: bool):
+        per_doc = exploded.groupBy("doc_id", "source").agg(
+            F.count_distinct("t").alias("nt")
+        )
+        if require_all:
+            per_doc = per_doc.where(F.col("nt") == len(terms))
+        return {
+            (r["source"], r["n_docs"])
+            for r in per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .collect()
+        }
+
+    for ra in (False, True):
+        got = {
+            (r["source"], r["n_docs"])
+            for r in idx.facet_counts(terms, "source", require_all=ra).collect()
+        }
+        assert got == expect(ra), ra
+
+    # predicate-restricted facets: only en docs counted
+    got_en = {
+        (r["source"], r["n_docs"])
+        for r in idx.facet_counts(terms, "source", predicate="lang = 'en'").collect()
+    }
+    en_docs = {r["doc_id"] for r in docs.where("lang = 'en'").collect()}
+    per_doc = exploded.groupBy("doc_id", "source").count().collect()
+    exp = {}
+    for r in per_doc:
+        if r["doc_id"] in en_docs:
+            exp[r["source"]] = exp.get(r["source"], 0) + 1
+    assert got_en == set(exp.items())
+
+    with pytest.raises(ValueError, match="meta_cols"):
+        idx.facet_counts(terms, "n_chars")
+
+
+def test_facet_counts_plan_is_bucket_pruned_zero_corpus(spark, docs, tmp_path):
+    idir = str(tmp_path / "tidx_facet_plan")
+    build_text_index(
+        docs, "text", "doc_id", "d", idir, meta_cols=["source"]
+    )
+    idx = load_text_index(spark, idir, "d")
+    plan = plan_of(idx.facet_counts(["dup", "merge"], "source"))
+    assert "PartitionFilters" in plan and "tok_bucket" in plan
+    assert "Generate" not in plan
+    assert "documents.parquet" not in plan
+
+
+def test_cli_facet_search(spark, docs, tmp_path, capsys):
+    import json as _json
+
+    from queens_spark.cli import main
+    from queens_spark.facade import Engine
+
+    root = str(tmp_path / "wh")
+    eng = Engine(spark, root)
+    eng.build_text_index(
+        docs, "text", "doc_id", "docs", meta_cols=["source"]
+    )
+    rc = main(["--warehouse", root, "tindex", "search", "docs",
+               "--terms", "dup,merge", "--facet", "source"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = {(r["facet_value"], r["n_docs"]) for r in out["results"]}
+    idx = eng.text_index("docs")
+    exp = {(r["source"], r["n_docs"])
+           for r in idx.facet_counts(["dup", "merge"], "source").collect()}
+    assert got == exp and got
