@@ -467,6 +467,79 @@ def semantic_dedup(
     )
 
 
+def knn_graph(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroid_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """Cluster-bounded exact kNN GRAPH: every vector's top-*k* nearest
+    neighbors within its coarse cell — the construction behind
+    SemDeDup's pair search generalized to a reusable artifact (dataset
+    cartography, label-error detection, graph-based curation all
+    consume a kNN graph). Returns (vec_id, neighbor_id, rank, cos),
+    rank 1..k per vector, ties broken on neighbor id.
+
+    Why cluster-bounded: a global exact graph is O(n²); restricting
+    edges to shared-cell pairs bounds the quadratic term to
+    Σ cluster² (the SemDeDup trade — near neighbors co-locate;
+    cross-cell edges are forfeited, recall rises with finer/trained
+    cells). At deployment scale the cells come from the STORED IVF
+    index (store/vector_index.py), so assignment is a manifest read,
+    not a recompute.
+
+    Plan shape: one persisted (id, q, n2, cell) projection (quantize
+    and the self-norm computed ONCE — the projection-collapse barrier
+    CLAUDE.md documents); the pair join shuffles on centroid_id only;
+    cosine is the exact-int64-dot → identical-IEEE-division form every
+    cosine operator here uses (pure JVM fold, no UDF); the top-k
+    window partitions by source vector, whose group is bounded by
+    cluster size, never corpus size.
+    """
+    from queens_spark.operators.dedup import _persist
+    from pyspark.sql import Window
+
+    q = df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q"))
+    assigned = ivf_assign(df, vec_col, id_col, centroid_ids).select(
+        F.col(id_col).alias("id"), "centroid_id"
+    )
+    v = _persist(
+        q.join(assigned, "id").select(
+            "id", "q", "centroid_id", int_norm2(F.col("q")).alias("n2")
+        )
+    )
+    a = v.select(
+        F.col("id").alias("vec_id"), F.col("q").alias("qa"),
+        F.col("n2").alias("na2"), "centroid_id",
+    )
+    b = v.select(
+        F.col("id").alias("neighbor_id"), F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"), "centroid_id",
+    )
+    scored = (
+        a.join(b, "centroid_id")
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            cosine_from_ints(
+                int_dot(F.col("qa"), F.col("qb")),
+                F.col("na2"),
+                F.col("nb2"),
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def double_dot(a: Column, b: Column) -> Column:
     """Left-fold double dot product — fixed evaluation order, so any
     engine folding the same way is bit-identical."""

@@ -6788,3 +6788,68 @@ def q139_faceted_search(spark, sf_dir):
             F.col("n_docs").cast("bigint").alias("n_docs"),
         )
     )
+
+
+def _knn_graph_oracle(k: int) -> str:
+    from queens_spark.operators.similarity import duckdb_int_dot, duckdb_quantize
+
+    qv = duckdb_quantize("embedding")
+    cos = (
+        f"CAST({duckdb_int_dot('a.q', 'b.q')} AS DOUBLE)"
+        f" / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, {qv} AS q FROM embeddings
+    ), n AS (
+      SELECT vec_id, q, {duckdb_int_dot('q', 'q')} AS n2 FROM v
+    ), cents AS (
+      SELECT vec_id AS centroid_id, q AS cq, n2 AS cn2 FROM n
+      WHERE vec_id % 200 = 0
+    ), assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY CAST({duckdb_int_dot('v.q', 'c.cq')} AS DOUBLE)
+                   / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+                 c.centroid_id ASC) AS rk
+        FROM n v, cents c
+      ) WHERE rk = 1
+    ), av AS (
+      SELECT a.vec_id, a.centroid_id, n.q, n.n2
+      FROM assign a JOIN n ON n.vec_id = a.vec_id
+    ), edges AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id, {cos} AS cos
+      FROM av a JOIN av b
+        ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, rank, cos FROM (
+      SELECT vec_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM edges
+    ) WHERE rank <= {k}
+    """
+
+
+@register("q140_knn_graph", _knn_graph_oracle(5))
+def q140_knn_graph(spark, sf_dir):
+    """Cluster-bounded exact kNN graph — SemDeDup's pair search
+    generalized to the reusable artifact dataset cartography and
+    graph-based curation consume: every vector's top-5 neighbors
+    within its coarse cell (centroids vec_id %% 200 == 0, the q33/q86
+    convention), exact int64-dot cosines, deterministic neighbor-id
+    ties. The quadratic term is bounded to Σ cluster²; the top-k
+    window partitions by source vector (group ≤ cluster size); pure
+    JVM fold arithmetic, no UDF
+    (operators/similarity.py:knn_graph)."""
+    from queens_spark.operators.similarity import knn_graph
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_ids = [
+        r[0]
+        for r in emb.where(F.col("vec_id") % 200 == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    return knn_graph(emb, "embedding", "vec_id", cent_ids, k=5)

@@ -468,3 +468,53 @@ def test_batch_topk_cosine_zero_norm_query_raises(spark):
         [Row(query_id=99, embedding=[0.0] * dim)])
     with pytest.raises(ValueError, match="zero quantized norm"):
         batch_topk_cosine(q, emb, "embedding", "vec_id")
+
+
+def test_knn_graph_matches_bruteforce(spark):
+    """Cluster-bounded kNN graph equals a per-cell numpy brute force
+    (same quantized-integer cosines, same tie convention)."""
+    import math
+    import random
+
+    import pytest
+
+    from queens_spark.operators.similarity import knn_graph, QUANT
+
+    rng = random.Random(140)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(60)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    cent_ids = [0, 7, 21]
+    got = {
+        (r["vec_id"], r["rank"]): (r["neighbor_id"], r["cos"])
+        for r in knn_graph(df, "embedding", "vec_id", cent_ids, k=3).collect()
+    }
+
+    def qz(v):
+        return [math.floor(float(x) * QUANT) for x in v]
+
+    def cos(a, b):
+        qa, qb = qz(a), qz(b)
+        dot = sum(x * y for x, y in zip(qa, qb))
+        na = math.sqrt(float(sum(x * x for x in qa)))
+        nb = math.sqrt(float(sum(x * x for x in qb)))
+        return float(dot) / (na * nb)
+
+    # assignment: nearest centroid by the same cosine, lowest-id ties
+    cell = {}
+    for i, v in vecs.items():
+        best = min(
+            ((-cos(v, vecs[c]), c) for c in cent_ids)
+        )
+        cell[i] = best[1]
+    exp = {}
+    for i in vecs:
+        peers = [j for j in vecs if j != i and cell[j] == cell[i]]
+        ranked = sorted(peers, key=lambda j: (-cos(vecs[i], vecs[j]), j))
+        for rk, j in enumerate(ranked[:3], start=1):
+            exp[(i, rk)] = (j, cos(vecs[i], vecs[j]))
+    assert set(got) == set(exp)
+    for key in exp:
+        assert got[key][0] == exp[key][0], (key, got[key], exp[key])
+        assert got[key][1] == pytest.approx(exp[key][1], abs=1e-12)
