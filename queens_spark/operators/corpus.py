@@ -482,3 +482,85 @@ def lm_quality_buckets(
     return scores.join(buckets, "avg_p_e6").select(
         "doc", "n_bigrams", "avg_p_e6", "bucket"
     )
+
+
+#: Fixed-point scale for hashed-feature probabilities.
+ALIGN_SCALE = 1_000_000_000
+
+
+def hashed_alignment_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_predicate,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-inspired data selection: score every document by how much
+    better its hashed unigram features fit a TARGET subcorpus than the
+    raw corpus (Xie et al. 2023's hashed-n-gram importance estimators;
+    the scoring form here is the bit-portable linear difference of
+    smoothed fixed-point probabilities rather than the log-ratio —
+    exact integers, so both engines reproduce it bit-for-bit, and it
+    ranks documents by the same "more target-like than corpus-like"
+    signal). Returns (doc, n_tokens, align_e9): positive = closer to
+    the target distribution, feed into weighted/threshold resampling
+    (e.g. :func:`~queens_spark.operators.sampling.hash_sample` after
+    a score cut).
+
+    score(doc) = Σ_b cnt_doc(b) · (p̂_target_e9(b) − p̂_corpus_e9(b)),
+    p̂ = Laplace-smoothed ⌊(cnt+1)·1e9 / (total+n_buckets)⌋.
+
+    Scale shape: tokens hash (char-once polynomial) into *n_buckets*
+    features, so BOTH distribution tables are bounded at n_buckets
+    counter rows (broadcastable at any corpus size); the corpus makes
+    ONE explode pass feeding the per-doc, corpus, and target
+    aggregations; the per-doc finish joins doc-bucket counts against
+    the broadcast tables and sums exact int64 terms (the 1e9 scale ×
+    doc tokens stays far inside the envelope).
+    """
+    from queens_spark.operators.dedup import _persist
+    from queens_spark.operators.text import char_poly_hash
+
+    pred = (
+        F.expr(target_predicate)
+        if isinstance(target_predicate, str)
+        else target_predicate
+    )
+    feats = _persist(
+        df.select(
+            F.col(id_col).alias("doc"),
+            pred.alias("is_t"),
+            F.explode(tokens(text_col)).alias("tok"),
+        ).select(
+            "doc",
+            "is_t",
+            (char_poly_hash(F.col("tok")) % n_buckets).alias("b"),
+        )
+    )
+    doc_b = feats.groupBy("doc", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    s_b = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
+    t_b = (
+        feats.where("is_t").groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = feats.agg(
+        F.count(F.lit(1)).alias("ts"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("tt"),
+    )
+    scored = (
+        doc_b.join(F.broadcast(s_b), "b")
+        .join(F.broadcast(t_b), "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc",
+            "cnt",
+            F.expr(
+                f"cnt * ((coalesce(ct, 0) + 1) * {ALIGN_SCALE} "
+                f"div (tt + {n_buckets}) "
+                f"- (cs + 1) * {ALIGN_SCALE} div (ts + {n_buckets}))"
+            ).alias("term"),
+        )
+    )
+    return scored.groupBy("doc").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum("term").cast("bigint").alias("align_e9"),
+    )

@@ -6853,3 +6853,59 @@ def q140_knn_graph(spark, sf_dir):
         .collect()
     ]
     return knn_graph(emb, "embedding", "vec_id", cent_ids, k=5)
+
+
+def _alignment_oracle(n_buckets: int) -> str:
+    from queens_spark.operators.corpus import ALIGN_SCALE
+    from queens_spark.operators.text import duckdb_char_poly_hash
+
+    h = duckdb_char_poly_hash("tok")
+    return f"""
+    WITH f AS (
+      SELECT doc_id, (source = 'src0') AS is_t,
+             ({h}) % {n_buckets} AS b
+      FROM (SELECT doc_id, source, unnest({_DUCK_TOKS}) AS tok
+            FROM documents)
+    ), db AS (
+      SELECT doc_id, b, count(*) AS cnt FROM f GROUP BY doc_id, b
+    ), sb AS (
+      SELECT b, count(*) AS cs FROM f GROUP BY b
+    ), tb AS (
+      SELECT b, count(*) AS ct FROM f WHERE is_t GROUP BY b
+    ), tot AS (
+      SELECT count(*) AS ts,
+             (SELECT count(*) FROM f WHERE is_t) AS tt
+      FROM f
+    )
+    SELECT doc_id AS doc,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(sum(cnt * (
+             (coalesce(ct, 0) + 1) * {ALIGN_SCALE} // (tt + {n_buckets})
+             - (cs + 1) * {ALIGN_SCALE} // (ts + {n_buckets})
+           )) AS BIGINT) AS align_e9
+    FROM db JOIN sb USING (b) LEFT JOIN tb USING (b), tot
+    GROUP BY doc_id
+    """
+
+
+@register("q141_dsir_alignment", _alignment_oracle(4096))
+def q141_dsir_alignment(spark, sf_dir):
+    """DSIR-style data selection score: every document rated by how
+    much better its hashed unigram features fit the TARGET subcorpus
+    (source = 'src0' — the curated-slice stand-in) than the raw
+    corpus, as the bit-portable linear difference of Laplace-smoothed
+    fixed-point distributions (exact int64 — the log-ratio form isn't
+    bit-portable; this ranks by the same target-likeness signal).
+    Scale shape (corpus.hashed_alignment_scores): ONE tokenize/explode
+    pass feeds per-doc, corpus, and target aggregations; both
+    distribution tables are bounded at 4096 counter rows and
+    broadcast; the per-doc finish is a doc-keyed counter sum."""
+    from queens_spark.operators.corpus import hashed_alignment_scores
+
+    return hashed_alignment_scores(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        "source = 'src0'",
+        n_buckets=4096,
+    )

@@ -195,3 +195,55 @@ def test_lm_quality_buckets_semantics(spark):
     total = sum(r["n_bigrams"] for r in rows)
     head = sum(r["n_bigrams"] for r in rows if r["bucket"] == "head")
     assert head * 3 <= total
+
+
+def test_hashed_alignment_scores_reference(spark):
+    from queens_spark.operators.corpus import (
+        ALIGN_SCALE,
+        hashed_alignment_scores,
+    )
+    from queens_spark.operators.text import HASH_MOD
+
+    docs = [
+        (0, "alpha beta alpha gamma", True),
+        (1, "alpha alpha beta beta", True),
+        (2, "delta epsilon zeta eta", False),
+        (3, "delta delta zeta theta", False),
+        (4, "alpha delta beta zeta", False),  # mixed
+        (5, "", False),                        # empty: absent from output
+    ]
+    nb = 64
+    df = spark.createDataFrame(docs, ["doc_id", "text", "is_target"])
+    got = {
+        r["doc"]: (r["n_tokens"], r["align_e9"])
+        for r in hashed_alignment_scores(
+            df, "text", "doc_id", "is_target", n_buckets=nb
+        ).collect()
+    }
+
+    def phash(t):
+        h = 0
+        for ch in t:
+            h = (h * 31 + ord(ch)) % HASH_MOD
+        return h % nb
+
+    feats = [(d, tgt, phash(t)) for d, txt, tgt in docs
+             for t in txt.split()]
+    ts = len(feats)
+    tt = sum(1 for _, tgt, _ in feats if tgt)
+    cs, ct, db = {}, {}, {}
+    for d, tgt, b in feats:
+        cs[b] = cs.get(b, 0) + 1
+        if tgt:
+            ct[b] = ct.get(b, 0) + 1
+        db[(d, b)] = db.get((d, b), 0) + 1
+    exp = {}
+    for (d, b), cnt in db.items():
+        pt = (ct.get(b, 0) + 1) * ALIGN_SCALE // (tt + nb)
+        ps = (cs[b] + 1) * ALIGN_SCALE // (ts + nb)
+        n, s = exp.get(d, (0, 0))
+        exp[d] = (n + cnt, s + cnt * (pt - ps))
+    assert got == exp
+    assert 5 not in got  # empty doc has no features
+    # target-vocabulary docs outscore off-target ones
+    assert min(got[0][1], got[1][1]) > max(got[2][1], got[3][1])
