@@ -540,6 +540,43 @@ def knn_graph(
     )
 
 
+def knn_hubness(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroid_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """Hubness audit of the cluster-bounded kNN graph: the in-degree
+    histogram — how many vectors appear in exactly d other vectors'
+    top-k lists, for every observed in-degree d (vectors in nobody's
+    list appear as in-degree 0). Hub vectors (in-degree ≫ k) are the
+    documented ANN pathology (high-dimensional hubness skews
+    retrieval toward a few points and marks cluster centers /
+    near-duplicate cores); a heavy histogram tail is the rebuild /
+    re-embed signal, the vector twin of the text side's hot-token
+    audit (token_stats).
+
+    Two counter-width aggregations over the already-bounded kNN edge
+    list (|V|·k rows): in-degree per vector, then count per in-degree
+    — output cardinality is the distinct-degree count. Returns
+    (in_degree, n_vectors) ordered by in_degree.
+    """
+    edges = knn_graph(df, vec_col, id_col, centroid_ids, k=k)
+    indeg = edges.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    all_ids = df.select(F.col(id_col).alias("neighbor_id"))
+    full = all_ids.join(indeg, "neighbor_id", "left").select(
+        F.coalesce("in_degree", F.lit(0)).cast("bigint").alias("in_degree")
+    )
+    return (
+        full.groupBy("in_degree")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("in_degree")
+    )
+
+
 def double_dot(a: Column, b: Column) -> Column:
     """Left-fold double dot product — fixed evaluation order, so any
     engine folding the same way is bit-identical."""

@@ -6909,3 +6909,74 @@ def q141_dsir_alignment(spark, sf_dir):
         "source = 'src0'",
         n_buckets=4096,
     )
+
+
+def _hubness_oracle(k: int) -> str:
+    from queens_spark.operators.similarity import duckdb_int_dot, duckdb_quantize
+
+    qv = duckdb_quantize("embedding")
+    cos = (
+        f"CAST({duckdb_int_dot('a.q', 'b.q')} AS DOUBLE)"
+        f" / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, {qv} AS q FROM embeddings
+    ), n AS (
+      SELECT vec_id, q, {duckdb_int_dot('q', 'q')} AS n2 FROM v
+    ), cents AS (
+      SELECT vec_id AS centroid_id, q AS cq, n2 AS cn2 FROM n
+      WHERE vec_id % 200 = 0
+    ), assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY CAST({duckdb_int_dot('v.q', 'c.cq')} AS DOUBLE)
+                   / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+                 c.centroid_id ASC) AS rk
+        FROM n v, cents c
+      ) WHERE rk = 1
+    ), av AS (
+      SELECT a.vec_id, a.centroid_id, n.q, n.n2
+      FROM assign a JOIN n ON n.vec_id = a.vec_id
+    ), topk AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {cos} DESC, b.vec_id ASC) AS rank
+        FROM av a JOIN av b
+          ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+      ) WHERE rank <= {k}
+    ), indeg AS (
+      SELECT e.vec_id,
+             CAST(coalesce(d.c, 0) AS BIGINT) AS in_degree
+      FROM embeddings e LEFT JOIN (
+        SELECT neighbor_id, count(*) AS c FROM topk GROUP BY neighbor_id
+      ) d ON d.neighbor_id = e.vec_id
+    )
+    SELECT in_degree, count(*) AS n_vectors
+    FROM indeg GROUP BY in_degree ORDER BY in_degree
+    """
+
+
+@register("q142_knn_hubness", _hubness_oracle(5))
+def q142_knn_hubness(spark, sf_dir):
+    """Hubness audit of the kNN graph — the documented ANN pathology
+    check (high-dimensional hubs appear in far more top-k lists than
+    k, skewing retrieval and marking near-duplicate cores): the full
+    in-degree histogram of q140's cluster-bounded graph, zero-degree
+    vectors included. Two counter-width aggregations over the
+    |V|·k-bounded edge list; output cardinality is the distinct
+    in-degree count — the vector-quality twin of the lexical
+    hot-token audit (q129)
+    (operators/similarity.py:knn_hubness)."""
+    from queens_spark.operators.similarity import knn_hubness
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_ids = [
+        r[0]
+        for r in emb.where(F.col("vec_id") % 200 == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    return knn_hubness(emb, "embedding", "vec_id", cent_ids, k=5)

@@ -518,3 +518,21 @@ def test_knn_graph_matches_bruteforce(spark):
     for key in exp:
         assert got[key][0] == exp[key][0], (key, got[key], exp[key])
         assert got[key][1] == pytest.approx(exp[key][1], abs=1e-12)
+
+
+def test_knn_hubness_counts(spark):
+    """In-degree histogram totals |V|; mass equals |V|*k when every
+    cell has > k members; zero-degree vectors are reported."""
+    from queens_spark.operators.similarity import knn_graph, knn_hubness
+
+    import random
+
+    rng = random.Random(142)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(50)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    cents = [0, 9]
+    hist = {r["in_degree"]: r["n_vectors"]
+            for r in knn_hubness(df, "embedding", "vec_id", cents, k=4).collect()}
+    assert sum(hist.values()) == 50
+    edges = knn_graph(df, "embedding", "vec_id", cents, k=4).collect()
+    assert sum(d * n for d, n in hist.items()) == len(edges)
