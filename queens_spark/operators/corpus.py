@@ -564,3 +564,63 @@ def hashed_alignment_scores(
         F.sum("cnt").cast("bigint").alias("n_tokens"),
         F.sum("term").cast("bigint").alias("align_e9"),
     )
+
+
+#: Fixed-point scale for the PMI-proxy co-occurrence score.
+PMI_SCALE = 1_000_000
+
+
+def related_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seed_term: str,
+    k: int = 20,
+    min_co: int = 2,
+) -> DataFrame:
+    """Query-expansion mining — "related searches": the top-*k* terms
+    most associated with *seed_term* by document co-occurrence,
+    ranked by the exact-integer PMI proxy
+    ``score_e6 = ⌊co_df·N·1e6 / (df_seed·df_term)⌋`` (monotone in PMI
+    for a fixed seed — log is not bit-portable, the ratio is), with
+    *min_co* suppressing one-off co-occurrences. Returns (token,
+    co_df, df_docs, score_e6), ties on the token.
+
+    Scale shape: ONE persisted distinct-(doc, token) projection feeds
+    the seed-doc set, the co-occurrence count, and the df table; the
+    semi-join against the seed docs shuffles on the doc key (AQE
+    broadcasts small seeds); both finishing joins are token-keyed
+    counter tables; TakeOrdered head. int64 envelope: co_df·N·1e6
+    must stay below 2⁶³ — at 10⁹ docs co_df caps at ~9·10³ before
+    sharding, so shard the co count per term block beyond that.
+    """
+    from queens_spark.operators.dedup import _persist
+
+    tf = _persist(
+        term_frequencies(df, text_col, id_col).select("doc", "token")
+    )
+    seed = tf.where(F.col("token") == seed_term).select("doc")
+    n_docs = tf.agg(F.count_distinct("doc").alias("n"))
+    df_seed = seed.agg(F.count(F.lit(1)).alias("df_s"))
+    co = (
+        tf.join(seed, "doc", "left_semi")
+        .where(F.col("token") != seed_term)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("co_df"))
+        .where(F.col("co_df") >= min_co)
+    )
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    return (
+        co.join(dft, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(df_seed))
+        .select(
+            "token",
+            "co_df",
+            "df_docs",
+            F.expr(f"co_df * n * {PMI_SCALE} div (df_s * df_docs)")
+            .alias("score_e6"),
+        )
+        .orderBy(F.desc("score_e6"), F.asc("token"))
+        .limit(k)
+    )

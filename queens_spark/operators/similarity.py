@@ -577,6 +577,93 @@ def knn_hubness(
     )
 
 
+def embedding_covariance(df: DataFrame, vec_col: str) -> DataFrame:
+    """Exact integer covariance statistics of the quantized embedding
+    matrix — the PCA/whitening preparation step (decorrelating
+    dimensions before PQ/IVF measurably improves quantization; the
+    variance spectrum is also the collapse/anisotropy audit for an
+    embedding model). Returns one row per dimension pair i ≤ j:
+    (dim_i, dim_j, n, sum_i, sum_j, sum_xy, cov_num) with
+    cov_num = n·Σxy − Σx·Σy — the covariance numerator at scale
+    n²·QUANT², exact int64, so any engine reproduces it bit-for-bit
+    (eigen-decomposition happens downstream in whatever linear-algebra
+    library consumes the d×d table; the corpus-scale part is THIS).
+
+    Scale shape (the integer-Lloyd convention): ONE Arrow-batched
+    corpus pass accumulates per-partition (count, Σx per dim, upper
+    X'X) int64 states — d + d(d+1)/2 counters per partition, shuffled
+    once as counter rows and merged by addition; the d²-sized finish
+    joins tiny broadcast frames. The corpus never shuffles. int64
+    envelope: |Σxy| ≤ n·d·QUANT² and n·Σxy must stay below 2⁶³ —
+    guarded at merge time (shard above ~10⁹ rows per covariance job).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from queens_spark.operators.dedup import _persist
+
+    def stats(batches):
+        n = 0
+        s = None
+        S = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf["__q"].tolist(), dtype=np.int64)
+            if s is None:
+                s = np.zeros(mat.shape[1], dtype=np.int64)
+                S = np.zeros((mat.shape[1], mat.shape[1]), dtype=np.int64)
+            n += mat.shape[0]
+            s += mat.sum(axis=0)
+            S += mat.T @ mat
+        rows = []
+        if s is not None:
+            d = len(s)
+            for i in range(d):
+                rows.append((i, -1, int(s[i])))
+                for j in range(i, d):
+                    rows.append((i, j, int(S[i, j])))
+        rows.append((-1, -1, n))
+        yield pd.DataFrame(rows, columns=["i", "j", "v"])
+
+    part = df.select(quantize(vec_col).alias("__q")).mapInPandas(
+        stats, "i int, j int, v bigint"
+    )
+    agg = _persist(
+        part.groupBy("i", "j").agg(F.sum("v").alias("v"))
+    )
+    head = agg.agg(
+        F.max(F.when(F.col("i") >= 0, F.abs(F.col("v")))).alias("m"),
+        F.sum(F.when((F.col("i") == -1), F.col("v"))).alias("n"),
+    ).collect()[0]
+    if int(head["n"] or 0) and int(head["m"]) * int(head["n"]) >= 2**63:
+        raise ValueError(
+            f"covariance int64 envelope exceeded (n={head['n']}, "
+            f"max|sum|={head['m']}); shard the corpus per job"
+        )
+    pairs = agg.where("i >= 0 AND j >= 0")
+    dims = agg.where("i >= 0 AND j = -1").select(
+        F.col("i"), F.col("v").alias("sx")
+    )
+    cnt = agg.where("i = -1").select(F.col("v").alias("n"))
+    di = dims.select(F.col("i").alias("dim_i"), F.col("sx").alias("sum_i"))
+    dj = dims.select(F.col("i").alias("dim_j"), F.col("sx").alias("sum_j"))
+    return (
+        pairs.select(
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            F.col("v").alias("sum_xy"),
+        )
+        .join(F.broadcast(di), "dim_i")
+        .join(F.broadcast(dj), "dim_j")
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            "dim_i", "dim_j", "n", "sum_i", "sum_j", "sum_xy",
+            F.expr("n * sum_xy - sum_i * sum_j").alias("cov_num"),
+        )
+    )
+
+
 def double_dot(a: Column, b: Column) -> Column:
     """Left-fold double dot product — fixed evaluation order, so any
     engine folding the same way is bit-identical."""

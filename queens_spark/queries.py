@@ -6980,3 +6980,98 @@ def q142_knn_hubness(spark, sf_dir):
         .collect()
     ]
     return knn_hubness(emb, "embedding", "vec_id", cent_ids, k=5)
+
+
+def _covariance_oracle() -> str:
+    from queens_spark.operators.similarity import duckdb_quantize
+
+    qv = duckdb_quantize("embedding")
+    return f"""
+    WITH q AS (
+      SELECT vec_id, {qv} AS q FROM embeddings
+    ), x AS (
+      SELECT vec_id, u.i AS i, u.x AS x FROM (
+        SELECT vec_id, unnest(list_transform(range(1, len(q)+1),
+               k -> struct_pack(i := k - 1, x := q[k]))) AS u
+        FROM q)
+    ), pairs AS (
+      SELECT a.i AS dim_i, b.i AS dim_j,
+             CAST(sum(a.x * b.x) AS BIGINT) AS sum_xy
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    ), dims AS (
+      SELECT i, CAST(sum(x) AS BIGINT) AS sx FROM x GROUP BY i
+    ), cnt AS (
+      SELECT count(*) AS n FROM q
+    )
+    SELECT p.dim_i, p.dim_j, cnt.n,
+           di.sx AS sum_i, dj.sx AS sum_j, p.sum_xy,
+           cnt.n * p.sum_xy - di.sx * dj.sx AS cov_num
+    FROM pairs p
+    JOIN dims di ON di.i = p.dim_i
+    JOIN dims dj ON dj.i = p.dim_j, cnt
+    """
+
+
+@register("q143_embedding_covariance", _covariance_oracle())
+def q143_embedding_covariance(spark, sf_dir):
+    """Embedding covariance statistics — the PCA/whitening prep and
+    the anisotropy/collapse audit for an embedding model: the full
+    upper-triangle (dim_i ≤ dim_j) covariance numerators of the
+    quantized embedding matrix in exact int64 (cov_num = n·Σxy −
+    Σx·Σy at scale n²·QUANT² — the eigen-decomposition consuming this
+    d×d table is dimension-scale, downstream; the corpus-scale part
+    is this pass). One Arrow-batched corpus pass accumulates
+    per-partition (count, Σx, upper X'X) counter states merged by
+    addition — the integer-Lloyd convention (q120); the corpus never
+    shuffles (operators/similarity.py:embedding_covariance)."""
+    from queens_spark.operators.similarity import embedding_covariance
+
+    return embedding_covariance(load(spark, sf_dir, "embeddings"), "embedding")
+
+
+def _related_terms_oracle(seed: str, k: int, min_co: int) -> str:
+    from queens_spark.operators.corpus import PMI_SCALE
+
+    return f"""
+    WITH tf AS (
+      SELECT DISTINCT doc_id AS doc, token
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents)
+    ), seed AS (
+      SELECT doc FROM tf WHERE token = '{seed}'
+    ), nn AS (
+      SELECT count(DISTINCT doc) AS n FROM tf
+    ), dfs AS (
+      SELECT count(*) AS df_s FROM seed
+    ), co AS (
+      SELECT token, count(*) AS co_df
+      FROM tf
+      WHERE doc IN (SELECT doc FROM seed) AND token <> '{seed}'
+      GROUP BY token HAVING count(*) >= {min_co}
+    ), dft AS (
+      SELECT token, count(*) AS df_docs FROM tf GROUP BY token
+    )
+    SELECT co.token, co.co_df, dft.df_docs,
+           co.co_df * nn.n * {PMI_SCALE} // (dfs.df_s * dft.df_docs)
+             AS score_e6
+    FROM co JOIN dft USING (token), nn, dfs
+    ORDER BY score_e6 DESC, token ASC LIMIT {k}
+    """
+
+
+@register("q144_related_terms", _related_terms_oracle("dup", 20, 2))
+def q144_related_terms(spark, sf_dir):
+    """Query-expansion mining — the "related searches" primitive: the
+    20 terms most associated with 'dup' by document co-occurrence,
+    ranked by the exact-integer PMI proxy co_df·N·1e6 div
+    (df_seed·df_term) (monotone in PMI for a fixed seed; log isn't
+    bit-portable, the ratio is). One persisted distinct-(doc, token)
+    projection feeds the seed set, co-counts, and df table; the
+    seed semi-join is the only doc-keyed shuffle; TakeOrdered finish
+    (operators/corpus.py:related_terms)."""
+    from queens_spark.operators.corpus import related_terms
+
+    return related_terms(
+        load(spark, sf_dir, "documents"), "text", "doc_id", "dup",
+        k=20, min_co=2,
+    )

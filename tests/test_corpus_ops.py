@@ -247,3 +247,44 @@ def test_hashed_alignment_scores_reference(spark):
     assert 5 not in got  # empty doc has no features
     # target-vocabulary docs outscore off-target ones
     assert min(got[0][1], got[1][1]) > max(got[2][1], got[3][1])
+
+
+def test_related_terms_reference(spark):
+    from queens_spark.operators.corpus import PMI_SCALE, related_terms
+
+    docs = [
+        (0, "spark shuffle join spark"),
+        (1, "spark shuffle agg"),
+        (2, "spark shuffle broadcast"),
+        (3, "pandas frame index"),
+        (4, "pandas frame merge"),
+        (5, "spark solo"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = [
+        (r["token"], r["co_df"], r["df_docs"], r["score_e6"])
+        for r in related_terms(
+            df, "text", "doc_id", "spark", k=10, min_co=2
+        ).collect()
+    ]
+    # brute force
+    sets = {d: set(t.split()) for d, t in docs}
+    n = len(sets)
+    seed_docs = {d for d, s in sets.items() if "spark" in s}
+    co, dft = {}, {}
+    for d, s in sets.items():
+        for t in s:
+            dft[t] = dft.get(t, 0) + 1
+            if d in seed_docs and t != "spark":
+                co[t] = co.get(t, 0) + 1
+    exp = sorted(
+        (
+            (t, c, dft[t], c * n * PMI_SCALE // (len(seed_docs) * dft[t]))
+            for t, c in co.items()
+            if c >= 2
+        ),
+        key=lambda r: (-r[3], r[0]),
+    )[:10]
+    assert got == exp
+    # 'shuffle' (3/4 spark docs, df 3) must outrank nothing above it
+    assert got[0][0] == "shuffle"

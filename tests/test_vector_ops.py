@@ -536,3 +536,47 @@ def test_knn_hubness_counts(spark):
     assert sum(hist.values()) == 50
     edges = knn_graph(df, "embedding", "vec_id", cents, k=4).collect()
     assert sum(d * n for d, n in hist.items()) == len(edges)
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import math
+    import random
+
+    import numpy as np
+    import pytest
+
+    from queens_spark.operators.similarity import (
+        QUANT,
+        embedding_covariance,
+    )
+
+    rng = random.Random(143)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(5)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = {
+        (r["dim_i"], r["dim_j"]): (
+            r["n"], r["sum_i"], r["sum_j"], r["sum_xy"], r["cov_num"]
+        )
+        for r in embedding_covariance(df, "embedding").collect()
+    }
+    q = np.array(
+        [[math.floor(x * QUANT) for x in v] for _, v in vecs],
+        dtype=np.int64,
+    )
+    n = q.shape[0]
+    s = q.sum(axis=0)
+    S = q.T @ q
+    assert len(got) == 5 * 6 // 2
+    for i in range(5):
+        for j in range(i, 5):
+            assert got[(i, j)] == (
+                n, int(s[i]), int(s[j]), int(S[i, j]),
+                int(n * S[i, j] - s[i] * s[j]),
+            ), (i, j)
+    # the numerator over n^2 is the actual covariance
+    cov = np.cov(q.T, bias=True)
+    for i in range(5):
+        for j in range(i, 5):
+            assert got[(i, j)][4] / n**2 == pytest.approx(
+                cov[i, j], rel=1e-9
+            )
