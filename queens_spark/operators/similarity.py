@@ -1947,3 +1947,96 @@ def batch_adc_topk(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def pca_fit(df: DataFrame, vec_col: str, n_components: int | None = None):
+    """Fit PCA on the embedding corpus: ONE distributed exact-integer
+    covariance pass (:func:`embedding_covariance`) collected as the
+    d×d table (dimension-scale — the :func:`learn_bpe` justification:
+    the driver step operates on a d², never-corpus-sized artifact),
+    then numpy eigendecomposition. Returns (mean, components,
+    variances): mean is the per-dimension QUANT-scaled float mean,
+    components is (d, n_components) with columns sorted by descending
+    eigenvalue (sign fixed so each column's largest-|x| entry is
+    positive — deterministic across LAPACK builds), variances the
+    matching eigenvalues of the biased covariance.
+    """
+    import numpy as np
+
+    rows = embedding_covariance(df, vec_col).collect()
+    if not rows:
+        raise ValueError("empty corpus")
+    d = max(r["dim_j"] for r in rows) + 1
+    n = rows[0]["n"]
+    cov = np.zeros((d, d), dtype=np.float64)
+    mean = np.zeros(d, dtype=np.float64)
+    for r in rows:
+        c = r["cov_num"] / (n * n)
+        cov[r["dim_i"], r["dim_j"]] = c
+        cov[r["dim_j"], r["dim_i"]] = c
+        mean[r["dim_i"]] = r["sum_i"] / n
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    k = n_components or d
+    vals, vecs = vals[order][:k], vecs[:, order][:, :k]
+    # deterministic sign: the largest-|entry| of each component is
+    # positive (eigh's sign is arbitrary)
+    for j in range(vecs.shape[1]):
+        i = int(np.abs(vecs[:, j]).argmax())
+        if vecs[i, j] < 0:
+            vecs[:, j] = -vecs[:, j]
+    return mean, vecs, vals
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    mean,
+    components,
+    whiten: bool = False,
+    variances=None,
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project embeddings onto fitted PCA components (optionally
+    whitened: unit variance per component) — the dimensionality
+    reduction / decorrelation step before PQ/IVF indexing or
+    embedding-space analysis. Pure per-row JVM arithmetic: the
+    centered projection y_j = Σ_d (x_d − μ_d)·W[d,j] is a constant-
+    folded HOF fold over the vector with the (d × k) component matrix
+    as literals (dimension-scale — the same broadcast-as-literal
+    convention as the PQ codebook, q97); zero shuffle, zero UDF.
+    """
+    import numpy as np
+
+    W = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64) / QUANT
+    if whiten:
+        if variances is None:
+            raise ValueError("whiten=True needs variances")
+        sd = np.sqrt(np.asarray(variances, dtype=np.float64)) / QUANT
+        if np.any(sd <= 0):
+            raise ValueError(
+                "non-positive component variance; drop degenerate "
+                "components before whitening"
+            )
+        W = W / sd[None, :]
+    c = F.col(vec_col)
+    cols = []
+    for j in range(W.shape[1]):
+        # y_j = sum_d x_d * W[d,j]  -  <mu, W[:,j]>  (constant folded)
+        wj = [float(w) for w in W[:, j]]
+        bias = float(mu @ W[:, j])
+        term = F.aggregate(
+            F.zip_with(
+                c,
+                F.array(*[F.lit(w) for w in wj]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ) - F.lit(bias)
+        cols.append(term)
+    return df.select(
+        F.col(id_col), F.array(*cols).alias(out_col)
+    )

@@ -580,3 +580,61 @@ def test_embedding_covariance_matches_numpy(spark):
             assert got[(i, j)][4] / n**2 == pytest.approx(
                 cov[i, j], rel=1e-9
             )
+
+
+def test_pca_fit_project_whiten(spark):
+    """Fitted PCA must decorrelate: whitened projections have ~unit
+    variance and ~zero covariance; plain projections match a numpy
+    reference; variance ordering is descending."""
+    import random
+
+    import numpy as np
+    import pytest
+
+    from queens_spark.operators.similarity import (
+        QUANT,
+        pca_fit,
+        pca_project,
+    )
+
+    rng = random.Random(145)
+    # anisotropic cloud: dim0 dominates, dims correlated via a mix
+    base = [
+        (i, [rng.gauss(0, 3), rng.gauss(0, 1), rng.gauss(0, 0.3)])
+        for i in range(300)
+    ]
+    vecs = [(i, [v[0] + v[1], v[1], v[2] + 0.5 * v[0]]) for i, v in base]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+
+    mean, W, lam = pca_fit(df, "embedding")
+    assert lam[0] >= lam[1] >= lam[2] >= 0
+
+    proj = {
+        r["vec_id"]: r["pca"]
+        for r in pca_project(
+            df, "embedding", "vec_id", mean, W
+        ).collect()
+    }
+    # projection runs on the raw float vectors with the QUANT-scaled
+    # fitted mean divided back out (pca_project's contract)
+    Xr = np.array([v for _, v in vecs], dtype=np.float64)
+    Yr = (Xr - (np.array(mean) / QUANT)[None, :]) @ W
+    for j, (i, _) in enumerate(vecs):
+        assert np.allclose(proj[i], Yr[j], atol=1e-9)
+
+    white = {
+        r["vec_id"]: r["pca"]
+        for r in pca_project(
+            df, "embedding", "vec_id", mean, W,
+            whiten=True, variances=lam,
+        ).collect()
+    }
+    Z = np.array([white[i] for i, _ in vecs])
+    covz = np.cov(Z.T, bias=True)
+    # fit ran on QUANTIZED vectors, projection on raw floats: the
+    # quantization error bounds the deviation from exact whiteness
+    assert np.allclose(covz, np.eye(3), atol=0.05)
+
+    # n_components selects the top of the spectrum
+    _, W2, lam2 = pca_fit(df, "embedding", n_components=2)
+    assert W2.shape == (3, 2) and list(lam2) == list(lam[:2])
