@@ -209,6 +209,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="indexed corpus parquet — enables the IVF "
                          "skew rebalance step")
 
+    rp = sub.add_parser(
+        "report",
+        help="one-verb corpus release report over a parquet corpus: "
+             "filter-cascade funnel, exact-dup rate, vocabulary head, "
+             "per-source composition",
+    )
+    rp.add_argument("corpus", help="parquet path of the corpus table")
+    rp.add_argument("--text-col", default="text")
+    rp.add_argument("--id-col", default="doc_id")
+    rp.add_argument("--source-col", default=None)
+    rp.add_argument("--vocab-top", type=int, default=20)
+
     rt = sub.add_parser(
         "retire",
         help="take documents down across the whole retrieval stack: "
@@ -393,6 +405,18 @@ def _run(args) -> int:
         print(json.dumps(engine.maintain(
             args.collection, corpus_df=corpus, ledger=args.ledger,
         )))
+    elif args.command == "report":
+        rep = engine.corpus_report(
+            spark.read.parquet(args.corpus),
+            args.text_col,
+            args.id_col,
+            source_col=args.source_col,
+            vocab_top=args.vocab_top,
+        )
+        print(json.dumps({
+            name: [r.asDict() for r in frame.collect()]
+            for name, frame in rep.items()
+        }))
     elif args.command == "retire":
         print(json.dumps(engine.retire_documents(
             args.collection,

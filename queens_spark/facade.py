@@ -803,6 +803,61 @@ class Engine:
             report["compacted"].append(f"{e['kind']}:{e['name']}")
         return report
 
+    def corpus_report(
+        self,
+        df: DataFrame,
+        text_col: str,
+        id_col: str,
+        source_col: str | None = None,
+        vocab_top: int = 50,
+    ) -> dict[str, DataFrame]:
+        """One-verb CORPUS RELEASE REPORT — the audit bundle a data
+        team ships with every corpus drop, composed from the catalog
+        operators (each individually oracle-checked):
+
+        - ``funnel``: filter-cascade verdicts with docs, token mass,
+          exact basis-point shares (q138's report);
+        - ``duplication``: one row — docs, distinct contents, exact
+          duplicate docs, and the duplicate share in basis points
+          (the exact-dedup rate, q26's statistic);
+        - ``vocabulary``: the top-*vocab_top* corpus head (q67);
+        - ``composition`` (with *source_col*): per-source docs and
+          token mass (q88's front matter).
+
+        Every frame is lazily planned — collect what the release
+        needs. One linear scan each; nothing corpus-scale lands on
+        the driver."""
+        from queens_spark.operators.corpus import vocabulary
+        from queens_spark.operators.dedup import exact_dedup_groups
+        from queens_spark.operators.text import filter_funnel, token_count
+
+        groups = exact_dedup_groups(df, text_col, id_col)
+        dup = groups.agg(
+            F.sum("n_copies").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        ).select(
+            "n_docs",
+            "n_distinct",
+            (F.col("n_docs") - F.col("n_distinct")).alias("n_duplicates"),
+            F.expr("(n_docs - n_distinct) * 10000 div n_docs")
+            .alias("dup_share_bp"),
+        )
+        out = {
+            "funnel": filter_funnel(df, text_col, id_col),
+            "duplication": dup,
+            "vocabulary": vocabulary(df, text_col, id_col, top=vocab_top),
+        }
+        if source_col is not None:
+            out["composition"] = (
+                df.groupBy(source_col)
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(token_count(text_col)).alias("n_tokens"),
+                )
+                .orderBy(F.desc("n_docs"), F.asc(source_col))
+            )
+        return out
+
     def compact(
         self, collection: str, target_files: int = 1, which: str = "prod"
     ) -> dict[str, tuple[int, int]]:

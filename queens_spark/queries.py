@@ -7075,3 +7075,39 @@ def q144_related_terms(spark, sf_dir):
         load(spark, sf_dir, "documents"), "text", "doc_id", "dup",
         k=20, min_co=2,
     )
+
+
+def _cluster_histogram_oracle(threshold: float) -> str:
+    comp = _components_oracle(threshold)
+    return f"""
+    WITH comp AS ({comp})
+    SELECT cluster_size, count(*) AS n_clusters
+    FROM (
+      SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY component_id
+    ) GROUP BY cluster_size ORDER BY cluster_size
+    """
+
+
+@register("q145_cluster_size_histogram", _cluster_histogram_oracle(0.8))
+def q145_cluster_size_histogram(spark, sf_dir):
+    """Duplication-profile curve — the "how duplicated is my corpus"
+    audit every dedup report leads with: the histogram of dedup
+    cluster sizes over q36's full-recall component graph (size-1
+    clusters = unique docs; the tail = template farms). Two
+    counter-width aggregations on top of the connected-components
+    labels (shuffles carry (node, label), then (component, size) —
+    output cardinality is the distinct-size count)."""
+    from queens_spark.operators.dedup import connected_components, dedup_edges
+
+    docs = load(spark, sf_dir, "documents")
+    edges = dedup_edges(docs, "text", "doc_id", n=3, threshold=0.8)
+    comp = connected_components(docs, edges, "doc_id")
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )

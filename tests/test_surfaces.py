@@ -537,3 +537,36 @@ def test_cli_vindex_lifecycle(tmp_path, capsys):
     compacted = _json.loads(
         capsys.readouterr().out.strip().splitlines()[-1])
     assert compacted["compacted"] == "emb"
+
+
+def test_corpus_report_verb_and_cli(spark, tmp_path, capsys):
+    import json as _json
+
+    from queens_spark.cli import main
+    from queens_spark.facade import Engine
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eng = Engine(spark, str(tmp_path / "wh"))
+    rep = eng.corpus_report(docs, "text", "doc_id", source_col="source")
+    assert set(rep) == {"funnel", "duplication", "vocabulary",
+                        "composition"}
+    dup = rep["duplication"].collect()[0]
+    assert dup["n_docs"] == docs.count()
+    assert dup["n_distinct"] + dup["n_duplicates"] == dup["n_docs"]
+    assert 0 <= dup["dup_share_bp"] <= 10000
+    funnel = rep["funnel"].collect()
+    assert sum(r["n_docs"] for r in funnel) == dup["n_docs"]
+    comp = rep["composition"].collect()
+    assert sum(r["n_docs"] for r in comp) == dup["n_docs"]
+    vocab = rep["vocabulary"].collect()
+    assert 0 < len(vocab) <= 50  # vocab_top default, tiny-sf vocab may be smaller
+
+    rc = main(["--warehouse", str(tmp_path / "wh"), "report",
+               "/root/testdata/sf0.001/documents.parquet",
+               "--source-col", "source", "--vocab-top", "5"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out) == {"funnel", "duplication", "vocabulary",
+                        "composition"}
+    assert len(out["vocabulary"]) == 5
+    assert out["duplication"][0]["n_docs"] == docs.count()
