@@ -457,6 +457,7 @@ class Engine:
         near_dup_threshold: float | None = None,
         query_name: str = "qs_corpus_ingest",
         auto_maintain_segments: int | None = None,
+        quality_filter=None,
     ):
         """Registry-driven streaming corpus ingestion: every
         micro-batch is screened through *collection*'s dedup ledger
@@ -474,7 +475,13 @@ class Engine:
         applied before theirs returned), so the pending-token gate
         passes and the token bookkeeping clears safely. A micro-batch
         cadence of appends no longer accretes unbounded segment lists
-        or manifest token maps without a separately-scheduled sweep."""
+        or manifest token maps without a separately-scheduled sweep.
+
+        *quality_filter* (Column or SQL string) is the streaming
+        ADMISSION GATE applied before the ledger — e.g.
+        ``filter_verdict(text_col) == 'keep'`` turns the stream into
+        curation + dedup + index freshness in one verb; rejected docs
+        never consume ledger segments or index bytes."""
         import os
 
         from queens_spark.streaming.corpus import make_corpus_batch_handler
@@ -494,6 +501,7 @@ class Engine:
             text_col, id_col, ledger_dir, appends,
             near_dup_threshold=near_dup_threshold,
             query_name=query_name,
+            quality_filter=quality_filter,
         )
         if auto_maintain_segments is None:
             handle = inner

@@ -49,20 +49,38 @@ def make_corpus_batch_handler(
     appends: list[Callable[[DataFrame, str], None]],
     near_dup_threshold: float | None = None,
     query_name: str = "qs_corpus_ingest",
+    quality_filter=None,
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch body shared by every corpus-ingest stream:
-    ledger-screen the micro-batch under its idempotency token, then
-    run each *appends* callable on ``(survivors, token)``. Append
-    callables MUST be individually token-idempotent (the index
-    append functions are) — that is what makes a crash between the
-    ledger flip and the Nth append resolve exactly-once for ALL of
-    them on redelivery."""
+    (optionally) quality-gate the micro-batch, ledger-screen the
+    survivors under its idempotency token, then run each *appends*
+    callable on ``(survivors, token)``. Append callables MUST be
+    individually token-idempotent (the index append functions are) —
+    that is what makes a crash between the ledger flip and the Nth
+    append resolve exactly-once for ALL of them on redelivery.
+
+    *quality_filter* is a Column or SQL-string predicate (e.g.
+    ``filter_verdict(text_col) == 'keep'`` — the FineWeb cascade as a
+    streaming admission gate) applied BEFORE the ledger, so rejected
+    documents never consume ledger segments or index bytes. It is a
+    pure function of the batch rows, so a redelivered batch filters
+    to the same survivors and the token contract is unchanged."""
+    from pyspark.sql import functions as F
+
     from queens_spark.store.dedup_ledger import ingest_deduped
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         token = f"stream_{query_name}_{batch_id}"
+        if quality_filter is not None:
+            batch = batch_df.where(
+                F.expr(quality_filter)
+                if isinstance(quality_filter, str)
+                else quality_filter
+            )
+        else:
+            batch = batch_df
         fresh, stats = ingest_deduped(
-            batch_df, text_col, id_col, ledger_dir,
+            batch, text_col, id_col, ledger_dir,
             near_dup_threshold=near_dup_threshold,
             token=token,
         )
@@ -85,6 +103,7 @@ def stream_ingest_corpus(
     query_name: str = "qs_corpus_ingest",
     vector_index_dir: str | None = None,
     vector_index_name: str | None = None,
+    quality_filter=None,
 ):
     """Start the checkpointed corpus-ingest stream: every micro-batch
     is ledger-screened (cross-run exact — or MinHash-fuzzy with
@@ -103,6 +122,12 @@ def stream_ingest_corpus(
     ``vec_col`` (the stored manifest knows which); encoding uses the
     STORED codebook/quantizers — O(batch), no corpus pass, appended
     codes bit-identical to a rebuild.
+
+    *quality_filter* (Column or SQL string) is the streaming
+    ADMISSION GATE: documents failing it are dropped before the
+    ledger ever sees them (compose with
+    operators/text.py:filter_verdict for the FineWeb-cascade gate) —
+    curation, dedup, and serving-index freshness in ONE stream.
 
     Returns the StreamingQuery; callers drive it with
     ``availableNow``-style triggers or leave it running. Restart with
@@ -130,6 +155,7 @@ def stream_ingest_corpus(
         text_col, id_col, ledger_dir, appends,
         near_dup_threshold=near_dup_threshold,
         query_name=query_name,
+        quality_filter=quality_filter,
     )
     return (
         stream_df.writeStream.foreachBatch(handle)

@@ -250,3 +250,58 @@ def test_empty_append_records_token(spark, tmp_path):
     )
     assert idx.entry.get("applied_tokens") == ["e1"]
     assert len(idx.entry["segments"]) == 1
+
+
+def test_stream_quality_gate(spark, tmp_path):
+    """quality_filter is the streaming ADMISSION GATE: rejected docs
+    never reach the ledger or the index, the gate composes with
+    dedup screening, and a restart stays exactly-once."""
+    from queens_spark.operators.text import filter_verdict
+    from queens_spark.streaming.corpus import stream_ingest_corpus
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    ldir = str(tmp_path / "ledger")
+    idir = str(tmp_path / "tidx")
+    ckpt = str(tmp_path / "ckpt")
+
+    # the cascade's language rule needs English marker words
+    longb = ("the alpha is a beta and the gamma of delta to epsilon "
+             "the zeta eta is theta and iota kappa")
+    seed = _docs(spark, [(0, longb + " zero")])
+    build_text_index(seed, "text", "doc_id", "corpus", idir)
+    ingest_deduped(seed, "text", "doc_id", ldir)
+
+    schema = "doc_id bigint, text string"
+    gate = filter_verdict("text") == "keep"
+
+    def run():
+        stream = spark.readStream.schema(schema).json(src)
+        q = stream_ingest_corpus(
+            stream, "text", "doc_id", ldir, idir, "corpus", ckpt,
+            quality_filter=gate,
+        )
+        q.awaitTermination(120)
+
+    def write_file(name, rows):
+        with open(os.path.join(src, name), "w") as fh:
+            for i, t in rows:
+                fh.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    write_file("b1.json", [
+        (10, longb + " ten"),          # keep
+        (11, "too short"),             # rejected: too_short
+        (12, longb + " zero"),         # keep-quality but ledger dup of 0
+        (13, longb + " # # # # # # # # # # # # # # # #"),  # symbols
+    ])
+    run()
+    idx = load_text_index(spark, idir, "corpus")
+    assert idx.describe()["n_docs"] == 2  # 0 (seed) + 10
+    # rejected docs never touched the ledger: their content is STILL
+    # novel to it (a later legitimate submission is accepted)
+    _, s = ingest_deduped(_docs(spark, [(99, "too short")]),
+                          "text", "doc_id", ldir)
+    assert s["accepted"] == 1
+    # restart with no new files: no-op
+    run()
+    assert load_text_index(spark, idir, "corpus").describe()["n_docs"] == 2
