@@ -624,3 +624,62 @@ def related_terms(
         .orderBy(F.desc("score_e6"), F.asc("token"))
         .limit(k)
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 50,
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation / phrase mining — the new-vocabulary-induction
+    primitive ("machine learning" is a unit, "the learning" is not):
+    top-*k* bigrams by pointwise mutual information, PMI's monotone
+    ratio computed as the FIXED-ORDER double expression
+    ``c2/NB · NT/u1 · NT/u2`` (identical IEEE operation sequence on
+    both engines — exact-integer scaling would overflow int64 at
+    corpus scale, and log is not bit-portable; the fixed-order ratio
+    is both). *min_count* suppresses the unstable low-count tail PMI
+    is notorious for. Returns (w1, w2, c2, u1, u2, pmi_ratio), ties
+    on (w1, w2).
+
+    Scale shape: ONE persisted (doc, w1, w2) positions pass feeds the
+    bigram counts; unigram counts reuse the same frame (left word of
+    every position + each doc's last token via the token pass — here
+    the standard wordcount); the scalar totals ride a broadcast
+    single-row frame; TakeOrdered head.
+    """
+    from queens_spark.operators.dedup import _persist
+
+    pos = _persist(_bigram_positions(df, text_col, id_col))
+    c2 = (
+        pos.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .where(F.col("c2") >= min_count)
+    )
+    uni = word_frequencies(df, text_col).select(
+        F.col("w"), F.col("c").alias("u")
+    )
+    totals = pos.agg(F.count(F.lit(1)).alias("nb")).crossJoin(
+        df.select(F.explode(tokens(text_col)).alias("t")).agg(
+            F.count(F.lit(1)).alias("nt")
+        )
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("u").alias("u1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("u").alias("u2"))
+    return (
+        c2.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", "c2", "u1", "u2",
+            (
+                F.col("c2").cast("double") / F.col("nb").cast("double")
+                * F.col("nt").cast("double") / F.col("u1").cast("double")
+                * F.col("nt").cast("double") / F.col("u2").cast("double")
+            ).alias("pmi_ratio"),
+        )
+        .orderBy(F.desc("pmi_ratio"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )

@@ -1771,3 +1771,124 @@ def minhash_agreement_pairs(
         .select("id_a", "id_b", matches.alias("matches"))
         .where(F.col("matches") >= need)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 4,
+    w: int = 4,
+    p: int = HASH_MOD,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003 — the MOSS
+    local-fingerprinting algorithm): from each document's positional
+    n-gram hashes, every *w*-window selects its RIGHTMOST minimal
+    hash; the distinct selections are the document's fingerprints.
+    Winnowing guarantees any shared substring of length ≥ w+n−1
+    tokens yields at least one shared fingerprint (the detection
+    guarantee span-level dedup heuristics lack) while storing only
+    ~2/(w+1) of the hashes. Documents with fewer than *w* windows
+    degenerate to one window over all their hashes; docs with < n
+    tokens emit nothing. Returns distinct (doc, pos, fp) rows, pos
+    the 1-based start of the selected n-gram.
+
+    Pure per-row JVM array code — the window scan is an aggregate
+    fold with a (pos, value) struct accumulator (rightmost-min via
+    ``<=``), replayed with identical semantics by the DuckDB twin
+    (:func:`duckdb_winnow_ctes`); zero shuffle before the final
+    distinct.
+    """
+    def combine(th: Column, i: Column) -> Column:
+        acc = F.element_at(th, i).cast("bigint")
+        for k in range(1, n):
+            acc = (acc * 131 + F.element_at(th, i + k)) % F.lit(p)
+        return acc
+
+    def pick(H: Column, L: Column, i: Column) -> Column:
+        # rightmost minimal hash of the window starting at i: fold
+        # (pos, val) structs; out-of-bounds positions carry NULL vals
+        # whose comparisons are NULL -> the accumulator survives
+        return F.aggregate(
+            F.transform(
+                F.sequence(i + 1, i + F.lit(w - 1)),
+                # try_element_at: window tails past L read NULL (ANSI
+                # element_at raises), and NULL comparisons lose the fold
+                lambda q: F.struct(
+                    q.cast("int").alias("pos"),
+                    F.try_element_at(H, q).alias("fp"),
+                ),
+            ),
+            F.struct(
+                i.cast("int").alias("pos"),
+                F.element_at(H, i).alias("fp"),
+            ),
+            lambda acc, x: F.when(
+                (x["pos"] <= L) & (x["fp"] <= acc["fp"]), x
+            ).otherwise(acc),
+        )
+
+    sel = (
+        ensure_min_partitions(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            let_bound(
+                let_bound(
+                    F.transform(tokens(text_col), lambda t: char_poly_hash(t, p)),
+                    lambda th: F.when(
+                        F.size(th) < n, F.array().cast("array<bigint>")
+                    ).otherwise(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(th) - n + 1),
+                            lambda i: combine(th, i),
+                        )
+                    ),
+                ),
+                lambda H: let_bound(
+                    F.size(H),
+                    lambda L: F.when(L < 1, F.array().cast(
+                        "array<struct<pos:int,fp:bigint>>"
+                    )).otherwise(
+                        F.array_distinct(
+                            F.transform(
+                                F.sequence(
+                                    F.lit(1),
+                                    F.greatest(L - F.lit(w - 1), F.lit(1)),
+                                ),
+                                lambda i: pick(H, L, i),
+                            )
+                        )
+                    ),
+                ),
+            ).alias("sels"),
+        )
+    )
+    return sel.select(
+        "doc", F.explode("sels").alias("s")
+    ).select("doc", "s.pos", "s.fp")
+
+
+def duckdb_winnow_ctes(expr: str, n: int, w: int, p: int = HASH_MOD) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints`: an expression
+    yielding the distinct (pos, fp) selection list for one document's
+    *expr* text — identical fold semantics (rightmost minimal via
+    ``<=``, NULL-valued out-of-bounds positions never win)."""
+    H = duckdb_positional_shingles(expr, n, p)
+    return f"""(
+      -- NOTE: no list_distinct here (DuckDB can't hash struct
+      -- lists); the caller de-dups at row level after unnest
+      SELECT CASE WHEN len(__h) < 1 THEN []
+        ELSE list_transform(
+          range(1, greatest(len(__h) - {w - 1}, 1) + 1),
+          i -> list_reduce(
+            list_prepend(
+              struct_pack(pos := CAST(i AS INT), fp := __h[i]),
+              list_transform(range(i + 1, i + {w}),
+                q -> struct_pack(pos := CAST(q AS INT), fp := __h[q]))
+            ),
+            (acc, x) -> CASE WHEN x.pos <= len(__h) AND x.fp <= acc.fp
+                        THEN x ELSE acc END
+          )
+        ) END
+      FROM (SELECT {H} AS __h) __wn
+    )"""

@@ -7111,3 +7111,75 @@ def q145_cluster_size_histogram(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .orderBy("cluster_size")
     )
+
+
+def _collocations_oracle(k: int, min_count: int) -> str:
+    return f"""
+    WITH pos AS (
+      SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+      FROM (SELECT unnest({_DUCK_BIGRAMS}) AS bg FROM documents)
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS c2 FROM pos GROUP BY w1, w2
+      HAVING count(*) >= {min_count}
+    ), uni AS (
+      SELECT w, count(*) AS u
+      FROM (SELECT unnest({_DUCK_TOKS}) AS w FROM documents) GROUP BY w
+    ), tot AS (
+      SELECT (SELECT count(*) FROM pos) AS nb,
+             (SELECT count(*)
+              FROM (SELECT unnest({_DUCK_TOKS}) AS t FROM documents)) AS nt
+    )
+    SELECT c2.w1, c2.w2, c2.c2, a.u AS u1, b.u AS u2,
+           CAST(c2.c2 AS DOUBLE) / CAST(tot.nb AS DOUBLE)
+             * CAST(tot.nt AS DOUBLE) / CAST(a.u AS DOUBLE)
+             * CAST(tot.nt AS DOUBLE) / CAST(b.u AS DOUBLE) AS pmi_ratio
+    FROM c2 JOIN uni a ON a.w = c2.w1 JOIN uni b ON b.w = c2.w2, tot
+    ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC LIMIT {k}
+    """
+
+
+@register("q146_collocations", _collocations_oracle(50, 5))
+def q146_collocations(spark, sf_dir):
+    """Collocation mining — PMI phrase extraction for tokenizer /
+    vocabulary induction: top-50 bigrams by the fixed-order PMI ratio
+    c2/NB · NT/u1 · NT/u2 (identical IEEE sequence on both engines —
+    integer scaling overflows at corpus scale and log isn't
+    bit-portable; the ratio ranks identically), min count 5 to
+    suppress PMI's unstable low-count tail. One persisted bigram
+    positions pass + wordcount; counter-width joins; TakeOrdered
+    (operators/corpus.py:collocations)."""
+    from queens_spark.operators.corpus import collocations
+
+    return collocations(
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        k=50, min_count=5,
+    )
+
+
+def _winnow_oracle(n: int, w: int) -> str:
+    from queens_spark.operators.dedup import duckdb_winnow_ctes
+
+    sels = duckdb_winnow_ctes("text", n, w)
+    return f"""
+    WITH s AS (
+      SELECT doc_id, unnest({sels}) AS u FROM documents
+    )
+    SELECT DISTINCT doc_id, u.pos AS pos, u.fp AS fp FROM s
+    """
+
+
+@register("q147_winnowing", _winnow_oracle(4, 4))
+def q147_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. 2003 — MOSS): each
+    4-window of positional 4-gram hashes selects its rightmost
+    minimal hash; the distinct selections guarantee any shared
+    substring of ≥ 7 tokens produces at least one shared fingerprint
+    while storing ~2/(w+1) of the hashes — the density/guarantee
+    trade plain rolling-hash sampling (q25) lacks. Pure per-row JVM
+    fold arithmetic, zero shuffle before the final distinct
+    (operators/dedup.py:winnow_fingerprints)."""
+    from queens_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        load(spark, sf_dir, "documents"), "text", "doc_id", n=4, w=4
+    ).select(F.col("doc").alias("doc_id"), "pos", "fp")

@@ -89,3 +89,63 @@ def test_random_corpus_matches_brute_force(spark):
         assert _run(spark, corpus, n=n, min_count=mc) == _brute_force(
             corpus, n, mc
         ), (n, mc)
+
+
+def _winnow_ref(text, n, w, mod):
+    """Reference winnowing: positional shingle hashes (char-once
+    polynomial) + rightmost-min window selection."""
+    toks = text.split()
+    th = []
+    for t in toks:
+        h = 0
+        for ch in t:
+            h = (h * 31 + ord(ch)) % mod
+        th.append(h)
+    H = []
+    for i in range(len(th) - n + 1):
+        acc = th[i]
+        for k in range(1, n):
+            acc = (acc * 131 + th[i + k]) % mod
+        H.append(acc)
+    L = len(H)
+    if L < 1:
+        return set()
+    out = set()
+    for i in range(max(L - w + 1, 1)):
+        best = i
+        for q in range(i + 1, min(i + w, L)):
+            if H[q] <= H[best]:
+                best = q
+        out.add((best + 1, H[best]))
+    return out
+
+
+def test_winnowing_matches_reference_and_guarantee(spark):
+    import random
+
+    from queens_spark.operators.dedup import winnow_fingerprints
+    from queens_spark.operators.text import HASH_MOD
+
+    rng = random.Random(147)
+    vocab = [f"t{i}" for i in range(30)]
+    shared = " ".join(rng.choice(vocab) for _ in range(9))  # >= w+n-1=7
+    docs = []
+    for d in range(20):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(0, 25))]
+        docs.append((d, " ".join(words)))
+    # plant the shared substring in two otherwise-different docs
+    docs.append((100, "aa bb " + shared + " cc"))
+    docs.append((101, "xx yy zz " + shared))
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = winnow_fingerprints(df, "text", "doc_id", n=4, w=4).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc"], set()).add((r["pos"], r["fp"]))
+    for d, t in docs:
+        assert got.get(d, set()) == _winnow_ref(t, 4, 4, HASH_MOD), d
+    # the winnowing guarantee: a shared >= w+n-1-token substring
+    # yields at least one shared fingerprint HASH
+    fps100 = {fp for _, fp in got[100]}
+    fps101 = {fp for _, fp in got[101]}
+    assert fps100 & fps101
