@@ -7183,3 +7183,109 @@ def q147_winnowing(spark, sf_dir):
     return winnow_fingerprints(
         load(spark, sf_dir, "documents"), "text", "doc_id", n=4, w=4
     ).select(F.col("doc").alias("doc_id"), "pos", "fp")
+
+
+def _lsh_recall_oracle(threshold: float) -> str:
+    from queens_spark.operators.dedup import (
+        LSH_BANDS, LSH_ROWS, MINHASH_A, MINHASH_B, MINHASH_K, MINHASH_P,
+        duckdb_shingle_hashes,
+    )
+
+    sig_elems = ", ".join(
+        f"list_min(list_transform(hs, x -> "
+        f"({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MINHASH_P}))"
+        for i in range(MINHASH_K)
+    )
+    band_selects = []
+    for band in range(LSH_BANDS):
+        cols = " || '_' || ".join(
+            f"CAST(sig[{band * LSH_ROWS + r + 1}] AS VARCHAR)"
+            for r in range(LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band_id, {cols} AS band_sig FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    jac = ("CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)"
+           " / (len(ha.hs) + len(hb.hs)"
+           " - len(list_intersect(ha.hs, hb.hs)))")
+    return f"""
+    WITH h AS (
+      SELECT doc_id, hs FROM (
+        SELECT doc_id, {duckdb_shingle_hashes('text')} AS hs FROM documents)
+      WHERE len(hs) > 0
+    ), ex AS (
+      SELECT doc_id, unnest(hs) AS sh FROM h
+    ), truth AS (
+      SELECT c.id_a, c.id_b FROM (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      ) c
+      JOIN h ha ON ha.doc_id = c.id_a
+      JOIN h hb ON hb.doc_id = c.id_b
+      WHERE {jac} >= {threshold}
+    ), sig AS (
+      SELECT doc_id, hs, [{sig_elems}] AS sig FROM h
+    ), bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ), hit AS (
+      SELECT t.id_a, t.id_b FROM truth t
+      JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    ), m AS (
+      SELECT (SELECT count(*) FROM truth) AS n_true,
+             (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT count(*) FROM hit) AS n_hit
+    )
+    SELECT n_true, n_candidates, n_hit,
+           CASE WHEN n_true = 0 THEN 10000
+                ELSE n_hit * 10000 // n_true END AS recall_bp,
+           CASE WHEN n_candidates = 0 THEN 0
+                ELSE n_hit * 10000 // n_candidates END AS efficiency_bp
+    FROM m
+    """
+
+
+@register("q148_lsh_recall_eval", _lsh_recall_oracle(0.8))
+def q148_lsh_recall_eval(spark, sf_dir):
+    """Dedup-quality harness — q102/q116's measure-don't-guess
+    posture applied to the DEDUP side: LSH banding's candidate recall
+    against the UNCAPPED exact Jaccard ≥ 0.8 pair set (ground truth
+    from the one-pass exact inverted index, ngram_jaccard_pairs
+    max_df=None), plus candidate efficiency (how many banded
+    candidates are true pairs) — the two numbers that justify a
+    band/row configuration before trusting it at scale. Exact integer
+    counts and basis points; the harness scales with pair counts, not
+    the corpus square."""
+    from queens_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.8, max_df=None
+    ).select("id_a", "id_b")
+    cand = lsh_candidate_pairs(docs, "text", "doc_id").select(
+        "id_a", "id_b"
+    )
+    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    m = (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return m.select(
+        "n_true", "n_candidates", "n_hit",
+        F.expr(
+            "CASE WHEN n_true = 0 THEN 10000 "
+            "ELSE n_hit * 10000 div n_true END"
+        ).alias("recall_bp"),
+        F.expr(
+            "CASE WHEN n_candidates = 0 THEN 0 "
+            "ELSE n_hit * 10000 div n_candidates END"
+        ).alias("efficiency_bp"),
+    )
