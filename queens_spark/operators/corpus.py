@@ -460,7 +460,12 @@ def lm_quality_buckets(
     bucket map then joins back on the score value (AQE broadcasts
     it). The corpus itself never sorts.
     """
-    scores = lm_doc_scores(df, text_col, id_col)
+    from queens_spark.operators.dedup import _persist
+
+    # persist barrier: the scores frame feeds BOTH the mass
+    # aggregation and the final bucket join — without it the whole
+    # LM-score pipeline (tokenize + LM join) runs once per branch
+    scores = _persist(lm_doc_scores(df, text_col, id_col))
     mass = scores.groupBy("avg_p_e6").agg(
         F.sum("n_bigrams").alias("mass")
     )

@@ -7261,17 +7261,21 @@ def q148_lsh_recall_eval(spark, sf_dir):
     counts and basis points; the harness scales with pair counts, not
     the corpus square."""
     from queens_spark.operators.dedup import (
+        _persist,
         lsh_candidate_pairs,
         ngram_jaccard_pairs,
     )
 
     docs = load(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(
+    # persist barriers: each pair frame feeds its own count AND the
+    # hit semi-join — unpersisted, the shingle/banding pipelines run
+    # once per consumer
+    truth = _persist(ngram_jaccard_pairs(
         docs, "text", "doc_id", n=3, threshold=0.8, max_df=None
-    ).select("id_a", "id_b")
-    cand = lsh_candidate_pairs(docs, "text", "doc_id").select(
+    ).select("id_a", "id_b"))
+    cand = _persist(lsh_candidate_pairs(docs, "text", "doc_id").select(
         "id_a", "id_b"
-    )
+    ))
     hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
     m = (
         truth.agg(F.count(F.lit(1)).alias("n_true"))
