@@ -7293,3 +7293,70 @@ def q148_lsh_recall_eval(spark, sf_dir):
             "ELSE n_hit * 10000 div n_candidates END"
         ).alias("efficiency_bp"),
     )
+
+
+_MAD_ORACLE = """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, m.med, e.value,
+             abs(e.value - m.med) AS dev
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           any_value(d.med) AS med,
+           any_value(a.mad) AS mad,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN d.dev > 3 * a.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           sum(CASE WHEN d.dev > 3 * a.mad THEN 1 ELSE 0 END)
+             * 10000 // count(*) AS outlier_bp
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type
+"""
+
+
+@register("q149_mad_outliers", _MAD_ORACLE)
+def q149_mad_outliers(spark, sf_dir):
+    """Robust anomaly screen — median absolute deviation, the
+    outlier detector that (unlike q115's 2σ z-score) a few huge
+    anomalies cannot mask, because median and MAD are both
+    50%-breakdown statistics: per event type, events with
+    |value − median| > 3·MAD are flagged, with exact basis-point
+    rates. Both medians come from the distributed two-phase-rank
+    quantiles (operators/quantiles.py — bit-identical to
+    quantile_cont, q58's guarantee), so no per-group buffer exists at
+    any group size; the deviation frame is persisted once and feeds
+    the MAD ranking and the flag count."""
+    from queens_spark.operators.dedup import _persist
+    from queens_spark.operators.quantiles import exact_group_quantiles
+
+    ev = load(spark, sf_dir, "events")
+    med = exact_group_quantiles(ev, "event_type", "value", {"med": 0.5})
+    dev = _persist(
+        ev.join(med, "event_type").select(
+            "event_type", "med",
+            F.abs(F.col("value") - F.col("med")).alias("dev"),
+        )
+    )
+    mad = exact_group_quantiles(dev, "event_type", "dev", {"mad": 0.5})
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.any_value("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+            F.expr(
+                "sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END)"
+                " * 10000 div count(1)"
+            ).alias("outlier_bp"),
+        )
+    )
