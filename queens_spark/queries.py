@@ -7186,6 +7186,7 @@ def q147_winnowing(spark, sf_dir):
 
 
 def _lsh_recall_oracle(threshold: float) -> str:
+    from queens_spark.operators.sampling import duckdb_hash_bucket
     from queens_spark.operators.dedup import (
         LSH_BANDS, LSH_ROWS, MINHASH_A, MINHASH_B, MINHASH_K, MINHASH_P,
         duckdb_shingle_hashes,
@@ -7212,7 +7213,8 @@ def _lsh_recall_oracle(threshold: float) -> str:
     return f"""
     WITH h AS (
       SELECT doc_id, hs FROM (
-        SELECT doc_id, {duckdb_shingle_hashes('text')} AS hs FROM documents)
+        SELECT doc_id, {duckdb_shingle_hashes('text')} AS hs FROM documents
+        WHERE {duckdb_hash_bucket('doc_id')} < 3000)
       WHERE len(hs) > 0
     ), ex AS (
       SELECT doc_id, unnest(hs) AS sh FROM h
@@ -7257,16 +7259,26 @@ def q148_lsh_recall_eval(spark, sf_dir):
     from the one-pass exact inverted index, ngram_jaccard_pairs
     max_df=None), plus candidate efficiency (how many banded
     candidates are true pairs) — the two numbers that justify a
-    band/row configuration before trusting it at scale. Exact integer
-    counts and basis points; the harness scales with pair counts, not
-    the corpus square."""
+    band/row configuration before trusting it at scale. Runs on a
+    deterministic 30%% doc sample (hash_sample — the q102 convention:
+    recall is a statistic, and exact ground truth is quadratic in
+    duplicate-cluster size). Exact integer counts and basis
+    points."""
     from queens_spark.operators.dedup import (
         _persist,
         lsh_candidate_pairs,
         ngram_jaccard_pairs,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    from queens_spark.operators.sampling import hash_sample
+
+    # the harness runs on a deterministic 30% doc sample — the q102
+    # convention: recall is a STATISTIC, and the uncapped exact
+    # ground truth is quadratic in duplicate-cluster size, so
+    # evaluate on a stable sample rather than the full corpus
+    docs = hash_sample(
+        load(spark, sf_dir, "documents"), "doc_id", 3000
+    )
     # persist barriers: each pair frame feeds its own count AND the
     # hit semi-join — unpersisted, the shingle/banding pipelines run
     # once per consumer
@@ -7359,4 +7371,100 @@ def q149_mad_outliers(spark, sf_dir):
                 " * 10000 div count(1)"
             ).alias("outlier_bp"),
         )
+    )
+
+
+_AB_ORACLE = """
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS variant,
+             max(CASE WHEN event_type = 'purchase' AND value > 120
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), v AS (
+      SELECT variant, count(*) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_converted
+      FROM u GROUP BY variant
+    ), w AS (
+      SELECT
+        max(CASE WHEN variant = 0 THEN n_users END) AS n0,
+        max(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+        max(CASE WHEN variant = 1 THEN n_users END) AS n1,
+        max(CASE WHEN variant = 1 THEN n_converted END) AS c1
+      FROM v
+    )
+    SELECT n0, c0, n1, c1,
+           c0 * 10000 // n0 AS cvr0_bp,
+           c1 * 10000 // n1 AS cvr1_bp,
+           CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0.0
+                ELSE (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+              - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             * (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             / ((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) END AS z2,
+           CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0
+                WHEN (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+              - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             * (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             / ((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) > 3.8415 THEN 1 ELSE 0 END AS significant
+    FROM w
+"""
+
+
+@register("q150_ab_significance", _AB_ORACLE)
+def q150_ab_significance(spark, sf_dir):
+    """A/B-test readout — the two-proportion z-test every experiment
+    dashboard runs: users split by a deterministic variant hash
+    (user_id %% 2 — the q59 leak-free-split convention), conversion =
+    any purchase above value 120 (a rate with variance at every
+    shipped SF); degenerate pooled rates (0 or 1) short-circuit to
+    z² = 0 — no evidence either way; the test statistic z² = (p0−p1)² / (p̄(1−p̄)
+    (1/n0+1/n1)) is computed as ONE fixed-order double expression
+    (identical IEEE sequence both engines, the q146 convention) with
+    the χ²₁ 95%% cut at 3.8415. Two counter-width aggregations (user,
+    then variant) and a 2-row pivot — nothing user-scale leaves the
+    aggregation."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 120),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).alias("variant"), "converted")
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    diff = d("c0") / d("n0") - d("c1") / d("n1")
+    pooled = (d("c0") + d("c1")) / (d("n0") + d("n1"))
+    z2 = diff * diff / (
+        pooled * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / d("n0") + F.lit(1.0) / d("n1"))
+    )
+    degenerate = (F.col("c0") + F.col("c1") == 0) | (
+        F.col("c0") + F.col("c1") == F.col("n0") + F.col("n1")
+    )
+    return w.select(
+        "n0", "c0", "n1", "c1",
+        F.expr("c0 * 10000 div n0").alias("cvr0_bp"),
+        F.expr("c1 * 10000 div n1").alias("cvr1_bp"),
+        F.when(degenerate, F.lit(0.0)).otherwise(z2).alias("z2"),
+        F.when(degenerate, 0)
+        .when(z2 > 3.8415, 1)
+        .otherwise(0)
+        .alias("significant"),
     )
