@@ -7468,3 +7468,77 @@ def q150_ab_significance(spark, sf_dir):
         .otherwise(0)
         .alias("significant"),
     )
+
+
+def _calibration_oracle() -> str:
+    quality = f"""0.4 * least(CAST(len({_DUCK_TOKS}) AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * (1.0 - CASE WHEN length(text) > 0
+                THEN CAST(length(text) -
+                     length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+                     AS DOUBLE) / length(text) ELSE 0.0 END)
+           + 0.3 * (CASE WHEN len({_DUCK_TOKS}) > 0
+                THEN CAST(len(list_distinct({_DUCK_TOKS})) AS DOUBLE)
+                     / len({_DUCK_TOKS}) ELSE 0.0 END)"""
+    return f"""
+    WITH s AS (
+      SELECT doc_id, source, {quality} AS quality FROM documents
+    ), r AS (
+      SELECT doc_id, source, quality,
+             RANK() OVER (PARTITION BY source ORDER BY quality) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM s
+    )
+    SELECT doc_id, source, quality,
+           CASE WHEN n > 1 THEN (rk - 1) * 10000 // (n - 1)
+                ELSE 0 END AS pr_bp,
+           CASE WHEN (CASE WHEN n > 1 THEN (rk - 1) * 10000 // (n - 1)
+                      ELSE 0 END) >= 5000
+                THEN 1 ELSE 0 END AS keep
+    FROM r
+    """
+
+
+@register("q151_percentile_calibration", _calibration_oracle())
+def q151_percentile_calibration(spark, sf_dir):
+    """Cross-source score calibration — FineWeb's normalization
+    insight: raw quality scores are not comparable across sources (a
+    clean source's median outscores a crawl's p90), so thresholds
+    apply to the PER-SOURCE percentile rank, not the raw score. Every
+    doc gets pr_bp = ⌊(rank−1)·10⁴/(n−1)⌋ within its source (RANK
+    ties = min ordinal over equal scores) and keep = top half. The
+    rank comes from the distributed two-phase ordinal
+    (operators/quantiles.py:grouped_ordinal — no single-task-per-
+    source window), collapsed to RANK semantics by a counter-width
+    min-per-(source, score) aggregation joined back score-keyed."""
+    from queens_spark.operators.quantiles import grouped_ordinal
+    from queens_spark.operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", "source", quality_score("text").alias("quality")
+    )
+    ranks = (
+        grouped_ordinal(s, "source", "quality")
+        .groupBy("source", "__v")
+        .agg(F.min("__rk").alias("rk"))
+    )
+    n = s.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    pr = F.expr(
+        "CASE WHEN n > 1 THEN (rk - 1) * 10000 div (n - 1) ELSE 0 END"
+    )
+    return (
+        s.join(
+            ranks,
+            (s["source"] == ranks["source"])
+            & (s["quality"] == ranks["__v"]),
+        )
+        .drop(ranks["source"])
+        .join(n, "source")
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            pr.alias("pr_bp"),
+            F.when(pr >= 5000, 1).otherwise(0).alias("keep"),
+        )
+    )
