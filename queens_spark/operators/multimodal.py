@@ -11,12 +11,18 @@ palette lookup), single-frame GIF (stdlib LZW decode/encode), and
 BASELINE JPEG (marker parse, canonical-Huffman entropy decode,
 numpy IDCT, 4:2:0 upsampling, restart markers — plus a matching
 encoder), including a real nearest-neighbour resize that re-encodes
-the same format. The remaining codecs
-(MP4/MP3/OGG) require native libraries NOT in this runtime, so
-those kernels remain explicit stubs: they raise
+the same format. The remaining SAMPLE codecs
+(MP4/MP3/OGG) require native libraries NOT in this runtime, so those
+decode kernels remain explicit stubs: they raise
 ``NotImplementedError`` behind the same interface a real kernel would
 implement, and ``fake_features``/``fake_resize`` provide
-deterministic stand-ins for plumbing tests.
+deterministic stand-ins for plumbing tests. Their CONTAINER metadata,
+however, is parsed for real — :func:`probe_mp4` walks the ISO-BMFF
+box tree (brand, duration, tracks, handlers, video dimensions) and
+:func:`probe_mp3` walks ID3 + MPEG frame headers (bitrate, sample
+rate, frame count, duration) in pure struct/bit arithmetic, because
+routing/duration/resolution screens are what a curation pipeline
+reads at scale, and none of that should pay a decode.
 
 At scale: media rows are large and skewed — the loader repartitions
 by a byte-size-aware key so one task never gets all the big files,
@@ -1216,3 +1222,162 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+# --------------------------------------- container / frame probing
+
+def probe_mp4(content: bytes) -> dict:
+    """REAL MP4 / ISO-BMFF container probe — a pure-struct box walk
+    (ftyp brand; moov→mvhd timescale/duration; per-trak hdlr handler
+    types; first video tkhd dimensions). Frame DECODE stays an honest
+    stub (H.264/AAC need codec libraries this runtime lacks), but the
+    container metadata is the part a curation pipeline actually reads
+    at scale: modality routing, duration screens, resolution filters —
+    none of which should pay a decode."""
+    if len(content) < 12 or content[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (no ftyp box)")
+
+    def boxes(buf: bytes, start: int, end: int):
+        off = start
+        while off + 8 <= end:
+            size = struct.unpack(">I", buf[off:off + 4])[0]
+            btype = buf[off + 4:off + 8]
+            hdr = 8
+            if size == 1:
+                size = struct.unpack(">Q", buf[off + 8:off + 16])[0]
+                hdr = 16
+            elif size == 0:
+                size = end - off
+            if size < hdr or off + size > end:
+                break
+            yield btype, off + hdr, off + size
+            off += size
+
+    out = {
+        "format": "mp4",
+        "major_brand": content[8:12].decode("latin1"),
+        "timescale": 0, "duration_ms": 0, "n_tracks": 0,
+        "handlers": [], "width": 0, "height": 0,
+    }
+    for btype, p0, p1 in boxes(content, 0, len(content)):
+        if btype != b"moov":
+            continue
+        for ct, c0, c1 in boxes(content, p0, p1):
+            if ct == b"mvhd":
+                v = content[c0]
+                if v == 1:
+                    ts = struct.unpack(">I", content[c0 + 20:c0 + 24])[0]
+                    dur = struct.unpack(">Q", content[c0 + 24:c0 + 32])[0]
+                else:
+                    ts = struct.unpack(">I", content[c0 + 12:c0 + 16])[0]
+                    dur = struct.unpack(">I", content[c0 + 16:c0 + 20])[0]
+                out["timescale"] = ts
+                out["duration_ms"] = int(dur * 1000 // ts) if ts else 0
+            elif ct == b"trak":
+                out["n_tracks"] += 1
+                for tt, t0, t1 in boxes(content, c0, c1):
+                    if tt == b"tkhd":
+                        v = content[t0]
+                        base = t0 + (88 if v == 1 else 76)
+                        w = struct.unpack(">I", content[base:base + 4])[0] >> 16
+                        h = struct.unpack(">I", content[base + 4:base + 8])[0] >> 16
+                        if w and h and not out["width"]:
+                            out["width"], out["height"] = w, h
+                    elif tt == b"mdia":
+                        for mt, m0, m1 in boxes(content, t0, t1):
+                            if mt == b"hdlr":
+                                out["handlers"].append(
+                                    content[m0 + 8:m0 + 12]
+                                    .decode("latin1").strip()
+                                )
+    return out
+
+
+#: MPEG-1 Layer III bitrate table (kbps; index 0 = free, 15 = bad)
+_MP3_BITRATES_V1 = [0, 32, 40, 48, 56, 64, 80, 96, 112,
+                    128, 160, 192, 224, 256, 320, 0]
+_MP3_BITRATES_V2 = [0, 8, 16, 24, 32, 40, 48, 56, 64,
+                    80, 96, 112, 128, 144, 160, 0]
+_MP3_RATES = {3: [44100, 48000, 32000],   # MPEG1
+              2: [22050, 24000, 16000],   # MPEG2
+              0: [11025, 12000, 8000]}    # MPEG2.5
+
+
+def probe_mp3(content: bytes) -> dict:
+    """REAL MP3 probe — ID3v2 skip plus an MPEG audio frame-header
+    walk (pure bit arithmetic): version/layer, bitrate, sample rate,
+    channel mode, frame count and the duration estimate (1152
+    samples/frame MPEG1, 576 MPEG2/2.5). Audio DECODE stays an honest
+    stub (Layer III synthesis needs a codec); the header walk is what
+    duration/bitrate screens read at corpus scale."""
+    off = 0
+    if content[:3] == b"ID3" and len(content) >= 10:
+        sz = 0
+        for b in content[6:10]:
+            sz = (sz << 7) | (b & 0x7F)
+        off = 10 + sz
+    frames = 0
+    first = None
+    samples = 0
+    n = len(content)
+    while off + 4 <= n:
+        h = struct.unpack(">I", content[off:off + 4])[0]
+        if (h >> 21) & 0x7FF != 0x7FF:
+            off += 1
+            continue
+        version = (h >> 19) & 0x3      # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (h >> 17) & 0x3        # 1 = Layer III
+        bidx = (h >> 12) & 0xF
+        ridx = (h >> 10) & 0x3
+        pad = (h >> 9) & 0x1
+        mode = (h >> 6) & 0x3
+        if version == 1 or layer != 1 or bidx in (0, 15) or ridx == 3:
+            off += 1
+            continue
+        table = _MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2
+        bitrate = table[bidx] * 1000
+        rate = _MP3_RATES[version][ridx]
+        spf = 1152 if version == 3 else 576
+        flen = spf // 8 * bitrate // rate + pad
+        if flen <= 4:
+            break
+        if first is None:
+            first = {
+                "mpeg_version": {3: 1, 2: 2, 0: 25}[version],
+                "bitrate_kbps": bitrate // 1000,
+                "sample_rate": rate,
+                "channels": 1 if mode == 3 else 2,
+            }
+        frames += 1
+        samples += spf
+        off += flen
+    if first is None:
+        raise ValueError("no MPEG audio frames found")
+    return {
+        "format": "mp3",
+        **first,
+        "n_frames": frames,
+        "duration_ms": int(samples * 1000 // first["sample_rate"]),
+    }
+
+
+def probe_media(content: bytes | None) -> dict | None:
+    """Container-level metadata for ANY payload this module knows:
+    full decode metadata for the stdlib-decodable formats, REAL
+    container/frame-header probes for mp4/mp3 (whose sample decode is
+    stubbed), None for unrecognised bytes. This is the metadata-
+    extraction kernel a mixed-modality corpus runs FIRST — routing,
+    duration/resolution screens, and :func:`frame_sample_plan` all
+    read its output without paying any decode."""
+    fmt = sniff_format(content)
+    if fmt is None:
+        return None
+    if fmt == "wav":
+        return decode_wav(content)
+    if fmt in ("bmp", "ppm", "pgm", "png", "gif", "jpeg"):
+        return decode_image(content)
+    if fmt == "mp4":
+        return probe_mp4(content)
+    if fmt == "mp3":
+        return probe_mp3(content)
+    return {"format": fmt}

@@ -474,3 +474,120 @@ def test_jpeg_features_resize_and_fallbacks():
     progressive[sof + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="baseline"):
         _decode_jpeg_pixels(bytes(progressive))
+
+
+def _make_mp4(duration_s=7, timescale=1000, width=640, height=360):
+    import struct
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(b"mvhd", bytes(4) + bytes(8)
+               + struct.pack(">II", timescale, duration_s * timescale)
+               + bytes(80))
+    tkhd = box(b"tkhd", bytes(4) + bytes(72)
+               + struct.pack(">II", width << 16, height << 16))
+    hdlr = box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+    mdia = box(b"mdia", hdlr)
+    trak = box(b"trak", tkhd + mdia)
+    hdlr_a = box(b"hdlr", bytes(8) + b"soun" + bytes(12))
+    trak_a = box(b"trak",
+                 box(b"tkhd", bytes(4) + bytes(72) + bytes(8))
+                 + box(b"mdia", hdlr_a))
+    moov = box(b"moov", mvhd + trak + trak_a)
+    return ftyp + moov + box(b"mdat", b"\x00" * 64)
+
+
+def _make_mp3(n_frames=5):
+    import struct
+
+    # MPEG1 Layer III, 128 kbps, 44100 Hz, stereo, no padding
+    hdr = struct.pack(">I", (0x7FF << 21) | (3 << 19) | (1 << 17)
+                      | (1 << 16) | (9 << 12) | (0 << 10) | (0 << 6))
+    flen = 144 * 128000 // 44100
+    frame = hdr + bytes(flen - 4)
+    id3 = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 20]) + bytes(20)
+    return id3 + frame * n_frames
+
+
+def test_probe_mp4_container():
+    from queens_spark.operators.multimodal import probe_mp4, sniff_format
+
+    raw = _make_mp4()
+    assert sniff_format(raw) == "mp4"
+    m = probe_mp4(raw)
+    assert m["major_brand"] == "isom"
+    assert m["duration_ms"] == 7000
+    assert m["n_tracks"] == 2
+    assert m["handlers"] == ["vide", "soun"]
+    assert (m["width"], m["height"]) == (640, 360)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="ftyp"):
+        probe_mp4(b"\x00" * 32)
+
+
+def test_probe_mp3_frames():
+    from queens_spark.operators.multimodal import probe_mp3, sniff_format
+
+    raw = _make_mp3(n_frames=5)
+    assert sniff_format(raw) == "mp3"
+    m = probe_mp3(raw)
+    assert m["mpeg_version"] == 1
+    assert m["bitrate_kbps"] == 128
+    assert m["sample_rate"] == 44100
+    assert m["channels"] == 2
+    assert m["n_frames"] == 5
+    assert m["duration_ms"] == 5 * 1152 * 1000 // 44100
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no MPEG"):
+        probe_mp3(b"ID3\x03\x00\x00" + bytes([0, 0, 0, 4]) + bytes(4))
+
+
+def test_probe_media_dispatch_mixed(spark):
+    """probe_media routes every known payload — the mixed-modality
+    metadata pass runs in one Arrow-batched job with no decode of
+    stubbed formats."""
+    import pandas as pd
+    from pyspark.sql import Row
+
+    from queens_spark.operators.multimodal import (
+        encode_pnm,
+        probe_media,
+    )
+    import numpy as np
+
+    img = encode_pnm(np.zeros((4, 6, 3), dtype=np.uint8))
+    rows = [
+        Row(media_id=1, content=bytearray(_make_mp4())),
+        Row(media_id=2, content=bytearray(_make_mp3())),
+        Row(media_id=3, content=bytearray(img)),
+        Row(media_id=4, content=bytearray(b"garbage-bytes-here")),
+    ]
+    df = spark.createDataFrame(rows)
+
+    def run(batches):
+        for pdf in batches:
+            metas = pdf["content"].map(
+                lambda c: probe_media(bytes(c)) if c is not None else None
+            )
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "fmt": metas.map(lambda m: m["format"] if m else None),
+                "duration_ms": metas.map(
+                    lambda m: (m or {}).get("duration_ms")
+                ),
+                "width": metas.map(lambda m: (m or {}).get("width")),
+            })
+
+    got = {r["media_id"]: r for r in df.mapInPandas(
+        run, "media_id long, fmt string, duration_ms long, width long"
+    ).collect()}
+    assert got[1]["fmt"] == "mp4" and got[1]["duration_ms"] == 7000
+    assert got[2]["fmt"] == "mp3" and got[2]["duration_ms"] == 130
+    assert got[3]["fmt"] == "ppm" and got[3]["width"] == 6
+    assert got[4]["fmt"] is None
