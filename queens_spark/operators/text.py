@@ -484,3 +484,44 @@ def filter_funnel(
         "n_tokens",
         F.expr("_num div _tot").alias("doc_share_bp"),
     )
+
+
+def readability_stats(text: Column | str):
+    """Flesch reading-ease inputs + score — the classic readability
+    screen (word/sentence length and the vowel-group syllable
+    heuristic; deterministic, so engine-portable where dictionary
+    syllabifiers are not). Returns a struct (n_words, n_sentences,
+    n_syllables, flesch); flesch = 206.835 − 1.015·(W/S) −
+    84.6·(SY/W) in FIXED evaluation order, 0.0 for empty docs.
+    Pure per-row array expressions, zero shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(F.lower(c))
+    n_words = F.size(toks)
+    n_syl = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+            F.lit(1),
+        ).cast("bigint"),
+    )
+    n_sent = F.greatest(
+        F.size(
+            F.filter(
+                F.transform(F.split(c, r"[.!?]+"), lambda x: F.trim(x)),
+                lambda x: x != "",
+            )
+        ),
+        F.lit(1),
+    )
+    flesch = F.when(n_words > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syl.cast("double") / n_words.cast("double")),
+    ).otherwise(F.lit(0.0))
+    return F.struct(
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+        flesch.alias("flesch"),
+    )

@@ -7542,3 +7542,203 @@ def q151_percentile_calibration(spark, sf_dir):
             F.when(pr >= 5000, 1).otherwise(0).alias("keep"),
         )
     )
+
+
+_READABILITY_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id,
+        CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_words,
+        CAST(greatest(len(list_filter(
+          list_transform(string_split_regex(text, '[.!?]+'),
+                         x -> trim(x)), x -> x <> '')), 1)
+          AS BIGINT) AS n_sentences,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(
+            list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> x <> ''),
+            w -> CAST(greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)
+                      AS BIGINT))),
+          (a, b) -> a + b) AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN
+             206.835
+             - 1.015 * (CAST(n_words AS DOUBLE)
+                        / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE)
+                       / CAST(n_words AS DOUBLE))
+           ELSE 0.0 END AS flesch
+    FROM d
+"""
+
+
+@register("q152_readability", _READABILITY_ORACLE)
+def q152_readability(spark, sf_dir):
+    """Flesch reading-ease screen — the classic readability signal
+    (FineWeb-style edu-quality pipelines gate on it): words per
+    sentence and vowel-group syllables per word, combined in FIXED
+    IEEE order so any engine reproduces the score exactly
+    (dictionary syllabifiers are not portable; the vowel-group
+    heuristic is). Zero-shuffle linear scan
+    (operators/text.py:readability_stats)."""
+    from queens_spark.operators.text import readability_stats
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", readability_stats("text").alias("r")
+    ).select("doc_id", "r.n_words", "r.n_sentences", "r.n_syllables",
+             "r.flesch")
+
+
+_SEASONAL_ORACLE = """
+    WITH e AS (
+      SELECT hour(ts) AS hour,
+             CAST(floor(value * 100) AS BIGINT) AS v
+      FROM events
+    ), s AS (
+      SELECT hour, count(*) AS n_events,
+             CAST(sum(v) AS BIGINT) // count(*) AS seasonal_e2
+      FROM e GROUP BY hour
+    ), g AS (
+      SELECT CAST(sum(v) AS BIGINT) // count(*) AS mu FROM e
+    ), r AS (
+      SELECT e.hour, max(abs(e.v - s.seasonal_e2)) AS max_abs_residual_e2
+      FROM e JOIN s ON s.hour = e.hour GROUP BY e.hour
+    )
+    SELECT s.hour, s.n_events, s.seasonal_e2,
+           s.seasonal_e2 - g.mu AS offset_e2,
+           r.max_abs_residual_e2
+    FROM s JOIN r ON r.hour = s.hour, g
+"""
+
+
+@register("q153_seasonal_profile", _SEASONAL_ORACLE)
+def q153_seasonal_profile(spark, sf_dir):
+    """Additive seasonal decomposition, period = 24 h — the
+    time-series prior every ops/usage dashboard extracts before
+    anomaly detection: per hour-of-day the seasonal level (exact
+    integer sum div count over fixed-point cents — float means are
+    summation-order-dependent, integer means are not), its offset
+    from the global level, and the max absolute residual once the
+    seasonal component is removed. Two counter-width aggregations
+    plus a broadcast seasonal join back; the events never shuffle
+    twice on the same key (AQE reuses the hour exchange)."""
+    from queens_spark.operators.dedup import _persist
+
+    ev = load(spark, sf_dir, "events")
+    e = _persist(
+        ev.select(
+            F.hour("ts").alias("hour"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+        )
+    )
+    s = e.groupBy("hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("sum(v) div count(1)").alias("seasonal_e2"),
+    )
+    g = e.agg(F.expr("sum(v) div count(1)").alias("mu"))
+    r = (
+        e.join(F.broadcast(s.select("hour", "seasonal_e2")), "hour")
+        .groupBy("hour")
+        .agg(
+            F.max(F.abs(F.col("v") - F.col("seasonal_e2")))
+            .alias("max_abs_residual_e2")
+        )
+    )
+    return (
+        s.join(r, "hour")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "hour", "n_events", "seasonal_e2",
+            (F.col("seasonal_e2") - F.col("mu")).alias("offset_e2"),
+            "max_abs_residual_e2",
+        )
+    )
+
+
+def _triangles_oracle(threshold: float) -> str:
+    pair_sql = _pairs_full_oracle(threshold)
+    return f"""
+    WITH pairs AS ({pair_sql}),
+    copies AS ({_COPIES_SQL}),
+    edges AS (
+      SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+      FROM pairs
+      UNION
+      SELECT DISTINCT least(rep_id, doc_id), greatest(rep_id, doc_id)
+      FROM copies
+    ), deg AS (
+      SELECT n, count(*) AS d FROM (
+        SELECT a AS n FROM edges UNION ALL SELECT b AS n FROM edges
+      ) GROUP BY n
+    ), tri AS (
+      SELECT count(*) AS t
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), w AS (
+      SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges,
+             count(*) AS n_nodes
+      FROM deg
+    )
+    SELECT w.n_nodes,
+           (SELECT count(*) FROM edges) AS n_edges,
+           tri.t AS n_triangles,
+           CASE WHEN w.wedges = 0 THEN 0
+                ELSE 3 * tri.t * 10000 // w.wedges END AS clustering_bp
+    FROM tri, w
+    """
+
+
+@register("q154_dedup_triangles", _triangles_oracle(0.8))
+def q154_dedup_triangles(spark, sf_dir):
+    """Triangle count + global clustering coefficient of the dedup
+    graph — the graph-analytics audit that tells template farms
+    (dense, high-clustering near-dup communities) from chains of
+    borderline pairs (low clustering), completing the graph tier
+    beside PageRank (q101) and connected components (q36). Exact
+    integers: triangles from the ordered two-hop join (a<b<c, each
+    triangle counted once), wedges Σd(d−1)/2 from a counter-width
+    degree aggregation, clustering = 3·T/wedges in basis points. The
+    edge set is dedup-output-sized, never corpus-sized; the two-hop
+    join shuffles on node keys only."""
+    from queens_spark.operators.dedup import _persist, dedup_edges
+
+    docs = load(spark, sf_dir, "documents")
+    edges = _persist(
+        dedup_edges(docs, "text", "doc_id", n=3, threshold=0.8)
+        .select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionAll(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, "y").join(e3, ["x", "z"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    w = deg.agg(
+        F.expr("CAST(sum(d * (d - 1) div 2) AS BIGINT)").alias("wedges"),
+        F.count(F.lit(1)).alias("n_nodes"),
+    )
+    ecnt = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        w.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(ecnt))
+        .select(
+            "n_nodes", "n_edges", F.col("t").alias("n_triangles"),
+            F.expr(
+                "CASE WHEN wedges = 0 THEN 0 "
+                "ELSE 3 * t * 10000 div wedges END"
+            ).alias("clustering_bp"),
+        )
+    )
