@@ -7742,3 +7742,120 @@ def q154_dedup_triangles(spark, sf_dir):
             ).alias("clustering_bp"),
         )
     )
+
+
+def _label_agreement_oracle(k: int) -> str:
+    from queens_spark.operators.similarity import duckdb_int_dot, duckdb_quantize
+
+    qv = duckdb_quantize("embedding")
+    cos = (
+        f"CAST({duckdb_int_dot('a.q', 'b.q')} AS DOUBLE)"
+        f" / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, label, {qv} AS q FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, q, {duckdb_int_dot('q', 'q')} AS n2 FROM v
+    ), cents AS (
+      SELECT vec_id AS centroid_id, q AS cq, n2 AS cn2 FROM n
+      WHERE vec_id % 200 = 0
+    ), assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY CAST({duckdb_int_dot('v.q', 'c.cq')} AS DOUBLE)
+                   / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+                 c.centroid_id ASC) AS rk
+        FROM n v, cents c
+      ) WHERE rk = 1
+    ), av AS (
+      SELECT a.vec_id, a.centroid_id, n.label, n.q, n.n2
+      FROM assign a JOIN n ON n.vec_id = a.vec_id
+    ), topk AS (
+      SELECT vec_id, neighbor_id, nlabel FROM (
+        SELECT a.vec_id, b.vec_id AS neighbor_id, b.label AS nlabel,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {cos} DESC, b.vec_id ASC) AS rank
+        FROM av a JOIN av b
+          ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+      ) WHERE rank <= {k}
+    ), votes AS (
+      SELECT vec_id, nlabel, count(*) AS c FROM topk
+      GROUP BY vec_id, nlabel
+    ), pred AS (
+      SELECT vec_id, nlabel AS predicted FROM (
+        SELECT vec_id, nlabel,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY c DESC, nlabel ASC) AS r
+        FROM votes
+      ) WHERE r = 1
+    )
+    SELECT e.label,
+           count(*) AS n_vectors,
+           CAST(sum(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           sum(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END)
+             * 10000 // count(*) AS agree_bp
+    FROM pred p JOIN embeddings e ON e.vec_id = p.vec_id
+    GROUP BY e.label
+    """
+
+
+@register("q155_knn_label_agreement", _label_agreement_oracle(5))
+def q155_knn_label_agreement(spark, sf_dir):
+    """Embedding-quality probe + label-noise screen — dataset
+    cartography's first report: every vector's label is predicted by
+    the MAJORITY vote of its 5 within-cell nearest neighbors (ties:
+    smallest label — deterministic) and compared to its true label,
+    per label, in exact basis points. High agreement = the embedding
+    separates the classes; a low-agreement label = noisy labels or an
+    entangled class. Composes q140's kNN graph (Σ cluster² bound)
+    with two counter-width vote aggregations — nothing new shuffles
+    at corpus width."""
+    from queens_spark.operators.dedup import _persist
+    from queens_spark.operators.similarity import knn_graph
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_ids = [
+        r[0]
+        for r in emb.where(F.col("vec_id") % 200 == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    labels = emb.select("vec_id", "label")
+    edges = knn_graph(emb, "embedding", "vec_id", cent_ids, k=5)
+    votes = (
+        edges.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("vec_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("c"), F.asc("nlabel")
+    )
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .where("r = 1")
+        .select("vec_id", F.col("nlabel").alias("predicted"))
+    )
+    return (
+        pred.join(labels, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(
+                F.when(F.col("predicted") == F.col("label"), 1).otherwise(0)
+            ).cast("bigint").alias("n_agree"),
+            F.expr(
+                "sum(CASE WHEN predicted = label THEN 1 ELSE 0 END)"
+                " * 10000 div count(1)"
+            ).alias("agree_bp"),
+        )
+    )
