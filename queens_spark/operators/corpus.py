@@ -688,3 +688,71 @@ def collocations(
         .orderBy(F.desc("pmi_ratio"), F.asc("w1"), F.asc("w2"))
         .limit(k)
     )
+
+
+#: Fixed-point scale for Kneser-Ney probabilities.
+KN_SCALE = 1_000_000_000
+
+
+def kneser_ney_bigram_lm(
+    df: DataFrame, text_col: str, id_col: str, scale: int = KN_SCALE
+) -> DataFrame:
+    """Kneser-Ney smoothed bigram LM (absolute discount d = 3/4) in
+    EXACT integer arithmetic — the state-of-the-art n-gram smoothing
+    (Kneser & Ney 1995), bit-portable where its floating form is not:
+
+        P_KN(w2|w1) = (max(c2−d, 0) + d·N1+(w1,·)·P_cont(w2)) / c1
+        P_cont(w2)  = |{w1 : c(w1,w2) > 0}| / |distinct bigrams|
+
+    With d = 3/4 everything is rational over the common denominator
+    4·c1·D, so the scaled probability is ONE integer expression:
+    p_kn_e9 = ⌊(max(4c2−3, 0)·D + 3·N1+(w1)·cont(w2))·scale/(4·c1·D)⌋.
+
+    Returns (w1, w2, c2, c1, n1p, cont, p_kn_e9). Scale shape: one
+    persisted bigram-positions pass; c1/N1+/cont are counter-width
+    aggregations of the c2 frame joined back on their keys; D is a
+    driver scalar (one count of the aggregated frame — vocabulary²
+    bounded, the BM25-stats convention). int64 envelope guarded:
+    (4·max(c2)·D + 3·max(N1+)·max(cont)) · scale must stay < 2⁶³ —
+    raise before any join rather than overflow silently.
+    """
+    from queens_spark.operators.dedup import _persist
+
+    pos = _persist(_bigram_positions(df, text_col, id_col))
+    c2 = _persist(
+        pos.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    )
+    c1 = _persist(c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1p")
+    ))
+    cont = _persist(c2.groupBy("w2").agg(F.count(F.lit(1)).alias("cont")))
+    head = (
+        c2.agg(
+            F.count(F.lit(1)).alias("d_"), F.max("c2").alias("m2")
+        )
+        .crossJoin(c1.agg(F.max("n1p").alias("mn")))
+        .crossJoin(cont.agg(F.max("cont").alias("mc")))
+        .collect()[0]
+    )
+    D, m2 = int(head["d_"] or 0), int(head["m2"] or 0)
+    if D == 0:
+        raise ValueError("empty corpus: no bigrams")
+    if (4 * m2 * D + 3 * int(head["mn"]) * int(head["mc"])) * scale >= 2**63:
+        raise ValueError(
+            f"kneser-ney int64 envelope exceeded (max c2={m2}, D={D}, "
+            f"scale={scale}); lower scale or shard the LM"
+        )
+    return (
+        c2.join(c1, "w1")
+        .join(cont, "w2")
+        .select(
+            "w1", "w2", "c2",
+            F.col("c1").cast("bigint").alias("c1"),
+            F.col("n1p").cast("bigint").alias("n1p"),
+            F.col("cont").cast("bigint").alias("cont"),
+            F.expr(
+                f"(greatest(4 * c2 - 3, 0) * {D} + 3 * n1p * cont) "
+                f"* {scale} div (4 * c1 * {D})"
+            ).alias("p_kn_e9"),
+        )
+    )

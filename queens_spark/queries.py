@@ -7859,3 +7859,52 @@ def q155_knn_label_agreement(spark, sf_dir):
             ).alias("agree_bp"),
         )
     )
+
+
+def _kn_oracle(top: int) -> str:
+    from queens_spark.operators.corpus import KN_SCALE
+
+    return f"""
+    WITH pos AS (
+      SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+      FROM (SELECT unnest({_DUCK_BIGRAMS}) AS bg FROM documents)
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS c2 FROM pos GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1p
+      FROM c2 GROUP BY w1
+    ), cont AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS cont FROM c2 GROUP BY w2
+    ), dd AS (
+      SELECT count(*) AS d FROM c2
+    )
+    SELECT c2.w1, c2.w2, c2.c2, c1.c1, c1.n1p, cont.cont,
+           (greatest(4 * c2.c2 - 3, 0) * dd.d + 3 * c1.n1p * cont.cont)
+             * {KN_SCALE} // (4 * c1.c1 * dd.d) AS p_kn_e9
+    FROM c2 JOIN c1 ON c1.w1 = c2.w1 JOIN cont ON cont.w2 = c2.w2, dd
+    ORDER BY c2.c2 DESC, c2.w1, c2.w2 LIMIT {top}
+    """
+
+
+@register("q156_kneser_ney_lm", _kn_oracle(50))
+def q156_kneser_ney_lm(spark, sf_dir):
+    """Kneser-Ney smoothed bigram LM head — the state-of-the-art
+    n-gram smoothing (Kneser & Ney 1995) in EXACT integer arithmetic:
+    with discount d = 3/4, P_KN's two terms share the denominator
+    4·c1·D, so the scaled probability is one bit-portable integer
+    expression (floating KN is summation/rounding-dependent; this is
+    not). One persisted bigram pass; c1/N1+/continuation counts are
+    counter-width aggregations joined back; D rides as a driver
+    scalar (the BM25-stats convention); int64 envelope guarded from
+    the actual maxima before any join
+    (operators/corpus.py:kneser_ney_bigram_lm)."""
+    from queens_spark.operators.corpus import kneser_ney_bigram_lm
+
+    return (
+        kneser_ney_bigram_lm(
+            load(spark, sf_dir, "documents"), "text", "doc_id"
+        )
+        .orderBy(F.desc("c2"), "w1", "w2")
+        .limit(50)
+    )

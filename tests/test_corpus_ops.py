@@ -288,3 +288,58 @@ def test_related_terms_reference(spark):
     assert got == exp
     # 'shuffle' (3/4 spark docs, df 3) must outrank nothing above it
     assert got[0][0] == "shuffle"
+
+
+def test_kneser_ney_reference(spark):
+    """Exact-integer KN probabilities equal a from-scratch float KN
+    reference (within fixed-point truncation), sum to ~1 per context,
+    and the envelope guard raises rather than overflowing."""
+    import pytest
+
+    from queens_spark.operators.corpus import KN_SCALE, kneser_ney_bigram_lm
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the fish",
+        "a dog sat on a log",
+        "the dog ate the bone",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    rows = kneser_ney_bigram_lm(df, "text", "doc_id").collect()
+
+    # reference
+    bigrams = {}
+    for t in texts:
+        w = t.split()
+        for a, b in zip(w, w[1:]):
+            bigrams[(a, b)] = bigrams.get((a, b), 0) + 1
+    D = len(bigrams)
+    c1, n1p, cont = {}, {}, {}
+    for (a, b), c in bigrams.items():
+        c1[a] = c1.get(a, 0) + c
+        n1p[a] = n1p.get(a, 0) + 1
+        cont[b] = cont.get(b, 0) + 1
+    for r in rows:
+        a, b = r["w1"], r["w2"]
+        c = bigrams[(a, b)]
+        exact = (max(4 * c - 3, 0) * D + 3 * n1p[a] * cont[b]) \
+            * KN_SCALE // (4 * c1[a] * D)
+        assert r["p_kn_e9"] == exact, (a, b)
+        ref = (max(c - 0.75, 0) + 0.75 * n1p[a] * (cont[b] / D)) / c1[a]
+        assert abs(r["p_kn_e9"] / KN_SCALE - ref) < 2 / KN_SCALE, (a, b)
+    # per-context mass sums to <= 1 and is close for observed bigrams
+    # (the deficit is the unseen-bigram backoff mass)
+    by_ctx = {}
+    for r in rows:
+        by_ctx.setdefault(r["w1"], 0)
+        by_ctx[r["w1"]] += r["p_kn_e9"]
+    assert all(v <= KN_SCALE for v in by_ctx.values())
+    # observed mass < 1: the deficit is the discount mass KN reserves
+    # for unseen continuations (every 'on X' bigram has c=1 here, so
+    # 3/4 of each count is redistributed - that IS the algorithm)
+    assert 0 < by_ctx["on"] < KN_SCALE
+
+    with pytest.raises(ValueError, match="envelope"):
+        kneser_ney_bigram_lm(df, "text", "doc_id", scale=2**62)
