@@ -7908,3 +7908,80 @@ def q156_kneser_ney_lm(spark, sf_dir):
         .orderBy(F.desc("c2"), "w1", "w2")
         .limit(50)
     )
+
+
+_CUSUM_ORACLE = """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_e2
+      FROM events GROUP BY 1
+    ), g AS (
+      SELECT count(*) AS n, CAST(sum(total_e2) AS BIGINT) AS grand
+      FROM d
+    ), c AS (
+      SELECT day, total_e2,
+             SUM(n * total_e2 - grand) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cusum_n_e2
+      FROM d, g
+    ), m AS (
+      SELECT max(abs(cusum_n_e2)) AS peak FROM c
+    )
+    SELECT c.day, c.total_e2, c.cusum_n_e2,
+           CASE WHEN abs(c.cusum_n_e2) = m.peak THEN 1 ELSE 0 END
+             AS is_changepoint
+    FROM c, m
+"""
+
+
+@register("q157_cusum_changepoint", _CUSUM_ORACLE)
+def q157_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection on the daily event series — the
+    classic level-shift detector (Page 1954): the cumulative sum of
+    deviations from the series mean peaks AT the changepoint. Exact
+    integers throughout: deviations are scaled by n (n·xₜ − Σx avoids
+    the fractional mean — q115's rearrangement), so cusum_n_e2 is the
+    CUSUM × n in cents and the argmax is bit-portable. The cumulative
+    window runs over the DAILY aggregate (bounded by the calendar,
+    ≤ 10⁴ rows for decades — never the event stream); one counter
+    aggregation reduces the corpus first."""
+    from queens_spark.operators.dedup import _persist
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    d = _persist(
+        ev.groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day")
+        ).agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_e2")
+        )
+    )
+    g = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("total_e2").cast("bigint").alias("grand"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = (
+        d.crossJoin(F.broadcast(g))
+        .withColumn(
+            "cusum_n_e2",
+            F.sum(
+                F.col("n") * F.col("total_e2") - F.col("grand")
+            ).over(w),
+        )
+    )
+    m = c.agg(F.max(F.abs(F.col("cusum_n_e2"))).alias("peak"))
+    return (
+        c.crossJoin(F.broadcast(m))
+        .select(
+            "day", "total_e2", "cusum_n_e2",
+            F.when(
+                F.abs(F.col("cusum_n_e2")) == F.col("peak"), 1
+            ).otherwise(0).alias("is_changepoint"),
+        )
+    )
