@@ -14,6 +14,7 @@ engine (the DuckDB oracle) reproduces values bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, functions as F
 
 HASH_MOD = 1_000_000_007
@@ -524,4 +525,46 @@ def readability_stats(text: Column | str):
         n_sent.cast("bigint").alias("n_sentences"),
         n_syl.alias("n_syllables"),
         flesch.alias("flesch"),
+    )
+
+
+def compression_ratios(df, text_col: str, id_col: str) -> "DataFrame":
+    """zlib compression-ratio quality screen — the Dolma/FineWeb-2
+    signal the pure-expression repetition stats (q62) approximate:
+    highly repetitive or templated text compresses far below natural
+    prose, and near-random noise barely compresses at all. Returns
+    (doc, n_bytes, n_compressed, ratio_bp) with ratio_bp =
+    ⌊compressed·10⁴/raw⌋ (low = repetitive, ~10⁴ = incompressible).
+
+    zlib level 6 is deterministic for a given input, but no SQL
+    engine exposes it — so this is a pytest-verified operator (like
+    the Excel reader), implemented as the sanctioned Python path: one
+    Arrow-batched pandas UDF over UTF-8 bytes, zero shuffle.
+    """
+    import zlib
+
+    # pandas is imported at module level: the UDF's 'pd.Series' type
+    # hints are strings under `from __future__ import annotations`,
+    # resolved against the function's MODULE globals
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def comp(s: pd.Series) -> pd.Series:
+        def one(t):
+            raw = (t or "").encode("utf-8")
+            if not raw:
+                return [0, 0, 10000]
+            comp_n = len(zlib.compress(raw, 6))
+            return [len(raw), comp_n, comp_n * 10000 // len(raw)]
+
+        return s.map(one)
+
+    return df.select(
+        F.col(id_col).alias("doc"), comp(F.col(text_col)).alias("c")
+    ).select(
+        "doc",
+        F.col("c")[0].alias("n_bytes"),
+        F.col("c")[1].alias("n_compressed"),
+        F.col("c")[2].alias("ratio_bp"),
     )

@@ -7985,3 +7985,98 @@ def q157_cusum_changepoint(spark, sf_dir):
             ).otherwise(0).alias("is_changepoint"),
         )
     )
+
+
+def _mutual_knn_oracle(k: int) -> str:
+    from queens_spark.operators.similarity import duckdb_int_dot, duckdb_quantize
+
+    qv = duckdb_quantize("embedding")
+    cos = (
+        f"CAST({duckdb_int_dot('a.q', 'b.q')} AS DOUBLE)"
+        f" / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))"
+    )
+    return f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, {qv} AS q FROM embeddings
+    ), n AS (
+      SELECT vec_id, q, {duckdb_int_dot('q', 'q')} AS n2 FROM v
+    ), cents AS (
+      SELECT vec_id AS centroid_id, q AS cq, n2 AS cn2 FROM n
+      WHERE vec_id % 200 = 0
+    ), assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY CAST({duckdb_int_dot('v.q', 'c.cq')} AS DOUBLE)
+                   / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+                 c.centroid_id ASC) AS rk
+        FROM n v, cents c
+      ) WHERE rk = 1
+    ), av AS (
+      SELECT a.vec_id, a.centroid_id, n.q, n.n2
+      FROM assign a JOIN n ON n.vec_id = a.vec_id
+    ), topk AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {cos} DESC, b.vec_id ASC) AS rank
+        FROM av a JOIN av b
+          ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+      ) WHERE rank <= {k}
+    ), mutual AS (
+      SELECT a.vec_id AS ia, a.neighbor_id AS ib
+      FROM topk a JOIN topk b
+        ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id
+      WHERE a.vec_id < a.neighbor_id
+    ), edges AS (
+      SELECT ia AS src, ib AS dst FROM mutual
+      UNION SELECT ib, ia FROM mutual
+    ), reach(node, lab) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS vec_id, MIN(lab) AS community_id
+    FROM reach GROUP BY node
+    """
+
+
+@register("q158_mutual_knn_communities", _mutual_knn_oracle(5))
+def q158_mutual_knn_communities(spark, sf_dir):
+    """Semantic communities — SemDeDup's cluster structure made
+    explicit: connected components over the MUTUAL-kNN graph (an edge
+    only where each vector is in the other's top-5 — the standard
+    symmetrization that kills hub-induced mega-components, q142's
+    pathology). Isolated vectors are their own community. Composes
+    q140's graph (Σ cluster² bound) with the reciprocal semi-join and
+    the adaptive CC of q36; shuffles carry (node, label) pairs
+    only."""
+    from queens_spark.operators.dedup import _persist, connected_components
+    from queens_spark.operators.similarity import knn_graph
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_ids = [
+        r[0]
+        for r in emb.where(F.col("vec_id") % 200 == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    edges = _persist(
+        knn_graph(emb, "embedding", "vec_id", cent_ids, k=5)
+        .select("vec_id", "neighbor_id")
+    )
+    rev = edges.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("vec_id").alias("neighbor_id"),
+    )
+    mutual = (
+        edges.join(rev, ["vec_id", "neighbor_id"], "left_semi")
+        .where(F.col("vec_id") < F.col("neighbor_id"))
+        .select(
+            F.col("vec_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+        )
+    )
+    return connected_components(
+        emb.select("vec_id"), mutual, "vec_id"
+    ).select("vec_id", F.col("component_id").alias("community_id"))

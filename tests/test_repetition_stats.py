@@ -127,3 +127,29 @@ def test_filter_cascade_all_verdicts(spark):
     assert all(r["n_docs"] == 1 for r in funnel.values())
     # exact integer shares: 6 docs -> 1666 bp each
     assert all(r["doc_share_bp"] == 1666 for r in funnel.values())
+
+
+def test_compression_ratios(spark):
+    import zlib
+
+    from queens_spark.operators.text import compression_ratios
+
+    docs = [
+        (0, "spam " * 200),                      # hyper-repetitive
+        (1, "the quick brown fox jumps over the lazy dog and then "
+            "wanders off toward a distant meadow full of flowers"),
+        (2, ""),                                  # empty
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc"]: r for r in
+           compression_ratios(df, "text", "doc_id").collect()}
+    for d, t in docs:
+        raw = t.encode()
+        if raw:
+            comp = len(zlib.compress(raw, 6))
+            assert got[d]["n_bytes"] == len(raw)
+            assert got[d]["n_compressed"] == comp
+            assert got[d]["ratio_bp"] == comp * 10000 // len(raw)
+    assert got[2]["ratio_bp"] == 10000  # empty: incompressible convention
+    # the repetitive doc compresses far below natural prose
+    assert got[0]["ratio_bp"] < got[1]["ratio_bp"] / 3
