@@ -8080,3 +8080,118 @@ def q158_mutual_knn_communities(spark, sf_dir):
     return connected_components(
         emb.select("vec_id"), mutual, "vec_id"
     ).select("vec_id", F.col("component_id").alias("community_id"))
+
+
+def _leakage_oracle(threshold: float) -> str:
+    from queens_spark.operators.sampling import duckdb_hash_split
+
+    pair_sql = _pairs_full_oracle(threshold)
+    doc_split = duckdb_hash_split("doc_id", {"train": 9000, "test": 1000})
+    comp_split = duckdb_hash_split(
+        "component_id", {"train": 9000, "test": 1000}
+    )
+    comp = _components_oracle(threshold)
+    return f"""
+    WITH pairs AS ({pair_sql}),
+    copies AS ({_COPIES_SQL}),
+    edges AS (
+      SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+      FROM pairs
+      UNION
+      SELECT DISTINCT least(rep_id, doc_id), greatest(rep_id, doc_id)
+      FROM copies
+    ), comp AS ({comp}),
+    naive AS (
+      SELECT doc_id, {doc_split} AS split FROM documents
+    ), aware AS (
+      SELECT doc_id, {comp_split} AS split FROM comp
+    ), m AS (
+      SELECT
+        (SELECT count(*) FROM edges) AS n_pairs,
+        (SELECT count(*) FROM edges e
+          JOIN naive x ON x.doc_id = e.a
+          JOIN naive y ON y.doc_id = e.b
+          WHERE x.split <> y.split) AS naive_leaks,
+        (SELECT count(*) FROM edges e
+          JOIN aware x ON x.doc_id = e.a
+          JOIN aware y ON y.doc_id = e.b
+          WHERE x.split <> y.split) AS aware_leaks
+    )
+    SELECT n_pairs, naive_leaks, aware_leaks,
+           CASE WHEN n_pairs = 0 THEN 0
+                ELSE naive_leaks * 10000 // n_pairs END AS naive_leak_bp,
+           CASE WHEN n_pairs = 0 THEN 0
+                ELSE aware_leaks * 10000 // n_pairs END AS aware_leak_bp
+    FROM m
+    """
+
+
+@register("q159_split_leakage_audit", _leakage_oracle(0.8))
+def q159_split_leakage_audit(spark, sf_dir):
+    """Split-leakage audit — the harness that JUSTIFIES q90 with a
+    number instead of an argument: for every near-dup/exact-copy edge
+    (the full-recall dedup graph), does the pair straddle train and
+    test under (a) the naive per-doc hash split (q59) vs (b) the
+    cluster-aware split (q90)? The cluster-aware leak count is ZERO
+    BY CONSTRUCTION (both endpoints share a component, components
+    hash whole); the naive count is the contamination a team ships
+    without knowing. Exact integer counts + basis points; the audit
+    joins split labels onto the dedup-output-sized edge list — no
+    corpus-scale work beyond the one dedup pass q36 already pays."""
+    from queens_spark.operators.dedup import (
+        _persist,
+        connected_components,
+        dedup_edges,
+    )
+    from queens_spark.operators.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    edges = _persist(
+        dedup_edges(docs, "text", "doc_id", n=3, threshold=0.8)
+        .select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        )
+        .distinct()
+    )
+    comps = connected_components(docs, edges, "doc_id",
+                                 pair_cols=("a", "b"))
+    naive = docs.select(
+        "doc_id",
+        hash_split("doc_id", {"train": 9000, "test": 1000}).alias("s"),
+    )
+    aware = comps.select(
+        "doc_id",
+        hash_split("component_id", {"train": 9000, "test": 1000})
+        .alias("s"),
+    )
+
+    def leaks(split_df):
+        xa = split_df.select(F.col("doc_id").alias("a"),
+                             F.col("s").alias("sa"))
+        xb = split_df.select(F.col("doc_id").alias("b"),
+                             F.col("s").alias("sb"))
+        return (
+            edges.join(xa, "a").join(xb, "b")
+            .where(F.col("sa") != F.col("sb"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    return (
+        edges.agg(F.count(F.lit(1)).alias("n_pairs"))
+        .crossJoin(F.broadcast(
+            leaks(naive).select(F.col("c").alias("naive_leaks"))
+        ))
+        .crossJoin(F.broadcast(
+            leaks(aware).select(F.col("c").alias("aware_leaks"))
+        ))
+        .select(
+            "n_pairs", "naive_leaks", "aware_leaks",
+            F.expr("CASE WHEN n_pairs = 0 THEN 0 "
+                   "ELSE naive_leaks * 10000 div n_pairs END")
+            .alias("naive_leak_bp"),
+            F.expr("CASE WHEN n_pairs = 0 THEN 0 "
+                   "ELSE aware_leaks * 10000 div n_pairs END")
+            .alias("aware_leak_bp"),
+        )
+    )
