@@ -8195,3 +8195,61 @@ def q159_split_leakage_audit(spark, sf_dir):
             .alias("aware_leak_bp"),
         )
     )
+
+
+_GINI_ORACLE = f"""
+    WITH wc AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest({_DUCK_TOKS}) AS w FROM documents
+      ) GROUP BY w
+    ), r AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c, w) AS rk FROM wc
+    ), g AS (
+      SELECT count(*) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(rk * c) AS BIGINT) AS rksum
+      FROM r
+    )
+    SELECT n AS n_types, s AS total_tokens,
+           (2 * rksum - (n + 1) * s) * 10000 // (n * s) AS gini_bp
+    FROM g
+"""
+
+
+@register("q160_token_gini", _GINI_ORACLE)
+def q160_token_gini(spark, sf_dir):
+    """Vocabulary-concentration audit — the Gini coefficient of the
+    token-frequency distribution (0 = uniform vocabulary, →1 = a few
+    tokens dominate; natural language sits high by Zipf's law, and a
+    LOW value flags word-salad/synthetic text): gini =
+    (2·Σrank·cf − (n+1)·Σcf)/(n·Σcf) over frequencies sorted
+    ascending. Rank TIES contribute an order-invariant sum (equal
+    values times a fixed index set), so the distributed two-phase
+    ordinal (operators/quantiles.py:grouped_ordinal — vocabulary can
+    exceed one task) needs no deterministic tie-break for the
+    AGGREGATE to be exact; counts round-trip the ordinal's double
+    cast exactly below 2⁵³. One wordcount + one vocabulary-scale
+    rank + a three-counter aggregation."""
+    from queens_spark.operators.corpus import word_frequencies
+    from queens_spark.operators.quantiles import grouped_ordinal
+
+    vocab = word_frequencies(
+        load(spark, sf_dir, "documents"), "text"
+    ).select(F.lit(0).alias("g"), F.col("c"))
+    ranked = grouped_ordinal(vocab, "g", "c")
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__v").cast("bigint")).alias("s"),
+            F.sum(
+                F.col("__rk") * F.col("__v").cast("bigint")
+            ).alias("rksum"),
+        )
+        .select(
+            F.col("n").alias("n_types"),
+            F.col("s").alias("total_tokens"),
+            F.expr(
+                "(2 * rksum - (n + 1) * s) * 10000 div (n * s)"
+            ).alias("gini_bp"),
+        )
+    )

@@ -484,3 +484,18 @@ def test_q132_q133_serve_from_stored_postings(spark):
         assert "tok_bucket" in plan, name
         assert "Generate" not in plan, name
         assert "documents.parquet" not in plan, name
+
+
+def test_q143_covariance_shuffles_counters_not_vectors(spark):
+    """The covariance pass must shuffle ONLY the (i, j, v) counter
+    rows its Arrow stage emits — one MapInPandas, and no exchange
+    keyed on the quantized vector column."""
+    from queens_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q143_embedding_covariance"](spark, SF_DIR))
+    # the persisted counter frame prints its MapInPandas subtree once
+    # per consumer branch; what matters is the exchange keys
+    assert "MapInPandas" in plan
+    assert "hashpartitioning(__q" not in plan
+    # the counter merge is the only wide stage over the Arrow output
+    assert "hashpartitioning(i" in plan
