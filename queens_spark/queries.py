@@ -8253,3 +8253,76 @@ def q160_token_gini(spark, sf_dir):
             ).alias("gini_bp"),
         )
     )
+
+
+_COVERAGE_CHECKPOINTS = (10, 30, 100, 300, 1000)
+
+_VOCAB_COVERAGE_ORACLE = f"""
+    WITH wc AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest({_DUCK_TOKS}) AS w FROM documents
+      ) GROUP BY w
+    ), r AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk FROM wc
+    ), t AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total,
+             count(*) AS n_types FROM wc
+    ), k AS (
+      SELECT unnest({list(_COVERAGE_CHECKPOINTS)}) AS top_k
+    )
+    SELECT k.top_k,
+           CAST(coalesce(sum(CASE WHEN r.rk <= k.top_k THEN r.c END), 0)
+                AS BIGINT) AS covered_tokens,
+           t.total AS total_tokens,
+           coalesce(sum(CASE WHEN r.rk <= k.top_k THEN r.c END), 0)
+             * 10000 // t.total AS coverage_bp
+    FROM k, r, t
+    GROUP BY k.top_k, t.total
+"""
+
+
+@register("q161_vocab_coverage", _VOCAB_COVERAGE_ORACLE)
+def q161_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve — the tokenizer-design question
+    ("how many types cover 95%% of tokens?"): for each checkpoint k,
+    the exact share of corpus tokens covered by the k most frequent
+    types. Boundary TIES are safe without a deterministic tie-break:
+    tied types have EQUAL counts, so whichever of them lands inside
+    the top-k, the covered-token sum is identical — the same
+    order-invariance argument as q160. Ranks ride the distributed
+    two-phase ordinal (descending via n − asc_rank + 1; the
+    vocabulary can exceed one task); coverage is one counter
+    aggregation per checkpoint over the ranked vocabulary."""
+    from queens_spark.operators.corpus import word_frequencies
+    from queens_spark.operators.dedup import _persist
+    from queens_spark.operators.quantiles import grouped_ordinal
+
+    vocab = word_frequencies(
+        load(spark, sf_dir, "documents"), "text"
+    ).select(F.lit(0).alias("g"), F.col("c"))
+    ranked = _persist(grouped_ordinal(vocab, "g", "c"))
+    t = ranked.agg(
+        F.sum(F.col("__v").cast("bigint")).alias("total"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in _COVERAGE_CHECKPOINTS])
+    ).alias("top_k")
+    return (
+        ranked.crossJoin(F.broadcast(t))
+        .select(
+            "__v", "__rk", "total", "n_types",
+            ks,
+        )
+        .where(F.col("n_types") - F.col("__rk") + 1 <= F.col("top_k"))
+        .groupBy("top_k", "total")
+        .agg(
+            F.sum(F.col("__v").cast("bigint")).alias("covered_tokens")
+        )
+        .select(
+            "top_k",
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.col("total").alias("total_tokens"),
+            F.expr("covered_tokens * 10000 div total").alias("coverage_bp"),
+        )
+    )
