@@ -715,6 +715,39 @@ class Engine:
             "__id", k=k, rrf_k=rrf_k,
         ).withColumnRenamed("__id", "doc")
 
+    # ------------------------------------------------- training runs
+
+    def _training_runs_dir(self) -> str:
+        import os
+
+        return os.path.join(self.warehouse.root, "system", "training_runs")
+
+    def export_training_run(
+        self, df: DataFrame, text_col: str, id_col: str, name: str, **kw
+    ):
+        """Export *df* as a packed, sharded, checksummed training run
+        under the warehouse (store/training_run.py): fixed-length
+        token sequences with document-boundary spans, round-robin
+        shards balanced within one sequence, a manifest a trainer can
+        verify offline, and deterministic per-seed epoch orders served
+        as a sort — the pipeline's deliverable as a one-verb export."""
+        from queens_spark.store.training_run import build_training_run
+
+        return build_training_run(
+            df, text_col, id_col, name, self._training_runs_dir(), **kw
+        )
+
+    def training_run(self, name: str):
+        """Open a previously exported run (sequences / epoch order /
+        integrity verification) — no corpus touch."""
+        import os
+
+        from queens_spark.store.training_run import load_training_run
+
+        return load_training_run(
+            self.spark, os.path.join(self._training_runs_dir(), name)
+        )
+
     # ------------------------------------------------------------- read
 
     def maintain(

@@ -8326,3 +8326,108 @@ def q161_vocab_coverage(spark, sf_dir):
             F.expr("covered_tokens * 10000 div total").alias("coverage_bp"),
         )
     )
+
+
+# =====================================================================
+# Training-run export tier (operators/packing.py)
+# =====================================================================
+
+def _sequence_stats_oracle(seq_len: int) -> str:
+    from queens_spark.operators.packing import duckdb_sequence_stats_ctes
+
+    return f"""
+    WITH {duckdb_sequence_stats_ctes(seq_len, _DUCK_TOKS)}
+    SELECT lang, seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(starts_here) AS BIGINT) AS n_starts,
+           CAST(SUM(span_len) AS BIGINT) AS seq_tokens
+    FROM sized
+    GROUP BY lang, seq_id
+    """
+
+
+@register("q162_sequence_assembly", _sequence_stats_oracle(512))
+def q162_sequence_assembly(spark, sf_dir):
+    """Pretraining pack audit: concatenate each language's documents
+    into a token stream, cut it into 512-token training sequences
+    (documents spanning boundaries continue into the next sequence),
+    and report per-sequence composition — docs contributing, docs
+    starting, fill. The offsets ride the TWO-PHASE prefix sum
+    (operators/packing.py:stream_offsets — a window partitioned by
+    stratum would serialize "all of English" through one task), and a
+    document explodes only to the sequences it spans, so the audit
+    moves counter-width rows: no token array ever shuffles."""
+    from queens_spark.operators.packing import sequence_stats
+
+    return sequence_stats(
+        load(spark, sf_dir, "documents"), "text", "doc_id", 512, "lang"
+    )
+
+
+def _shard_stats_oracle(seq_len: int, n_shards: int) -> str:
+    from queens_spark.operators.packing import duckdb_sequence_stats_ctes
+
+    return f"""
+    WITH {duckdb_sequence_stats_ctes(seq_len, _DUCK_TOKS)},
+    seqs AS (
+      SELECT lang, seq_id, CAST(SUM(span_len) AS BIGINT) AS seq_tokens
+      FROM sized GROUP BY lang, seq_id
+    )
+    SELECT CAST(seq_id % {n_shards} AS INTEGER) AS shard,
+           COUNT(*) AS n_seqs,
+           CAST(SUM(seq_tokens) AS BIGINT) AS n_tokens,
+           COUNT(DISTINCT lang) AS n_strata
+    FROM seqs GROUP BY 1
+    """
+
+
+@register("q163_shard_manifest", _shard_stats_oracle(512, 8))
+def q163_shard_manifest(spark, sf_dir):
+    """Training-shard manifest: round-robin the packed sequences onto
+    8 shards (shard = seq_id mod 8 — deterministic, join-free, and
+    balanced within one sequence per stratum by construction) and
+    roll up the per-shard manifest counters a trainer validates
+    before an epoch. Shard skew is the straggler that gates an epoch
+    at 100 TB; round-robin makes it impossible rather than merely
+    unlikely."""
+    from queens_spark.operators.packing import (
+        assign_shards,
+        sequence_stats,
+        shard_stats,
+    )
+
+    seqs = sequence_stats(
+        load(spark, sf_dir, "documents"), "text", "doc_id", 512, "lang"
+    )
+    return shard_stats(assign_shards(seqs, 8), "lang")
+
+
+def _training_order_oracle(seed: str, k: int) -> str:
+    from queens_spark.operators.packing import duckdb_training_order
+
+    return f"""
+    SELECT doc_id,
+           {duckdb_training_order(seed, 'doc_id')} AS order_hash
+    FROM documents
+    ORDER BY order_hash, doc_id
+    LIMIT {k}
+    """
+
+
+@register("q164_training_order", _training_order_oracle("epoch-0", 100))
+def q164_training_order(spark, sf_dir):
+    """Deterministic global shuffle for a training epoch: every
+    engine that hashes ``seed || ':' || doc_id`` with the shared
+    portable polynomial reproduces the same permutation bit-for-bit
+    (re-run = same epoch order; new seed = fresh permutation).
+    Ordering by a derived hash is a SORT, not a shuffle-by-key — no
+    skew — and this head-of-order probe plans as
+    TakeOrderedAndProject, never a full sort materialization."""
+    from queens_spark.operators.packing import training_order
+
+    return (
+        training_order(load(spark, sf_dir, "documents"), "doc_id", "epoch-0")
+        .select("doc_id", "order_hash")
+        .orderBy("order_hash", "doc_id")
+        .limit(100)
+    )

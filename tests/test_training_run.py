@@ -1,0 +1,130 @@
+"""Persisted training runs (store/training_run.py): build → manifest
+→ verify → epoch order lifecycle."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from queens_spark.store.training_run import (
+    build_training_run,
+    load_training_run,
+)
+
+DOCS = [
+    (i, "en" if i % 3 else "de", " ".join(f"w{i}t{j}" for j in range(3 + i % 7)))
+    for i in range(40)
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "lang", "text"])
+
+
+@pytest.fixture()
+def runs_dir(tmp_path):
+    return str(tmp_path / "runs")
+
+
+def test_build_manifest_and_verify(spark, docs, runs_dir):
+    run = build_training_run(
+        docs, "text", "doc_id", "demo", runs_dir,
+        seq_len=16, n_shards=4, stratum_col="lang",
+    )
+    e = run.entry
+    assert e["seq_len"] == 16 and e["n_shards"] == 4
+    total_tokens = sum(len(t.split()) for _, _, t in DOCS)
+    assert e["n_tokens"] == total_tokens  # every token lands exactly once
+    assert sum(s["n_seqs"] for s in e["shards"].values()) == e["n_seqs"]
+    # round-robin balance: per stratum ±1 → overall spread ≤ n_strata
+    counts = [s["n_seqs"] for s in e["shards"].values()]
+    assert max(counts) - min(counts) <= 2
+    assert set(run.verify().values()) == {"ok"}
+
+
+def test_reader_and_sequence_shape(spark, docs, runs_dir):
+    build_training_run(
+        docs, "text", "doc_id", "demo", runs_dir,
+        seq_len=16, n_shards=4, stratum_col="lang",
+    )
+    run = load_training_run(spark, os.path.join(runs_dir, "demo"))
+    seqs = run.sequences().collect()
+    by_stratum: dict[str, list] = {}
+    for r in seqs:
+        by_stratum.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_stratum.items():
+        rows.sort(key=lambda r: r["seq_id"])
+        for r in rows[:-1]:
+            assert len(r["toks"]) == 16  # full except stratum-final
+        # spans tile each sequence exactly
+        for r in rows:
+            covered = sorted((s["pos"], s["len"]) for s in r["doc_spans"])
+            cursor = 0
+            for pos, ln in covered:
+                assert pos == cursor
+                cursor += ln
+            assert cursor == len(r["toks"])
+    # shard pruning reads one shard only
+    one = run.sequences(shard=2)
+    assert {r["shard"] for r in one.collect()} <= {2}
+
+
+def test_determinism_and_versioning(spark, docs, runs_dir):
+    r1 = build_training_run(
+        docs, "text", "doc_id", "demo", runs_dir,
+        seq_len=16, n_shards=4, stratum_col="lang",
+    )
+    ck1 = {k: v["checksum"] for k, v in r1.entry["shards"].items()}
+    r2 = build_training_run(
+        docs, "text", "doc_id", "demo", runs_dir,
+        seq_len=16, n_shards=4, stratum_col="lang",
+    )
+    ck2 = {k: v["checksum"] for k, v in r2.entry["shards"].items()}
+    assert ck1 == ck2  # bit-identical rebuild
+    assert r2.entry["version"] == r1.entry["version"] + 1
+    # superseded version dir GC'd; reader serves the current one
+    vdirs = [d for d in os.listdir(os.path.join(runs_dir, "demo")) if d.startswith("v")]
+    assert vdirs == [r2.entry["dir"]]
+
+
+def test_epoch_order_deterministic(spark, docs, runs_dir):
+    run = build_training_run(
+        docs, "text", "doc_id", "demo", runs_dir,
+        seq_len=16, n_shards=4, stratum_col="lang",
+    )
+    a = [(r["lang"], r["seq_id"]) for r in run.epoch("s0").collect()]
+    b = [(r["lang"], r["seq_id"]) for r in run.epoch("s0").collect()]
+    c = [(r["lang"], r["seq_id"]) for r in run.epoch("s1").collect()]
+    assert a == b
+    assert sorted(a) == sorted(c)
+
+
+def test_verify_detects_tamper(spark, docs, runs_dir):
+    run = build_training_run(
+        docs, "text", "doc_id", "demo", runs_dir,
+        seq_len=16, n_shards=2, stratum_col="lang",
+    )
+    # simulate a corrupted/short download: drop one shard's files
+    data_dir = os.path.join(runs_dir, "demo", run.entry["dir"], "data")
+    import shutil
+
+    shutil.rmtree(os.path.join(data_dir, "shard=1"))
+    out = run.verify()
+    assert out["0"] == "ok"
+    assert out["1"].startswith("MISMATCH")
+
+
+def test_engine_verb(spark, docs, tmp_path):
+    from queens_spark.facade import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.export_training_run(
+        docs, "text", "doc_id", "r11", seq_len=16, n_shards=2,
+        stratum_col="lang",
+    )
+    run = eng.training_run("r11")
+    assert set(run.verify().values()) == {"ok"}
+    assert run.entry["n_tokens"] == sum(len(t.split()) for _, _, t in DOCS)
