@@ -137,7 +137,13 @@ class Engine:
             )
             if stats["accepted"] == 0:
                 return None
-            blob = "dedup " + _json.dumps(stats, sort_keys=True)
+            drift = self._update_corpus_profile(
+                df, dedup_text_col, dedup_ledger or collection, token
+            )
+            blob = (
+                "dedup " + _json.dumps(stats, sort_keys=True)
+                + " | drift " + _json.dumps(drift, sort_keys=True)
+            )
             desc = kw.get("table_description")
             kw["table_description"] = (
                 f"{desc} | {blob}" if desc else blob
@@ -146,9 +152,104 @@ class Engine:
                 df, self.schema_for(collection), table_name, **kw
             )
             self._refresh_registered_indexes(df, collection, token)
+            self._refresh_registered_rollups(collection, table_name, ingest_id)
             return ingest_id
-        return self.warehouse.ingest_frame(
+        ingest_id = self.warehouse.ingest_frame(
             df, self.schema_for(collection), table_name, **kw
+        )
+        self._refresh_registered_rollups(collection, table_name, ingest_id)
+        return ingest_id
+
+    def _profiles_dir(self) -> str:
+        import os
+
+        return os.path.join(self.warehouse.root, "system", "corpus_profile")
+
+    def _update_corpus_profile(
+        self, df: DataFrame, text_col: str, name: str, token: str | None
+    ) -> dict:
+        """Admission monitoring inside the corpus-ingest verb: fold
+        the accepted batch's token-length histogram into the persisted
+        corpus profile (store/corpus_profile.py — one counter-width
+        aggregation, idempotent under *token*) and return the batch's
+        exact drift score vs the pre-batch corpus. The score lands in
+        the ingest log's description next to the dedup stats, so a
+        distribution shift is visible at the version that introduced
+        it."""
+        from queens_spark.operators.text import token_count
+        from queens_spark.store.corpus_profile import update_profile
+
+        return update_profile(
+            df, token_count(text_col), self._profiles_dir(), name,
+            token=token,
+        )
+
+    def corpus_profile(self, name: str) -> dict:
+        """The stored corpus profile (histogram + totals) for a
+        ledger/collection name — no corpus touch."""
+        from queens_spark.store.corpus_profile import read_profile
+
+        return read_profile(self._profiles_dir(), name)
+
+    # -------------------------------------------------------- rollups
+
+    def _rollups_dir(self) -> str:
+        import os
+
+        return os.path.join(self.warehouse.root, "system", "rollups")
+
+    def register_rollup(
+        self, collection: str, name: str, keys: list[str], values: list[str]
+    ) -> dict:
+        """Register an incrementally-maintained GROUP-BY rollup
+        (store/rollup.py): every later ingest folds its batch in as a
+        partial-aggregate segment (O(batch)), and :meth:`rollup`
+        serves the aggregate over exactly the ingests staging would
+        pick — latest version per table, full ``as_of`` time travel —
+        from counter-width partials, never a raw re-scan."""
+        from queens_spark.store.rollup import register_rollup
+
+        return register_rollup(
+            self._rollups_dir(), collection, name, keys, values
+        )
+
+    def _refresh_registered_rollups(
+        self, collection: str, table_name: str, ingest_id: int
+    ) -> None:
+        """Derived state refreshes inside the write (the reference's
+        staging-metadata posture, queens/core/read_write.py:464-531):
+        each registered rollup gets this ingest's partial segment,
+        computed from the batch READ BACK from raw (pushed table_name
+        partition filter) so partials reflect the coerced bytes that
+        landed. A crash here is safe — serving repairs missing
+        segments lazily through the identical path."""
+        from queens_spark.store.rollup import (
+            registered_rollups,
+            update_rollup_segment,
+        )
+
+        reg = registered_rollups(self._rollups_dir(), collection)
+        if not reg:
+            return
+        batch = self.warehouse.read_raw(collection).where(
+            (F.col("table_name") == table_name)
+            & (F.col("ingest_id") == int(ingest_id))
+        )
+        for name in reg:
+            update_rollup_segment(
+                batch, self._rollups_dir(), collection, name, ingest_id
+            )
+
+    def rollup(self, collection: str, name: str, as_of=None) -> DataFrame:
+        """Serve a registered rollup: merge the winning ingests'
+        partial segments (repairing any a crash left missing). The
+        result equals the same GROUP BY over the staged snapshot at
+        *as_of* — without scanning it."""
+        from queens_spark.store.rollup import serve_rollup
+
+        return serve_rollup(
+            self.spark, self.warehouse, self._rollups_dir(),
+            collection, name, as_of=as_of,
         )
 
     # --------------------------------------------------- index registry
@@ -497,8 +598,18 @@ class Engine:
             self.warehouse.root, "system", "dedup_ledger",
             ledger or collection,
         )
+
+        def profile_append(fresh: DataFrame, token: str) -> None:
+            # admission monitoring rides the same token-idempotent
+            # append contract as the indexes: the accepted batch's
+            # histogram folds into the persisted corpus profile
+            # exactly-once under redelivery (store/corpus_profile.py)
+            self._update_corpus_profile(
+                fresh, text_col, ledger or collection, token
+            )
+
         inner = make_corpus_batch_handler(
-            text_col, id_col, ledger_dir, appends,
+            text_col, id_col, ledger_dir, appends + [profile_append],
             near_dup_threshold=near_dup_threshold,
             query_name=query_name,
             quality_filter=quality_filter,
@@ -842,6 +953,21 @@ class Engine:
                     if did:
                         report["rebalanced"].append(e["name"])
             report["compacted"].append(f"{e['kind']}:{e['name']}")
+        # the corpus profile drops exactly the tokens the (possibly
+        # just-compacted) ledger no longer remembers: a profile token
+        # without a ledger twin can never replay through ingest, while
+        # one the ledger still holds MUST stay or a redelivery would
+        # double-add its histogram (a 1-segment ledger no-ops
+        # compaction and keeps its token map — the profile follows it)
+        from queens_spark.store.corpus_profile import clear_applied_tokens
+        from queens_spark.store.dedup_ledger import _read_manifest
+
+        ledger_tokens = set(
+            (_read_manifest(ledger_dir).get("tokens") or {}).keys()
+        )
+        report["profile_tokens_cleared"] = clear_applied_tokens(
+            self._profiles_dir(), ledger or collection, keep=ledger_tokens
+        )
         return report
 
     def corpus_report(

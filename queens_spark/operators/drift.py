@@ -1,0 +1,180 @@
+"""Distribution-drift monitoring: an exact, portable, scale-safe
+chi-square-style statistic between bucketed histograms.
+
+The pipeline question this answers: "does the batch I'm about to
+accept look like the corpus I already have?" — a crawler that starts
+returning listings pages, a source that switches language, a
+tokenizer change upstream all show up as a shifted length/quality
+distribution long before they show up in eval loss.
+
+Statistic: both distributions are reduced to parts-per-million bucket
+shares (integer division), and the score is
+
+    drift = Σ_buckets (a_ppm − r_ppm)² div (r_ppm + 1)
+
+— the Pearson chi-square shape on NORMALIZED shares. Properties that
+matter here:
+
+- exact integer arithmetic end to end (portable across engines — the
+  DuckDB twin hash-matches, no IEEE ordering concerns);
+- the ppm normalization bounds every intermediate at 1e12·n_buckets
+  REGARDLESS of corpus size — raw-count chi-square overflows int64
+  once o·T crosses 9.2e18, which a 1e10-document corpus reaches;
+- scale-free: a batch 1000× smaller than the corpus compares shares,
+  not counts, so the score reads the same at any batch size (the +1
+  in the denominator guards empty reference buckets exactly, not
+  approximately).
+
+The reference (alebgz-91/queens) has no drift tier; its closest
+behavior is per-version metadata profiling (min/max/count per column
+at staging), which this extends to distribution shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+PPM = 1_000_000
+
+__all__ = [
+    "bucketize",
+    "group_drift_scores",
+    "hist_counts",
+    "drift_from_counters",
+    "duckdb_group_drift_sql",
+]
+
+
+def bucketize(value: Column, width: int, n_buckets: int) -> Column:
+    """Fixed-width bucket id for a non-negative integer feature:
+    ``least(value div width, n_buckets-1)`` — the overflow bucket
+    absorbs the tail, so the bucket domain is bounded at *n_buckets*
+    rows of counters at any corpus size. The numerator is made
+    exactly divisible before the (double-typed) division so the cast
+    back to bigint can never be bitten by a last-ulp round-up."""
+    v = value.cast("bigint")
+    w = F.lit(int(width)).cast("bigint")
+    exact = ((v - (v % w)) / w).cast("bigint")
+    return F.least(exact, F.lit(int(n_buckets) - 1).cast("bigint"))
+
+
+def hist_counts(
+    df: DataFrame, value: Column, width: int, n_buckets: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., bucket, n) counter histogram — one partial-agg pass,
+    output bounded by groups × n_buckets."""
+    keys = list(group_cols or [])
+    b = bucketize(value, width, n_buckets).alias("bucket")
+    return df.select(*keys, b).groupBy(*keys, "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+def drift_from_counters(
+    batch: dict[int, int], reference: dict[int, int]
+) -> int:
+    """Driver-side twin over counter dicts (used by the ingest-time
+    corpus profile, where both histograms are ≤ n_buckets entries):
+    identical arithmetic to the distributed/SQL forms."""
+    bt = sum(batch.values())
+    rt = sum(reference.values())
+    if bt == 0 or rt == 0:
+        return 0
+    score = 0
+    for b in set(batch) | set(reference):
+        a_ppm = batch.get(b, 0) * PPM // bt
+        r_ppm = reference.get(b, 0) * PPM // rt
+        score += (a_ppm - r_ppm) ** 2 // (r_ppm + 1)
+    return score
+
+
+def group_drift_scores(
+    df: DataFrame,
+    value: Column,
+    group_col: str,
+    width: int,
+    n_buckets: int,
+) -> DataFrame:
+    """Per-group drift vs the whole-corpus distribution: one histogram
+    pass (counter-width), then joins over the groups × buckets grid —
+    never a second corpus scan. Output: (group, n_rows, drift_score).
+    """
+    from queens_spark.operators.dedup import _persist
+
+    # counter-width (groups × buckets) frame feeding three consumers —
+    # persist so the corpus histogram pass runs once
+    counts = _persist(hist_counts(df, value, width, n_buckets, [group_col]))
+    totals = counts.groupBy(group_col).agg(
+        F.sum("n").cast("bigint").alias("n_rows")
+    )
+    glob = counts.groupBy("bucket").agg(F.sum("n").cast("bigint").alias("gn"))
+    gtot = glob.agg(F.sum("gn").cast("bigint").alias("t"))
+    gppm = glob.crossJoin(F.broadcast(gtot)).select(
+        "bucket",
+        (F.col("gn") * PPM).cast("bigint").alias("__num"),
+        "t",
+    ).select(
+        "bucket", F.expr("__num div t").cast("bigint").alias("g_ppm")
+    )
+    grid = totals.crossJoin(F.broadcast(gppm))
+    joined = grid.join(counts, [group_col, "bucket"], "left").select(
+        group_col,
+        "n_rows",
+        "g_ppm",
+        F.expr(f"coalesce(n, 0) * {PPM} div n_rows")
+        .cast("bigint")
+        .alias("a_ppm"),
+    )
+    return joined.groupBy(group_col, "n_rows").agg(
+        F.sum(
+            F.expr("(a_ppm - g_ppm) * (a_ppm - g_ppm) div (g_ppm + 1)")
+        )
+        .cast("bigint")
+        .alias("drift_score")
+    )
+
+
+def duckdb_group_drift_sql(
+    value_expr: str,
+    group_col: str,
+    width: int,
+    n_buckets: int,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`group_drift_scores` (oracle builder)."""
+    return f"""
+    WITH t AS (
+      SELECT {group_col},
+             LEAST(CAST(({value_expr}) AS BIGINT) // {int(width)},
+                   {int(n_buckets) - 1}) AS bucket
+      FROM {table}
+    ), counts AS (
+      SELECT {group_col}, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2
+    ), totals AS (
+      SELECT {group_col}, CAST(SUM(n) AS BIGINT) AS n_rows
+      FROM counts GROUP BY 1
+    ), gall AS (
+      SELECT bucket, CAST(SUM(n) AS BIGINT) AS gn FROM counts GROUP BY 1
+    ), gtot AS (
+      SELECT CAST(SUM(gn) AS BIGINT) AS tt FROM gall
+    ), gppm AS (
+      SELECT bucket, CAST(gn * {PPM} // tt AS BIGINT) AS g_ppm
+      FROM gall, gtot
+    ), grid AS (
+      SELECT totals.{group_col}, totals.n_rows, gppm.bucket, gppm.g_ppm
+      FROM totals, gppm
+    ), appm AS (
+      SELECT grid.{group_col}, grid.n_rows, grid.g_ppm,
+             CAST(COALESCE(counts.n, 0) * {PPM} // grid.n_rows AS BIGINT)
+               AS a_ppm
+      FROM grid LEFT JOIN counts
+        ON grid.{group_col} = counts.{group_col}
+       AND grid.bucket = counts.bucket
+    )
+    SELECT {group_col}, n_rows,
+           CAST(SUM((a_ppm - g_ppm) * (a_ppm - g_ppm) // (g_ppm + 1))
+                AS BIGINT) AS drift_score
+    FROM appm GROUP BY 1, 2
+    """

@@ -8431,3 +8431,34 @@ def q164_training_order(spark, sf_dir):
         .orderBy("order_hash", "doc_id")
         .limit(100)
     )
+
+
+def _source_drift_oracle(width: int, n_buckets: int) -> str:
+    from queens_spark.operators.drift import duckdb_group_drift_sql
+
+    return duckdb_group_drift_sql(
+        f"len({_DUCK_TOKS})", "source", width, n_buckets
+    )
+
+
+@register("q165_source_drift", _source_drift_oracle(50, 20))
+def q165_source_drift(spark, sf_dir):
+    """Per-source distribution drift — "does this source's length
+    profile look like the corpus?": each source's token-count
+    histogram (20 fixed-width buckets, tail absorbed) against the
+    whole-corpus distribution, scored with the exact integer
+    chi-square-on-ppm-shares statistic (operators/drift.py — the ppm
+    normalization keeps every intermediate inside int64 at ANY corpus
+    size, where raw-count chi-square overflows at ~1e10 documents).
+    One histogram pass; everything after joins counters over the
+    sources × buckets grid."""
+    from queens_spark.operators.drift import group_drift_scores
+    from queens_spark.operators.text import token_count
+
+    return group_drift_scores(
+        load(spark, sf_dir, "documents"),
+        token_count("text"),
+        "source",
+        width=50,
+        n_buckets=20,
+    )
