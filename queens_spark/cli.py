@@ -275,6 +275,45 @@ def build_parser() -> argparse.ArgumentParser:
     ii.add_argument("--name", default=None,
                     help="install under a different name")
 
+    tr = sub.add_parser(
+        "trun",
+        help="training-run lifecycle: pack a corpus into fixed-length "
+             "sharded sequences, verify shard checksums, inspect the "
+             "manifest, preview a seed's epoch order",
+    )
+    tr.add_argument(
+        "action", choices=["build", "verify", "describe", "epoch"]
+    )
+    tr.add_argument("name", help="run name under the warehouse")
+    tr.add_argument("--corpus", default=None,
+                    help="(build) parquet path of the document corpus")
+    tr.add_argument("--text-col", default="text")
+    tr.add_argument("--id-col", default="doc_id")
+    tr.add_argument("--stratum-col", default=None,
+                    help="(build) pack within this column's strata")
+    tr.add_argument("--seq-len", type=int, default=2048)
+    tr.add_argument("--n-shards", type=int, default=16)
+    tr.add_argument("--seed", default="epoch-0",
+                    help="(epoch) deterministic shuffle seed")
+    tr.add_argument("--head", type=int, default=10,
+                    help="(epoch) rows to preview")
+
+    ru = sub.add_parser(
+        "rollup",
+        help="incrementally-maintained GROUP-BY rollups: register "
+             "once, every ingest folds its batch in, serve without "
+             "scanning raw (latest-wins correct, as_of time travel)",
+    )
+    ru.add_argument("action", choices=["register", "serve", "list"])
+    ru.add_argument("collection")
+    ru.add_argument("name", nargs="?", default=None)
+    ru.add_argument("--keys", default=None,
+                    help="(register) comma-separated GROUP BY columns")
+    ru.add_argument("--values", default=None,
+                    help="(register) comma-separated value columns")
+    ru.add_argument("--as-of", default=None,
+                    help="(serve) snapshot cutoff YYYY-MM-DD")
+
     rg = sub.add_parser(
         "registry",
         help="which stored indexes a collection's ingests keep fresh "
@@ -446,6 +485,60 @@ def _run(args) -> int:
         print(json.dumps({
             "imported": engine.import_index(args.src, name=args.name),
         }))
+    elif args.command == "trun":
+        if args.action == "build":
+            if not args.corpus:
+                raise ValueError("trun build requires --corpus")
+            run = engine.export_training_run(
+                spark.read.parquet(args.corpus),
+                args.text_col, args.id_col, args.name,
+                seq_len=args.seq_len, n_shards=args.n_shards,
+                stratum_col=args.stratum_col,
+            )
+            print(json.dumps(run.entry, sort_keys=True))
+        elif args.action == "verify":
+            out = engine.training_run(args.name).verify()
+            print(json.dumps(out, sort_keys=True))
+            if any(v != "ok" for v in out.values()):
+                return 1
+        elif args.action == "describe":
+            print(json.dumps(
+                engine.training_run(args.name).manifest, sort_keys=True
+            ))
+        else:  # epoch
+            rows = (
+                engine.training_run(args.name)
+                .epoch(args.seed)
+                .drop("toks", "doc_spans")
+                .limit(args.head)
+                .collect()
+            )
+            print(json.dumps([r.asDict() for r in rows]))
+    elif args.command == "rollup":
+        if args.action == "list":
+            from queens_spark.store.rollup import registered_rollups
+
+            print(json.dumps(
+                registered_rollups(engine._rollups_dir(), args.collection),
+                sort_keys=True,
+            ))
+        elif args.action == "register":
+            if not (args.name and args.keys and args.values):
+                raise ValueError(
+                    "rollup register requires NAME, --keys and --values"
+                )
+            spec = engine.register_rollup(
+                args.collection, args.name,
+                [k.strip() for k in args.keys.split(",") if k.strip()],
+                [v.strip() for v in args.values.split(",") if v.strip()],
+            )
+            print(json.dumps({"registered": args.name, **spec}))
+        else:  # serve
+            if not args.name:
+                raise ValueError("rollup serve requires NAME")
+            df = engine.rollup(args.collection, args.name, as_of=args.as_of)
+            for row in df.orderBy(*df.columns[:1]).collect():
+                print(json.dumps(row.asDict(), default=str))
     elif args.command == "registry":
         if args.action == "list":
             print(json.dumps(engine.registered_indexes(args.collection)))

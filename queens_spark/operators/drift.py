@@ -39,9 +39,11 @@ PPM = 1_000_000
 __all__ = [
     "bucketize",
     "group_drift_scores",
+    "group_drift_from_buckets",
     "hist_counts",
     "drift_from_counters",
     "duckdb_group_drift_sql",
+    "duckdb_group_drift_from_bucket_sql",
 ]
 
 
@@ -100,11 +102,27 @@ def group_drift_scores(
     pass (counter-width), then joins over the groups × buckets grid —
     never a second corpus scan. Output: (group, n_rows, drift_score).
     """
+    return group_drift_from_buckets(
+        df, bucketize(value, width, n_buckets), group_col
+    )
+
+
+def group_drift_from_buckets(
+    df: DataFrame, bucket: Column, group_col: str
+) -> DataFrame:
+    """The same statistic over a caller-supplied bucket column —
+    categorical features drift too (hash the category into a bounded
+    bucket domain), and time-windowed monitoring passes the window as
+    the group."""
     from queens_spark.operators.dedup import _persist
 
     # counter-width (groups × buckets) frame feeding three consumers —
     # persist so the corpus histogram pass runs once
-    counts = _persist(hist_counts(df, value, width, n_buckets, [group_col]))
+    counts = _persist(
+        df.select(F.col(group_col), bucket.alias("bucket"))
+        .groupBy(group_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
     totals = counts.groupBy(group_col).agg(
         F.sum("n").cast("bigint").alias("n_rows")
     )
@@ -143,11 +161,21 @@ def duckdb_group_drift_sql(
     table: str = "documents",
 ) -> str:
     """DuckDB twin of :func:`group_drift_scores` (oracle builder)."""
+    return duckdb_group_drift_from_bucket_sql(
+        f"LEAST(CAST(({value_expr}) AS BIGINT) // {int(width)}, "
+        f"{int(n_buckets) - 1})",
+        group_col,
+        table,
+    )
+
+
+def duckdb_group_drift_from_bucket_sql(
+    bucket_expr: str, group_col: str, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`group_drift_from_buckets`."""
     return f"""
     WITH t AS (
-      SELECT {group_col},
-             LEAST(CAST(({value_expr}) AS BIGINT) // {int(width)},
-                   {int(n_buckets) - 1}) AS bucket
+      SELECT {group_col}, {bucket_expr} AS bucket
       FROM {table}
     ), counts AS (
       SELECT {group_col}, bucket, CAST(COUNT(*) AS BIGINT) AS n

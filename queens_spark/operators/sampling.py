@@ -251,3 +251,72 @@ def stratified_hash_sample(
             threshold
         )
     return df.where(hash_bucket(key_col, salt) < threshold)
+
+
+def token_budget_plan(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    budget_denom: int = 3,
+) -> DataFrame:
+    """Water-filling mixture plan: allocate a global token budget
+    across sources in descending data-quality order.
+
+    The training-mix question ("I can afford B tokens — which sources
+    fill them?") answered deterministically: sources rank by their
+    exact keep-rate under the filter cascade (keeps·10000 div docs —
+    integer basis points, bit-portable; ties break on the source
+    name), and the budget B = total_tokens div *budget_denom* pours
+    down the ranking — each source gets
+    ``clamp(B − tokens_above_it, 0, its_tokens)``, so the best
+    sources are taken whole, exactly one source is split, and the
+    tail gets zero.
+
+    One corpus scan computes (tokens, verdict) per row; everything
+    after aggregates to one row PER SOURCE, so the ranking window's
+    single task holds a source-count-sized frame (the q138 funnel
+    argument), never corpus rows. Output: (source, n_docs,
+    src_tokens, keep_bp, rk, alloc_tokens).
+    """
+    from queens_spark.operators.text import filter_verdict, token_count
+
+    per = df.select(
+        F.col(source_col),
+        token_count(text_col).alias("n_tokens"),
+        (filter_verdict(text_col) == "keep").cast("int").alias("keep"),
+    )
+    s = per.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("src_tokens"),
+        F.sum("keep").cast("bigint").alias("keeps"),
+    ).withColumn("keep_bp", F.expr("keeps * 10000 div n_docs")).drop("keeps")
+    tot = s.agg(
+        F.expr(f"sum(src_tokens) div {int(budget_denom)}")
+        .cast("bigint")
+        .alias("budget")
+    )
+    w = Window.orderBy(F.desc("keep_bp"), F.asc(source_col))
+    ranked = (
+        s.crossJoin(F.broadcast(tot))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("src_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+    )
+    return ranked.select(
+        source_col,
+        "n_docs",
+        "src_tokens",
+        "keep_bp",
+        "rk",
+        F.least(
+            F.greatest(F.col("budget") - F.col("cum_before"), F.lit(0)),
+            F.col("src_tokens"),
+        ).cast("bigint").alias("alloc_tokens"),
+    )

@@ -1068,17 +1068,18 @@ def _components_oracle(threshold: float) -> str:
 
 @register("q36_dedup_components", _components_oracle(0.8))
 def q36_dedup_components(spark, sf_dir):
-    """Canonical dedup groups: connected components over the union of
-    the FULL-recall near-dup pair graph (capped inverted index ∪
-    MinHash-LSH bands — the bands catch near-identical clusters larger
-    than the stop-shingle cap) and exact-copy fingerprint edges (which
-    catch byte-identical oversized clusters). Adaptive CC; shuffles
-    carry (node,label) only."""
-    from queens_spark.operators.dedup import connected_components, dedup_edges
-
-    docs = load(spark, sf_dir, "documents")
-    edges = dedup_edges(docs, "text", "doc_id", n=3, threshold=0.8)
-    return connected_components(docs, edges, "doc_id")
+    """Canonical dedup groups, served from the STORED cluster map
+    (store/cluster_map.py — the q110 stored-postings posture applied
+    to the dedup tier): the full-recall edge generation (capped
+    inverted index ∪ MinHash-LSH bands ∪ exact-copy fingerprints) and
+    the adaptive CC run ONCE per corpus at map build; this plan is one
+    counter-width artifact scan, no shingle hashing, no CC iteration.
+    The oracle still recomputes clustering from scratch — stored and
+    inline must agree bit-for-bit (plan-gated in tests/test_plans.py).
+    """
+    return _documents_clusters(spark, sf_dir).members().select(
+        "doc_id", "component_id"
+    )
 
 
 def _dedup_filter_oracle(threshold: float) -> str:
@@ -2196,36 +2197,13 @@ def q60_best_in_cluster(spark, sf_dir):
     """Quality-aware canonical selection: within each dedup cluster
     (near-dup graph ∪ exact-copy edges, as q36) keep the
     HIGHEST-quality member — what a real corpus-cleaning pipeline
-    retains, rather than the lowest id. One struct-max aggregation
-    over (quality, -doc_id) per component: a single counter-width
-    shuffle, no per-component window. Edge set as q36 (full-recall
-    pairs ∪ exact-copy edges)."""
-    from queens_spark.operators.dedup import connected_components, dedup_edges
-    from queens_spark.operators.text import quality_score
-
-    docs = load(spark, sf_dir, "documents")
-    edges = dedup_edges(docs, "text", "doc_id", n=3, threshold=0.8)
-    comps = connected_components(docs, edges, "doc_id")
-    qual = docs.select("doc_id", quality_score("text").alias("quality"))
-    return (
-        comps.join(qual, "doc_id")
-        .groupBy("component_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("quality").alias("q"),
-                    (-F.col("doc_id")).alias("nid"),
-                )
-            ).alias("best"),
-            F.count(F.lit(1)).alias("n_members"),
-        )
-        .select(
-            "component_id",
-            (-F.col("best.nid")).cast("bigint").alias("best_doc_id"),
-            F.col("best.q").alias("best_quality"),
-            "n_members",
-        )
-    )
+    retains, rather than the lowest id. Served from the stored
+    cluster map's counter-width ``canonical`` table (the struct-max
+    selection happens once at map build, store/cluster_map.py) — the
+    keep-list a cleaning pipeline actually distributes, read without
+    touching the corpus. Oracle recomputes from scratch; stored must
+    match bit-for-bit."""
+    return _documents_clusters(spark, sf_dir).canonical()
 
 
 def _decontamination_oracle(min_shared: int) -> str:
@@ -3706,16 +3684,12 @@ def q90_cluster_aware_split(spark, sf_dir):
     but lets two near-duplicate documents straddle train and test (the
     classic eval-contamination bug); hashing the component_id instead
     makes straddling impossible by construction. Composition: the
-    full-recall dedup component assignment (q36) + the portable hash
-    split (q59) + a counter-width report."""
-    from queens_spark.operators.dedup import connected_components, dedup_edges
+    STORED cluster map's component assignment (one artifact read —
+    store/cluster_map.py, clustering paid once per corpus) + the
+    portable hash split (q59) + a counter-width report."""
     from queens_spark.operators.sampling import hash_split
 
-    docs = load(spark, sf_dir, "documents")
-    comps = connected_components(
-        docs, dedup_edges(docs, "text", "doc_id", n=3, threshold=0.8),
-        "doc_id",
-    )
+    comps = _documents_clusters(spark, sf_dir).members()
     return (
         comps.select(
             "doc_id", "component_id",
@@ -6669,7 +6643,10 @@ def q137_perplexity_buckets(spark, sf_dir):
     )
 
 
-def _filter_funnel_oracle() -> str:
+def _verdict_ctes(extra_cols: str = "") -> str:
+    """The filter-cascade verdict as reusable DuckDB CTEs ``d``/``v``
+    (q138's funnel and q166's mixture plan share them). *extra_cols*
+    threads passthrough columns (e.g. ``source,``) into both."""
     from queens_spark.operators.text import LANG_MARKERS
 
     langs = sorted(LANG_MARKERS)
@@ -6689,7 +6666,7 @@ def _filter_funnel_oracle() -> str:
              "x -> trim(x)), x -> x <> '')")
     return f"""
     WITH d AS (
-      SELECT doc_id, text,
+      SELECT doc_id, {extra_cols} text,
              CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tok,
              CASE WHEN len({_DUCK_TOKS}) > 0
                   THEN CAST(len(list_distinct({_DUCK_TOKS})) AS DOUBLE)
@@ -6706,7 +6683,7 @@ def _filter_funnel_oracle() -> str:
              {scores}
       FROM documents
     ), v AS (
-      SELECT doc_id, n_tok AS n_tokens,
+      SELECT doc_id, {extra_cols} n_tok AS n_tokens,
         CASE
           WHEN n_tok < 15 THEN 'too_short'
           WHEN ({lang_case}) <> 'en' THEN 'language'
@@ -6726,7 +6703,12 @@ def _filter_funnel_oracle() -> str:
           ELSE 'keep'
         END AS verdict
       FROM d
-    )
+    )"""
+
+
+def _filter_funnel_oracle() -> str:
+    return f"""
+    {_verdict_ctes()}
     SELECT verdict,
            count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
@@ -7095,14 +7077,10 @@ def q145_cluster_size_histogram(spark, sf_dir):
     audit every dedup report leads with: the histogram of dedup
     cluster sizes over q36's full-recall component graph (size-1
     clusters = unique docs; the tail = template farms). Two
-    counter-width aggregations on top of the connected-components
-    labels (shuffles carry (node, label), then (component, size) —
-    output cardinality is the distinct-size count)."""
-    from queens_spark.operators.dedup import connected_components, dedup_edges
-
-    docs = load(spark, sf_dir, "documents")
-    edges = dedup_edges(docs, "text", "doc_id", n=3, threshold=0.8)
-    comp = connected_components(docs, edges, "doc_id")
+    counter-width aggregations on top of the STORED cluster map's
+    component labels (store/cluster_map.py — no clustering in this
+    plan; output cardinality is the distinct-size count)."""
+    comp = _documents_clusters(spark, sf_dir).members()
     sizes = comp.groupBy("component_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
@@ -7700,19 +7678,10 @@ def q154_dedup_triangles(spark, sf_dir):
     integers: triangles from the ordered two-hop join (a<b<c, each
     triangle counted once), wedges Σd(d−1)/2 from a counter-width
     degree aggregation, clustering = 3·T/wedges in basis points. The
-    edge set is dedup-output-sized, never corpus-sized; the two-hop
-    join shuffles on node keys only."""
-    from queens_spark.operators.dedup import _persist, dedup_edges
-
-    docs = load(spark, sf_dir, "documents")
-    edges = _persist(
-        dedup_edges(docs, "text", "doc_id", n=3, threshold=0.8)
-        .select(
-            F.least("id_a", "id_b").alias("a"),
-            F.greatest("id_a", "id_b").alias("b"),
-        )
-        .distinct()
-    )
+    edge set is dedup-output-sized, never corpus-sized (and read from
+    the STORED cluster map's edge artifact — no shingle/LSH work in
+    this plan); the two-hop join shuffles on node keys only."""
+    edges = _documents_clusters(spark, sf_dir).edges()
     deg = (
         edges.select(F.col("a").alias("n"))
         .unionAll(edges.select(F.col("b").alias("n")))
@@ -8136,27 +8105,15 @@ def q159_split_leakage_audit(spark, sf_dir):
     BY CONSTRUCTION (both endpoints share a component, components
     hash whole); the naive count is the contamination a team ships
     without knowing. Exact integer counts + basis points; the audit
-    joins split labels onto the dedup-output-sized edge list — no
-    corpus-scale work beyond the one dedup pass q36 already pays."""
-    from queens_spark.operators.dedup import (
-        _persist,
-        connected_components,
-        dedup_edges,
-    )
+    joins split labels onto the dedup-output-sized edge list, both
+    read from the STORED cluster map (store/cluster_map.py) — no
+    corpus-scale work at all in this plan."""
     from queens_spark.operators.sampling import hash_split
 
-    docs = load(spark, sf_dir, "documents")
-    edges = _persist(
-        dedup_edges(docs, "text", "doc_id", n=3, threshold=0.8)
-        .select(
-            F.least("id_a", "id_b").alias("a"),
-            F.greatest("id_a", "id_b").alias("b"),
-        )
-        .distinct()
-    )
-    comps = connected_components(docs, edges, "doc_id",
-                                 pair_cols=("a", "b"))
-    naive = docs.select(
+    cm = _documents_clusters(spark, sf_dir)
+    edges = cm.edges()
+    comps = cm.members()
+    naive = comps.select(
         "doc_id",
         hash_split("doc_id", {"train": 9000, "test": 1000}).alias("s"),
     )
@@ -8461,4 +8418,116 @@ def q165_source_drift(spark, sf_dir):
         "source",
         width=50,
         n_buckets=20,
+    )
+
+
+def _budget_plan_oracle(budget_denom: int) -> str:
+    return f"""
+    {_verdict_ctes("source,")},
+    s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS src_tokens,
+             CAST(SUM(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END)
+                  * 10000 // COUNT(*) AS BIGINT) AS keep_bp
+      FROM v GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(src_tokens) // {budget_denom} AS BIGINT) AS budget
+      FROM s
+    ), r AS (
+      SELECT s.*, 
+             CAST(ROW_NUMBER() OVER (ORDER BY keep_bp DESC, source)
+                  AS BIGINT) AS rk,
+             CAST(COALESCE(SUM(src_tokens) OVER (
+                    ORDER BY keep_bp DESC, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before
+      FROM s
+    )
+    SELECT source, n_docs, src_tokens, keep_bp, rk,
+           CAST(LEAST(GREATEST(budget - cum_before, 0), src_tokens)
+                AS BIGINT) AS alloc_tokens
+    FROM r, tot
+    """
+
+
+@register("q166_token_budget_plan", _budget_plan_oracle(3))
+def q166_token_budget_plan(spark, sf_dir):
+    """Water-filling training-mix plan — "I can afford a third of the
+    corpus's tokens: which sources fill them?": sources rank by their
+    exact filter-cascade keep-rate (integer basis points, ties on the
+    name) and the budget pours down the ranking, taking the best
+    sources whole, splitting exactly one, zeroing the tail
+    (operators/sampling.py:token_budget_plan). ONE corpus scan
+    computes (tokens, verdict) per row; the ranking window's single
+    task holds a source-count-sized frame — the q138 funnel shape,
+    never corpus rows."""
+    from queens_spark.operators.sampling import token_budget_plan
+
+    return token_budget_plan(
+        load(spark, sf_dir, "documents"), "text", "source", budget_denom=3
+    )
+
+
+def _documents_clusters(spark, sf_dir):
+    """Stored dedup cluster map for the sf_dir's documents table —
+    the dedup tier's deployment shape (store/cluster_map.py): the
+    FIRST run per corpus pays the full edge-generation + CC pass and
+    persists (members, canonical) as warehouse artifacts; every later
+    run serves pure counter-width reads — no shingle hashing, no LSH,
+    no CC in the plan. Cache key = corpus path; fingerprint = file
+    stat, so regenerated testdata rebuilds instead of serving stale
+    clusters (the _embeddings_index convention)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from queens_spark.store.cluster_map import (
+        build_or_load_cluster_map,
+        source_fingerprint,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    map_dir = os.path.join(tempfile.gettempdir(), "queens_spark_cmap", key)
+    return build_or_load_cluster_map(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        map_dir,
+        fingerprint=source_fingerprint(src),
+        n=3,
+        threshold=0.8,
+    )
+
+
+def _daily_mix_drift_oracle(n_buckets: int) -> str:
+    from queens_spark.operators.drift import duckdb_group_drift_from_bucket_sql
+    from queens_spark.operators.text import duckdb_char_poly_hash
+
+    return duckdb_group_drift_from_bucket_sql(
+        f"CAST({duckdb_char_poly_hash('event_type')} % {n_buckets} AS BIGINT)",
+        "day",
+        "(SELECT strftime(ts, '%Y-%m-%d') AS day, event_type FROM events)",
+    )
+
+
+@register("q167_daily_mix_drift", _daily_mix_drift_oracle(32))
+def q167_daily_mix_drift(spark, sf_dir):
+    """Time-windowed CATEGORICAL drift — "did yesterday's event mix
+    look like the norm?": each day's event-type composition scored
+    against the all-time mix with the same exact ppm chi-square
+    (operators/drift.py), the category hashed into a bounded bucket
+    domain with the portable polynomial (works for any cardinality —
+    the bucket table stays 32 counters). Days with a shifted mix
+    (incident, bot wave, instrumentation change) surface as outlier
+    scores. One linear scan; days × 32 counters after."""
+    from queens_spark.operators.drift import group_drift_from_buckets
+    from queens_spark.operators.text import char_poly_hash
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("event_type"),
+    )
+    return group_drift_from_buckets(
+        ev, char_poly_hash(F.col("event_type")) % F.lit(32), "day"
     )

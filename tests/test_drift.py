@@ -195,3 +195,23 @@ def test_maintain_profile_tokens_follow_ledger(spark, eng):
     )
     assert out is None
     assert sum(eng.corpus_profile("docs")["hist"].values()) == 20
+
+
+def test_categorical_drift_from_buckets(spark):
+    from queens_spark.operators.drift import group_drift_from_buckets
+    from queens_spark.operators.text import char_poly_hash
+
+    rows = (
+        [("d1", t) for t in ["a"] * 8 + ["b"] * 2]
+        + [("d2", t) for t in ["a"] * 8 + ["b"] * 2]   # same mix as d1
+        + [("d3", t) for t in ["b"] * 9 + ["a"]]        # inverted mix
+    )
+    df = spark.createDataFrame(rows, ["day", "event_type"])
+    got = {
+        r["day"]: r["drift_score"]
+        for r in group_drift_from_buckets(
+            df, char_poly_hash(F.col("event_type")) % F.lit(32), "day"
+        ).collect()
+    }
+    assert got["d1"] == got["d2"]       # identical mixes score equal
+    assert got["d3"] > got["d1"]        # the inverted day dominates

@@ -153,3 +153,62 @@ def test_training_order_deterministic_and_seed_sensitive(spark, docs):
     }
     for did, h in got.items():
         assert h == py_hash(f"epoch-0:{did}")
+
+
+# ---------------------------------------------- property: pack laws
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+docs_st = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de"]),
+        st.integers(min_value=0, max_value=23),  # token count (0 = empty)
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(doc_spec=docs_st, seq_len=st.integers(min_value=1, max_value=9))
+def test_pack_laws_hold_on_random_corpora(spark, doc_spec, seq_len):
+    """For ANY corpus and seq_len: (1) concatenating each stratum's
+    sequences in seq_id order reproduces the stratum's doc stream in
+    id order exactly (conservation + ordering), (2) every sequence
+    except the stratum-final is exactly full, (3) doc_spans tile each
+    sequence with no gap or overlap."""
+    rows = [
+        (i, lang, " ".join(f"d{i}w{j}" for j in range(n)))
+        for i, (lang, n) in enumerate(doc_spec)
+    ]
+    if not rows:
+        return
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    packed = pack_sequences(docs, "text", "doc_id", seq_len, "lang").collect()
+    by_stratum: dict[str, list] = {}
+    for r in packed:
+        by_stratum.setdefault(r["lang"], []).append(r)
+    streams: dict[str, list[str]] = {}
+    for i, (lang, n) in enumerate(doc_spec):
+        streams.setdefault(lang, []).extend(
+            f"d{i}w{j}" for j in range(n)
+        )
+    for lang, expect in streams.items():
+        got_rows = sorted(
+            by_stratum.get(lang, []), key=lambda r: r["seq_id"]
+        )
+        flat = [t for r in got_rows for t in r["toks"]]
+        assert flat == expect, (lang, seq_len)
+        for r in got_rows[:-1]:
+            assert len(r["toks"]) == seq_len
+        for r in got_rows:
+            spans = sorted((s["pos"], s["len"]) for s in r["doc_spans"])
+            cursor = 0
+            for pos, ln in spans:
+                assert pos == cursor and ln > 0
+                cursor += ln
+            assert cursor == len(r["toks"])

@@ -499,3 +499,24 @@ def test_q143_covariance_shuffles_counters_not_vectors(spark):
     assert "hashpartitioning(__q" not in plan
     # the counter merge is the only wide stage over the Arrow output
     assert "hashpartitioning(i" in plan
+
+
+def test_dedup_family_serves_from_stored_cluster_map(spark):
+    """q36/q60/q90/q145/q154/q159 read the STORED cluster map
+    (store/cluster_map.py) — no corpus scan, no shingle explode
+    (Generate), no CC stages in any served plan. The expensive
+    clustering runs once at map build; these plans are artifact
+    reads + counter-width aggregation."""
+    from queens_spark.queries import QUERIES
+
+    for qname in (
+        "q36_dedup_components",
+        "q60_best_in_cluster",
+        "q90_cluster_aware_split",
+        "q145_cluster_size_histogram",
+        "q154_dedup_triangles",
+        "q159_split_leakage_audit",
+    ):
+        plan = plan_of(QUERIES[qname](spark, SF_DIR))
+        assert "documents.parquet" not in plan, qname
+        assert "Generate" not in plan, qname

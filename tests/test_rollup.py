@@ -136,3 +136,27 @@ def test_spec_conflict_refused_and_idempotent(spark, eng):
     eng.register_rollup("meter", "by_fuel", ["year", "fuel"], ["value"])
     with pytest.raises(ValueError, match="different spec"):
         eng.register_rollup("meter", "by_fuel", ["fuel"], ["value"])
+
+
+def test_rollup_cli(spark, tmp_path, capsys, monkeypatch):
+    import json as _json
+
+    from queens_spark.cli import main
+
+    # CLI builds its own Engine with default schemas; registration is
+    # pure registry bookkeeping, so the stock "dukes" collection works
+    root = str(tmp_path / "wh")
+    # register without NAME is the documented error path (exit 2)
+    rc = main(["--warehouse", root, "rollup", "register", "dukes",
+               "--keys", "year,fuel", "--values", "value"])
+    assert rc == 2
+    capsys.readouterr()
+    rc = main(["--warehouse", root, "rollup", "register", "dukes",
+               "by_fuel", "--keys", "year,fuel", "--values", "value"])
+    assert rc == 0
+    reg = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert reg["registered"] == "by_fuel"
+    rc = main(["--warehouse", root, "rollup", "list", "dukes"])
+    assert rc == 0
+    listed = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "by_fuel" in listed

@@ -128,3 +128,32 @@ def test_engine_verb(spark, docs, tmp_path):
     run = eng.training_run("r11")
     assert set(run.verify().values()) == {"ok"}
     assert run.entry["n_tokens"] == sum(len(t.split()) for _, _, t in DOCS)
+
+
+def test_trun_cli(spark, docs, tmp_path, capsys):
+    import json
+
+    from queens_spark.cli import main
+
+    root = str(tmp_path / "wh")
+    corpus = str(tmp_path / "corpus.parquet")
+    docs.write.parquet(corpus)
+    rc = main(["--warehouse", root, "trun", "build", "r11",
+               "--corpus", corpus, "--stratum-col", "lang",
+               "--seq-len", "16", "--n-shards", "2"])
+    assert rc == 0
+    entry = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert entry["n_shards"] == 2 and entry["n_tokens"] > 0
+
+    assert main(["--warehouse", root, "trun", "verify", "r11"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out.values()) == {"ok"}
+
+    assert main(["--warehouse", root, "trun", "describe", "r11"]) == 0
+    desc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert desc["current"]["seq_len"] == 16
+
+    assert main(["--warehouse", root, "trun", "epoch", "r11",
+                 "--seed", "s0", "--head", "3"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rows) == 3 and "order_hash" in rows[0]
