@@ -826,6 +826,42 @@ class Engine:
             "__id", k=k, rrf_k=rrf_k,
         ).withColumnRenamed("__id", "doc")
 
+    # ------------------------------------------------- cluster maps
+
+    def _cluster_maps_dir(self) -> str:
+        import os
+
+        return os.path.join(self.warehouse.root, "system", "cluster_map")
+
+    def build_cluster_map(
+        self, df: DataFrame, text_col: str, id_col: str, name: str, **kw
+    ):
+        """Persist *df*'s dedup clustering (full-recall components +
+        quality-aware canonicals + normalized edges) as a named
+        warehouse artifact (store/cluster_map.py): the expensive
+        clustering pass runs now, every later consumer — duplicate
+        filters, cluster-aware splits, leakage audits, graph stats —
+        reads counter-width artifacts."""
+        import os
+
+        from queens_spark.store.cluster_map import build_cluster_map
+
+        return build_cluster_map(
+            df, text_col, id_col,
+            os.path.join(self._cluster_maps_dir(), name), **kw,
+        )
+
+    def cluster_map(self, name: str, expected_fingerprint: str | None = None):
+        """Open a previously built cluster map — no corpus touch."""
+        import os
+
+        from queens_spark.store.cluster_map import load_cluster_map
+
+        return load_cluster_map(
+            self.spark, os.path.join(self._cluster_maps_dir(), name),
+            expected_fingerprint=expected_fingerprint,
+        )
+
     # ------------------------------------------------- training runs
 
     def _training_runs_dir(self) -> str:

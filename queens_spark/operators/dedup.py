@@ -1892,3 +1892,53 @@ def duckdb_winnow_ctes(expr: str, n: int, w: int, p: int = HASH_MOD) -> str:
         ) END
       FROM (SELECT {H} AS __h) __wn
     )"""
+
+
+def line_dedup_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Global LINE-level dedup audit (the C4/Dolma pass that document
+    dedup misses: boilerplate lines — nav bars, cookie banners, license
+    headers — repeat across otherwise-unique documents): every
+    non-empty trimmed line keeps only its FIRST corpus occurrence
+    (ordered by (doc, position)); per document, how much line mass the
+    pass would drop.
+
+    Output: (id, n_lines, n_dropped, dropped_bp).
+
+    Shape: one posexplode to (doc, pos, line) — corpus-line-scale, the
+    honest cost of global line dedup — then the first-occurrence
+    resolution is a partial-aggregable MIN per line (map-side combine
+    collapses duplicate-heavy partitions BEFORE the shuffle; a
+    row_number window over line would shuffle every occurrence of a
+    hot boilerplate line to one task). The occurrence key packs
+    (doc, pos) into one int64 — exact while doc_id < 2^43 and lines
+    per doc < 2^20, both documented bounds of the shipped corpora; at
+    larger scale swap in the struct-min form (same plan shape).
+    """
+    from queens_spark.operators.text import doc_lines
+
+    P = F.lit(1_000_000).cast("bigint")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(doc_lines(text_col)).alias("pos0", "line"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        "line",
+    )
+    lines = _persist(lines)
+    firsts = lines.groupBy("line").agg(
+        F.min(F.col(id_col).cast("bigint") * P + F.col("pos")).alias("fkey")
+    )
+    flagged = lines.join(firsts, "line").select(
+        id_col,
+        (
+            F.col(id_col).cast("bigint") * P + F.col("pos") != F.col("fkey")
+        ).cast("int").alias("dropped"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("dropped").cast("bigint").alias("n_dropped"),
+        F.expr("CAST(sum(dropped) * 10000 div count(1) AS BIGINT)").alias(
+            "dropped_bp"
+        ),
+    )

@@ -1096,13 +1096,16 @@ def _dedup_filter_oracle(threshold: float) -> str:
 def q42_dedup_filter(spark, sf_dir):
     """Corpus cleaning: drop every exact copy (fingerprint rep ≠ self)
     and the losing side of every full-recall near-dup pair (capped
-    index ∪ LSH bands) — LEFT ANTI join against the loser list; the
-    corpus never shuffles."""
-    from queens_spark.operators.dedup import dedup_edges, filter_near_duplicates
+    index ∪ LSH bands, read from the STORED cluster map's normalized
+    edge artifact — no pair generation in this plan) — LEFT ANTI join
+    against the loser list; the corpus never shuffles."""
+    from queens_spark.operators.dedup import filter_near_duplicates
 
     docs = load(spark, sf_dir, "documents")
-    edges = dedup_edges(docs, "text", "doc_id", n=3, threshold=0.8)
-    return filter_near_duplicates(docs, edges, "doc_id").select("doc_id", "lang")
+    edges = _documents_clusters(spark, sf_dir).edges()
+    return filter_near_duplicates(
+        docs, edges, "doc_id", keep_col="a", drop_col="b"
+    ).select("doc_id", "lang")
 
 
 def _packing_oracle(budget: int) -> str:
@@ -8531,3 +8534,47 @@ def q167_daily_mix_drift(spark, sf_dir):
     return group_drift_from_buckets(
         ev, char_poly_hash(F.col("event_type")) % F.lit(32), "day"
     )
+
+
+_LINE_DEDUP_ORACLE = """
+    WITH raw AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        x -> trim(x)), x -> x <> '') AS ls
+      FROM documents
+    ), l AS (
+      SELECT doc_id, unnest(range(1, len(ls)+1)) AS pos, ls FROM raw
+    ), le AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos, ls[pos] AS line FROM l
+    ), firsts AS (
+      SELECT line, MIN(doc_id * 1000000 + pos) AS fkey
+      FROM le GROUP BY line
+    ), fl AS (
+      SELECT le.doc_id,
+             CASE WHEN le.doc_id * 1000000 + le.pos = f.fkey
+                  THEN 0 ELSE 1 END AS dropped
+      FROM le JOIN firsts f ON le.line = f.line
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+           CAST(SUM(dropped) * 10000 // COUNT(*) AS BIGINT) AS dropped_bp
+    FROM fl GROUP BY doc_id
+"""
+
+
+@register("q168_line_dedup", _LINE_DEDUP_ORACLE)
+def q168_line_dedup(spark, sf_dir):
+    """Global line-level dedup audit — the C4/Dolma boilerplate pass
+    document dedup misses (nav bars, cookie banners, license headers
+    repeating across otherwise-unique docs): every non-empty trimmed
+    line keeps its FIRST corpus occurrence by (doc, position); per
+    document, the line mass the pass would drop in exact basis
+    points. First-occurrence resolution is a partial-aggregable MIN
+    per line, so map-side combine collapses hot boilerplate lines
+    BEFORE the shuffle — a per-line window would funnel every
+    occurrence of a hot line through one task
+    (operators/dedup.py:line_dedup_stats)."""
+    from queens_spark.operators.dedup import line_dedup_stats
+
+    return line_dedup_stats(load(spark, sf_dir, "documents"), "text", "doc_id")

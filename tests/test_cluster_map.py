@@ -88,3 +88,15 @@ def test_load_serves_without_rebuild_and_fingerprint_gates(
     # superseded version dirs GC'd
     vdirs = [x for x in os.listdir(d) if x.startswith("v")]
     assert vdirs == [cm4.entry["dir"]]
+
+
+def test_engine_cluster_map_verbs(spark, docs, tmp_path):
+    from queens_spark.facade import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.build_cluster_map(docs, "text", "doc_id", "docs", threshold=0.6)
+    cm = eng.cluster_map("docs")
+    members = {r["doc_id"]: r["component_id"] for r in cm.members().collect()}
+    assert members[1] == members[2]
+    assert cm.canonical().count() == len(set(members.values()))
+    assert cm.edges().count() >= 1

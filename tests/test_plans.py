@@ -520,3 +520,8 @@ def test_dedup_family_serves_from_stored_cluster_map(spark):
         plan = plan_of(QUERIES[qname](spark, SF_DIR))
         assert "documents.parquet" not in plan, qname
         assert "Generate" not in plan, qname
+    # q42 legitimately scans documents (it returns doc rows) but its
+    # loser list comes from the stored edge artifact: no shingle
+    # explode (Generate) anywhere in the plan
+    plan = plan_of(QUERIES["q42_dedup_filter"](spark, SF_DIR))
+    assert "Generate" not in plan
