@@ -1942,3 +1942,48 @@ def line_dedup_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             "dropped_bp"
         ),
     )
+
+
+def dedup_lines_rewrite(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The TRANSFORM half of :func:`line_dedup_stats`: rebuild each
+    document with only its lines that are FIRST corpus occurrences —
+    the C4/Dolma boilerplate-removal pass as an actual rewrite, not
+    just an audit. Documents whose every line is boilerplate vanish
+    (nothing left to keep); original in-document line order is
+    preserved via an (pos, line) struct sort inside each group.
+
+    Same plan shape as the audit (one posexplode + partial-aggregable
+    MIN per line) plus the per-doc re-assembly groupBy — the rewrite's
+    shuffle carries kept lines only, which is the output volume.
+    """
+    from queens_spark.operators.text import doc_lines
+
+    P = F.lit(1_000_000).cast("bigint")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(doc_lines(text_col)).alias("pos0", "line"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        "line",
+    )
+    lines = _persist(lines)
+    firsts = lines.groupBy("line").agg(
+        F.min(F.col(id_col).cast("bigint") * P + F.col("pos")).alias("fkey")
+    )
+    kept = lines.join(firsts, "line").where(
+        F.col(id_col).cast("bigint") * P + F.col("pos") == F.col("fkey")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("line")))
+            ).alias("__ls")
+        )
+        .select(
+            id_col,
+            F.array_join(F.col("__ls.line"), "\n").alias("clean_text"),
+            F.size("__ls").cast("bigint").alias("n_kept"),
+        )
+    )

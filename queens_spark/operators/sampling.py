@@ -320,3 +320,38 @@ def token_budget_plan(
             F.col("src_tokens"),
         ).cast("bigint").alias("alloc_tokens"),
     )
+
+
+def budget_sample(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    id_col: str,
+    budget_denom: int = 3,
+    salt: int = 0,
+) -> DataFrame:
+    """Execute the water-filling plan: convert each source's
+    :func:`token_budget_plan` allocation into a deterministic hash
+    sampling rate (``alloc·10⁴ div src_tokens`` basis points — whole
+    sources sail through at 10000, the split source gets its exact
+    fraction, the tail gets 0) and keep the documents whose stable
+    per-id bucket clears it. The plan is a source-count-sized
+    broadcast; the corpus is read once and never shuffles — the same
+    key-hash determinism contract as :func:`hash_sample`, so reruns,
+    retries and engines agree on the exact document set."""
+    plan = token_budget_plan(df, text_col, source_col, budget_denom)
+    # ANSI mode: div by zero raises even on ints — an all-empty-docs
+    # source has src_tokens = 0 and gets rate 0 (the CLAUDE.md guard,
+    # mirrored in the q170 oracle)
+    rates = plan.select(
+        source_col,
+        F.expr(
+            "CAST(CASE WHEN src_tokens = 0 THEN 0 ELSE "
+            "least(alloc_tokens * 10000 div src_tokens, 10000) END "
+            "AS BIGINT)"
+        ).alias("rate_bp"),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .where(hash_bucket(id_col, salt=salt) < F.col("rate_bp"))
+    )

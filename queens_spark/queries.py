@@ -8578,3 +8578,96 @@ def q168_line_dedup(spark, sf_dir):
     from queens_spark.operators.dedup import line_dedup_stats
 
     return line_dedup_stats(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_LINE_REWRITE_ORACLE = """
+    WITH raw AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        x -> trim(x)), x -> x <> '') AS ls
+      FROM documents
+    ), l AS (
+      SELECT doc_id, unnest(range(1, len(ls)+1)) AS pos, ls FROM raw
+    ), le AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos, ls[pos] AS line FROM l
+    ), firsts AS (
+      SELECT line, MIN(doc_id * 1000000 + pos) AS fkey
+      FROM le GROUP BY line
+    ), kept AS (
+      SELECT le.doc_id, le.pos, le.line
+      FROM le JOIN firsts f ON le.line = f.line
+      WHERE le.doc_id * 1000000 + le.pos = f.fkey
+    )
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY doc_id
+"""
+
+
+@register("q169_line_dedup_rewrite", _LINE_REWRITE_ORACLE)
+def q169_line_dedup_rewrite(spark, sf_dir):
+    """The boilerplate-removal TRANSFORM (q168's audit executed):
+    rebuild every document keeping only lines that are first corpus
+    occurrences, original line order preserved; documents that were
+    pure boilerplate vanish. Same partial-aggregable min-per-line
+    resolution as q168; the re-assembly shuffle carries kept lines
+    only — the output volume (operators/dedup.py:dedup_lines_rewrite).
+    """
+    from queens_spark.operators.dedup import dedup_lines_rewrite
+
+    return dedup_lines_rewrite(
+        load(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def _budget_sample_oracle(budget_denom: int) -> str:
+    from queens_spark.operators.sampling import duckdb_hash_bucket
+
+    plan = _budget_plan_oracle(budget_denom)
+    return f"""
+    WITH plan AS ({plan}),
+    rates AS (
+      SELECT source,
+             CAST(CASE WHEN src_tokens = 0 THEN 0 ELSE
+                  LEAST(alloc_tokens * 10000 // src_tokens, 10000) END
+                  AS BIGINT) AS rate_bp
+      FROM plan
+    ),
+    kept AS (
+      SELECT d.doc_id, d.source,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE {duckdb_hash_bucket('d.doc_id')} < r.rate_bp
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+    FROM kept GROUP BY source
+    """
+
+
+@register("q170_budget_sampled_corpus", _budget_sample_oracle(3))
+def q170_budget_sampled_corpus(spark, sf_dir):
+    """The water-filling plan EXECUTED (q166 → an actual corpus):
+    each source's allocation becomes a deterministic per-id hash
+    sampling rate in basis points (whole sources at 10000, the split
+    source at its exact fraction, the tail at 0), and the kept set is
+    stable across reruns, retries, and engines — the q59 hash-split
+    determinism contract applied to mixture execution. The rate table
+    is source-count-sized and broadcast; the corpus reads once and
+    never shuffles before the final per-source counter rollup
+    (operators/sampling.py:budget_sample)."""
+    from queens_spark.operators.sampling import budget_sample
+    from queens_spark.operators.text import token_count
+
+    kept = budget_sample(
+        load(spark, sf_dir, "documents"), "text", "source", "doc_id",
+        budget_denom=3,
+    )
+    return kept.select(
+        "source", token_count("text").alias("n_tokens")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+    )
