@@ -89,6 +89,13 @@ def build_cluster_map(
     manifest = _read_manifest(map_dir)
     version = int(manifest.get("next_version", 1))
     vdir = os.path.join(map_dir, f"v{version:06d}")
+    # a build that crashed before its manifest flip leaves this vdir
+    # orphaned (next_version never advanced) — clear it so the retry
+    # can rewrite; the manifest never pointed at it, so nothing served
+    if os.path.exists(vdir):
+        import shutil
+
+        shutil.rmtree(vdir, ignore_errors=True)
 
     # the edge pipeline feeds both the CC and the persisted edge
     # artifact — persist so the shingle/LSH front-end executes once

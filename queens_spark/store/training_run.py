@@ -109,6 +109,13 @@ def build_training_run(
     version = int(manifest.get("next_version", 1))
     vdir = os.path.join(run_dir, f"v{version:06d}")
     data_dir = os.path.join(vdir, "data")
+    # a build that crashed before its manifest flip leaves this vdir
+    # orphaned (next_version never advanced) — clear it so the retry
+    # can rewrite; the manifest never pointed at it, so nothing served
+    if os.path.exists(vdir):
+        import shutil
+
+        shutil.rmtree(vdir, ignore_errors=True)
 
     packed = assign_shards(
         pack_sequences(

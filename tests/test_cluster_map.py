@@ -100,3 +100,15 @@ def test_engine_cluster_map_verbs(spark, docs, tmp_path):
     assert members[1] == members[2]
     assert cm.canonical().count() == len(set(members.values()))
     assert cm.edges().count() >= 1
+
+
+def test_crashed_build_retry_succeeds(spark, docs, tmp_path):
+    d = str(tmp_path / "cm")
+    cm = build_cluster_map(docs, "text", "doc_id", d, threshold=0.6)
+    nxt = os.path.join(d, f"v{cm.entry['version'] + 1:06d}", "members")
+    os.makedirs(nxt)
+    with open(os.path.join(nxt, "part-junk.parquet"), "w") as fh:
+        fh.write("crashed")
+    cm2 = build_cluster_map(docs, "text", "doc_id", d, threshold=0.6)
+    assert cm2.entry["version"] == cm.entry["version"] + 1
+    assert cm2.members().count() == docs.count()

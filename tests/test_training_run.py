@@ -157,3 +157,27 @@ def test_trun_cli(spark, docs, tmp_path, capsys):
                  "--seed", "s0", "--head", "3"]) == 0
     rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(rows) == 3 and "order_hash" in rows[0]
+
+
+def test_crashed_build_retry_succeeds(spark, docs, runs_dir):
+    """A build that dies after writing data but before the manifest
+    flip leaves an orphan vdir the manifest never points at; the
+    retry must clear it and succeed (the flip-last contract's other
+    half)."""
+    run = build_training_run(
+        docs, "text", "doc_id", "demo", runs_dir,
+        seq_len=16, n_shards=2, stratum_col="lang",
+    )
+    # simulate: orphan dir for the NEXT version, manifest not advanced
+    nxt = os.path.join(
+        runs_dir, "demo", f"v{run.entry['version'] + 1:06d}", "data"
+    )
+    os.makedirs(nxt)
+    with open(os.path.join(nxt, "part-junk.parquet"), "w") as fh:
+        fh.write("crashed")
+    r2 = build_training_run(
+        docs, "text", "doc_id", "demo", runs_dir,
+        seq_len=16, n_shards=2, stratum_col="lang",
+    )
+    assert r2.entry["version"] == run.entry["version"] + 1
+    assert set(r2.verify().values()) == {"ok"}
