@@ -212,3 +212,31 @@ def test_pack_laws_hold_on_random_corpora(spark, doc_spec, seq_len):
                 assert pos == cursor and ln > 0
                 cursor += ln
             assert cursor == len(r["toks"])
+
+
+def test_pack_with_bpe_tokenizer_composition(spark):
+    """The export path a real pipeline runs: train a BPE tokenizer on
+    the corpus, encode, and pack the ENCODED token stream — the
+    pack's conservation law must hold for the custom tokenization
+    exactly as for whitespace tokens."""
+    from queens_spark.operators.corpus import bpe_encode, learn_bpe
+
+    rows = [
+        (i, "en", "lower lowest newer newest low new " * (1 + i % 3))
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    merges = learn_bpe(docs, "text", n_merges=8, min_count=1)
+    enc = bpe_encode(docs, "text", merges)
+    packed = pack_sequences(
+        enc, "text", "doc_id", 32, "lang", tokens_col=F.col("bpe_tokens")
+    ).collect()
+    got = [t for r in sorted(packed, key=lambda r: r["seq_id"]) for t in r["toks"]]
+    expect = [
+        t
+        for r in sorted(enc.collect(), key=lambda r: r["doc_id"])
+        for t in r["bpe_tokens"]
+    ]
+    assert got == expect  # BPE stream conserved through the pack
+    for r in sorted(packed, key=lambda r: r["seq_id"])[:-1]:
+        assert len(r["toks"]) == 32
