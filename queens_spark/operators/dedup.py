@@ -1894,6 +1894,39 @@ def duckdb_winnow_ctes(expr: str, n: int, w: int, p: int = HASH_MOD) -> str:
     )"""
 
 
+#: Packed first-occurrence key base for the line-dedup family:
+#: key = doc_id · 2²⁰ + pos. Exact while doc_id < 2⁴³ and lines per
+#: doc < 2²⁰ (both far past the shipped corpora); past that swap the
+#: packed key for a struct-min (same plan shape). The q168/q169
+#: oracles embed the SAME constant — change in lockstep.
+LINE_KEY_BASE = 1 << 20
+
+
+def _line_first_occurrences(df: DataFrame, text_col: str, id_col: str):
+    """Shared front-end of the line-dedup family: the exploded
+    (id, pos, line) frame (persisted — it feeds two consumers) and
+    the per-line first-occurrence key table. First-occurrence
+    resolution is a partial-aggregable MIN per line, so map-side
+    combine collapses hot boilerplate lines BEFORE the shuffle — a
+    row_number window over line would shuffle every occurrence of a
+    hot line to one task."""
+    from queens_spark.operators.text import doc_lines
+
+    P = F.lit(LINE_KEY_BASE).cast("bigint")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(doc_lines(text_col)).alias("pos0", "line"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        "line",
+    )
+    lines = _persist(lines)
+    key = F.col(id_col).cast("bigint") * P + F.col("pos")
+    firsts = lines.groupBy("line").agg(F.min(key).alias("fkey"))
+    return lines, firsts, key
+
+
 def line_dedup_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Global LINE-level dedup audit (the C4/Dolma pass that document
     dedup misses: boilerplate lines — nav bars, cookie banners, license
@@ -1905,35 +1938,14 @@ def line_dedup_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Output: (id, n_lines, n_dropped, dropped_bp).
 
     Shape: one posexplode to (doc, pos, line) — corpus-line-scale, the
-    honest cost of global line dedup — then the first-occurrence
-    resolution is a partial-aggregable MIN per line (map-side combine
-    collapses duplicate-heavy partitions BEFORE the shuffle; a
-    row_number window over line would shuffle every occurrence of a
-    hot boilerplate line to one task). The occurrence key packs
-    (doc, pos) into one int64 — exact while doc_id < 2^43 and lines
-    per doc < 2^20, both documented bounds of the shipped corpora; at
-    larger scale swap in the struct-min form (same plan shape).
+    honest cost of global line dedup — then the partial-aggregable
+    first-occurrence MIN (see _line_first_occurrences; key exactness
+    bounds at LINE_KEY_BASE).
     """
-    from queens_spark.operators.text import doc_lines
-
-    P = F.lit(1_000_000).cast("bigint")
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(doc_lines(text_col)).alias("pos0", "line"),
-    ).select(
-        id_col,
-        (F.col("pos0") + 1).cast("bigint").alias("pos"),
-        "line",
-    )
-    lines = _persist(lines)
-    firsts = lines.groupBy("line").agg(
-        F.min(F.col(id_col).cast("bigint") * P + F.col("pos")).alias("fkey")
-    )
+    lines, firsts, key = _line_first_occurrences(df, text_col, id_col)
     flagged = lines.join(firsts, "line").select(
         id_col,
-        (
-            F.col(id_col).cast("bigint") * P + F.col("pos") != F.col("fkey")
-        ).cast("int").alias("dropped"),
+        (key != F.col("fkey")).cast("int").alias("dropped"),
     )
     return flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
@@ -1950,30 +1962,14 @@ def dedup_lines_rewrite(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     the C4/Dolma boilerplate-removal pass as an actual rewrite, not
     just an audit. Documents whose every line is boilerplate vanish
     (nothing left to keep); original in-document line order is
-    preserved via an (pos, line) struct sort inside each group.
+    preserved via a (pos, line) struct sort inside each group.
 
-    Same plan shape as the audit (one posexplode + partial-aggregable
-    MIN per line) plus the per-doc re-assembly groupBy — the rewrite's
-    shuffle carries kept lines only, which is the output volume.
+    Same front-end as the audit (_line_first_occurrences) plus the
+    per-doc re-assembly groupBy — the rewrite's shuffle carries kept
+    lines only, which is the output volume.
     """
-    from queens_spark.operators.text import doc_lines
-
-    P = F.lit(1_000_000).cast("bigint")
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(doc_lines(text_col)).alias("pos0", "line"),
-    ).select(
-        id_col,
-        (F.col("pos0") + 1).cast("bigint").alias("pos"),
-        "line",
-    )
-    lines = _persist(lines)
-    firsts = lines.groupBy("line").agg(
-        F.min(F.col(id_col).cast("bigint") * P + F.col("pos")).alias("fkey")
-    )
-    kept = lines.join(firsts, "line").where(
-        F.col(id_col).cast("bigint") * P + F.col("pos") == F.col("fkey")
-    )
+    lines, firsts, key = _line_first_occurrences(df, text_col, id_col)
+    kept = lines.join(firsts, "line").where(key == F.col("fkey"))
     return (
         kept.groupBy(id_col)
         .agg(

@@ -51,13 +51,17 @@ def bucketize(value: Column, width: int, n_buckets: int) -> Column:
     """Fixed-width bucket id for a non-negative integer feature:
     ``least(value div width, n_buckets-1)`` — the overflow bucket
     absorbs the tail, so the bucket domain is bounded at *n_buckets*
-    rows of counters at any corpus size. The numerator is made
-    exactly divisible before the (double-typed) division so the cast
-    back to bigint can never be bitten by a last-ulp round-up."""
+    rows of counters at any corpus size. Exactness at ANY value
+    magnitude: the value is clamped to ``width·(n_buckets-1)`` BEFORE
+    the (double-typed) division — clamping commutes with the floor
+    division, and the clamped domain is small enough that the bigint→
+    double round-trip is lossless (a raw ``v/w`` on a 2⁶⁰-scale value
+    would round at the cast and drift from the integer ``//`` twin)."""
     v = value.cast("bigint")
     w = F.lit(int(width)).cast("bigint")
-    exact = ((v - (v % w)) / w).cast("bigint")
-    return F.least(exact, F.lit(int(n_buckets) - 1).cast("bigint"))
+    cap = F.lit(int(width) * (int(n_buckets) - 1)).cast("bigint")
+    vc = F.least(v, cap)
+    return ((vc - (vc % w)) / w).cast("bigint")
 
 
 def hist_counts(

@@ -114,7 +114,6 @@ def stream_offsets(
 def sequence_spans(
     offsets: DataFrame,
     seq_len: int,
-    stratum_col: str,
     n_col: str = "n_tokens",
 ) -> DataFrame:
     """Explode each document onto the sequences it spans. Input needs
@@ -164,7 +163,7 @@ def sequence_stats(
         F.size(tokens(text_col)).cast("bigint").alias("n_tokens"),
     )
     offs = stream_offsets(base, "n_tokens", stratum_col, id_col)
-    spans = sequence_spans(offs, seq_len, stratum_col)
+    spans = sequence_spans(offs, seq_len)
     return spans.groupBy(stratum_col, "seq_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("starts_here").cast("bigint").alias("n_starts"),
@@ -241,7 +240,7 @@ def pack_sequences(
         tok.alias("__toks"),
     ).withColumn("n_tokens", F.size("__toks").cast("bigint"))
     offs = stream_offsets(base, "n_tokens", "__stratum", "__id")
-    spans = sequence_spans(offs, seq_len, "__stratum")
+    spans = sequence_spans(offs, seq_len)
     sliced = spans.select(
         "__stratum",
         "seq_id",

@@ -8547,11 +8547,11 @@ _LINE_DEDUP_ORACLE = """
     ), le AS (
       SELECT doc_id, CAST(pos AS BIGINT) AS pos, ls[pos] AS line FROM l
     ), firsts AS (
-      SELECT line, MIN(doc_id * 1000000 + pos) AS fkey
+      SELECT line, MIN(doc_id * 1048576 + pos) AS fkey
       FROM le GROUP BY line
     ), fl AS (
       SELECT le.doc_id,
-             CASE WHEN le.doc_id * 1000000 + le.pos = f.fkey
+             CASE WHEN le.doc_id * 1048576 + le.pos = f.fkey
                   THEN 0 ELSE 1 END AS dropped
       FROM le JOIN firsts f ON le.line = f.line
     )
@@ -8591,12 +8591,12 @@ _LINE_REWRITE_ORACLE = """
     ), le AS (
       SELECT doc_id, CAST(pos AS BIGINT) AS pos, ls[pos] AS line FROM l
     ), firsts AS (
-      SELECT line, MIN(doc_id * 1000000 + pos) AS fkey
+      SELECT line, MIN(doc_id * 1048576 + pos) AS fkey
       FROM le GROUP BY line
     ), kept AS (
       SELECT le.doc_id, le.pos, le.line
       FROM le JOIN firsts f ON le.line = f.line
-      WHERE le.doc_id * 1000000 + le.pos = f.fkey
+      WHERE le.doc_id * 1048576 + le.pos = f.fkey
     )
     SELECT doc_id,
            string_agg(line, chr(10) ORDER BY pos) AS clean_text,

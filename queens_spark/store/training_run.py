@@ -124,6 +124,14 @@ def build_training_run(
         n_shards,
     ).withColumn("n_tokens", F.size("toks").cast("bigint"))
 
+    # an empty PARTITIONED parquet write cannot be read back (the
+    # store-wide invariant text_index enforces) — an all-empty corpus
+    # must fail loudly here, not at the stats read-back
+    if packed.limit(1).count() == 0:
+        raise ValueError(
+            f"training run {name!r}: corpus packs to zero sequences "
+            "(no documents with tokens) — refusing an empty build"
+        )
     (
         packed.repartition("shard")
         .write.mode("errorifexists")
