@@ -1061,6 +1061,48 @@ class Engine:
             )
         return out
 
+    def export_release(
+        self,
+        df: DataFrame,
+        text_col: str,
+        id_col: str,
+        name: str,
+        source_col: str | None = None,
+        seq_len: int = 2048,
+        n_shards: int = 16,
+        stratum_col: str | None = None,
+        vocab_top: int = 50,
+    ) -> dict:
+        """The whole corpus DROP as one verb: build the packed,
+        sharded, checksummed training run AND persist the release
+        audit beside it — the filter-cascade funnel, exact-dup rate,
+        vocabulary head, and (with *source_col*) per-source
+        composition from :meth:`corpus_report`, each written as a
+        counter-width parquet table under the run's version dir. A
+        consumer downloads one directory and gets the data, the
+        integrity manifest, and the numbers a release review asks
+        for. Returns {"run": manifest entry, "report": {table:
+        path}}. The report tables are tiny (report aggregates), so
+        the extra cost over the pack itself is a few counter-width
+        jobs."""
+        import os
+
+        run = self.export_training_run(
+            df, text_col, id_col, name,
+            seq_len=seq_len, n_shards=n_shards, stratum_col=stratum_col,
+        )
+        vdir = os.path.join(run.run_dir, run.entry["dir"])
+        report = self.corpus_report(
+            df, text_col, id_col, source_col=source_col,
+            vocab_top=vocab_top,
+        )
+        paths = {}
+        for table, frame in report.items():
+            p = os.path.join(vdir, "report", table)
+            frame.coalesce(1).write.mode("overwrite").parquet(p)
+            paths[table] = p
+        return {"run": run.entry, "report": paths}
+
     def compact(
         self, collection: str, target_files: int = 1, which: str = "prod"
     ) -> dict[str, tuple[int, int]]:

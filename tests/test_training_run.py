@@ -181,3 +181,24 @@ def test_crashed_build_retry_succeeds(spark, docs, runs_dir):
     )
     assert r2.entry["version"] == run.entry["version"] + 1
     assert set(r2.verify().values()) == {"ok"}
+
+
+def test_export_release_bundles_run_and_report(spark, docs, tmp_path):
+    from queens_spark.facade import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    out = eng.export_release(
+        docs.withColumnRenamed("lang", "source"), "text", "doc_id",
+        "drop-1", source_col="source", seq_len=16, n_shards=2,
+    )
+    assert out["run"]["n_tokens"] == sum(len(t.split()) for _, _, t in DOCS)
+    assert set(out["report"]) == {
+        "funnel", "duplication", "vocabulary", "composition"
+    }
+    comp = spark.read.parquet(out["report"]["composition"]).collect()
+    assert {r["source"] for r in comp} == {"en", "de"}
+    # the bundle lives inside the run's version dir: one download
+    run = eng.training_run("drop-1")
+    assert set(run.verify().values()) == {"ok"}
+    for p in out["report"].values():
+        assert p.startswith(os.path.join(run.run_dir, run.entry["dir"]))
