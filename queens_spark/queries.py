@@ -8671,3 +8671,116 @@ def q170_budget_sampled_corpus(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
         F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
     )
+
+
+def _pack_fragmentation_oracle(seq_len: int) -> str:
+    from queens_spark.operators.packing import duckdb_sequence_stats_ctes
+
+    return f"""
+    WITH {duckdb_sequence_stats_ctes(seq_len, _DUCK_TOKS)},
+    per_doc AS (
+      SELECT lang, doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+      FROM sized GROUP BY lang, doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_spans > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_frag_docs,
+           CAST(SUM(CASE WHEN n_spans > 1 THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS frag_bp,
+           CAST(SUM(n_spans) AS BIGINT) AS n_spans
+    FROM per_doc GROUP BY lang
+    """
+
+
+@register("q171_pack_fragmentation", _pack_fragmentation_oracle(512))
+def q171_pack_fragmentation(spark, sf_dir):
+    """Pack-quality audit — "how chopped are my documents at this
+    seq_len?": per stratum, the exact share of documents that cross a
+    sequence boundary (their attention context truncates there) and
+    the total span count. The trainer-facing counterpart of q162's
+    per-sequence view; a high frag_bp argues for a longer seq_len or
+    a document-aware packer. Same counter-width span frame as
+    q162/q163 — no token arrays move."""
+    from queens_spark.operators.packing import sequence_spans, stream_offsets
+    from queens_spark.operators.text import token_count
+
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    spans = sequence_spans(
+        stream_offsets(base, "n_tokens", "lang", "doc_id"), 512
+    )
+    per_doc = spans.groupBy("lang", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("n_spans") > 1).cast("int")).cast("bigint").alias(
+            "n_frag_docs"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN n_spans > 1 THEN 1 ELSE 0 END) * 10000 "
+            "div count(1) AS BIGINT)"
+        ).alias("frag_bp"),
+        F.sum("n_spans").cast("bigint").alias("n_spans"),
+    )
+
+
+def _source_overlap_oracle(threshold: float) -> str:
+    pair_sql = _pairs_full_oracle(threshold)
+    return f"""
+    WITH pairs AS ({pair_sql}),
+    copies AS ({_COPIES_SQL}),
+    e AS (
+      SELECT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b FROM pairs
+      UNION
+      SELECT LEAST(rep_id, doc_id) AS a, GREATEST(rep_id, doc_id) AS b
+      FROM copies
+    ),
+    lab AS (
+      SELECT e.a, e.b, da.source AS src_raw_a, db.source AS src_raw_b
+      FROM e JOIN documents da ON e.a = da.doc_id
+             JOIN documents db ON e.b = db.doc_id
+    )
+    SELECT LEAST(src_raw_a, src_raw_b) AS source_a,
+           GREATEST(src_raw_a, src_raw_b) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM lab GROUP BY 1, 2
+    """
+
+
+@register("q172_source_overlap_matrix", _source_overlap_oracle(0.8))
+def q172_source_overlap_matrix(spark, sf_dir):
+    """Cross-source duplication matrix — "who copies whom": every
+    stored dedup edge labeled with its endpoints' sources (order-
+    normalized so the matrix is upper-triangular incl. the diagonal),
+    counted per source pair. Off-diagonal mass = syndication/mirroring
+    between sources; diagonal = within-source duplication. The edge
+    list reads from the STORED cluster map; the only corpus touch is
+    the two id→source lookups, which join on edge endpoints — a
+    dedup-output-sized key set, never an all-pairs join."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    edges = _documents_clusters(spark, sf_dir).edges()
+    lab = (
+        edges.join(
+            docs.select(
+                F.col("doc_id").alias("a"), F.col("source").alias("sa")
+            ),
+            "a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("b"), F.col("source").alias("sb")
+            ),
+            "b",
+        )
+    )
+    return (
+        lab.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )
