@@ -1004,6 +1004,15 @@ class Engine:
         report["profile_tokens_cleared"] = clear_applied_tokens(
             self._profiles_dir(), ledger or collection, keep=ledger_tokens
         )
+        # rollup partial segments of SUPERSEDED table versions are
+        # dead weight (current-time serving never reads a loser; an
+        # old-as_of serve that wants one repairs it from raw) — GC
+        # them here so a re-ingest-heavy collection stays bounded
+        from queens_spark.store.rollup import gc_rollup_segments
+
+        report["rollup_segments_gcd"] = gc_rollup_segments(
+            self.warehouse, self._rollups_dir(), collection
+        )
         return report
 
     def corpus_report(

@@ -49,6 +49,7 @@ __all__ = [
     "update_rollup_segment",
     "serve_rollup",
     "missing_segments",
+    "gc_rollup_segments",
 ]
 
 
@@ -231,3 +232,37 @@ def serve_rollup(
             F.max(f"{v}__max").alias(f"{v}_max"),
         ]
     return partials.groupBy(*spec["keys"]).agg(*merged)
+
+
+def gc_rollup_segments(
+    warehouse, rollups_dir: str, collection: str
+) -> dict[str, int]:
+    """Bounded growth for the per-ingest segment dirs: delete every
+    partial segment whose ingest is NOT a current staging winner
+    (superseded table versions). Safe by the same argument as lazy
+    repair — raw retains every ingest, so serving an ``as_of`` that
+    needs a GC'd segment rebuilds it on demand through the identical
+    read-back path; current-time serving never touches a loser.
+    Returns {rollup_name: segments_removed}."""
+    import re
+    import shutil
+
+    reg = _read_registry(rollups_dir, collection)
+    if not reg:
+        return {}
+    winners = {
+        wi["ingest_id"] for wi in _winner_ingests(warehouse, collection)
+    }
+    removed: dict[str, int] = {}
+    for name in reg:
+        segs_root = os.path.join(rollups_dir, collection, name, "segments")
+        if not os.path.isdir(segs_root):
+            continue
+        n = 0
+        for d in os.listdir(segs_root):
+            m = re.fullmatch(r"ingest_(\d+)", d)
+            if m and int(m.group(1)) not in winners:
+                shutil.rmtree(os.path.join(segs_root, d), ignore_errors=True)
+                n += 1
+        removed[name] = n
+    return removed

@@ -160,3 +160,22 @@ def test_rollup_cli(spark, tmp_path, capsys, monkeypatch):
     assert rc == 0
     listed = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "by_fuel" in listed
+
+
+def test_maintain_gcs_superseded_rollup_segments(spark, eng):
+    a2, b1 = _seed(spark, eng)  # 3 ingests, ingest 1 superseded by 3
+    segs_root = os.path.join(
+        eng._rollups_dir(), "meter", "by_fuel", "segments"
+    )
+    assert len(os.listdir(segs_root)) == 3
+    report = eng.maintain("meter")
+    assert report["rollup_segments_gcd"] == {"by_fuel": 1}
+    assert sorted(os.listdir(segs_root)) == [
+        "ingest_000000002", "ingest_000000003"
+    ]
+    # current-time serving unchanged; the GC'd old-as_of repairs lazily
+    assert _got(eng.rollup("meter", "by_fuel")) == _expected(a2 + b1)
+    a1 = [(2020, "coal", "s1", 10), (2020, "coal", "s2", 30),
+          (2020, "gas", "s1", 7)]
+    got = _got(eng.rollup("meter", "by_fuel", as_of=TS(2)))
+    assert got == _expected(a1 + b1)
