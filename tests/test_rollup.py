@@ -179,3 +179,65 @@ def test_maintain_gcs_superseded_rollup_segments(spark, eng):
           (2020, "gas", "s1", 7)]
     got = _got(eng.rollup("meter", "by_fuel", as_of=TS(2)))
     assert got == _expected(a1 + b1)
+
+
+# ------------------------------------------ property: winner algebra
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+ingest_st = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),                      # table
+        st.lists(                                          # rows
+            st.tuples(
+                st.integers(min_value=2020, max_value=2021),  # year
+                st.sampled_from(["coal", "gas"]),             # fuel
+                st.integers(min_value=-50, max_value=50),     # value
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ingests=ingest_st)
+def test_rollup_equals_winner_groupby_on_random_histories(
+    spark, tmp_path_factory, ingests
+):
+    """For ANY ingest history with replacements: the incrementally
+    maintained rollup equals a brute-force GROUP BY over each table's
+    LATEST version — the latest-wins algebra the stager applies."""
+    eng = Engine(
+        spark,
+        str(tmp_path_factory.mktemp("wh_prop")),
+        schemas={
+            "meter": CollectionSchema(
+                "meter",
+                [
+                    ColumnSpec("ingest_id", "INTEGER", nullable=False),
+                    ColumnSpec("table_name", "TEXT", nullable=False),
+                    ColumnSpec("year", "INTEGER", nullable=False),
+                    ColumnSpec("fuel", "TEXT", nullable=False),
+                    ColumnSpec("site", "TEXT", nullable=False),
+                    ColumnSpec("value", "INTEGER"),
+                ],
+            )
+        },
+    )
+    eng.register_rollup("meter", "p", ["year", "fuel"], ["value"])
+    latest: dict[str, list] = {}
+    for i, (table, rows) in enumerate(ingests):
+        # unique site per row keeps the dimension key valid
+        full = [(y, f, f"s{j}", v) for j, (y, f, v) in enumerate(rows)]
+        eng.ingest(_frame(spark, full), "meter", table, ingest_ts=TS(i + 1))
+        latest[table] = full
+    expect = _expected([r for rows in latest.values() for r in rows])
+    assert _got(eng.rollup("meter", "p")) == expect
