@@ -80,6 +80,7 @@ class Engine:
         dedup_ledger: str | None = None,
         dedup_near_threshold: float | None = None,
         token: str | None = None,
+        max_drift: int | None = None,
         **kw,
     ) -> int | None:
         """Append one logical table's frame to raw (flip-flag
@@ -129,6 +130,27 @@ class Engine:
         if dedup_text_col is not None:
             import json as _json
 
+            if max_drift is not None:
+                # admission control on distribution SHAPE, probed
+                # read-only BEFORE any side effect (ledger, profile,
+                # warehouse all untouched on rejection) — the drift
+                # twin of the streaming quality gate. The gate reads
+                # the RAW batch; the accepted survivors' drift is
+                # still recorded in the version description below.
+                from queens_spark.operators.text import token_count
+                from queens_spark.store.corpus_profile import peek_drift
+
+                probe = peek_drift(
+                    df, token_count(dedup_text_col),
+                    self._profiles_dir(), dedup_ledger or collection,
+                )
+                if probe["drift"] > int(max_drift):
+                    raise ValueError(
+                        f"ingest rejected: batch drift {probe['drift']} "
+                        f"exceeds max_drift={max_drift} vs the corpus "
+                        f"profile ({probe['corpus_rows']} rows) — "
+                        "inspect the batch or raise the gate"
+                    )
             df, stats = self.ingest_deduped(
                 df, dedup_text_col, dedup_id_col,
                 ledger=dedup_ledger or collection,

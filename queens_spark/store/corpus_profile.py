@@ -120,6 +120,29 @@ def update_profile(
     return stats
 
 
+def peek_drift(
+    df: DataFrame,
+    value_col,
+    profiles_dir: str,
+    name: str,
+    width: int = 50,
+    n_buckets: int = 20,
+) -> dict:
+    """Read-only drift of *df* vs the stored profile — the admission
+    gate's probe: NO side effects (nothing folds into the profile, no
+    token bookkeeping), so a rejected batch leaves every artifact
+    untouched. Same statistic and stats shape as update_profile."""
+    profile = read_profile(profiles_dir, name)
+    rows = hist_counts(df, value_col, width, n_buckets).collect()
+    batch = {int(r["bucket"]): int(r["n"]) for r in rows}
+    stored = {int(k): int(v) for k, v in profile.get("hist", {}).items()}
+    return {
+        "drift": drift_from_counters(batch, stored),
+        "batch_rows": sum(batch.values()),
+        "corpus_rows": sum(stored.values()),
+    }
+
+
 def clear_applied_tokens(
     profiles_dir: str, name: str, keep: set[str] | None = None
 ) -> int:

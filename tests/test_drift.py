@@ -215,3 +215,34 @@ def test_categorical_drift_from_buckets(spark):
     }
     assert got["d1"] == got["d2"]       # identical mixes score equal
     assert got["d3"] > got["d1"]        # the inverted day dominates
+
+
+def test_max_drift_admission_gate(spark, eng):
+    b1 = _batch(spark, range(10), 5)
+    eng.ingest(
+        b1, "docs", "t0", dedup_text_col="text", dedup_id_col="doc_id",
+    )
+    shifted = _batch(spark, range(100, 110), 900)
+    with pytest.raises(ValueError, match="ingest rejected"):
+        eng.ingest(
+            shifted, "docs", "t1",
+            dedup_text_col="text", dedup_id_col="doc_id",
+            max_drift=100_000,
+        )
+    # rejection left EVERY artifact untouched: profile, ledger, log
+    assert sum(eng.corpus_profile("docs")["hist"].values()) == 10
+    assert eng.get_versions("docs").count() == 1
+    # the same batch re-offered without content changes still screens
+    # as novel (the ledger never saw it)
+    out = eng.ingest(
+        shifted, "docs", "t1",
+        dedup_text_col="text", dedup_id_col="doc_id",
+    )
+    assert out is not None
+    # a short-doc batch vs the now-bimodal corpus drifts ~1e6 (half
+    # the mass moved buckets): a gate above that admits it
+    ok = _batch(spark, range(200, 210), 5)
+    assert eng.ingest(
+        ok, "docs", "t2", dedup_text_col="text", dedup_id_col="doc_id",
+        max_drift=1_100_000,
+    ) is not None
