@@ -118,6 +118,14 @@ class Engine:
         screen is what guarantees the id-novelty contract appends
         require.
 
+        *max_drift* (corpus-ingest path only) is ADMISSION CONTROL on
+        distribution shape: the raw batch's token-length histogram
+        probes READ-ONLY against the stored corpus profile, and a
+        score above the gate raises BEFORE any side effect — ledger,
+        profile, warehouse, and indexes all untouched, so the batch
+        can be inspected and re-offered. Accepted batches still
+        record their exact drift in the version description.
+
         Staging semantics are unchanged: re-ingesting a table_name
         REPLACES it at the next stage(). A corpus built batch-by-batch
         should therefore ingest each screened batch under its own
@@ -126,6 +134,12 @@ class Engine:
         if (dedup_text_col is None) != (dedup_id_col is None):
             raise ValueError(
                 "dedup_text_col and dedup_id_col go together"
+            )
+        if max_drift is not None and dedup_text_col is None:
+            raise ValueError(
+                "max_drift gates the corpus-ingest path: pass "
+                "dedup_text_col/dedup_id_col with it (the profile the "
+                "gate probes is maintained by dedup-screened ingests)"
             )
         if dedup_text_col is not None:
             import json as _json
@@ -1109,14 +1123,19 @@ class Engine:
         audit beside it — the filter-cascade funnel, exact-dup rate,
         vocabulary head, and (with *source_col*) per-source
         composition from :meth:`corpus_report`, each written as a
-        counter-width parquet table under the run's version dir. A
-        consumer downloads one directory and gets the data, the
-        integrity manifest, and the numbers a release review asks
-        for. Returns {"run": manifest entry, "report": {table:
-        path}}. The report tables are tiny (report aggregates), so
-        the extra cost over the pack itself is a few counter-width
-        jobs."""
+        counter-width parquet table under the run's version dir and
+        RECORDED in the manifest with its row count via a second
+        atomic flip (store/training_run.attach_report): a crash
+        between the run flip and the report flip leaves a manifest
+        WITHOUT a ``report`` key, so an incomplete bundle is
+        detectable rather than silently passing, and ``run.verify()``
+        checks the report tables alongside the shard checksums.
+        Returns {"run": manifest entry, "report": {table: path}}. The
+        report tables are tiny (report aggregates), so the extra cost
+        over the pack itself is a few counter-width jobs."""
         import os
+
+        from queens_spark.store.training_run import attach_report
 
         run = self.export_training_run(
             df, text_col, id_col, name,
@@ -1127,11 +1146,17 @@ class Engine:
             df, text_col, id_col, source_col=source_col,
             vocab_top=vocab_top,
         )
-        paths = {}
+        paths, recorded = {}, {}
         for table, frame in report.items():
             p = os.path.join(vdir, "report", table)
             frame.coalesce(1).write.mode("overwrite").parquet(p)
+            n = self.spark.read.parquet(p).count()
             paths[table] = p
+            recorded[table] = {
+                "path": os.path.join("report", table), "n_rows": int(n)
+            }
+        attach_report(run.run_dir, recorded)
+        run = self.training_run(name)  # re-read the flipped manifest
         return {"run": run.entry, "report": paths}
 
     def compact(

@@ -95,14 +95,9 @@ def update_profile(
     if token is not None and token in applied:
         return dict(applied[token])
 
-    rows = hist_counts(df, value_col, width, n_buckets).collect()
-    batch = {int(r["bucket"]): int(r["n"]) for r in rows}
-    stored = {int(k): int(v) for k, v in profile.get("hist", {}).items()}
-    stats = {
-        "drift": drift_from_counters(batch, stored),
-        "batch_rows": sum(batch.values()),
-        "corpus_rows": sum(stored.values()),
-    }
+    batch, stored, stats = _batch_stats(
+        df, value_col, profile, width, n_buckets
+    )
     merged = dict(stored)
     for b, n in batch.items():
         merged[b] = merged.get(b, 0) + n
@@ -120,27 +115,52 @@ def update_profile(
     return stats
 
 
+def _batch_stats(
+    df: DataFrame, value_col, profile: dict, width: int, n_buckets: int
+) -> tuple[dict, dict, dict]:
+    """Shared histogram-collect + drift-stats core of update_profile
+    and peek_drift: (batch_hist, stored_hist, stats)."""
+    rows = hist_counts(df, value_col, width, n_buckets).collect()
+    batch = {int(r["bucket"]): int(r["n"]) for r in rows}
+    stored = {int(k): int(v) for k, v in profile.get("hist", {}).items()}
+    stats = {
+        "drift": drift_from_counters(batch, stored),
+        "batch_rows": sum(batch.values()),
+        "corpus_rows": sum(stored.values()),
+    }
+    return batch, stored, stats
+
+
 def peek_drift(
     df: DataFrame,
     value_col,
     profiles_dir: str,
     name: str,
-    width: int = 50,
-    n_buckets: int = 20,
+    width: int | None = None,
+    n_buckets: int | None = None,
 ) -> dict:
     """Read-only drift of *df* vs the stored profile — the admission
     gate's probe: NO side effects (nothing folds into the profile, no
     token bookkeeping), so a rejected batch leaves every artifact
-    untouched. Same statistic and stats shape as update_profile."""
+    untouched. The bucket geometry defaults to the STORED profile's
+    own (width, n_buckets) so the probe can never score against an
+    incompatibly-bucketed histogram; explicit values only matter when
+    no profile exists yet (first batch — drift is 0 regardless)."""
     profile = read_profile(profiles_dir, name)
-    rows = hist_counts(df, value_col, width, n_buckets).collect()
-    batch = {int(r["bucket"]): int(r["n"]) for r in rows}
-    stored = {int(k): int(v) for k, v in profile.get("hist", {}).items()}
-    return {
-        "drift": drift_from_counters(batch, stored),
-        "batch_rows": sum(batch.values()),
-        "corpus_rows": sum(stored.values()),
-    }
+    width = int(width if width is not None else profile.get("width", 50))
+    n_buckets = int(
+        n_buckets if n_buckets is not None else profile.get("n_buckets", 20)
+    )
+    if profile and (
+        profile.get("width") != width or profile.get("n_buckets") != n_buckets
+    ):
+        raise ValueError(
+            f"profile {name} was built with width={profile.get('width')} "
+            f"n_buckets={profile.get('n_buckets')}; refusing a probe at "
+            f"(width={width}, n_buckets={n_buckets})"
+        )
+    _, _, stats = _batch_stats(df, value_col, profile, width, n_buckets)
+    return stats
 
 
 def clear_applied_tokens(

@@ -262,7 +262,17 @@ def gc_rollup_segments(
         for d in os.listdir(segs_root):
             m = re.fullmatch(r"ingest_(\d+)", d)
             if m and int(m.group(1)) not in winners:
-                shutil.rmtree(os.path.join(segs_root, d), ignore_errors=True)
-                n += 1
+                path = os.path.join(segs_root, d)
+                # drop the _SUCCESS sentinel FIRST: if the tree
+                # removal then fails partway, the segment reads as
+                # missing (not as corrupt-but-complete) and the lazy
+                # repair path rebuilds it from raw
+                try:
+                    os.remove(os.path.join(path, "_SUCCESS"))
+                except OSError:
+                    pass
+                shutil.rmtree(path, ignore_errors=True)
+                if not os.path.exists(path):
+                    n += 1
         removed[name] = n
     return removed

@@ -194,6 +194,19 @@ def _gc_superseded(run_dir: str, keep: str) -> None:
             shutil.rmtree(os.path.join(run_dir, d), ignore_errors=True)
 
 
+def attach_report(run_dir: str, tables: dict[str, dict]) -> None:
+    """Record release-report tables in the run manifest (atomic
+    re-flip): {table: {"path": rel_path, "n_rows": int}}. Until this
+    flip lands the manifest simply has no ``report`` key, so a crash
+    between the run flip and this one is DETECTABLE (incomplete
+    bundle) rather than silently passing verification."""
+    manifest = _read_manifest(run_dir)
+    if not manifest.get("current"):
+        raise FileNotFoundError(f"no training run at {run_dir}")
+    manifest["current"]["report"] = tables
+    _write_manifest(run_dir, manifest)
+
+
 def run_manifest(run_dir: str) -> dict:
     m = _read_manifest(run_dir)
     if not m.get("current"):
@@ -280,4 +293,18 @@ class TrainingRun:
                 out[k] = "ok"
         for k in want:
             out.setdefault(k, "MISMATCH missing shard")
+        # release bundles: the report tables' recorded row counts must
+        # match the stored bytes too (attach_report)
+        for table, meta in (self.entry.get("report") or {}).items():
+            p = os.path.join(self.run_dir, self.entry["dir"], meta["path"])
+            try:
+                n = self.spark.read.parquet(p).count()
+            except Exception:
+                out[f"report:{table}"] = "MISMATCH unreadable report table"
+                continue
+            out[f"report:{table}"] = (
+                "ok"
+                if int(n) == int(meta["n_rows"])
+                else f"MISMATCH report rows {n} != {meta['n_rows']}"
+            )
         return out

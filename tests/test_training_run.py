@@ -202,3 +202,24 @@ def test_export_release_bundles_run_and_report(spark, docs, tmp_path):
     assert set(run.verify().values()) == {"ok"}
     for p in out["report"].values():
         assert p.startswith(os.path.join(run.run_dir, run.entry["dir"]))
+
+
+def test_release_report_covered_by_verify(spark, docs, tmp_path):
+    import shutil
+
+    from queens_spark.facade import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    out = eng.export_release(
+        docs.withColumnRenamed("lang", "source"), "text", "doc_id",
+        "drop-2", source_col="source", seq_len=16, n_shards=2,
+    )
+    run = eng.training_run("drop-2")
+    assert "report" in run.entry  # the second flip landed
+    v = run.verify()
+    assert set(v.values()) == {"ok"}
+    assert "report:funnel" in v
+    # a torn report table fails verification
+    shutil.rmtree(out["report"]["funnel"])
+    v2 = eng.training_run("drop-2").verify()
+    assert v2["report:funnel"].startswith("MISMATCH")
