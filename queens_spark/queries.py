@@ -8784,3 +8784,262 @@ def q172_source_overlap_matrix(spark, sf_dir):
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     )
+
+
+# ------------------------------------------------ embedding probes
+
+_PROBE_SPLITS = {"test": 2000, "train": 8000}
+
+
+def _probe_split_sql() -> str:
+    from queens_spark.operators.sampling import duckdb_hash_split
+
+    return duckdb_hash_split("vec_id", _PROBE_SPLITS)
+
+
+def _centroid_classifier_oracle() -> str:
+    from queens_spark.operators.similarity import duckdb_quantize
+
+    return f"""
+    WITH s AS (
+      SELECT vec_id, label, {duckdb_quantize('embedding')} AS qv,
+             {_probe_split_sql()} AS split
+      FROM embeddings
+    ), tr AS (
+      SELECT label, i AS dim, qv[i] AS v
+      FROM s, unnest(range(1, len(qv) + 1)) AS u(i)
+      WHERE split = 'train'
+    ), ce AS (
+      SELECT label, dim,
+             CAST(SUM(v) AS BIGINT) * 1000 // COUNT(*) AS c_e6
+      FROM tr GROUP BY label, dim
+    ), te AS (
+      SELECT vec_id, label AS true_label, i AS dim, qv[i] * 1000 AS x_e6
+      FROM s, unnest(range(1, len(qv) + 1)) AS u(i)
+      WHERE split = 'test'
+    ), d AS (
+      SELECT te.vec_id, te.true_label, ce.label AS cand,
+             SUM((te.x_e6 - ce.c_e6) * (te.x_e6 - ce.c_e6)) AS d2
+      FROM te JOIN ce ON te.dim = ce.dim
+      GROUP BY te.vec_id, te.true_label, ce.label
+    ), pick AS (
+      SELECT vec_id, true_label, cand,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY d2, cand
+             ) AS rk
+      FROM d
+    )
+    SELECT true_label, CAST(cand AS INT) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pick WHERE rk = 1 GROUP BY true_label, cand
+    """
+
+
+@register("q173_centroid_classifier", _centroid_classifier_oracle())
+def q173_centroid_classifier(spark, sf_dir):
+    """Nearest-centroid linear probe — the standard cheap answer to
+    "are these embeddings any good?": train exact per-class centroids
+    on the 80% hash split, classify the held-out 20% by nearest
+    centroid (ties to the smaller label), report the confusion
+    matrix. Training is ONE counter-width shuffle (labels × dims
+    sums, map-side partials); the trained model (10×64 e6 integers, a
+    few KB) constant-folds into a HOF literal so scoring is MAP-ONLY
+    — no join, no second shuffle, the same small-model-as-literal
+    shape as the PQ codebook (q97/q98). At 100 TB: the model is
+    corpus-independent in size, so the test pass is embarrassingly
+    parallel and the confusion aggregation shuffles ≤ classes² counter
+    rows."""
+    from queens_spark.operators.probe import (
+        classify_by_centroids,
+        collect_centroids,
+        label_centroids_e6,
+    )
+    from queens_spark.operators.sampling import hash_split
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "split", hash_split("vec_id", _PROBE_SPLITS)
+    )
+    model = collect_centroids(
+        label_centroids_e6(
+            emb.where(F.col("split") == "train"), "embedding", "label"
+        )
+    )
+    return (
+        emb.where(F.col("split") == "test")
+        .select(
+            F.col("label").alias("true_label"),
+            classify_by_centroids("embedding", model).alias("pred_label"),
+        )
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+_PROBE_POS_LABEL = 3
+
+
+def _probe_auc_oracle() -> str:
+    from queens_spark.operators.similarity import duckdb_quantize
+
+    return f"""
+    WITH s AS (
+      SELECT vec_id,
+             CASE WHEN label = {_PROBE_POS_LABEL} THEN 1 ELSE 0 END AS pos,
+             {duckdb_quantize('embedding')} AS qv,
+             {_probe_split_sql()} AS split
+      FROM embeddings
+    ), tr AS (
+      SELECT pos, i AS dim, qv[i] AS v
+      FROM s, unnest(range(1, len(qv) + 1)) AS u(i)
+      WHERE split = 'train'
+    ), ce AS (
+      SELECT pos, dim,
+             CAST(SUM(v) AS BIGINT) * 1000 // COUNT(*) AS c_e6
+      FROM tr GROUP BY pos, dim
+    ), w AS (
+      SELECT p.dim, p.c_e6 - n.c_e6 AS w_e6
+      FROM ce p JOIN ce n ON p.dim = n.dim AND p.pos = 1 AND n.pos = 0
+    ), te AS (
+      SELECT vec_id, pos, i AS dim, qv[i] AS v
+      FROM s, unnest(range(1, len(qv) + 1)) AS u(i)
+      WHERE split = 'test'
+    ), sc AS (
+      SELECT te.vec_id, te.pos,
+             CAST(SUM(te.v * w.w_e6) AS BIGINT) AS score
+      FROM te JOIN w ON te.dim = w.dim
+      GROUP BY te.vec_id, te.pos
+    ), g AS (
+      SELECT score, COUNT(*) AS c, SUM(pos) AS cp FROM sc GROUP BY score
+    ), r AS (
+      SELECT score, c, cp,
+             COALESCE(SUM(c) OVER (
+               ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS bef
+      FROM g
+    ), a AS (
+      SELECT CAST(SUM(cp) AS BIGINT) AS n_pos,
+             CAST(SUM(c - cp) AS BIGINT) AS n_neg,
+             CAST(SUM(cp * (2 * bef + c + 1)) AS BIGINT) AS two_rsum
+      FROM r
+    )
+    SELECT n_pos, n_neg,
+           CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE (two_rsum - n_pos * (n_pos + 1)) * 10000
+                     // (2 * n_pos * n_neg) END AS BIGINT) AS auc_bp
+    FROM a
+    """
+
+
+@register("q174_probe_auc", _probe_auc_oracle())
+def q174_probe_auc(spark, sf_dir):
+    """Fisher-direction probe + exact AUC — the one-pass closed-form
+    linear probe (w = centroid⁺ − centroid⁻ over the train split, no
+    iterations) evaluated the way classifier quality is actually
+    reported: tie-corrected Mann-Whitney AUC on the held-out split,
+    in exact integer basis points. The direction (64 e6 integers)
+    constant-folds into the scoring expression, so the test pass is
+    map-only; ranks ride the two-phase distributed ordinal (never a
+    single-task global window), ties contribute their exact average
+    rank via per-score-group counts. At 100 TB: one counter-width
+    training shuffle + one rank shuffle over scores — no vectors move
+    past the scoring map."""
+    from queens_spark.operators.probe import (
+        binary_auc_bp,
+        fisher_direction_e6,
+        probe_score,
+    )
+    from queens_spark.operators.sampling import hash_split
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "split", hash_split("vec_id", _PROBE_SPLITS)
+    )
+    w_e6 = fisher_direction_e6(
+        emb.where(F.col("split") == "train"),
+        "embedding",
+        F.col("label") == _PROBE_POS_LABEL,
+    )
+    test = emb.where(F.col("split") == "test").select(
+        probe_score("embedding", w_e6).alias("score"),
+        (F.col("label") == _PROBE_POS_LABEL).alias("pos"),
+    )
+    return binary_auc_bp(test, "score", "pos")
+
+
+def _silhouette_oracle() -> str:
+    from queens_spark.operators.similarity import duckdb_quantize
+
+    return f"""
+    WITH s AS (
+      SELECT vec_id, label, {duckdb_quantize('embedding')} AS qv
+      FROM embeddings
+    ), d AS (
+      SELECT label, i AS dim, qv[i] AS v
+      FROM s, unnest(range(1, len(qv) + 1)) AS u(i)
+    ), ce AS (
+      SELECT label, dim,
+             CAST(SUM(v) AS BIGINT) * 1000 // COUNT(*) AS c_e6
+      FROM d GROUP BY label, dim
+    ), te AS (
+      SELECT vec_id, label AS own, i AS dim, qv[i] * 1000 AS x_e6
+      FROM s, unnest(range(1, len(qv) + 1)) AS u(i)
+    ), dist AS (
+      SELECT te.vec_id, te.own, ce.label AS cand,
+             CAST(SUM((te.x_e6 - ce.c_e6) * (te.x_e6 - ce.c_e6))
+                  AS BIGINT) AS d2
+      FROM te JOIN ce ON te.dim = ce.dim
+      GROUP BY te.vec_id, te.own, ce.label
+    ), ab AS (
+      SELECT vec_id, own,
+             MIN(CASE WHEN cand = own THEN d2 END) AS a2,
+             MIN(CASE WHEN cand <> own THEN d2 END) AS b2
+      FROM dist GROUP BY vec_id, own
+    ), sil AS (
+      SELECT own AS label,
+             (b2 - a2) * 10000 // GREATEST(a2, b2, 1) AS s_bp
+      FROM ab
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(s_bp) AS BIGINT) // COUNT(*) AS BIGINT)
+             AS mean_s_bp,
+           CAST(SUM(CASE WHEN s_bp < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_noise
+    FROM sil GROUP BY label
+    """
+
+
+@register("q175_silhouette", _silhouette_oracle())
+def q175_silhouette(spark, sf_dir):
+    """Simplified (centroid, squared-distance) silhouette per class —
+    the clustering-quality / label-noise audit: a² = squared distance
+    to the OWN class centroid, b² = minimum over the other classes,
+    s = (b² − a²)·10⁴ div max(a², b², 1). Negative s ⇒ the point sits
+    closer to another class's prototype — a label-noise candidate
+    (n_noise counts them per class). The classic silhouette is
+    all-pairs O(n²) and impossible at corpus scale; the centroid
+    variant is the standard substitute and keeps the sign semantics.
+    One counter-width centroid shuffle, then a MAP-ONLY scoring pass
+    (constant-folded centroids) and a classes-sized aggregation —
+    no distance matrix ever materializes."""
+    from queens_spark.operators.probe import (
+        collect_centroids,
+        label_centroids_e6,
+        silhouette_components,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    model = collect_centroids(
+        label_centroids_e6(emb, "embedding", "label")
+    )
+    a2, b2 = silhouette_components("embedding", "label", model)
+    scored = emb.select(
+        "label", a2.alias("a2"), b2.alias("b2")
+    ).select(
+        "label",
+        F.expr("(b2 - a2) * 10000 div greatest(a2, b2, 1)").alias("s_bp"),
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("CAST(sum(s_bp) div count(1) AS BIGINT)").alias("mean_s_bp"),
+        F.sum((F.col("s_bp") < 0).cast("int")).cast("bigint").alias("n_noise"),
+    )
