@@ -1,0 +1,175 @@
+"""KMV (k-minimum-values) distinct sketches — mergeable cardinality
+and set-overlap estimation with cross-engine-exact arithmetic.
+
+The HLL module (operators/sketches.py) answers "how many distinct?"
+per group; KMV answers the harder compositional questions — "how many
+distinct in the UNION / INTERSECTION of two groups?" — from per-group
+sketches alone, which no fixed-register sketch can do for
+intersections. The classic use here: the cross-source duplication
+matrix (q172 computes it exactly from the stored dedup map) at corpus
+scale, where per-source shingle sets are billions and an exact
+pairwise distinct-intersection is a full shuffle per pair. KMV makes
+each source a k-row sketch built in one pass; every pairwise estimate
+is then sketch-×-sketch arithmetic on k-row tables.
+
+Why KMV is mergeable exactly: the k smallest hash values of A ∪ B are
+a subset of (k smallest of A) ∪ (k smallest of B) — so union sketches
+compose from member sketches with NO loss versus a from-scratch build.
+
+Portability: the key hash is the 62-bit quadratic-round hll_hash
+(engine-reproducible), folded to 50 bits so every downstream product
+stays < 2⁶³: the estimator (k−1)·R div v_k with R = 2⁵⁰ peaks at
+15·2⁵⁰ ≈ 1.7·10¹⁶, and the intersection scale-up n_common·est div k
+at ≈ 2.7·10¹⁷ — bigint-safe on both engines, and `div` / `//` agree
+(truncation toward zero; all operands non-negative here anyway).
+Estimates are the standard unbiased KMV forms (Bar-Yossef et al.,
+"Counting distinct elements in a data stream"; Beyer et al., SIGMOD'07
+for the intersection ratio estimator). Hash collisions at 50 bits
+merge ≈ n²/2⁵¹ pairs — immaterial against the ±1/√k sketch error, and
+both engines merge identically so oracle equality is unaffected.
+
+Scale shape: the ONLY corpus-scale stages are one distinct on
+(group, hash) and one two-phase ordinal (operators/quantiles.
+grouped_ordinal — range-partitioned, never a single-task window).
+Everything after runs on k·n_groups rows; pairwise windows partition
+by pair, so sources² pairs parallelize across the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from queens_spark.operators.sketches import hll_hash
+
+#: fold of the 62-bit hash into [0, 2^50) — see module docstring.
+KMV_RANGE = 1 << 50
+#: default sketch size: ±1/√16 = 25% relative error per estimate.
+DEFAULT_K = 16
+
+
+def kmv_hash(key: Column | str) -> Column:
+    """50-bit portable sketch hash of a bigint key."""
+    return hll_hash(key) % F.lit(KMV_RANGE)
+
+
+def duckdb_kmv_hash_ctes(table: str, key_expr: str, group_col: str) -> str:
+    """CTE chain ending in ``kv(group, v)`` — the DuckDB twin of
+    :func:`kmv_hash` over a (group, key) table."""
+    from queens_spark.operators.sketches import duckdb_hll_hash_ctes
+
+    return (
+        duckdb_hll_hash_ctes(table, key_expr, group_col)
+        + f""", kv AS (
+        SELECT {group_col}, v % {KMV_RANGE} AS v FROM hv
+      )"""
+    )
+
+
+def kmv_sketches(
+    df: DataFrame, group_col: str, key_col: str, k: int = DEFAULT_K
+) -> DataFrame:
+    """Per-group KMV sketch: the k smallest DISTINCT 50-bit hashes of
+    *key_col* (bigint). Output (group_col, v) — ≤ k rows per group.
+
+    One corpus-scale distinct + one two-phase ordinal; the rank never
+    funnels a group through a single task."""
+    from queens_spark.operators.quantiles import grouped_ordinal
+
+    hashed = df.select(
+        F.col(group_col), kmv_hash(key_col).alias("__kh")
+    ).distinct()
+    ranked = grouped_ordinal(hashed, group_col, "__kh")
+    return ranked.where(F.col("__rk") <= k).select(
+        F.col(group_col), F.col("__v").cast("bigint").alias("v")
+    )
+
+
+def kmv_distinct_estimates(sk: DataFrame, group_col: str, k: int) -> DataFrame:
+    """Per-group distinct-count estimate from a sketch frame:
+    (group_col, sketch_n, est_distinct). A sketch holding fewer than k
+    values has seen its whole key set, so the estimate is exact there;
+    otherwise est = (k−1)·R div v_k."""
+    return (
+        sk.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("sketch_n"),
+            F.max("v").alias("__vk"),
+        )
+        .select(
+            F.col(group_col),
+            F.col("sketch_n"),
+            F.expr(
+                f"CASE WHEN sketch_n < {k} THEN sketch_n "
+                f"ELSE {k - 1} * CAST({KMV_RANGE} AS BIGINT) div __vk END"
+            ).alias("est_distinct"),
+        )
+    )
+
+
+def kmv_pair_overlap(
+    sk: DataFrame, group_col: str, k: int = DEFAULT_K
+) -> DataFrame:
+    """All-pairs union/intersection estimates from one sketch frame.
+
+    For each unordered group pair (a < b): merge the two sketches,
+    keep the k smallest distinct values (the exact union sketch),
+    estimate the union as usual, and scale it by the fraction of the
+    union sketch present in BOTH member sketches (the Beyer et al.
+    ratio estimator). When the merged sketch holds < k values both
+    members were complete, so union AND intersection are exact.
+
+    Output: (group_a, group_b, union_est, inter_est) — every pair of
+    groups appearing in *sk*, including zero-overlap ones. All stages
+    after the input sketch run on k-scale rows; the per-pair window
+    partitions by pair."""
+    a = sk.select(F.col(group_col).alias("ga"), F.col("v").alias("v"))
+    b = sk.select(F.col(group_col).alias("gb"), F.col("v").alias("v"))
+    groups = sk.select(F.col(group_col).alias("ga")).distinct()
+    pairs = groups.join(
+        groups.select(F.col("ga").alias("gb")), F.col("ga") < F.col("gb")
+    )
+
+    merged = (
+        pairs.join(a, "ga")
+        .select("ga", "gb", "v")
+        .unionByName(pairs.join(b, "gb").select("ga", "gb", "v"))
+        .groupBy("ga", "gb", "v")
+        .agg(F.count(F.lit(1)).alias("__dup"))
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("v")
+    topk = merged.withColumn("__rk", F.row_number().over(w)).where(
+        F.col("__rk") <= k
+    )
+    ina = a.select("ga", "v").withColumn("__ia", F.lit(1))
+    inb = b.select("gb", "v").withColumn("__ib", F.lit(1))
+    marked = (
+        topk.join(ina, ["ga", "v"], "left")
+        .join(inb, ["gb", "v"], "left")
+        .select(
+            "ga",
+            "gb",
+            "v",
+            (
+                F.coalesce(F.col("__ia"), F.lit(0))
+                * F.coalesce(F.col("__ib"), F.lit(0))
+            ).alias("__both"),
+        )
+    )
+    per_pair = marked.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.max("v").alias("__vk"),
+        F.sum("__both").alias("__nc"),
+    )
+    return per_pair.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        F.expr(
+            f"CASE WHEN __m < {k} THEN __m "
+            f"ELSE {k - 1} * CAST({KMV_RANGE} AS BIGINT) div __vk END"
+        ).alias("union_est"),
+        F.expr(
+            f"CASE WHEN __m < {k} THEN __nc "
+            f"ELSE __nc * ({k - 1} * CAST({KMV_RANGE} AS BIGINT) div __vk) "
+            f"div {k} END"
+        ).alias("inter_est"),
+    )

@@ -9043,3 +9043,215 @@ def q175_silhouette(spark, sf_dir):
         F.expr("CAST(sum(s_bp) div count(1) AS BIGINT)").alias("mean_s_bp"),
         F.sum((F.col("s_bp") < 0).cast("int")).cast("bigint").alias("n_noise"),
     )
+
+
+# ------------------------------------------------ KMV sketch tier
+
+_KMV_K = 64
+
+
+def _kmv_distinct_oracle() -> str:
+    from queens_spark.operators.dedup import duckdb_shingle_hashes
+    from queens_spark.operators.kmv import KMV_RANGE, duckdb_kmv_hash_ctes
+
+    k = _KMV_K
+    return f"""
+    WITH sset AS (
+      SELECT source, unnest({duckdb_shingle_hashes('text')}) AS sh
+      FROM documents
+    ), {duckdb_kmv_hash_ctes('sset', 'sh', 'source')},
+    d AS (
+      SELECT DISTINCT source, v FROM kv
+    ), r AS (
+      SELECT source, v,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rk
+      FROM d
+    ), agg AS (
+      SELECT source, COUNT(*) AS sn, MAX(v) AS vk
+      FROM r WHERE rk <= {k} GROUP BY source
+    ), est AS (
+      SELECT source, CAST(sn AS BIGINT) AS sketch_n,
+             CAST(CASE WHEN sn < {k} THEN sn
+                  ELSE {k - 1} * CAST({KMV_RANGE} AS BIGINT) // vk
+                  END AS BIGINT) AS est_distinct
+      FROM agg
+    ), ex AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+      FROM d GROUP BY source
+    )
+    SELECT est.source, sketch_n, est_distinct, exact_distinct,
+           CAST(abs(est_distinct - exact_distinct) * 10000
+                // exact_distinct AS BIGINT) AS err_bp
+    FROM est JOIN ex ON est.source = ex.source
+    """
+
+
+@register("q176_kmv_distinct", _kmv_distinct_oracle())
+def q176_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct sketch, graded against truth:
+    per source, the 64-value bottom-k sketch of its 3-gram shingle-hash
+    set, the KMV estimate (k−1)·R div v_k, the exact hashed-distinct
+    count, and the realized error in basis points. The sketch is the
+    100 TB path for per-source distinct accounting: one corpus pass
+    builds EVERY source's sketch (distinct + two-phase ordinal — no
+    single-task windows), after which any union/intersection question
+    is k-row arithmetic (q177). Sub-k sources are exact by
+    construction. All estimator arithmetic is integer and
+    engine-portable — the oracle reproduces the ESTIMATE bit-for-bit,
+    not just the truth."""
+    from queens_spark.operators.dedup import shingle_hashes
+    from queens_spark.operators.kmv import (
+        kmv_distinct_estimates,
+        kmv_hash,
+        kmv_sketches,
+    )
+
+    sh = load(spark, sf_dir, "documents").select(
+        "source", F.explode(shingle_hashes("text")).alias("sh")
+    )
+    sk = kmv_sketches(sh, "source", "sh", _KMV_K)
+    est = kmv_distinct_estimates(sk, "source", _KMV_K)
+    exact = (
+        sh.select("source", kmv_hash("sh").alias("h"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    return est.join(exact, "source").select(
+        "source",
+        "sketch_n",
+        "est_distinct",
+        "exact_distinct",
+        F.expr(
+            "CAST(abs(est_distinct - exact_distinct) * 10000 "
+            "div exact_distinct AS BIGINT)"
+        ).alias("err_bp"),
+    )
+
+
+def _kmv_overlap_oracle() -> str:
+    from queens_spark.operators.dedup import duckdb_shingle_hashes
+    from queens_spark.operators.kmv import KMV_RANGE, duckdb_kmv_hash_ctes
+
+    k = _KMV_K
+    return f"""
+    WITH sset AS (
+      SELECT source, unnest({duckdb_shingle_hashes('text')}) AS sh
+      FROM documents
+    ), {duckdb_kmv_hash_ctes('sset', 'sh', 'source')},
+    d AS (
+      SELECT DISTINCT source, v FROM kv
+    ), r AS (
+      SELECT source, v,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rk
+      FROM d
+    ), sk AS (
+      SELECT source, v FROM r WHERE rk <= {k}
+    ), pr AS (
+      SELECT a.source AS ga, b.source AS gb
+      FROM (SELECT DISTINCT source FROM sk) a
+      JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+    ), mg AS (
+      SELECT DISTINCT pr.ga, pr.gb, s.v
+      FROM pr JOIN sk s ON s.source = pr.ga OR s.source = pr.gb
+    ), mr AS (
+      SELECT ga, gb, v,
+             ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY v) AS rk
+      FROM mg
+    ), tk AS (
+      SELECT mr.ga, mr.gb, mr.v,
+             CASE WHEN sa.v IS NOT NULL AND sb.v IS NOT NULL
+                  THEN 1 ELSE 0 END AS in_both
+      FROM mr
+      LEFT JOIN sk sa ON sa.source = mr.ga AND sa.v = mr.v
+      LEFT JOIN sk sb ON sb.source = mr.gb AND sb.v = mr.v
+      WHERE mr.rk <= {k}
+    ), pp AS (
+      SELECT ga, gb, COUNT(*) AS m, MAX(v) AS vk,
+             CAST(SUM(in_both) AS BIGINT) AS nc
+      FROM tk GROUP BY ga, gb
+    ), estp AS (
+      SELECT ga, gb,
+             CAST(CASE WHEN m < {k} THEN m
+                  ELSE {k - 1} * CAST({KMV_RANGE} AS BIGINT) // vk
+                  END AS BIGINT) AS union_est,
+             CAST(CASE WHEN m < {k} THEN nc
+                  ELSE nc * ({k - 1} * CAST({KMV_RANGE} AS BIGINT) // vk)
+                       // {k} END AS BIGINT) AS inter_est
+      FROM pp
+    ), sz AS (
+      SELECT source, COUNT(*) AS n FROM d GROUP BY source
+    ), ix AS (
+      SELECT da.source AS ga, db.source AS gb,
+             CAST(COUNT(*) AS BIGINT) AS exact_inter
+      FROM d da JOIN d db ON da.v = db.v AND da.source < db.source
+      GROUP BY da.source, db.source
+    )
+    SELECT e.ga AS source_a, e.gb AS source_b, e.union_est, e.inter_est,
+           CAST(za.n + zb.n - COALESCE(ix.exact_inter, 0) AS BIGINT)
+             AS exact_union,
+           COALESCE(ix.exact_inter, 0) AS exact_inter
+    FROM estp e
+    JOIN sz za ON za.source = e.ga
+    JOIN sz zb ON zb.source = e.gb
+    LEFT JOIN ix ON ix.ga = e.ga AND ix.gb = e.gb
+    """
+
+
+@register("q177_kmv_overlap", _kmv_overlap_oracle())
+def q177_kmv_overlap(spark, sf_dir):
+    """Cross-source overlap from sketches alone — the 100 TB path for
+    q172's duplication matrix: every unordered source pair's distinct
+    shingle-set union and intersection, estimated from the per-source
+    64-value KMV sketches (merge = k smallest of the sketch union,
+    exact by the KMV closure property; intersection via the Beyer
+    ratio estimator), next to the exact hashed-distinct truth. After
+    the one corpus pass that builds the sketches, all 190 pairs cost
+    k-row arithmetic — the per-pair window partitions by pair, so
+    sources² parallelizes instead of rescanning the corpus per pair.
+    Sub-k merges are exact by construction (the estimator CASE
+    switches to the complete-sketch count)."""
+    from queens_spark.operators.dedup import shingle_hashes
+    from queens_spark.operators.kmv import (
+        kmv_hash,
+        kmv_pair_overlap,
+        kmv_sketches,
+    )
+
+    sh = load(spark, sf_dir, "documents").select(
+        "source", F.explode(shingle_hashes("text")).alias("sh")
+    )
+    sk = kmv_sketches(sh, "source", "sh", _KMV_K)
+    ov = kmv_pair_overlap(sk, "source", _KMV_K)
+
+    hd = sh.select("source", kmv_hash("sh").alias("h")).distinct()
+    sizes = hd.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        hd.select(F.col("source").alias("ga"), "h")
+        .join(hd.select(F.col("source").alias("gb"), "h"), "h")
+        .where(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    return (
+        ov.withColumnRenamed("group_a", "ga")
+        .withColumnRenamed("group_b", "gb")
+        .join(sizes.select(F.col("source").alias("ga"),
+                           F.col("n").alias("na")), "ga")
+        .join(sizes.select(F.col("source").alias("gb"),
+                           F.col("n").alias("nb")), "gb")
+        .join(inter, ["ga", "gb"], "left")
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            "union_est",
+            "inter_est",
+            (
+                F.col("na") + F.col("nb")
+                - F.coalesce(F.col("exact_inter"), F.lit(0))
+            ).cast("bigint").alias("exact_union"),
+            F.coalesce(F.col("exact_inter"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_inter"),
+        )
+    )
