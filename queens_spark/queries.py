@@ -9255,3 +9255,134 @@ def q177_kmv_overlap(spark, sf_dir):
             .alias("exact_inter"),
         )
     )
+
+
+_DISCOVERY_COLS = [
+    ("c_custkey", "customer"),
+    ("c_nationkey", "customer"),
+    ("o_custkey", "orders"),
+    ("o_orderkey", "orders"),
+    ("l_orderkey", "lineitem"),
+    ("l_partkey", "lineitem"),
+    ("l_suppkey", "lineitem"),
+    ("p_partkey", "part"),
+    ("s_suppkey", "supplier"),
+    ("n_nationkey", "nation"),
+]
+
+
+def _join_discovery_oracle() -> str:
+    from queens_spark.operators.kmv import KMV_RANGE, duckdb_kmv_hash_ctes
+
+    k = _KMV_K
+    tall = "\n      UNION ALL ".join(
+        f"SELECT '{c}' AS colid, CAST({c} AS BIGINT) AS value "
+        f"FROM {t} WHERE {c} IS NOT NULL"
+        for c, t in _DISCOVERY_COLS
+    )
+    return f"""
+    WITH allv AS (
+      {tall}
+    ), {duckdb_kmv_hash_ctes('allv', 'value', 'colid')},
+    d AS (
+      SELECT DISTINCT colid, v FROM kv
+    ), sz AS (
+      SELECT colid, COUNT(*) AS n FROM d GROUP BY colid
+    ), ix AS (
+      SELECT a.colid AS ca, b.colid AS cb,
+             CAST(COUNT(*) AS BIGINT) AS exact_inter
+      FROM d a JOIN d b ON a.v = b.v AND a.colid <> b.colid
+      GROUP BY a.colid, b.colid
+    ), r AS (
+      SELECT colid, v,
+             ROW_NUMBER() OVER (PARTITION BY colid ORDER BY v) AS rk
+      FROM d
+    ), sk AS (
+      SELECT colid, v FROM r WHERE rk <= {k}
+    ), ea AS (
+      SELECT colid, COUNT(*) AS sn, MAX(v) AS vk FROM sk GROUP BY colid
+    ), es AS (
+      SELECT colid,
+             CAST(CASE WHEN sn < {k} THEN sn
+                  ELSE {k - 1} * CAST({KMV_RANGE} AS BIGINT) // vk
+                  END AS BIGINT) AS est_n
+      FROM ea
+    ), pr AS (
+      SELECT a.colid AS ga, b.colid AS gb
+      FROM (SELECT DISTINCT colid FROM sk) a
+      JOIN (SELECT DISTINCT colid FROM sk) b ON a.colid < b.colid
+    ), mg AS (
+      SELECT DISTINCT pr.ga, pr.gb, s.v
+      FROM pr JOIN sk s ON s.colid = pr.ga OR s.colid = pr.gb
+    ), mr AS (
+      SELECT ga, gb, v,
+             ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY v) AS rk
+      FROM mg
+    ), tk AS (
+      SELECT mr.ga, mr.gb, mr.v,
+             CASE WHEN sa.v IS NOT NULL AND sb.v IS NOT NULL
+                  THEN 1 ELSE 0 END AS in_both
+      FROM mr
+      LEFT JOIN sk sa ON sa.colid = mr.ga AND sa.v = mr.v
+      LEFT JOIN sk sb ON sb.colid = mr.gb AND sb.v = mr.v
+      WHERE mr.rk <= {k}
+    ), pp AS (
+      SELECT ga, gb, COUNT(*) AS m, MAX(v) AS vk,
+             CAST(SUM(in_both) AS BIGINT) AS nc
+      FROM tk GROUP BY ga, gb
+    ), estp AS (
+      SELECT ga, gb,
+             CAST(CASE WHEN m < {k} THEN nc
+                  ELSE nc * ({k - 1} * CAST({KMV_RANGE} AS BIGINT) // vk)
+                       // {k} END AS BIGINT) AS inter_est
+      FROM pp
+    ), de AS (
+      SELECT ga AS ca, gb AS cb, inter_est FROM estp
+      UNION ALL
+      SELECT gb AS ca, ga AS cb, inter_est FROM estp
+    ), pairs AS (
+      SELECT a.colid AS ca, b.colid AS cb
+      FROM (SELECT colid FROM sz) a
+      JOIN (SELECT colid FROM sz) b ON a.colid <> b.colid
+    )
+    SELECT pairs.ca AS col_a, pairs.cb AS col_b,
+           CAST(sz.n AS BIGINT) AS exact_a,
+           COALESCE(ix.exact_inter, 0) AS exact_inter,
+           CAST(COALESCE(ix.exact_inter, 0) * 10000 // sz.n AS BIGINT)
+             AS contain_bp,
+           CAST(CASE WHEN es.est_n = 0 THEN 0
+                ELSE COALESCE(de.inter_est, 0) * 10000 // es.est_n
+                END AS BIGINT) AS est_contain_bp
+    FROM pairs
+    JOIN sz ON sz.colid = pairs.ca
+    JOIN es ON es.colid = pairs.ca
+    LEFT JOIN ix ON ix.ca = pairs.ca AND ix.cb = pairs.cb
+    LEFT JOIN de ON de.ca = pairs.ca AND de.cb = pairs.cb
+    """
+
+
+@register("q178_join_discovery", _join_discovery_oracle())
+def q178_join_discovery(spark, sf_dir):
+    """Join-key discovery — the data-catalog sweep "which columns can
+    join?": ten candidate key columns across six tables stacked into
+    one (colid, value) frame; every DIRECTED pair reports exact set
+    containment |A∩B|·10⁴ div |A| (10000 bp ⇒ A ⊆ B, a foreign-key
+    candidate: l_orderkey→o_orderkey, l_partkey→p_partkey,
+    c_nationkey→n_nationkey...) AND the KMV-sketch estimate of the
+    same. The exact path computes all 90 intersections in ONE
+    self-join on the hashed distinct frame — never a join per pair;
+    the sketch path is the 100 TB answer: one pass builds every
+    column's 64-row sketch, the matrix is then sketch arithmetic, and
+    profiling a new table never rescans the old ones. Surrogate-key
+    ranges overlapping by VALUE (dense 1..N ids) shows up honestly as
+    nonzero containment without FK semantics — the known trap of
+    value-based discovery, visible in the result."""
+    from queens_spark.operators.discovery import (
+        joinability_matrix,
+        tall_column_values,
+    )
+
+    frames = {
+        c: (load(spark, sf_dir, t), c) for c, t in _DISCOVERY_COLS
+    }
+    return joinability_matrix(tall_column_values(frames), _KMV_K)
