@@ -40,10 +40,12 @@ __all__ = [
     "bucketize",
     "group_drift_scores",
     "group_drift_from_buckets",
+    "drift_from_count_frame",
     "hist_counts",
     "drift_from_counters",
     "duckdb_group_drift_sql",
     "duckdb_group_drift_from_bucket_sql",
+    "duckdb_drift_from_counts_sql",
 ]
 
 
@@ -118,15 +120,28 @@ def group_drift_from_buckets(
     categorical features drift too (hash the category into a bounded
     bucket domain), and time-windowed monitoring passes the window as
     the group."""
-    from queens_spark.operators.dedup import _persist
-
-    # counter-width (groups × buckets) frame feeding three consumers —
-    # persist so the corpus histogram pass runs once
-    counts = _persist(
+    counts = (
         df.select(F.col(group_col), bucket.alias("bucket"))
         .groupBy(group_col, "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+    return drift_from_count_frame(counts, group_col)
+
+
+def drift_from_count_frame(counts: DataFrame, group_col: str) -> DataFrame:
+    """Per-group drift-vs-pooled-profile from an ALREADY-AGGREGATED
+    (group, bucket, n) counter frame — the composition point for
+    monitors whose counters arrive pre-reduced, e.g. a Structured
+    Streaming windowed aggregation's sink (the stream cannot chain a
+    second aggregation; the drift finish runs batch-side on the
+    counter-width output). Input must be one row per (group, bucket)."""
+    from queens_spark.operators.dedup import _persist
+
+    # counter-width frame feeding three consumers — persist so the
+    # upstream (possibly corpus-scale) histogram pass runs once, and
+    # so the grid re-join below never trips self-join lineage
+    # ambiguity on an unbroken counts lineage
+    counts = _persist(counts)
     totals = counts.groupBy(group_col).agg(
         F.sum("n").cast("bigint").alias("n_rows")
     )
@@ -140,11 +155,24 @@ def group_drift_from_buckets(
         "bucket", F.expr("__num div t").cast("bigint").alias("g_ppm")
     )
     grid = totals.crossJoin(F.broadcast(gppm))
-    joined = grid.join(counts, [group_col, "bucket"], "left").select(
+    # fresh attribute ids on the re-joined side: totals/gppm/counts all
+    # descend from one plan (e.g. a memory-sink view), and a three-way
+    # reuse of the same attributes trips Catalyst's conflicting-
+    # reference resolution in the self-join
+    cjoin = counts.select(
+        F.col(group_col).alias("__cg"),
+        F.col("bucket").alias("__cb"),
+        F.col("n").alias("__cn"),
+    )
+    joined = grid.join(
+        cjoin,
+        (grid[group_col] == cjoin["__cg"]) & (grid["bucket"] == cjoin["__cb"]),
+        "left",
+    ).select(
         group_col,
         "n_rows",
         "g_ppm",
-        F.expr(f"coalesce(n, 0) * {PPM} div n_rows")
+        F.expr(f"coalesce(__cn, 0) * {PPM} div n_rows")
         .cast("bigint")
         .alias("a_ppm"),
     )
@@ -177,13 +205,20 @@ def duckdb_group_drift_from_bucket_sql(
     bucket_expr: str, group_col: str, table: str = "documents"
 ) -> str:
     """DuckDB twin of :func:`group_drift_from_buckets`."""
+    return duckdb_drift_from_counts_sql(
+        f"""SELECT {group_col}, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT {group_col}, {bucket_expr} AS bucket FROM {table})
+      GROUP BY 1, 2""",
+        group_col,
+    )
+
+
+def duckdb_drift_from_counts_sql(counts_sql: str, group_col: str) -> str:
+    """DuckDB twin of :func:`drift_from_count_frame` — *counts_sql*
+    must yield one ({group_col}, bucket, n) row per pair."""
     return f"""
-    WITH t AS (
-      SELECT {group_col}, {bucket_expr} AS bucket
-      FROM {table}
-    ), counts AS (
-      SELECT {group_col}, bucket, CAST(COUNT(*) AS BIGINT) AS n
-      FROM t GROUP BY 1, 2
+    WITH counts AS (
+      {counts_sql}
     ), totals AS (
       SELECT {group_col}, CAST(SUM(n) AS BIGINT) AS n_rows
       FROM counts GROUP BY 1

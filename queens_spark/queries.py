@@ -9386,3 +9386,106 @@ def q178_join_discovery(spark, sf_dir):
         c: (load(spark, sf_dir, t), c) for c, t in _DISCOVERY_COLS
     }
     return joinability_matrix(tall_column_values(frames), _KMV_K)
+
+
+def _pareto_oracle() -> str:
+    return f"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(floor({_DUCK_QUALITY} * 10000) AS BIGINT) AS quality_bp,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, quality_bp, n_tokens
+    FROM b p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM b o
+      WHERE o.quality_bp >= p.quality_bp AND o.n_tokens >= p.n_tokens
+        AND (o.quality_bp > p.quality_bp OR o.n_tokens > p.n_tokens)
+    )
+    """
+
+
+@register("q179_pareto_frontier", _pareto_oracle())
+def q179_pareto_frontier(spark, sf_dir):
+    """Pareto-frontier (skyline) data selection — the documents no
+    other document strictly dominates on (quality, length), i.e. the
+    candidates a curator inspects when trading quality against
+    context length. The naive skyline is an O(n²) self-join (the
+    oracle's NOT EXISTS — fine for truth, fatal at scale); this plan
+    exploits the BOUNDED quality domain instead: one group-max per
+    quality_bp collapses the corpus to ≤10⁴ frontier candidates, a
+    running max over descending quality (a window over the collapsed
+    domain — ≤10⁴ rows BY CONSTRUCTION, corpus-size-independent)
+    marks the frontier x-coordinates, and one broadcast semi-join
+    pulls every document sitting exactly on a frontier point. Two
+    counter-width shuffles + one broadcast join at any corpus size;
+    ties on both coordinates all survive (equal points don't
+    strictly dominate each other)."""
+    from queens_spark.operators.text import quality_score, token_count
+
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.floor(quality_score("text") * 10000).cast("bigint").alias(
+            "quality_bp"
+        ),
+        token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    gx = base.groupBy("quality_bp").agg(F.max("n_tokens").alias("t_max"))
+    w = (
+        Window.orderBy(F.col("quality_bp").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier_x = (
+        gx.withColumn("hi", F.max("t_max").over(w))
+        .where(F.col("hi").isNull() | (F.col("t_max") > F.col("hi")))
+        .select("quality_bp", "t_max")
+    )
+    return (
+        base.join(F.broadcast(frontier_x), "quality_bp")
+        .where(F.col("n_tokens") == F.col("t_max"))
+        .select("doc_id", "quality_bp", "n_tokens")
+    )
+
+
+def _stream_mix_drift_oracle() -> str:
+    from queens_spark.operators.drift import duckdb_drift_from_counts_sql
+
+    return duckdb_drift_from_counts_sql(
+        """SELECT date_trunc('hour', ts) AS window_start,
+             event_type AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2""",
+        "window_start",
+    )
+
+
+@register("q180_stream_mix_drift", _stream_mix_drift_oracle())
+def q180_stream_mix_drift(spark, sf_dir):
+    """Streaming source-mix drift monitor — "did this hour's event mix
+    shift?": the watermarked tumbling-window event-type counters run
+    as a STREAM (availableNow backfill here, incremental in
+    production), and the exact chi-square-on-ppm drift statistic
+    (operators/drift.py) finishes BATCH-SIDE on the counter-width sink
+    output — Structured Streaming cannot chain a second aggregation,
+    so the monitor's deployment shape is exactly this: stream reduces
+    corpus → counters, the drift finish reads counters only
+    (foreachBatch in production). Each window is scored against the
+    pooled all-windows profile with missing event types contributing
+    their full reference share — a window where a type VANISHES
+    drifts just as loudly as one where a new type floods in."""
+    from queens_spark.operators.drift import drift_from_count_frame
+    from queens_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        windowed_counts,
+    )
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    wc = windowed_counts(ev)
+    out = run_available_now(wc, "q180_mem")
+    counts = out.select(
+        "window_start",
+        F.col("event_type").alias("bucket"),
+        F.col("n_events").cast("bigint").alias("n"),
+    )
+    return drift_from_count_frame(counts, "window_start")
