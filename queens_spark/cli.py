@@ -209,6 +209,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="indexed corpus parquet — enables the IVF "
                          "skew rebalance step")
 
+    fs = sub.add_parser(
+        "fsck",
+        help="read-only consistency audit of the retrieval storage "
+             "tier (indexes, ledgers, registry) — zero Spark jobs, "
+             "nothing mutated; exit code 1 on errors",
+    )
+    fs.add_argument("--quiet", action="store_true",
+                    help="print only the summary line")
+
     rp = sub.add_parser(
         "report",
         help="one-verb corpus release report over a parquet corpus: "
@@ -444,6 +453,12 @@ def _run(args) -> int:
         print(json.dumps(engine.maintain(
             args.collection, corpus_df=corpus, ledger=args.ledger,
         )))
+    elif args.command == "fsck":
+        rep = engine.fsck()
+        if args.quiet:
+            rep = {k: v for k, v in rep.items() if k != "findings"}
+        print(json.dumps(rep))
+        return 0 if rep["healthy"] else 1
     elif args.command == "report":
         rep = engine.corpus_report(
             spark.read.parquet(args.corpus),

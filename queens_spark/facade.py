@@ -1051,6 +1051,50 @@ class Engine:
         )
         return report
 
+    def fsck(self) -> dict:
+        """Read-only consistency audit of the retrieval storage tier —
+        the diagnostic twin of :meth:`maintain`'s repairs
+        (store/fsck.py): every manifest-referenced artifact must exist
+        on disk, tombstone coverage must stay inside its segment
+        scope, ledger idempotency tokens must point at live segments,
+        counters must clear their live counts, and the registry must
+        only name indexes that exist. Pure os/json walks — no Spark
+        jobs, nothing mutated, safe on a cold warehouse or in a cron.
+
+        Returns ``{"healthy": bool, "error": n, "warn": n, "info": n,
+        "findings": [...]}`` — ``healthy`` means zero errors; warns
+        are GC candidates (orphans of crashed writes — every store
+        here flips its manifest LAST, so crashes orphan bytes rather
+        than dangle references, and a dangling reference always means
+        out-of-band damage)."""
+        import os
+
+        from queens_spark.store.fsck import (
+            fsck_ledger,
+            fsck_registry,
+            fsck_text_indexes,
+            fsck_vector_indexes,
+            summarize,
+        )
+
+        findings: list[dict] = []
+        findings += fsck_vector_indexes(self._vector_index_dir())
+        findings += fsck_text_indexes(self._text_index_dir())
+        ledroot = os.path.join(
+            self.warehouse.root, "system", "dedup_ledger"
+        )
+        if os.path.isdir(ledroot):
+            for name in sorted(os.listdir(ledroot)):
+                d = os.path.join(ledroot, name)
+                if os.path.isdir(d):
+                    findings += fsck_ledger(d, name)
+        findings += fsck_registry(
+            self._registry_dir(),
+            self._vector_index_dir(),
+            self._text_index_dir(),
+        )
+        return {**summarize(findings), "findings": findings}
+
     def corpus_report(
         self,
         df: DataFrame,
