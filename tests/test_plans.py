@@ -525,3 +525,47 @@ def test_dedup_family_serves_from_stored_cluster_map(spark):
     # explode (Generate) anywhere in the plan
     plan = plan_of(QUERIES["q42_dedup_filter"](spark, SF_DIR))
     assert "Generate" not in plan
+
+
+def test_centroid_classifier_scoring_is_map_only():
+    # q173's claim: the trained model constant-folds into the scoring
+    # expression, so the TEST pass joins nothing — the whole confusion
+    # query plans with zero joins and only the two counter aggs'
+    # exchanges.
+    from queens_spark.queries import q173_centroid_classifier
+    from queens_spark.session import get_spark
+
+    spark = get_spark("queens_spark_tests")
+    plan = plan_of(q173_centroid_classifier(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_pareto_frontier_broadcasts_and_never_self_joins():
+    # q179's claim: the skyline never runs the O(n²) self-join — the
+    # corpus meets only a broadcast hash join against the collapsed
+    # frontier-coordinate set.
+    from queens_spark.queries import q179_pareto_frontier
+    from queens_spark.session import get_spark
+
+    spark = get_spark("queens_spark_tests")
+    plan = plan_of(q179_pareto_frontier(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kmv_sketch_build_has_no_single_task_rank():
+    # kmv_sketches' claim: ranks ride the range-partitioned two-phase
+    # ordinal — no global Window over an unpartitioned sort (which
+    # plans as Exchange SinglePartition) on the corpus-scale stage.
+    from queens_spark.operators.kmv import kmv_sketches
+    from queens_spark.session import get_spark
+
+    spark = get_spark("queens_spark_tests")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sk = kmv_sketches(
+        docs.select("source", F.col("doc_id").alias("k")), "source", "k", 8
+    )
+    plan = plan_of(sk)
+    assert "SinglePartition" not in plan, plan
