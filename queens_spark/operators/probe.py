@@ -215,6 +215,132 @@ def binary_auc_bp(
     )
 
 
+def score_groups(df: DataFrame, score_col: str, pos_col: str) -> DataFrame:
+    """Reduce (score, is_positive) rows to one row per DISTINCT score:
+    (__s, __c count, __cp positives, __rkmin ascending min-rank). The
+    min-rank comes from the two-phase distributed ordinal, so the
+    reduction is scale-clean; everything downstream (ROC, AP,
+    calibration) runs on the score-GROUP table, which is ≤ |distinct
+    scores| rows — the corpus never reaches a global window."""
+    from queens_spark.operators.quantiles import grouped_ordinal
+
+    base = df.select(
+        F.col(score_col).cast("bigint").alias("__s"),
+        F.when(F.col(pos_col).cast("boolean"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("__p"),
+        F.lit(0).alias("__g"),
+    )
+    ranked = grouped_ordinal(base.select("__g", "__s"), "__g", "__s")
+    rkmin = ranked.groupBy(F.col("__v").cast("bigint").alias("__s")).agg(
+        F.min("__rk").cast("bigint").alias("__rkmin")
+    )
+    groups = base.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__c"), F.sum("__p").alias("__cp")
+    )
+    return groups.join(rkmin, "__s")
+
+
+def _with_cum_ge(groups: DataFrame) -> DataFrame:
+    """Add, per score group, the counts AT OR ABOVE the score
+    (threshold semantics: predict positive when score ≥ s): __tp
+    (positives ≥ s), __hits (rows ≥ s), plus totals __npos/__nneg/__n.
+    The cumulative window runs over the score-group table — already
+    reduced by :func:`score_groups`, never the corpus."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.col("__s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = groups.agg(
+        F.sum("__cp").alias("__npos"),
+        F.sum(F.col("__c") - F.col("__cp")).alias("__nneg"),
+        F.sum("__c").alias("__n"),
+    )
+    return (
+        groups.withColumn("__tp", F.sum("__cp").over(w))
+        .withColumn("__hits", F.sum("__c").over(w))
+        .crossJoin(F.broadcast(tot))
+    )
+
+
+def roc_points(df: DataFrame, score_col: str, pos_col: str) -> DataFrame:
+    """Exact ROC curve: one point per distinct score threshold s
+    (predict positive when score ≥ s), in integer basis points.
+    Output: (score, tpr_bp, fpr_bp) — the staircase AUC integrates to
+    :func:`binary_auc_bp` up to tie interpolation."""
+    cum = _with_cum_ge(score_groups(df, score_col, pos_col))
+    return cum.select(
+        F.col("__s").alias("score"),
+        F.expr(
+            "CASE WHEN __npos = 0 THEN NULL "
+            "ELSE __tp * 10000 div __npos END"
+        ).alias("tpr_bp"),
+        F.expr(
+            "CASE WHEN __nneg = 0 THEN NULL "
+            "ELSE (__hits - __tp) * 10000 div __nneg END"
+        ).alias("fpr_bp"),
+    )
+
+
+def average_precision_e6(
+    df: DataFrame, score_col: str, pos_col: str
+) -> DataFrame:
+    """Exact step average precision (AP, the PR-curve area in its
+    standard discrete form): AP = Σ_thresholds ΔR_k · P_k with
+    recall steps ΔR_k = (positives at score s_k)/n_pos and precision
+    P_k = TP_k / hits_k at threshold ≥ s_k. Integer end-to-end:
+    ap_e6 = Σ cp_k · (TP_k·10⁶ div hits_k) div n_pos — the nested
+    truncating divisions are identical on both engines. One row:
+    (n_pos, n_neg, ap_e6); NULL on a single-class input."""
+    cum = _with_cum_ge(score_groups(df, score_col, pos_col))
+    return cum.agg(
+        F.max("__npos").alias("n_pos"),
+        F.max("__nneg").alias("n_neg"),
+        F.sum(
+            F.expr("__cp * (__tp * 1000000 div __hits)")
+        ).alias("__num"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL "
+            "ELSE __num div n_pos END"
+        ).alias("ap_e6"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame, score_col: str, pos_col: str, bins: int = 10
+) -> DataFrame:
+    """Score-decile calibration: assign each distinct-score GROUP to a
+    bin by its min-rank (ties share a bin — deterministic without a
+    per-row tie-break, the same order-invariance argument as the AUC),
+    then report per bin the row count, positive count, and positive
+    rate in basis points. A well-calibrated monotone score shows
+    pos_rate_bp rising with the bin id. Scale-clean: ordinal + counter
+    aggregations only."""
+    g = score_groups(df, score_col, pos_col)
+    tot = g.agg(F.sum("__c").alias("__n"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(f"(__rkmin - 1) * {int(bins)} div __n").alias("bin"),
+            "__c",
+            "__cp",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("__c").cast("bigint").alias("n"),
+            F.sum("__cp").cast("bigint").alias("n_pos"),
+            F.expr("CAST(sum(__cp) * 10000 div sum(__c) AS BIGINT)")
+            .alias("pos_rate_bp"),
+        )
+    )
+
+
 def silhouette_components(
     vec_col: str, label_col: str, model: dict[int, list[int]]
 ) -> tuple[Column, Column]:

@@ -8878,11 +8878,12 @@ def q173_centroid_classifier(spark, sf_dir):
 _PROBE_POS_LABEL = 3
 
 
-def _probe_auc_oracle() -> str:
+def _probe_score_ctes() -> str:
+    """Shared oracle CTE chain ending in ``sc(vec_id, pos, score)`` —
+    the Fisher-probe scored test split (q174/q181/q182/q183)."""
     from queens_spark.operators.similarity import duckdb_quantize
 
-    return f"""
-    WITH s AS (
+    return f"""s AS (
       SELECT vec_id,
              CASE WHEN label = {_PROBE_POS_LABEL} THEN 1 ELSE 0 END AS pos,
              {duckdb_quantize('embedding')} AS qv,
@@ -8908,7 +8909,12 @@ def _probe_auc_oracle() -> str:
              CAST(SUM(te.v * w.w_e6) AS BIGINT) AS score
       FROM te JOIN w ON te.dim = w.dim
       GROUP BY te.vec_id, te.pos
-    ), g AS (
+    )"""
+
+
+def _probe_auc_oracle() -> str:
+    return f"""
+    WITH {_probe_score_ctes()}, g AS (
       SELECT score, COUNT(*) AS c, SUM(pos) AS cp FROM sc GROUP BY score
     ), r AS (
       SELECT score, c, cp,
@@ -9489,3 +9495,144 @@ def q180_stream_mix_drift(spark, sf_dir):
         F.col("n_events").cast("bigint").alias("n"),
     )
     return drift_from_count_frame(counts, "window_start")
+
+
+def _probe_scored_test(spark, sf_dir):
+    """Shared Spark stage for q174/q181/q182/q183: the Fisher-probe
+    scored test split — (score, pos) per held-out vector."""
+    from queens_spark.operators.probe import (
+        fisher_direction_e6,
+        probe_score,
+    )
+    from queens_spark.operators.sampling import hash_split
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "split", hash_split("vec_id", _PROBE_SPLITS)
+    )
+    w_e6 = fisher_direction_e6(
+        emb.where(F.col("split") == "train"),
+        "embedding",
+        F.col("label") == _PROBE_POS_LABEL,
+    )
+    return emb.where(F.col("split") == "test").select(
+        probe_score("embedding", w_e6).alias("score"),
+        (F.col("label") == _PROBE_POS_LABEL).alias("pos"),
+    )
+
+
+def _roc_oracle() -> str:
+    return f"""
+    WITH {_probe_score_ctes()}, g AS (
+      SELECT score, COUNT(*) AS c, SUM(pos) AS cp FROM sc GROUP BY score
+    ), cum AS (
+      SELECT score, c, cp,
+             SUM(cp) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             SUM(c) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hits
+      FROM g
+    ), t AS (
+      SELECT CAST(SUM(cp) AS BIGINT) AS np,
+             CAST(SUM(c - cp) AS BIGINT) AS nn FROM g
+    )
+    SELECT score,
+           CAST(CASE WHEN np = 0 THEN NULL
+                ELSE tp * 10000 // np END AS BIGINT) AS tpr_bp,
+           CAST(CASE WHEN nn = 0 THEN NULL
+                ELSE (hits - tp) * 10000 // nn END AS BIGINT) AS fpr_bp
+    FROM cum, t
+    """
+
+
+@register("q181_roc_curve", _roc_oracle())
+def q181_roc_curve(spark, sf_dir):
+    """Exact ROC curve of the Fisher probe — one (TPR, FPR) point per
+    distinct score threshold, integer basis points. The corpus never
+    reaches a global window: rows reduce to score GROUPS through the
+    two-phase ordinal (operators/probe.score_groups), and the
+    cumulative ≥-threshold counts run over that reduced table. The
+    curve is what a curation team actually reads when picking the
+    quality-filter operating point; its staircase area is q174's AUC
+    up to tie interpolation."""
+    from queens_spark.operators.probe import roc_points
+
+    return roc_points(_probe_scored_test(spark, sf_dir), "score", "pos")
+
+
+def _ap_oracle() -> str:
+    return f"""
+    WITH {_probe_score_ctes()}, g AS (
+      SELECT score, COUNT(*) AS c, SUM(pos) AS cp FROM sc GROUP BY score
+    ), cum AS (
+      SELECT score, c, cp,
+             SUM(cp) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             SUM(c) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hits
+      FROM g
+    ), t AS (
+      SELECT CAST(SUM(cp) AS BIGINT) AS np,
+             CAST(SUM(c - cp) AS BIGINT) AS nn FROM g
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           CAST(CASE WHEN np = 0 OR nn = 0 THEN NULL
+                ELSE (SELECT SUM(cp * (tp * 1000000 // hits)) FROM cum)
+                     // np END AS BIGINT) AS ap_e6
+    FROM t
+    """
+
+
+@register("q182_average_precision", _ap_oracle())
+def q182_average_precision(spark, sf_dir):
+    """Exact step average precision (PR-curve area) of the Fisher
+    probe: AP = Σ ΔR_k·P_k over distinct-score thresholds, computed
+    entirely in integer arithmetic (ap_e6 = Σ cp·(TP·10⁶ div hits)
+    div n_pos — truncating divisions agree across engines). For the
+    ~10%-positive probe task, AP is the honest headline where AUC
+    flatters: precision is measured against the flagged set, not
+    against the majority class. Same scale shape as q181 — ordinal
+    reduction, then group-table arithmetic."""
+    from queens_spark.operators.probe import average_precision_e6
+
+    return average_precision_e6(
+        _probe_scored_test(spark, sf_dir), "score", "pos"
+    )
+
+
+def _calibration_oracle(bins: int) -> str:
+    return f"""
+    WITH {_probe_score_ctes()}, g AS (
+      SELECT score, COUNT(*) AS c, SUM(pos) AS cp FROM sc GROUP BY score
+    ), r AS (
+      SELECT score, c, cp,
+             COALESCE(SUM(c) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bef
+      FROM g
+    ), t AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM g
+    )
+    SELECT CAST(bef * {bins} // n AS BIGINT) AS bin,
+           CAST(SUM(c) AS BIGINT) AS n,
+           CAST(SUM(cp) AS BIGINT) AS n_pos,
+           CAST(SUM(cp) * 10000 // SUM(c) AS BIGINT) AS pos_rate_bp
+    FROM r, t GROUP BY 1
+    """
+
+
+@register("q183_probe_calibration", _calibration_oracle(10))
+def q183_probe_calibration(spark, sf_dir):
+    """Score-decile calibration of the Fisher probe: distinct-score
+    groups assigned to ten bins by min-rank (ties share a bin — the
+    same order-invariance that makes the AUC exact without per-row
+    tie-breaks), each bin reporting its positive rate in basis
+    points. A usable quality score must be MONOTONE here — rate
+    rising with bin — before anyone trusts its threshold; this is
+    the audit that catches a direction flip or a saturated score
+    long before training data ships. Ordinal + counter aggregations
+    only."""
+    from queens_spark.operators.probe import calibration_bins
+
+    return calibration_bins(
+        _probe_scored_test(spark, sf_dir), "score", "pos", bins=10
+    )

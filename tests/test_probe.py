@@ -157,3 +157,57 @@ def test_spark_div_truncates_toward_zero_like_duckdb(spark):
         "SELECT -7 div 2 AS a, 7 div -2 AS b, -7 div -2 AS c"
     ).collect()[0]
     assert (row["a"], row["b"], row["c"]) == (-3, -3, 3)
+
+
+def _scored_df(spark, scored):
+    return spark.createDataFrame(scored, "score bigint, pos boolean")
+
+
+def test_roc_points_hand_case(spark):
+    from queens_spark.operators.probe import roc_points
+
+    # scores desc: 3(pos), 2(pos+neg tie), 1(neg)
+    df = _scored_df(
+        spark, [(3, True), (2, True), (2, False), (1, False)]
+    )
+    pts = {r["score"]: r for r in roc_points(df, "score", "pos").collect()}
+    assert (pts[3]["tpr_bp"], pts[3]["fpr_bp"]) == (5000, 0)
+    assert (pts[2]["tpr_bp"], pts[2]["fpr_bp"]) == (10000, 5000)
+    assert (pts[1]["tpr_bp"], pts[1]["fpr_bp"]) == (10000, 10000)
+
+
+def test_average_precision_hand_case(spark):
+    from queens_spark.operators.probe import average_precision_e6
+
+    # thresholds desc: s=3 → P=1/1, ΔR=1/2 ; s=2 → P=2/3, ΔR=1/2 ;
+    # s=1 → ΔR=0. AP = 0.5·1 + 0.5·(2/3) = 5/6
+    df = _scored_df(
+        spark, [(3, True), (2, True), (2, False), (1, False)]
+    )
+    row = average_precision_e6(df, "score", "pos").collect()[0]
+    # integer form: (1·(1e6·1//1) + 1·(2e6//3)) // 2 = (1000000+666666)//2
+    assert row["ap_e6"] == 833333
+    assert (row["n_pos"], row["n_neg"]) == (2, 2)
+
+
+def test_average_precision_perfect_is_1(spark):
+    from queens_spark.operators.probe import average_precision_e6
+
+    df = _scored_df(spark, [(9, True), (8, True), (1, False)])
+    assert average_precision_e6(df, "score", "pos").collect()[0][
+        "ap_e6"
+    ] == 1000000
+
+
+def test_calibration_bins_monotone_and_tie_sharing(spark):
+    from queens_spark.operators.probe import calibration_bins
+
+    # 4 rows, 2 bins; scores 1,1 (neg) and 5,5 (pos): each tie group
+    # lands whole in one bin
+    df = _scored_df(
+        spark, [(1, False), (1, False), (5, True), (5, True)]
+    )
+    out = {r["bin"]: r for r in
+           calibration_bins(df, "score", "pos", bins=2).collect()}
+    assert out[0]["pos_rate_bp"] == 0 and out[0]["n"] == 2
+    assert out[1]["pos_rate_bp"] == 10000 and out[1]["n"] == 2
