@@ -9636,3 +9636,120 @@ def q183_probe_calibration(spark, sf_dir):
     return calibration_bins(
         _probe_scored_test(spark, sf_dir), "score", "pos", bins=10
     )
+
+
+_RP_OUT_DIM = 8
+
+
+def _rp_recall_oracle() -> str:
+    from queens_spark.operators.projection import duckdb_rp_project, rp_signs
+    from queens_spark.operators.similarity import duckdb_quantize
+
+    signs = rp_signs(64, _RP_OUT_DIM)
+    return f"""
+    WITH base AS (
+      SELECT vec_id, {duckdb_quantize('embedding')} AS qv FROM embeddings
+    ), p AS (
+      SELECT vec_id, qv, {duckdb_rp_project('qv', signs)} AS proj
+      FROM base
+    ), q AS (
+      SELECT vec_id AS qid, qv AS qqv, proj AS qproj
+      FROM p WHERE vec_id % 50 = 0
+    ), d AS (
+      SELECT p.vec_id, q.qid,
+             list_sum(list_transform(range(1, len(p.qv) + 1),
+               i -> (p.qv[i] - q.qqv[i]) * (p.qv[i] - q.qqv[i]))) AS d2e,
+             list_sum(list_transform(range(1, len(p.proj) + 1),
+               i -> (p.proj[i] - q.qproj[i]) * (p.proj[i] - q.qproj[i])))
+               AS d2p
+      FROM p, q
+    ), r AS (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY d2e, vec_id) AS rk_e,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY d2p, vec_id) AS rk_p
+      FROM d
+    )
+    SELECT qid,
+           CAST(SUM(CASE WHEN rk_e <= 10 AND rk_p <= 10
+                    THEN 1 ELSE 0 END) * 10000 // 10 AS BIGINT)
+             AS recall10_bp,
+           CAST(SUM(CASE WHEN rk_e <= 10 AND rk_p <= 30
+                    THEN 1 ELSE 0 END) * 10000 // 10 AS BIGINT)
+             AS recall30_bp
+    FROM r GROUP BY qid
+    """
+
+
+@register("q184_rp_recall", _rp_recall_oracle())
+def q184_rp_recall(spark, sf_dir):
+    """Random-projection (Johnson–Lindenstrauss) recall harness: an
+    8-dim Rademacher sign projection of the 64-dim embeddings as the
+    cheap candidate ranker, graded per query against exact L2 truth —
+    recall@10 strict and with the standard 3× candidate expansion
+    (rank ≤30 in projected space covering the true top-10, the
+    re-rank-the-shortlist deployment). The sign matrix is
+    SHA-derived and literal-folded identically on both engines, so
+    the ESTIMATOR is oracle-checked, not just the truth. Plan shape:
+    projection is map-only; the sampled queries (model-scale)
+    constant-fold, so corpus × queries is one exploded counter-width
+    frame — no join, no cartesian — and both rankings ride windows
+    PARTITIONED by query (parallel across queries). At 100 TB the 8×
+    byte shrink is what you scan for candidates; only shortlists see
+    full vectors."""
+    import math
+
+    from queens_spark.operators.projection import (
+        project_ints,
+        rp_project,
+        rp_signs,
+        sq_dist_to_lits,
+    )
+    from queens_spark.operators.similarity import quantize
+
+    signs = rp_signs(64, _RP_OUT_DIM)
+    emb = load(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.where(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = []
+    for r in qrows:
+        qv = [int(math.floor(float(x) * 1000)) for x in r["embedding"]]
+        queries.append((int(r["vec_id"]), qv, project_ints(qv, signs)))
+
+    base = emb.select(
+        "vec_id",
+        quantize("embedding").alias("qv"),
+        rp_project("embedding", signs).alias("proj"),
+    )
+    per_q = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("bigint").alias("qid"),
+                sq_dist_to_lits(F.col("qv"), qqv).alias("d2e"),
+                sq_dist_to_lits(F.col("proj"), qproj).alias("d2p"),
+            )
+            for qid, qqv, qproj in queries
+        ]
+    )
+    dists = base.select(
+        "vec_id", F.explode(per_q).alias("s")
+    ).select("vec_id", "s.qid", "s.d2e", "s.d2p")
+    w_e = Window.partitionBy("qid").orderBy("d2e", "vec_id")
+    w_p = Window.partitionBy("qid").orderBy("d2p", "vec_id")
+    r = dists.withColumn("rk_e", F.row_number().over(w_e)).withColumn(
+        "rk_p", F.row_number().over(w_p)
+    )
+    return r.groupBy("qid").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN rk_e <= 10 AND rk_p <= 10 THEN 1 "
+            "ELSE 0 END) * 10000 div 10 AS BIGINT)"
+        ).alias("recall10_bp"),
+        F.expr(
+            "CAST(sum(CASE WHEN rk_e <= 10 AND rk_p <= 30 THEN 1 "
+            "ELSE 0 END) * 10000 div 10 AS BIGINT)"
+        ).alias("recall30_bp"),
+    )
