@@ -1093,7 +1093,51 @@ class Engine:
             self._vector_index_dir(),
             self._text_index_dir(),
         )
+        from queens_spark.store.fsck import fsck_sketch_stores
+
+        findings += fsck_sketch_stores(self._sketch_store_dir())
         return {**summarize(findings), "findings": findings}
+
+    # --------------------------------------------------- sketch stores
+
+    def _sketch_store_dir(self) -> str:
+        import os
+
+        return os.path.join(self.warehouse.root, "system", "sketch_store")
+
+    def build_sketch_store(
+        self, df: DataFrame, group_col: str, key_col: str, name: str,
+        k: int | None = None,
+    ):
+        """One corpus pass → persisted per-group KMV sketch
+        (store/sketch_store.py): distinct counts and cross-group
+        union/intersection estimates served forever after from
+        k·groups rows, kept current by O(batch) appends."""
+        from queens_spark.operators.kmv import DEFAULT_K
+        from queens_spark.store.sketch_store import build_sketch_store
+
+        return build_sketch_store(
+            df, group_col, key_col, self._sketch_store_dir(), name,
+            k=k or DEFAULT_K,
+        )
+
+    def sketch_store(self, name: str):
+        from queens_spark.store.sketch_store import load_sketch_store
+
+        return load_sketch_store(
+            self.spark, self._sketch_store_dir(), name
+        )
+
+    def append_sketch_store(
+        self, df: DataFrame, name: str, token: str | None = None
+    ):
+        """Fold a new batch into a stored sketch — bit-identical to a
+        rebuild on the union; a replayed *token* no-ops."""
+        from queens_spark.store.sketch_store import append_sketch_store
+
+        return append_sketch_store(
+            self.spark, df, self._sketch_store_dir(), name, token=token
+        )
 
     def corpus_report(
         self,

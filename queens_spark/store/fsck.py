@@ -231,6 +231,39 @@ def fsck_ledger(ledger_dir: str, name: str) -> list[dict]:
     return f
 
 
+def fsck_sketch_stores(store_dir: str) -> list[dict]:
+    from queens_spark.store.sketch_store import _read_manifest
+
+    f: list[dict] = []
+    entries = _read_manifest(store_dir)
+    for name, entry in sorted(entries.items()):
+        path = entry.get("path")
+        if path and not os.path.exists(path):
+            f.append(_finding(
+                "sketch_store", name, "error",
+                f"manifest references missing sketch artifact: {path}",
+            ))
+        base = os.path.join(store_dir, name)
+        current = f"v{int(entry.get('version', 0))}"
+        if os.path.isdir(base):
+            for d in sorted(os.listdir(base)):
+                full = os.path.join(base, d)
+                if (_V_DIR.match(d) and os.path.isdir(full)
+                        and d != current):
+                    f.append(_finding(
+                        "sketch_store", name, "warn",
+                        f"orphan version dir (crashed write, GC "
+                        f"candidate): {full}",
+                    ))
+        toks = entry.get("applied_tokens") or []
+        if toks:
+            f.append(_finding(
+                "sketch_store", name, "info",
+                f"{len(toks)} applied idempotency tokens retained",
+            ))
+    return f
+
+
 def fsck_registry(
     registry_dir: str, vindex_dir: str, tindex_dir: str
 ) -> list[dict]:

@@ -1,0 +1,112 @@
+"""Persisted KMV sketch store (store/sketch_store.py): append ==
+rebuild bit-for-bit (the closure property, now as a storage
+contract), exactly-once token replays, crash-orphan GC, and the
+Engine surface."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from queens_spark.store.sketch_store import (
+    append_sketch_store,
+    build_sketch_store,
+    load_sketch_store,
+)
+
+
+def _keys(spark, groups):
+    rows = [(g, int(v)) for g, vs in groups.items() for v in vs]
+    return spark.createDataFrame(rows, "src string, key bigint")
+
+
+def _sk_rows(store):
+    return sorted(
+        (r["src"], r["v"]) for r in store.sketches().collect()
+    )
+
+
+def test_build_load_roundtrip_and_estimates(spark, tmp_path):
+    df = _keys(spark, {"a": range(500), "b": range(400, 900)})
+    d = str(tmp_path / "sks")
+    build_sketch_store(df, "src", "key", d, "cols", k=32)
+    st = load_sketch_store(spark, d, "cols")
+    assert st.k == 32 and st.group_col == "src"
+    est = {r["src"]: r for r in st.distinct_estimates().collect()}
+    assert abs(est["a"]["est_distinct"] - 500) < 375
+    ov = st.pair_overlap().collect()[0]
+    assert abs(ov["union_est"] - 900) < 450
+
+
+def test_append_equals_rebuild_bit_for_bit(spark, tmp_path):
+    part1 = _keys(spark, {"a": range(300), "b": range(100)})
+    part2 = _keys(spark, {"a": range(300, 700), "c": range(50)})
+    both = part1.unionByName(part2)
+    d1, d2 = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_sketch_store(part1, "src", "key", d1, "s", k=16)
+    inc = append_sketch_store(spark, part2, d1, "s")
+    full = build_sketch_store(both, "src", "key", d2, "s", k=16)
+    assert _sk_rows(inc) == _sk_rows(full)
+    # new group 'c' entered via append alone
+    assert any(g == "c" for g, _ in _sk_rows(inc))
+
+
+def test_token_replay_is_a_noop(spark, tmp_path):
+    d = str(tmp_path / "tok")
+    build_sketch_store(
+        _keys(spark, {"a": range(100)}), "src", "key", d, "s", k=16
+    )
+    st1 = append_sketch_store(
+        spark, _keys(spark, {"a": range(100, 200)}), d, "s", token="t1"
+    )
+    v_after = int(st1.entry["version"])
+    rows_after = _sk_rows(st1)
+    st2 = append_sketch_store(
+        spark, _keys(spark, {"a": range(900, 950)}), d, "s", token="t1"
+    )
+    assert int(st2.entry["version"]) == v_after  # no new version
+    assert _sk_rows(st2) == rows_after
+
+
+def test_crash_orphan_warned_then_gcd(spark, tmp_path):
+    d = str(tmp_path / "gc")
+    build_sketch_store(
+        _keys(spark, {"a": range(50)}), "src", "key", d, "s", k=8
+    )
+    # a crashed write: version dir on disk, manifest never flipped
+    orphan = os.path.join(d, "s", "v99")
+    os.makedirs(orphan)
+    from queens_spark.store.fsck import fsck_sketch_stores
+
+    warns = [f for f in fsck_sketch_stores(d) if f["level"] == "warn"]
+    assert any("v99" in f["message"] for f in warns)
+    append_sketch_store(spark, _keys(spark, {"a": range(50, 80)}), d, "s")
+    assert not os.path.exists(orphan)  # GC'd by the next flip
+    assert fsck_sketch_stores(d) == [
+        f for f in fsck_sketch_stores(d) if f["level"] != "warn"
+    ]
+
+
+def test_engine_surface_and_fsck_integration(spark, tmp_path):
+    from tests.test_index_registry import _engine_with_indexes
+
+    eng = _engine_with_indexes(spark, tmp_path)
+    docs = spark.createDataFrame(
+        [(i % 3, i) for i in range(120)], "grp int, doc_id bigint"
+    ).select(F.col("grp").cast("string").alias("grp"), "doc_id")
+    eng.build_sketch_store(docs, "grp", "doc_id", "per_grp", k=8)
+    st = eng.sketch_store("per_grp")
+    assert st.describe()["n_groups"] == 3
+    report = eng.fsck()
+    assert report["healthy"]
+    # break the sketch artifact → fsck error
+    import shutil
+
+    shutil.rmtree(st.entry["path"])
+    report = eng.fsck()
+    assert any(
+        f["component"] == "sketch_store"
+        for f in report["findings"]
+        if f["level"] == "error"
+    )
