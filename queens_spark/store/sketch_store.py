@@ -141,10 +141,13 @@ def build_sketch_store(
     store_dir: str,
     name: str,
     k: int = DEFAULT_K,
+    fingerprint: str | None = None,
 ) -> SketchStore:
     """One corpus pass → persisted per-group sketch. Overwrites any
     prior store of the same name (a fresh build supersedes history —
-    use :func:`append_sketch_store` to extend one)."""
+    use :func:`append_sketch_store` to extend one). *fingerprint*
+    (e.g. the source file stat) lets :func:`build_or_load_sketch_store`
+    detect a moved corpus instead of serving stale sketches."""
     spark = df.sparkSession
     sk = kmv_sketches(df, group_col, key_col, k).select(
         F.col(group_col).alias("g"), "v"
@@ -159,10 +162,42 @@ def build_sketch_store(
         "version": version,
         "path": path,
         "applied_tokens": [],
+        "fingerprint": fingerprint,
     }
     _write_manifest(store_dir, entries)
     _gc_superseded(store_dir, name, version)
     return SketchStore(spark, store_dir, name, entries[name])
+
+
+def build_or_load_sketch_store(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    store_dir: str,
+    name: str,
+    k: int = DEFAULT_K,
+    fingerprint: str | None = None,
+) -> SketchStore:
+    """Serve the stored sketch when params AND fingerprint match;
+    rebuild otherwise — the build_or_load posture of the vector/text
+    indexes: the first run per corpus pays the scan, every later run
+    (any session) is a k·groups-row artifact read."""
+    spark = df.sparkSession
+    entries = _read_manifest(store_dir)
+    entry = entries.get(name)
+    if (
+        entry
+        and entry.get("group_col") == group_col
+        and entry.get("key_col") == key_col
+        and int(entry.get("k", -1)) == int(k)
+        and entry.get("fingerprint") == fingerprint
+        and os.path.exists(entry.get("path", ""))
+    ):
+        return SketchStore(spark, store_dir, name, entry)
+    return build_sketch_store(
+        df, group_col, key_col, store_dir, name, k=k,
+        fingerprint=fingerprint,
+    )
 
 
 def load_sketch_store(

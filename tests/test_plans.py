@@ -569,3 +569,17 @@ def test_kmv_sketch_build_has_no_single_task_rank():
     )
     plan = plan_of(sk)
     assert "SinglePartition" not in plan, plan
+
+
+def test_stored_sketch_overlap_never_touches_corpus():
+    # q185's claim: once built, the overlap matrix serves from the
+    # k·groups-row artifact — no documents scan, no shingle stage.
+    from queens_spark.queries import _documents_sketch_store
+    from queens_spark.session import get_spark
+
+    spark = get_spark("queens_spark_tests")
+    st = _documents_sketch_store(spark, SF_DIR)  # build or load
+    plan = plan_of(st.pair_overlap())
+    assert "documents.parquet" not in plan, plan
+    assert "split" not in plan.lower() or "shingle" not in plan.lower()
+    assert "regexp" not in plan.lower(), plan
