@@ -8797,11 +8797,13 @@ def _probe_split_sql() -> str:
     return duckdb_hash_split("vec_id", _PROBE_SPLITS)
 
 
-def _centroid_classifier_oracle() -> str:
+def _centroid_confusion_ctes() -> str:
+    """Shared oracle WITH-body (q173/q186/q187): centroids trained on
+    the hash split, per-test-vector candidate distances ``d(vec_id,
+    true_label, cand, d2)``, and the argmin pick ``pick(...)``."""
     from queens_spark.operators.similarity import duckdb_quantize
 
-    return f"""
-    WITH s AS (
+    return f"""s AS (
       SELECT vec_id, label, {duckdb_quantize('embedding')} AS qv,
              {_probe_split_sql()} AS split
       FROM embeddings
@@ -8828,7 +8830,12 @@ def _centroid_classifier_oracle() -> str:
                PARTITION BY vec_id ORDER BY d2, cand
              ) AS rk
       FROM d
-    )
+    )"""
+
+
+def _centroid_classifier_oracle() -> str:
+    return f"""
+    WITH {_centroid_confusion_ctes()}
     SELECT true_label, CAST(cand AS INT) AS pred_label,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM pick WHERE rk = 1 GROUP BY true_label, cand
@@ -9819,4 +9826,136 @@ def q185_stored_overlap(spark, sf_dir):
         F.col("group_b").alias("source_b"),
         "union_est",
         "inter_est",
+    )
+
+
+def _probe_f1_oracle() -> str:
+    return f"""
+    WITH {_centroid_confusion_ctes()}, conf AS (
+      SELECT true_label, cand AS pred_label, COUNT(*) AS n
+      FROM pick WHERE rk = 1 GROUP BY 1, 2
+    ), cls AS (
+      SELECT true_label AS label,
+             CAST(SUM(n) AS BIGINT) AS support,
+             CAST(SUM(CASE WHEN pred_label = true_label
+                      THEN n ELSE 0 END) AS BIGINT) AS tp
+      FROM conf GROUP BY 1
+    ), pt AS (
+      SELECT pred_label AS label, CAST(SUM(n) AS BIGINT) AS predtot
+      FROM conf GROUP BY 1
+    )
+    SELECT cls.label, support, tp,
+           CAST(CASE WHEN COALESCE(predtot, 0) = 0 THEN NULL
+                ELSE tp * 10000 // predtot END AS BIGINT)
+             AS precision_bp,
+           CAST(tp * 10000 // support AS BIGINT) AS recall_bp,
+           CAST(2 * tp * 10000 // (support + COALESCE(predtot, 0))
+                AS BIGINT) AS f1_bp
+    FROM cls LEFT JOIN pt ON pt.label = cls.label
+    """
+
+
+@register("q186_probe_f1", _probe_f1_oracle())
+def q186_probe_f1(spark, sf_dir):
+    """Per-class precision/recall/F1 of the nearest-centroid probe —
+    the numbers a model card actually quotes, derived from q173's
+    confusion matrix in exact basis points (a class never predicted
+    reports NULL precision rather than a fake zero-division). The
+    confusion frame is classes²-sized, so everything here is
+    counter arithmetic on broadcastable rows."""
+    conf = q173_centroid_classifier(spark, sf_dir)
+    cls = conf.groupBy(F.col("true_label").alias("label")).agg(
+        F.sum("n").cast("bigint").alias("support"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("true_label"), F.col("n"))
+            .otherwise(0)
+        ).cast("bigint").alias("tp"),
+    )
+    pt = conf.groupBy(F.col("pred_label").alias("label")).agg(
+        F.sum("n").cast("bigint").alias("predtot")
+    )
+    return cls.join(pt, "label", "left").select(
+        "label",
+        "support",
+        "tp",
+        F.expr(
+            "CAST(CASE WHEN coalesce(predtot, 0) = 0 THEN NULL "
+            "ELSE tp * 10000 div predtot END AS BIGINT)"
+        ).alias("precision_bp"),
+        F.expr("CAST(tp * 10000 div support AS BIGINT)").alias(
+            "recall_bp"
+        ),
+        F.expr(
+            "CAST(2 * tp * 10000 div (support + coalesce(predtot, 0)) "
+            "AS BIGINT)"
+        ).alias("f1_bp"),
+    )
+
+
+def _margin_mining_oracle(top: int) -> str:
+    return f"""
+    WITH {_centroid_confusion_ctes()}, o AS (
+      SELECT vec_id, true_label, cand, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d2, cand) AS rk
+      FROM d
+    ), m AS (
+      SELECT b.vec_id, b.true_label, b.cand AS pred_label,
+             CAST(s.d2 - b.d2 AS BIGINT) AS margin
+      FROM o b JOIN o s ON b.vec_id = s.vec_id
+       AND b.rk = 1 AND s.rk = 2
+    ), r AS (
+      SELECT vec_id, true_label, pred_label, margin,
+             ROW_NUMBER() OVER (PARTITION BY true_label
+                                ORDER BY margin, vec_id) AS rr
+      FROM m
+    )
+    SELECT true_label, vec_id, CAST(pred_label AS INT) AS pred_label,
+           margin
+    FROM r WHERE rr <= {top}
+    """
+
+
+@register("q187_margin_mining", _margin_mining_oracle(5))
+def q187_margin_mining(spark, sf_dir):
+    """Hard-example mining — the active-learning verb: per true
+    class, the five held-out vectors with the SMALLEST decision
+    margin (second-best centroid distance minus best), i.e. the
+    points a labeler or a curriculum should look at first. Margins
+    come from the same constant-folded centroid distances as q173 —
+    the pass stays map-only (array_sort over a 10-struct array per
+    row, no join), and the per-class top-5 rides a window PARTITIONED
+    by class. Margin 0 ⇒ the point sits on a decision boundary."""
+    from queens_spark.operators.probe import (
+        centroid_distances,
+        collect_centroids,
+        label_centroids_e6,
+    )
+    from queens_spark.operators.sampling import hash_split
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "split", hash_split("vec_id", _PROBE_SPLITS)
+    )
+    model = collect_centroids(
+        label_centroids_e6(
+            emb.where(F.col("split") == "train"), "embedding", "label"
+        )
+    )
+    scored = emb.where(F.col("split") == "test").select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.array_sort(
+            centroid_distances("embedding", model)
+        ).alias("ds"),
+    ).select(
+        "vec_id",
+        "true_label",
+        F.col("ds")[0]["label"].alias("pred_label"),
+        (F.col("ds")[1]["d2"] - F.col("ds")[0]["d2"]).alias("margin"),
+    )
+    w = Window.partitionBy("true_label").orderBy("margin", "vec_id")
+    return (
+        scored.withColumn("rr", F.row_number().over(w))
+        .where(F.col("rr") <= 5)
+        .select("true_label", "vec_id", "pred_label", "margin")
     )
