@@ -307,6 +307,8 @@ class Engine:
             self.text_index(name)
         elif kind == "vector":
             self.vector_index(name)
+        elif kind == "sketch":
+            self.sketch_store(name)
         register_index(self._registry_dir(), collection, kind, name)
 
     def unregister_index(self, collection: str, kind: str, name: str) -> bool:
@@ -328,7 +330,20 @@ class Engine:
 
         appends = []
         for e in registered_indexes(self._registry_dir(), collection):
-            if e["kind"] == "text":
+            if e["kind"] == "sketch":
+                from queens_spark.store.sketch_store import (
+                    append_sketch_store,
+                )
+
+                # the store's manifest knows its group/key columns;
+                # the screened frame must carry them
+                appends.append(
+                    lambda fresh, token, n=e["name"]: append_sketch_store(
+                        self.spark, fresh, self._sketch_store_dir(), n,
+                        token=token,
+                    )
+                )
+            elif e["kind"] == "text":
                 from queens_spark.store.text_index import append_text_index
 
                 appends.append(
@@ -426,6 +441,14 @@ class Engine:
             ledger or collection,
         )
         for e in self.registered_indexes(collection):
+            if e["kind"] == "sketch":
+                # KMV sketches are additive-only statistical profiles:
+                # an element cannot be removed from a bottom-k set, and
+                # a takedown does not meaningfully change a distinct/
+                # overlap ESTIMATE. Rebuild the store if exact removal
+                # matters.
+                report["indexes"].append(f"sketch:{e['name']} (skipped)")
+                continue
             if e["kind"] == "text":
                 self.delete_from_text_index(e["name"], ids=ids)
             else:
@@ -569,6 +592,8 @@ class Engine:
 
         worst = 0
         for e in self.registered_indexes(collection):
+            if e["kind"] == "sketch":
+                continue  # single merged artifact, nothing fragments
             if e["kind"] == "text":
                 idx = load_text_index(
                     self.spark, self._text_index_dir(), e["name"]
@@ -988,6 +1013,16 @@ class Engine:
         )
         applied = []
         for e in regs:
+            if e["kind"] == "sketch":
+                from queens_spark.store.sketch_store import (
+                    load_sketch_store,
+                )
+
+                st = load_sketch_store(
+                    self.spark, self._sketch_store_dir(), e["name"]
+                )
+                applied.append(st.entry.get("applied_tokens") or [])
+                continue
             if e["kind"] == "text":
                 idx = load_text_index(
                     self.spark, self._text_index_dir(), e["name"]
@@ -1006,6 +1041,18 @@ class Engine:
             "rebalanced": [],
         }
         for e in regs:
+            if e["kind"] == "sketch":
+                # nothing to compact (single merged artifact); clearing
+                # the token list is safe for the same reason as the
+                # indexes — a post-compact replay re-screens at the
+                # ledger to accepted=0, so the append never fires
+                from queens_spark.store.sketch_store import (
+                    clear_applied_tokens as _clear_sketch_tokens,
+                )
+
+                _clear_sketch_tokens(self._sketch_store_dir(), e["name"])
+                report["compacted"].append(f"sketch:{e['name']}")
+                continue
             if e["kind"] == "text":
                 compact_text_index(
                     self.spark, self._text_index_dir(), e["name"],
@@ -1092,6 +1139,7 @@ class Engine:
             self._registry_dir(),
             self._vector_index_dir(),
             self._text_index_dir(),
+            sketch_dir=self._sketch_store_dir(),
         )
         from queens_spark.store.fsck import fsck_sketch_stores
 

@@ -265,9 +265,13 @@ def fsck_sketch_stores(store_dir: str) -> list[dict]:
 
 
 def fsck_registry(
-    registry_dir: str, vindex_dir: str, tindex_dir: str
+    registry_dir: str, vindex_dir: str, tindex_dir: str,
+    sketch_dir: str | None = None,
 ) -> list[dict]:
     from queens_spark.store.index_registry import _read
+    from queens_spark.store.sketch_store import (
+        _read_manifest as _read_sman,
+    )
     from queens_spark.store.text_index import (
         _read_manifest as _read_tman,
     )
@@ -276,11 +280,14 @@ def fsck_registry(
     )
 
     f: list[dict] = []
-    vnames = set(_read_vman(vindex_dir))
-    tnames = set(_read_tman(tindex_dir))
+    by_kind = {
+        "vector": set(_read_vman(vindex_dir)),
+        "text": set(_read_tman(tindex_dir)),
+        "sketch": set(_read_sman(sketch_dir)) if sketch_dir else set(),
+    }
     for collection, rows in sorted(_read(registry_dir).items()):
         for row in rows:
-            have = tnames if row.get("kind") == "text" else vnames
+            have = by_kind.get(row.get("kind"), by_kind["vector"])
             if row.get("name") not in have:
                 f.append(_finding(
                     "index_registry", collection, "error",

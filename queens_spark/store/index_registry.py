@@ -24,8 +24,9 @@ the same posture:
   is individually token-idempotent).
 
 The registry stores only (kind, name): each index's own manifest
-already knows its id/text/vec columns, so appends need no extra
-configuration — registering is a one-liner, and an index can serve
+already knows its id/text/vec columns (a "sketch" entry likewise
+knows its group/key columns — the ingested frame must carry them), so
+appends need no extra configuration — registering is a one-liner, and an index can serve
 many collections without copying its params anywhere.
 """
 
@@ -36,7 +37,7 @@ import os
 
 MANIFEST_NAME = "index_registry.json"
 
-KINDS = ("text", "vector")
+KINDS = ("text", "vector", "sketch")
 
 
 def _manifest_path(manifest_dir: str) -> str:

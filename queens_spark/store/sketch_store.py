@@ -243,3 +243,18 @@ def append_sketch_store(
     _write_manifest(store_dir, entries)
     _gc_superseded(store_dir, name, version)
     return SketchStore(spark, store_dir, name, entry)
+
+
+def clear_applied_tokens(store_dir: str, name: str) -> int:
+    """Drop the idempotency-token list — ONLY safe once the ledger has
+    compacted (a post-compact replay re-screens to accepted=0, so the
+    sketch append never fires; the same argument as the index stores).
+    Returns how many tokens were cleared."""
+    entries = _read_manifest(store_dir)
+    if name not in entries:
+        return 0
+    n = len(entries[name].get("applied_tokens") or [])
+    if n:
+        entries[name]["applied_tokens"] = []
+        _write_manifest(store_dir, entries)
+    return n

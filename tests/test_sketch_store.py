@@ -110,3 +110,80 @@ def test_engine_surface_and_fsck_integration(spark, tmp_path):
         for f in report["findings"]
         if f["level"] == "error"
     )
+
+
+def _corpus_engine(spark, tmp_path):
+    from queens_spark.core.schema import CollectionSchema, ColumnSpec
+    from queens_spark.facade import Engine
+
+    schemas = {
+        "docs": CollectionSchema(
+            "docs",
+            [
+                ColumnSpec("ingest_id", "INTEGER", nullable=False),
+                ColumnSpec("table_name", "TEXT", nullable=False),
+                ColumnSpec("doc_id", "INTEGER", nullable=False),
+                ColumnSpec("src", "TEXT", nullable=False),
+                ColumnSpec("text", "TEXT", nullable=False),
+            ],
+        )
+    }
+    return Engine(spark, str(tmp_path / "wh"), schemas=schemas)
+
+
+def _batch(spark, ids, src="a"):
+    return spark.createDataFrame(
+        [(i, src, f"unique document body number {i} with words") for i in ids],
+        "doc_id bigint, src string, text string",
+    )
+
+
+def test_registered_sketch_refreshes_inside_ingest(spark, tmp_path):
+    eng = _corpus_engine(spark, tmp_path)
+    seed = _batch(spark, range(10))
+    eng.build_sketch_store(seed, "src", "doc_id", "per_src", k=8)
+    eng.ingest(seed, "docs", "t0", dedup_text_col="text",
+               dedup_id_col="doc_id")
+    eng.register_index("docs", "sketch", "per_src")
+    v0 = int(eng.sketch_store("per_src").entry["version"])
+
+    eng.ingest(_batch(spark, range(10, 25), src="b"), "docs", "t1",
+               dedup_text_col="text", dedup_id_col="doc_id",
+               token="batch-1")
+    st = eng.sketch_store("per_src")
+    assert int(st.entry["version"]) == v0 + 1
+    groups = {r["src"] for r in st.sketches().collect()}
+    assert groups == {"a", "b"}  # the new source entered via ingest
+
+    # redelivery with the same token: ledger screens everything away
+    # (accepted=0 -> no refresh fires), versions unchanged
+    eng.ingest(_batch(spark, range(10, 25), src="b"), "docs", "t1r",
+               dedup_text_col="text", dedup_id_col="doc_id",
+               token="batch-1")
+    assert int(eng.sketch_store("per_src").entry["version"]) == v0 + 1
+
+
+def test_maintain_clears_sketch_tokens(spark, tmp_path):
+    eng = _corpus_engine(spark, tmp_path)
+    seed = _batch(spark, range(8))
+    eng.build_sketch_store(seed, "src", "doc_id", "per_src", k=8)
+    eng.ingest(seed, "docs", "t0", dedup_text_col="text",
+               dedup_id_col="doc_id")
+    eng.register_index("docs", "sketch", "per_src")
+    eng.ingest(_batch(spark, range(8, 14), src="b"), "docs", "t1",
+               dedup_text_col="text", dedup_id_col="doc_id",
+               token="tk")
+    assert eng.sketch_store("per_src").entry["applied_tokens"] == ["tk"]
+    rep = eng.maintain("docs")
+    assert "sketch:per_src" in rep["compacted"]
+    assert not eng.sketch_store("per_src").entry.get("applied_tokens")
+    # post-maintain fsck stays healthy
+    assert eng.fsck()["healthy"]
+
+
+def test_register_sketch_validates_existence(spark, tmp_path):
+    import pytest
+
+    eng = _corpus_engine(spark, tmp_path)
+    with pytest.raises(KeyError):
+        eng.register_index("docs", "sketch", "nope")
