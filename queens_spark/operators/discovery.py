@@ -29,7 +29,6 @@ from queens_spark.operators.kmv import (
     kmv_distinct_estimates,
     kmv_hash,
     kmv_pair_overlap,
-    kmv_sketches,
 )
 
 
@@ -62,9 +61,16 @@ def joinability_matrix(
     contain_bp (exact), est_contain_bp (KMV). Estimates can exceed
     10⁴ bp — they are reported raw, not clamped, so calibration error
     stays visible."""
-    hd = tall.select(
-        "colid", kmv_hash("value").alias("h")
-    ).distinct()
+    from queens_spark.operators.dedup import _persist
+    from queens_spark.operators.kmv import kmv_sketches_from_hashes
+
+    # ONE hash+distinct pass feeds sizes, the all-pairs intersection,
+    # AND the sketches — at corpus scale the tall-frame scan dominates
+    # and three consumers would triple it (A/B at sf0.1 is neutral
+    # warm: the scan is cheap there and persist costs what it saves)
+    hd = _persist(
+        tall.select("colid", kmv_hash("value").alias("h")).distinct()
+    )
     sizes = hd.groupBy("colid").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         hd.select(F.col("colid").alias("ca"), "h")
@@ -74,7 +80,7 @@ def joinability_matrix(
         .agg(F.count(F.lit(1)).alias("exact_inter"))
     )
 
-    sk = kmv_sketches(tall, "colid", "value", k)
+    sk = kmv_sketches_from_hashes(hd, "colid", "h", k)
     est_sizes = kmv_distinct_estimates(sk, "colid", k).select(
         F.col("colid"), F.col("est_distinct").alias("est_n")
     )

@@ -73,12 +73,27 @@ def kmv_sketches(
 
     One corpus-scale distinct + one two-phase ordinal; the rank never
     funnels a group through a single task."""
-    from queens_spark.operators.quantiles import grouped_ordinal
-
     hashed = df.select(
         F.col(group_col), kmv_hash(key_col).alias("__kh")
     ).distinct()
-    ranked = grouped_ordinal(hashed, group_col, "__kh")
+    return kmv_sketches_from_hashes(hashed, group_col, "__kh", k)
+
+
+def kmv_sketches_from_hashes(
+    hd: DataFrame, group_col: str, hash_col: str, k: int = DEFAULT_K
+) -> DataFrame:
+    """Sketch from an ALREADY hashed-and-distinct (group, hash) frame
+    — the reuse point for callers that also need the exact
+    hashed-distinct truth (q176/q177/q178 persist that frame once and
+    derive sketch AND exact twins from it, instead of re-hashing the
+    corpus per consumer)."""
+    from queens_spark.operators.quantiles import grouped_ordinal
+
+    ranked = grouped_ordinal(
+        hd.select(F.col(group_col), F.col(hash_col).alias("__kh")),
+        group_col,
+        "__kh",
+    )
     return ranked.where(F.col("__rk") <= k).select(
         F.col(group_col), F.col("__v").cast("bigint").alias("v")
     )

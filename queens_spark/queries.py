@@ -9112,23 +9112,26 @@ def q176_kmv_distinct(spark, sf_dir):
     construction. All estimator arithmetic is integer and
     engine-portable — the oracle reproduces the ESTIMATE bit-for-bit,
     not just the truth."""
-    from queens_spark.operators.dedup import shingle_hashes
+    from queens_spark.operators.dedup import _persist, shingle_hashes
     from queens_spark.operators.kmv import (
         kmv_distinct_estimates,
         kmv_hash,
-        kmv_sketches,
+        kmv_sketches_from_hashes,
     )
 
     sh = load(spark, sf_dir, "documents").select(
         "source", F.explode(shingle_hashes("text")).alias("sh")
     )
-    sk = kmv_sketches(sh, "source", "sh", _KMV_K)
+    # shingle+hash+distinct ONCE for sketch AND exact twin — the
+    # shingle pass is the corpus-scale cost; three consumers would
+    # re-pay it (neutral at sf0.1, dominant at 100 TB)
+    hd = _persist(
+        sh.select("source", kmv_hash("sh").alias("h")).distinct()
+    )
+    sk = kmv_sketches_from_hashes(hd, "source", "h", _KMV_K)
     est = kmv_distinct_estimates(sk, "source", _KMV_K)
-    exact = (
-        sh.select("source", kmv_hash("sh").alias("h"))
-        .distinct()
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    exact = hd.groupBy("source").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
     )
     return est.join(exact, "source").select(
         "source",
@@ -9232,20 +9235,23 @@ def q177_kmv_overlap(spark, sf_dir):
     sources² parallelizes instead of rescanning the corpus per pair.
     Sub-k merges are exact by construction (the estimator CASE
     switches to the complete-sketch count)."""
-    from queens_spark.operators.dedup import shingle_hashes
+    from queens_spark.operators.dedup import _persist, shingle_hashes
     from queens_spark.operators.kmv import (
         kmv_hash,
         kmv_pair_overlap,
-        kmv_sketches,
+        kmv_sketches_from_hashes,
     )
 
     sh = load(spark, sf_dir, "documents").select(
         "source", F.explode(shingle_hashes("text")).alias("sh")
     )
-    sk = kmv_sketches(sh, "source", "sh", _KMV_K)
+    # shingle+hash+distinct ONCE for sketch AND exact twins — same
+    # single-corpus-pass argument as q176
+    hd = _persist(
+        sh.select("source", kmv_hash("sh").alias("h")).distinct()
+    )
+    sk = kmv_sketches_from_hashes(hd, "source", "h", _KMV_K)
     ov = kmv_pair_overlap(sk, "source", _KMV_K)
-
-    hd = sh.select("source", kmv_hash("sh").alias("h")).distinct()
     sizes = hd.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         hd.select(F.col("source").alias("ga"), "h")
@@ -9704,55 +9710,45 @@ def q184_rp_recall(spark, sf_dir):
     cheap candidate ranker, graded per query against exact L2 truth —
     recall@10 strict and with the standard 3× candidate expansion
     (rank ≤30 in projected space covering the true top-10, the
-    re-rank-the-shortlist deployment). The sign matrix is
-    SHA-derived and literal-folded identically on both engines, so
-    the ESTIMATOR is oracle-checked, not just the truth. Plan shape:
-    projection is map-only; the sampled queries (model-scale)
-    constant-fold, so corpus × queries is one exploded counter-width
-    frame — no join, no cartesian — and both rankings ride windows
-    PARTITIONED by query (parallel across queries). At 100 TB the 8×
-    byte shrink is what you scan for candidates; only shortlists see
-    full vectors."""
-    import math
-
-    from queens_spark.operators.projection import (
-        project_ints,
-        rp_project,
-        rp_signs,
-        sq_dist_to_lits,
-    )
+    re-rank-the-shortlist deployment). The sign matrix is SHA-derived
+    and literal-folded identically on both engines, so the ESTIMATOR
+    is oracle-checked, not just the truth. Plan shape: projection is
+    map-only (one constant-folded ±1 matrix); the sampled queries ride
+    a BROADCAST side (model-scale rows, never a literal blow-up — the
+    first cut folded every query into the expression tree and spent
+    9 s in codegen at 40 queries), corpus × queries is a broadcast
+    nested-loop producing counter-width rows, and both rankings ride
+    windows PARTITIONED by query. At 100 TB the 8× byte shrink is
+    what you scan for candidates; only shortlists see full vectors."""
+    from queens_spark.operators.projection import rp_project, rp_signs
     from queens_spark.operators.similarity import quantize
 
     signs = rp_signs(64, _RP_OUT_DIM)
     emb = load(spark, sf_dir, "embeddings")
-    qrows = (
-        emb.where(F.col("vec_id") % 50 == 0)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    queries = []
-    for r in qrows:
-        qv = [int(math.floor(float(x) * 1000)) for x in r["embedding"]]
-        queries.append((int(r["vec_id"]), qv, project_ints(qv, signs)))
-
     base = emb.select(
         "vec_id",
         quantize("embedding").alias("qv"),
         rp_project("embedding", signs).alias("proj"),
     )
-    per_q = F.array(
-        *[
-            F.struct(
-                F.lit(qid).cast("bigint").alias("qid"),
-                sq_dist_to_lits(F.col("qv"), qqv).alias("d2e"),
-                sq_dist_to_lits(F.col("proj"), qproj).alias("d2p"),
-            )
-            for qid, qqv, qproj in queries
-        ]
+    qdf = base.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("qv").alias("qqv"),
+        F.col("proj").alias("qproj"),
     )
-    dists = base.select(
-        "vec_id", F.explode(per_q).alias("s")
-    ).select("vec_id", "s.qid", "s.d2e", "s.d2p")
+
+    def _d2(a, b):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    dists = base.crossJoin(F.broadcast(qdf)).select(
+        "vec_id",
+        "qid",
+        _d2("qv", "qqv").alias("d2e"),
+        _d2("proj", "qproj").alias("d2p"),
+    )
     w_e = Window.partitionBy("qid").orderBy("d2e", "vec_id")
     w_p = Window.partitionBy("qid").orderBy("d2p", "vec_id")
     r = dists.withColumn("rk_e", F.row_number().over(w_e)).withColumn(
