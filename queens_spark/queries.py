@@ -9955,3 +9955,66 @@ def q187_margin_mining(spark, sf_dir):
         .where(F.col("rr") <= 5)
         .select("true_label", "vec_id", "pred_label", "margin")
     )
+
+
+def _threshold_sweep_oracle() -> str:
+    return f"""
+    WITH pr AS ({_jaccard_oracle(0.5)}),
+    b AS (
+      SELECT LEAST(CAST(floor(jaccard * 20) AS BIGINT), 19) AS bucket,
+             id_a, id_b
+      FROM pr
+    ), np AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM b GROUP BY 1
+    ), nd AS (
+      SELECT bucket, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+      FROM (SELECT bucket, unnest([id_a, id_b]) AS d FROM b)
+      GROUP BY 1
+    )
+    SELECT np.bucket, CAST(np.bucket * 500 AS BIGINT) AS thr_lo_bp,
+           np.n_pairs, nd.n_docs
+    FROM np JOIN nd ON np.bucket = nd.bucket
+    """
+
+
+@register("q188_threshold_sweep", _threshold_sweep_oracle())
+def q188_threshold_sweep(spark, sf_dir):
+    """Dedup threshold sensitivity — the audit behind the 0.8 the
+    catalog's near-dup tier uses: ONE verified pair pass at a loose
+    floor (jaccard ≥ 0.5) bucketed into 5%-wide similarity bands,
+    with per-band pair and affected-document counts. A curation team
+    reads this as "what changes if we move the knob": mass piled just
+    under the production threshold means the choice is load-bearing,
+    an empty band means it is free. Costs the SAME inverted-index +
+    exact-verify pass as one q27 run — the sweep over 10 candidate
+    thresholds is a groupBy of the verified sims, NOT 10 reruns.
+    Bucket boundaries floor identical IEEE doubles on both engines."""
+    from queens_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        threshold=0.5,
+    )
+    b = pairs.select(
+        F.least(F.floor(F.col("jaccard") * 20), F.lit(19))
+        .cast("bigint")
+        .alias("bucket"),
+        "id_a",
+        "id_b",
+    )
+    np_ = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    nd = (
+        b.select("bucket", F.explode(F.array("id_a", "id_b")).alias("d"))
+        .distinct()
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return np_.join(nd, "bucket").select(
+        "bucket",
+        (F.col("bucket") * 500).cast("bigint").alias("thr_lo_bp"),
+        "n_pairs",
+        "n_docs",
+    )
