@@ -209,6 +209,25 @@ def build_parser() -> argparse.ArgumentParser:
                     help="indexed corpus parquet — enables the IVF "
                          "skew rebalance step")
 
+    sk = sub.add_parser(
+        "skstore",
+        help="persisted KMV sketch store: build/append over a parquet "
+             "source of (group, key) rows; distinct/overlap served "
+             "from the stored k-rows with no corpus touch",
+    )
+    sk.add_argument("action",
+                    choices=["build", "append", "describe", "distinct",
+                             "overlap"])
+    sk.add_argument("name", help="store name in the warehouse manifest")
+    sk.add_argument("--source", default=None,
+                    help="parquet path (build/append)")
+    sk.add_argument("--group-col", default="source")
+    sk.add_argument("--key-col", default=None,
+                    help="bigint key column to sketch (build)")
+    sk.add_argument("--k", type=int, default=64)
+    sk.add_argument("--token", default=None,
+                    help="append: idempotency token (replay no-ops)")
+
     fs = sub.add_parser(
         "fsck",
         help="read-only consistency audit of the retrieval storage "
@@ -453,6 +472,8 @@ def _run(args) -> int:
         print(json.dumps(engine.maintain(
             args.collection, corpus_df=corpus, ledger=args.ledger,
         )))
+    elif args.command == "skstore":
+        return _run_skstore(spark, engine, args)
     elif args.command == "fsck":
         rep = engine.fsck()
         if args.quiet:
@@ -872,4 +893,37 @@ def _run_tindex(spark, engine, args) -> int:
                      "n_terms": r["n_terms"]}
                     for r in out.collect()]
         print(json.dumps({"results": rows}))
+    return 0
+
+
+def _run_skstore(spark, engine, args) -> int:
+    import json as _json
+
+    if args.action == "build":
+        if not args.source or not args.key_col:
+            print("build needs --source and --key-col", file=sys.stderr)
+            return 2
+        st = engine.build_sketch_store(
+            spark.read.parquet(args.source), args.group_col,
+            args.key_col, args.name, k=args.k,
+        )
+        print(_json.dumps(st.describe()))
+    elif args.action == "append":
+        if not args.source:
+            print("append needs --source", file=sys.stderr)
+            return 2
+        st = engine.append_sketch_store(
+            spark.read.parquet(args.source), args.name, token=args.token
+        )
+        print(_json.dumps(st.describe()))
+    elif args.action == "describe":
+        print(_json.dumps(engine.sketch_store(args.name).describe()))
+    elif args.action == "distinct":
+        rows = engine.sketch_store(args.name).distinct_estimates().collect()
+        for r in rows:
+            print(_json.dumps(r.asDict()))
+    elif args.action == "overlap":
+        rows = engine.sketch_store(args.name).pair_overlap().collect()
+        for r in rows:
+            print(_json.dumps(r.asDict()))
     return 0

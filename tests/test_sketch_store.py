@@ -5,6 +5,7 @@ Engine surface."""
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import functions as F
@@ -187,3 +188,37 @@ def test_register_sketch_validates_existence(spark, tmp_path):
     eng = _corpus_engine(spark, tmp_path)
     with pytest.raises(KeyError):
         eng.register_index("docs", "sketch", "nope")
+
+
+def test_cli_skstore_lifecycle(spark, tmp_path, capsys, monkeypatch):
+    from queens_spark.cli import main
+
+    eng = _corpus_engine(spark, tmp_path)
+    monkeypatch.setenv("QUEENS_SPARK_WAREHOUSE", eng.warehouse.root)
+    src1 = str(tmp_path / "p1")
+    src2 = str(tmp_path / "p2")
+    _batch(spark, range(40), src="a").write.parquet(src1)
+    _batch(spark, range(40, 90), src="b").write.parquet(src2)
+
+    assert main(["skstore", "build", "s", "--source", src1,
+                 "--group-col", "src", "--key-col", "doc_id",
+                 "--k", "8"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_groups"] == 1 and out["version"] == 1
+
+    assert main(["skstore", "append", "s", "--source", src2,
+                 "--token", "t1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_groups"] == 2 and out["version"] == 2
+
+    assert main(["skstore", "distinct", "s"]) == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    by = {r["src"]: r for r in lines}
+    assert by["a"]["sketch_n"] == 8  # full sketch at 40 keys, k=8
+    assert by["b"]["est_distinct"] > 0
+
+    assert main(["skstore", "overlap", "s"]) == 0
+    ov = [json.loads(x) for x in
+          capsys.readouterr().out.strip().splitlines()]
+    assert len(ov) == 1 and ov[0]["inter_est"] == 0  # disjoint ids
