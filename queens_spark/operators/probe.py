@@ -176,7 +176,7 @@ def binary_auc_bp(
     auc_bp rather than dividing by zero (ANSI mode raises)."""
     from queens_spark.operators.quantiles import grouped_ordinal
 
-    base = df.select(
+    base = df.where(F.col(score_col).isNotNull()).select(
         F.col(score_col).cast("bigint").alias("__s"),
         F.when(F.col(pos_col).cast("boolean"), 1)
         .otherwise(0)
@@ -184,6 +184,9 @@ def binary_auc_bp(
         .alias("__p"),
         F.lit(0).alias("__g"),
     )
+    # NULL scores dropped (rank undefined; they would otherwise count
+    # in the groups but never match the ordinal join and silently
+    # vanish — better loud than wrong).
     # per-row ascending rank of the score (ties broken arbitrarily —
     # the per-group MIN below removes the arbitrariness exactly)
     ranked = grouped_ordinal(base.select("__g", "__s"), "__g", "__s")
@@ -221,9 +224,15 @@ def score_groups(df: DataFrame, score_col: str, pos_col: str) -> DataFrame:
     min-rank comes from the two-phase distributed ordinal, so the
     reduction is scale-clean; everything downstream (ROC, AP,
     calibration) runs on the score-GROUP table, which is ≤ |distinct
-    scores| rows — the corpus never reaches a global window."""
+    scores| rows — the corpus never reaches a global window.
+
+    NULL scores are DROPPED explicitly here (a rank is undefined for
+    them); without the filter they would survive the count aggregation
+    but never match the ordinal join and silently vanish from the
+    statistic."""
     from queens_spark.operators.quantiles import grouped_ordinal
 
+    df = df.where(F.col(score_col).isNotNull())
     base = df.select(
         F.col(score_col).cast("bigint").alias("__s"),
         F.when(F.col(pos_col).cast("boolean"), 1)

@@ -211,3 +211,16 @@ def test_calibration_bins_monotone_and_tie_sharing(spark):
            calibration_bins(df, "score", "pos", bins=2).collect()}
     assert out[0]["pos_rate_bp"] == 0 and out[0]["n"] == 2
     assert out[1]["pos_rate_bp"] == 10000 and out[1]["n"] == 2
+
+
+def test_null_scores_are_dropped_consistently(spark):
+    from queens_spark.operators.probe import binary_auc_bp, roc_points
+
+    df = spark.createDataFrame(
+        [(3, True), (None, True), (1, False)],
+        "score bigint, pos boolean",
+    )
+    r = binary_auc_bp(df, "score", "pos").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc_bp"]) == (1, 1, 10000)
+    pts = roc_points(df, "score", "pos").collect()
+    assert len(pts) == 2  # only the two non-null scores
