@@ -80,7 +80,9 @@ def joinability_matrix(
         .agg(F.count(F.lit(1)).alias("exact_inter"))
     )
 
-    sk = kmv_sketches_from_hashes(hd, "colid", "h", k)
+    # the sketch feeds est_sizes AND the pair-overlap (which fans it
+    # out five ways internally) — persist the k-rows once
+    sk = _persist(kmv_sketches_from_hashes(hd, "colid", "h", k))
     est_sizes = kmv_distinct_estimates(sk, "colid", k).select(
         F.col("colid"), F.col("est_distinct").alias("est_n")
     )

@@ -136,7 +136,16 @@ def kmv_pair_overlap(
     Output: (group_a, group_b, union_est, inter_est) — every pair of
     groups appearing in *sk*, including zero-overlap ones. All stages
     after the input sketch run on k-scale rows; the per-pair window
-    partitions by pair."""
+    partitions by pair.
+
+    The sketch frame is PERSISTED here: this function references it
+    five ways (both pair sides, the group list, and two membership
+    probes), and without the barrier each reference re-runs the
+    upstream corpus-scale distinct + ordinal — measured at ~2× the
+    whole q178 matrix. The cache is k·groups rows, trivially small."""
+    from queens_spark.operators.dedup import _persist
+
+    sk = _persist(sk.select(F.col(group_col), F.col("v")))
     a = sk.select(F.col(group_col).alias("ga"), F.col("v").alias("v"))
     b = sk.select(F.col(group_col).alias("gb"), F.col("v").alias("v"))
     groups = sk.select(F.col(group_col).alias("ga")).distinct()
