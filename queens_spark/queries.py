@@ -10018,3 +10018,121 @@ def q188_threshold_sweep(spark, sf_dir):
         "n_pairs",
         "n_docs",
     )
+
+
+def _probe_summary_oracle() -> str:
+    return f"""
+    WITH {_centroid_confusion_ctes()}, conf AS (
+      SELECT true_label, cand AS pred_label, COUNT(*) AS n
+      FROM pick WHERE rk = 1 GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(CASE WHEN true_label = pred_label THEN n
+                      ELSE 0 END) AS BIGINT) AS correct
+      FROM conf
+    ), rows_ AS (
+      SELECT true_label AS label, CAST(SUM(n) AS BIGINT) AS rn
+      FROM conf GROUP BY 1
+    ), cols_ AS (
+      SELECT pred_label AS label, CAST(SUM(n) AS BIGINT) AS cn
+      FROM conf GROUP BY 1
+    ), pe AS (
+      SELECT CAST(SUM(rows_.rn * COALESCE(cols_.cn, 0)) AS BIGINT)
+               AS rcsum
+      FROM rows_ LEFT JOIN cols_ ON cols_.label = rows_.label
+    ), f1 AS (
+      SELECT CAST(SUM(
+               2 * tpx * 10000
+               // (rn + COALESCE(cn, 0))
+             ) AS BIGINT) AS f1sum,
+             CAST(COUNT(*) AS BIGINT) AS ncls
+      FROM (
+        SELECT rows_.label, rows_.rn, cols_.cn,
+               (SELECT COALESCE(SUM(n), 0) FROM conf
+                WHERE true_label = rows_.label
+                  AND pred_label = rows_.label) AS tpx
+        FROM rows_ LEFT JOIN cols_ ON cols_.label = rows_.label
+      )
+    )
+    SELECT tot.nn AS n, tot.correct,
+           CAST(tot.correct * 10000 // tot.nn AS BIGINT) AS accuracy_bp,
+           CAST((SELECT MAX(rn) FROM rows_) * 10000 // tot.nn
+                AS BIGINT) AS majority_bp,
+           CAST(f1.f1sum // f1.ncls AS BIGINT) AS macro_f1_bp,
+           CAST((tot.correct * tot.nn - pe.rcsum) * 10000
+                // (tot.nn * tot.nn - pe.rcsum) AS BIGINT) AS kappa_bp
+    FROM tot, pe, f1
+    """
+
+
+@register("q189_probe_summary", _probe_summary_oracle())
+def q189_probe_summary(spark, sf_dir):
+    """One-row model card for the nearest-centroid probe: accuracy,
+    the majority-class baseline it must beat, macro-F1, and Cohen's
+    kappa — all exact integer basis points off the classes²-sized
+    confusion frame. Kappa cleared of divisions:
+    (correct·n − Σ row_i·col_i)·10⁴ div (n² − Σ row_i·col_i), exact in
+    bigint for n up to ~3·10⁹ test rows (note the n² — past that,
+    accumulate the marginal products in DECIMAL). The macro-F1
+    averages the per-class integer F1s (truncating div first, like
+    q186, so both engines agree)."""
+    conf = q173_centroid_classifier(spark, sf_dir)
+    from queens_spark.operators.dedup import _persist
+
+    conf = _persist(conf)
+    tot = conf.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(
+            F.when(F.col("true_label") == F.col("pred_label"), F.col("n"))
+            .otherwise(0)
+        ).cast("bigint").alias("correct"),
+    )
+    rows_ = conf.groupBy(F.col("true_label").alias("label")).agg(
+        F.sum("n").cast("bigint").alias("rn")
+    )
+    cols_ = conf.groupBy(F.col("pred_label").alias("label")).agg(
+        F.sum("n").cast("bigint").alias("cn")
+    )
+    tp = conf.where(F.col("true_label") == F.col("pred_label")).select(
+        F.col("true_label").alias("label"), F.col("n").alias("tpx")
+    )
+    percls = (
+        rows_.join(cols_, "label", "left")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            "rn",
+            F.coalesce(F.col("cn"), F.lit(0)).alias("cn"),
+            F.coalesce(F.col("tpx"), F.lit(0)).cast("bigint").alias("tpx"),
+        )
+    )
+    f1 = percls.agg(
+        F.sum(
+            F.expr("2 * tpx * 10000 div (rn + cn)")
+        ).cast("bigint").alias("f1sum"),
+        F.count(F.lit(1)).cast("bigint").alias("ncls"),
+    )
+    pe = percls.agg(
+        F.sum(F.col("rn") * F.col("cn")).cast("bigint").alias("rcsum")
+    )
+    maj = rows_.agg(F.max("rn").alias("maxrn"))
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .crossJoin(F.broadcast(f1))
+        .crossJoin(F.broadcast(maj))
+        .select(
+            F.col("nn").alias("n"),
+            "correct",
+            F.expr("CAST(correct * 10000 div nn AS BIGINT)").alias(
+                "accuracy_bp"
+            ),
+            F.expr("CAST(maxrn * 10000 div nn AS BIGINT)").alias(
+                "majority_bp"
+            ),
+            F.expr("CAST(f1sum div ncls AS BIGINT)").alias("macro_f1_bp"),
+            F.expr(
+                "CAST((correct * nn - rcsum) * 10000 "
+                "div (nn * nn - rcsum) AS BIGINT)"
+            ).alias("kappa_bp"),
+        )
+    )
