@@ -10136,3 +10136,45 @@ def q189_probe_summary(spark, sf_dir):
             ).alias("kappa_bp"),
         )
     )
+
+
+def _kmv_stored_distinct_oracle() -> str:
+    from queens_spark.operators.dedup import duckdb_shingle_hashes
+    from queens_spark.operators.kmv import KMV_RANGE, duckdb_kmv_hash_ctes
+
+    k = _KMV_K
+    return f"""
+    WITH sset AS (
+      SELECT source, unnest({duckdb_shingle_hashes('text')}) AS sh
+      FROM documents
+    ), {duckdb_kmv_hash_ctes('sset', 'sh', 'source')},
+    d AS (
+      SELECT DISTINCT source, v FROM kv
+    ), r AS (
+      SELECT source, v,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rk
+      FROM d
+    ), agg AS (
+      SELECT source, COUNT(*) AS sn, MAX(v) AS vk
+      FROM r WHERE rk <= {k} GROUP BY source
+    )
+    SELECT source, CAST(sn AS BIGINT) AS sketch_n,
+           CAST(CASE WHEN sn < {k} THEN sn
+                ELSE {k - 1} * CAST({KMV_RANGE} AS BIGINT) // vk
+                END AS BIGINT) AS est_distinct
+    FROM agg
+    """
+
+
+@register("q190_stored_distinct", _kmv_stored_distinct_oracle())
+def q190_stored_distinct(spark, sf_dir):
+    """Per-source distinct-shingle estimates SERVED from the persisted
+    sketch store — q176's estimator with zero corpus touch in the
+    plan, completing the serve-path pair with q185: build once
+    (fingerprint-gated), then any session answers distinct accounting
+    from k·sources rows. The oracle recomputes the sketches inline
+    from the corpus; stored must hash-match the recompute."""
+    st = _documents_sketch_store(spark, sf_dir)
+    return st.distinct_estimates().select(
+        "source", "sketch_n", "est_distinct"
+    )
