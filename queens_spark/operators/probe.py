@@ -174,47 +174,22 @@ def binary_auc_bp(
     corpus-sized), then one groupBy(score) for tie groups and one
     scalar aggregation. Degenerate single-class inputs return NULL
     auc_bp rather than dividing by zero (ANSI mode raises)."""
-    from queens_spark.operators.quantiles import grouped_ordinal
-
-    base = df.where(F.col(score_col).isNotNull()).select(
-        F.col(score_col).cast("bigint").alias("__s"),
-        F.when(F.col(pos_col).cast("boolean"), 1)
-        .otherwise(0)
-        .cast("bigint")
-        .alias("__p"),
-        F.lit(0).alias("__g"),
-    )
-    # NULL scores dropped (rank undefined; they would otherwise count
-    # in the groups but never match the ordinal join and silently
-    # vanish — better loud than wrong).
-    # per-row ascending rank of the score (ties broken arbitrarily —
-    # the per-group MIN below removes the arbitrariness exactly)
-    ranked = grouped_ordinal(base.select("__g", "__s"), "__g", "__s")
-    rkmin = ranked.groupBy(F.col("__v").cast("bigint").alias("__s")).agg(
-        F.min("__rk").cast("bigint").alias("__rkmin")
-    )
-    groups = base.groupBy("__s").agg(
-        F.count(F.lit(1)).alias("__c"), F.sum("__p").alias("__cp")
-    )
-    return (
-        groups.join(rkmin, "__s")
-        .agg(
-            F.sum("__cp").alias("n_pos"),
-            F.sum(F.col("__c") - F.col("__cp")).alias("n_neg"),
-            F.sum(
-                F.col("__cp")
-                * (2 * (F.col("__rkmin") - 1) + F.col("__c") + 1)
-            ).alias("__two_rsum"),
-        )
-        .select(
-            "n_pos",
-            "n_neg",
-            F.expr(
-                "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL "
-                "ELSE (__two_rsum - n_pos * (n_pos + 1)) * 10000 "
-                "div (2 * n_pos * n_neg) END"
-            ).alias("auc_bp"),
-        )
+    g = score_groups(df, score_col, pos_col)
+    return g.agg(
+        F.sum("__cp").alias("n_pos"),
+        F.sum(F.col("__c") - F.col("__cp")).alias("n_neg"),
+        F.sum(
+            F.col("__cp")
+            * (2 * (F.col("__rkmin") - 1) + F.col("__c") + 1)
+        ).alias("__two_rsum"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL "
+            "ELSE (__two_rsum - n_pos * (n_pos + 1)) * 10000 "
+            "div (2 * n_pos * n_neg) END"
+        ).alias("auc_bp"),
     )
 
 
@@ -255,22 +230,46 @@ def _with_cum_ge(groups: DataFrame) -> DataFrame:
     """Add, per score group, the counts AT OR ABOVE the score
     (threshold semantics: predict positive when score ≥ s): __tp
     (positives ≥ s), __hits (rows ≥ s), plus totals __npos/__nneg/__n.
-    The cumulative window runs over the score-group table — already
-    reduced by :func:`score_groups`, never the corpus."""
+
+    The cumulative rides the same two-phase shape as
+    quantiles.grouped_ordinal — range-partition descending, local
+    prefix sums, broadcast per-partition offsets — because the
+    score-GROUP table is only bounded by |distinct scores|: for
+    near-unique scores (integer dot products) it is corpus-sized, and
+    a bare global ORDER BY window would funnel it through one task."""
     from pyspark.sql import Window
 
-    w = (
-        Window.orderBy(F.col("__s").desc())
+    ranged = groups.repartitionByRange(F.col("__s").desc())
+    part = ranged.withColumn("__pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("__s").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    tot = groups.agg(
-        F.sum("__cp").alias("__npos"),
-        F.sum(F.col("__c") - F.col("__cp")).alias("__nneg"),
-        F.sum("__c").alias("__n"),
+    local = part.withColumn(
+        "__ltp", F.sum("__cp").over(w_local)
+    ).withColumn("__lhits", F.sum("__c").over(w_local))
+    ptot = part.groupBy("__pid").agg(
+        F.sum("__cp").alias("__pcp"), F.sum("__c").alias("__pc")
+    )
+    w_off = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = ptot.select(
+        "__pid",
+        F.coalesce(F.sum("__pcp").over(w_off), F.lit(0)).alias("__otp"),
+        F.coalesce(F.sum("__pc").over(w_off), F.lit(0)).alias("__ohits"),
+    )
+    tot = ptot.agg(
+        F.sum("__pcp").alias("__npos"),
+        F.sum(F.col("__pc") - F.col("__pcp")).alias("__nneg"),
+        F.sum("__pc").alias("__n"),
     )
     return (
-        groups.withColumn("__tp", F.sum("__cp").over(w))
-        .withColumn("__hits", F.sum("__c").over(w))
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn("__tp", F.col("__otp") + F.col("__ltp"))
+        .withColumn("__hits", F.col("__ohits") + F.col("__lhits"))
         .crossJoin(F.broadcast(tot))
     )
 

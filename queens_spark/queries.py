@@ -8956,27 +8956,14 @@ def q174_probe_auc(spark, sf_dir):
     single-task global window), ties contribute their exact average
     rank via per-score-group counts. At 100 TB: one counter-width
     training shuffle + one rank shuffle over scores — no vectors move
-    past the scoring map."""
-    from queens_spark.operators.probe import (
-        binary_auc_bp,
-        fisher_direction_e6,
-        probe_score,
-    )
-    from queens_spark.operators.sampling import hash_split
+    past the scoring map. The scored split comes from the SAME
+    helper as q181/q182/q183, so the whole evaluation suite grades
+    one protocol."""
+    from queens_spark.operators.probe import binary_auc_bp
 
-    emb = load(spark, sf_dir, "embeddings").withColumn(
-        "split", hash_split("vec_id", _PROBE_SPLITS)
+    return binary_auc_bp(
+        _probe_scored_test(spark, sf_dir), "score", "pos"
     )
-    w_e6 = fisher_direction_e6(
-        emb.where(F.col("split") == "train"),
-        "embedding",
-        F.col("label") == _PROBE_POS_LABEL,
-    )
-    test = emb.where(F.col("split") == "test").select(
-        probe_score("embedding", w_e6).alias("score"),
-        (F.col("label") == _PROBE_POS_LABEL).alias("pos"),
-    )
-    return binary_auc_bp(test, "score", "pos")
 
 
 def _silhouette_oracle() -> str:
@@ -9063,13 +9050,16 @@ def q175_silhouette(spark, sf_dir):
 _KMV_K = 64
 
 
-def _kmv_distinct_oracle() -> str:
+def _kmv_sketch_ctes() -> str:
+    """Shared oracle WITH-body (q176/q190): per-source shingle-hash
+    distinct frame ``d(source, v)`` and bottom-k aggregate
+    ``agg(source, sn, vk)`` — the single definition both estimator
+    oracles grade against."""
     from queens_spark.operators.dedup import duckdb_shingle_hashes
-    from queens_spark.operators.kmv import KMV_RANGE, duckdb_kmv_hash_ctes
+    from queens_spark.operators.kmv import duckdb_kmv_hash_ctes
 
     k = _KMV_K
-    return f"""
-    WITH sset AS (
+    return f"""sset AS (
       SELECT source, unnest({duckdb_shingle_hashes('text')}) AS sh
       FROM documents
     ), {duckdb_kmv_hash_ctes('sset', 'sh', 'source')},
@@ -9082,7 +9072,15 @@ def _kmv_distinct_oracle() -> str:
     ), agg AS (
       SELECT source, COUNT(*) AS sn, MAX(v) AS vk
       FROM r WHERE rk <= {k} GROUP BY source
-    ), est AS (
+    )"""
+
+
+def _kmv_distinct_oracle() -> str:
+    from queens_spark.operators.kmv import KMV_RANGE
+
+    k = _KMV_K
+    return f"""
+    WITH {_kmv_sketch_ctes()}, est AS (
       SELECT source, CAST(sn AS BIGINT) AS sketch_n,
              CAST(CASE WHEN sn < {k} THEN sn
                   ELSE {k - 1} * CAST({KMV_RANGE} AS BIGINT) // vk
@@ -10139,25 +10137,11 @@ def q189_probe_summary(spark, sf_dir):
 
 
 def _kmv_stored_distinct_oracle() -> str:
-    from queens_spark.operators.dedup import duckdb_shingle_hashes
-    from queens_spark.operators.kmv import KMV_RANGE, duckdb_kmv_hash_ctes
+    from queens_spark.operators.kmv import KMV_RANGE
 
     k = _KMV_K
     return f"""
-    WITH sset AS (
-      SELECT source, unnest({duckdb_shingle_hashes('text')}) AS sh
-      FROM documents
-    ), {duckdb_kmv_hash_ctes('sset', 'sh', 'source')},
-    d AS (
-      SELECT DISTINCT source, v FROM kv
-    ), r AS (
-      SELECT source, v,
-             ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rk
-      FROM d
-    ), agg AS (
-      SELECT source, COUNT(*) AS sn, MAX(v) AS vk
-      FROM r WHERE rk <= {k} GROUP BY source
-    )
+    WITH {_kmv_sketch_ctes()}
     SELECT source, CAST(sn AS BIGINT) AS sketch_n,
            CAST(CASE WHEN sn < {k} THEN sn
                 ELSE {k - 1} * CAST({KMV_RANGE} AS BIGINT) // vk

@@ -81,8 +81,12 @@ def _orphan_version_dirs(
         full = os.path.join(name_dir, d)
         if not (_V_DIR.match(d) and os.path.isdir(full)):
             continue
-        if not any(os.path.abspath(p).startswith(os.path.abspath(full))
-                   for p in referenced):
+        base = os.path.abspath(full)
+        if not any(
+            os.path.abspath(p) == base
+            or os.path.abspath(p).startswith(base + os.sep)
+            for p in referenced
+        ):
             orphans.append(full)
     return orphans
 
@@ -283,11 +287,25 @@ def fsck_registry(
     by_kind = {
         "vector": set(_read_vman(vindex_dir)),
         "text": set(_read_tman(tindex_dir)),
-        "sketch": set(_read_sman(sketch_dir)) if sketch_dir else set(),
     }
+    if sketch_dir is not None:
+        by_kind["sketch"] = set(_read_sman(sketch_dir))
     for collection, rows in sorted(_read(registry_dir).items()):
         for row in rows:
-            have = by_kind.get(row.get("kind"), by_kind["vector"])
+            kind = row.get("kind")
+            if kind not in by_kind:
+                if kind == "sketch":
+                    # caller audited without a sketch dir — cannot
+                    # verify, but a healthy store must not read as a
+                    # missing one
+                    continue
+                f.append(_finding(
+                    "index_registry", collection, "error",
+                    f"registered index {row.get('name')!r} has unknown "
+                    f"kind {kind!r}",
+                ))
+                continue
+            have = by_kind[kind]
             if row.get("name") not in have:
                 f.append(_finding(
                     "index_registry", collection, "error",

@@ -581,5 +581,5 @@ def test_stored_sketch_overlap_never_touches_corpus():
     st = _documents_sketch_store(spark, SF_DIR)  # build or load
     plan = plan_of(st.pair_overlap())
     assert "documents.parquet" not in plan, plan
-    assert "split" not in plan.lower() or "shingle" not in plan.lower()
     assert "regexp" not in plan.lower(), plan
+    assert "split(" not in plan.lower(), plan
