@@ -63,11 +63,14 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    # The driver records only the TAIL of this line; keep the headline
+    # fields (metric/value/n_queries/sf) AFTER the per-query dict so a
+    # truncated capture still shows the summary.
     print(json.dumps({
+        "queries": timings,
         "metric": "catalog_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "n_queries": len(timings),
         "sf": sf,
     }))
