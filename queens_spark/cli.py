@@ -228,6 +228,32 @@ def build_parser() -> argparse.ArgumentParser:
     sk.add_argument("--token", default=None,
                     help="append: idempotency token (replay no-ops)")
 
+    cmp_ = sub.add_parser(
+        "cmap",
+        help="stored dedup cluster map: build over a parquet corpus, "
+             "append new batches O(batch) (bit-identical to a rebuild "
+             "at the frozen params), serve members/canonical/edges "
+             "with no corpus touch",
+    )
+    cmp_.add_argument("action",
+                      choices=["build", "append", "describe", "members",
+                               "canonical", "edges"])
+    cmp_.add_argument("name", help="map name in the warehouse")
+    cmp_.add_argument("--source", default=None,
+                      help="parquet path (build/append)")
+    cmp_.add_argument("--text-col", default="text")
+    cmp_.add_argument("--id-col", default="doc_id")
+    cmp_.add_argument("--n", type=int, default=3,
+                      help="shingle size (build)")
+    cmp_.add_argument("--threshold", type=float, default=0.8,
+                      help="Jaccard threshold (build)")
+    cmp_.add_argument("--max-df", default="auto",
+                      help="stop-shingle cap (build; frozen for appends)")
+    cmp_.add_argument("--token", default=None,
+                      help="append: idempotency token (replay no-ops)")
+    cmp_.add_argument("--limit", type=int, default=20,
+                      help="rows printed by members/canonical/edges")
+
     fs = sub.add_parser(
         "fsck",
         help="read-only consistency audit of the retrieval storage "
@@ -474,6 +500,8 @@ def _run(args) -> int:
         )))
     elif args.command == "skstore":
         return _run_skstore(spark, engine, args)
+    elif args.command == "cmap":
+        return _run_cmap(spark, engine, args)
     elif args.command == "fsck":
         rep = engine.fsck()
         if args.quiet:
@@ -893,6 +921,37 @@ def _run_tindex(spark, engine, args) -> int:
                      "n_terms": r["n_terms"]}
                     for r in out.collect()]
         print(json.dumps({"results": rows}))
+    return 0
+
+
+def _run_cmap(spark, engine, args) -> int:
+    import json as _json
+
+    if args.action == "build":
+        if not args.source:
+            print("build needs --source", file=sys.stderr)
+            return 2
+        max_df = args.max_df if args.max_df == "auto" else int(args.max_df)
+        cm = engine.build_cluster_map(
+            spark.read.parquet(args.source), args.text_col, args.id_col,
+            args.name, n=args.n, threshold=args.threshold, max_df=max_df,
+        )
+        print(_json.dumps(cm.describe()))
+    elif args.action == "append":
+        if not args.source:
+            print("append needs --source", file=sys.stderr)
+            return 2
+        cm = engine.append_cluster_map(
+            spark.read.parquet(args.source), args.name, token=args.token
+        )
+        print(_json.dumps(cm.describe()))
+    elif args.action == "describe":
+        print(_json.dumps(engine.cluster_map(args.name).describe()))
+    else:
+        cm = engine.cluster_map(args.name)
+        frame = getattr(cm, args.action)()
+        for r in frame.limit(args.limit).collect():
+            print(_json.dumps(r.asDict()))
     return 0
 
 

@@ -309,6 +309,10 @@ class Engine:
             self.vector_index(name)
         elif kind == "sketch":
             self.sketch_store(name)
+        elif kind == "cluster":
+            self.cluster_map(name)
+        elif kind == "ecdf":
+            self.ecdf_store(name)
         register_index(self._registry_dir(), collection, kind, name)
 
     def unregister_index(self, collection: str, kind: str, name: str) -> bool:
@@ -330,7 +334,19 @@ class Engine:
 
         appends = []
         for e in registered_indexes(self._registry_dir(), collection):
-            if e["kind"] == "sketch":
+            if e["kind"] == "cluster":
+                appends.append(
+                    lambda fresh, token, n=e["name"]: self.append_cluster_map(
+                        fresh, n, token=token
+                    )
+                )
+            elif e["kind"] == "ecdf":
+                appends.append(
+                    lambda fresh, token, n=e["name"]: self.append_ecdf_store(
+                        fresh, n, token=token
+                    )
+                )
+            elif e["kind"] == "sketch":
                 from queens_spark.store.sketch_store import (
                     append_sketch_store,
                 )
@@ -552,6 +568,23 @@ class Engine:
             else self._vector_index_dir()
         )
         return import_index(d, src, name=name)
+
+    def export_run(self, name: str, dest: str) -> str:
+        """Ship a training run (packed shards + attached release
+        report + checksums) as one relocatable bundle — the release
+        drop travels to the training cluster with the same transport
+        treatment indexes get (store/index_transport.py:export_run)."""
+        from queens_spark.store.index_transport import export_run
+
+        return export_run(self._training_runs_dir(), name, dest)
+
+    def import_run(self, src: str, name: str | None = None) -> str:
+        """Install an exported run bundle into THIS warehouse; serve
+        via :meth:`training_run` — ``run.verify()`` re-checks the
+        shipped bytes against the traveled checksums."""
+        from queens_spark.store.index_transport import import_run
+
+        return import_run(self._training_runs_dir(), src, name=name)
 
     def block_texts(
         self,
@@ -912,6 +945,34 @@ class Engine:
             os.path.join(self._cluster_maps_dir(), name), **kw,
         )
 
+    def append_cluster_map(
+        self, df: DataFrame, name: str, token: str | None = None
+    ):
+        """Fold a NEW batch into the stored map (store/cluster_map.py:
+        append_cluster_map) — bit-identical to a full rebuild on the
+        union at the map's frozen params, O(batch + affected) cost,
+        zero old-corpus text access. Batch ids must be novel (the
+        registry ingest path guarantees it); a replayed *token*
+        no-ops. Register the map with kind ``"cluster"``
+        (:meth:`register_index`) and every dedup-screened ingest keeps
+        it fresh automatically."""
+        import os
+
+        from queens_spark.store.cluster_map import append_cluster_map
+
+        return append_cluster_map(
+            df.select(*self._cluster_map_cols(name)),
+            os.path.join(self._cluster_maps_dir(), name),
+            token=token,
+        )
+
+    def _cluster_map_cols(self, name: str) -> list[str]:
+        """(id_col, text_col) from the map's own manifest — registry
+        appends supply the screened frame; the map knows its columns
+        (the text/vector index convention)."""
+        cm = self.cluster_map(name)
+        return [cm.entry["id_col"], cm.entry["text_col"]]
+
     def cluster_map(self, name: str, expected_fingerprint: str | None = None):
         """Open a previously built cluster map — no corpus touch."""
         import os
@@ -1023,6 +1084,14 @@ class Engine:
                 )
                 applied.append(st.entry.get("applied_tokens") or [])
                 continue
+            if e["kind"] == "cluster":
+                cm = self.cluster_map(e["name"])
+                applied.append(cm.entry.get("applied_tokens") or [])
+                continue
+            if e["kind"] == "ecdf":
+                st = self.ecdf_store(e["name"])
+                applied.append(st.entry.get("applied_tokens") or [])
+                continue
             if e["kind"] == "text":
                 idx = load_text_index(
                     self.spark, self._text_index_dir(), e["name"]
@@ -1052,6 +1121,32 @@ class Engine:
 
                 _clear_sketch_tokens(self._sketch_store_dir(), e["name"])
                 report["compacted"].append(f"sketch:{e['name']}")
+                continue
+            if e["kind"] == "cluster":
+                # fold delta segments into one (serving returns to
+                # plain artifact reads); clearing the token list is
+                # safe for the shared reason — post-compact replays
+                # re-screen at the ledger to accepted=0, so the append
+                # never fires
+                import os as _os
+
+                from queens_spark.store.cluster_map import (
+                    clear_applied_tokens as _clear_cmap_tokens,
+                    compact_cluster_map as _compact_cmap,
+                )
+
+                d = _os.path.join(self._cluster_maps_dir(), e["name"])
+                _compact_cmap(self.spark, d)
+                _clear_cmap_tokens(d)
+                report["compacted"].append(f"cluster:{e['name']}")
+                continue
+            if e["kind"] == "ecdf":
+                from queens_spark.store.ecdf_store import (
+                    clear_applied_tokens as _clear_ecdf_tokens,
+                )
+
+                _clear_ecdf_tokens(self._ecdf_store_dir(), e["name"])
+                report["compacted"].append(f"ecdf:{e['name']}")
                 continue
             if e["kind"] == "text":
                 compact_text_index(
@@ -1140,10 +1235,37 @@ class Engine:
             self._vector_index_dir(),
             self._text_index_dir(),
             sketch_dir=self._sketch_store_dir(),
+            cluster_dir=self._cluster_maps_dir(),
+            ecdf_dir=self._ecdf_store_dir(),
         )
-        from queens_spark.store.fsck import fsck_sketch_stores
+        from queens_spark.store.fsck import (
+            fsck_cluster_maps,
+            fsck_corpus_profiles,
+            fsck_ecdf_stores,
+            fsck_registry_schemas,
+            fsck_rollups,
+            fsck_sketch_stores,
+            fsck_training_runs,
+        )
 
         findings += fsck_sketch_stores(self._sketch_store_dir())
+        findings += fsck_ecdf_stores(self._ecdf_store_dir())
+        findings += fsck_cluster_maps(self._cluster_maps_dir())
+        findings += fsck_rollups(self._rollups_dir())
+        findings += fsck_training_runs(self._training_runs_dir())
+        findings += fsck_corpus_profiles(self._profiles_dir())
+        findings += fsck_registry_schemas(
+            self._registry_dir(),
+            {
+                name: list(schema.columns)
+                for name, schema in self.schemas.items()
+            },
+            self._vector_index_dir(),
+            self._text_index_dir(),
+            sketch_dir=self._sketch_store_dir(),
+            cluster_dir=self._cluster_maps_dir(),
+            ecdf_dir=self._ecdf_store_dir(),
+        )
         return {**summarize(findings), "findings": findings}
 
     # --------------------------------------------------- sketch stores
@@ -1185,6 +1307,48 @@ class Engine:
 
         return append_sketch_store(
             self.spark, df, self._sketch_store_dir(), name, token=token
+        )
+
+    # ----------------------------------------------------- ecdf stores
+
+    def _ecdf_store_dir(self) -> str:
+        import os
+
+        return os.path.join(self.warehouse.root, "system", "ecdf_store")
+
+    def build_ecdf_store(
+        self, df: DataFrame, group_col: str, value_sql: str, name: str,
+        width: int = 50, n_buckets: int = 40,
+    ):
+        """One histogram pass → persisted per-group fixed-grid ECDF
+        (store/ecdf_store.py): percentile thresholds and drift
+        references served forever after from groups×n_buckets counters,
+        kept current by exact-merge O(batch) appends. *value_sql* is a
+        Spark-SQL expression over the frame's columns (stored in the
+        manifest, so registry appends recompute it untouched)."""
+        from queens_spark.store.ecdf_store import build_ecdf_store
+
+        return build_ecdf_store(
+            df, group_col, value_sql, self._ecdf_store_dir(), name,
+            width=width, n_buckets=n_buckets,
+        )
+
+    def ecdf_store(self, name: str):
+        from queens_spark.store.ecdf_store import load_ecdf_store
+
+        return load_ecdf_store(self.spark, self._ecdf_store_dir(), name)
+
+    def append_ecdf_store(
+        self, df: DataFrame, name: str, token: str | None = None
+    ):
+        """Fold a new batch into a stored ECDF — bit-identical to a
+        rebuild on the union (histogram addition); a replayed *token*
+        no-ops. Register with kind ``"ecdf"`` and dedup-screened
+        ingests keep it fresh automatically."""
+        from queens_spark.store.ecdf_store import append_ecdf_store
+
+        return append_ecdf_store(
+            self.spark, df, self._ecdf_store_dir(), name, token=token
         )
 
     def corpus_report(

@@ -204,12 +204,30 @@ def score_groups(df: DataFrame, score_col: str, pos_col: str) -> DataFrame:
     NULL scores are DROPPED explicitly here (a rank is undefined for
     them); without the filter they would survive the count aggregation
     but never match the ordinal join and silently vanish from the
-    statistic."""
+    statistic.
+
+    Scores must satisfy |score| < 2^53: the distributed ordinal ranks
+    through doubles, so larger magnitudes would silently collapse or
+    misorder score groups. Catalog scorers stay ~5·10¹¹; this generic
+    API guards the bound with a loud per-row error instead of subtly
+    wrong ranks (one map-side comparison — free next to the ordinal)."""
     from queens_spark.operators.quantiles import grouped_ordinal
 
     df = df.where(F.col(score_col).isNotNull())
+    raw_s = F.col(score_col).cast("bigint")
+    guarded_s = F.when(F.abs(raw_s) < F.lit(1 << 53), raw_s).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "score_groups: |score| must stay below 2^53 (the "
+                    "distributed ordinal ranks via doubles); got "
+                ),
+                raw_s.cast("string"),
+            )
+        ).cast("bigint")
+    )
     base = df.select(
-        F.col(score_col).cast("bigint").alias("__s"),
+        guarded_s.alias("__s"),
         F.when(F.col(pos_col).cast("boolean"), 1)
         .otherwise(0)
         .cast("bigint")

@@ -9715,9 +9715,14 @@ def q184_rp_recall(spark, sf_dir):
     a BROADCAST side (model-scale rows, never a literal blow-up — the
     first cut folded every query into the expression tree and spent
     9 s in codegen at 40 queries), corpus × queries is a broadcast
-    nested-loop producing counter-width rows, and both rankings ride
-    windows PARTITIONED by query. At 100 TB the 8× byte shrink is
-    what you scan for candidates; only shortlists see full vectors."""
+    nested-loop producing counter-width rows. The per-query rank
+    windows put one query's FULL base in one task, so this harness is
+    SAMPLE-SCALE evaluation by design (grade recall on a sampled base
+    slice, like every exact-truth eval here — the q102/q116
+    precedent); the production candidate path is the projected scan +
+    shortlist re-rank, not these windows. At 100 TB the 8× byte
+    shrink is what you scan for candidates; only shortlists see full
+    vectors."""
     from queens_spark.operators.projection import rp_project, rp_signs
     from queens_spark.operators.similarity import quantize
 
@@ -10057,8 +10062,10 @@ def _probe_summary_oracle() -> str:
            CAST((SELECT MAX(rn) FROM rows_) * 10000 // tot.nn
                 AS BIGINT) AS majority_bp,
            CAST(f1.f1sum // f1.ncls AS BIGINT) AS macro_f1_bp,
-           CAST((tot.correct * tot.nn - pe.rcsum) * 10000
-                // (tot.nn * tot.nn - pe.rcsum) AS BIGINT) AS kappa_bp
+           CAST(CASE WHEN tot.nn * tot.nn = pe.rcsum THEN NULL
+                ELSE (tot.correct * tot.nn - pe.rcsum) * 10000
+                     // (tot.nn * tot.nn - pe.rcsum) END
+                AS BIGINT) AS kappa_bp
     FROM tot, pe, f1
     """
 
@@ -10071,9 +10078,13 @@ def q189_probe_summary(spark, sf_dir):
     confusion frame. Kappa cleared of divisions:
     (correct·n − Σ row_i·col_i)·10⁴ div (n² − Σ row_i·col_i), exact in
     bigint for n up to ~3·10⁹ test rows (note the n² — past that,
-    accumulate the marginal products in DECIMAL). The macro-F1
-    averages the per-class integer F1s (truncating div first, like
-    q186, so both engines agree)."""
+    accumulate the marginal products in DECIMAL). The degenerate
+    single-class matrix (all true labels AND all predictions one
+    class) has n² = Σ row·col, so kappa is guarded to NULL in BOTH
+    engines — ANSI mode would otherwise raise on the zero denominator
+    (the q150 pooled-rate precedent). The macro-F1 averages the
+    per-class integer F1s (truncating div first, like q186, so both
+    engines agree)."""
     conf = q173_centroid_classifier(spark, sf_dir)
     from queens_spark.operators.dedup import _persist
 
@@ -10129,8 +10140,9 @@ def q189_probe_summary(spark, sf_dir):
             ),
             F.expr("CAST(f1sum div ncls AS BIGINT)").alias("macro_f1_bp"),
             F.expr(
-                "CAST((correct * nn - rcsum) * 10000 "
-                "div (nn * nn - rcsum) AS BIGINT)"
+                "CAST(CASE WHEN nn * nn = rcsum THEN NULL "
+                "ELSE (correct * nn - rcsum) * 10000 "
+                "div (nn * nn - rcsum) END AS BIGINT)"
             ).alias("kappa_bp"),
         )
     )
@@ -10148,6 +10160,121 @@ def _kmv_stored_distinct_oracle() -> str:
                 END AS BIGINT) AS est_distinct
     FROM agg
     """
+
+
+# Stored-ECDF catalog constants — f-string-shared between the Spark
+# store build and the DuckDB oracles (the _KMV_K convention), so the
+# grid geometry moves in lockstep by construction.
+_ECDF_WIDTH = 50
+_ECDF_BUCKETS = 40
+_ECDF_BPS = {"p25": 2500, "p50": 5000, "p90": 9000}
+_ECDF_TOK_SQL = r"size(filter(split(text, '\\s+'), x -> x != ''))"
+
+
+def _documents_ecdf_store(spark, sf_dir):
+    """Stored per-source token-length ECDF for the sf_dir's documents
+    table (store/ecdf_store.py) — the deployment shape of percentile
+    calibration and drift baselines: the FIRST run per corpus pays one
+    histogram pass and persists sources×buckets counters; every later
+    run serves thresholds/CDFs from the artifact with NO corpus touch.
+    Fingerprint = corpus file stat (the _embeddings_index convention)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from queens_spark.store.ecdf_store import build_or_load_ecdf_store
+    from queens_spark.store.vector_index import source_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    store_dir = os.path.join(tempfile.gettempdir(), "queens_spark_ecdf", key)
+    return build_or_load_ecdf_store(
+        load(spark, sf_dir, "documents"),
+        "source",
+        _ECDF_TOK_SQL,
+        store_dir,
+        "tok_len",
+        width=_ECDF_WIDTH,
+        n_buckets=_ECDF_BUCKETS,
+        fingerprint=source_fingerprint(src),
+    )
+
+
+def _ecdf_ctes() -> str:
+    w, nb = _ECDF_WIDTH, _ECDF_BUCKETS
+    return f"""h AS (
+      SELECT source,
+             least(CAST(len({_DUCK_TOKS}) AS BIGINT) // {w},
+                   {nb - 1}) AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ), c AS (
+      SELECT source, bucket, n,
+             CAST(SUM(n) OVER (PARTITION BY source ORDER BY bucket)
+                  AS BIGINT) AS cum_n,
+             CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS total
+      FROM h
+    )"""
+
+
+def _ecdf_thresholds_oracle() -> str:
+    w = _ECDF_WIDTH
+    parts = [
+        f"""
+        SELECT source, '{name}' AS threshold,
+               CAST({bp} AS BIGINT) AS bp,
+               CAST((bucket + 1) * {w} AS BIGINT) AS value_lt,
+               CAST(cum_n * 10000 // total AS BIGINT) AS covered_bp
+        FROM (
+          SELECT source, bucket, cum_n, total,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY bucket) AS rn
+          FROM c WHERE cum_n * 10000 >= {bp} * total
+        ) WHERE rn = 1
+        """
+        for name, bp in sorted(_ECDF_BPS.items())
+    ]
+    return f"WITH {_ecdf_ctes()}\n" + " UNION ALL ".join(parts)
+
+
+@register("q191_stored_token_thresholds", _ecdf_thresholds_oracle())
+def q191_stored_token_thresholds(spark, sf_dir):
+    """Per-source token-length calibration thresholds SERVED from the
+    persisted ECDF store — the q151 normalization insight moved to the
+    deployment shape: p25/p50/p90 grid thresholds (exclusive upper
+    edges, exact integer coverage in basis points) answer from
+    sources×buckets counters with zero corpus touch in the plan
+    (plan-gated: no documents scan, no tokenize). The store is kept
+    current by exact-merge O(batch) appends (histogram addition —
+    append == rebuild bit-for-bit, property-tested); the oracle
+    recomputes the identical grid inline from the corpus. Resolution
+    is the grid width by design — the store trades exact ranks for a
+    bounded, mergeable, bit-portable artifact (NOT a randomized
+    sketch: oracle equality is the house rule)."""
+    st = _documents_ecdf_store(spark, sf_dir)
+    return st.thresholds(_ECDF_BPS)
+
+
+def _ecdf_cdf_oracle() -> str:
+    w = _ECDF_WIDTH
+    return f"""
+    WITH {_ecdf_ctes()}
+    SELECT source, bucket, CAST(bucket * {w} AS BIGINT) AS lo,
+           CAST((bucket + 1) * {w} AS BIGINT) AS hi, n, cum_n, total
+    FROM c
+    """
+
+
+@register("q192_stored_token_cdf", _ecdf_cdf_oracle())
+def q192_stored_token_cdf(spark, sf_dir):
+    """The full per-source token-length CDF from the same stored grid
+    (q191's artifact, second consumer — drift baselines and length-mix
+    dashboards read this table): (bucket, lo, hi, n, cum_n, total) per
+    source, cumulative windows over ≤ n_buckets counter rows per group
+    (bounded at any corpus size). Zero corpus touch in the plan; the
+    oracle recomputes the grid inline."""
+    st = _documents_ecdf_store(spark, sf_dir)
+    return st.cdf()
 
 
 @register("q190_stored_distinct", _kmv_stored_distinct_oracle())

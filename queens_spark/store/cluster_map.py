@@ -1,5 +1,6 @@
 """Stored dedup cluster map: the near-duplicate component assignment
-and per-cluster canonical choice as a persisted warehouse artifact.
+and per-cluster canonical choice as a persisted warehouse artifact —
+now with O(batch) appends.
 
 The dedup front-end (operators/dedup.py: capped inverted index ∪
 MinHash-LSH bands → connected components) is the most expensive pass
@@ -9,31 +10,75 @@ histograms — recomputes it from the corpus. At 100 TB that's the same
 multi-hour job run five times. This module gives the dedup tier the
 posture the ANN and lexical tiers already have (store/vector_index.py,
 store/text_index.py): pay the clustering ONCE, persist the
-counter-width outputs, and serve every consumer from pure artifact
-reads with staleness fingerprints.
+counter-width outputs, serve every consumer from artifact reads with
+staleness fingerprints — and keep the map fresh after new ingests by
+edging each batch against persisted MATCH ARTIFACTS instead of
+re-clustering the corpus.
 
-Artifacts per map (versioned dir + atomic manifest flip, the shared
-store convention):
+Exact verified-pair semantics (shared with the inline operators and
+their DuckDB oracles): a pair (a, b) is a near-dup edge iff
 
-- ``members``: one row per document — (id, component_id, quality).
-  Bounded at corpus-row width, but each row is three scalars.
-- ``canonical``: one row per component — (component_id, best_doc_id,
-  best_quality, n_members); the quality-aware keep-list.
-- ``edges``: the normalized distinct near-dup/exact-copy edge list
-  (a < b) — dedup-output-sized (a few % of a deduplicated corpus);
-  what the triangle/leakage audits consume.
+    jaccard(a, b) >= threshold  AND
+    ( a and b share a shingle with document frequency <= max_df
+      OR  both carry a hot shingle (df > max_df) AND share an LSH
+          band signature )
 
-The map stores its build params (shingle n, Jaccard threshold) and the
-corpus fingerprint; ``build_or_load_cluster_map`` rebuilds on either
-mismatch instead of silently serving stale clusters.
+plus exact-copy edges (rep = min id per content fingerprint). The
+candidate prune in operators/dedup.py is sound (never drops a true
+pair), so this characterization is the COMPLETE edge definition —
+which is what makes incremental maintenance exact.
+
+Why ``max_df`` is FROZEN in the manifest (a matching parameter, like
+``n`` and ``threshold``): document frequencies only GROW under
+appends, so with a frozen cap a shingle can only flip rare→hot, never
+back — and every shingle that can still flip has df <= max_df today,
+so its full posting list is inside the capped postings artifact. A
+per-batch drifting cap would need postings of already-hot shingles
+(unbounded, deliberately not stored) to un-flip them. The cap is
+resolved from the corpus at build (``auto_max_df``) and appends keep
+it; rebuild when the corpus has grown enough that 1 % of the OLD size
+is no longer a sane stop-shingle cap.
+
+Append cost model (the 100 TB argument): one tokenize→hash pass over
+the BATCH only; every old-corpus touch is a columnar artifact scan
+(hashes, postings, fingerprints — never source text, never a corpus
+re-tokenize) feeding broadcast-style joins that ship only AFFECTED
+rows into shuffles. Affected = docs carrying a hotness-flipped
+shingle (≤ |flips| × max_df by construction) plus the batch itself.
+The graph artifacts (near/copy edges) rewrite per append — they are
+dedup-graph-sized (a few % of a deduplicated corpus), not
+corpus-sized. members/canonical write DELTA segments (changed docs /
+changed components only); serving winner-selects by segment ordinal,
+and a single-segment map (fresh build) serves plain artifact reads.
+
+Artifact layout (versioned dir names from persisted monotonic
+counters — never ``len(...)``; manifest flips LAST, the house crash
+convention):
+
+- ``seg_NNNNNN/`` (append-only; one per build/append):
+  ``docs`` (doc, n, hashes, fp) — the tokenize cache;
+  ``postings`` (sh_hash, doc, n) — rare-at-write shingle postings;
+  ``dfs`` (sh_hash, df) — this segment's document-frequency partials;
+  ``hot`` (sh_hash) — shingles that BECAME hot in this segment;
+  ``hot_sigs`` (doc, sig) — docs that became hot in this segment;
+  ``members`` / ``canonical`` — full tables at build, deltas on
+  append (canonical deltas tombstone vanished components with
+  n_members = 0).
+- ``graph_NNNNNN/``: ``near`` + ``copy`` edge lists, rewritten per
+  operation; the superseded graph dir is GC'd after the flip.
+
+Reference analog: derived state refreshed inside the write path
+(queens/core/read_write.py:464-531 rebuilds staging metadata inside
+the write); here the write is ``Engine.ingest``'s registry refresh.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from queens_spark.store.vector_index import source_fingerprint  # noqa: F401
 
@@ -41,6 +86,7 @@ MANIFEST_NAME = "cluster_map_manifest.json"
 
 __all__ = [
     "build_cluster_map",
+    "append_cluster_map",
     "load_cluster_map",
     "build_or_load_cluster_map",
     "ClusterMap",
@@ -67,6 +113,96 @@ def _write_manifest(map_dir: str, entries: dict) -> None:
     os.replace(tmp, _manifest_path(map_dir))
 
 
+def _clear_dir(path: str) -> None:
+    """A build/append that crashed before its manifest flip leaves its
+    dirs orphaned (counters never advanced) — clear so the retry can
+    rewrite; the manifest never pointed at them, so nothing served."""
+    if os.path.exists(path):
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _projection(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """The persisted per-doc match projection: shingle-hash set +
+    content fingerprint + quality, computed in ONE tokenize pass (the
+    operators/dedup.py ``_shingle_frame`` shape, widened with the fp
+    and quality the map also needs). This is the only stage that ever
+    reads document TEXT."""
+    from queens_spark.operators.dedup import _persist
+    from queens_spark.operators.text import (
+        doc_fingerprint,
+        let_bound,
+        quality_score,
+    )
+    from queens_spark.operators.dedup import shingle_hashes
+    from queens_spark.session import ensure_min_partitions
+
+    return _persist(
+        ensure_min_partitions(df).select(
+            F.col(id_col).alias("doc"),
+            let_bound(
+                shingle_hashes(text_col, n),
+                lambda hs: F.struct(F.size(hs).alias("n"), hs.alias("hashes")),
+            ).alias("x"),
+            doc_fingerprint(text_col).alias("fp"),
+            quality_score(text_col).alias("quality"),
+        )
+    )
+
+
+def _sig(hashes) -> F.Column:
+    from queens_spark.operators.dedup import _signature_from_hashes
+
+    return _signature_from_hashes(hashes)
+
+
+def _bands(sigs: DataFrame) -> DataFrame:
+    """(doc, band_id, band_sig) rows from a (doc, sig) frame — the
+    operators/dedup.py banding, factored so append's bipartite band
+    join reuses the exact signature→band formula."""
+    from queens_spark.operators.dedup import LSH_BANDS, LSH_ROWS
+
+    return sigs.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(band).alias("band_id"),
+                    F.concat_ws(
+                        "_",
+                        *[F.col("sig")[band * LSH_ROWS + r] for r in range(LSH_ROWS)],
+                    ).alias("band_sig"),
+                )
+                for band in range(LSH_BANDS)
+            ])
+        ).alias("b"),
+    ).select("doc", "b.band_id", "b.band_sig")
+
+
+def _canonical_aggs(id_col: str):
+    """The quality-aware canonical choice: best member by
+    (quality, -id) plus the member count — shared by build and the
+    append's per-affected-component recompute so stored and delta
+    rows are bit-identical."""
+    return [
+        F.max(
+            F.struct(
+                F.col("quality").alias("q"),
+                (-F.col(id_col)).alias("nid"),
+            )
+        ).alias("best"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    ]
+
+
+def _canonical_select(frame: DataFrame) -> DataFrame:
+    return frame.select(
+        "component_id",
+        (-F.col("best.nid")).cast("bigint").alias("best_doc_id"),
+        F.col("best.q").alias("best_quality"),
+        "n_members",
+    )
+
+
 def build_cluster_map(
     df: DataFrame,
     text_col: str,
@@ -75,105 +211,532 @@ def build_cluster_map(
     n: int = 3,
     threshold: float = 0.8,
     fingerprint: str | None = None,
+    max_df: int | str = "auto",
 ) -> "ClusterMap":
-    """One clustering pass → persisted members + canonical tables.
-    The edge generation and CC are exactly the inline operators
-    (q36/q60 semantics); what's new is only WHERE the result lives."""
+    """One clustering pass → persisted members + canonical + edges +
+    the match artifacts appends edge against. The edge generation and
+    CC are exactly the inline operators (q36/q60 semantics —
+    operators/dedup.py:_full_recall_pairs + fp-rep copies); what's new
+    is only WHERE the result lives. ``max_df`` resolves here
+    (auto_max_df of the corpus count) and FREEZES in the manifest —
+    see the module docstring for why appends must not drift it."""
     from queens_spark.operators.dedup import (
+        _collect_hot,
+        _full_recall_pairs,
         _persist,
+        auto_max_df,
         connected_components,
-        dedup_edges,
-    )
-    from queens_spark.operators.text import quality_score
-
-    manifest = _read_manifest(map_dir)
-    version = int(manifest.get("next_version", 1))
-    vdir = os.path.join(map_dir, f"v{version:06d}")
-    # a build that crashed before its manifest flip leaves this vdir
-    # orphaned (next_version never advanced) — clear it so the retry
-    # can rewrite; the manifest never pointed at it, so nothing served
-    if os.path.exists(vdir):
-        import shutil
-
-        shutil.rmtree(vdir, ignore_errors=True)
-
-    # the edge pipeline feeds both the CC and the persisted edge
-    # artifact — persist so the shingle/LSH front-end executes once
-    edges = _persist(dedup_edges(df, text_col, id_col, n=n, threshold=threshold))
-    comps = connected_components(df, edges, id_col)
-    qual = df.select(id_col, quality_score(text_col).alias("quality"))
-    members = comps.join(qual, id_col)
-    members.write.mode("errorifexists").parquet(os.path.join(vdir, "members"))
-    (
-        edges.select(
-            F.least("id_a", "id_b").alias("a"),
-            F.greatest("id_a", "id_b").alias("b"),
-        )
-        .distinct()
-        .write.mode("errorifexists")
-        .parquet(os.path.join(vdir, "edges"))
     )
 
     spark = df.sparkSession
-    stored = spark.read.parquet(os.path.join(vdir, "members"))
-    canonical = (
-        stored.groupBy("component_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("quality").alias("q"),
-                    (-F.col(id_col)).alias("nid"),
-                )
-            ).alias("best"),
-            F.count(F.lit(1)).alias("n_members"),
-        )
-        .select(
-            "component_id",
-            (-F.col("best.nid")).cast("bigint").alias("best_doc_id"),
-            F.col("best.q").alias("best_quality"),
-            "n_members",
-        )
+    manifest = _read_manifest(map_dir)
+    version = int(manifest.get("next_version", 1))
+    prior = manifest.get("current") or {}
+    n_docs = df.count()
+    if isinstance(max_df, str):
+        if max_df != "auto":
+            raise ValueError(f"max_df must be an int or 'auto'; got {max_df!r}")
+        max_df = auto_max_df(n_docs)
+    max_df = int(max_df)
+
+    # dir names come from the persisted counters (never len(...)) so a
+    # rebuild NEVER writes into a dir the live manifest references: a
+    # crash before the flip leaves the old map fully intact and the new
+    # dirs as GC-able orphans (the house artifacts-first convention)
+    next_seg = int(prior.get("next_seg", 1))
+    next_graph = int(prior.get("next_graph", 1))
+    seg = f"seg_{next_seg:06d}"
+    graph = f"graph_{next_graph:06d}"
+    segdir = os.path.join(map_dir, seg)
+    graphdir = os.path.join(map_dir, graph)
+    # only the retry targets of a previously-crashed build are cleared
+    _clear_dir(segdir)
+    _clear_dir(graphdir)
+
+    sh = _projection(df, text_col, id_col, n)
+    near = _persist(
+        _full_recall_pairs(sh, max_df, threshold).select("id_a", "id_b")
+    )
+    rep = F.min("doc").over(Window.partitionBy("fp"))
+    copies = (
+        sh.select("doc", rep.alias("rep_id"))
+        .where(F.col("doc") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("id_a"), F.col("doc").alias("id_b"))
+    )
+    near.write.mode("errorifexists").parquet(os.path.join(graphdir, "near"))
+    copies.write.mode("errorifexists").parquet(os.path.join(graphdir, "copy"))
+    stored_near = spark.read.parquet(os.path.join(graphdir, "near"))
+    stored_copy = spark.read.parquet(os.path.join(graphdir, "copy"))
+
+    comps = connected_components(
+        df, stored_near.union(stored_copy), id_col
+    )
+    members = comps.join(
+        sh.select(F.col("doc").alias(id_col), "quality"), id_col
+    )
+    members.write.mode("errorifexists").parquet(
+        os.path.join(segdir, "members")
+    )
+    stored_members = spark.read.parquet(os.path.join(segdir, "members"))
+    canonical = _canonical_select(
+        stored_members.groupBy("component_id").agg(*_canonical_aggs(id_col))
     )
     canonical.write.mode("errorifexists").parquet(
-        os.path.join(vdir, "canonical")
+        os.path.join(segdir, "canonical")
     )
+
+    # ------------- match artifacts (what appends edge against) -------
+    sh.select(
+        "doc", F.col("x.n").alias("n"), F.col("x.hashes").alias("hashes"), "fp"
+    ).write.mode("errorifexists").parquet(os.path.join(segdir, "docs"))
+    exploded = sh.select(
+        "doc", F.col("x.n").alias("n"), F.explode("x.hashes").alias("sh_hash")
+    )
+    hot = _collect_hot(exploded, max_df)
+    hot_df = spark.createDataFrame([(int(h),) for h in hot], "sh_hash bigint")
+    exploded.join(F.broadcast(hot_df), "sh_hash", "left_anti").select(
+        "sh_hash", "doc", "n"
+    ).write.mode("errorifexists").parquet(os.path.join(segdir, "postings"))
+    exploded.groupBy("sh_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    ).write.mode("errorifexists").parquet(os.path.join(segdir, "dfs"))
+    hot_df.write.mode("errorifexists").parquet(os.path.join(segdir, "hot"))
+    hot_doc_ids = (
+        exploded.join(F.broadcast(hot_df), "sh_hash", "left_semi")
+        .select("doc")
+        .distinct()
+    )
+    (
+        sh.join(hot_doc_ids, "doc")
+        .select("doc", _sig(F.col("x.hashes")).alias("sig"))
+        .write.mode("errorifexists")
+        .parquet(os.path.join(segdir, "hot_sigs"))
+    )
+
     manifest.update(
         {
             "current": {
                 "version": version,
-                "dir": f"v{version:06d}",
                 "id_col": id_col,
+                "text_col": text_col,
                 "n": int(n),
                 "threshold": float(threshold),
+                "max_df": max_df,
                 "fingerprint": fingerprint,
+                "n_docs": int(n_docs),
+                "segments": [seg],
+                "graph": graph,
+                "next_seg": next_seg + 1,
+                "next_graph": next_graph + 1,
+                "applied_tokens": [],
             },
             "next_version": version + 1,
         }
     )
     _write_manifest(map_dir, manifest)
-    _gc_superseded(map_dir, keep=f"v{version:06d}")
+    # post-flip GC: superseded segments/graphs of the prior map AND any
+    # pre-append-era v-dirs — the manifest no longer references them
+    for d in sorted(os.listdir(map_dir)):
+        if d in (seg, graph) or not os.path.isdir(os.path.join(map_dir, d)):
+            continue
+        if d.startswith(("seg_", "graph_", "v")):
+            _clear_dir(os.path.join(map_dir, d))
     return ClusterMap(spark, map_dir)
 
 
-def _gc_superseded(map_dir: str, keep: str) -> None:
-    import shutil
+def append_cluster_map(
+    df: DataFrame, map_dir: str, token: str | None = None
+) -> "ClusterMap":
+    """Fold a NEW batch into the stored map — bit-identical to a full
+    rebuild on the union at the map's frozen (n, threshold, max_df)
+    (property-tested on random corpora and splits, including splits
+    whose second half MERGES pre-existing clusters and flips shingle
+    hotness), at O(batch + affected) cost and with zero old-corpus
+    TEXT access: every old-corpus touch reads the match artifacts.
 
-    for d in os.listdir(map_dir):
-        if d.startswith("v") and d != keep and os.path.isdir(
-            os.path.join(map_dir, d)
-        ):
-            shutil.rmtree(os.path.join(map_dir, d), ignore_errors=True)
+    Contract: batch ids must be NOVEL (the Engine.ingest registry path
+    appends post-ledger-screen survivors, which guarantees it — the
+    same id-novelty contract the vector/text index appends carry). A
+    replayed *token* no-ops (the exactly-once redelivery contract).
+
+    Exactness argument (the module docstring's edge characterization
+    does the heavy lifting): with max_df frozen, dfs only grow, so
+    (1) only shingles IN THE BATCH can flip rare→hot, and every
+    flippable shingle's full old posting list is inside the capped
+    postings artifact; (2) a stored near pair can DROP out of the
+    union's edge set only if every shared rare shingle flipped — both
+    endpoints then carry a flipped shingle, i.e. both are AFFECTED
+    docs; (3) a brand-new old-old pair needs a newly-hot endpoint
+    (affected) whose partner is hot — covered by banding affected+batch
+    signatures against the persisted hot-doc signatures. So the append
+    recomputes exactly: pairs with an affected-or-batch endpoint, fp
+    groups touched by batch fingerprints, and components incident to
+    changed edges; everything else is kept verbatim.
+    """
+    from queens_spark.operators.dedup import (
+        _persist,
+        _pruned_candidates,
+        _rare_pair_counts,
+        connected_components,
+    )
+
+    spark = df.sparkSession
+    manifest = _read_manifest(map_dir)
+    entry = manifest.get("current")
+    if not entry or "segments" not in entry:
+        raise FileNotFoundError(f"no appendable cluster map at {map_dir}")
+    if token is not None and token in (entry.get("applied_tokens") or []):
+        return ClusterMap(spark, map_dir)
+    id_col = entry["id_col"]
+    text_col = entry.get("text_col")
+    if not text_col:
+        raise ValueError(
+            "cluster map predates text_col tracking — rebuild to append"
+        )
+    n, threshold, m = int(entry["n"]), float(entry["threshold"]), int(entry["max_df"])
+
+    seg_name = f"seg_{int(entry['next_seg']):06d}"
+    graph_name = f"graph_{int(entry['next_graph']):06d}"
+    segdir = os.path.join(map_dir, seg_name)
+    graphdir = os.path.join(map_dir, graph_name)
+    _clear_dir(segdir)
+    _clear_dir(graphdir)
+
+    def seg_read(sub: str) -> DataFrame:
+        return spark.read.parquet(
+            *[os.path.join(map_dir, s, sub) for s in entry["segments"]]
+        )
+
+    B = _projection(df, text_col, id_col, n)
+    n_batch = B.count()
+    if n_batch == 0:
+        if token is not None:
+            entry["applied_tokens"] = list(
+                entry.get("applied_tokens") or []
+            ) + [str(token)]
+            manifest["current"] = entry
+            _write_manifest(map_dir, manifest)
+        return ClusterMap(spark, map_dir)
+
+    expl_B = B.select(
+        "doc", F.col("x.n").alias("n"), F.explode("x.hashes").alias("sh_hash")
+    )
+    df_B = _persist(
+        expl_B.groupBy("sh_hash").agg(
+            F.count(F.lit(1)).cast("bigint").alias("df_b")
+        )
+    )
+    # df_A for batch shingles only: the stored dfs segments are scanned
+    # once, semi-restricted by the (broadcast) batch vocabulary — the
+    # whole-vocab aggregate never materializes
+    df_A = (
+        seg_read("dfs")
+        .join(F.broadcast(df_B.select("sh_hash")), "sh_hash", "left_semi")
+        .groupBy("sh_hash")
+        .agg(F.sum("df").cast("bigint").alias("df_a"))
+    )
+    joined_df = df_B.join(df_A, "sh_hash", "left").select(
+        "sh_hash",
+        F.coalesce("df_a", F.lit(0)).cast("bigint").alias("df_a"),
+        "df_b",
+    )
+    # flips: rare before (df_a <= m — stored-hot shingles have
+    # df_a > m, so they self-exclude), hot after. Driver-bounded like
+    # the hot list itself: each flipped shingle ends with df > m, so
+    # |flips| <= |union postings| / m.
+    flipped = [
+        int(r["sh_hash"])
+        for r in joined_df.where(
+            (F.col("df_a") <= m) & (F.col("df_a") + F.col("df_b") > m)
+        ).select("sh_hash").collect()
+    ]
+    hot_stored = {int(r["sh_hash"]) for r in seg_read("hot").collect()}
+    hot_u = sorted(hot_stored | set(flipped))
+    hot_u_df = spark.createDataFrame(
+        [(h,) for h in hot_u], "sh_hash bigint"
+    )
+    flipped_df = spark.createDataFrame(
+        [(h,) for h in flipped], "sh_hash bigint"
+    )
+
+    stored_postings = seg_read("postings")
+    # affected old docs: carriers of a flipped shingle. Flipped were
+    # rare at EVERY earlier write (dfs only grow), so their postings
+    # are complete in the capped artifact. <= |flips| * max_df rows.
+    ad_ids = _persist(
+        stored_postings.join(F.broadcast(flipped_df), "sh_hash")
+        .select("doc")
+        .distinct()
+    )
+    stored_docs = seg_read("docs")
+    ad_docs = _persist(stored_docs.join(ad_ids, "doc"))
+
+    # ---------------- capped candidates (>=1 affected/batch endpoint)
+    re_batch = expl_B.join(F.broadcast(hot_u_df), "sh_hash", "left_anti")
+    sp_rare = stored_postings.join(
+        F.broadcast(hot_u_df), "sh_hash", "left_anti"
+    ).select("doc", "n", "sh_hash")
+    re_ad = sp_rare.join(ad_ids, "doc", "left_semi")
+    re_expl = _persist(re_batch.select("doc", "n", "sh_hash").union(re_ad))
+    non_re = sp_rare.join(ad_ids, "doc", "left_anti")
+    p1 = _rare_pair_counts(re_expl, None)
+    p2_raw = _rare_pair_counts(re_expl, None, exploded_b=non_re)
+    # the bipartite join assumes disjoint id spaces (true here) but not
+    # ORDERED ones — normalize to id_a < id_b to match the rebuild
+    swap = F.col("id_a") > F.col("id_b")
+    p2 = p2_raw.select(
+        F.when(swap, F.col("id_b")).otherwise(F.col("id_a")).alias("id_a"),
+        F.when(swap, F.col("id_a")).otherwise(F.col("id_b")).alias("id_b"),
+        F.when(swap, F.col("nb")).otherwise(F.col("na")).alias("na"),
+        F.when(swap, F.col("na")).otherwise(F.col("nb")).alias("nb"),
+        "rare_common",
+    )
+    capped = _pruned_candidates(p1.union(p2), len(hot_u), threshold, "jaccard")
+
+    # ---------------- band candidates (>=1 affected/batch endpoint)
+    batch_hot_ids = (
+        expl_B.join(F.broadcast(hot_u_df), "sh_hash", "left_semi")
+        .select("doc")
+        .distinct()
+    )
+    sig_b = B.join(batch_hot_ids, "doc").select(
+        "doc", _sig(F.col("x.hashes")).alias("sig")
+    )
+    # every affected doc carries a flipped (now hot) shingle → all are
+    # hot in the union
+    sig_ad = ad_docs.select("doc", _sig(F.col("hashes")).alias("sig"))
+    sig_re = _persist(sig_b.union(sig_ad))
+    stored_hot_sigs = seg_read("hot_sigs")
+    all_hot_bands = _bands(stored_hot_sigs.union(sig_re))
+    re_bands = _bands(sig_re).select(
+        F.col("doc").alias("doc_r"), "band_id", "band_sig"
+    )
+    banded = (
+        all_hot_bands.join(re_bands, ["band_id", "band_sig"])
+        .where(F.col("doc") != F.col("doc_r"))
+        .select(
+            F.least("doc", "doc_r").alias("id_a"),
+            F.greatest("doc", "doc_r").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    # ---------------- exact verification (same formula as the rebuild)
+    cands = capped.union(banded).distinct()
+    endpoints = (
+        cands.select(F.col("id_a").alias("doc"))
+        .union(cands.select(F.col("id_b").alias("doc")))
+        .distinct()
+    )
+    lookup = (
+        B.select("doc", F.col("x.hashes").alias("hashes"))
+        .union(stored_docs.select("doc", "hashes"))
+        .join(endpoints, "doc", "left_semi")
+    )
+    va = lookup.select(F.col("doc").alias("id_a"), F.col("hashes").alias("ha"))
+    vb = lookup.select(F.col("doc").alias("id_b"), F.col("hashes").alias("hb"))
+    new_near = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "common", F.size(F.array_intersect("ha", "hb")).cast("bigint")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.size("ha") + F.size("hb") - F.col("common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+    graph_old = os.path.join(map_dir, entry["graph"])
+    stored_near = spark.read.parquet(os.path.join(graph_old, "near"))
+    stored_copy = spark.read.parquet(os.path.join(graph_old, "copy"))
+    # keep every stored pair unless BOTH endpoints are affected — only
+    # those can lose their edge (exactness argument point 2); survivors
+    # among the dropped are regenerated by the recompute above
+    fa = ad_ids.select(F.col("doc").alias("id_a"), F.lit(1).alias("__fa"))
+    fb = ad_ids.select(F.col("doc").alias("id_b"), F.lit(1).alias("__fb"))
+    kept_near = (
+        stored_near.join(fa, "id_a", "left")
+        .join(fb, "id_b", "left")
+        .where(F.col("__fa").isNull() | F.col("__fb").isNull())
+        .select("id_a", "id_b")
+    )
+    near_u = _persist(kept_near.union(new_near).distinct())
+
+    # ---------------- exact-copy edges for batch-touched fingerprints
+    batch_fps = B.select("fp").distinct()
+    old_grp = _persist(
+        stored_docs.select("doc", "fp")
+        .join(batch_fps, "fp", "left_semi")
+        .select("doc", "fp")  # joins reorder the key column first
+    )
+    grp = old_grp.union(B.select("doc", "fp"))
+    grp_rep = F.min("doc").over(Window.partitionBy("fp"))
+    new_copy = (
+        grp.select("doc", grp_rep.alias("rep_id"))
+        .where(F.col("doc") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("id_a"), F.col("doc").alias("id_b"))
+    )
+    # an edge's id_a is its fp group's rep, so id_a carries the edge's
+    # fingerprint: dropping edges whose id_a sits in a batch-touched
+    # group replaces exactly the recomputed groups
+    kept_copy = stored_copy.join(
+        old_grp.select(F.col("doc").alias("id_a")), "id_a", "left_anti"
+    )
+    copy_u = _persist(kept_copy.union(new_copy))
+
+    near_u.write.mode("errorifexists").parquet(os.path.join(graphdir, "near"))
+    copy_u.write.mode("errorifexists").parquet(os.path.join(graphdir, "copy"))
+    near_u_s = spark.read.parquet(os.path.join(graphdir, "near"))
+    copy_u_s = spark.read.parquet(os.path.join(graphdir, "copy"))
+
+    # ---------------- component relabel over the changed subgraph
+    added = near_u_s.subtract(stored_near).union(copy_u_s.subtract(stored_copy))
+    removed = stored_near.subtract(near_u_s).union(
+        stored_copy.subtract(copy_u_s)
+    )
+    changed = added.union(removed)
+    touched = (
+        changed.select(F.col("id_a").alias(id_col))
+        .union(changed.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    members_now = _members_frame(spark, map_dir, entry, id_col)
+    # components incident to a changed edge; stored edges never cross
+    # stored components (they were CC inputs), so this set is closed —
+    # relabeling happens only inside it plus the batch
+    acid = _persist(
+        members_now.join(touched, id_col)
+        .select("component_id")
+        .distinct()
+    )
+    sub_old = _persist(members_now.join(acid, "component_id"))
+    sub_nodes = sub_old.select(id_col).union(
+        B.select(F.col("doc").alias(id_col))
+    )
+    all_edges = near_u_s.union(copy_u_s).distinct()
+    sub_edges = all_edges.join(
+        sub_nodes.select(F.col(id_col).alias("id_a")), "id_a", "left_semi"
+    )
+    sub_cc = connected_components(sub_nodes, sub_edges, id_col)
+    qual = sub_old.select(id_col, "quality").union(
+        B.select(F.col("doc").alias(id_col), "quality")
+    )
+    members_delta = sub_cc.join(qual, id_col)
+    members_delta.write.mode("errorifexists").parquet(
+        os.path.join(segdir, "members")
+    )
+    members_delta_s = spark.read.parquet(os.path.join(segdir, "members"))
+    canon_delta = _canonical_select(
+        members_delta_s.groupBy("component_id").agg(*_canonical_aggs(id_col))
+    )
+    # merged-away component ids get a tombstone (n_members = 0) so the
+    # winner-select serve stops reporting them
+    tombs = (
+        acid.join(
+            members_delta_s.select("component_id").distinct(),
+            "component_id",
+            "left_anti",
+        )
+        .select(
+            "component_id",
+            F.lit(None).cast("bigint").alias("best_doc_id"),
+            F.lit(None).cast("double").alias("best_quality"),
+            F.lit(0).cast("bigint").alias("n_members"),
+        )
+    )
+    canon_delta.union(tombs).write.mode("errorifexists").parquet(
+        os.path.join(segdir, "canonical")
+    )
+
+    # ---------------- match-artifact segments (batch contribution)
+    B.select(
+        "doc", F.col("x.n").alias("n"), F.col("x.hashes").alias("hashes"), "fp"
+    ).write.mode("errorifexists").parquet(os.path.join(segdir, "docs"))
+    re_batch.select("sh_hash", "doc", "n").write.mode(
+        "errorifexists"
+    ).parquet(os.path.join(segdir, "postings"))
+    df_B.select("sh_hash", F.col("df_b").alias("df")).write.mode(
+        "errorifexists"
+    ).parquet(os.path.join(segdir, "dfs"))
+    flipped_df.write.mode("errorifexists").parquet(
+        os.path.join(segdir, "hot")
+    )
+    new_hot_sigs = sig_b.union(
+        sig_ad.join(
+            stored_hot_sigs.select("doc"), "doc", "left_anti"
+        )
+    )
+    new_hot_sigs.write.mode("errorifexists").parquet(
+        os.path.join(segdir, "hot_sigs")
+    )
+
+    entry = dict(entry)
+    entry["version"] = int(entry["version"]) + 1
+    entry["segments"] = list(entry["segments"]) + [seg_name]
+    old_graph = entry["graph"]
+    entry["graph"] = graph_name
+    entry["next_seg"] = int(entry["next_seg"]) + 1
+    entry["next_graph"] = int(entry["next_graph"]) + 1
+    entry["n_docs"] = int(entry["n_docs"]) + int(n_batch)
+    if token is not None:
+        entry["applied_tokens"] = list(
+            entry.get("applied_tokens") or []
+        ) + [str(token)]
+    manifest["current"] = entry
+    manifest["next_version"] = int(entry["version"]) + 1
+    _write_manifest(map_dir, manifest)
+    _clear_dir(os.path.join(map_dir, old_graph))
+    return ClusterMap(spark, map_dir)
+
+
+def _members_frame(
+    spark: SparkSession, map_dir: str, entry: dict, id_col: str
+) -> DataFrame:
+    """Latest-wins member labels across segments. A single-segment map
+    (fresh build) is a plain artifact read — the q36-family serving
+    plans stay scan-only; multi-segment maps pay one corpus-narrow
+    winner-select shuffle until a rebuild compacts them."""
+    segs = entry["segments"]
+    if len(segs) == 1:
+        return spark.read.parquet(os.path.join(map_dir, segs[0], "members"))
+    parts = [
+        spark.read.parquet(os.path.join(map_dir, s, "members")).withColumn(
+            "__ord", F.lit(i)
+        )
+        for i, s in enumerate(segs)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct("component_id", "quality"), F.col("__ord")
+            ).alias("w")
+        )
+        .select(id_col, "w.component_id", "w.quality")
+    )
 
 
 def load_cluster_map(
     spark: SparkSession, map_dir: str, expected_fingerprint: str | None = None
 ) -> "ClusterMap":
     m = _read_manifest(map_dir)
-    if not m.get("current"):
+    entry = m.get("current")
+    if not entry:
         raise FileNotFoundError(f"no cluster map at {map_dir}")
+    if "segments" not in entry:
+        # pre-append-era layout: unreadable by this code — treat as
+        # stale so build_or_load rebuilds instead of serving garbage
+        raise ValueError("stored cluster map has an obsolete layout")
     if (
         expected_fingerprint is not None
-        and m["current"].get("fingerprint") != expected_fingerprint
+        and entry.get("fingerprint") != expected_fingerprint
     ):
         raise ValueError("stored cluster map is stale for this corpus")
     return ClusterMap(spark, map_dir)
@@ -187,10 +750,13 @@ def build_or_load_cluster_map(
     fingerprint: str | None = None,
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | str = "auto",
 ) -> "ClusterMap":
     """Serve the stored map when fingerprint AND params match; rebuild
     otherwise — first run pays the clustering, every later session
-    reads counter-width artifacts."""
+    reads counter-width artifacts. ``max_df="auto"`` matches whatever
+    cap the stored map froze (the cap is corpus-derived state, not a
+    caller choice); an explicit int must match exactly."""
     try:
         cm = load_cluster_map(
             df.sparkSession, map_dir, expected_fingerprint=fingerprint
@@ -198,12 +764,98 @@ def build_or_load_cluster_map(
         e = cm.entry
         if int(e["n"]) != int(n) or float(e["threshold"]) != float(threshold):
             raise ValueError("stored cluster map has different params")
+        if max_df != "auto" and int(e["max_df"]) != int(max_df):
+            raise ValueError("stored cluster map has a different max_df")
         return cm
     except (FileNotFoundError, ValueError):
         return build_cluster_map(
             df, text_col, id_col, map_dir,
-            n=n, threshold=threshold, fingerprint=fingerprint,
+            n=n, threshold=threshold, fingerprint=fingerprint, max_df=max_df,
         )
+
+
+def compact_cluster_map(spark: SparkSession, map_dir: str) -> int:
+    """Fold the delta segments back into ONE segment — serving returns
+    to plain artifact reads (no winner-select shuffle) and the
+    match-artifact scans appends pay stop re-reading superseded delta
+    rows. A pure rewrite: members materialize the winner-select,
+    canonical recomputes from them (identical to the winner-select —
+    every delta wrote its affected components WHOLE), docs/postings/
+    hot/hot_sigs union (postings drop now-hot rows: rare-forever means
+    rare-at-every-write, so the union is complete for every live rare
+    shingle), dfs sum. Returns how many segments were merged (0 =
+    already compact). The ``Engine.maintain`` cluster branch runs this
+    before clearing tokens — the index-compaction twin."""
+    manifest = _read_manifest(map_dir)
+    entry = manifest.get("current")
+    if not entry or "segments" not in entry:
+        raise FileNotFoundError(f"no appendable cluster map at {map_dir}")
+    segs = entry["segments"]
+    if len(segs) <= 1:
+        return 0
+    id_col = entry["id_col"]
+    seg_name = f"seg_{int(entry['next_seg']):06d}"
+    segdir = os.path.join(map_dir, seg_name)
+    _clear_dir(segdir)
+
+    def seg_read(sub: str) -> DataFrame:
+        return spark.read.parquet(
+            *[os.path.join(map_dir, s, sub) for s in segs]
+        )
+
+    members = _members_frame(spark, map_dir, entry, id_col)
+    members.write.mode("errorifexists").parquet(
+        os.path.join(segdir, "members")
+    )
+    stored_members = spark.read.parquet(os.path.join(segdir, "members"))
+    _canonical_select(
+        stored_members.groupBy("component_id").agg(*_canonical_aggs(id_col))
+    ).write.mode("errorifexists").parquet(os.path.join(segdir, "canonical"))
+    seg_read("docs").write.mode("errorifexists").parquet(
+        os.path.join(segdir, "docs")
+    )
+    hot = seg_read("hot").distinct()
+    hot.write.mode("errorifexists").parquet(os.path.join(segdir, "hot"))
+    seg_read("postings").join(
+        F.broadcast(hot), "sh_hash", "left_anti"
+    ).select("sh_hash", "doc", "n").write.mode("errorifexists").parquet(
+        os.path.join(segdir, "postings")
+    )
+    seg_read("dfs").groupBy("sh_hash").agg(
+        F.sum("df").cast("bigint").alias("df")
+    ).write.mode("errorifexists").parquet(os.path.join(segdir, "dfs"))
+    seg_read("hot_sigs").write.mode("errorifexists").parquet(
+        os.path.join(segdir, "hot_sigs")
+    )
+
+    merged = len(segs)
+    entry = dict(entry)
+    entry["version"] = int(entry["version"]) + 1
+    entry["segments"] = [seg_name]
+    entry["next_seg"] = int(entry["next_seg"]) + 1
+    manifest["current"] = entry
+    manifest["next_version"] = int(entry["version"]) + 1
+    _write_manifest(map_dir, manifest)
+    for s in segs:
+        _clear_dir(os.path.join(map_dir, s))
+    return merged
+
+
+def clear_applied_tokens(map_dir: str) -> int:
+    """Drop the idempotency-token list — ONLY safe once the ledger has
+    compacted (a post-compact replay re-screens to accepted=0, so the
+    append never fires; the same argument as the index/sketch stores).
+    Returns how many tokens were cleared."""
+    manifest = _read_manifest(map_dir)
+    entry = manifest.get("current")
+    if not entry:
+        return 0
+    n = len(entry.get("applied_tokens") or [])
+    if n:
+        entry["applied_tokens"] = []
+        manifest["current"] = entry
+        _write_manifest(map_dir, manifest)
+    return n
 
 
 class ClusterMap:
@@ -213,19 +865,76 @@ class ClusterMap:
         self.manifest = _read_manifest(map_dir)
         self.entry = self.manifest["current"]
 
-    def _vdir(self) -> str:
-        return os.path.join(self.map_dir, self.entry["dir"])
-
     def members(self) -> DataFrame:
-        """(id, component_id, quality) — pure artifact read."""
-        return self.spark.read.parquet(os.path.join(self._vdir(), "members"))
+        """(id, component_id, quality) — artifact read (winner-select
+        across delta segments after appends)."""
+        return _members_frame(
+            self.spark, self.map_dir, self.entry, self.entry["id_col"]
+        )
 
     def canonical(self) -> DataFrame:
         """(component_id, best_doc_id, best_quality, n_members)."""
-        return self.spark.read.parquet(
-            os.path.join(self._vdir(), "canonical")
+        segs = self.entry["segments"]
+        if len(segs) == 1:
+            return self.spark.read.parquet(
+                os.path.join(self.map_dir, segs[0], "canonical")
+            )
+        parts = [
+            self.spark.read.parquet(
+                os.path.join(self.map_dir, s, "canonical")
+            ).withColumn("__ord", F.lit(i))
+            for i, s in enumerate(segs)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return (
+            u.groupBy("component_id")
+            .agg(
+                F.max_by(
+                    F.struct("best_doc_id", "best_quality", "n_members"),
+                    F.col("__ord"),
+                ).alias("w")
+            )
+            .where(F.col("w.n_members") > 0)
+            .select(
+                "component_id",
+                "w.best_doc_id",
+                "w.best_quality",
+                "w.n_members",
+            )
         )
 
     def edges(self) -> DataFrame:
-        """Normalized distinct dedup edges (a < b)."""
-        return self.spark.read.parquet(os.path.join(self._vdir(), "edges"))
+        """Normalized distinct dedup edges (a < b) — near-dup pairs ∪
+        exact-copy edges, both emitted with id_a < id_b upstream."""
+        return (
+            self.near_pairs()
+            .union(self.copy_edges())
+            .select(
+                F.least("id_a", "id_b").alias("a"),
+                F.greatest("id_a", "id_b").alias("b"),
+            )
+            .distinct()
+        )
+
+    def near_pairs(self) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.map_dir, self.entry["graph"], "near")
+        )
+
+    def copy_edges(self) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.map_dir, self.entry["graph"], "copy")
+        )
+
+    def describe(self) -> dict:
+        return {
+            "version": int(self.entry["version"]),
+            "n": int(self.entry["n"]),
+            "threshold": float(self.entry["threshold"]),
+            "max_df": int(self.entry["max_df"]),
+            "n_docs": int(self.entry["n_docs"]),
+            "segments": len(self.entry["segments"]),
+            "applied_tokens": len(self.entry.get("applied_tokens") or []),
+        }

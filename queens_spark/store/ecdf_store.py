@@ -1,0 +1,336 @@
+"""Persisted mergeable ECDF/quantile profiles: per-group fixed-grid
+histogram-CDFs that outlive the corpus scan that built them.
+
+KMV sketches (store/sketch_store.py) answer DISTINCT accounting from
+artifacts; percentile calibration (q151) and drift baselines still
+recomputed exact ranks from the corpus every run. This store closes
+that gap with the same lifecycle posture:
+
+- ``build_ecdf_store`` runs one counter-width histogram pass
+  (operators/drift.hist_counts over the shared ``bucketize`` grid) and
+  persists the per-(group, bucket) counts as a versioned parquet +
+  manifest entry;
+- ``append_ecdf_store`` histograms ONLY the new batch and merges by
+  per-bucket ADDITION — histogram merge is associative integer math,
+  so the append is bit-identical to a rebuild on the union (tested) at
+  O(batch) cost. This is the exact-merge fixed grid, deliberately NOT
+  a randomized KLL/t-digest: oracle equality is the house rule, and a
+  bounded grid (``n_buckets`` counters per group, overflow bucket
+  absorbing the tail) is what makes bit-portability trivial;
+- appends accept idempotency tokens (the ledger/index/sketch
+  exactly-once contract): a replayed token no-ops;
+- every serve — the CDF table, percentile thresholds, drift reference
+  counters — reads the groups×n_buckets-row artifact; the corpus is
+  never touched again.
+
+Threshold semantics (integer-exact on both engines): for a basis-point
+fraction ``bp``, the threshold bucket is the SMALLEST grid bucket
+whose cumulative count covers ``bp`` of the group
+(``cum_n * 10000 >= bp * total``), and the served threshold value is
+that bucket's exclusive upper edge ``(bucket+1) * width`` — "values
+below this edge cover at least bp of the corpus". Resolution is the
+grid width by construction; callers pick the grid when they register
+the profile, exactly like the corpus profile's admission histogram.
+
+The value being profiled is stored as a Spark-SQL EXPRESSION string
+(``value_sql``) in the manifest, so appends recompute it from the
+batch frame with no caller-side configuration — the text/vector-index
+column-ownership convention extended to derived values.
+
+Manifest treatment follows the house pattern (artifacts first, atomic
+manifest flip last, monotonic version counter, post-flip GC of
+superseded dirs; fsck reports crashed-write leftovers as orphans).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+MANIFEST_NAME = "ecdf_store.json"
+
+__all__ = [
+    "build_ecdf_store",
+    "append_ecdf_store",
+    "load_ecdf_store",
+    "build_or_load_ecdf_store",
+    "clear_applied_tokens",
+    "EcdfStore",
+]
+
+
+def _manifest_path(store_dir: str) -> str:
+    return os.path.join(store_dir, MANIFEST_NAME)
+
+
+def _read_manifest(store_dir: str) -> dict:
+    try:
+        with open(_manifest_path(store_dir)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _write_manifest(store_dir: str, entries: dict) -> None:
+    os.makedirs(store_dir, exist_ok=True)
+    tmp = _manifest_path(store_dir) + "__tmp"
+    with open(tmp, "w") as fh:
+        json.dump(entries, fh, sort_keys=True)
+    os.replace(tmp, _manifest_path(store_dir))
+
+
+def _hist(df: DataFrame, entry: dict) -> DataFrame:
+    from queens_spark.operators.drift import hist_counts
+
+    return hist_counts(
+        df.select(
+            F.col(entry["group_col"]).alias("g"),
+            F.expr(entry["value_sql"]).alias("__val"),
+        ),
+        F.col("__val"),
+        int(entry["width"]),
+        int(entry["n_buckets"]),
+        group_cols=["g"],
+    )
+
+
+def _write_version(
+    store_dir: str, name: str, version: int, hist: DataFrame
+) -> str:
+    path = os.path.join(store_dir, name, f"v{version}", "hist")
+    hist.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _gc_superseded(store_dir: str, name: str, keep_version: int) -> None:
+    base = os.path.join(store_dir, name)
+    if not os.path.isdir(base):
+        return
+    for d in os.listdir(base):
+        if d.startswith("v") and d != f"v{keep_version}":
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+
+class EcdfStore:
+    def __init__(self, spark: SparkSession, store_dir: str, name: str,
+                 entry: dict):
+        self.spark = spark
+        self.store_dir = store_dir
+        self.name = name
+        self.entry = entry
+        self.group_col = entry["group_col"]
+        self.width = int(entry["width"])
+        self.n_buckets = int(entry["n_buckets"])
+
+    def hist(self) -> DataFrame:
+        """(group_col, bucket, n) — the stored counters, corpus
+        untouched."""
+        return self.spark.read.parquet(self.entry["path"]).select(
+            F.col("g").alias(self.group_col), "bucket", "n"
+        )
+
+    def cdf(self) -> DataFrame:
+        """(group_col, bucket, lo, hi, n, cum_n, total) — the grid CDF.
+        The cumulative window partitions on the group over ≤ n_buckets
+        rows each (bounded at any corpus size — this is counter-width
+        arithmetic, not a corpus window)."""
+        w_cum = (
+            Window.partitionBy(self.group_col)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_tot = Window.partitionBy(self.group_col)
+        width = F.lit(self.width).cast("bigint")
+        return self.hist().select(
+            self.group_col,
+            "bucket",
+            (F.col("bucket") * width).alias("lo"),
+            ((F.col("bucket") + 1) * width).alias("hi"),
+            "n",
+            F.sum("n").over(w_cum).cast("bigint").alias("cum_n"),
+            F.sum("n").over(w_tot).cast("bigint").alias("total"),
+        )
+
+    def thresholds(self, fractions_bp: dict[str, int]) -> DataFrame:
+        """Per-group calibration thresholds from the stored grid: for
+        each named basis-point fraction, the smallest bucket whose
+        cumulative count covers it, served as the bucket's exclusive
+        upper edge plus the exact coverage reached there. Integer
+        arithmetic end to end (cum_n·10⁴ ≥ bp·total), so any engine
+        reproduces it bit-for-bit from the same counters."""
+        cdf = self.cdf()
+        rows = []
+        for name_, bp in sorted(fractions_bp.items()):
+            hit = cdf.where(
+                F.col("cum_n") * 10000 >= F.lit(int(bp)) * F.col("total")
+            )
+            w = Window.partitionBy(self.group_col).orderBy("bucket")
+            first = (
+                hit.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(
+                    self.group_col,
+                    F.lit(name_).alias("threshold"),
+                    F.lit(int(bp)).cast("bigint").alias("bp"),
+                    F.col("hi").alias("value_lt"),
+                    F.expr("cum_n * 10000 div total").alias("covered_bp"),
+                )
+            )
+            rows.append(first)
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out
+
+    def ref_counters(self, group: str) -> dict[int, int]:
+        """One group's histogram as a driver-side counter dict — the
+        drift-reference shape ``drift_from_counters`` consumes (≤
+        n_buckets entries by construction)."""
+        return {
+            int(r["bucket"]): int(r["n"])
+            for r in self.hist()
+            .where(F.col(self.group_col) == group)
+            .collect()
+        }
+
+    def describe(self) -> dict:
+        return {
+            "name": self.name,
+            "group_col": self.group_col,
+            "value_sql": self.entry["value_sql"],
+            "width": self.width,
+            "n_buckets": self.n_buckets,
+            "version": int(self.entry["version"]),
+            "n_groups": self.hist()
+            .select(self.group_col)
+            .distinct()
+            .count(),
+            "applied_tokens": len(self.entry.get("applied_tokens") or []),
+        }
+
+
+def build_ecdf_store(
+    df: DataFrame,
+    group_col: str,
+    value_sql: str,
+    store_dir: str,
+    name: str,
+    width: int = 50,
+    n_buckets: int = 40,
+    fingerprint: str | None = None,
+) -> EcdfStore:
+    """One histogram pass → persisted per-group grid. Overwrites any
+    prior store of the same name; use :func:`append_ecdf_store` to
+    extend one."""
+    spark = df.sparkSession
+    entries = _read_manifest(store_dir)
+    version = int(entries.get(name, {}).get("version", 0)) + 1
+    entry = {
+        "group_col": group_col,
+        "value_sql": str(value_sql),
+        "width": int(width),
+        "n_buckets": int(n_buckets),
+        "version": version,
+        "applied_tokens": [],
+        "fingerprint": fingerprint,
+    }
+    hist = _hist(df, entry)
+    entry["path"] = _write_version(store_dir, name, version, hist)
+    entries[name] = entry
+    _write_manifest(store_dir, entries)
+    _gc_superseded(store_dir, name, version)
+    return EcdfStore(spark, store_dir, name, entry)
+
+
+def build_or_load_ecdf_store(
+    df: DataFrame,
+    group_col: str,
+    value_sql: str,
+    store_dir: str,
+    name: str,
+    width: int = 50,
+    n_buckets: int = 40,
+    fingerprint: str | None = None,
+) -> EcdfStore:
+    """Serve the stored profile when params AND fingerprint match;
+    rebuild otherwise — the build_or_load posture shared with every
+    other store in this tier."""
+    spark = df.sparkSession
+    entry = _read_manifest(store_dir).get(name)
+    if (
+        entry
+        and entry.get("group_col") == group_col
+        and entry.get("value_sql") == str(value_sql)
+        and int(entry.get("width", -1)) == int(width)
+        and int(entry.get("n_buckets", -1)) == int(n_buckets)
+        and entry.get("fingerprint") == fingerprint
+        and os.path.exists(entry.get("path", ""))
+    ):
+        return EcdfStore(spark, store_dir, name, entry)
+    return build_ecdf_store(
+        df, group_col, value_sql, store_dir, name,
+        width=width, n_buckets=n_buckets, fingerprint=fingerprint,
+    )
+
+
+def load_ecdf_store(
+    spark: SparkSession, store_dir: str, name: str
+) -> EcdfStore:
+    entries = _read_manifest(store_dir)
+    if name not in entries:
+        raise KeyError(f"no ecdf store named {name!r} in {store_dir}")
+    return EcdfStore(spark, store_dir, name, entries[name])
+
+
+def append_ecdf_store(
+    spark: SparkSession,
+    df: DataFrame,
+    store_dir: str,
+    name: str,
+    token: str | None = None,
+) -> EcdfStore:
+    """Fold a new batch in: histogram the BATCH (O(batch)), add the
+    counters bucket-wise to the stored grid — bit-identical to a
+    rebuild on the union (histogram addition is associative, exact
+    integers). A replayed *token* no-ops."""
+    entries = _read_manifest(store_dir)
+    if name not in entries:
+        raise KeyError(f"no ecdf store named {name!r} in {store_dir}")
+    entry = dict(entries[name])
+    if token is not None and token in (entry.get("applied_tokens") or []):
+        return EcdfStore(spark, store_dir, name, entry)
+    batch = _hist(df, entry)
+    stored = spark.read.parquet(entry["path"])
+    merged = (
+        stored.unionByName(batch)
+        .groupBy("g", "bucket")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    version = int(entry["version"]) + 1
+    entry["path"] = _write_version(store_dir, name, version, merged)
+    entry["version"] = version
+    if token is not None:
+        entry["applied_tokens"] = list(
+            entry.get("applied_tokens") or []
+        ) + [str(token)]
+    entries[name] = entry
+    _write_manifest(store_dir, entries)
+    _gc_superseded(store_dir, name, version)
+    return EcdfStore(spark, store_dir, name, entry)
+
+
+def clear_applied_tokens(store_dir: str, name: str) -> int:
+    """Drop the idempotency-token list — only safe once the ledger has
+    compacted (the shared post-compact-replay argument). Returns how
+    many tokens were cleared."""
+    entries = _read_manifest(store_dir)
+    if name not in entries:
+        return 0
+    n = len(entries[name].get("applied_tokens") or [])
+    if n:
+        entries[name]["applied_tokens"] = []
+        _write_manifest(store_dir, entries)
+    return n

@@ -235,17 +235,20 @@ def fsck_ledger(ledger_dir: str, name: str) -> list[dict]:
     return f
 
 
-def fsck_sketch_stores(store_dir: str) -> list[dict]:
-    from queens_spark.store.sketch_store import _read_manifest
-
+def _fsck_flat_store(
+    component: str, store_dir: str, entries: dict
+) -> list[dict]:
+    """Shared audit for single-artifact versioned stores (sketch,
+    ecdf): manifest-referenced artifact must exist (error), non-live
+    version dirs are crashed-write orphans (warn), retained tokens are
+    inventory (info)."""
     f: list[dict] = []
-    entries = _read_manifest(store_dir)
     for name, entry in sorted(entries.items()):
         path = entry.get("path")
         if path and not os.path.exists(path):
             f.append(_finding(
-                "sketch_store", name, "error",
-                f"manifest references missing sketch artifact: {path}",
+                component, name, "error",
+                f"manifest references missing artifact: {path}",
             ))
         base = os.path.join(store_dir, name)
         current = f"v{int(entry.get('version', 0))}"
@@ -255,22 +258,53 @@ def fsck_sketch_stores(store_dir: str) -> list[dict]:
                 if (_V_DIR.match(d) and os.path.isdir(full)
                         and d != current):
                     f.append(_finding(
-                        "sketch_store", name, "warn",
+                        component, name, "warn",
                         f"orphan version dir (crashed write, GC "
                         f"candidate): {full}",
                     ))
         toks = entry.get("applied_tokens") or []
         if toks:
             f.append(_finding(
-                "sketch_store", name, "info",
+                component, name, "info",
                 f"{len(toks)} applied idempotency tokens retained",
             ))
     return f
 
 
+def fsck_sketch_stores(store_dir: str) -> list[dict]:
+    from queens_spark.store.sketch_store import _read_manifest
+
+    return _fsck_flat_store(
+        "sketch_store", store_dir, _read_manifest(store_dir)
+    )
+
+
+def fsck_ecdf_stores(store_dir: str) -> list[dict]:
+    from queens_spark.store.ecdf_store import _read_manifest
+
+    return _fsck_flat_store(
+        "ecdf_store", store_dir, _read_manifest(store_dir)
+    )
+
+
+def _cluster_map_names(cluster_dir: str) -> set[str]:
+    """Cluster maps live one-per-subdir, each with its own manifest."""
+    from queens_spark.store.cluster_map import (
+        MANIFEST_NAME as CM_MANIFEST,
+    )
+
+    if not os.path.isdir(cluster_dir):
+        return set()
+    return {
+        d for d in os.listdir(cluster_dir)
+        if os.path.exists(os.path.join(cluster_dir, d, CM_MANIFEST))
+    }
+
+
 def fsck_registry(
     registry_dir: str, vindex_dir: str, tindex_dir: str,
-    sketch_dir: str | None = None,
+    sketch_dir: str | None = None, cluster_dir: str | None = None,
+    ecdf_dir: str | None = None,
 ) -> list[dict]:
     from queens_spark.store.index_registry import _read
     from queens_spark.store.sketch_store import (
@@ -290,12 +324,20 @@ def fsck_registry(
     }
     if sketch_dir is not None:
         by_kind["sketch"] = set(_read_sman(sketch_dir))
+    if cluster_dir is not None:
+        by_kind["cluster"] = _cluster_map_names(cluster_dir)
+    if ecdf_dir is not None:
+        from queens_spark.store.ecdf_store import (
+            _read_manifest as _read_eman,
+        )
+
+        by_kind["ecdf"] = set(_read_eman(ecdf_dir))
     for collection, rows in sorted(_read(registry_dir).items()):
         for row in rows:
             kind = row.get("kind")
             if kind not in by_kind:
-                if kind == "sketch":
-                    # caller audited without a sketch dir — cannot
+                if kind in ("sketch", "cluster", "ecdf"):
+                    # caller audited without that store's dir — cannot
                     # verify, but a healthy store must not read as a
                     # missing one
                     continue
@@ -313,6 +355,345 @@ def fsck_registry(
                     f"{row.get('name')!r} does not exist — every "
                     f"ingest into {collection!r} will fail its "
                     f"auto-refresh",
+                ))
+    return f
+
+
+def fsck_cluster_maps(cluster_dir: str) -> list[dict]:
+    """Cluster-map audit: every manifest-referenced segment/graph dir
+    (and each segment's seven sub-artifacts) must exist (error);
+    unreferenced seg_/graph_/v dirs are crashed-write orphans (warn);
+    the persisted counters must clear the highest referenced dir
+    number (error — future writes would collide)."""
+    from queens_spark.store.cluster_map import (
+        _read_manifest as _read_cm,
+    )
+
+    SEG_PARTS = ("docs", "postings", "dfs", "hot", "hot_sigs",
+                 "members", "canonical")
+    f: list[dict] = []
+    if not os.path.isdir(cluster_dir):
+        return f
+    for name in sorted(os.listdir(cluster_dir)):
+        map_dir = os.path.join(cluster_dir, name)
+        if not os.path.isdir(map_dir):
+            continue
+        entry = (_read_cm(map_dir) or {}).get("current")
+        if not entry:
+            continue
+        if "segments" not in entry:
+            f.append(_finding(
+                "cluster_map", name, "warn",
+                "pre-append-era layout — serving raises; rebuild to "
+                "upgrade",
+            ))
+            continue
+        referenced = set(entry["segments"]) | {entry["graph"]}
+        for seg in entry["segments"]:
+            segdir = os.path.join(map_dir, seg)
+            if not os.path.isdir(segdir):
+                f.append(_finding(
+                    "cluster_map", name, "error",
+                    f"manifest references missing segment: {segdir}",
+                ))
+                continue
+            for part in SEG_PARTS:
+                if not os.path.exists(os.path.join(segdir, part)):
+                    f.append(_finding(
+                        "cluster_map", name, "error",
+                        f"segment {seg} is missing artifact {part!r}",
+                    ))
+        for part in ("near", "copy"):
+            p = os.path.join(map_dir, entry["graph"], part)
+            if not os.path.exists(p):
+                f.append(_finding(
+                    "cluster_map", name, "error",
+                    f"manifest references missing graph artifact: {p}",
+                ))
+        for counter, prefix in (("next_seg", "seg_"),
+                                ("next_graph", "graph_")):
+            used = [
+                int(d[len(prefix):]) for d in referenced
+                if d.startswith(prefix)
+            ]
+            if used and int(entry.get(counter, 0)) <= max(used):
+                f.append(_finding(
+                    "cluster_map", name, "error",
+                    f"{counter}={entry.get(counter)} not above live "
+                    f"max {max(used)} — future writes would collide",
+                ))
+        for d in sorted(os.listdir(map_dir)):
+            full = os.path.join(map_dir, d)
+            if (d.startswith(("seg_", "graph_", "v"))
+                    and os.path.isdir(full) and d not in referenced):
+                f.append(_finding(
+                    "cluster_map", name, "warn",
+                    f"orphan dir (crashed build/append, GC candidate): "
+                    f"{full}",
+                ))
+        toks = entry.get("applied_tokens") or []
+        if toks:
+            f.append(_finding(
+                "cluster_map", name, "info",
+                f"{len(toks)} applied idempotency tokens retained",
+            ))
+    return f
+
+
+def fsck_rollups(rollups_dir: str) -> list[dict]:
+    """Rollup audit (os/json only — winner selection needs the ingest
+    log, which is Spark territory; serving repairs missing segments
+    lazily, so absence is not damage here): registry specs must be
+    well-formed (error), a segment dir without its _SUCCESS sentinel
+    is a crashed partial write (warn — the repair path rebuilds it),
+    and segment dirs for unregistered rollup names are orphans (warn)."""
+    import re as _re
+
+    from queens_spark.store.rollup import REGISTRY_NAME, _read_registry
+
+    f: list[dict] = []
+    if not os.path.isdir(rollups_dir):
+        return f
+    for collection in sorted(os.listdir(rollups_dir)):
+        cdir = os.path.join(rollups_dir, collection)
+        if not os.path.isdir(cdir):
+            continue
+        reg = _read_registry(rollups_dir, collection)
+        if not reg and os.path.exists(os.path.join(cdir, REGISTRY_NAME)):
+            f.append(_finding(
+                "rollup", collection, "error",
+                "rollup registry exists but is unreadable/corrupt",
+            ))
+        for name, spec in sorted(reg.items()):
+            if not spec.get("keys") or not spec.get("values"):
+                f.append(_finding(
+                    "rollup", f"{collection}/{name}", "error",
+                    f"registered spec is malformed: {spec}",
+                ))
+            segs_root = os.path.join(cdir, name, "segments")
+            if not os.path.isdir(segs_root):
+                continue
+            for d in sorted(os.listdir(segs_root)):
+                full = os.path.join(segs_root, d)
+                if not _re.fullmatch(r"ingest_\d+", d):
+                    f.append(_finding(
+                        "rollup", f"{collection}/{name}", "warn",
+                        f"unrecognized entry in segments dir: {full}",
+                    ))
+                elif not os.path.exists(os.path.join(full, "_SUCCESS")):
+                    f.append(_finding(
+                        "rollup", f"{collection}/{name}", "warn",
+                        f"segment without _SUCCESS (crashed partial "
+                        f"write; serving repairs it lazily): {full}",
+                    ))
+        for d in sorted(os.listdir(cdir)):
+            full = os.path.join(cdir, d)
+            if os.path.isdir(full) and d not in reg:
+                f.append(_finding(
+                    "rollup", collection, "warn",
+                    f"segment tree for unregistered rollup (orphan, GC "
+                    f"candidate): {full}",
+                ))
+    return f
+
+
+def fsck_training_runs(runs_dir: str) -> list[dict]:
+    """Training-run/release-bundle audit: the manifest-referenced
+    version dir, its data tree, every recorded shard partition, and
+    every attached report table must exist (error); superseded v-dirs
+    are orphans (warn); a manifest without a ``report`` key on a run
+    whose verify-contract expects one is the documented
+    detectable-incomplete state, so it is only surfaced as info.
+    Checksum verification is Spark work — ``run.verify()`` — not
+    fsck's."""
+    from queens_spark.store.training_run import (
+        _read_manifest as _read_tr,
+    )
+
+    f: list[dict] = []
+    if not os.path.isdir(runs_dir):
+        return f
+    for name in sorted(os.listdir(runs_dir)):
+        run_dir = os.path.join(runs_dir, name)
+        if not os.path.isdir(run_dir):
+            continue
+        m = _read_tr(run_dir)
+        entry = m.get("current")
+        if not entry:
+            continue
+        vdir = os.path.join(run_dir, entry["dir"])
+        data_dir = os.path.join(vdir, "data")
+        if not os.path.isdir(vdir):
+            f.append(_finding(
+                "training_run", name, "error",
+                f"manifest references missing version dir: {vdir}",
+            ))
+            continue
+        if not os.path.isdir(data_dir):
+            f.append(_finding(
+                "training_run", name, "error",
+                f"version dir has no data tree: {data_dir}",
+            ))
+        else:
+            for shard in sorted(entry.get("shards") or {}):
+                p = os.path.join(data_dir, f"shard={shard}")
+                if not os.path.isdir(p):
+                    f.append(_finding(
+                        "training_run", name, "error",
+                        f"manifest records shard {shard} but its "
+                        f"partition dir is missing: {p}",
+                    ))
+        for table, meta in sorted((entry.get("report") or {}).items()):
+            p = os.path.join(vdir, meta["path"])
+            if not os.path.exists(p):
+                f.append(_finding(
+                    "training_run", name, "error",
+                    f"attached report table {table!r} is missing: {p}",
+                ))
+        if int(m.get("next_version", 0)) <= int(entry["version"]):
+            f.append(_finding(
+                "training_run", name, "error",
+                f"next_version={m.get('next_version')} not above live "
+                f"version {entry['version']} — future builds collide",
+            ))
+        for d in sorted(os.listdir(run_dir)):
+            full = os.path.join(run_dir, d)
+            if (_V_DIR.match(d) and os.path.isdir(full)
+                    and d != entry["dir"]):
+                f.append(_finding(
+                    "training_run", name, "warn",
+                    f"orphan version dir (crashed build or superseded, "
+                    f"GC candidate): {full}",
+                ))
+    return f
+
+
+def fsck_corpus_profiles(profiles_dir: str) -> list[dict]:
+    """Corpus-profile audit: a present-but-unreadable profile is
+    damage (error — the drift gate would silently treat the corpus as
+    empty); histogram values must be non-negative integers within the
+    declared bucket domain (error); retained idempotency tokens are
+    inventory (info)."""
+    from queens_spark.store.corpus_profile import PROFILE_NAME, read_profile
+
+    f: list[dict] = []
+    if not os.path.isdir(profiles_dir):
+        return f
+    for name in sorted(os.listdir(profiles_dir)):
+        pdir = os.path.join(profiles_dir, name)
+        ppath = os.path.join(pdir, PROFILE_NAME)
+        if not os.path.isdir(pdir) or not os.path.exists(ppath):
+            continue
+        profile = read_profile(profiles_dir, name)
+        if not profile:
+            f.append(_finding(
+                "corpus_profile", name, "error",
+                f"profile file exists but is unreadable/corrupt: {ppath}",
+            ))
+            continue
+        n_buckets = int(profile.get("n_buckets", 0))
+        for k, v in (profile.get("hist") or {}).items():
+            try:
+                bucket, count = int(k), int(v)
+            except (TypeError, ValueError):
+                f.append(_finding(
+                    "corpus_profile", name, "error",
+                    f"non-integer histogram entry {k!r}: {v!r}",
+                ))
+                continue
+            if count < 0 or bucket < 0 or bucket > n_buckets:
+                f.append(_finding(
+                    "corpus_profile", name, "error",
+                    f"histogram entry out of contract (bucket={bucket}, "
+                    f"count={count}, n_buckets={n_buckets})",
+                ))
+        toks = profile.get("applied_tokens") or {}
+        if toks:
+            f.append(_finding(
+                "corpus_profile", name, "info",
+                f"{len(toks)} applied idempotency tokens retained",
+            ))
+    return f
+
+
+def fsck_registry_schemas(
+    registry_dir: str,
+    schema_cols: dict[str, list[str]],
+    vindex_dir: str,
+    tindex_dir: str,
+    sketch_dir: str | None = None,
+    cluster_dir: str | None = None,
+    ecdf_dir: str | None = None,
+) -> list[dict]:
+    """The registry's SCHEMA audit: every registered index's ingest
+    columns (id/text/vec/meta for indexes, group/key for sketch
+    stores, id/text for cluster maps) must still exist in the
+    collection's schema — a drifted collection otherwise fails at the
+    NEXT ingest's auto-refresh; fail it at fsck time instead.
+    *schema_cols* maps collection → its column names (the caller owns
+    the schema registry; fsck stays os/json)."""
+    from queens_spark.store.index_registry import _read
+    from queens_spark.store.sketch_store import (
+        _read_manifest as _read_sman,
+    )
+    from queens_spark.store.text_index import (
+        _read_manifest as _read_tman,
+    )
+    from queens_spark.store.vector_index import (
+        _read_manifest as _read_vman,
+    )
+
+    def _needed(kind: str, name: str) -> list[str]:
+        if kind == "text":
+            e = _read_tman(tindex_dir).get(name) or {}
+            return [e.get("id_col"), e.get("text_col"),
+                    *(e.get("meta_cols") or [])]
+        if kind == "vector":
+            e = _read_vman(vindex_dir).get(name) or {}
+            return [e.get("id_col"), e.get("vec_col"),
+                    *(e.get("meta_cols") or [])]
+        if kind == "sketch" and sketch_dir is not None:
+            e = _read_sman(sketch_dir).get(name) or {}
+            return [e.get("group_col"), e.get("key_col")]
+        if kind == "cluster" and cluster_dir is not None:
+            from queens_spark.store.cluster_map import (
+                _read_manifest as _read_cm,
+            )
+
+            e = (_read_cm(os.path.join(cluster_dir, name)) or {}).get(
+                "current"
+            ) or {}
+            return [e.get("id_col"), e.get("text_col")]
+        if kind == "ecdf" and ecdf_dir is not None:
+            from queens_spark.store.ecdf_store import (
+                _read_manifest as _read_em,
+            )
+
+            e = _read_em(ecdf_dir).get(name) or {}
+            # value_sql's column references are validated by the
+            # ingest itself (expression resolution); the group column
+            # is the schema-auditable part
+            return [e.get("group_col")]
+        return []
+
+    f: list[dict] = []
+    for collection, rows in sorted(_read(registry_dir).items()):
+        cols = schema_cols.get(collection)
+        if cols is None:
+            continue  # unknown collection: existence audit's business
+        have = set(cols)
+        for row in rows:
+            missing = sorted(
+                c for c in _needed(row.get("kind"), row.get("name"))
+                if c is not None and c not in have
+            )
+            if missing:
+                f.append(_finding(
+                    "index_registry", collection, "error",
+                    f"registered {row.get('kind')} index "
+                    f"{row.get('name')!r} needs column(s) {missing} "
+                    f"that {collection!r}'s schema no longer has — "
+                    f"every ingest's auto-refresh will fail",
                 ))
     return f
 

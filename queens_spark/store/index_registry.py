@@ -37,7 +37,7 @@ import os
 
 MANIFEST_NAME = "index_registry.json"
 
-KINDS = ("text", "vector", "sketch")
+KINDS = ("text", "vector", "sketch", "cluster", "ecdf")
 
 
 def _manifest_path(manifest_dir: str) -> str:

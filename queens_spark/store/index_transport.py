@@ -20,6 +20,14 @@ rebase:
 Idempotency-token lists do NOT travel (they are meaningful only
 against the source warehouse's ledger); fingerprints do (staleness
 detection still works when the destination sees the same corpus).
+
+Release bundles travel the same way: :func:`export_run` /
+:func:`import_run` ship a training run (packed shards + attached
+release report + recorded checksums, store/training_run.py) between
+warehouses as one verb — the run manifest's paths are already
+version-dir-relative, so the bundle is a copy of the live version dir
+plus its manifest entry, and ``run.verify()`` holds on the imported
+side because the checksums describe the shipped bytes.
 """
 
 from __future__ import annotations
@@ -83,6 +91,74 @@ def export_index(
                   sort_keys=True)
     os.replace(tmp, os.path.join(dest, "bundle.json"))
     return dest
+
+
+def export_run(
+    runs_dir: str, name: str, dest: str
+) -> str:
+    """Copy the named training run's LIVE version dir to *dest* with a
+    relocatable ``bundle.json`` (the manifest entry — its data/report
+    paths are already relative to the version dir). Returns *dest*."""
+    from queens_spark.store.training_run import run_manifest
+
+    entry = dict(run_manifest(os.path.join(runs_dir, name))["current"])
+    src_tree = os.path.join(runs_dir, name, entry["dir"])
+    if os.path.exists(os.path.join(dest, "bundle.json")):
+        raise ValueError(f"{dest} already holds a bundle")
+    os.makedirs(dest, exist_ok=True)
+    shutil.copytree(
+        src_tree, os.path.join(dest, "tree"), dirs_exist_ok=True
+    )
+    tmp = os.path.join(dest, "bundle.json__tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"kind": "training_run", "entry": entry, "name": name},
+                  fh, sort_keys=True)
+    os.replace(tmp, os.path.join(dest, "bundle.json"))
+    return dest
+
+
+def import_run(
+    runs_dir: str, src: str, name: str | None = None
+) -> str:
+    """Install an exported run bundle under *name* (default: the
+    exported name). Tree copies FIRST, manifest flips LAST; version
+    numbers come from the DESTINATION's counter. An existing run of
+    that name is superseded (its old version dir GC'd post-flip).
+    Returns the installed name — load with ``Engine.training_run``;
+    ``verify()`` re-checks the shipped bytes against the traveled
+    checksums."""
+    from queens_spark.store.training_run import (
+        _read_manifest,
+        _write_manifest,
+    )
+
+    with open(os.path.join(src, "bundle.json")) as fh:
+        bundle = json.load(fh)
+    if bundle.get("kind") != "training_run":
+        raise ValueError(
+            f"not a training-run bundle: kind={bundle.get('kind')!r}"
+        )
+    name = name or bundle["name"]
+    run_dir = os.path.join(runs_dir, name)
+    manifest = _read_manifest(run_dir)
+    version = int(manifest.get("next_version", 1))
+    new_dir = f"v{version:06d}"
+    dst_tree = os.path.join(run_dir, new_dir)
+    if os.path.exists(dst_tree):
+        shutil.rmtree(dst_tree, ignore_errors=True)  # crashed retry
+    shutil.copytree(os.path.join(src, "tree"), dst_tree)
+    entry = dict(bundle["entry"])
+    entry["version"] = version
+    entry["dir"] = new_dir
+    manifest.update(
+        {"current": entry, "next_version": version + 1, "name": name}
+    )
+    _write_manifest(run_dir, manifest)
+    for d in os.listdir(run_dir):
+        full = os.path.join(run_dir, d)
+        if d.startswith("v") and d != new_dir and os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+    return name
 
 
 def import_index(

@@ -1,14 +1,21 @@
 """Stored dedup cluster map (store/cluster_map.py): stored == inline,
-fingerprint staleness, param rebuilds."""
+fingerprint staleness, param rebuilds, and the O(batch) append —
+bit-identical to a full rebuild on the union at the frozen
+(n, threshold, max_df), including growth sequences that MERGE
+pre-existing clusters and flip shingle hotness, with zero old-corpus
+text access."""
 
 from __future__ import annotations
 
 import os
+import random
+import shutil
 
 import pytest
 from pyspark.sql import functions as F
 
 from queens_spark.store.cluster_map import (
+    append_cluster_map,
     build_cluster_map,
     build_or_load_cluster_map,
     load_cluster_map,
@@ -26,6 +33,24 @@ DOCS = [
 @pytest.fixture(scope="module")
 def docs(spark):
     return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _snap(cm):
+    """Order-insensitive snapshot of every served table — the
+    bit-for-bit comparison unit (quality/jaccard doubles compare
+    exactly: both sides run the identical expressions on identical
+    operands)."""
+    members = sorted(
+        (r["doc_id"], r["component_id"], r["quality"])
+        for r in cm.members().collect()
+    )
+    canonical = sorted(
+        (r["component_id"], r["best_doc_id"], r["best_quality"],
+         r["n_members"])
+        for r in cm.canonical().collect()
+    )
+    edges = sorted((r["a"], r["b"]) for r in cm.edges().collect())
+    return members, canonical, edges
 
 
 def test_stored_equals_inline(spark, docs, tmp_path):
@@ -85,9 +110,13 @@ def test_load_serves_without_rebuild_and_fingerprint_gates(
         docs, "text", "doc_id", d, fingerprint="fp-2", threshold=0.5
     )
     assert cm4.entry["version"] == cm3.entry["version"] + 1
-    # superseded version dirs GC'd
-    vdirs = [x for x in os.listdir(d) if x.startswith("v")]
-    assert vdirs == [cm4.entry["dir"]]
+    # superseded segment/graph dirs GC'd after each rebuild's flip
+    live = {s for s in cm4.entry["segments"]} | {cm4.entry["graph"]}
+    on_disk = {
+        x for x in os.listdir(d)
+        if x.startswith(("seg_", "graph_", "v"))
+    }
+    assert on_disk == live
 
 
 def test_engine_cluster_map_verbs(spark, docs, tmp_path):
@@ -105,10 +134,298 @@ def test_engine_cluster_map_verbs(spark, docs, tmp_path):
 def test_crashed_build_retry_succeeds(spark, docs, tmp_path):
     d = str(tmp_path / "cm")
     cm = build_cluster_map(docs, "text", "doc_id", d, threshold=0.6)
-    nxt = os.path.join(d, f"v{cm.entry['version'] + 1:06d}", "members")
+    # simulate a crashed rebuild: junk in the NEXT counter's dirs (the
+    # manifest never pointed at them, so the live map is untouched)
+    nxt = os.path.join(d, f"seg_{cm.entry['next_seg']:06d}", "members")
     os.makedirs(nxt)
     with open(os.path.join(nxt, "part-junk.parquet"), "w") as fh:
         fh.write("crashed")
+    assert load_cluster_map(spark, d).members().count() == docs.count()
     cm2 = build_cluster_map(docs, "text", "doc_id", d, threshold=0.6)
     assert cm2.entry["version"] == cm.entry["version"] + 1
     assert cm2.members().count() == docs.count()
+
+
+# --------------------------------------------------------- O(batch) append
+
+# unigram shingles make Jaccard = word-set overlap — easy to craft
+# exact merge/flip scenarios. threshold 0.5 throughout.
+APPEND_KW = dict(n=1, threshold=0.5)
+
+
+def _build(df, d, **kw):
+    return build_cluster_map(df, "text", "doc_id", d, **APPEND_KW, **kw)
+
+
+def test_append_merges_preexisting_clusters_bit_identical(spark, tmp_path):
+    A = spark.createDataFrame(
+        [
+            (1, "a b c d"), (2, "a b c e"),        # cluster X (J=0.6)
+            (4, "p q r s"), (5, "p q r t"),        # cluster Y (J=0.6)
+            (6, "x y z w"),                          # isolated
+            (8, "a b c d"),                          # exact copy of 1
+        ],
+        ["doc_id", "text"],
+    )
+    B = spark.createDataFrame(
+        [
+            (7, "a b c d p q r s"),   # J=0.5 to BOTH clusters → merge
+            (9, "totally different words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    d = str(tmp_path / "m")
+    cm = _build(A, d, max_df=10)
+    before = {
+        r["doc_id"]: r["component_id"] for r in cm.members().collect()
+    }
+    assert before[1] != before[4]  # two distinct clusters pre-append
+    cm2 = append_cluster_map(B, d, token="t1")
+    rebuilt = _build(A.union(B), str(tmp_path / "r"), max_df=10)
+    assert _snap(cm2) == _snap(rebuilt)
+    after = {
+        r["doc_id"]: r["component_id"] for r in cm2.members().collect()
+    }
+    assert after[1] == after[4] == after[7]  # merged through the batch doc
+    # merged-away component id is tombstoned out of canonical
+    assert before[4] not in {
+        r["component_id"] for r in cm2.canonical().collect()
+    }
+
+
+def test_append_token_replay_noops(spark, tmp_path):
+    A = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
+    )
+    B = spark.createDataFrame([(3, "a b c f")], ["doc_id", "text"])
+    d = str(tmp_path / "m")
+    _build(A, d)
+    cm = append_cluster_map(B, d, token="tok")
+    v, snap = cm.entry["version"], _snap(cm)
+    cm2 = append_cluster_map(B, d, token="tok")
+    assert cm2.entry["version"] == v
+    assert _snap(cm2) == snap
+
+
+def test_append_hot_flip_reevaluates_old_pairs(spark, tmp_path):
+    """The batch pushes shared shingles over the frozen max_df: the
+    stored pair (1,2) loses its rare shingles and must re-qualify (or
+    drop) through the band path, exactly as a rebuild decides it."""
+    A = spark.createDataFrame(
+        [
+            (1, "a b c"), (2, "a b d"),   # J=0.5 via rare {a, b}
+            (3, "m n o u"),
+        ],
+        ["doc_id", "text"],
+    )
+    # df(a)=df(b)=2 at build with max_df=2 → rare; batch flips both hot
+    B = spark.createDataFrame(
+        [(10, "a b x y z w q r")], ["doc_id", "text"]
+    )
+    d = str(tmp_path / "m")
+    cm = _build(A, d, max_df=2)
+    assert (1, 2) in {
+        (r["a"], r["b"]) for r in cm.edges().collect()
+    }
+    cm2 = append_cluster_map(B, d)
+    rebuilt = _build(A.union(B), str(tmp_path / "r"), max_df=2)
+    assert _snap(cm2) == _snap(rebuilt)
+
+
+def test_append_chain_of_three_batches(spark, tmp_path):
+    """Multi-append lineage: every prefix of a 3-batch growth sequence
+    matches its from-scratch rebuild."""
+    batches = [
+        [(1, "a b c d"), (2, "a b c e"), (3, "p q r s")],
+        [(4, "p q r t"), (5, "a b c d")],
+        [(6, "a b c d p q r s"), (7, "solo words nothing shared")],
+    ]
+    d = str(tmp_path / "m")
+    frames = [
+        spark.createDataFrame(rows, ["doc_id", "text"]) for rows in batches
+    ]
+    cm = _build(frames[0], d, max_df=4)
+    acc = frames[0]
+    for i, b in enumerate(frames[1:], start=1):
+        cm = append_cluster_map(b, d, token=f"t{i}")
+        acc = acc.union(b)
+        rebuilt = _build(acc, str(tmp_path / f"r{i}"), max_df=4)
+        assert _snap(cm) == _snap(rebuilt), f"diverged at batch {i}"
+    assert cm.describe()["segments"] == 3
+
+
+def test_append_never_reads_old_corpus_text(spark, tmp_path):
+    """The plan-level guarantee, proven behaviorally: after the build,
+    the source corpus is DELETED — the append must still succeed and
+    still match the rebuild (computed beforehand), because every
+    old-corpus touch reads the match artifacts, never the text."""
+    src = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (4, "p q r s"), (5, "p q r t")],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+    A = spark.read.parquet(src)
+    B = spark.createDataFrame(
+        [(7, "a b c d p q r s")], ["doc_id", "text"]
+    )
+    expected = _snap(_build(A.union(B), str(tmp_path / "r"), max_df=10))
+    d = str(tmp_path / "m")
+    _build(A, d, max_df=10)
+    shutil.rmtree(src)  # the old corpus is GONE
+    cm = append_cluster_map(B, d)
+    assert _snap(cm) == expected
+
+
+def test_append_empty_batch_is_identity(spark, tmp_path):
+    A = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
+    )
+    d = str(tmp_path / "m")
+    cm = _build(A, d)
+    snap = _snap(cm)
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    cm2 = append_cluster_map(empty, d, token="t-empty")
+    assert _snap(cm2) == snap
+    assert cm2.describe()["segments"] == 1
+    # the token still records (exactly-once even for empty redeliveries)
+    cm3 = append_cluster_map(empty, d, token="t-empty")
+    assert _snap(cm3) == snap
+
+
+def test_append_equals_rebuild_property(spark, tmp_path):
+    """Randomized growth sequences over a small vocabulary — exercises
+    exact copies, near-dups, hot flips (tiny max_df), cluster merges,
+    splits-by-flip, and isolated docs in one sweep."""
+    vocab = ["a", "b", "c", "d", "e", "f", "g", "h"]
+    for seed in range(4):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(1, 25):
+            k = rng.randint(0, 6)
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+        cut = rng.randint(6, 18)
+        A = spark.createDataFrame(rows[:cut], ["doc_id", "text"])
+        B = spark.createDataFrame(rows[cut:], ["doc_id", "text"])
+        d = str(tmp_path / f"m{seed}")
+        _build(A, d, max_df=3)
+        cm = append_cluster_map(B, d)
+        rebuilt = _build(
+            A.union(B), str(tmp_path / f"r{seed}"), max_df=3
+        )
+        assert _snap(cm) == _snap(rebuilt), f"seed {seed} diverged"
+
+
+def test_cli_cmap_lifecycle(spark, tmp_path, capsys, monkeypatch):
+    import json
+
+    from queens_spark.cli import main
+    from queens_spark.facade import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    monkeypatch.setenv("QUEENS_SPARK_WAREHOUSE", eng.warehouse.root)
+    src1, src2 = str(tmp_path / "p1"), str(tmp_path / "p2")
+    spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (4, "p q r s"), (5, "p q r t")],
+        ["doc_id", "text"],
+    ).write.parquet(src1)
+    spark.createDataFrame(
+        [(7, "a b c d p q r s")], ["doc_id", "text"]
+    ).write.parquet(src2)
+
+    assert main(["cmap", "build", "m", "--source", src1, "--n", "1",
+                 "--threshold", "0.5", "--max-df", "10"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 4 and out["segments"] == 1
+
+    assert main(["cmap", "append", "m", "--source", src2,
+                 "--token", "t1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 5 and out["segments"] == 2
+
+    assert main(["cmap", "members", "m", "--limit", "10"]) == 0
+    rows = [json.loads(x) for x in
+            capsys.readouterr().out.strip().splitlines()]
+    comp = {r["doc_id"]: r["component_id"] for r in rows}
+    assert comp[1] == comp[4] == comp[7]  # the batch doc merged X and Y
+
+    assert main(["cmap", "canonical", "m"]) == 0
+    assert capsys.readouterr().out.strip()
+    assert main(["cmap", "describe", "m"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["applied_tokens"] == 1
+
+
+def test_compact_then_append_stays_exact(spark, tmp_path):
+    """Compaction is a pure rewrite: serves bit-identical, segments
+    fold to one (plain artifact reads again), and a FURTHER append on
+    the compacted map still equals the full rebuild."""
+    from queens_spark.store.cluster_map import compact_cluster_map
+
+    b1 = [(1, "a b c d"), (2, "a b c e"), (4, "p q r s")]
+    b2 = [(5, "p q r t"), (6, "a b c d")]
+    b3 = [(7, "a b c d p q r s")]
+    f1, f2, f3 = (
+        spark.createDataFrame(rows, ["doc_id", "text"])
+        for rows in (b1, b2, b3)
+    )
+    d = str(tmp_path / "m")
+    _build(f1, d, max_df=4)
+    cm = append_cluster_map(f2, d, token="t1")
+    snap = _snap(cm)
+    assert compact_cluster_map(spark, d) == 2
+    cm2 = load_cluster_map(spark, d)
+    assert cm2.describe()["segments"] == 1
+    assert _snap(cm2) == snap
+    # idempotent no-op on an already-compact map
+    assert compact_cluster_map(spark, d) == 0
+    cm3 = append_cluster_map(f3, d, token="t2")
+    rebuilt = _build(
+        f1.union(f2).union(f3), str(tmp_path / "r"), max_df=4
+    )
+    assert _snap(cm3) == _snap(rebuilt)
+
+
+def test_maintain_compacts_registered_cluster_map(spark, tmp_path):
+    from tests.test_index_registry import _engine_with_indexes, _frame
+
+    eng = _engine_with_indexes(spark, tmp_path)
+    seed = _frame(
+        spark,
+        [(i, f"seed document number {i} alpha beta gamma") for i in range(8)],
+    )
+    eng.build_cluster_map(seed, "text", "doc_id", "cm", n=1, threshold=0.5)
+    eng.register_index("docs", "cluster", "cm")
+    batch = _frame(spark, [(30, "wholly novel content nothing shared")])
+    eng.ingest(
+        batch, "docs", "m1",
+        dedup_text_col="text", dedup_id_col="doc_id", token="tm1",
+    )
+    cm = eng.cluster_map("cm")
+    assert cm.describe()["segments"] == 2
+    snap = sorted(
+        (r["doc_id"], r["component_id"]) for r in cm.members().collect()
+    )
+    report = eng.maintain("docs")
+    assert "cluster:cm" in report["compacted"]
+    cm2 = eng.cluster_map("cm")
+    assert cm2.describe()["segments"] == 1
+    assert cm2.describe()["applied_tokens"] == 0
+    assert sorted(
+        (r["doc_id"], r["component_id"]) for r in cm2.members().collect()
+    ) == snap
+
+
+def test_build_or_load_auto_max_df_matches_stored(spark, docs, tmp_path):
+    """'auto' matches whatever cap the stored map froze; an explicit
+    mismatching int forces a rebuild."""
+    d = str(tmp_path / "cm")
+    cm = build_cluster_map(docs, "text", "doc_id", d, fingerprint="fp")
+    cm2 = build_or_load_cluster_map(
+        docs, "text", "doc_id", d, fingerprint="fp"
+    )
+    assert cm2.entry["version"] == cm.entry["version"]
+    cm3 = build_or_load_cluster_map(
+        docs, "text", "doc_id", d, fingerprint="fp",
+        max_df=cm.entry["max_df"] + 7,
+    )
+    assert cm3.entry["version"] == cm.entry["version"] + 1

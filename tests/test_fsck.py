@@ -135,6 +135,147 @@ def test_tombstone_coverage_overflow_is_an_error(spark, tmp_path):
     )
 
 
+def test_cluster_map_damage(spark, tmp_path):
+    eng = _engine_with_indexes(spark, tmp_path)
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
+    )
+    eng.build_cluster_map(docs, "text", "doc_id", "cm", n=1, threshold=0.5)
+    assert eng.fsck()["healthy"]
+    cm_dir = os.path.join(eng._cluster_maps_dir(), "cm")
+    # orphan dir (crashed append) → warn, still healthy
+    os.makedirs(os.path.join(cm_dir, "seg_000099"))
+    report = eng.fsck()
+    assert report["healthy"]
+    assert any(
+        f["component"] == "cluster_map" and "seg_000099" in f["message"]
+        for f in report["findings"] if f["level"] == "warn"
+    )
+    # dangling segment artifact → error
+    shutil.rmtree(os.path.join(cm_dir, "seg_000001", "members"))
+    report = eng.fsck()
+    assert not report["healthy"]
+    assert any(
+        f["component"] == "cluster_map" and "members" in f["message"]
+        for f in report["findings"] if f["level"] == "error"
+    )
+
+
+def test_rollup_damage(spark, tmp_path):
+    eng = _engine_with_indexes(spark, tmp_path)
+    eng.register_rollup("docs", "by_table", ["table_name"], ["doc_id"])
+    batch = _frame(spark, [(200, "rollup fixture document")])
+    eng.ingest(batch, "docs", "r1")
+    assert eng.fsck()["healthy"]
+    segs = os.path.join(eng._rollups_dir(), "docs", "by_table", "segments")
+    seg = next(d for d in os.listdir(segs) if d.startswith("ingest_"))
+    # crashed partial write (no _SUCCESS) → warn (lazy repair rebuilds)
+    os.remove(os.path.join(segs, seg, "_SUCCESS"))
+    report = eng.fsck()
+    assert report["healthy"]
+    assert any(
+        f["component"] == "rollup" and "_SUCCESS" in f["message"]
+        for f in report["findings"] if f["level"] == "warn"
+    )
+    # segment tree for an unregistered rollup → orphan warn
+    os.makedirs(os.path.join(eng._rollups_dir(), "docs", "ghost"))
+    report = eng.fsck()
+    assert any(
+        f["component"] == "rollup" and "ghost" in f["message"]
+        for f in report["findings"] if f["level"] == "warn"
+    )
+
+
+def test_training_run_damage(spark, tmp_path):
+    eng = _engine_with_indexes(spark, tmp_path)
+    docs = spark.createDataFrame(
+        [(i, f"tiny corpus doc {i} with several words") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    eng.export_training_run(docs, "text", "doc_id", "run1",
+                            seq_len=8, n_shards=2)
+    assert eng.fsck()["healthy"]
+    run_dir = os.path.join(eng._training_runs_dir(), "run1")
+    man = json.load(open(os.path.join(run_dir,
+                                      "training_run_manifest.json")))
+    vdir = os.path.join(run_dir, man["current"]["dir"])
+    shard = sorted(man["current"]["shards"])[0]
+    shutil.rmtree(os.path.join(vdir, "data", f"shard={shard}"))
+    report = eng.fsck()
+    assert not report["healthy"]
+    assert any(
+        f["component"] == "training_run" and f"shard {shard}" in f["message"]
+        for f in report["findings"] if f["level"] == "error"
+    )
+    # counter regression → error
+    man["next_version"] = 0
+    json.dump(man, open(os.path.join(run_dir,
+                                     "training_run_manifest.json"), "w"))
+    report = eng.fsck()
+    assert any(
+        "next_version" in f["message"]
+        for f in report["findings"] if f["level"] == "error"
+    )
+
+
+def test_corpus_profile_damage(spark, tmp_path):
+    eng = _engine_with_indexes(spark, tmp_path)
+    batch = _frame(spark, [(300, "profile fixture document words")])
+    eng.ingest(batch, "docs", "p1",
+               dedup_text_col="text", dedup_id_col="doc_id")
+    assert eng.fsck()["healthy"]
+    ppath = os.path.join(eng._profiles_dir(), "docs",
+                         "corpus_profile.json")
+    prof = json.load(open(ppath))
+    # bucket outside the declared domain → error
+    prof["hist"]["9999"] = 1
+    json.dump(prof, open(ppath, "w"))
+    report = eng.fsck()
+    assert not report["healthy"]
+    assert any(
+        f["component"] == "corpus_profile" and "9999" in f["message"]
+        for f in report["findings"] if f["level"] == "error"
+    )
+    # corrupt file → error (the gate would treat the corpus as empty)
+    with open(ppath, "w") as fh:
+        fh.write("{not json")
+    report = eng.fsck()
+    assert any(
+        f["component"] == "corpus_profile" and "corrupt" in f["message"]
+        for f in report["findings"] if f["level"] == "error"
+    )
+
+
+def test_registry_schema_drift_is_an_error(spark, tmp_path):
+    """#6: a registered index whose ingest columns no longer exist in
+    the collection schema fails at fsck time, not at the next ingest."""
+    from queens_spark.core.schema import CollectionSchema, ColumnSpec
+    from queens_spark.facade import Engine
+
+    eng = _engine_with_indexes(spark, tmp_path)
+    assert eng.fsck()["healthy"]
+    drifted = Engine(
+        spark, eng.warehouse.root,
+        schemas={
+            "docs": CollectionSchema(
+                "docs",
+                [
+                    ColumnSpec("ingest_id", "INTEGER", nullable=False),
+                    ColumnSpec("table_name", "TEXT", nullable=False),
+                    ColumnSpec("doc_id", "INTEGER", nullable=False),
+                    # "text" and "embedding" dropped by schema evolution
+                ],
+            )
+        },
+    )
+    report = drifted.fsck()
+    assert not report["healthy"]
+    msgs = [f["message"] for f in report["findings"]
+            if f["level"] == "error" and f["component"] == "index_registry"]
+    assert any("text" in m for m in msgs)
+    assert any("embedding" in m for m in msgs)
+
+
 def test_cli_fsck_exit_codes(spark, tmp_path, capsys, monkeypatch):
     import shutil as _sh
 

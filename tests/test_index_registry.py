@@ -187,6 +187,76 @@ def test_crash_between_index_flips_resolves_exactly_once(
     assert eng.vector_index("v").pq_codes().count() == 10
 
 
+def test_cluster_map_registry_refresh_and_crash_retry(
+    spark, tmp_path, monkeypatch
+):
+    """Round-12 composition: a registered kind-"cluster" map refreshes
+    inside Engine.ingest like the indexes do, and a crash between the
+    ledger flip and the map's flip resolves exactly once on token
+    redelivery — with the appended map matching a from-scratch rebuild
+    of the full corpus."""
+    import queens_spark.store.cluster_map as cms
+
+    eng = _engine_with_indexes(spark, tmp_path)
+    seed = _frame(
+        spark,
+        [(i, f"seed document number {i} alpha beta gamma") for i in range(8)],
+    )
+    eng.build_cluster_map(seed, "text", "doc_id", "cm", n=1, threshold=0.5)
+    with pytest.raises(FileNotFoundError):
+        eng.register_index("docs", "cluster", "nope")
+    eng.register_index("docs", "cluster", "cm")
+
+    batch = _frame(
+        spark,
+        [
+            (30, "seed document number 0 alpha beta delta"),  # near-dup of 0
+            (31, "wholly novel content nothing shared"),
+        ],
+    )
+    real = cms.append_cluster_map
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before the cluster flip")
+
+    monkeypatch.setattr(cms, "append_cluster_map", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.ingest(
+            batch, "docs", "b3",
+            dedup_text_col="text", dedup_id_col="doc_id", token="t3",
+        )
+    assert eng.cluster_map("cm").describe()["n_docs"] == 8  # not flipped
+    monkeypatch.setattr(cms, "append_cluster_map", real)
+    iid = eng.ingest(
+        batch, "docs", "b3",
+        dedup_text_col="text", dedup_id_col="doc_id", token="t3",
+    )
+    assert iid is not None
+    cm = eng.cluster_map("cm")
+    assert cm.describe()["n_docs"] == 10
+    members = {r["doc_id"]: r["component_id"] for r in cm.members().collect()}
+    assert members[30] == members[0]  # near-dup joined doc 0's cluster
+    # third delivery of the token: full no-op
+    eng.ingest(
+        batch, "docs", "b3",
+        dedup_text_col="text", dedup_id_col="doc_id", token="t3",
+    )
+    assert eng.cluster_map("cm").describe()["n_docs"] == 10
+    # the appended map equals a from-scratch rebuild of the union
+    rebuilt = cms.build_cluster_map(
+        seed.union(batch.select("doc_id", "text", "embedding")).select(
+            "doc_id", "text"
+        ),
+        "text", "doc_id", str(tmp_path / "rebuild"),
+        n=1, threshold=0.5, max_df=cm.entry["max_df"],
+    )
+    assert sorted(
+        (r["doc_id"], r["component_id"]) for r in cm.members().collect()
+    ) == sorted(
+        (r["doc_id"], r["component_id"]) for r in rebuilt.members().collect()
+    )
+
+
 def test_engine_stream_ingest_corpus_registry_driven(spark, tmp_path):
     """Registry-driven streaming: micro-batches screen through the
     collection ledger and land in EVERY registered index; re-crawled

@@ -134,3 +134,48 @@ def test_capped_index_transport_preserves_contract(spark, tmp_path):
     n = idx2.stats()[0]
     hot = idx2.token_stats(top=1).collect()[0]
     assert hot["df_docs"] <= 0.5 * n
+
+
+def test_training_run_export_import_roundtrip(spark, tmp_path):
+    """Round-12 #5: a release bundle (packed shards + attached report
+    + checksums) ships between warehouses as one verb, and verify()
+    holds on the imported side — the checksums describe the shipped
+    bytes, not the source warehouse."""
+    docs = spark.read.parquet(DOCS).where(F.col("doc_id") < 120)
+    src_eng = Engine(spark, str(tmp_path / "staging"))
+    rel = src_eng.export_release(
+        docs, "text", "doc_id", "run1",
+        source_col="source", seq_len=64, n_shards=2,
+    )
+    assert set(rel["report"]) >= {"funnel", "duplication", "vocabulary"}
+    run_src = src_eng.training_run("run1")
+    epoch_before = [
+        r["seq_id"]
+        for r in run_src.epoch("seed-7").select("seq_id").collect()
+    ]
+
+    bundle = str(tmp_path / "bundle")
+    src_eng.export_run("run1", bundle)
+    assert os.path.exists(os.path.join(bundle, "bundle.json"))
+    with pytest.raises(ValueError, match="already holds"):
+        src_eng.export_run("run1", bundle)
+
+    prod_eng = Engine(spark, str(tmp_path / "prod"))
+    assert prod_eng.import_run(bundle) == "run1"
+    run = prod_eng.training_run("run1")
+    # integrity: shard counters + checksums + report tables all green
+    assert all(v == "ok" for v in run.verify().values())
+    # the report traveled and reads back
+    assert "report" in run.entry and run.entry["report"]
+    # deterministic epoch order is engine-portable: same seed, same order
+    assert [
+        r["seq_id"] for r in run.epoch("seed-7").select("seq_id").collect()
+    ] == epoch_before
+    # import under a new name + supersede-on-reimport (version bump)
+    assert prod_eng.import_run(bundle, name="run2") == "run2"
+    assert all(
+        v == "ok" for v in prod_eng.training_run("run2").verify().values()
+    )
+    assert prod_eng.import_run(bundle) == "run1"
+    assert prod_eng.training_run("run1").entry["version"] == 2
+    assert prod_eng.fsck()["healthy"]

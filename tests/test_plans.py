@@ -571,6 +571,21 @@ def test_kmv_sketch_build_has_no_single_task_rank():
     assert "SinglePartition" not in plan, plan
 
 
+def test_stored_ecdf_serves_never_touch_corpus():
+    # q191/q192's claim: thresholds and the CDF serve from the
+    # sources×buckets counter artifact — no documents scan, no
+    # tokenize stage anywhere in the plans.
+    from queens_spark.queries import _ECDF_BPS, _documents_ecdf_store
+    from queens_spark.session import get_spark
+
+    spark = get_spark("queens_spark_tests")
+    st = _documents_ecdf_store(spark, SF_DIR)  # build or load
+    for frame in (st.thresholds(_ECDF_BPS), st.cdf()):
+        plan = plan_of(frame)
+        assert "documents.parquet" not in plan, plan
+        assert "split(" not in plan.lower(), plan
+
+
 def test_stored_sketch_overlap_never_touches_corpus():
     # q185's claim: once built, the overlap matrix serves from the
     # k·groups-row artifact — no documents scan, no shingle stage.

@@ -224,3 +224,17 @@ def test_null_scores_are_dropped_consistently(spark):
     assert (r["n_pos"], r["n_neg"], r["auc_bp"]) == (1, 1, 10000)
     pts = roc_points(df, "score", "pos").collect()
     assert len(pts) == 2  # only the two non-null scores
+
+
+def test_score_magnitude_guard_fails_loudly(spark):
+    """Scores at or above 2^53 would silently lose precision in the
+    double-based ordinal — the generic API must raise, not misrank."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    ok = _auc(spark, [((1 << 53) - 1, True), (1, False)])
+    assert ok["auc_bp"] == 10000  # just-inside bound still exact
+    bad = spark.createDataFrame(
+        [(1 << 53, True), (1, False)], "score bigint, pos boolean"
+    )
+    with pytest.raises(SparkRuntimeException, match="2\\^53"):
+        binary_auc_bp(bad, "score", "pos").collect()
