@@ -254,6 +254,30 @@ def build_parser() -> argparse.ArgumentParser:
     cmp_.add_argument("--limit", type=int, default=20,
                       help="rows printed by members/canonical/edges")
 
+    ec = sub.add_parser(
+        "ecdf",
+        help="persisted mergeable ECDF profile: build/append a "
+             "per-group fixed-grid histogram-CDF over a parquet "
+             "source; percentile thresholds, the CDF table, and the "
+             "drift matrix serve from the stored counters with no "
+             "corpus touch",
+    )
+    ec.add_argument("action",
+                    choices=["build", "append", "describe", "cdf",
+                             "thresholds", "drift"])
+    ec.add_argument("name", help="store name in the warehouse manifest")
+    ec.add_argument("--source", default=None,
+                    help="parquet path (build/append)")
+    ec.add_argument("--group-col", default="source")
+    ec.add_argument("--value-sql", default=None,
+                    help="Spark-SQL value expression (build)")
+    ec.add_argument("--width", type=int, default=50)
+    ec.add_argument("--n-buckets", type=int, default=40)
+    ec.add_argument("--bp", default="2500,5000,9000",
+                    help="thresholds: comma-separated basis points")
+    ec.add_argument("--token", default=None,
+                    help="append: idempotency token (replay no-ops)")
+
     fs = sub.add_parser(
         "fsck",
         help="read-only consistency audit of the retrieval storage "
@@ -502,6 +526,8 @@ def _run(args) -> int:
         return _run_skstore(spark, engine, args)
     elif args.command == "cmap":
         return _run_cmap(spark, engine, args)
+    elif args.command == "ecdf":
+        return _run_ecdf(spark, engine, args)
     elif args.command == "fsck":
         rep = engine.fsck()
         if args.quiet:
@@ -951,6 +977,47 @@ def _run_cmap(spark, engine, args) -> int:
         cm = engine.cluster_map(args.name)
         frame = getattr(cm, args.action)()
         for r in frame.limit(args.limit).collect():
+            print(_json.dumps(r.asDict()))
+    return 0
+
+
+def _run_ecdf(spark, engine, args) -> int:
+    import json as _json
+
+    if args.action == "build":
+        if not args.source or not args.value_sql:
+            print("build needs --source and --value-sql", file=sys.stderr)
+            return 2
+        st = engine.build_ecdf_store(
+            spark.read.parquet(args.source), args.group_col,
+            args.value_sql, args.name,
+            width=args.width, n_buckets=args.n_buckets,
+        )
+        print(_json.dumps(st.describe()))
+    elif args.action == "append":
+        if not args.source:
+            print("append needs --source", file=sys.stderr)
+            return 2
+        st = engine.append_ecdf_store(
+            spark.read.parquet(args.source), args.name, token=args.token
+        )
+        print(_json.dumps(st.describe()))
+    elif args.action == "describe":
+        print(_json.dumps(engine.ecdf_store(args.name).describe()))
+    elif args.action == "cdf":
+        for r in engine.ecdf_store(args.name).cdf().collect():
+            print(_json.dumps(r.asDict()))
+    elif args.action == "thresholds":
+        bps = {f"p{int(b) // 100}": int(b) for b in args.bp.split(",")}
+        rows = engine.ecdf_store(args.name).thresholds(bps).collect()
+        for r in rows:
+            print(_json.dumps(r.asDict()))
+    elif args.action == "drift":
+        from queens_spark.operators.drift import drift_from_count_frame
+
+        st = engine.ecdf_store(args.name)
+        rows = drift_from_count_frame(st.hist(), st.group_col).collect()
+        for r in rows:
             print(_json.dumps(r.asDict()))
     return 0
 

@@ -10277,6 +10277,37 @@ def q192_stored_token_cdf(spark, sf_dir):
     return st.cdf()
 
 
+def _stored_drift_oracle() -> str:
+    from queens_spark.operators.drift import duckdb_drift_from_counts_sql
+
+    w, nb = _ECDF_WIDTH, _ECDF_BUCKETS
+    counts = f"""
+      SELECT source,
+             least(CAST(len({_DUCK_TOKS}) AS BIGINT) // {w},
+                   {nb - 1}) AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    """
+    return duckdb_drift_from_counts_sql(counts, "source")
+
+
+@register("q193_stored_source_drift", _stored_drift_oracle())
+def q193_stored_source_drift(spark, sf_dir):
+    """Per-source token-length drift vs the pooled corpus profile,
+    computed ENTIRELY from the stored ECDF grid (q191's artifact,
+    third consumer): the source histograms AND the pooled reference
+    both derive from the same sources×buckets counters, so the whole
+    drift matrix — the "which source's length mix looks wrong"
+    dashboard — costs zero corpus touch (plan-gated) and stays fresh
+    through the store's O(batch) appends. Same exact ppm chi-square as
+    q165 (operators/drift.py); the oracle recomputes the histogram
+    inline from the corpus."""
+    from queens_spark.operators.drift import drift_from_count_frame
+
+    st = _documents_ecdf_store(spark, sf_dir)
+    return drift_from_count_frame(st.hist(), "source")
+
+
 @register("q190_stored_distinct", _kmv_stored_distinct_oracle())
 def q190_stored_distinct(spark, sf_dir):
     """Per-source distinct-shingle estimates SERVED from the persisted

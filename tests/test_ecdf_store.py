@@ -151,6 +151,42 @@ def test_registry_refresh_inside_ingest(spark, tmp_path):
     ) == after
 
 
+def test_cli_ecdf_lifecycle(spark, tmp_path, capsys, monkeypatch):
+    import json
+
+    from queens_spark.cli import main
+    from queens_spark.facade import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    monkeypatch.setenv("QUEENS_SPARK_WAREHOUSE", eng.warehouse.root)
+    src1, src2 = str(tmp_path / "p1"), str(tmp_path / "p2")
+    _frame(spark, [("a", v) for v in range(10)]).write.parquet(src1)
+    _frame(spark, [("b", 3), ("a", 99)]).write.parquet(src2)
+
+    assert main(["ecdf", "build", "e", "--source", src1,
+                 "--group-col", "g", "--value-sql", VAL,
+                 "--width", "2", "--n-buckets", "10"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_groups"] == 1 and out["version"] == 1
+
+    assert main(["ecdf", "append", "e", "--source", src2,
+                 "--token", "t1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_groups"] == 2 and out["version"] == 2
+
+    assert main(["ecdf", "thresholds", "e", "--bp", "5000"]) == 0
+    rows = [json.loads(x) for x in
+            capsys.readouterr().out.strip().splitlines()]
+    by = {r["g"]: r for r in rows}
+    assert by["b"]["value_lt"] == 4  # single value 3 → bucket 1 edge
+    assert main(["ecdf", "cdf", "e"]) == 0
+    assert capsys.readouterr().out.strip()
+    assert main(["ecdf", "drift", "e"]) == 0
+    drift = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert {r["g"] for r in drift} == {"a", "b"}
+
+
 def test_fsck_covers_ecdf_store(spark, tmp_path):
     import os
     import shutil

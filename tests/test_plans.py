@@ -579,8 +579,14 @@ def test_stored_ecdf_serves_never_touch_corpus():
     from queens_spark.session import get_spark
 
     spark = get_spark("queens_spark_tests")
+    from queens_spark.operators.drift import drift_from_count_frame
+
     st = _documents_ecdf_store(spark, SF_DIR)  # build or load
-    for frame in (st.thresholds(_ECDF_BPS), st.cdf()):
+    for frame in (
+        st.thresholds(_ECDF_BPS),
+        st.cdf(),
+        drift_from_count_frame(st.hist(), "source"),  # q193's shape
+    ):
         plan = plan_of(frame)
         assert "documents.parquet" not in plan, plan
         assert "split(" not in plan.lower(), plan
