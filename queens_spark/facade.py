@@ -539,23 +539,30 @@ class Engine:
             .orderBy(F.desc("rrf_e12"), F.asc("doc"))
         )
 
+    def _transport_dir(self, kind: str) -> str:
+        return {
+            "text": self._text_index_dir(),
+            "vector": self._vector_index_dir(),
+            "sketch": self._sketch_store_dir(),
+            "ecdf": self._ecdf_store_dir(),
+        }[kind]
+
     def export_index(self, kind: str, name: str, dest: str) -> str:
-        """Ship the named stored index as a self-contained relocatable
-        bundle (artifacts + rebased manifest entry) — the
-        promote/backup flow: validate in staging, copy ARTIFACTS to
-        prod, never rebuild (store/index_transport.py)."""
+        """Ship a stored index/profile ("text"/"vector"/"sketch"/
+        "ecdf") as a self-contained relocatable bundle (artifacts +
+        rebased manifest entry) — the promote/backup flow: validate in
+        staging, copy ARTIFACTS to prod, never rebuild
+        (store/index_transport.py). Cluster maps ship via
+        :meth:`export_map`."""
         from queens_spark.store.index_transport import export_index
 
-        d = (
-            self._text_index_dir() if kind == "text"
-            else self._vector_index_dir()
-        )
-        return export_index(d, name, dest, kind=kind)
+        return export_index(self._transport_dir(kind), name, dest,
+                            kind=kind)
 
     def import_index(self, src: str, name: str | None = None) -> str:
         """Install an exported bundle into THIS warehouse (tree copies
-        first, manifest flips last); serves immediately via
-        :meth:`text_index` / :meth:`vector_index`."""
+        first, manifest flips last); serves immediately via the
+        matching load verb."""
         import json as _json
         import os
 
@@ -563,11 +570,22 @@ class Engine:
 
         with open(os.path.join(src, "bundle.json")) as fh:
             kind = _json.load(fh)["kind"]
-        d = (
-            self._text_index_dir() if kind == "text"
-            else self._vector_index_dir()
-        )
-        return import_index(d, src, name=name)
+        return import_index(self._transport_dir(kind), src, name=name)
+
+    def export_map(self, name: str, dest: str) -> str:
+        """Ship a stored cluster map as a relocatable bundle — the
+        match artifacts travel too, so the destination can APPEND
+        without reclustering (store/index_transport.py:export_map)."""
+        from queens_spark.store.index_transport import export_map
+
+        return export_map(self._cluster_maps_dir(), name, dest)
+
+    def import_map(self, src: str, name: str | None = None) -> str:
+        """Install an exported cluster-map bundle; serves via
+        :meth:`cluster_map` and accepts further appends immediately."""
+        from queens_spark.store.index_transport import import_map
+
+        return import_map(self._cluster_maps_dir(), src, name=name)
 
     def export_run(self, name: str, dest: str) -> str:
         """Ship a training run (packed shards + attached release

@@ -189,6 +189,106 @@ def duckdb_mixture_sample_cte(
     """
 
 
+def _exact_isqrt_from_float(n: int) -> int:
+    """floor(√n) computed the way an engine without integer sqrt can:
+    IEEE double sqrt, floored, then corrected down if the rounding
+    crossed an integer (w² > n). Correctly-rounded sqrt is within
+    0.5 ulp, so the floor is off by AT MOST +1 — the single correction
+    makes this exactly ⌊√n⌋ for every n < 2⁵³, and the DuckDB twin
+    applies the identical correction, so both engines agree even on
+    the k²−1 boundary values where bare floor(sqrt(…)) rounds up."""
+    import math
+
+    w = int(math.floor(math.sqrt(float(n))))
+    return w - 1 if w * w > n else w
+
+
+def temperature_weights_ppm(
+    df: DataFrame, strata_col: str
+) -> dict[str, int]:
+    """Temperature-smoothed (α = ½) mixture weights from the corpus's
+    own composition — the multilingual-pretraining resampling rule
+    (sample p_s ∝ share_s^α with α < 1): big sources get down-weighted,
+    small sources up-weighted, so the head stops drowning the tail
+    without hand-tuning per-source weights. w_s = ⌊√n_s⌋ normalized to
+    parts-per-million with floor division; strata whose normalized
+    weight floors to 0 are dropped (they would zero the feasible
+    total). Exact integer arithmetic end-to-end (the corrected
+    floor-sqrt above), so the DuckDB twin reproduces the weights, the
+    feasible total, and the membership bit-for-bit.
+
+    One counter-width groupBy-count collect (|strata| rows — the
+    model-scale pattern); compose with :func:`mixture_sample`, which
+    adds the map-side hash filter and never shuffles the corpus."""
+    counts = {
+        r[0]: int(r[1])
+        for r in df.groupBy(strata_col).count().collect()
+        if r[0] is not None
+    }
+    if not counts:
+        raise ValueError("temperature_weights_ppm: no strata in the data")
+    raw = {s: _exact_isqrt_from_float(n) for s, n in counts.items()}
+    wsum = sum(raw.values())
+    weights = {
+        s: (w * PPM) // wsum for s, w in raw.items() if (w * PPM) // wsum > 0
+    }
+    return weights
+
+
+def temperature_mixture(
+    df: DataFrame, key_col: str, strata_col: str, salt: int = 0
+) -> DataFrame:
+    """α = ½ temperature-resampled training mixture: smoothed weights
+    from :func:`temperature_weights_ppm` fed through
+    :func:`mixture_sample`'s max-feasible deterministic sampler."""
+    return mixture_sample(
+        df, key_col, strata_col,
+        temperature_weights_ppm(df, strata_col), salt=salt,
+    )
+
+
+def duckdb_temperature_mixture_cte(
+    table: str, key_expr: str, strata_col: str, salt: int = 0
+) -> str:
+    """DuckDB twin of :func:`temperature_mixture`: recomputes the
+    corrected floor-sqrt weights, the ppm normalization (dropping
+    zero-weight strata), the feasible total, and the per-stratum
+    thresholds in exact integer SQL, then filters by the shared hash
+    bucket."""
+    return f"""
+    WITH cnt AS (
+      SELECT {strata_col}, CAST(count(*) AS BIGINT) AS n
+      FROM {table} WHERE {strata_col} IS NOT NULL GROUP BY 1
+    ),
+    w0 AS (
+      SELECT {strata_col}, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wr0
+      FROM cnt
+    ),
+    wr AS (
+      SELECT {strata_col}, n,
+             CASE WHEN wr0 * wr0 > n THEN wr0 - 1 ELSE wr0 END AS wr
+      FROM w0
+    ),
+    wp AS (
+      SELECT {strata_col}, n,
+             wr * {PPM} // (SELECT SUM(wr) FROM wr) AS wppm
+      FROM wr
+    ),
+    live AS (SELECT * FROM wp WHERE wppm > 0),
+    t AS (SELECT min(n * {PPM} // wppm) AS feasible FROM live),
+    tau AS (
+      SELECT {strata_col},
+             ((wppm * (SELECT feasible FROM t) // {PPM}) * {BUCKETS}) // n
+               AS tau_bp
+      FROM live
+    )
+    SELECT d.* FROM {table} d
+    JOIN tau ON d.{strata_col} = tau.{strata_col}
+    WHERE {duckdb_hash_bucket(key_expr, salt)} < tau_bp
+    """
+
+
 def weighted_hash_sample(
     df: DataFrame,
     key_col: str,

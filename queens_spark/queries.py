@@ -10308,6 +10308,35 @@ def q193_stored_source_drift(spark, sf_dir):
     return drift_from_count_frame(st.hist(), "source")
 
 
+def _temperature_mixture_oracle() -> str:
+    from queens_spark.operators.sampling import (
+        duckdb_temperature_mixture_cte,
+    )
+
+    inner = duckdb_temperature_mixture_cte("documents", "doc_id", "source")
+    return f"SELECT doc_id, source FROM ({inner})"
+
+
+@register("q194_temperature_mixture", _temperature_mixture_oracle())
+def q194_temperature_mixture(spark, sf_dir):
+    """Temperature-resampled training mixture (α = ½ — the
+    multilingual-pretraining smoothing rule): per-source weights
+    derive from the corpus's OWN composition as ⌊√n_s⌋ normalized to
+    ppm, so dominant sources down-weight and tail sources up-weight
+    without hand-tuned targets, then q65's max-feasible deterministic
+    sampler realizes the mix (stable per-key hash membership — same
+    rows on any engine at any parallelism). Exactness discipline: the
+    float sqrt is corrected down when IEEE rounding crosses an integer
+    (w² > n), making the weights ⌊√n⌋ exactly on both engines. One
+    counter-width count + a map-side hash filter; the corpus never
+    shuffles."""
+    from queens_spark.operators.sampling import temperature_mixture
+
+    return temperature_mixture(
+        load(spark, sf_dir, "documents"), "doc_id", "source"
+    ).select("doc_id", "source")
+
+
 @register("q190_stored_distinct", _kmv_stored_distinct_oracle())
 def q190_stored_distinct(spark, sf_dir):
     """Per-source distinct-shingle estimates SERVED from the persisted

@@ -56,8 +56,15 @@ def _manifest_io(kind: str):
         from queens_spark.store import text_index as m
     elif kind == "vector":
         from queens_spark.store import vector_index as m
+    elif kind == "sketch":
+        from queens_spark.store import sketch_store as m
+    elif kind == "ecdf":
+        from queens_spark.store import ecdf_store as m
     else:
-        raise ValueError(f"kind must be 'text' or 'vector', got {kind!r}")
+        raise ValueError(
+            f"kind must be one of 'text', 'vector', 'sketch', 'ecdf'; "
+            f"got {kind!r}"
+        )
     return m
 
 
@@ -91,6 +98,67 @@ def export_index(
                   sort_keys=True)
     os.replace(tmp, os.path.join(dest, "bundle.json"))
     return dest
+
+
+def export_map(cluster_dir: str, name: str, dest: str) -> str:
+    """Ship a cluster map: its manifest references segment/graph dirs
+    by NAME (relative to the map dir), so the bundle is the map tree
+    as-is — only the idempotency tokens are stripped (meaningful only
+    against the source warehouse's ledger)."""
+    from queens_spark.store.cluster_map import (
+        MANIFEST_NAME as CM_MANIFEST,
+        _read_manifest as _read_cm,
+    )
+
+    src_tree = os.path.join(cluster_dir, name)
+    manifest = _read_cm(src_tree)
+    if not manifest.get("current"):
+        raise FileNotFoundError(f"no cluster map {name!r} in {cluster_dir}")
+    if os.path.exists(os.path.join(dest, "bundle.json")):
+        raise ValueError(f"{dest} already holds a bundle")
+    os.makedirs(dest, exist_ok=True)
+    shutil.copytree(
+        src_tree, os.path.join(dest, "tree"), dirs_exist_ok=True
+    )
+    manifest = dict(manifest)
+    manifest["current"] = dict(manifest["current"])
+    manifest["current"]["applied_tokens"] = []
+    tmp = os.path.join(dest, "tree", CM_MANIFEST + "__tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+    os.replace(tmp, os.path.join(dest, "tree", CM_MANIFEST))
+    tmp = os.path.join(dest, "bundle.json__tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"kind": "cluster_map", "name": name}, fh, sort_keys=True)
+    os.replace(tmp, os.path.join(dest, "bundle.json"))
+    return dest
+
+
+def import_map(cluster_dir: str, src: str, name: str | None = None) -> str:
+    """Install an exported cluster-map bundle under *name*. The copy
+    lands in a staging dir first; the install is two renames (previous
+    map aside, staging in). A crash between the renames leaves the
+    previous map intact under ``<name>__old`` for manual recovery —
+    the only non-atomic window in the transport tier, noted here
+    because the map's manifest lives INSIDE its directory."""
+    with open(os.path.join(src, "bundle.json")) as fh:
+        bundle = json.load(fh)
+    if bundle.get("kind") != "cluster_map":
+        raise ValueError(
+            f"not a cluster-map bundle: kind={bundle.get('kind')!r}"
+        )
+    name = name or bundle["name"]
+    dst = os.path.join(cluster_dir, name)
+    staging = dst + "__import_tmp"
+    old = dst + "__old"
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.copytree(os.path.join(src, "tree"), staging)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(dst):
+        os.replace(dst, old)
+    os.replace(staging, dst)
+    shutil.rmtree(old, ignore_errors=True)
+    return name
 
 
 def export_run(

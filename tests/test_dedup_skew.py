@@ -494,3 +494,34 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components(nodes, pairs, "doc_id", max_iter=3,
                              driver_threshold=0)
     release_caches()
+
+
+def test_temperature_weights_exact_isqrt_and_smoothing(spark):
+    """α=½ smoothing: weights are exactly ⌊√n⌋-normalized (incl. the
+    k²−1 values where bare floor(sqrt()) would round up), and the big
+    stratum's OUTPUT share shrinks vs its corpus share."""
+    import math
+
+    from queens_spark.operators.sampling import (
+        _exact_isqrt_from_float,
+        temperature_mixture,
+        temperature_weights_ppm,
+    )
+
+    for n in [0, 1, 2, 3, 4, 8, 9, 10, 15, 16, 24, 25,
+              10**8 - 1, 10**8, (2**26 - 1) ** 2 - 1, (2**26 - 1) ** 2]:
+        assert _exact_isqrt_from_float(n) == math.isqrt(n), n
+
+    rows = [(i, "big") for i in range(900)] + [
+        (10_000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k long, s string")
+    w = temperature_weights_ppm(df, "s")
+    # ⌊√900⌋=30, ⌊√100⌋=10 → 750000 / 250000 ppm
+    assert w == {"big": 750_000, "small": 250_000}
+    out = temperature_mixture(df, "k", "s")
+    got = {r["s"]: r["n"] for r in out.groupBy("s").count()
+           .withColumnRenamed("count", "n").collect()}
+    # corpus share of "big" is 90%; smoothed target is 75%
+    share = got["big"] / (got["big"] + got["small"])
+    assert 0.70 <= share <= 0.80, got

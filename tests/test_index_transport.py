@@ -179,3 +179,71 @@ def test_training_run_export_import_roundtrip(spark, tmp_path):
     assert prod_eng.import_run(bundle) == "run1"
     assert prod_eng.training_run("run1").entry["version"] == 2
     assert prod_eng.fsck()["healthy"]
+
+
+def test_sketch_and_ecdf_store_transport_roundtrip(spark, tmp_path):
+    """Single-artifact stores ship with the same rebase treatment —
+    serves bit-identical, appends keep working on the imported side."""
+    src_eng = Engine(spark, str(tmp_path / "staging"))
+    rows = spark.createDataFrame(
+        [("a", v) for v in range(30)] + [("b", v) for v in range(10, 50)],
+        "g string, v bigint",
+    )
+    src_eng.build_sketch_store(rows, "g", "v", "s", k=8)
+    src_eng.build_ecdf_store(rows, "g", "v + 0", "e", width=5,
+                             n_buckets=12)
+    sk_before = sorted(map(tuple, src_eng.sketch_store("s")
+                           .distinct_estimates().collect()))
+    ec_before = sorted(map(tuple, src_eng.ecdf_store("e").cdf().collect()))
+
+    b1, b2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    src_eng.export_index("sketch", "s", b1)
+    src_eng.export_index("ecdf", "e", b2)
+    prod_eng = Engine(spark, str(tmp_path / "prod"))
+    assert prod_eng.import_index(b1) == "s"
+    assert prod_eng.import_index(b2) == "e"
+    assert sorted(map(tuple, prod_eng.sketch_store("s")
+                      .distinct_estimates().collect())) == sk_before
+    assert sorted(map(tuple, prod_eng.ecdf_store("e")
+                      .cdf().collect())) == ec_before
+    # appends keep working on the imported side (destination versions)
+    more = spark.createDataFrame([("a", 999)], "g string, v bigint")
+    prod_eng.append_sketch_store(more, "s", token="t1")
+    prod_eng.append_ecdf_store(more, "e", token="t1")
+    assert prod_eng.fsck()["healthy"]
+
+
+def test_cluster_map_transport_appendable_roundtrip(spark, tmp_path):
+    """The cluster map ships WITH its match artifacts, so the
+    destination warehouse appends new batches without reclustering —
+    and the appended result still equals a full rebuild of the union."""
+    from queens_spark.store.cluster_map import build_cluster_map
+
+    A = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (4, "p q r s"), (5, "p q r t")],
+        ["doc_id", "text"],
+    )
+    B = spark.createDataFrame([(7, "a b c d p q r s")], ["doc_id", "text"])
+    src_eng = Engine(spark, str(tmp_path / "staging"))
+    src_eng.build_cluster_map(A, "text", "doc_id", "cm", n=1,
+                              threshold=0.5, max_df=10)
+    bundle = str(tmp_path / "bundle")
+    src_eng.export_map("cm", bundle)
+    with pytest.raises(ValueError, match="already holds"):
+        src_eng.export_map("cm", bundle)
+
+    prod_eng = Engine(spark, str(tmp_path / "prod"))
+    assert prod_eng.import_map(bundle) == "cm"
+    cm = prod_eng.append_cluster_map(B, "cm", token="t1")
+    rebuilt = build_cluster_map(
+        A.union(B), "text", "doc_id", str(tmp_path / "rebuild"),
+        n=1, threshold=0.5, max_df=10,
+    )
+    for table in ("members", "canonical", "edges"):
+        assert sorted(map(tuple, getattr(cm, table)().collect())) == \
+            sorted(map(tuple, getattr(rebuilt, table)().collect())), table
+    # tokens did not travel; re-import over an existing name supersedes
+    assert cm.entry["applied_tokens"] == ["t1"]
+    assert prod_eng.import_map(bundle) == "cm"
+    assert prod_eng.cluster_map("cm").describe()["n_docs"] == 4
+    assert prod_eng.fsck()["healthy"]
