@@ -10171,13 +10171,18 @@ _ECDF_BPS = {"p25": 2500, "p50": 5000, "p90": 9000}
 _ECDF_TOK_SQL = r"size(filter(split(text, '\\s+'), x -> x != ''))"
 
 
-def _documents_ecdf_store(spark, sf_dir):
-    """Stored per-source token-length ECDF for the sf_dir's documents
+def _documents_ecdf_store(
+    spark, sf_dir, name="tok_len", value_sql=None, width=None, n_buckets=None
+):
+    """Stored per-source ECDF profiles for the sf_dir's documents
     table (store/ecdf_store.py) — the deployment shape of percentile
     calibration and drift baselines: the FIRST run per corpus pays one
     histogram pass and persists sources×buckets counters; every later
     run serves thresholds/CDFs from the artifact with NO corpus touch.
-    Fingerprint = corpus file stat (the _embeddings_index convention)."""
+    Default = the token-length grid (q191/q192/q193); q195 profiles
+    the quality score through the same store with its own value
+    expression. Fingerprint = corpus file stat (the _embeddings_index
+    convention)."""
     import hashlib
     import os
     import tempfile
@@ -10191,11 +10196,11 @@ def _documents_ecdf_store(spark, sf_dir):
     return build_or_load_ecdf_store(
         load(spark, sf_dir, "documents"),
         "source",
-        _ECDF_TOK_SQL,
+        value_sql if value_sql is not None else _ECDF_TOK_SQL,
         store_dir,
-        "tok_len",
-        width=_ECDF_WIDTH,
-        n_buckets=_ECDF_BUCKETS,
+        name,
+        width=width if width is not None else _ECDF_WIDTH,
+        n_buckets=n_buckets if n_buckets is not None else _ECDF_BUCKETS,
         fingerprint=source_fingerprint(src),
     )
 
@@ -10306,6 +10311,94 @@ def q193_stored_source_drift(spark, sf_dir):
 
     st = _documents_ecdf_store(spark, sf_dir)
     return drift_from_count_frame(st.hist(), "source")
+
+
+# Quality-grid constants (q195): quality ∈ [0,1] scales to integer
+# basis points before bucketing, so the grid arithmetic stays
+# integer-exact; the double→floor step is identical-formula IEEE math
+# on both engines (quality_score uses only +,-,*,/ in a fixed order).
+_QUALITY_GRID_WIDTH = 250
+_QUALITY_GRID_BUCKETS = 41
+_QUALITY_BPS = {"p10": 1000, "p50": 5000}
+_QUALITY_TOKS_SQL = r"filter(split(text, '\\s+'), x -> x != '')"
+_QUALITY_VALUE_SQL = (
+    "CAST(floor(("
+    "0.4 * least(CAST(size(" + _QUALITY_TOKS_SQL + ") AS DOUBLE) / 100.0, 1.0)"
+    " + 0.3 * (1.0 - (CASE WHEN length(text) > 0 THEN "
+    "CAST(length(text) - length(regexp_replace(text, "
+    r"'[^A-Za-z0-9\\s]', '')) AS DOUBLE) / CAST(length(text) AS DOUBLE) "
+    "ELSE 0.0 END))"
+    " + 0.3 * (CASE WHEN size(" + _QUALITY_TOKS_SQL + ") > 0 THEN "
+    "CAST(size(array_distinct(" + _QUALITY_TOKS_SQL + ")) AS DOUBLE) / "
+    "CAST(size(" + _QUALITY_TOKS_SQL + ") AS DOUBLE) ELSE 0.0 END)"
+    ") * 10000) AS BIGINT)"
+)
+
+
+def _quality_thresholds_oracle() -> str:
+    w, nb = _QUALITY_GRID_WIDTH, _QUALITY_GRID_BUCKETS
+    quality = f"""0.4 * least(CAST(len({_DUCK_TOKS}) AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * (1.0 - CASE WHEN length(text) > 0
+                THEN CAST(length(text) -
+                     length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+                     AS DOUBLE) / length(text) ELSE 0.0 END)
+           + 0.3 * (CASE WHEN len({_DUCK_TOKS}) > 0
+                THEN CAST(len(list_distinct({_DUCK_TOKS})) AS DOUBLE)
+                     / len({_DUCK_TOKS}) ELSE 0.0 END)"""
+    parts = [
+        f"""
+        SELECT source, '{name}' AS threshold,
+               CAST({bp} AS BIGINT) AS bp,
+               CAST((bucket + 1) * {w} AS BIGINT) AS value_lt,
+               CAST(cum_n * 10000 // total AS BIGINT) AS covered_bp
+        FROM (
+          SELECT source, bucket, cum_n, total,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY bucket) AS rn
+          FROM c WHERE cum_n * 10000 >= {bp} * total
+        ) WHERE rn = 1
+        """
+        for name, bp in sorted(_QUALITY_BPS.items())
+    ]
+    return f"""
+    WITH q AS (
+      SELECT source,
+             CAST(floor(({quality}) * 10000) AS BIGINT) AS qbp
+      FROM documents
+    ), h AS (
+      SELECT source, least(qbp // {w}, {nb - 1}) AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM q GROUP BY 1, 2
+    ), c AS (
+      SELECT source, bucket, n,
+             CAST(SUM(n) OVER (PARTITION BY source ORDER BY bucket)
+                  AS BIGINT) AS cum_n,
+             CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS total
+      FROM h
+    )
+    """ + " UNION ALL ".join(parts)
+
+
+@register("q195_stored_quality_floors", _quality_thresholds_oracle())
+def q195_stored_quality_floors(spark, sf_dir):
+    """Per-source QUALITY floors served from a second stored ECDF
+    instance (the store is generic over its manifest value
+    expression): quality_score scales to integer basis points
+    (identical-formula IEEE double math on both engines, then an exact
+    floor), profiles into a 41-bucket grid per source, and the p10/p50
+    floors — "the quality level a source's worst decile sits under",
+    the cross-source calibration q151 computes with exact ranks —
+    serve from the artifact with zero corpus touch and stay fresh
+    through O(batch) appends. The oracle recomputes the scaled
+    histogram inline from the corpus."""
+    st = _documents_ecdf_store(
+        spark, sf_dir,
+        name="quality",
+        value_sql=_QUALITY_VALUE_SQL,
+        width=_QUALITY_GRID_WIDTH,
+        n_buckets=_QUALITY_GRID_BUCKETS,
+    )
+    return st.thresholds(_QUALITY_BPS)
 
 
 def _temperature_mixture_oracle() -> str:

@@ -292,6 +292,32 @@ def test_append_empty_batch_is_identity(spark, tmp_path):
     assert _snap(cm3) == snap
 
 
+def test_append_with_smaller_ids_rewrites_reps(spark, tmp_path):
+    """Batch ids below the old id range: the exact-copy rep (min id
+    per fingerprint) and near-pair orientation (id_a < id_b) both
+    change for existing docs — the append must rewrite them exactly
+    as the rebuild would."""
+    A = spark.createDataFrame(
+        [(10, "a b c d"), (11, "a b c d"), (12, "a b c e"),
+         (20, "p q r s")],
+        ["doc_id", "text"],
+    )
+    # 5 is an exact copy of 10/11 (rep moves 10 → 5); 6 near-dups 12
+    B = spark.createDataFrame(
+        [(5, "a b c d"), (6, "a b c f")], ["doc_id", "text"]
+    )
+    d = str(tmp_path / "m")
+    cm = _build(A, d, max_df=10)
+    assert (10, 11) in {(r["a"], r["b"]) for r in cm.edges().collect()}
+    cm2 = append_cluster_map(B, d)
+    rebuilt = _build(A.union(B), str(tmp_path / "r"), max_df=10)
+    assert _snap(cm2) == _snap(rebuilt)
+    edges = {(r["a"], r["b"]) for r in cm2.edges().collect()}
+    assert (5, 10) in edges and (5, 11) in edges  # new rep fans out
+    after = {r["doc_id"]: r["component_id"] for r in cm2.members().collect()}
+    assert after[10] == after[5] == 5  # component min follows the new id
+
+
 def test_append_equals_rebuild_property(spark, tmp_path):
     """Randomized growth sequences over a small vocabulary — exercises
     exact copies, near-dups, hot flips (tiny max_df), cluster merges,
@@ -299,8 +325,10 @@ def test_append_equals_rebuild_property(spark, tmp_path):
     vocab = ["a", "b", "c", "d", "e", "f", "g", "h"]
     for seed in range(4):
         rng = random.Random(seed)
+        ids = list(range(1, 25))
+        rng.shuffle(ids)  # batch ids interleave BELOW and above old ids
         rows = []
-        for i in range(1, 25):
+        for i in ids:
             k = rng.randint(0, 6)
             rows.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
         cut = rng.randint(6, 18)
