@@ -457,13 +457,16 @@ class Engine:
             ledger or collection,
         )
         for e in self.registered_indexes(collection):
-            if e["kind"] == "sketch":
-                # KMV sketches are additive-only statistical profiles:
-                # an element cannot be removed from a bottom-k set, and
-                # a takedown does not meaningfully change a distinct/
-                # overlap ESTIMATE. Rebuild the store if exact removal
-                # matters.
-                report["indexes"].append(f"sketch:{e['name']} (skipped)")
+            if e["kind"] in ("sketch", "ecdf", "cluster"):
+                # Additive-only stores: a KMV bottom-k set and a
+                # histogram grid cannot subtract an element, and the
+                # cluster map's match artifacts only support GROWTH
+                # (dfs shrinking could un-flip hot shingles, whose
+                # postings are deliberately not stored — the frozen-
+                # max_df exactness argument runs one way). Takedowns
+                # still stay down: the ledger retirement below blocks
+                # re-entry, and a rebuild physically removes the rows.
+                report["indexes"].append(f"{e['kind']}:{e['name']} (skipped)")
                 continue
             if e["kind"] == "text":
                 self.delete_from_text_index(e["name"], ids=ids)
@@ -643,8 +646,14 @@ class Engine:
 
         worst = 0
         for e in self.registered_indexes(collection):
-            if e["kind"] == "sketch":
+            if e["kind"] in ("sketch", "ecdf"):
                 continue  # single merged artifact, nothing fragments
+            if e["kind"] == "cluster":
+                # delta segments accumulate per append; maintain's
+                # compaction folds them back to one
+                cm = self.cluster_map(e["name"])
+                worst = max(worst, len(cm.entry["segments"]))
+                continue
             if e["kind"] == "text":
                 idx = load_text_index(
                     self.spark, self._text_index_dir(), e["name"]

@@ -257,6 +257,38 @@ def test_cluster_map_registry_refresh_and_crash_retry(
     )
 
 
+def test_retire_and_fragmentation_probe_with_all_kinds(spark, tmp_path):
+    """Every registry verb must dispatch all five kinds: retirement
+    skips the additive-only stores (sketch/ecdf/cluster) with an
+    explicit note instead of mis-routing them into the vector-delete
+    path, and the fragmentation probe counts cluster-map delta
+    segments."""
+    eng = _engine_with_indexes(spark, tmp_path)
+    seed = _frame(
+        spark,
+        [(i, f"seed document number {i} alpha beta gamma") for i in range(8)],
+    )
+    eng.build_cluster_map(seed, "text", "doc_id", "cm", n=1, threshold=0.5)
+    eng.register_index("docs", "cluster", "cm")
+    eng.build_ecdf_store(
+        seed.withColumn("table_name", F.lit("seed")), "table_name",
+        "size(filter(split(text, '\\\\s+'), x -> x != ''))", "lens",
+    )
+    eng.register_index("docs", "ecdf", "lens")
+    batch = _frame(spark, [(60, "wholly new words for the probe test")])
+    eng.ingest(
+        batch.withColumn("table_name", F.lit("b6")), "docs", "b6",
+        dedup_text_col="text", dedup_id_col="doc_id", token="t6",
+    )
+    assert eng._max_registered_segments("docs") >= 2
+    report = eng.retire_documents("docs", ids=[3])
+    skipped = {x for x in report["indexes"] if "(skipped)" in x}
+    assert {"cluster:cm (skipped)", "ecdf:lens (skipped)"} <= skipped
+    assert "text:d" in report["indexes"]
+    # the cluster map still serves (untouched by retirement)
+    assert eng.cluster_map("cm").describe()["segments"] == 2
+
+
 def test_engine_stream_ingest_corpus_registry_driven(spark, tmp_path):
     """Registry-driven streaming: micro-batches screen through the
     collection ledger and land in EVERY registered index; re-crawled
