@@ -1444,6 +1444,7 @@ class Engine:
         n_shards: int = 16,
         stratum_col: str | None = None,
         vocab_top: int = 50,
+        cluster_map: str | None = None,
     ) -> dict:
         """The whole corpus DROP as one verb: build the packed,
         sharded, checksummed training run AND persist the release
@@ -1459,10 +1460,27 @@ class Engine:
         checks the report tables alongside the shard checksums.
         Returns {"run": manifest entry, "report": {table: path}}. The
         report tables are tiny (report aggregates), so the extra cost
-        over the pack itself is a few counter-width jobs."""
+        over the pack itself is a few counter-width jobs.
+
+        With *cluster_map* (a map built by :meth:`build_cluster_map`
+        and kept fresh by registry appends), the release is
+        DEDUP-AWARE: only each near-dup cluster's quality-best
+        canonical document is packed — the stored map's keep-list
+        joins in as a broadcast semi-join (counter-width artifact
+        read; the clustering itself is never recomputed here), and the
+        release report is computed over the SAME canonical-only frame
+        it ships, so its dup-rate table shows what a consumer actually
+        gets."""
         import os
 
         from queens_spark.store.training_run import attach_report
+
+        if cluster_map is not None:
+            cm = self.cluster_map(cluster_map)
+            keep = cm.canonical().select(
+                F.col("best_doc_id").alias(id_col)
+            )
+            df = df.join(F.broadcast(keep), id_col, "left_semi")
 
         run = self.export_training_run(
             df, text_col, id_col, name,

@@ -223,3 +223,42 @@ def test_release_report_covered_by_verify(spark, docs, tmp_path):
     shutil.rmtree(out["report"]["funnel"])
     v2 = eng.training_run("drop-2").verify()
     assert v2["report:funnel"].startswith("MISMATCH")
+
+
+def test_dedup_aware_release_packs_only_canonicals(spark, tmp_path):
+    """export_release(cluster_map=...) ships one quality-best document
+    per near-dup cluster, selected from the STORED map's keep-list
+    (no reclustering in the release pass), and the attached report
+    describes the canonical-only corpus it actually packs."""
+    from queens_spark.facade import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"), (2, "a b c d e f"),   # exact copies
+            (3, "a b c d e g"),                         # near-dup of 1
+            (4, "p q r s t u"),                         # unique
+        ],
+        ["doc_id", "text"],
+    )
+    eng.build_cluster_map(docs, "text", "doc_id", "cm", n=1, threshold=0.5)
+    rel = eng.export_release(
+        docs, "text", "doc_id", "rel", seq_len=8, n_shards=2,
+        cluster_map="cm",
+    )
+    run = eng.training_run("rel")
+    packed_docs = {
+        d
+        for r in run.sequences().select("doc_spans").collect()
+        for d in [s["id"] for s in r["doc_spans"]]
+    }
+    canon = {
+        r["best_doc_id"]
+        for r in eng.cluster_map("cm").canonical().collect()
+    }
+    assert packed_docs == canon
+    assert len(packed_docs) == 2  # one per cluster: {1,2,3} and {4}
+    # the report's dup table reflects the shipped (canonical) frame
+    dup = spark.read.parquet(rel["report"]["duplication"]).collect()[0]
+    assert dup["n_docs"] == 2 and dup["n_duplicates"] == 0
+    assert all(v == "ok" for v in run.verify().values())
