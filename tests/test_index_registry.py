@@ -348,6 +348,69 @@ def test_engine_stream_ingest_corpus_registry_driven(spark, tmp_path):
         )
 
 
+def test_stream_ingest_refreshes_cluster_and_ecdf(spark, tmp_path):
+    """Streaming composition for the round-12 kinds: micro-batches
+    keep the registered cluster map AND ECDF profile fresh through the
+    same token-idempotent append chain, exactly once across stream
+    restarts."""
+    eng = _engine_with_indexes(spark, tmp_path)
+    seed = _frame(
+        spark,
+        [(i, f"seed document number {i} alpha beta gamma") for i in range(8)],
+    )
+    eng.build_cluster_map(seed, "text", "doc_id", "cm", n=1, threshold=0.5)
+    eng.register_index("docs", "cluster", "cm")
+    eng.build_ecdf_store(
+        seed.withColumn("grp", F.lit("all")),
+        "grp",
+        "size(filter(split(text, '\\\\s+'), x -> x != ''))",
+        "lens", width=2, n_buckets=8,
+    )
+    eng.register_index("docs", "ecdf", "lens")
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    schema = ("doc_id bigint, text string, grp string, "
+              "embedding array<double>")
+
+    def write_file(name, items):
+        with open(os.path.join(src, name), "w") as fh:
+            for i, t in items:
+                fh.write(json.dumps({
+                    "doc_id": i, "text": t, "grp": "all",
+                    "embedding": [
+                        float((i + j + 1) % 7 + 1) for j in range(DIM)
+                    ],
+                }) + "\n")
+
+    def run():
+        stream = spark.readStream.schema(schema).json(src)
+        q = eng.stream_ingest_corpus(
+            stream, "docs", "text", "doc_id", ckpt,
+            query_name="qs_cm_stream",
+        )
+        q.awaitTermination(120)
+
+    write_file("b1.json", [
+        (70, "seed document number 0 alpha beta mauve"),  # near-dups 0
+        (71, "seed document number 2 alpha beta gamma"),  # ledger dup
+    ])
+    run()
+    cm = eng.cluster_map("cm")
+    assert cm.describe()["n_docs"] == 9  # the exact dup screened out
+    members = {r["doc_id"]: r["component_id"]
+               for r in cm.members().collect()}
+    assert members[70] == members[0]
+    assert sum(
+        r["n"] for r in eng.ecdf_store("lens").hist().collect()
+    ) == 9
+    run()  # restart with no new files: everything exactly-once
+    assert eng.cluster_map("cm").describe()["n_docs"] == 9
+    assert sum(
+        r["n"] for r in eng.ecdf_store("lens").hist().collect()
+    ) == 9
+
+
 def test_stream_ingest_corpus_vector_side(spark, tmp_path):
     """The non-Engine streaming builder's vector half: survivors land
     in BOTH indexes under the same token (hybrid freshness)."""
