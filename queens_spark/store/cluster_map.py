@@ -149,6 +149,20 @@ def _projection(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     )
 
 
+def _write_postings(postings: DataFrame, path: str) -> None:
+    """Postings land range-clustered on sh_hash so parquet row-group
+    min/max statistics make the append's flipped-shingle lookup (a
+    literal IN-list pushed into the scan) skip everything but the few
+    row groups holding those hashes — at corpus scale that lookup is
+    otherwise a full postings scan per append."""
+    (
+        postings.repartitionByRange("sh_hash")
+        .sortWithinPartitions("sh_hash")
+        .write.mode("errorifexists")
+        .parquet(path)
+    )
+
+
 def _sig(hashes) -> F.Column:
     from queens_spark.operators.dedup import _signature_from_hashes
 
@@ -294,9 +308,12 @@ def build_cluster_map(
     )
     hot = _collect_hot(exploded, max_df)
     hot_df = spark.createDataFrame([(int(h),) for h in hot], "sh_hash bigint")
-    exploded.join(F.broadcast(hot_df), "sh_hash", "left_anti").select(
-        "sh_hash", "doc", "n"
-    ).write.mode("errorifexists").parquet(os.path.join(segdir, "postings"))
+    _write_postings(
+        exploded.join(F.broadcast(hot_df), "sh_hash", "left_anti").select(
+            "sh_hash", "doc", "n"
+        ),
+        os.path.join(segdir, "postings"),
+    )
     exploded.groupBy("sh_hash").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     ).write.mode("errorifexists").parquet(os.path.join(segdir, "dfs"))
@@ -462,12 +479,20 @@ def append_cluster_map(
     stored_postings = seg_read("postings")
     # affected old docs: carriers of a flipped shingle. Flipped were
     # rare at EVERY earlier write (dfs only grow), so their postings
-    # are complete in the capped artifact. <= |flips| * max_df rows.
-    ad_ids = _persist(
-        stored_postings.join(F.broadcast(flipped_df), "sh_hash")
-        .select("doc")
-        .distinct()
-    )
+    # are complete in the capped artifact (<= |flips| * max_df rows) —
+    # and the lookup is a LITERAL IN-list over the range-clustered
+    # postings, so parquet row-group stats skip all but the few groups
+    # holding those hashes (no full postings scan for this stage)
+    if flipped:
+        ad_ids = _persist(
+            stored_postings.where(
+                F.col("sh_hash").isin([int(h) for h in flipped])
+            )
+            .select("doc")
+            .distinct()
+        )
+    else:
+        ad_ids = spark.createDataFrame([], "doc bigint")
     stored_docs = seg_read("docs")
     ad_docs = _persist(stored_docs.join(ad_ids, "doc"))
 
@@ -594,6 +619,10 @@ def append_cluster_map(
     copy_u_s = spark.read.parquet(os.path.join(graphdir, "copy"))
 
     # ---------------- component relabel over the changed subgraph
+    # exact added/removed edge sets (graph-width set differences —
+    # measured FASTER than the endpoint-superset alternative, which
+    # widened the re-CC region enough to cost more than the four
+    # subtract jobs it saved)
     added = near_u_s.subtract(stored_near).union(copy_u_s.subtract(stored_copy))
     removed = stored_near.subtract(near_u_s).union(
         stored_copy.subtract(copy_u_s)
@@ -656,9 +685,10 @@ def append_cluster_map(
     B.select(
         "doc", F.col("x.n").alias("n"), F.col("x.hashes").alias("hashes"), "fp"
     ).write.mode("errorifexists").parquet(os.path.join(segdir, "docs"))
-    re_batch.select("sh_hash", "doc", "n").write.mode(
-        "errorifexists"
-    ).parquet(os.path.join(segdir, "postings"))
+    _write_postings(
+        re_batch.select("sh_hash", "doc", "n"),
+        os.path.join(segdir, "postings"),
+    )
     df_B.select("sh_hash", F.col("df_b").alias("df")).write.mode(
         "errorifexists"
     ).parquet(os.path.join(segdir, "dfs"))
@@ -816,10 +846,11 @@ def compact_cluster_map(spark: SparkSession, map_dir: str) -> int:
     )
     hot = seg_read("hot").distinct()
     hot.write.mode("errorifexists").parquet(os.path.join(segdir, "hot"))
-    seg_read("postings").join(
-        F.broadcast(hot), "sh_hash", "left_anti"
-    ).select("sh_hash", "doc", "n").write.mode("errorifexists").parquet(
-        os.path.join(segdir, "postings")
+    _write_postings(
+        seg_read("postings")
+        .join(F.broadcast(hot), "sh_hash", "left_anti")
+        .select("sh_hash", "doc", "n"),
+        os.path.join(segdir, "postings"),
     )
     seg_read("dfs").groupBy("sh_hash").agg(
         F.sum("df").cast("bigint").alias("df")

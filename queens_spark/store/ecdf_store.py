@@ -85,11 +85,15 @@ def _write_manifest(store_dir: str, entries: dict) -> None:
 def _hist(df: DataFrame, entry: dict) -> DataFrame:
     from queens_spark.operators.drift import hist_counts
 
+    base = df.select(
+        F.col(entry["group_col"]).alias("g"),
+        F.expr(entry["value_sql"]).alias("__val"),
+    )
+    # a bucket is undefined for a NULL value — drop explicitly (the
+    # score_groups precedent): without this a null-bucket counter row
+    # would sort differently across engines and poison every cumulative
     return hist_counts(
-        df.select(
-            F.col(entry["group_col"]).alias("g"),
-            F.expr(entry["value_sql"]).alias("__val"),
-        ),
+        base.where(F.col("__val").isNotNull()),
         F.col("__val"),
         int(entry["width"]),
         int(entry["n_buckets"]),
@@ -161,6 +165,13 @@ class EcdfStore:
         upper edge plus the exact coverage reached there. Integer
         arithmetic end to end (cum_n·10⁴ ≥ bp·total), so any engine
         reproduces it bit-for-bit from the same counters."""
+        bad = {k: v for k, v in fractions_bp.items()
+               if not 0 < int(v) <= 10000}
+        if bad:
+            raise ValueError(
+                f"threshold fractions must be basis points in (0, 10000]; "
+                f"got {bad}"
+            )
         cdf = self.cdf()
         rows = []
         for name_, bp in sorted(fractions_bp.items()):

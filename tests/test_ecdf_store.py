@@ -214,3 +214,16 @@ def test_fsck_covers_ecdf_store(spark, tmp_path):
         f["component"] == "ecdf_store"
         for f in report["findings"] if f["level"] == "error"
     )
+
+
+def test_null_values_dropped_and_bp_guard(spark, tmp_path):
+    d = str(tmp_path / "s")
+    rows = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 3)], "g string, v bigint"
+    )
+    st = build_ecdf_store(rows, "g", VAL, d, "e", width=2, n_buckets=4)
+    assert sum(r["n"] for r in st.hist().collect()) == 2  # null dropped
+    with pytest.raises(ValueError, match="basis points"):
+        st.thresholds({"bad": 0})
+    with pytest.raises(ValueError, match="basis points"):
+        st.thresholds({"bad": 20000})
