@@ -40,6 +40,13 @@ column-ownership convention extended to derived values.
 Manifest treatment follows the house pattern (artifacts first, atomic
 manifest flip last, monotonic version counter, post-flip GC of
 superseded dirs; fsck reports crashed-write leftovers as orphans).
+
+Reference parity: the reference (alebgz-91/queens) profiles per-version
+column min/max/count inside staging's metadata refresh
+(queens/core/read_write.py:464-531); this extends that
+derived-statistics-beside-the-data posture to full distribution SHAPE
+(grid CDFs) with incremental maintenance, which its pandas/SQLite
+engine recomputes from scratch per call.
 """
 
 from __future__ import annotations
