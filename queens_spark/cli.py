@@ -1008,7 +1008,9 @@ def _run_ecdf(spark, engine, args) -> int:
         for r in engine.ecdf_store(args.name).cdf().collect():
             print(_json.dumps(r.asDict()))
     elif args.action == "thresholds":
-        bps = {f"p{int(b) // 100}": int(b) for b in args.bp.split(",")}
+        # keyed by the raw basis points so values inside the same
+        # 100-bp band (e.g. 2500,2550) never collapse to one threshold
+        bps = {f"bp{int(b)}": int(b) for b in args.bp.split(",")}
         rows = engine.ecdf_store(args.name).thresholds(bps).collect()
         for r in rows:
             print(_json.dumps(r.asDict()))

@@ -1480,7 +1480,11 @@ class Engine:
             keep = cm.canonical().select(
                 F.col("best_doc_id").alias(id_col)
             )
-            df = df.join(F.broadcast(keep), id_col, "left_semi")
+            # NO broadcast hint: canonical has one row per COMPONENT —
+            # near corpus-width on a mostly-unique corpus, so forcing a
+            # broadcast would collect it to the driver and break the
+            # release at scale; AQE broadcasts it when it is small
+            df = df.join(keep, id_col, "left_semi")
 
         run = self.export_training_run(
             df, text_col, id_col, name,

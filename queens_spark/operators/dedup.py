@@ -616,13 +616,13 @@ def lsh_candidate_pairs(
     return _band_pairs(sigs)
 
 
-def _band_pairs(sigs: DataFrame) -> DataFrame:
-    """Banded candidate pairs from a (doc, sig) frame. Band buckets
-    grow with TRUE-duplicate cluster size (near-identical docs share
-    band signatures with probability ~jaccard^rows_per_band), so —
-    unlike the df-capped inverted index — oversized near-identical
-    clusters still produce candidates here."""
-    bands = sigs.select(
+def band_frame(sigs: DataFrame) -> DataFrame:
+    """(doc, band_id, band_sig) rows from a (doc, sig) frame — THE
+    signature→band formula, shared by the inline pipelines here and by
+    the cluster-map append (store/cluster_map.py), whose
+    append==rebuild guarantee depends on both paths banding
+    byte-identically. Change the band layout ONLY here."""
+    return sigs.select(
         "doc",
         F.explode(
             F.array(*[
@@ -637,6 +637,15 @@ def _band_pairs(sigs: DataFrame) -> DataFrame:
             ])
         ).alias("b"),
     ).select("doc", "b.band_id", "b.band_sig")
+
+
+def _band_pairs(sigs: DataFrame) -> DataFrame:
+    """Banded candidate pairs from a (doc, sig) frame. Band buckets
+    grow with TRUE-duplicate cluster size (near-identical docs share
+    band signatures with probability ~jaccard^rows_per_band), so —
+    unlike the df-capped inverted index — oversized near-identical
+    clusters still produce candidates here."""
+    bands = band_frame(sigs)
     a = bands.select(F.col("doc").alias("id_a"), "band_id", "band_sig")
     b = bands.select(F.col("doc").alias("id_b"), "band_id", "band_sig")
     return (

@@ -92,6 +92,7 @@ def mixture_sample(
     strata_col: str,
     weights_ppm: dict[str, int],
     salt: int = 0,
+    counts: dict[str, int] | None = None,
 ) -> DataFrame:
     """Max-feasible deterministic mixture: sample each stratum so the
     OUTPUT composition matches *weights_ppm* (parts-per-million shares,
@@ -120,10 +121,16 @@ def mixture_sample(
         raise ValueError(
             f"mixture weights sum to {sum(weights_ppm.values())} > {PPM} ppm"
         )
+    # *counts* lets callers that already collected the per-stratum
+    # counts (temperature_mixture derives its weights from them) skip
+    # a second full-scan count job over the same frame
     counts = {
-        r[0]: r[1]
-        for r in df.groupBy(strata_col).count().collect()
-        if r[0] in weights_ppm
+        s: int(n)
+        for s, n in (
+            counts.items() if counts is not None
+            else ((r[0], r[1]) for r in df.groupBy(strata_col).count().collect())
+        )
+        if s in weights_ppm
     }
     missing = sorted(s for s in weights_ppm if s not in counts)
     if missing:
@@ -204,7 +211,8 @@ def _exact_isqrt_from_float(n: int) -> int:
 
 
 def temperature_weights_ppm(
-    df: DataFrame, strata_col: str
+    df: DataFrame, strata_col: str,
+    counts: dict[str, int] | None = None,
 ) -> dict[str, int]:
     """Temperature-smoothed (α = ½) mixture weights from the corpus's
     own composition — the multilingual-pretraining resampling rule
@@ -220,11 +228,12 @@ def temperature_weights_ppm(
     One counter-width groupBy-count collect (|strata| rows — the
     model-scale pattern); compose with :func:`mixture_sample`, which
     adds the map-side hash filter and never shuffles the corpus."""
-    counts = {
-        r[0]: int(r[1])
-        for r in df.groupBy(strata_col).count().collect()
-        if r[0] is not None
-    }
+    if counts is None:
+        counts = {
+            r[0]: int(r[1])
+            for r in df.groupBy(strata_col).count().collect()
+            if r[0] is not None
+        }
     if not counts:
         raise ValueError("temperature_weights_ppm: no strata in the data")
     raw = {s: _exact_isqrt_from_float(n) for s, n in counts.items()}
@@ -240,10 +249,18 @@ def temperature_mixture(
 ) -> DataFrame:
     """α = ½ temperature-resampled training mixture: smoothed weights
     from :func:`temperature_weights_ppm` fed through
-    :func:`mixture_sample`'s max-feasible deterministic sampler."""
+    :func:`mixture_sample`'s max-feasible deterministic sampler. The
+    per-stratum counts are collected ONCE and shared by both stages —
+    no second corpus-count job."""
+    counts = {
+        r[0]: int(r[1])
+        for r in df.groupBy(strata_col).count().collect()
+        if r[0] is not None
+    }
     return mixture_sample(
         df, key_col, strata_col,
-        temperature_weights_ppm(df, strata_col), salt=salt,
+        temperature_weights_ppm(df, strata_col, counts=counts),
+        salt=salt, counts=counts,
     )
 
 

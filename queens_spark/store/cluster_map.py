@@ -170,26 +170,13 @@ def _sig(hashes) -> F.Column:
 
 
 def _bands(sigs: DataFrame) -> DataFrame:
-    """(doc, band_id, band_sig) rows from a (doc, sig) frame — the
-    operators/dedup.py banding, factored so append's bipartite band
-    join reuses the exact signature→band formula."""
-    from queens_spark.operators.dedup import LSH_BANDS, LSH_ROWS
+    """Delegates to the ONE shared signature→band formula
+    (operators/dedup.band_frame) — append==rebuild depends on the
+    rebuild's banding and the append's bipartite banding staying
+    byte-identical, so neither side owns a private copy."""
+    from queens_spark.operators.dedup import band_frame
 
-    return sigs.select(
-        "doc",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(band).alias("band_id"),
-                    F.concat_ws(
-                        "_",
-                        *[F.col("sig")[band * LSH_ROWS + r] for r in range(LSH_ROWS)],
-                    ).alias("band_sig"),
-                )
-                for band in range(LSH_BANDS)
-            ])
-        ).alias("b"),
-    ).select("doc", "b.band_id", "b.band_sig")
+    return band_frame(sigs)
 
 
 def _canonical_aggs(id_col: str):
@@ -435,6 +422,28 @@ def append_cluster_map(
             _write_manifest(map_dir, manifest)
         return ClusterMap(spark, map_dir)
 
+    # Loud id-novelty guard: the ledger screens CONTENT, not ids, so a
+    # re-crawled id with edited text (or a retired-then-reingested id)
+    # would silently leave a STALE docs row whose hash set supports
+    # kept near-pairs — corrupting the map rather than refreshing it.
+    # The check is one narrow members-column scan (the append scans
+    # members anyway for the relabel); re-ingesting an existing id
+    # requires a map rebuild, the same posture as retire_documents.
+    members_now = _members_frame(spark, map_dir, entry, id_col)
+    clash = (
+        B.select(F.col("doc").alias(id_col))
+        .join(members_now.select(id_col), id_col, "left_semi")
+        .limit(5)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            "append_cluster_map: batch ids already present in the map "
+            f"(e.g. {[r[id_col] for r in clash]}) — appends require "
+            "NOVEL ids; rebuild the map to re-ingest or revise "
+            "existing documents"
+        )
+
     expl_B = B.select(
         "doc", F.col("x.n").alias("n"), F.explode("x.hashes").alias("sh_hash")
     )
@@ -553,24 +562,19 @@ def append_cluster_map(
         .union(cands.select(F.col("id_b").alias("doc")))
         .distinct()
     )
+    # the exact-Jaccard verification is dedup._verify_pairs VERBATIM
+    # (shared formula — the rebuild verifies through the same code), fed
+    # a lookup frame shaped like its (doc, x.hashes) projection
+    from queens_spark.operators.dedup import _verify_pairs
+
     lookup = (
         B.select("doc", F.col("x.hashes").alias("hashes"))
         .union(stored_docs.select("doc", "hashes"))
         .join(endpoints, "doc", "left_semi")
+        .select("doc", F.struct(F.col("hashes").alias("hashes")).alias("x"))
     )
-    va = lookup.select(F.col("doc").alias("id_a"), F.col("hashes").alias("ha"))
-    vb = lookup.select(F.col("doc").alias("id_b"), F.col("hashes").alias("hb"))
     new_near = (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn(
-            "common", F.size(F.array_intersect("ha", "hb")).cast("bigint")
-        )
-        .withColumn(
-            "jaccard",
-            F.col("common").cast("double")
-            / (F.size("ha") + F.size("hb") - F.col("common")).cast("double"),
-        )
+        _verify_pairs(cands, lookup)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b")
     )
@@ -592,11 +596,16 @@ def append_cluster_map(
     near_u = _persist(kept_near.union(new_near).distinct())
 
     # ---------------- exact-copy edges for batch-touched fingerprints
-    batch_fps = B.select("fp").distinct()
+    # NULL-SAFE fp matching: doc_fingerprint(NULL text) is NULL, and
+    # both the build's rep window and the DuckDB twins group NULLs into
+    # ONE partition — an equi-semi-join would never match them and a
+    # batch NULL-text doc would miss its old NULL-fp group, breaking
+    # append==rebuild exactly there
+    batch_fps = B.select(F.col("fp").alias("__bfp")).distinct()
     old_grp = _persist(
         stored_docs.select("doc", "fp")
-        .join(batch_fps, "fp", "left_semi")
-        .select("doc", "fp")  # joins reorder the key column first
+        .join(batch_fps, F.col("fp").eqNullSafe(F.col("__bfp")), "left_semi")
+        .select("doc", "fp")
     )
     grp = old_grp.union(B.select("doc", "fp"))
     grp_rep = F.min("doc").over(Window.partitionBy("fp"))
@@ -633,10 +642,10 @@ def append_cluster_map(
         .union(changed.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    members_now = _members_frame(spark, map_dir, entry, id_col)
-    # components incident to a changed edge; stored edges never cross
-    # stored components (they were CC inputs), so this set is closed —
-    # relabeling happens only inside it plus the batch
+    # components incident to a changed edge (members_now bound above at
+    # the novelty guard); stored edges never cross stored components
+    # (they were CC inputs), so this set is closed — relabeling happens
+    # only inside it plus the batch
     acid = _persist(
         members_now.join(touched, id_col)
         .select("component_id")

@@ -378,6 +378,17 @@ def fsck_cluster_maps(cluster_dir: str) -> list[dict]:
         map_dir = os.path.join(cluster_dir, name)
         if not os.path.isdir(map_dir):
             continue
+        if name.endswith(("__import_tmp", "__old")):
+            # import_map staging trees: a crashed import's leftovers
+            # are self-healing (the retry clears staging; __old is the
+            # documented manual-recovery copy) — crash orphans warn,
+            # never error (the house severity contract)
+            f.append(_finding(
+                "cluster_map", name, "warn",
+                f"import staging tree left by a crashed import_map "
+                f"(retry cleans it up): {map_dir}",
+            ))
+            continue
         entry = (_read_cm(map_dir) or {}).get("current")
         if not entry:
             continue
@@ -601,7 +612,9 @@ def fsck_corpus_profiles(profiles_dir: str) -> list[dict]:
                     f"non-integer histogram entry {k!r}: {v!r}",
                 ))
                 continue
-            if count < 0 or bucket < 0 or bucket > n_buckets:
+            # bucketize clamps to n_buckets-1, so the valid domain is
+            # [0, n_buckets)
+            if count < 0 or bucket < 0 or bucket >= n_buckets:
                 f.append(_finding(
                     "corpus_profile", name, "error",
                     f"histogram entry out of contract (bucket={bucket}, "

@@ -318,6 +318,46 @@ def test_append_with_smaller_ids_rewrites_reps(spark, tmp_path):
     assert after[10] == after[5] == 5  # component min follows the new id
 
 
+def test_append_with_null_text_matches_rebuild(spark, tmp_path):
+    """doc_fingerprint(NULL) is NULL, and the build's rep window (and
+    the DuckDB twins) group NULL fps into ONE partition — the append's
+    fp regroup must match them null-safely, or a batch NULL-text doc
+    misses its old NULL-fp group."""
+    A = spark.createDataFrame(
+        [(1, None), (2, "a b c d"), (3, None)], "doc_id bigint, text string"
+    )
+    B = spark.createDataFrame(
+        [(7, None), (8, "a b c e")], "doc_id bigint, text string"
+    )
+    d = str(tmp_path / "m")
+    cm = _build(A, d, max_df=10)
+    before = {r["doc_id"]: r["component_id"] for r in cm.members().collect()}
+    assert before[1] == before[3]  # NULL-text docs share one fp group
+    cm2 = append_cluster_map(B, d)
+    rebuilt = _build(A.union(B), str(tmp_path / "r"), max_df=10)
+    assert _snap(cm2) == _snap(rebuilt)
+    after = {r["doc_id"]: r["component_id"] for r in cm2.members().collect()}
+    assert after[7] == after[1]  # the batch NULL doc joined the group
+
+
+def test_append_rejects_reused_ids(spark, tmp_path):
+    """The ledger screens content, not ids — a re-crawled id with
+    edited text would strand a stale hash set in the match artifacts,
+    so the append fails loudly instead of corrupting the map."""
+    A = spark.createDataFrame(
+        [(1, "a b c d"), (2, "p q r s")], ["doc_id", "text"]
+    )
+    d = str(tmp_path / "m")
+    cm = _build(A, d)
+    snap = _snap(cm)
+    clash = spark.createDataFrame(
+        [(1, "revised text for doc one")], ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="NOVEL ids"):
+        append_cluster_map(clash, d)
+    assert _snap(load_cluster_map(spark, d)) == snap  # map untouched
+
+
 def test_append_equals_rebuild_property(spark, tmp_path):
     """Randomized growth sequences over a small vocabulary — exercises
     exact copies, near-dups, hot flips (tiny max_df), cluster merges,
