@@ -1464,24 +1464,48 @@ class Engine:
 
         With *cluster_map* (a map built by :meth:`build_cluster_map`
         and kept fresh by registry appends), the release is
-        DEDUP-AWARE: only each near-dup cluster's quality-best
-        canonical document is packed — the stored map's keep-list
-        joins in as a broadcast semi-join (counter-width artifact
-        read; the clustering itself is never recomputed here), and the
-        release report is computed over the SAME canonical-only frame
-        it ships, so its dup-rate table shows what a consumer actually
-        gets."""
+        DEDUP-AWARE: one quality-best canonical document per near-dup
+        cluster is packed. The canonical is RE-ELECTED from the map's
+        members restricted to the ids actually present in *df* (same
+        (quality, −id) winner rule as the stored canonical — identical
+        when *df* covers the map), so a cluster whose stored best is
+        absent from *df* (retired after the map build, or filtered out
+        upstream) ships its next-best member instead of silently
+        dropping the whole cluster. Documents in *df* the map has
+        never clustered are dropped — the keep-list is the map's
+        members; rebuild or append the map first if *df* outgrew it.
+        The clustering itself is never recomputed here (members is a
+        counter-width artifact read), and the release report is
+        computed over the SAME canonical-only frame it ships, so its
+        dup-rate table shows what a consumer actually gets."""
         import os
 
         from queens_spark.store.training_run import attach_report
 
         if cluster_map is not None:
             cm = self.cluster_map(cluster_map)
-            keep = cm.canonical().select(
-                F.col("best_doc_id").alias(id_col)
+            mid = cm.entry["id_col"]
+            live = cm.members().join(
+                df.select(F.col(id_col).alias(mid)).distinct(),
+                mid, "left_semi",
             )
-            # NO broadcast hint: canonical has one row per COMPONENT —
-            # near corpus-width on a mostly-unique corpus, so forcing a
+            # the stored canonical's (quality, -id) winner rule
+            # (store/cluster_map._canonical_aggs), re-run over the
+            # members present in df
+            keep = (
+                live.groupBy("component_id")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("quality").alias("q"),
+                            (-F.col(mid)).alias("nid"),
+                        )
+                    ).alias("best")
+                )
+                .select((-F.col("best.nid")).cast("bigint").alias(id_col))
+            )
+            # NO broadcast hint: keep has one row per COMPONENT — near
+            # corpus-width on a mostly-unique corpus, so forcing a
             # broadcast would collect it to the driver and break the
             # release at scale; AQE broadcasts it when it is small
             df = df.join(keep, id_col, "left_semi")

@@ -241,6 +241,17 @@ def temperature_weights_ppm(
     weights = {
         s: (w * PPM) // wsum for s, w in raw.items() if (w * PPM) // wsum > 0
     }
+    if not weights:
+        # degenerate composition: every stratum's normalized weight
+        # floors to 0 ppm (> 10⁶ strata of near-equal mass). Loud, like
+        # the no-strata guard above — silently returning {} would make
+        # mixture_sample fail later with a less actionable message (and
+        # diverge from the DuckDB twin, which yields zero rows here)
+        raise ValueError(
+            "temperature_weights_ppm: every stratum's weight floors to "
+            f"0 ppm ({len(raw)} strata) — too many near-equal strata "
+            "for ppm resolution; coarsen the strata column"
+        )
     return weights
 
 

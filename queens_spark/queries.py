@@ -10206,13 +10206,17 @@ def _documents_ecdf_store(
 
 
 def _ecdf_ctes() -> str:
+    # WHERE text IS NOT NULL mirrors the store's documented NULL-drop
+    # (ecdf_store._hist drops NULL values; the token expression is NULL
+    # exactly when text is) — without it a NULL-text corpus would emit
+    # a NULL-bucket group the store never has
     w, nb = _ECDF_WIDTH, _ECDF_BUCKETS
     return f"""h AS (
       SELECT source,
              least(CAST(len({_DUCK_TOKS}) AS BIGINT) // {w},
                    {nb - 1}) AS bucket,
              CAST(count(*) AS BIGINT) AS n
-      FROM documents GROUP BY 1, 2
+      FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
     ), c AS (
       SELECT source, bucket, n,
              CAST(SUM(n) OVER (PARTITION BY source ORDER BY bucket)
@@ -10223,13 +10227,14 @@ def _ecdf_ctes() -> str:
 
 
 def _ecdf_thresholds_oracle() -> str:
-    w = _ECDF_WIDTH
+    w, nb = _ECDF_WIDTH, _ECDF_BUCKETS
     parts = [
         f"""
         SELECT source, '{name}' AS threshold,
                CAST({bp} AS BIGINT) AS bp,
                CAST((bucket + 1) * {w} AS BIGINT) AS value_lt,
-               CAST(cum_n * 10000 // total AS BIGINT) AS covered_bp
+               CAST(cum_n * 10000 // total AS BIGINT) AS covered_bp,
+               bucket = {nb - 1} AS saturated
         FROM (
           SELECT source, bucket, cum_n, total,
                  ROW_NUMBER() OVER (PARTITION BY source
@@ -10291,7 +10296,7 @@ def _stored_drift_oracle() -> str:
              least(CAST(len({_DUCK_TOKS}) AS BIGINT) // {w},
                    {nb - 1}) AS bucket,
              CAST(count(*) AS BIGINT) AS n
-      FROM documents GROUP BY 1, 2
+      FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
     """
     return duckdb_drift_from_counts_sql(counts, "source")
 
@@ -10350,7 +10355,8 @@ def _quality_thresholds_oracle() -> str:
         SELECT source, '{name}' AS threshold,
                CAST({bp} AS BIGINT) AS bp,
                CAST((bucket + 1) * {w} AS BIGINT) AS value_lt,
-               CAST(cum_n * 10000 // total AS BIGINT) AS covered_bp
+               CAST(cum_n * 10000 // total AS BIGINT) AS covered_bp,
+               bucket = {nb - 1} AS saturated
         FROM (
           SELECT source, bucket, cum_n, total,
                  ROW_NUMBER() OVER (PARTITION BY source
@@ -10364,7 +10370,7 @@ def _quality_thresholds_oracle() -> str:
     WITH q AS (
       SELECT source,
              CAST(floor(({quality}) * 10000) AS BIGINT) AS qbp
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), h AS (
       SELECT source, least(qbp // {w}, {nb - 1}) AS bucket,
              CAST(count(*) AS BIGINT) AS n

@@ -171,7 +171,17 @@ class EcdfStore:
         cumulative count covers it, served as the bucket's exclusive
         upper edge plus the exact coverage reached there. Integer
         arithmetic end to end (cum_n·10⁴ ≥ bp·total), so any engine
-        reproduces it bit-for-bit from the same counters."""
+        reproduces it bit-for-bit from the same counters.
+
+        ``saturated`` marks thresholds landing in the LAST grid bucket
+        (n_buckets − 1). That bucket absorbs the unbounded tail, so
+        when the value domain can exceed the grid top, ``value_lt`` is
+        no longer a true exclusive upper edge there — a saturated
+        threshold means "grid resolution exhausted; widen the grid (or
+        the domain is bounded and this is its top bucket)". Served
+        rather than NULLed because for a domain the grid fully covers
+        (e.g. the q195 quality grid, values ≤ grid top by
+        construction) the edge IS still correct."""
         bad = {k: v for k, v in fractions_bp.items()
                if not 0 < int(v) <= 10000}
         if bad:
@@ -195,6 +205,9 @@ class EcdfStore:
                     F.lit(int(bp)).cast("bigint").alias("bp"),
                     F.col("hi").alias("value_lt"),
                     F.expr("cum_n * 10000 div total").alias("covered_bp"),
+                    (F.col("bucket") == self.n_buckets - 1).alias(
+                        "saturated"
+                    ),
                 )
             )
             rows.append(first)
