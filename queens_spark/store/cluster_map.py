@@ -55,15 +55,23 @@ Artifact layout (versioned dir names from persisted monotonic
 counters — never ``len(...)``; manifest flips LAST, the house crash
 convention):
 
-- ``seg_NNNNNN/`` (append-only; one per build/append):
+- ``seg_NNNNNN/`` (append-only; one per build/append/retire):
   ``docs`` (doc, n, hashes, fp) — the tokenize cache;
-  ``postings`` (sh_hash, doc, n) — rare-at-write shingle postings;
-  ``dfs`` (sh_hash, df) — this segment's document-frequency partials;
+  ``postings`` (sh_hash, doc, n) — rare-at-write shingle postings
+  (plus, on retirement segments, COMPLETION rows for un-flipped
+  shingles' hot-era carriers);
+  ``dfs`` (sh_hash, df) — this segment's document-frequency partials
+  (NEGATIVE decrement rows on retirement segments, so sums stay
+  survivor-correct);
   ``hot`` (sh_hash) — shingles that BECAME hot in this segment;
   ``hot_sigs`` (doc, sig) — docs that became hot in this segment;
   ``members`` / ``canonical`` — full tables at build, deltas on
-  append (canonical deltas tombstone vanished components with
+  append/retire (canonical deltas tombstone vanished components with
   n_members = 0).
+  Retirement segments additionally hold ``retired`` (coverage-scoped
+  doc tombstones), ``unhot`` (shingles whose df fell back under the
+  frozen cap), and ``unhot_docs`` (hot-doc demotions) — see
+  :func:`retire_cluster_map`.
 - ``graph_NNNNNN/``: ``near`` + ``copy`` edge lists, rewritten per
   operation; the superseded graph dir is GC'd after the flip.
 
@@ -87,6 +95,7 @@ MANIFEST_NAME = "cluster_map_manifest.json"
 __all__ = [
     "build_cluster_map",
     "append_cluster_map",
+    "retire_cluster_map",
     "load_cluster_map",
     "build_or_load_cluster_map",
     "ClusterMap",
@@ -201,6 +210,113 @@ def _canonical_select(frame: DataFrame) -> DataFrame:
         (-F.col("best.nid")).cast("bigint").alias("best_doc_id"),
         F.col("best.q").alias("best_quality"),
         "n_members",
+    )
+
+
+def _retirements(entry: dict) -> list[dict]:
+    return list(entry.get("retirements") or [])
+
+
+def _doc_rows(
+    spark: SparkSession, map_dir: str, entry: dict, sub: str
+) -> DataFrame:
+    """Tombstone-resolved union of the per-segment *sub* artifacts
+    keyed by ``doc`` ("docs" / "postings" / "hot_sigs" / "members").
+    Each retirement hides doc rows only in segments that existed when
+    it ran (coverage-scoped — the vector/text tombstone convention),
+    so an id re-appended AFTER its retirement serves its NEW rows (the
+    document-revision route). hot_sigs additionally drops DEMOTED docs
+    (carriers whose every hot shingle un-flipped at that retirement).
+    With no retirements this is the plain multi-path read — identical
+    plan to the pre-retirement seg_read."""
+    rets = _retirements(entry)
+    frames = []
+    for i, s in enumerate(entry["segments"]):
+        f = spark.read.parquet(os.path.join(map_dir, s, sub))
+        for r in rets:
+            if int(r["coverage"]) <= i:
+                continue
+            dead = spark.read.parquet(
+                os.path.join(map_dir, r["seg"], "retired")
+            ).select("doc")
+            if sub == "hot_sigs":
+                dead = dead.union(
+                    spark.read.parquet(
+                        os.path.join(map_dir, r["seg"], "unhot_docs")
+                    ).select("doc")
+                )
+            key = "doc" if "doc" in f.columns else entry["id_col"]
+            f = f.join(
+                F.broadcast(dead.withColumnRenamed("doc", key)),
+                key, "left_anti",
+            )
+        frames.append(f)
+    out = frames[0]
+    for fr in frames[1:]:
+        # BY NAME: the anti-join fronts its key, so tombstoned and
+        # clean segments disagree on column ORDER — a positional union
+        # would cross doc and sh_hash
+        out = out.unionByName(fr)
+    return out
+
+
+def _hot_events(
+    spark: SparkSession, map_dir: str, entry: dict
+) -> DataFrame:
+    """(ord, add, sh_hash) hotness events across the segments: build
+    and append segments ADD hot shingles, retirement segments REMOVE
+    un-flipped ones (``unhot``). Resolution is the ordinal walk in
+    :func:`_resolve_hot_rows` — later segments win, so a shingle can
+    un-flip at a retirement and legitimately RE-flip at a later
+    append."""
+    frames = []
+    for i, s in enumerate(entry["segments"]):
+        segdir = os.path.join(map_dir, s)
+        frames.append(
+            spark.read.parquet(os.path.join(segdir, "hot")).select(
+                F.lit(i).alias("ord"),
+                F.lit(True).alias("add"),
+                "sh_hash",
+            )
+        )
+        p_un = os.path.join(segdir, "unhot")
+        if os.path.exists(p_un):
+            frames.append(
+                spark.read.parquet(p_un).select(
+                    F.lit(i).alias("ord"),
+                    F.lit(False).alias("add"),
+                    "sh_hash",
+                )
+            )
+    u = frames[0]
+    for fr in frames[1:]:
+        u = u.union(fr)
+    return u
+
+
+def _resolve_hot_rows(rows) -> set[int]:
+    """Fold collected (ord, add, sh_hash) events into the CURRENT hot
+    set. A single segment never holds both events for one shingle
+    (retirements write only ``unhot``, builds/appends only ``hot``),
+    so ordering within a segment is immaterial; across segments the
+    ordinal walk applies history in write order."""
+    hot: set[int] = set()
+    for r in sorted(rows, key=lambda r: int(r["ord"])):
+        if r["add"]:
+            hot.add(int(r["sh_hash"]))
+        else:
+            hot.discard(int(r["sh_hash"]))
+    return hot
+
+
+def _resolve_hot(
+    spark: SparkSession, map_dir: str, entry: dict
+) -> list[int]:
+    """The current hot-shingle list — driver-bounded like the build's
+    hot list (every live hot shingle has df > max_df, so the set holds
+    at most |postings mass| / max_df entries)."""
+    return sorted(
+        _resolve_hot_rows(_hot_events(spark, map_dir, entry).collect())
     )
 
 
@@ -422,28 +538,6 @@ def append_cluster_map(
             _write_manifest(map_dir, manifest)
         return ClusterMap(spark, map_dir)
 
-    # Loud id-novelty guard: the ledger screens CONTENT, not ids, so a
-    # re-crawled id with edited text (or a retired-then-reingested id)
-    # would silently leave a STALE docs row whose hash set supports
-    # kept near-pairs — corrupting the map rather than refreshing it.
-    # The check is one narrow members-column scan (the append scans
-    # members anyway for the relabel); re-ingesting an existing id
-    # requires a map rebuild, the same posture as retire_documents.
-    members_now = _members_frame(spark, map_dir, entry, id_col)
-    clash = (
-        B.select(F.col("doc").alias(id_col))
-        .join(members_now.select(id_col), id_col, "left_semi")
-        .limit(5)
-        .collect()
-    )
-    if clash:
-        raise ValueError(
-            "append_cluster_map: batch ids already present in the map "
-            f"(e.g. {[r[id_col] for r in clash]}) — appends require "
-            "NOVEL ids; rebuild the map to re-ingest or revise "
-            "existing documents"
-        )
-
     expl_B = B.select(
         "doc", F.col("x.n").alias("n"), F.explode("x.hashes").alias("sh_hash")
     )
@@ -454,7 +548,9 @@ def append_cluster_map(
     )
     # df_A for batch shingles only: the stored dfs segments are scanned
     # once, semi-restricted by the (broadcast) batch vocabulary — the
-    # whole-vocab aggregate never materializes
+    # whole-vocab aggregate never materializes. Plain multi-path read:
+    # retirement segments hold NEGATIVE decrement rows, so the sum is
+    # survivor-correct with no tombstone join.
     df_A = (
         seg_read("dfs")
         .join(F.broadcast(df_B.select("sh_hash")), "sh_hash", "left_semi")
@@ -466,17 +562,73 @@ def append_cluster_map(
         F.coalesce("df_a", F.lit(0)).cast("bigint").alias("df_a"),
         "df_b",
     )
-    # flips: rare before (df_a <= m — stored-hot shingles have
-    # df_a > m, so they self-exclude), hot after. Driver-bounded like
-    # the hot list itself: each flipped shingle ends with df > m, so
-    # |flips| <= |union postings| / m.
-    flipped = [
-        int(r["sh_hash"])
-        for r in joined_df.where(
+    members_now = _members_frame(spark, map_dir, entry, id_col)
+    # ONE driver round-trip for the three driver-bounded probes the
+    # append needs (each was its own job before — at a streaming
+    # micro-batch cadence the small-batch floor is jobs × fixed
+    # latency):
+    # - flips: rare before (df_a <= m — live hot shingles have
+    #   df_a > m, so they self-exclude), hot after. Driver-bounded
+    #   like the hot list: each flipped shingle ends with df > m, so
+    #   |flips| <= |union postings| / m.
+    # - hot events: the ordinal-resolved live hot set (retirements
+    #   can have un-flipped stored-hot shingles).
+    # - clash: the loud id-novelty guard — the ledger screens
+    #   CONTENT, not ids, so a re-crawled id with edited text would
+    #   silently leave a STALE docs row whose hash set supports kept
+    #   near-pairs, corrupting the map rather than refreshing it.
+    #   Retired ids are NOT clashes (their member rows are
+    #   tombstoned): retire-then-reappend is the supported revision
+    #   route; re-ingesting a LIVE id requires a rebuild.
+    probe_rows = (
+        joined_df.where(
             (F.col("df_a") <= m) & (F.col("df_a") + F.col("df_b") > m)
-        ).select("sh_hash").collect()
-    ]
-    hot_stored = {int(r["sh_hash"]) for r in seg_read("hot").collect()}
+        )
+        .select(
+            F.lit("flip").alias("k"),
+            F.col("sh_hash").cast("bigint").alias("v"),
+            F.lit(0).alias("ord"),
+            F.lit(True).alias("add"),
+        )
+        .union(
+            _hot_events(spark, map_dir, entry).select(
+                F.lit("hot").alias("k"),
+                F.col("sh_hash").cast("bigint").alias("v"),
+                F.col("ord"),
+                F.col("add"),
+            )
+        )
+        .union(
+            B.select(F.col("doc").alias(id_col))
+            .join(members_now.select(id_col), id_col, "left_semi")
+            .limit(5)
+            .select(
+                F.lit("clash").alias("k"),
+                F.col(id_col).cast("bigint").alias("v"),
+                F.lit(0).alias("ord"),
+                F.lit(True).alias("add"),
+            )
+        )
+        .collect()
+    )
+    clash = [int(r["v"]) for r in probe_rows if r["k"] == "clash"]
+    if clash:
+        raise ValueError(
+            "append_cluster_map: batch ids already present in the map "
+            f"(e.g. {clash}) — appends require "
+            "NOVEL ids; retire an id first to revise its document, or "
+            "rebuild the map to re-ingest wholesale"
+        )
+    flipped = sorted(
+        {int(r["v"]) for r in probe_rows if r["k"] == "flip"}
+    )
+    hot_stored = _resolve_hot_rows(
+        [
+            {"ord": r["ord"], "add": r["add"], "sh_hash": r["v"]}
+            for r in probe_rows
+            if r["k"] == "hot"
+        ]
+    )
     hot_u = sorted(hot_stored | set(flipped))
     hot_u_df = spark.createDataFrame(
         [(h,) for h in hot_u], "sh_hash bigint"
@@ -485,7 +637,7 @@ def append_cluster_map(
         [(h,) for h in flipped], "sh_hash bigint"
     )
 
-    stored_postings = seg_read("postings")
+    stored_postings = _doc_rows(spark, map_dir, entry, "postings")
     # affected old docs: carriers of a flipped shingle. Flipped were
     # rare at EVERY earlier write (dfs only grow), so their postings
     # are complete in the capped artifact (<= |flips| * max_df rows) —
@@ -502,7 +654,7 @@ def append_cluster_map(
         )
     else:
         ad_ids = spark.createDataFrame([], "doc bigint")
-    stored_docs = seg_read("docs")
+    stored_docs = _doc_rows(spark, map_dir, entry, "docs")
     ad_docs = _persist(stored_docs.join(ad_ids, "doc"))
 
     # ---------------- capped candidates (>=1 affected/batch endpoint)
@@ -540,7 +692,7 @@ def append_cluster_map(
     # hot in the union
     sig_ad = ad_docs.select("doc", _sig(F.col("hashes")).alias("sig"))
     sig_re = _persist(sig_b.union(sig_ad))
-    stored_hot_sigs = seg_read("hot_sigs")
+    stored_hot_sigs = _doc_rows(spark, map_dir, entry, "hot_sigs")
     all_hot_bands = _bands(stored_hot_sigs.union(sig_re))
     re_bands = _bands(sig_re).select(
         F.col("doc").alias("doc_r"), "band_id", "band_sig"
@@ -732,20 +884,370 @@ def append_cluster_map(
     return ClusterMap(spark, map_dir)
 
 
+def retire_cluster_map(
+    spark: SparkSession, map_dir: str, ids: list
+) -> "ClusterMap":
+    """Coverage-scoped TAKEDOWN: remove *ids* from the stored map —
+    members/canonical/edges then serve exactly what a full rebuild on
+    the survivor corpus at the frozen (n, threshold, max_df) would
+    (property-tested, including component SPLITS, canonical
+    re-election, and the hot-shingle UN-FLIP corner below), with zero
+    corpus access: every input is a stored artifact.
+
+    What a removal can change, and how each case is covered exactly:
+
+    - edges incident to a retired doc vanish — dropped in the graph
+      rewrite; connected components can SPLIT, so members/canonical
+      re-run CC over the affected components' STORED edges (the same
+      delta machinery appends use), with tombstones hiding the retired
+      docs' older member rows;
+    - an exact-copy group whose rep (min id) retired re-stars under
+      the next-min survivor — the fp groups touched by retired
+      fingerprints regenerate null-safely from the docs artifact;
+    - document frequencies SHRINK, so a stored-hot shingle can
+      UN-FLIP (df back under the frozen cap): carrier pairs that share
+      no LSH band — invisible to the band path while the shingle was
+      hot — become rare-path edges in the survivor rebuild. The
+      un-flip is detected from the dfs partials (this retirement
+      writes NEGATIVE decrement rows, so later sums stay
+      survivor-correct), the un-flipped shingles' carriers are
+      recovered from the docs artifact restricted to HOT docs (every
+      carrier of a hot shingle is itself hot), the postings rows
+      missing for the hot era are written as COMPLETION partials (the
+      rare-postings artifact must stay complete for every live rare
+      shingle — the append-exactness invariant), and the new candidate
+      pairs verify exact Jaccard through the shared formula
+      (operators/dedup._verify_pairs). Hot docs whose EVERY hot
+      shingle un-flipped are demoted out of hot_sigs (the band path
+      requires both endpoints hot). This is the one stage costing more
+      than O(affected): one columnar scan of the HOT-DOC rows of the
+      docs artifact, paid only when a retirement actually moves a df
+      across the cap.
+
+    Why no other change is possible: dfs only shrink, so rare stays
+    rare (stored rare-path edges among survivors keep their edge);
+    hotness only shrinks (hot' ⊆ hot) and signatures are per-doc, so
+    no NEW band-path edge can appear; and a stored band-path edge
+    whose endpoint un-hots had every shared formerly-hot shingle
+    un-flip — the rare path takes over, so the edge survives here
+    exactly as it survives the rebuild.
+
+    Retired ids may RE-APPEND later (the document-revision route):
+    tombstones are coverage-scoped — they hide rows only in segments
+    that existed at retire time, the vector/text index convention
+    (store/vector_index.py, store/text_index.py) — so a re-appended
+    id serves its new rows. Compaction applies tombstones physically
+    and clears the retirement list. Ids absent from the map are
+    ignored. Reference analog: takedowns-that-stay-down — the
+    blocklist posture (store/dedup_ledger.py) extended to the one
+    store that lacked takedown visibility."""
+    from queens_spark.operators.dedup import (
+        _persist,
+        _rare_pair_counts,
+        _verify_pairs,
+        connected_components,
+    )
+
+    manifest = _read_manifest(map_dir)
+    entry = manifest.get("current")
+    if not entry or "segments" not in entry:
+        raise FileNotFoundError(f"no appendable cluster map at {map_dir}")
+    id_col = entry["id_col"]
+    m = int(entry["max_df"])
+    threshold = float(entry["threshold"])
+    ids = sorted({int(i) for i in (ids or [])})
+    if not ids:
+        return ClusterMap(spark, map_dir)
+
+    docs_all = _doc_rows(spark, map_dir, entry, "docs")
+    rid = spark.createDataFrame([(i,) for i in ids], "doc bigint")
+    retired_docs = _persist(docs_all.join(F.broadcast(rid), "doc"))
+    n_retired = retired_docs.count()
+    if n_retired == 0:
+        return ClusterMap(spark, map_dir)
+    rpres = retired_docs.select("doc")
+
+    seg_name = f"seg_{int(entry['next_seg']):06d}"
+    graph_name = f"graph_{int(entry['next_graph']):06d}"
+    segdir = os.path.join(map_dir, seg_name)
+    graphdir = os.path.join(map_dir, graph_name)
+    _clear_dir(segdir)
+    _clear_dir(graphdir)
+
+    # ---------------- df decrements and hot-shingle un-flips
+    expl_R = retired_docs.select(
+        "doc", F.explode("hashes").alias("sh_hash")
+    )
+    dec = _persist(
+        expl_R.groupBy("sh_hash").agg(
+            F.count(F.lit(1)).cast("bigint").alias("dec")
+        )
+    )
+    hot_list = _resolve_hot(spark, map_dir, entry)
+    hot_df = spark.createDataFrame(
+        [(int(h),) for h in hot_list], "sh_hash bigint"
+    )
+    df_tot = (
+        spark.read.parquet(
+            *[os.path.join(map_dir, s, "dfs") for s in entry["segments"]]
+        )
+        .join(F.broadcast(dec.select("sh_hash")), "sh_hash", "left_semi")
+        .groupBy("sh_hash")
+        .agg(F.sum("df").cast("bigint").alias("df_a"))
+    )
+    # un-flips ⊆ hot ∩ retired vocabulary — driver-bounded both ways
+    unflips = sorted(
+        int(r["sh_hash"])
+        for r in df_tot.join(dec, "sh_hash")
+        .join(F.broadcast(hot_df), "sh_hash", "left_semi")
+        .where(F.col("df_a") - F.col("dec") <= m)
+        .select("sh_hash")
+        .collect()
+    )
+
+    stored_postings = _doc_rows(spark, map_dir, entry, "postings")
+    stored_hot_sigs = _doc_rows(spark, map_dir, entry, "hot_sigs")
+    docs_schema = docs_all.schema
+    hot_sigs_schema = stored_hot_sigs.schema
+    postings_schema = stored_postings.schema
+
+    if unflips:
+        unflip_arr = F.array(
+            *[F.lit(int(h)).cast("bigint") for h in unflips]
+        )
+        # survivor hot docs carrying an un-flipped shingle — every
+        # carrier of a (formerly) hot shingle is itself hot, so the
+        # docs scan restricts to hot docs before touching hashes
+        cand_docs = _persist(
+            docs_all.join(
+                stored_hot_sigs.select("doc"), "doc", "left_semi"
+            )
+            .join(F.broadcast(rid), "doc", "left_anti")
+            .where(F.arrays_overlap("hashes", unflip_arr))
+        )
+        unflip_df = spark.createDataFrame(
+            [(h,) for h in unflips], "sh_hash bigint"
+        )
+        carriers = _persist(
+            cand_docs.select(
+                "doc", "n", F.explode("hashes").alias("sh_hash")
+            ).join(F.broadcast(unflip_df), "sh_hash", "left_semi")
+        )
+        completion = carriers.select("sh_hash", "doc", "n").join(
+            stored_postings.select("sh_hash", "doc"),
+            ["sh_hash", "doc"],
+            "left_anti",
+        )
+        # pairs sharing a NEWLY-rare shingle, verified exactly — the
+        # only edges the survivor rebuild has that the stored graph
+        # lacks (≤ C(df', 2) pairs per un-flipped shingle, df' <= m)
+        cand_pairs = _rare_pair_counts(carriers, None).select(
+            "id_a", "id_b"
+        )
+        lookup = cand_docs.select(
+            "doc", F.struct(F.col("hashes").alias("hashes")).alias("x")
+        )
+        new_near = (
+            _verify_pairs(cand_pairs, lookup)
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b")
+        )
+        # demotions: a hot doc stays hot iff it still carries a live
+        # hot shingle; only carriers of un-flipped shingles can change
+        still_hot = sorted(set(hot_list) - set(unflips))
+        if still_hot:
+            sh_df = spark.createDataFrame(
+                [(h,) for h in still_hot], "sh_hash bigint"
+            )
+            still_hot_docs = (
+                cand_docs.select(
+                    "doc", F.explode("hashes").alias("sh_hash")
+                )
+                .join(F.broadcast(sh_df), "sh_hash", "left_semi")
+                .select("doc")
+                .distinct()
+            )
+            demoted = cand_docs.select("doc").join(
+                still_hot_docs, "doc", "left_anti"
+            )
+        else:
+            demoted = cand_docs.select("doc")
+    else:
+        completion = spark.createDataFrame([], postings_schema)
+        new_near = spark.createDataFrame([], "id_a bigint, id_b bigint")
+        demoted = spark.createDataFrame([], "doc bigint")
+
+    # ---------------- graph rewrite
+    graph_old = os.path.join(map_dir, entry["graph"])
+    stored_near = spark.read.parquet(os.path.join(graph_old, "near"))
+    stored_copy = spark.read.parquet(os.path.join(graph_old, "copy"))
+    rid_a = rid.withColumnRenamed("doc", "id_a")
+    rid_b = rid.withColumnRenamed("doc", "id_b")
+    kept_near = stored_near.join(
+        F.broadcast(rid_a), "id_a", "left_anti"
+    ).join(F.broadcast(rid_b), "id_b", "left_anti")
+    near_u = _persist(kept_near.union(new_near).distinct())
+
+    # exact-copy groups touched by a retired fingerprint re-star under
+    # the next-min SURVIVOR (null-safe: NULL-text docs share one group)
+    ret_fps = retired_docs.select(F.col("fp").alias("__rfp")).distinct()
+    old_grp = _persist(
+        docs_all.join(F.broadcast(rid), "doc", "left_anti")
+        .select("doc", "fp")
+        .join(ret_fps, F.col("fp").eqNullSafe(F.col("__rfp")), "left_semi")
+    )
+    grp_rep = F.min("doc").over(Window.partitionBy("fp"))
+    new_copy = (
+        old_grp.select("doc", grp_rep.alias("rep_id"))
+        .where(F.col("doc") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("id_a"), F.col("doc").alias("id_b"))
+    )
+    # a copy edge's id_a is its group's rep: touched groups' edges have
+    # id_a among the group's survivors (regenerated below) or retired
+    # (dropped); the id_b anti-join is belt-and-braces for the
+    # retired-member case
+    kept_copy = (
+        stored_copy.join(
+            old_grp.select(F.col("doc").alias("id_a")), "id_a", "left_anti"
+        )
+        .join(F.broadcast(rid_a), "id_a", "left_anti")
+        .join(F.broadcast(rid_b), "id_b", "left_anti")
+    )
+    copy_u = _persist(kept_copy.union(new_copy))
+
+    near_u.write.mode("errorifexists").parquet(
+        os.path.join(graphdir, "near")
+    )
+    copy_u.write.mode("errorifexists").parquet(
+        os.path.join(graphdir, "copy")
+    )
+    near_u_s = spark.read.parquet(os.path.join(graphdir, "near"))
+    copy_u_s = spark.read.parquet(os.path.join(graphdir, "copy"))
+
+    # ---------------- component relabel over the changed subgraph:
+    # components holding a retired doc (their edges shrank — splits)
+    # plus components touching a new un-flip edge (merges)
+    members_now = _members_frame(spark, map_dir, entry, id_col)
+    touched = (
+        rpres.select(F.col("doc").alias(id_col))
+        .union(new_near.select(F.col("id_a").alias(id_col)))
+        .union(new_near.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    acid = _persist(
+        members_now.join(touched, id_col).select("component_id").distinct()
+    )
+    sub_old = _persist(members_now.join(acid, "component_id"))
+    rid_id = rid.withColumnRenamed("doc", id_col)
+    sub_nodes = sub_old.select(id_col).join(
+        F.broadcast(rid_id), id_col, "left_anti"
+    )
+    all_edges = near_u_s.union(copy_u_s).distinct()
+    sub_edges = all_edges.join(
+        sub_nodes.select(F.col(id_col).alias("id_a")), "id_a", "left_semi"
+    )
+    sub_cc = connected_components(sub_nodes, sub_edges, id_col)
+    qual = sub_old.select(id_col, "quality").join(
+        F.broadcast(rid_id), id_col, "left_anti"
+    )
+    members_delta = sub_cc.join(qual, id_col)
+    members_delta.write.mode("errorifexists").parquet(
+        os.path.join(segdir, "members")
+    )
+    members_delta_s = spark.read.parquet(os.path.join(segdir, "members"))
+    canon_delta = _canonical_select(
+        members_delta_s.groupBy("component_id").agg(
+            *_canonical_aggs(id_col)
+        )
+    )
+    tombs = (
+        acid.join(
+            members_delta_s.select("component_id").distinct(),
+            "component_id",
+            "left_anti",
+        )
+        .select(
+            "component_id",
+            F.lit(None).cast("bigint").alias("best_doc_id"),
+            F.lit(None).cast("double").alias("best_quality"),
+            F.lit(0).cast("bigint").alias("n_members"),
+        )
+    )
+    canon_delta.union(tombs).write.mode("errorifexists").parquet(
+        os.path.join(segdir, "canonical")
+    )
+
+    # ---------------- retirement partials for the match artifacts
+    spark.createDataFrame([], docs_schema).write.mode(
+        "errorifexists"
+    ).parquet(os.path.join(segdir, "docs"))
+    _write_postings(completion, os.path.join(segdir, "postings"))
+    dec.select(
+        "sh_hash", (-F.col("dec")).cast("bigint").alias("df")
+    ).write.mode("errorifexists").parquet(os.path.join(segdir, "dfs"))
+    spark.createDataFrame([], "sh_hash bigint").write.mode(
+        "errorifexists"
+    ).parquet(os.path.join(segdir, "hot"))
+    spark.createDataFrame(
+        [(h,) for h in unflips], "sh_hash bigint"
+    ).write.mode("errorifexists").parquet(os.path.join(segdir, "unhot"))
+    spark.createDataFrame([], hot_sigs_schema).write.mode(
+        "errorifexists"
+    ).parquet(os.path.join(segdir, "hot_sigs"))
+    rpres.write.mode("errorifexists").parquet(
+        os.path.join(segdir, "retired")
+    )
+    demoted.write.mode("errorifexists").parquet(
+        os.path.join(segdir, "unhot_docs")
+    )
+
+    coverage = len(entry["segments"])
+    entry = dict(entry)
+    entry["version"] = int(entry["version"]) + 1
+    entry["segments"] = list(entry["segments"]) + [seg_name]
+    old_graph = entry["graph"]
+    entry["graph"] = graph_name
+    entry["next_seg"] = int(entry["next_seg"]) + 1
+    entry["next_graph"] = int(entry["next_graph"]) + 1
+    entry["n_docs"] = int(entry["n_docs"]) - int(n_retired)
+    entry["retirements"] = _retirements(entry) + [
+        {"seg": seg_name, "coverage": coverage}
+    ]
+    manifest["current"] = entry
+    manifest["next_version"] = int(entry["version"]) + 1
+    _write_manifest(map_dir, manifest)
+    _clear_dir(os.path.join(map_dir, old_graph))
+    return ClusterMap(spark, map_dir)
+
+
 def _members_frame(
     spark: SparkSession, map_dir: str, entry: dict, id_col: str
 ) -> DataFrame:
-    """Latest-wins member labels across segments. A single-segment map
-    (fresh build) is a plain artifact read — the q36-family serving
-    plans stay scan-only; multi-segment maps pay one corpus-narrow
-    winner-select shuffle until a rebuild compacts them."""
+    """Latest-wins member labels across segments, with coverage-scoped
+    retirement tombstones applied per segment (a retired doc's older
+    member rows die; rows a later re-append wrote survive). A
+    single-segment map (fresh build) is a plain artifact read — the
+    q36-family serving plans stay scan-only; multi-segment maps pay
+    one corpus-narrow winner-select shuffle until a rebuild/compaction
+    folds them."""
     segs = entry["segments"]
-    if len(segs) == 1:
+    rets = _retirements(entry)
+    if len(segs) == 1 and not rets:
         return spark.read.parquet(os.path.join(map_dir, segs[0], "members"))
+
+    def resolved(i: int, s: str) -> DataFrame:
+        f = spark.read.parquet(os.path.join(map_dir, s, "members"))
+        for r in rets:
+            if int(r["coverage"]) <= i:
+                continue
+            dead = spark.read.parquet(
+                os.path.join(map_dir, r["seg"], "retired")
+            ).select(F.col("doc").alias(id_col))
+            f = f.join(F.broadcast(dead), id_col, "left_anti")
+        return f
+
     parts = [
-        spark.read.parquet(os.path.join(map_dir, s, "members")).withColumn(
-            "__ord", F.lit(i)
-        )
+        resolved(i, s).withColumn("__ord", F.lit(i))
         for i, s in enumerate(segs)
     ]
     u = parts[0]
@@ -820,11 +1322,15 @@ def compact_cluster_map(spark: SparkSession, map_dir: str) -> int:
     rows. A pure rewrite: members materialize the winner-select,
     canonical recomputes from them (identical to the winner-select —
     every delta wrote its affected components WHOLE), docs/postings/
-    hot/hot_sigs union (postings drop now-hot rows: rare-forever means
-    rare-at-every-write, so the union is complete for every live rare
-    shingle), dfs sum. Returns how many segments were merged (0 =
-    already compact). The ``Engine.maintain`` cluster branch runs this
-    before clearing tokens — the index-compaction twin."""
+    hot/hot_sigs resolve-then-union (postings drop now-hot rows:
+    rare-at-every-write plus the retirement completion rows make the
+    union complete for every live rare shingle), dfs sum (retirement
+    decrements net out; fully-retired shingles drop at df <= 0).
+    Retirement tombstones are applied PHYSICALLY here — the compacted
+    segment carries no retired/demoted rows, so the manifest's
+    retirement list clears. Returns how many segments were merged
+    (0 = already compact). The ``Engine.maintain`` cluster branch runs
+    this before clearing tokens — the index-compaction twin."""
     manifest = _read_manifest(map_dir)
     entry = manifest.get("current")
     if not entry or "segments" not in entry:
@@ -837,11 +1343,6 @@ def compact_cluster_map(spark: SparkSession, map_dir: str) -> int:
     segdir = os.path.join(map_dir, seg_name)
     _clear_dir(segdir)
 
-    def seg_read(sub: str) -> DataFrame:
-        return spark.read.parquet(
-            *[os.path.join(map_dir, s, sub) for s in segs]
-        )
-
     members = _members_frame(spark, map_dir, entry, id_col)
     members.write.mode("errorifexists").parquet(
         os.path.join(segdir, "members")
@@ -850,29 +1351,38 @@ def compact_cluster_map(spark: SparkSession, map_dir: str) -> int:
     _canonical_select(
         stored_members.groupBy("component_id").agg(*_canonical_aggs(id_col))
     ).write.mode("errorifexists").parquet(os.path.join(segdir, "canonical"))
-    seg_read("docs").write.mode("errorifexists").parquet(
-        os.path.join(segdir, "docs")
+    _doc_rows(spark, map_dir, entry, "docs").write.mode(
+        "errorifexists"
+    ).parquet(os.path.join(segdir, "docs"))
+    hot_list = _resolve_hot(spark, map_dir, entry)
+    hot = spark.createDataFrame(
+        [(int(h),) for h in hot_list], "sh_hash bigint"
     )
-    hot = seg_read("hot").distinct()
     hot.write.mode("errorifexists").parquet(os.path.join(segdir, "hot"))
     _write_postings(
-        seg_read("postings")
+        _doc_rows(spark, map_dir, entry, "postings")
         .join(F.broadcast(hot), "sh_hash", "left_anti")
         .select("sh_hash", "doc", "n"),
         os.path.join(segdir, "postings"),
     )
-    seg_read("dfs").groupBy("sh_hash").agg(
-        F.sum("df").cast("bigint").alias("df")
-    ).write.mode("errorifexists").parquet(os.path.join(segdir, "dfs"))
-    seg_read("hot_sigs").write.mode("errorifexists").parquet(
-        os.path.join(segdir, "hot_sigs")
+    (
+        spark.read.parquet(*[os.path.join(map_dir, s, "dfs") for s in segs])
+        .groupBy("sh_hash")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+        .where(F.col("df") > 0)
+        .write.mode("errorifexists")
+        .parquet(os.path.join(segdir, "dfs"))
     )
+    _doc_rows(spark, map_dir, entry, "hot_sigs").write.mode(
+        "errorifexists"
+    ).parquet(os.path.join(segdir, "hot_sigs"))
 
     merged = len(segs)
     entry = dict(entry)
     entry["version"] = int(entry["version"]) + 1
     entry["segments"] = [seg_name]
     entry["next_seg"] = int(entry["next_seg"]) + 1
+    entry["retirements"] = []
     manifest["current"] = entry
     manifest["next_version"] = int(entry["version"]) + 1
     _write_manifest(map_dir, manifest)
@@ -976,5 +1486,6 @@ class ClusterMap:
             "max_df": int(self.entry["max_df"]),
             "n_docs": int(self.entry["n_docs"]),
             "segments": len(self.entry["segments"]),
+            "retirements": len(_retirements(self.entry)),
             "applied_tokens": len(self.entry.get("applied_tokens") or []),
         }

@@ -400,6 +400,9 @@ def fsck_cluster_maps(cluster_dir: str) -> list[dict]:
             ))
             continue
         referenced = set(entry["segments"]) | {entry["graph"]}
+        retire_segs = {
+            r.get("seg"): r for r in (entry.get("retirements") or [])
+        }
         for seg in entry["segments"]:
             segdir = os.path.join(map_dir, seg)
             if not os.path.isdir(segdir):
@@ -414,6 +417,40 @@ def fsck_cluster_maps(cluster_dir: str) -> list[dict]:
                         "cluster_map", name, "error",
                         f"segment {seg} is missing artifact {part!r}",
                     ))
+            if seg in retire_segs:
+                # retirement segments additionally carry the tombstone
+                # and un-flip artifacts serving reads are scoped by
+                for part in ("retired", "unhot", "unhot_docs"):
+                    if not os.path.exists(os.path.join(segdir, part)):
+                        f.append(_finding(
+                            "cluster_map", name, "error",
+                            f"retirement segment {seg} is missing "
+                            f"artifact {part!r}",
+                        ))
+            elif os.path.exists(os.path.join(segdir, "retired")):
+                f.append(_finding(
+                    "cluster_map", name, "error",
+                    f"segment {seg} holds a 'retired' tombstone list "
+                    "but is not in the manifest's retirement list — "
+                    "coverage scoping cannot apply it",
+                ))
+        for rseg, r in retire_segs.items():
+            if rseg not in set(entry["segments"]):
+                f.append(_finding(
+                    "cluster_map", name, "error",
+                    f"retirement references a segment not in the "
+                    f"manifest: {rseg}",
+                ))
+                continue
+            idx = entry["segments"].index(rseg)
+            cov = int(r.get("coverage", -1))
+            if not 0 <= cov <= idx:
+                f.append(_finding(
+                    "cluster_map", name, "error",
+                    f"retirement {rseg} coverage {cov} out of range "
+                    f"[0, {idx}] — tombstones would hide rows written "
+                    "after the retirement",
+                ))
         for part in ("near", "copy"):
             p = os.path.join(map_dir, entry["graph"], part)
             if not os.path.exists(p):

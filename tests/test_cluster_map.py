@@ -497,3 +497,303 @@ def test_build_or_load_auto_max_df_matches_stored(spark, docs, tmp_path):
         max_df=cm.entry["max_df"] + 7,
     )
     assert cm3.entry["version"] == cm.entry["version"] + 1
+
+
+# ------------------------------------------------- coverage-scoped retire
+
+def _retire(spark, d, ids):
+    from queens_spark.store.cluster_map import retire_cluster_map
+
+    return retire_cluster_map(spark, d, ids)
+
+
+def test_retire_equals_rebuild_minus_docs(spark, tmp_path):
+    A = spark.createDataFrame(
+        [
+            (1, "a b c d"), (2, "a b c e"), (3, "a b c f"),  # cluster
+            (4, "p q r s"), (5, "p q r t"),                   # cluster
+            (6, "x y z w"),                                    # isolated
+        ],
+        ["doc_id", "text"],
+    )
+    d = str(tmp_path / "m")
+    _build(A, d, max_df=10)
+    cm = _retire(spark, d, [2, 6])
+    survivors = A.where(~F.col("doc_id").isin([2, 6]))
+    rebuilt = _build(survivors, str(tmp_path / "r"), max_df=10)
+    assert _snap(cm) == _snap(rebuilt)
+    assert cm.describe()["n_docs"] == 4
+    assert cm.describe()["retirements"] == 1
+
+
+def test_retire_splits_component(spark, tmp_path):
+    """Removing the bridge doc must SPLIT its component — the stored
+    edge list makes the re-CC exact."""
+    A = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c d p q r s"),  # bridge: J=0.5 to both sides
+            (3, "p q r s"),
+        ],
+        ["doc_id", "text"],
+    )
+    d = str(tmp_path / "m")
+    cm0 = _build(A, d, max_df=10)
+    before = {r["doc_id"]: r["component_id"] for r in cm0.members().collect()}
+    assert before[1] == before[3]  # one component through the bridge
+    cm = _retire(spark, d, [2])
+    rebuilt = _build(
+        A.where(F.col("doc_id") != 2), str(tmp_path / "r"), max_df=10
+    )
+    assert _snap(cm) == _snap(rebuilt)
+    after = {r["doc_id"]: r["component_id"] for r in cm.members().collect()}
+    assert after[1] != after[3]  # split
+    assert set(after) == {1, 3}
+
+
+def test_retire_canonical_reelects_and_tombstones(spark, tmp_path):
+    """Retiring a cluster's quality-best canonical re-elects the next
+    best; retiring a whole cluster tombstones its component id."""
+    A = spark.createDataFrame(
+        [
+            (1, "a b c d"), (2, "a b c d"), (3, "a b c d"),
+            (7, "x y z w"), (8, "x y z v"),
+        ],
+        ["doc_id", "text"],
+    )
+    d = str(tmp_path / "m")
+    cm0 = _build(A, d, max_df=10)
+    canon0 = {
+        r["component_id"]: r["best_doc_id"]
+        for r in cm0.canonical().collect()
+    }
+    comp_of = {
+        r["doc_id"]: r["component_id"] for r in cm0.members().collect()
+    }
+    best_137 = canon0[comp_of[1]]
+    cm = _retire(spark, d, [best_137])
+    rebuilt = _build(
+        A.where(F.col("doc_id") != best_137), str(tmp_path / "r"),
+        max_df=10,
+    )
+    assert _snap(cm) == _snap(rebuilt)
+    # retire the REST of the {x y z} cluster → component vanishes
+    cm = _retire(spark, d, [7, 8])
+    rebuilt2 = _build(
+        A.where(~F.col("doc_id").isin([best_137, 7, 8])),
+        str(tmp_path / "r2"), max_df=10,
+    )
+    assert _snap(cm) == _snap(rebuilt2)
+    assert comp_of[7] not in {
+        r["component_id"] for r in cm.canonical().collect()
+    }
+
+
+def test_retire_copy_rep_restars(spark, tmp_path):
+    """Exact-copy group whose rep (min id) retires re-stars under the
+    next-min survivor, including NULL-text fp groups."""
+    A = spark.createDataFrame(
+        [(10, "a b c d"), (11, "a b c d"), (12, "a b c d"),
+         (20, None), (21, None), (22, None)],
+        "doc_id bigint, text string",
+    )
+    d = str(tmp_path / "m")
+    _build(A, d, max_df=10)
+    cm = _retire(spark, d, [10, 20])
+    rebuilt = _build(
+        A.where(~F.col("doc_id").isin([10, 20])), str(tmp_path / "r"),
+        max_df=10,
+    )
+    assert _snap(cm) == _snap(rebuilt)
+    edges = {(r["a"], r["b"]) for r in cm.edges().collect()}
+    assert (11, 12) in edges and (21, 22) in edges
+
+
+def _no_band_partner(spark, base_words, n_shared):
+    """Search (one Spark job) for a near-dup partner of the doc made of
+    *base_words* that shares NO LSH band with it — the pair is then
+    invisible to the band path and detectable only via rare shingles."""
+    from queens_spark.operators.dedup import (
+        _signature_from_hashes,
+        band_frame,
+        shingle_hashes,
+    )
+
+    cands = [(0, " ".join(base_words))] + [
+        (k, " ".join(base_words[:n_shared] + [f"u{k}x", f"u{k}y"]))
+        for k in range(1, 60)
+    ]
+    frame = spark.createDataFrame(cands, ["doc", "text"])
+    sigs = frame.select(
+        "doc", _signature_from_hashes(shingle_hashes("text", 1)).alias("sig")
+    )
+    bands = band_frame(sigs).collect()
+    base = {
+        (r["band_id"], r["band_sig"]) for r in bands if r["doc"] == 0
+    }
+    by_doc = {}
+    for r in bands:
+        by_doc.setdefault(r["doc"], set()).add((r["band_id"], r["band_sig"]))
+    for k in range(1, 60):
+        if not (by_doc[k] & base):
+            return dict(cands)[k]
+    raise AssertionError("no band-free partner found in 59 candidates")
+
+
+def test_retire_unflips_hot_shingle_exactly(spark, tmp_path):
+    """THE un-flip corner: retiring a carrier drops a shingle's df back
+    under the frozen cap, so a carrier pair that shares only hot
+    shingles and no LSH band — not an edge while the shingle was hot —
+    becomes a rare-path edge, exactly as the survivor rebuild decides.
+    A further append must also stay exact (the postings COMPLETION
+    rows for the un-flipped shingle's hot-era carriers feed it)."""
+    words = [f"w{i}z" for i in range(10)]
+    b_text = _no_band_partner(spark, words, 8)
+    A = spark.createDataFrame(
+        [
+            (1, " ".join(words)),   # a
+            (2, b_text),             # shares w0..w7 only; no shared band
+            (3, " ".join(words)),   # copy of a
+            (4, " ".join(words)),   # copy of a
+        ],
+        ["doc_id", "text"],
+    )
+    d = str(tmp_path / "m")
+    cm0 = _build(A, d, max_df=3)   # df(w0..w7) = 4 > 3 → hot
+    before = {r["doc_id"]: r["component_id"] for r in cm0.members().collect()}
+    assert before[2] != before[1], "partner banded with base — bad search"
+    cm = _retire(spark, d, [4])    # df(w0..w7) → 3 <= 3: un-flip
+    rebuilt = _build(
+        A.where(F.col("doc_id") != 4), str(tmp_path / "r"), max_df=3
+    )
+    assert _snap(cm) == _snap(rebuilt)
+    after = {r["doc_id"]: r["component_id"] for r in cm.members().collect()}
+    assert after[1] == after[2]  # the rare path surfaced the pair
+    # append a new doc overlapping the un-flipped shingles: re-flips
+    # them, and the affected-carrier lookup rides the completion rows
+    B = spark.createDataFrame(
+        [(9, " ".join(words[:8] + ["q1x", "q2x"]))], ["doc_id", "text"]
+    )
+    cm2 = append_cluster_map(B, d)
+    rebuilt2 = _build(
+        A.where(F.col("doc_id") != 4).union(B),
+        str(tmp_path / "r2"), max_df=3,
+    )
+    assert _snap(cm2) == _snap(rebuilt2)
+
+
+def test_reappend_retired_id_serves_new_rows(spark, tmp_path):
+    """The document-revision route: retire the old id, re-append the
+    revised text under the SAME id — coverage-scoped tombstones hide
+    only the old rows, so the map equals a rebuild on the revised
+    corpus."""
+    A = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "p q r s")],
+        ["doc_id", "text"],
+    )
+    d = str(tmp_path / "m")
+    _build(A, d, max_df=10)
+    _retire(spark, d, [1])
+    revised = spark.createDataFrame([(1, "p q r u")], ["doc_id", "text"])
+    cm = append_cluster_map(revised, d)
+    rebuilt = _build(
+        A.where(F.col("doc_id") != 1).union(revised),
+        str(tmp_path / "r"), max_df=10,
+    )
+    assert _snap(cm) == _snap(rebuilt)
+    after = {r["doc_id"]: r["component_id"] for r in cm.members().collect()}
+    assert after[1] == after[3]  # the REVISED text clusters with 3 now
+
+
+def test_retire_then_compact_applies_physically(spark, tmp_path):
+    """Compaction folds retirement tombstones into the bytes: serves
+    unchanged, retirement metadata clears, and a further append on the
+    compacted map still equals the rebuild."""
+    from queens_spark.store.cluster_map import compact_cluster_map
+
+    A = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "a b c f"), (4, "p q r s")],
+        ["doc_id", "text"],
+    )
+    d = str(tmp_path / "m")
+    _build(A, d, max_df=10)
+    cm = _retire(spark, d, [2])
+    snap = _snap(cm)
+    assert compact_cluster_map(spark, d) == 2
+    cm2 = load_cluster_map(spark, d)
+    assert _snap(cm2) == snap
+    assert cm2.describe()["segments"] == 1
+    assert cm2.describe()["retirements"] == 0
+    B = spark.createDataFrame([(9, "p q r t")], ["doc_id", "text"])
+    cm3 = append_cluster_map(B, d)
+    rebuilt = _build(
+        A.where(F.col("doc_id") != 2).union(B), str(tmp_path / "r"),
+        max_df=10,
+    )
+    assert _snap(cm3) == _snap(rebuilt)
+
+
+def test_retire_absent_ids_and_empty_list_noop(spark, tmp_path):
+    A = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
+    )
+    d = str(tmp_path / "m")
+    cm = _build(A, d)
+    snap, v = _snap(cm), cm.entry["version"]
+    cm2 = _retire(spark, d, [])
+    assert _snap(cm2) == snap and cm2.entry["version"] == v
+    cm3 = _retire(spark, d, [999, 1000])
+    assert _snap(cm3) == snap and cm3.entry["version"] == v
+
+
+def test_retire_append_interleave_property(spark, tmp_path):
+    """Randomized retire/append interleavings against from-scratch
+    rebuilds on the live set — exercises splits, merges, un-flips,
+    copy-rep moves, repeat retirements, and coverage scoping in one
+    sweep."""
+    vocab = ["a", "b", "c", "d", "e", "f", "g", "h"]
+    for seed in range(3):
+        rng = random.Random(100 + seed)
+        rows = {}
+        next_id = 1
+        d = str(tmp_path / f"m{seed}")
+
+        def frame(items):
+            return spark.createDataFrame(items, ["doc_id", "text"])
+
+        first = []
+        for _ in range(10):
+            k = rng.randint(0, 6)
+            first.append(
+                (next_id, " ".join(rng.choice(vocab) for _ in range(k)))
+            )
+            next_id += 1
+        rows.update(dict(first))
+        _build(frame(first), d, max_df=3)
+        for step in range(4):
+            if rng.random() < 0.5 and rows:
+                doomed = rng.sample(
+                    sorted(rows), k=min(len(rows), rng.randint(1, 3))
+                )
+                for x in doomed:
+                    rows.pop(x)
+                _retire(spark, d, doomed)
+            else:
+                batch = []
+                for _ in range(rng.randint(1, 4)):
+                    k = rng.randint(0, 6)
+                    batch.append(
+                        (next_id,
+                         " ".join(rng.choice(vocab) for _ in range(k)))
+                    )
+                    next_id += 1
+                rows.update(dict(batch))
+                append_cluster_map(frame(batch), d)
+            cm = load_cluster_map(spark, d)
+            rebuilt = _build(
+                frame(sorted(rows.items())),
+                str(tmp_path / f"r{seed}_{step}"), max_df=3,
+            )
+            assert _snap(cm) == _snap(rebuilt), (
+                f"seed {seed} step {step} diverged"
+            )
