@@ -277,6 +277,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="thresholds: comma-separated basis points")
     ec.add_argument("--token", default=None,
                     help="append: idempotency token (replay no-ops)")
+    ec.add_argument("--profiles", default=None,
+                    help="build: JSON {name: {value_sql, width, "
+                         "n_buckets}} — multi-profile store built in "
+                         "ONE corpus scan (overrides --value-sql)")
+    ec.add_argument("--profile", default=None,
+                    help="cdf/thresholds/drift: profile name on a "
+                         "multi-profile store")
 
     fs = sub.add_parser(
         "fsck",
@@ -286,6 +293,17 @@ def build_parser() -> argparse.ArgumentParser:
     )
     fs.add_argument("--quiet", action="store_true",
                     help="print only the summary line")
+
+    stt = sub.add_parser(
+        "status",
+        help="per-store freshness audit for a collection's registered "
+             "indexes (version, segments, pending idempotency tokens) "
+             "— pure manifest reads, zero Spark jobs; exit code 1 "
+             "when any store is stale",
+    )
+    stt.add_argument("collection")
+    stt.add_argument("--ledger", default=None,
+                     help="ledger name (default: the collection)")
 
     rp = sub.add_parser(
         "report",
@@ -534,6 +552,10 @@ def _run(args) -> int:
             rep = {k: v for k, v in rep.items() if k != "findings"}
         print(json.dumps(rep))
         return 0 if rep["healthy"] else 1
+    elif args.command == "status":
+        rep = engine.status(args.collection, ledger=args.ledger)
+        print(json.dumps(rep))
+        return 1 if rep["stale_stores"] else 0
     elif args.command == "report":
         rep = engine.corpus_report(
             spark.read.parquet(args.corpus),
@@ -985,14 +1007,21 @@ def _run_ecdf(spark, engine, args) -> int:
     import json as _json
 
     if args.action == "build":
-        if not args.source or not args.value_sql:
-            print("build needs --source and --value-sql", file=sys.stderr)
+        if not args.source or not (args.value_sql or args.profiles):
+            print("build needs --source and --value-sql (or --profiles)",
+                  file=sys.stderr)
             return 2
-        st = engine.build_ecdf_store(
-            spark.read.parquet(args.source), args.group_col,
-            args.value_sql, args.name,
-            width=args.width, n_buckets=args.n_buckets,
-        )
+        if args.profiles:
+            st = engine.build_ecdf_profiles(
+                spark.read.parquet(args.source), args.group_col,
+                _json.loads(args.profiles), args.name,
+            )
+        else:
+            st = engine.build_ecdf_store(
+                spark.read.parquet(args.source), args.group_col,
+                args.value_sql, args.name,
+                width=args.width, n_buckets=args.n_buckets,
+            )
         print(_json.dumps(st.describe()))
     elif args.action == "append":
         if not args.source:
@@ -1005,20 +1034,27 @@ def _run_ecdf(spark, engine, args) -> int:
     elif args.action == "describe":
         print(_json.dumps(engine.ecdf_store(args.name).describe()))
     elif args.action == "cdf":
-        for r in engine.ecdf_store(args.name).cdf().collect():
+        rows = engine.ecdf_store(args.name).cdf(
+            profile=args.profile
+        ).collect()
+        for r in rows:
             print(_json.dumps(r.asDict()))
     elif args.action == "thresholds":
         # keyed by the raw basis points so values inside the same
         # 100-bp band (e.g. 2500,2550) never collapse to one threshold
         bps = {f"bp{int(b)}": int(b) for b in args.bp.split(",")}
-        rows = engine.ecdf_store(args.name).thresholds(bps).collect()
+        rows = engine.ecdf_store(args.name).thresholds(
+            bps, profile=args.profile
+        ).collect()
         for r in rows:
             print(_json.dumps(r.asDict()))
     elif args.action == "drift":
         from queens_spark.operators.drift import drift_from_count_frame
 
         st = engine.ecdf_store(args.name)
-        rows = drift_from_count_frame(st.hist(), st.group_col).collect()
+        rows = drift_from_count_frame(
+            st.hist(profile=args.profile), st.group_col
+        ).collect()
         for r in rows:
             print(_json.dumps(r.asDict()))
     return 0

@@ -143,6 +143,59 @@ class Engine:
             )
         if dedup_text_col is not None:
             import json as _json
+            import os as _os
+
+            # Pre-flight id-novelty vs every registered cluster map
+            # (BEFORE any side effect — the max_drift precedent): the
+            # ledger screens CONTENT, so a re-crawled id with EDITED
+            # text passes the screen and would then fail the map
+            # append AFTER the ledger flip, stranding the composition
+            # mid-way (redelivery can't heal a deterministic error).
+            # Reject here with ledger/profile/warehouse/indexes all
+            # untouched; the supported revision route is
+            # retire_documents (or retire_from_cluster_map) for the
+            # old ids, then re-offer the batch — retired ids pass this
+            # check and re-append cleanly. A REDELIVERED token skips
+            # the check: its ids were appended by the first delivery,
+            # and the whole chain replays idempotently.
+            _cluster_regs = [
+                e for e in self.registered_indexes(collection)
+                if e["kind"] == "cluster"
+            ]
+            if _cluster_regs:
+                _seen_token = False
+                if token is not None:
+                    from queens_spark.store.dedup_ledger import (
+                        _read_manifest as _ledger_manifest,
+                    )
+
+                    _seen_token = str(token) in (
+                        _ledger_manifest(
+                            _os.path.join(
+                                self.warehouse.root, "system",
+                                "dedup_ledger", dedup_ledger or collection,
+                            )
+                        ).get("tokens") or {}
+                    )
+                if not _seen_token:
+                    for e in _cluster_regs:
+                        cm = self.cluster_map(e["name"])
+                        mid = cm.entry["id_col"]
+                        clash = (
+                            df.select(F.col(dedup_id_col).alias(mid))
+                            .join(cm.members().select(mid), mid, "left_semi")
+                            .limit(5)
+                            .collect()
+                        )
+                        if clash:
+                            raise ValueError(
+                                "ingest rejected before any side effect: "
+                                f"batch ids already live in cluster map "
+                                f"{e['name']!r} (e.g. "
+                                f"{[r[mid] for r in clash]}) — revising a "
+                                "document needs retire_documents on the "
+                                "old ids first, then re-offer the batch"
+                            )
 
             if max_drift is not None:
                 # admission control on distribution SHAPE, probed
@@ -402,8 +455,12 @@ class Engine:
         """The one-verb document TAKEDOWN across the whole retrieval
         stack: tombstone *ids* out of every index registered for
         *collection* (BM25 / ANN / hybrid stop serving them
-        immediately — scores equal a rebuild on the survivors) AND
-        retire their fingerprints from the dedup ledger, so equivalent
+        immediately — scores equal a rebuild on the survivors),
+        retire them from every registered CLUSTER MAP
+        (members/canonical/edges re-serve exactly a rebuild on the
+        survivors, including canonical re-election and component
+        splits — store/cluster_map.retire_cluster_map), AND retire
+        their fingerprints from the dedup ledger, so equivalent
         content may legitimately re-enter on a later crawl
         (re-ingest-after-takedown). With *block*, the takedown STAYS
         down: the retired fingerprints also land on the ledger's
@@ -457,18 +514,33 @@ class Engine:
             ledger or collection,
         )
         for e in self.registered_indexes(collection):
-            if e["kind"] in ("sketch", "ecdf", "cluster"):
+            if e["kind"] in ("sketch", "ecdf"):
                 # Additive-only stores: a KMV bottom-k set and a
-                # histogram grid cannot subtract an element, and the
-                # cluster map's match artifacts only support GROWTH
-                # (dfs shrinking could un-flip hot shingles, whose
-                # postings are deliberately not stored — the frozen-
-                # max_df exactness argument runs one way). Takedowns
-                # still stay down: the ledger retirement below blocks
+                # histogram grid cannot subtract an element (the
+                # per-doc values aren't persisted). Takedowns still
+                # stay down: the ledger retirement below blocks
                 # re-entry, and a rebuild physically removes the rows.
                 report["indexes"].append(f"{e['kind']}:{e['name']} (skipped)")
                 continue
-            if e["kind"] == "text":
+            if e["kind"] == "cluster":
+                # coverage-scoped retirement: members/canonical/edges
+                # re-serve exactly a rebuild on the survivors (CC
+                # re-runs over the affected components' stored edges;
+                # hot-shingle un-flips handled — store/cluster_map.py:
+                # retire_cluster_map); retired ids may re-append later
+                # (the document-revision route)
+                import os as _os
+
+                from queens_spark.store.cluster_map import (
+                    retire_cluster_map,
+                )
+
+                retire_cluster_map(
+                    self.spark,
+                    _os.path.join(self._cluster_maps_dir(), e["name"]),
+                    ids,
+                )
+            elif e["kind"] == "text":
                 self.delete_from_text_index(e["name"], ids=ids)
             else:
                 self.delete_from_vector_index(e["name"], ids=ids)
@@ -993,6 +1065,20 @@ class Engine:
             token=token,
         )
 
+    def retire_from_cluster_map(self, name: str, ids: list):
+        """Coverage-scoped takedown on ONE named map (the store-level
+        verb behind :meth:`retire_documents`'s cluster dispatch):
+        members/canonical/edges re-serve exactly a rebuild on the
+        survivors at the frozen params; retired ids may re-append
+        later (store/cluster_map.py:retire_cluster_map)."""
+        import os
+
+        from queens_spark.store.cluster_map import retire_cluster_map
+
+        return retire_cluster_map(
+            self.spark, os.path.join(self._cluster_maps_dir(), name), ids
+        )
+
     def _cluster_map_cols(self, name: str) -> list[str]:
         """(id_col, text_col) from the map's own manifest — registry
         appends supply the screened frame; the map knows its columns
@@ -1295,6 +1381,112 @@ class Engine:
         )
         return {**summarize(findings), "findings": findings}
 
+    def status(self, collection: str, ledger: str | None = None) -> dict:
+        """One-verb FRESHNESS audit — the third leg of the operability
+        triangle: :meth:`fsck` answers "is the storage intact",
+        :meth:`maintain` repairs, ``status`` answers "is it CURRENT".
+        Per registered store: version, segment count (the
+        fragmentation signal :meth:`maintain` folds away), applied
+        idempotency tokens, stored source fingerprint, and
+        ``pending_tokens`` — ledger tokens this store has NOT applied.
+        Pure manifest reads, zero Spark jobs (the fsck discipline), so
+        it is safe in a cron at any corpus size.
+
+        ``pending_tokens`` here is the manifest-level over-
+        approximation: a token whose batch screened to zero accepted
+        docs never fires an append, so it legitimately stays
+        unapplied. :meth:`maintain`'s compaction gate does the exact
+        per-token row probe (store/dedup_ledger.pending_tokens);
+        ``status`` deliberately avoids that Spark job. ``stale`` is
+        True when any pending token exists — "behind the ledger head,
+        or a zero-accept batch"."""
+        import os
+
+        from queens_spark.store.dedup_ledger import (
+            _read_manifest as _ledger_manifest,
+        )
+
+        ledger_dir = os.path.join(
+            self.warehouse.root, "system", "dedup_ledger",
+            ledger or collection,
+        )
+        lm = _ledger_manifest(ledger_dir)
+        ledger_tokens = sorted((lm.get("tokens") or {}).keys())
+        report = {
+            "collection": collection,
+            "ledger": {
+                "segments": len(lm.get("segments") or []),
+                "tokens": len(ledger_tokens),
+                "blocked_entries": len(lm.get("blocked") or []),
+            },
+            "stores": [],
+        }
+        for e in self.registered_indexes(collection):
+            kind, name = e["kind"], e["name"]
+            row = {"kind": kind, "name": name}
+            if kind == "text":
+                from queens_spark.store.text_index import (
+                    _read_manifest as _rm,
+                )
+
+                ent = _rm(self._text_index_dir()).get(name) or {}
+                row["segments"] = len(ent.get("segments") or [])
+                row["tombstone_lists"] = len(ent.get("deletes") or [])
+            elif kind == "vector":
+                from queens_spark.store.vector_index import (
+                    _paths,
+                    _read_manifest as _rm,
+                )
+
+                ent = _rm(self._vector_index_dir()).get(name) or {}
+                row["segments"] = len(
+                    _paths(ent.get("pq_codes_path") or [])
+                )
+                row["tombstone_lists"] = len(ent.get("deletes_path") or [])
+            elif kind == "sketch":
+                from queens_spark.store.sketch_store import (
+                    _read_manifest as _rm,
+                )
+
+                ent = _rm(self._sketch_store_dir()).get(name) or {}
+                row["segments"] = 1  # single merged artifact
+            elif kind == "ecdf":
+                from queens_spark.store.ecdf_store import (
+                    _read_manifest as _rm,
+                )
+
+                ent = _rm(self._ecdf_store_dir()).get(name) or {}
+                row["segments"] = 1  # single merged artifact
+            else:  # cluster
+                from queens_spark.store.cluster_map import (
+                    _read_manifest as _rm,
+                )
+
+                ent = (
+                    _rm(os.path.join(self._cluster_maps_dir(), name))
+                    or {}
+                ).get("current") or {}
+                row["segments"] = len(ent.get("segments") or [])
+                row["retirements"] = len(ent.get("retirements") or [])
+            applied = {str(t) for t in (ent.get("applied_tokens") or [])}
+            pending = [t for t in ledger_tokens if t not in applied]
+            row.update(
+                {
+                    "version": int(ent.get("version") or 0),
+                    "fingerprint": ent.get("fingerprint"),
+                    "applied_tokens": len(applied),
+                    "pending_tokens": pending,
+                    "stale": bool(pending),
+                    "fragmented": int(row.get("segments") or 0) > 1,
+                }
+            )
+            report["stores"].append(row)
+        report["stale_stores"] = [
+            f"{r['kind']}:{r['name']}" for r in report["stores"]
+            if r["stale"]
+        ]
+        return report
+
     # --------------------------------------------------- sketch stores
 
     def _sketch_store_dir(self) -> str:
@@ -1358,6 +1550,23 @@ class Engine:
         return build_ecdf_store(
             df, group_col, value_sql, self._ecdf_store_dir(), name,
             width=width, n_buckets=n_buckets,
+        )
+
+    def build_ecdf_profiles(
+        self, df: DataFrame, group_col: str, profiles: dict, name: str
+    ):
+        """MULTI-PROFILE grid store: N named value expressions
+        (``profiles[name] = {value_sql, width, n_buckets}``)
+        histogrammed per group in ONE corpus scan — k profiled values
+        cost 1× the corpus I/O instead of k× separate builds
+        (store/ecdf_store.py:build_ecdf_profiles). Serves via
+        :meth:`ecdf_store` with ``profile=`` on every read verb;
+        registry appends keep every profile fresh from the one batch
+        scan."""
+        from queens_spark.store.ecdf_store import build_ecdf_profiles
+
+        return build_ecdf_profiles(
+            df, group_col, profiles, self._ecdf_store_dir(), name
         )
 
     def ecdf_store(self, name: str):

@@ -259,10 +259,10 @@ def test_cluster_map_registry_refresh_and_crash_retry(
 
 def test_retire_and_fragmentation_probe_with_all_kinds(spark, tmp_path):
     """Every registry verb must dispatch all five kinds: retirement
-    skips the additive-only stores (sketch/ecdf/cluster) with an
-    explicit note instead of mis-routing them into the vector-delete
-    path, and the fragmentation probe counts cluster-map delta
-    segments."""
+    skips the additive-only stores (sketch/ecdf) with an explicit note
+    instead of mis-routing them into the vector-delete path, RETIRES
+    from registered cluster maps (takedown-visible serving), and the
+    fragmentation probe counts cluster-map delta segments."""
     eng = _engine_with_indexes(spark, tmp_path)
     seed = _frame(
         spark,
@@ -283,10 +283,17 @@ def test_retire_and_fragmentation_probe_with_all_kinds(spark, tmp_path):
     assert eng._max_registered_segments("docs") >= 2
     report = eng.retire_documents("docs", ids=[3])
     skipped = {x for x in report["indexes"] if "(skipped)" in x}
-    assert {"cluster:cm (skipped)", "ecdf:lens (skipped)"} <= skipped
+    assert skipped == {"ecdf:lens (skipped)"}
     assert "text:d" in report["indexes"]
-    # the cluster map still serves (untouched by retirement)
-    assert eng.cluster_map("cm").describe()["segments"] == 2
+    assert "cluster:cm" in report["indexes"]
+    # the cluster map retired the doc: members/canonical exclude it
+    cm = eng.cluster_map("cm")
+    live = {r["doc_id"] for r in cm.members().collect()}
+    assert 3 not in live and 60 in live
+    assert cm.describe()["retirements"] == 1
+    # and fsck stays green on the retired map
+    rep = eng.fsck()
+    assert rep["error"] == 0, rep["findings"]
 
 
 def test_engine_stream_ingest_corpus_registry_driven(spark, tmp_path):
@@ -694,3 +701,187 @@ def test_search_page_one_verb_with_snippets(spark, tmp_path):
     # no snippet request -> plain hybrid page
     plain = eng.search_page("d", "v", ["amaranth"], emb3, k=3).columns
     assert "window_start" not in plain
+
+
+def test_ingest_preflights_revised_ids_before_any_side_effect(
+    spark, tmp_path
+):
+    """A re-crawled id with EDITED text passes the ledger's content
+    screen but would corrupt a registered cluster map — the round-12
+    failure mode fired AFTER the ledger flip, stranding the
+    composition. The check now runs BEFORE any side effect: the
+    rejected batch leaves ledger, profile, warehouse, and every index
+    untouched (the max_drift precedent)."""
+    eng = _engine_with_indexes(spark, tmp_path)
+    seed = _frame(
+        spark,
+        [(i, f"seed document number {i} alpha beta gamma") for i in range(8)],
+    )
+    eng.build_cluster_map(seed, "text", "doc_id", "cm", n=1, threshold=0.5)
+    eng.register_index("docs", "cluster", "cm")
+    revised = _frame(spark, [(3, "wholly revised text for doc three")])
+    before_versions = eng.get_versions("docs").count()
+    with pytest.raises(ValueError, match="before any side effect"):
+        eng.ingest(
+            revised, "docs", "rev1",
+            dedup_text_col="text", dedup_id_col="doc_id", token="trev",
+        )
+    # zero side effects: warehouse version count, indexes, map, and the
+    # ledger (the revised text still screens as FRESH → never recorded)
+    assert eng.get_versions("docs").count() == before_versions
+    assert eng.text_index("d").describe()["n_docs"] == 8
+    assert eng.cluster_map("cm").describe()["segments"] == 1
+    _, stats = eng.ingest_deduped(
+        _frame(spark, [(99, "wholly revised text for doc three")]),
+        "text", "doc_id", ledger="docs",
+    )
+    assert stats["accepted"] == 1  # the text never entered the ledger
+
+
+def test_ingest_token_redelivery_skips_preflight(spark, tmp_path):
+    """A REDELIVERED token replays the whole chain idempotently: its
+    ids are already live in the map, so the pre-flight must stand
+    aside (the ledger remembers the token) instead of rejecting the
+    legitimate retry."""
+    eng = _engine_with_indexes(spark, tmp_path)
+    seed = _frame(
+        spark,
+        [(i, f"seed document number {i} alpha beta gamma") for i in range(8)],
+    )
+    eng.build_cluster_map(seed, "text", "doc_id", "cm", n=1, threshold=0.5)
+    eng.register_index("docs", "cluster", "cm")
+    batch = _frame(spark, [(70, "redelivered content emerald")])
+    eng.ingest(
+        batch, "docs", "rb1",
+        dedup_text_col="text", dedup_id_col="doc_id", token="tr1",
+    )
+    segs = eng.cluster_map("cm").describe()["segments"]
+    # full redelivery with the same token: no clash error, no growth
+    eng.ingest(
+        batch, "docs", "rb1",
+        dedup_text_col="text", dedup_id_col="doc_id", token="tr1",
+    )
+    assert eng.cluster_map("cm").describe()["segments"] == segs
+    assert eng.text_index("d").describe()["n_docs"] == 9
+
+
+def test_revision_route_retire_then_reingest_converges(spark, tmp_path):
+    """The documented revision route: retire the old ids, re-offer the
+    revised batch under the SAME ids — the map then equals a rebuild
+    on the revised corpus, and the lexical index serves the new
+    content."""
+    eng = _engine_with_indexes(spark, tmp_path)
+    seed = _frame(
+        spark,
+        [(i, f"seed document number {i} alpha beta gamma") for i in range(8)],
+    )
+    eng.build_cluster_map(seed, "text", "doc_id", "cm", n=1, threshold=0.5)
+    eng.register_index("docs", "cluster", "cm")
+    eng.retire_documents("docs", ids=[3])
+    revised = _frame(spark, [(3, "revised doc three cobalt narwhal")])
+    iid = eng.ingest(
+        revised, "docs", "rev3",
+        dedup_text_col="text", dedup_id_col="doc_id", token="trv",
+    )
+    assert iid is not None
+    cm = eng.cluster_map("cm")
+    from queens_spark.store.cluster_map import build_cluster_map
+
+    final = seed.where(F.col("doc_id") != 3).union(revised).select(
+        "doc_id", "text"
+    )
+    rebuilt = build_cluster_map(
+        final, "text", "doc_id", str(tmp_path / "rb"),
+        n=1, threshold=0.5, max_df=int(cm.entry["max_df"]),
+    )
+    assert sorted(
+        (r["doc_id"], r["component_id"]) for r in cm.members().collect()
+    ) == sorted(
+        (r["doc_id"], r["component_id"])
+        for r in rebuilt.members().collect()
+    )
+    hits = [
+        r["doc"]
+        for r in eng.text_index("d").bm25_topk(["narwhal"], k=3).collect()
+    ]
+    assert hits == [3]
+
+
+def test_engine_status_freshness_audit(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """Engine.status — the operability triangle's third leg: pure
+    manifest reads reporting per-store fragmentation and
+    behind-the-ledger-head staleness; a crash mid-chain shows up as a
+    stale store with the stranded token listed, and token redelivery
+    heals it."""
+    import queens_spark.store.ecdf_store as es
+    from queens_spark.cli import main
+
+    eng = _engine_with_indexes(spark, tmp_path)
+    seed = _frame(
+        spark,
+        [(i, f"seed document number {i} alpha beta gamma") for i in range(8)],
+    )
+    eng.build_cluster_map(seed, "text", "doc_id", "cm", n=1, threshold=0.5)
+    eng.register_index("docs", "cluster", "cm")
+    batch = _frame(spark, [(80, "status probe content opaline")])
+    eng.ingest(
+        batch, "docs", "s1",
+        dedup_text_col="text", dedup_id_col="doc_id", token="ts1",
+    )
+    rep = eng.status("docs")
+    assert rep["ledger"]["tokens"] == 1
+    assert rep["stale_stores"] == []  # every store applied ts1
+    by = {f"{r['kind']}:{r['name']}": r for r in rep["stores"]}
+    assert by["cluster:cm"]["segments"] == 2
+    assert by["cluster:cm"]["fragmented"] is True
+    # maintain folds the fragmentation and clears token bookkeeping
+    eng.maintain("docs")
+    rep = eng.status("docs")
+    assert rep["ledger"]["tokens"] == 0
+    assert not any(r["fragmented"] for r in rep["stores"]
+                   if r["kind"] == "cluster")
+
+    # a crash BEFORE the last store's flip leaves it stale — status
+    # names the store and the stranded token
+    eng.build_ecdf_store(
+        seed.withColumn("table_name", F.lit("s")), "table_name",
+        "length(text)", "lens2",
+    )
+    eng.register_index("docs", "ecdf", "lens2")
+    real = es.append_ecdf_store
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before the ecdf flip")
+
+    monkeypatch.setattr(es, "append_ecdf_store", boom)
+    b2 = _frame(spark, [(81, "second status probe vermilion")]).withColumn(
+        "table_name", F.lit("s2")
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.ingest(
+            b2, "docs", "s2",
+            dedup_text_col="text", dedup_id_col="doc_id", token="ts2",
+        )
+    monkeypatch.setattr(es, "append_ecdf_store", real)
+    rep = eng.status("docs")
+    # appends run in (kind, name) order: cluster applied BEFORE the
+    # ecdf crash; text/vector never ran — all three show stale with
+    # the stranded token named
+    assert rep["stale_stores"] == ["ecdf:lens2", "text:d", "vector:v"]
+    for r in rep["stores"]:
+        assert r["pending_tokens"] == (
+            [] if r["name"] == "cm" else ["ts2"]
+        ), r
+    monkeypatch.setenv("QUEENS_SPARK_WAREHOUSE", eng.warehouse.root)
+    assert main(["status", "docs"]) == 1  # stale → nonzero exit
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["stale_stores"] == ["ecdf:lens2", "text:d", "vector:v"]
+    # redelivery heals: the chain replays exactly-once, status clears
+    eng.ingest(
+        b2, "docs", "s2",
+        dedup_text_col="text", dedup_id_col="doc_id", token="ts2",
+    )
+    assert eng.status("docs")["stale_stores"] == []
+    assert main(["status", "docs"]) == 0
