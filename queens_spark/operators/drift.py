@@ -142,9 +142,6 @@ def drift_from_count_frame(counts: DataFrame, group_col: str) -> DataFrame:
     # so the grid re-join below never trips self-join lineage
     # ambiguity on an unbroken counts lineage
     counts = _persist(counts)
-    totals = counts.groupBy(group_col).agg(
-        F.sum("n").cast("bigint").alias("n_rows")
-    )
     glob = counts.groupBy("bucket").agg(F.sum("n").cast("bigint").alias("gn"))
     gtot = glob.agg(F.sum("gn").cast("bigint").alias("t"))
     gppm = glob.crossJoin(F.broadcast(gtot)).select(
@@ -153,6 +150,60 @@ def drift_from_count_frame(counts: DataFrame, group_col: str) -> DataFrame:
         "t",
     ).select(
         "bucket", F.expr("__num div t").cast("bigint").alias("g_ppm")
+    )
+    return _score_counts_vs_gppm(counts, group_col, gppm)
+
+
+def drift_from_count_frame_vs_reference(
+    counts: DataFrame, group_col: str, reference: dict[int, int]
+) -> DataFrame:
+    """Per-group drift vs a FIXED stored baseline — identical exact
+    ppm chi-square to :func:`drift_from_count_frame`, but the
+    reference shares come from a persisted counter dict (e.g. an
+    ``EcdfStore``'s pooled grid) instead of the pooled input, so a
+    STREAMING monitor and the batch drift matrix gate against the
+    SAME artifact. *reference* is counter-width (≤ n_buckets entries)
+    by construction and rides into the plan as a broadcast literal
+    frame — never a corpus recompute. A batch bucket the reference
+    has never seen drifts at full weight (reference share 0), the
+    same treatment the pooled form gives a vanished bucket."""
+    from queens_spark.operators.dedup import _persist
+
+    counts = _persist(counts)
+    rt = sum(int(n) for n in reference.values())
+    if rt <= 0:
+        raise ValueError(
+            "drift_from_count_frame_vs_reference: empty reference"
+        )
+    spark = counts.sparkSession
+    ref = spark.createDataFrame(
+        [
+            (int(b), int(n) * PPM // rt)
+            for b, n in sorted(reference.items())
+        ],
+        "bucket bigint, g_ppm bigint",
+    )
+    # bucket domain = reference ∪ batch (missing either way scores)
+    buckets = (
+        ref.select("bucket")
+        .union(counts.select(F.col("bucket").cast("bigint")))
+        .distinct()
+    )
+    gppm = buckets.join(ref, "bucket", "left").select(
+        "bucket",
+        F.coalesce("g_ppm", F.lit(0)).cast("bigint").alias("g_ppm"),
+    )
+    return _score_counts_vs_gppm(counts, group_col, gppm)
+
+
+def _score_counts_vs_gppm(
+    counts: DataFrame, group_col: str, gppm: DataFrame
+) -> DataFrame:
+    """Shared scoring tail: expand (group × bucket) over the supplied
+    per-bucket reference shares and sum the exact integer chi-square.
+    *counts* must already be persisted (both callers do)."""
+    totals = counts.groupBy(group_col).agg(
+        F.sum("n").cast("bigint").alias("n_rows")
     )
     grid = totals.crossJoin(F.broadcast(gppm))
     # fresh attribute ids on the re-joined side: totals/gppm/counts all

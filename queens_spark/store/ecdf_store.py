@@ -61,9 +61,11 @@ MANIFEST_NAME = "ecdf_store.json"
 
 __all__ = [
     "build_ecdf_store",
+    "build_ecdf_profiles",
     "append_ecdf_store",
     "load_ecdf_store",
     "build_or_load_ecdf_store",
+    "build_or_load_ecdf_profiles",
     "clear_applied_tokens",
     "EcdfStore",
 ]
@@ -90,7 +92,53 @@ def _write_manifest(store_dir: str, entries: dict) -> None:
 
 
 def _hist(df: DataFrame, entry: dict) -> DataFrame:
-    from queens_spark.operators.drift import hist_counts
+    from queens_spark.operators.drift import bucketize, hist_counts
+
+    if "profiles" in entry:
+        # MULTI-PROFILE build: N named value expressions histogrammed
+        # in ONE corpus scan — each expression evaluates exactly once
+        # per row (the struct carries the bigint value; the per-profile
+        # bucket grid applies AFTER the explode, so no projection
+        # collapse can re-run an expensive expression), then one
+        # partial-agg shuffle over (profile, g, bucket) counters.
+        profs = sorted(entry["profiles"].items())
+        structs = [
+            F.struct(
+                F.lit(pname).alias("profile"),
+                F.expr(p["value_sql"]).cast("bigint").alias("val"),
+            )
+            for pname, p in profs
+        ]
+        stacked = (
+            df.select(
+                F.col(entry["group_col"]).alias("g"),
+                F.explode(F.array(*structs)).alias("x"),
+            )
+            .select("g", "x.profile", "x.val")
+            # a bucket is undefined for a NULL value — drop per profile
+            # (the single-profile semantics, applied row-wise)
+            .where(F.col("val").isNotNull())
+        )
+        first, rest = profs[0], profs[1:]
+        bucket = F.when(
+            F.col("profile") == first[0],
+            bucketize(
+                F.col("val"), int(first[1]["width"]),
+                int(first[1]["n_buckets"]),
+            ),
+        )
+        for pname, p in rest:
+            bucket = bucket.when(
+                F.col("profile") == pname,
+                bucketize(
+                    F.col("val"), int(p["width"]), int(p["n_buckets"])
+                ),
+            )
+        return (
+            stacked.select("profile", "g", bucket.alias("bucket"))
+            .groupBy("profile", "g", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
 
     base = df.select(
         F.col(entry["group_col"]).alias("g"),
@@ -126,6 +174,13 @@ def _gc_superseded(store_dir: str, name: str, keep_version: int) -> None:
 
 
 class EcdfStore:
+    """Single- OR multi-profile store. A legacy entry carries one
+    (value_sql, width, n_buckets); a multi-profile entry carries
+    ``profiles[name] = {value_sql, width, n_buckets}`` histogrammed in
+    ONE corpus scan (the hist artifact gains a ``profile`` column).
+    Every serve takes an optional *profile* argument — required on a
+    multi-profile store, rejected on a single-profile one."""
+
     def __init__(self, spark: SparkSession, store_dir: str, name: str,
                  entry: dict):
         self.spark = spark
@@ -133,29 +188,51 @@ class EcdfStore:
         self.name = name
         self.entry = entry
         self.group_col = entry["group_col"]
-        self.width = int(entry["width"])
-        self.n_buckets = int(entry["n_buckets"])
+        if "profiles" not in entry:
+            self.width = int(entry["width"])
+            self.n_buckets = int(entry["n_buckets"])
 
-    def hist(self) -> DataFrame:
+    def _grid(self, profile: str | None) -> tuple[int, int]:
+        if "profiles" in self.entry:
+            if profile is None:
+                raise ValueError(
+                    f"ecdf store {self.name!r} is multi-profile "
+                    f"({sorted(self.entry['profiles'])}); pass profile="
+                )
+            p = self.entry["profiles"][profile]
+            return int(p["width"]), int(p["n_buckets"])
+        if profile is not None:
+            raise ValueError(
+                f"ecdf store {self.name!r} is single-profile; "
+                "profile= does not apply"
+            )
+        return self.width, self.n_buckets
+
+    def hist(self, profile: str | None = None) -> DataFrame:
         """(group_col, bucket, n) — the stored counters, corpus
-        untouched."""
-        return self.spark.read.parquet(self.entry["path"]).select(
+        untouched (filtered to *profile* on a multi-profile store)."""
+        self._grid(profile)  # validates the profile argument
+        stored = self.spark.read.parquet(self.entry["path"])
+        if "profiles" in self.entry:
+            stored = stored.where(F.col("profile") == profile)
+        return stored.select(
             F.col("g").alias(self.group_col), "bucket", "n"
         )
 
-    def cdf(self) -> DataFrame:
+    def cdf(self, profile: str | None = None) -> DataFrame:
         """(group_col, bucket, lo, hi, n, cum_n, total) — the grid CDF.
         The cumulative window partitions on the group over ≤ n_buckets
         rows each (bounded at any corpus size — this is counter-width
         arithmetic, not a corpus window)."""
+        width_v, _ = self._grid(profile)
         w_cum = (
             Window.partitionBy(self.group_col)
             .orderBy("bucket")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         w_tot = Window.partitionBy(self.group_col)
-        width = F.lit(self.width).cast("bigint")
-        return self.hist().select(
+        width = F.lit(width_v).cast("bigint")
+        return self.hist(profile).select(
             self.group_col,
             "bucket",
             (F.col("bucket") * width).alias("lo"),
@@ -165,7 +242,9 @@ class EcdfStore:
             F.sum("n").over(w_tot).cast("bigint").alias("total"),
         )
 
-    def thresholds(self, fractions_bp: dict[str, int]) -> DataFrame:
+    def thresholds(
+        self, fractions_bp: dict[str, int], profile: str | None = None
+    ) -> DataFrame:
         """Per-group calibration thresholds from the stored grid: for
         each named basis-point fraction, the smallest bucket whose
         cumulative count covers it, served as the bucket's exclusive
@@ -189,7 +268,8 @@ class EcdfStore:
                 f"threshold fractions must be basis points in (0, 10000]; "
                 f"got {bad}"
             )
-        cdf = self.cdf()
+        _, n_buckets = self._grid(profile)
+        cdf = self.cdf(profile)
         rows = []
         for name_, bp in sorted(fractions_bp.items()):
             hit = cdf.where(
@@ -205,7 +285,7 @@ class EcdfStore:
                     F.lit(int(bp)).cast("bigint").alias("bp"),
                     F.col("hi").alias("value_lt"),
                     F.expr("cum_n * 10000 div total").alias("covered_bp"),
-                    (F.col("bucket") == self.n_buckets - 1).alias(
+                    (F.col("bucket") == n_buckets - 1).alias(
                         "saturated"
                     ),
                 )
@@ -216,31 +296,67 @@ class EcdfStore:
             out = out.unionByName(r)
         return out
 
-    def ref_counters(self, group: str) -> dict[int, int]:
+    def pooled_counters(self, profile: str | None = None) -> dict[int, int]:
+        """The whole-corpus histogram (all groups summed) as a
+        driver-side counter dict — the STORED baseline a streaming
+        monitor gates micro-batches against
+        (operators/drift.drift_from_count_frame_vs_reference), so
+        batch drift matrices and the stream score against the SAME
+        artifact. ≤ n_buckets entries by construction."""
+        return {
+            int(r["bucket"]): int(r["n"])
+            for r in self.hist(profile)
+            .groupBy("bucket")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+            .collect()
+        }
+
+    def ref_counters(
+        self, group: str, profile: str | None = None
+    ) -> dict[int, int]:
         """One group's histogram as a driver-side counter dict — the
         drift-reference shape ``drift_from_counters`` consumes (≤
         n_buckets entries by construction)."""
         return {
             int(r["bucket"]): int(r["n"])
-            for r in self.hist()
+            for r in self.hist(profile)
             .where(F.col(self.group_col) == group)
             .collect()
         }
 
     def describe(self) -> dict:
-        return {
+        out = {
             "name": self.name,
             "group_col": self.group_col,
-            "value_sql": self.entry["value_sql"],
-            "width": self.width,
-            "n_buckets": self.n_buckets,
             "version": int(self.entry["version"]),
-            "n_groups": self.hist()
-            .select(self.group_col)
-            .distinct()
-            .count(),
             "applied_tokens": len(self.entry.get("applied_tokens") or []),
         }
+        if "profiles" in self.entry:
+            out["profiles"] = {
+                p: {
+                    "value_sql": v["value_sql"],
+                    "width": int(v["width"]),
+                    "n_buckets": int(v["n_buckets"]),
+                }
+                for p, v in sorted(self.entry["profiles"].items())
+            }
+            out["n_groups"] = (
+                self.spark.read.parquet(self.entry["path"])
+                .select("g").distinct().count()
+            )
+        else:
+            out.update(
+                {
+                    "value_sql": self.entry["value_sql"],
+                    "width": self.width,
+                    "n_buckets": self.n_buckets,
+                    "n_groups": self.hist()
+                    .select(self.group_col)
+                    .distinct()
+                    .count(),
+                }
+            )
+        return out
 
 
 def build_ecdf_store(
@@ -274,6 +390,77 @@ def build_ecdf_store(
     _write_manifest(store_dir, entries)
     _gc_superseded(store_dir, name, version)
     return EcdfStore(spark, store_dir, name, entry)
+
+
+def _norm_profiles(profiles: dict) -> dict:
+    out = {}
+    for pname, p in profiles.items():
+        out[str(pname)] = {
+            "value_sql": str(p["value_sql"]),
+            "width": int(p.get("width", 50)),
+            "n_buckets": int(p.get("n_buckets", 40)),
+        }
+    if not out:
+        raise ValueError("build_ecdf_profiles: at least one profile")
+    return out
+
+
+def build_ecdf_profiles(
+    df: DataFrame,
+    group_col: str,
+    profiles: dict,
+    store_dir: str,
+    name: str,
+    fingerprint: str | None = None,
+) -> EcdfStore:
+    """MULTI-PROFILE build: N named value expressions
+    (``profiles[name] = {value_sql, width, n_buckets}``) histogrammed
+    per group in ONE corpus scan — at 100 TB the scan dominates, so a
+    deployment profiling k values (token length, quality, …) pays 1×
+    the I/O instead of k× separate builds. Appends stay exact-merge
+    O(batch) and recompute every profile from the one batch scan."""
+    spark = df.sparkSession
+    entries = _read_manifest(store_dir)
+    version = int(entries.get(name, {}).get("version", 0)) + 1
+    entry = {
+        "group_col": group_col,
+        "profiles": _norm_profiles(profiles),
+        "version": version,
+        "applied_tokens": [],
+        "fingerprint": fingerprint,
+    }
+    hist = _hist(df, entry)
+    entry["path"] = _write_version(store_dir, name, version, hist)
+    entries[name] = entry
+    _write_manifest(store_dir, entries)
+    _gc_superseded(store_dir, name, version)
+    return EcdfStore(spark, store_dir, name, entry)
+
+
+def build_or_load_ecdf_profiles(
+    df: DataFrame,
+    group_col: str,
+    profiles: dict,
+    store_dir: str,
+    name: str,
+    fingerprint: str | None = None,
+) -> EcdfStore:
+    """Serve the stored multi-profile store when group, every
+    profile's (value_sql, width, n_buckets), AND the fingerprint
+    match; rebuild otherwise."""
+    spark = df.sparkSession
+    entry = _read_manifest(store_dir).get(name)
+    if (
+        entry
+        and entry.get("group_col") == group_col
+        and entry.get("profiles") == _norm_profiles(profiles)
+        and entry.get("fingerprint") == fingerprint
+        and os.path.exists(entry.get("path", ""))
+    ):
+        return EcdfStore(spark, store_dir, name, entry)
+    return build_ecdf_profiles(
+        df, group_col, profiles, store_dir, name, fingerprint=fingerprint
+    )
 
 
 def build_or_load_ecdf_store(
@@ -335,9 +522,13 @@ def append_ecdf_store(
         return EcdfStore(spark, store_dir, name, entry)
     batch = _hist(df, entry)
     stored = spark.read.parquet(entry["path"])
+    keys = (
+        ["profile", "g", "bucket"] if "profiles" in entry
+        else ["g", "bucket"]
+    )
     merged = (
         stored.unionByName(batch)
-        .groupBy("g", "bucket")
+        .groupBy(*keys)
         .agg(F.sum("n").cast("bigint").alias("n"))
     )
     version = int(entry["version"]) + 1

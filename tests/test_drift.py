@@ -246,3 +246,103 @@ def test_max_drift_admission_gate(spark, eng):
         ok, "docs", "t2", dedup_text_col="text", dedup_id_col="doc_id",
         max_drift=1_100_000,
     ) is not None
+
+
+def test_stream_gates_against_stored_ecdf_reference(spark, tmp_path):
+    """The stored-baseline monitor: a registered ECDF store (kept
+    fresh through the registry ingest chain) supplies the pooled
+    reference that STREAMING micro-batches gate against — batch drift
+    matrices and the stream score against the SAME artifact, with the
+    exact integer chi-square matching the driver-side twin."""
+    import json
+    import os
+
+    from queens_spark.facade import Engine
+    from queens_spark.operators.drift import (
+        bucketize,
+        drift_from_count_frame_vs_reference,
+        drift_from_counters,
+    )
+    from tests.test_index_registry import (
+        _engine_with_indexes,
+        _frame,
+        docs_schemas,
+    )
+
+    eng = _engine_with_indexes(spark, tmp_path)
+    seed = _frame(
+        spark,
+        [(i, f"seed document number {i} alpha beta gamma") for i in range(8)],
+    )
+    eng.build_ecdf_store(
+        seed.withColumn("table_name", F.lit("seed")), "table_name",
+        "size(filter(split(text, '\\\\s+'), x -> x != ''))", "lens",
+        width=2, n_buckets=8,
+    )
+    eng.register_index("docs", "ecdf", "lens")
+    # registry ingest keeps the stored baseline fresh before streaming
+    eng.ingest(
+        _frame(spark, [(40, "registry refreshed content here now")])
+        .withColumn("table_name", F.lit("b1")),
+        "docs", "b1",
+        dedup_text_col="text", dedup_id_col="doc_id", token="te1",
+    )
+    st = eng.ecdf_store("lens")
+    ref = st.pooled_counters()
+    assert sum(ref.values()) == 9  # 8 seed + 1 refreshed
+
+    # stream micro-batches; foreachBatch gates vs the STORED reference
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "b.json"), "w") as fh:
+        for i, t in [
+            (100, "in distribution document six tokens x"),
+            (101, "way way way way way way way way way out of "
+                  "distribution document with a very long tail of "
+                  "tokens that the reference never saw at all ever"),
+        ]:
+            fh.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+    scores: dict[int, int] = {}
+
+    def gate(batch_df, batch_id):
+        from queens_spark.operators.text import token_count
+
+        counts = (
+            batch_df.select(
+                F.col("doc_id"),
+                bucketize(token_count("text"), 2, 8).alias("bucket"),
+            )
+            .groupBy("doc_id", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        for r in drift_from_count_frame_vs_reference(
+            counts, "doc_id", ref
+        ).collect():
+            scores[int(r["doc_id"])] = int(r["drift_score"])
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .json(src)
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert set(scores) == {100, 101}
+    assert scores[101] > scores[100]  # the outlier screams
+    # exactness: the distributed score equals the driver-side twin on
+    # the same counters (per-doc batch histogram vs stored reference)
+    from queens_spark.operators.text import token_count as _tc
+
+    per_doc = {100: {}, 101: {}}
+    rows = (
+        spark.read.json(src)
+        .select("doc_id", bucketize(_tc("text"), 2, 8).alias("b"))
+        .collect()
+    )
+    for r in rows:
+        d = per_doc[int(r["doc_id"])]
+        d[int(r["b"])] = d.get(int(r["b"]), 0) + 1
+    for doc, batch in per_doc.items():
+        assert scores[doc] == drift_from_counters(batch, ref), doc

@@ -227,3 +227,99 @@ def test_null_values_dropped_and_bp_guard(spark, tmp_path):
         st.thresholds({"bad": 0})
     with pytest.raises(ValueError, match="basis points"):
         st.thresholds({"bad": 20000})
+
+
+# ------------------------------------------------ multi-profile stores
+
+def _msnap(st, profile):
+    return sorted(
+        (r[st.group_col], r["bucket"], r["n"])
+        for r in st.hist(profile=profile).collect()
+    )
+
+
+def test_multi_profile_equals_per_profile_singles(spark, tmp_path):
+    """One multi-profile scan == N separate single-profile builds,
+    per profile and bit-for-bit (same bucketize grid, same NULL
+    drop)."""
+    from queens_spark.store.ecdf_store import build_ecdf_profiles
+
+    rows = [("a", v) for v in range(40)] + [("b", v * 3) for v in range(25)]
+    df = _frame(spark, rows).withColumn(
+        "v2",
+        F.when(F.col("v") % 7 == 0, F.lit(None)).otherwise(
+            F.col("v") * F.col("v")
+        ),
+    )
+    profs = {
+        "lin": {"value_sql": "v + 0", "width": 10, "n_buckets": 6},
+        "sq": {"value_sql": "v2 + 0", "width": 300, "n_buckets": 5},
+    }
+    st = build_ecdf_profiles(df, "g", profs, str(tmp_path / "m"), "mp")
+    for pname, p in profs.items():
+        single = build_ecdf_store(
+            df, "g", p["value_sql"], str(tmp_path / f"s_{pname}"), "e",
+            width=p["width"], n_buckets=p["n_buckets"],
+        )
+        assert _msnap(st, pname) == _hist_snap(single), pname
+    # thresholds/cdf demand an explicit profile; singles reject one
+    with pytest.raises(ValueError, match="multi-profile"):
+        st.hist()
+    with pytest.raises(KeyError):
+        st.cdf(profile="nope")
+    single = load_ecdf_store(spark, str(tmp_path / "s_lin"), "e")
+    with pytest.raises(ValueError, match="single-profile"):
+        single.hist(profile="lin")
+
+
+def test_multi_profile_append_equals_rebuild(spark, tmp_path):
+    from queens_spark.store.ecdf_store import (
+        append_ecdf_store as _append,
+        build_ecdf_profiles,
+    )
+
+    profs = {
+        "lin": {"value_sql": "v + 0", "width": 25, "n_buckets": 8},
+        "dbl": {"value_sql": "v * 2", "width": 50, "n_buckets": 8},
+    }
+    for seed in range(3):
+        rng = random.Random(40 + seed)
+        rows = [
+            (rng.choice("abc"), rng.randint(0, 400)) for _ in range(100)
+        ]
+        cut = rng.randint(20, 80)
+        A, B = _frame(spark, rows[:cut]), _frame(spark, rows[cut:])
+        d = str(tmp_path / f"m{seed}")
+        build_ecdf_profiles(A, "g", profs, d, "mp")
+        st = _append(spark, B, d, "mp", token=f"t{seed}")
+        rebuilt = build_ecdf_profiles(
+            A.union(B), "g", profs, str(tmp_path / f"r{seed}"), "mp"
+        )
+        for pname in profs:
+            assert _msnap(st, pname) == _msnap(rebuilt, pname), (
+                f"seed {seed} profile {pname}"
+            )
+        # token replay no-ops across every profile at once
+        st2 = _append(spark, B, d, "mp", token=f"t{seed}")
+        assert st2.entry["version"] == st.entry["version"]
+
+
+def test_multi_profile_build_or_load_and_engine_verb(spark, tmp_path):
+    from queens_spark.facade import Engine
+    from queens_spark.store.ecdf_store import build_or_load_ecdf_profiles
+
+    profs = {"lin": {"value_sql": "v + 0", "width": 10, "n_buckets": 4}}
+    df = _frame(spark, [("a", v) for v in range(10)])
+    d = str(tmp_path / "s")
+    st = build_or_load_ecdf_profiles(df, "g", profs, d, "mp",
+                                     fingerprint="fp1")
+    st2 = build_or_load_ecdf_profiles(df, "g", profs, d, "mp",
+                                      fingerprint="fp1")
+    assert st2.entry["version"] == st.entry["version"]  # served
+    profs2 = {"lin": {"value_sql": "v + 1", "width": 10, "n_buckets": 4}}
+    st3 = build_or_load_ecdf_profiles(df, "g", profs2, d, "mp",
+                                      fingerprint="fp1")
+    assert st3.entry["version"] == st.entry["version"] + 1  # rebuilt
+    eng = Engine(spark, str(tmp_path / "wh"))
+    est = eng.build_ecdf_profiles(df, "g", profs, "mp")
+    assert est.describe()["profiles"]["lin"]["width"] == 10

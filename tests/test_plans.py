@@ -580,23 +580,18 @@ def test_stored_ecdf_serves_never_touch_corpus():
 
     spark = get_spark("queens_spark_tests")
     from queens_spark.operators.drift import drift_from_count_frame
-    from queens_spark.queries import (
-        _QUALITY_BPS,
-        _QUALITY_GRID_BUCKETS,
-        _QUALITY_GRID_WIDTH,
-        _QUALITY_VALUE_SQL,
-    )
+    from queens_spark.queries import _QUALITY_BPS
 
+    # ONE multi-profile store serves all four shapes (q191/q192/q193
+    # from the token grid, q195 from the quality grid) — one build scan
     st = _documents_ecdf_store(spark, SF_DIR)  # build or load
-    qst = _documents_ecdf_store(
-        spark, SF_DIR, name="quality", value_sql=_QUALITY_VALUE_SQL,
-        width=_QUALITY_GRID_WIDTH, n_buckets=_QUALITY_GRID_BUCKETS,
-    )
     for frame in (
-        st.thresholds(_ECDF_BPS),
-        st.cdf(),
-        drift_from_count_frame(st.hist(), "source"),  # q193's shape
-        qst.thresholds(_QUALITY_BPS),  # q195's shape
+        st.thresholds(_ECDF_BPS, profile="tok_len"),
+        st.cdf(profile="tok_len"),
+        drift_from_count_frame(
+            st.hist(profile="tok_len"), "source"
+        ),  # q193's shape
+        st.thresholds(_QUALITY_BPS, profile="quality"),  # q195's shape
     ):
         plan = plan_of(frame)
         assert "documents.parquet" not in plan, plan
