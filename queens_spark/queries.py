@@ -10171,36 +10171,44 @@ _ECDF_BPS = {"p25": 2500, "p50": 5000, "p90": 9000}
 _ECDF_TOK_SQL = r"size(filter(split(text, '\\s+'), x -> x != ''))"
 
 
-def _documents_ecdf_store(
-    spark, sf_dir, name="tok_len", value_sql=None, width=None, n_buckets=None
-):
+def _documents_ecdf_store(spark, sf_dir):
     """Stored per-source ECDF profiles for the sf_dir's documents
     table (store/ecdf_store.py) — the deployment shape of percentile
-    calibration and drift baselines: the FIRST run per corpus pays one
-    histogram pass and persists sources×buckets counters; every later
-    run serves thresholds/CDFs from the artifact with NO corpus touch.
-    Default = the token-length grid (q191/q192/q193); q195 profiles
-    the quality score through the same store with its own value
-    expression. Fingerprint = corpus file stat (the _embeddings_index
-    convention)."""
+    calibration and drift baselines: the FIRST run per corpus pays
+    ONE histogram scan covering BOTH profiled values (the token-length
+    grid serving q191/q192/q193 AND the quality grid serving q195 —
+    the multi-profile build halves the 100 TB build I/O vs two
+    separate stores) and persists profiles×sources×buckets counters;
+    every later run serves thresholds/CDFs from the artifact with NO
+    corpus touch. Fingerprint = corpus file stat (the
+    _embeddings_index convention)."""
     import hashlib
     import os
     import tempfile
 
-    from queens_spark.store.ecdf_store import build_or_load_ecdf_store
+    from queens_spark.store.ecdf_store import build_or_load_ecdf_profiles
     from queens_spark.store.vector_index import source_fingerprint
 
     src = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     store_dir = os.path.join(tempfile.gettempdir(), "queens_spark_ecdf", key)
-    return build_or_load_ecdf_store(
+    return build_or_load_ecdf_profiles(
         load(spark, sf_dir, "documents"),
         "source",
-        value_sql if value_sql is not None else _ECDF_TOK_SQL,
+        {
+            "tok_len": {
+                "value_sql": _ECDF_TOK_SQL,
+                "width": _ECDF_WIDTH,
+                "n_buckets": _ECDF_BUCKETS,
+            },
+            "quality": {
+                "value_sql": _QUALITY_VALUE_SQL,
+                "width": _QUALITY_GRID_WIDTH,
+                "n_buckets": _QUALITY_GRID_BUCKETS,
+            },
+        },
         store_dir,
-        name,
-        width=width if width is not None else _ECDF_WIDTH,
-        n_buckets=n_buckets if n_buckets is not None else _ECDF_BUCKETS,
+        "doc_profiles",
         fingerprint=source_fingerprint(src),
     )
 
@@ -10262,7 +10270,7 @@ def q191_stored_token_thresholds(spark, sf_dir):
     bounded, mergeable, bit-portable artifact (NOT a randomized
     sketch: oracle equality is the house rule)."""
     st = _documents_ecdf_store(spark, sf_dir)
-    return st.thresholds(_ECDF_BPS)
+    return st.thresholds(_ECDF_BPS, profile="tok_len")
 
 
 def _ecdf_cdf_oracle() -> str:
@@ -10284,7 +10292,7 @@ def q192_stored_token_cdf(spark, sf_dir):
     (bounded at any corpus size). Zero corpus touch in the plan; the
     oracle recomputes the grid inline."""
     st = _documents_ecdf_store(spark, sf_dir)
-    return st.cdf()
+    return st.cdf(profile="tok_len")
 
 
 def _stored_drift_oracle() -> str:
@@ -10315,7 +10323,7 @@ def q193_stored_source_drift(spark, sf_dir):
     from queens_spark.operators.drift import drift_from_count_frame
 
     st = _documents_ecdf_store(spark, sf_dir)
-    return drift_from_count_frame(st.hist(), "source")
+    return drift_from_count_frame(st.hist(profile="tok_len"), "source")
 
 
 # Quality-grid constants (q195): quality ∈ [0,1] scales to integer
@@ -10397,14 +10405,8 @@ def q195_stored_quality_floors(spark, sf_dir):
     serve from the artifact with zero corpus touch and stay fresh
     through O(batch) appends. The oracle recomputes the scaled
     histogram inline from the corpus."""
-    st = _documents_ecdf_store(
-        spark, sf_dir,
-        name="quality",
-        value_sql=_QUALITY_VALUE_SQL,
-        width=_QUALITY_GRID_WIDTH,
-        n_buckets=_QUALITY_GRID_BUCKETS,
-    )
-    return st.thresholds(_QUALITY_BPS)
+    st = _documents_ecdf_store(spark, sf_dir)
+    return st.thresholds(_QUALITY_BPS, profile="quality")
 
 
 def _temperature_mixture_oracle() -> str:
@@ -10448,3 +10450,114 @@ def q190_stored_distinct(spark, sf_dir):
     return st.distinct_estimates().select(
         "source", "sketch_n", "est_distinct"
     )
+
+
+# =====================================================================
+# Takedown-visible cluster-map serving (q196/q197)
+# =====================================================================
+
+# The takedown set is a static predicate (the oracle string is fixed at
+# registration): every ~97th document retires. Spark side collects the
+# matching ids (takedown lists are driver-scale by nature) and retires
+# them from a SECOND stored map, so the shared q36-family map stays
+# untouched.
+_TAKEDOWN_MOD, _TAKEDOWN_REM = 97, 3
+
+
+def _minus_retired(sql: str) -> str:
+    """Rewrite an inline clustering oracle to run on the SURVIVOR
+    corpus while FREEZING the capped-index stop-shingle cap at the
+    FULL corpus count — the stored map froze max_df at build and
+    retirement keeps it (store/cluster_map.py), so the oracle must
+    not let the cap drift with the shrunken survivor count."""
+    out = sql.replace(
+        "(SELECT COUNT(*) FROM documents) // 100",
+        "(SELECT COUNT(*) FROM __alldocs) // 100",
+    ).replace("FROM documents", "FROM __livedocs")
+    ctes = (
+        "__alldocs AS (SELECT * FROM documents), __livedocs AS "
+        "(SELECT * FROM documents WHERE NOT "
+        f"(doc_id % {_TAKEDOWN_MOD} = {_TAKEDOWN_REM}))"
+    )
+    if out.lstrip().startswith("WITH RECURSIVE"):
+        return out.replace(
+            "WITH RECURSIVE", f"WITH RECURSIVE {ctes}, ", 1
+        )
+    return f"WITH {ctes} " + out
+
+
+def _documents_clusters_retired(spark, sf_dir):
+    """Stored cluster map AFTER a takedown (store/cluster_map.py:
+    retire_cluster_map): build (or serve) a second map over the full
+    corpus, then retire the static takedown set from it — exercising
+    canonical re-election, component splits, and (when the dfs land
+    that way) hot-shingle un-flips against an oracle that re-clusters
+    the survivors inline. The retire itself runs ONCE per corpus
+    (the manifest's retirement list marks it done); every later run
+    serves artifact reads."""
+    import hashlib
+    import os
+    import tempfile
+
+    from queens_spark.store.cluster_map import (
+        build_or_load_cluster_map,
+        retire_cluster_map,
+        source_fingerprint,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    map_dir = os.path.join(
+        tempfile.gettempdir(), "queens_spark_cmap", key + "_takedown"
+    )
+    cm = build_or_load_cluster_map(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        map_dir,
+        fingerprint=source_fingerprint(src),
+        n=3,
+        threshold=0.8,
+    )
+    if not cm.entry.get("retirements"):
+        ids = [
+            r["doc_id"]
+            for r in load(spark, sf_dir, "documents")
+            .where(
+                (F.col("doc_id") % _TAKEDOWN_MOD) == _TAKEDOWN_REM
+            )
+            .select("doc_id")
+            .collect()
+        ]
+        cm = retire_cluster_map(spark, map_dir, ids)
+    return cm
+
+
+@register("q196_takedown_components", _minus_retired(_components_oracle(0.8)))
+def q196_takedown_components(spark, sf_dir):
+    """Dedup components AFTER a takedown, served from the stored map's
+    retirement deltas (store/cluster_map.py:retire_cluster_map —
+    coverage-scoped tombstones + a CC re-run over ONLY the affected
+    components' stored edges): the oracle re-clusters the survivor
+    corpus from scratch at the frozen stop-shingle cap, and the served
+    members must match it bit-for-bit — including components the
+    removal SPLIT and ones a hot-shingle un-flip MERGED. Zero corpus
+    access in the retire (every input is a stored artifact); serving
+    is a winner-select over counter-width member deltas."""
+    return _documents_clusters_retired(spark, sf_dir).members().select(
+        "doc_id", "component_id"
+    )
+
+
+@register("q197_takedown_canonical", _minus_retired(_best_in_cluster_oracle(0.8)))
+def q197_takedown_canonical(spark, sf_dir):
+    """Canonical keep-list AFTER a takedown: where the retired doc WAS
+    a cluster's quality-best canonical, the retirement delta
+    re-elected the next-best surviving member (same (quality, −id)
+    winner rule); vanished clusters are tombstoned out. The oracle
+    recomputes canonicals over the re-clustered survivors — stored
+    re-election must match the from-scratch choice bit-for-bit. This
+    is the takedowns-stay-down story for release keep-lists: a
+    retired canonical disappears from the map's members, so
+    export_release(cluster_map=...) re-elects without it."""
+    return _documents_clusters_retired(spark, sf_dir).canonical()
