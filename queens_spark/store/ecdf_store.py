@@ -269,32 +269,33 @@ class EcdfStore:
                 f"got {bad}"
             )
         _, n_buckets = self._grid(profile)
-        cdf = self.cdf(profile)
-        rows = []
-        for name_, bp in sorted(fractions_bp.items()):
-            hit = cdf.where(
-                F.col("cum_n") * 10000 >= F.lit(int(bp)) * F.col("total")
+        # ONE unpivoted plan for every requested fraction: the (name,
+        # bp) pairs ride in as a broadcast literal frame crossed with
+        # the counter-width CDF, and one window picks each (group,
+        # threshold)'s first covering bucket — instead of a per-bp
+        # subplan union that grows with the fraction set
+        fr = self.spark.createDataFrame(
+            [(k, int(v)) for k, v in sorted(fractions_bp.items())],
+            "threshold string, bp bigint",
+        )
+        w = Window.partitionBy(self.group_col, "threshold").orderBy(
+            "bucket"
+        )
+        return (
+            self.cdf(profile)
+            .crossJoin(F.broadcast(fr))
+            .where(F.col("cum_n") * 10000 >= F.col("bp") * F.col("total"))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                self.group_col,
+                "threshold",
+                F.col("bp").cast("bigint").alias("bp"),
+                F.col("hi").alias("value_lt"),
+                F.expr("cum_n * 10000 div total").alias("covered_bp"),
+                (F.col("bucket") == n_buckets - 1).alias("saturated"),
             )
-            w = Window.partitionBy(self.group_col).orderBy("bucket")
-            first = (
-                hit.withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") == 1)
-                .select(
-                    self.group_col,
-                    F.lit(name_).alias("threshold"),
-                    F.lit(int(bp)).cast("bigint").alias("bp"),
-                    F.col("hi").alias("value_lt"),
-                    F.expr("cum_n * 10000 div total").alias("covered_bp"),
-                    (F.col("bucket") == n_buckets - 1).alias(
-                        "saturated"
-                    ),
-                )
-            )
-            rows.append(first)
-        out = rows[0]
-        for r in rows[1:]:
-            out = out.unionByName(r)
-        return out
+        )
 
     def pooled_counters(self, profile: str | None = None) -> dict[int, int]:
         """The whole-corpus histogram (all groups summed) as a

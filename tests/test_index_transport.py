@@ -247,3 +247,48 @@ def test_cluster_map_transport_appendable_roundtrip(spark, tmp_path):
     assert prod_eng.import_map(bundle) == "cm"
     assert prod_eng.cluster_map("cm").describe()["n_docs"] == 4
     assert prod_eng.fsck()["healthy"]
+
+
+def test_retired_cluster_map_transport(spark, tmp_path):
+    """A map carrying retirement tombstones travels whole: the
+    destination serves the retired view, keeps appending exactly, and
+    its compaction applies the shipped tombstones physically."""
+    from queens_spark.store.cluster_map import (
+        build_cluster_map,
+        compact_cluster_map,
+    )
+
+    A = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "a b c f"), (4, "p q r s")],
+        ["doc_id", "text"],
+    )
+    src_eng = Engine(spark, str(tmp_path / "staging"))
+    src_eng.build_cluster_map(A, "text", "doc_id", "cm", n=1,
+                              threshold=0.5, max_df=10)
+    src_eng.retire_from_cluster_map("cm", [2])
+    bundle = str(tmp_path / "bundle")
+    src_eng.export_map("cm", bundle)
+
+    prod_eng = Engine(spark, str(tmp_path / "prod"))
+    assert prod_eng.import_map(bundle) == "cm"
+    cm = prod_eng.cluster_map("cm")
+    assert cm.describe()["retirements"] == 1
+    assert 2 not in {r["doc_id"] for r in cm.members().collect()}
+    B = spark.createDataFrame([(9, "p q r u")], ["doc_id", "text"])
+    cm = prod_eng.append_cluster_map(B, "cm", token="t1")
+    rebuilt = build_cluster_map(
+        A.where(F.col("doc_id") != 2).union(B), "text", "doc_id",
+        str(tmp_path / "rebuild"), n=1, threshold=0.5, max_df=10,
+    )
+    for table in ("members", "canonical", "edges"):
+        assert sorted(map(tuple, getattr(cm, table)().collect())) == \
+            sorted(map(tuple, getattr(rebuilt, table)().collect())), table
+    import os
+
+    d = os.path.join(prod_eng._cluster_maps_dir(), "cm")
+    assert compact_cluster_map(spark, d) == 3
+    cm2 = prod_eng.cluster_map("cm")
+    assert cm2.describe()["retirements"] == 0
+    assert sorted(map(tuple, cm2.members().collect())) == \
+        sorted(map(tuple, rebuilt.members().collect()))
+    assert prod_eng.fsck()["healthy"]
