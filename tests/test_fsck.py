@@ -296,3 +296,57 @@ def test_cli_fsck_exit_codes(spark, tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     rep = json.loads(out)
     assert rep["healthy"] is False and rep["findings"]
+
+
+def test_cluster_map_retirement_damage(spark, tmp_path):
+    """Retirement-segment audit: a missing tombstone artifact and an
+    unreferenced tombstone list are both errors (coverage scoping
+    cannot apply without the pair), and out-of-range coverage is
+    caught before it hides later writes."""
+    import json
+
+    from queens_spark.store.cluster_map import (
+        MANIFEST_NAME,
+        retire_cluster_map,
+    )
+
+    eng = _engine_with_indexes(spark, tmp_path)
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "p q r s")],
+        ["doc_id", "text"],
+    )
+    eng.build_cluster_map(docs, "text", "doc_id", "cm", n=1, threshold=0.5)
+    cm_dir = os.path.join(eng._cluster_maps_dir(), "cm")
+    retire_cluster_map(spark, cm_dir, [2])
+    assert eng.fsck()["healthy"]
+    manifest_p = os.path.join(cm_dir, MANIFEST_NAME)
+    with open(manifest_p) as fh:
+        manifest = json.load(fh)
+    rseg = manifest["current"]["retirements"][0]["seg"]
+
+    # missing 'retired' artifact on a retirement segment → error
+    saved = os.path.join(cm_dir, rseg, "retired")
+    os.rename(saved, saved + "__aside")
+    rep = eng.fsck()
+    assert not rep["healthy"]
+    assert any("missing artifact 'retired'" in f["message"]
+               for f in rep["findings"] if f["level"] == "error")
+    os.rename(saved + "__aside", saved)
+    assert eng.fsck()["healthy"]
+
+    # coverage beyond the segment's index → error
+    manifest["current"]["retirements"][0]["coverage"] = 99
+    with open(manifest_p, "w") as fh:
+        json.dump(manifest, fh)
+    rep = eng.fsck()
+    assert any("coverage 99 out of range" in f["message"]
+               for f in rep["findings"] if f["level"] == "error")
+    manifest["current"]["retirements"][0]["coverage"] = 1
+    # a tombstone list on a segment the manifest does not list as a
+    # retirement → error (it would never be applied)
+    manifest["current"]["retirements"] = []
+    with open(manifest_p, "w") as fh:
+        json.dump(manifest, fh)
+    rep = eng.fsck()
+    assert any("not in the manifest's retirement list" in f["message"]
+               for f in rep["findings"] if f["level"] == "error")
