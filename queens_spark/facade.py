@@ -1481,6 +1481,28 @@ class Engine:
                 }
             )
             report["stores"].append(row)
+        # registered rollups: segment presence only (their freshness
+        # contract is LAZY — serving repairs a missing ingest partial
+        # from raw, so absence is a repair-debt signal, not an error)
+        from queens_spark.store.rollup import registered_rollups
+
+        rollups = []
+        for name in sorted(
+            registered_rollups(self._rollups_dir(), collection)
+        ):
+            segs_dir = os.path.join(
+                self._rollups_dir(), collection, name, "segments"
+            )
+            n_segs = (
+                len([
+                    d for d in os.listdir(segs_dir)
+                    if d.startswith("ingest_")
+                ])
+                if os.path.isdir(segs_dir)
+                else 0
+            )
+            rollups.append({"name": name, "segments": n_segs})
+        report["rollups"] = rollups
         report["stale_stores"] = [
             f"{r['kind']}:{r['name']}" for r in report["stores"]
             if r["stale"]

@@ -833,6 +833,7 @@ def test_engine_status_freshness_audit(
     rep = eng.status("docs")
     assert rep["ledger"]["tokens"] == 1
     assert rep["stale_stores"] == []  # every store applied ts1
+    assert rep["rollups"] == []  # none registered
     by = {f"{r['kind']}:{r['name']}": r for r in rep["stores"]}
     assert by["cluster:cm"]["segments"] == 2
     assert by["cluster:cm"]["fragmented"] is True
