@@ -155,35 +155,70 @@ class Engine:
             # untouched; the supported revision route is
             # retire_documents (or retire_from_cluster_map) for the
             # old ids, then re-offer the batch — retired ids pass this
-            # check and re-append cleanly. A REDELIVERED token skips
-            # the check: its ids were appended by the first delivery,
-            # and the whole chain replays idempotently.
+            # check and re-append cleanly.
+            #
+            # The check is CONTENT-AWARE: only docs whose fingerprint
+            # the ledger has never accepted can survive the screen and
+            # reach the map append, so only those count as clashes.
+            # That keeps two previously-working flows working: (1) a
+            # tokenless at-least-once producer re-offering UNCHANGED
+            # content (screens to accepted=0 — a documented no-op) and
+            # (2) a token redelivery arriving AFTER maintain()
+            # compacted the ledger's token map (the post-compact
+            # replay re-screens to accepted=0 — the clear-tokens
+            # contract). The fingerprint probe over-approximates
+            # survivors only for a revised id whose NEW text near-dups
+            # ledger content under dedup_near_threshold — rejected
+            # conservatively (it IS a revision attempt). A token still
+            # in the ledger's map skips the probe entirely (the first
+            # delivery appended these ids; the chain replays
+            # idempotently). Cost: one fingerprint pass over the batch
+            # plus one members-column read per registered map — the
+            # admission-control price, paid once per offered batch.
             _cluster_regs = [
                 e for e in self.registered_indexes(collection)
                 if e["kind"] == "cluster"
             ]
             if _cluster_regs:
-                _seen_token = False
-                if token is not None:
-                    from queens_spark.store.dedup_ledger import (
-                        _read_manifest as _ledger_manifest,
-                    )
+                from queens_spark.store.dedup_ledger import (
+                    _read_manifest as _ledger_manifest,
+                    ledger_fingerprints,
+                )
 
-                    _seen_token = str(token) in (
-                        _ledger_manifest(
-                            _os.path.join(
-                                self.warehouse.root, "system",
-                                "dedup_ledger", dedup_ledger or collection,
-                            )
-                        ).get("tokens") or {}
-                    )
+                _ledger_dir = _os.path.join(
+                    self.warehouse.root, "system", "dedup_ledger",
+                    dedup_ledger or collection,
+                )
+                _seen_token = token is not None and str(token) in (
+                    _ledger_manifest(_ledger_dir).get("tokens") or {}
+                )
                 if not _seen_token:
+                    from queens_spark.operators.text import doc_fingerprint
+
+                    _known = (
+                        ledger_fingerprints(self.spark, _ledger_dir)
+                        if (_ledger_manifest(_ledger_dir).get("segments"))
+                        else None
+                    )
                     for e in _cluster_regs:
                         cm = self.cluster_map(e["name"])
                         mid = cm.entry["id_col"]
+                        novel = df.select(
+                            F.col(dedup_id_col).alias(mid),
+                            doc_fingerprint(dedup_text_col).alias("__fp"),
+                        )
+                        if _known is not None:
+                            novel = novel.join(
+                                _known.select(
+                                    F.col("fingerprint").alias("__fp")
+                                ),
+                                "__fp",
+                                "left_anti",
+                            )
                         clash = (
-                            df.select(F.col(dedup_id_col).alias(mid))
-                            .join(cm.members().select(mid), mid, "left_semi")
+                            novel.join(
+                                cm.members().select(mid), mid, "left_semi"
+                            )
                             .limit(5)
                             .collect()
                         )
@@ -191,10 +226,11 @@ class Engine:
                             raise ValueError(
                                 "ingest rejected before any side effect: "
                                 f"batch ids already live in cluster map "
-                                f"{e['name']!r} (e.g. "
-                                f"{[r[mid] for r in clash]}) — revising a "
-                                "document needs retire_documents on the "
-                                "old ids first, then re-offer the batch"
+                                f"{e['name']!r} with CHANGED content "
+                                f"(e.g. {[r[mid] for r in clash]}) — "
+                                "revising a document needs "
+                                "retire_documents on the old ids first, "
+                                "then re-offer the batch"
                             )
 
             if max_drift is not None:

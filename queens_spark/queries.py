@@ -10335,6 +10335,13 @@ _QUALITY_GRID_BUCKETS = 41
 _QUALITY_BPS = {"p10": 1000, "p50": 5000}
 _QUALITY_TOKS_SQL = r"filter(split(text, '\\s+'), x -> x != '')"
 _QUALITY_VALUE_SQL = (
+    # NULL text → NULL value (dropped by the store's documented
+    # NULL-drop): without the outer CASE the quality expression
+    # evaluates to 7000 on NULL text (least() skips NULLs, the inner
+    # CASE guards fall to their ELSE arms), while the oracle's
+    # WHERE text IS NOT NULL drops the doc — a latent divergence on
+    # any corpus with NULL texts
+    "CASE WHEN text IS NULL THEN NULL ELSE "
     "CAST(floor(("
     "0.4 * least(CAST(size(" + _QUALITY_TOKS_SQL + ") AS DOUBLE) / 100.0, 1.0)"
     " + 0.3 * (1.0 - (CASE WHEN length(text) > 0 THEN "
@@ -10344,7 +10351,7 @@ _QUALITY_VALUE_SQL = (
     " + 0.3 * (CASE WHEN size(" + _QUALITY_TOKS_SQL + ") > 0 THEN "
     "CAST(size(array_distinct(" + _QUALITY_TOKS_SQL + ")) AS DOUBLE) / "
     "CAST(size(" + _QUALITY_TOKS_SQL + ") AS DOUBLE) ELSE 0.0 END)"
-    ") * 10000) AS BIGINT)"
+    ") * 10000) AS BIGINT) END"
 )
 
 

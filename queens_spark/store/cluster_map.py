@@ -230,22 +230,27 @@ def _doc_rows(
     With no retirements this is the plain multi-path read — identical
     plan to the pre-retirement seg_read."""
     rets = _retirements(entry)
+    # each retirement's tombstone frame reads ONCE and is reused across
+    # every segment it covers — not re-read per (segment × retirement)
+    dead_frames = []
+    for r in rets:
+        dead = spark.read.parquet(
+            os.path.join(map_dir, r["seg"], "retired")
+        ).select("doc")
+        if sub == "hot_sigs":
+            dead = dead.union(
+                spark.read.parquet(
+                    os.path.join(map_dir, r["seg"], "unhot_docs")
+                ).select("doc")
+            )
+        dead_frames.append((int(r["coverage"]), dead))
     frames = []
     for i, s in enumerate(entry["segments"]):
         f = spark.read.parquet(os.path.join(map_dir, s, sub))
-        for r in rets:
-            if int(r["coverage"]) <= i:
+        key = "doc" if "doc" in f.columns else entry["id_col"]
+        for cov, dead in dead_frames:
+            if cov <= i:
                 continue
-            dead = spark.read.parquet(
-                os.path.join(map_dir, r["seg"], "retired")
-            ).select("doc")
-            if sub == "hot_sigs":
-                dead = dead.union(
-                    spark.read.parquet(
-                        os.path.join(map_dir, r["seg"], "unhot_docs")
-                    ).select("doc")
-                )
-            key = "doc" if "doc" in f.columns else entry["id_col"]
             f = f.join(
                 F.broadcast(dead.withColumnRenamed("doc", key)),
                 key, "left_anti",
@@ -1235,14 +1240,21 @@ def _members_frame(
     if len(segs) == 1 and not rets:
         return spark.read.parquet(os.path.join(map_dir, segs[0], "members"))
 
+    dead_frames = [
+        (
+            int(r["coverage"]),
+            spark.read.parquet(
+                os.path.join(map_dir, r["seg"], "retired")
+            ).select(F.col("doc").alias(id_col)),
+        )
+        for r in rets
+    ]
+
     def resolved(i: int, s: str) -> DataFrame:
         f = spark.read.parquet(os.path.join(map_dir, s, "members"))
-        for r in rets:
-            if int(r["coverage"]) <= i:
+        for cov, dead in dead_frames:
+            if cov <= i:
                 continue
-            dead = spark.read.parquet(
-                os.path.join(map_dir, r["seg"], "retired")
-            ).select(F.col("doc").alias(id_col))
             f = f.join(F.broadcast(dead), id_col, "left_anti")
         return f
 

@@ -444,12 +444,17 @@ def fsck_cluster_maps(cluster_dir: str) -> list[dict]:
                 continue
             idx = entry["segments"].index(rseg)
             cov = int(r.get("coverage", -1))
-            if not 0 <= cov <= idx:
+            # by construction coverage == the retirement segment's own
+            # index (retire sets it to the pre-append segment count):
+            # higher would hide rows written AFTER the retirement;
+            # lower would silently resurrect retired docs in the
+            # uncovered earlier segments
+            if cov != idx:
                 f.append(_finding(
                     "cluster_map", name, "error",
-                    f"retirement {rseg} coverage {cov} out of range "
-                    f"[0, {idx}] — tombstones would hide rows written "
-                    "after the retirement",
+                    f"retirement {rseg} coverage {cov} != its segment "
+                    f"index {idx} — tombstones would apply to the "
+                    "wrong segments",
                 ))
         for part in ("near", "copy"):
             p = os.path.join(map_dir, entry["graph"], part)

@@ -263,11 +263,7 @@ def test_stream_gates_against_stored_ecdf_reference(spark, tmp_path):
         drift_from_count_frame_vs_reference,
         drift_from_counters,
     )
-    from tests.test_index_registry import (
-        _engine_with_indexes,
-        _frame,
-        docs_schemas,
-    )
+    from tests.test_index_registry import _engine_with_indexes, _frame
 
     eng = _engine_with_indexes(spark, tmp_path)
     seed = _frame(

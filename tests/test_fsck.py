@@ -334,13 +334,15 @@ def test_cluster_map_retirement_damage(spark, tmp_path):
     os.rename(saved + "__aside", saved)
     assert eng.fsck()["healthy"]
 
-    # coverage beyond the segment's index → error
-    manifest["current"]["retirements"][0]["coverage"] = 99
-    with open(manifest_p, "w") as fh:
-        json.dump(manifest, fh)
-    rep = eng.fsck()
-    assert any("coverage 99 out of range" in f["message"]
-               for f in rep["findings"] if f["level"] == "error")
+    # coverage must equal the retirement segment's own index: higher
+    # hides later writes, lower resurrects retired docs
+    for bad in (99, 0):
+        manifest["current"]["retirements"][0]["coverage"] = bad
+        with open(manifest_p, "w") as fh:
+            json.dump(manifest, fh)
+        rep = eng.fsck()
+        assert any(f"coverage {bad} != its segment index" in f["message"]
+                   for f in rep["findings"] if f["level"] == "error"), bad
     manifest["current"]["retirements"][0]["coverage"] = 1
     # a tombstone list on a segment the manifest does not list as a
     # retirement → error (it would never be applied)

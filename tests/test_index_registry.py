@@ -886,3 +886,44 @@ def test_engine_status_freshness_audit(
     )
     assert eng.status("docs")["stale_stores"] == []
     assert main(["status", "docs"]) == 0
+
+
+def test_preflight_passes_unchanged_content_reoffers(spark, tmp_path):
+    """The pre-flight is CONTENT-AWARE: a tokenless at-least-once
+    producer re-offering UNCHANGED content with live ids still screens
+    to accepted=0 and returns None (the documented no-op), and a token
+    replay arriving AFTER maintain() compacted the ledger's token map
+    still re-screens to a no-op — neither raises."""
+    eng = _engine_with_indexes(spark, tmp_path)
+    seed = _frame(
+        spark,
+        [(i, f"seed document number {i} alpha beta gamma") for i in range(8)],
+    )
+    eng.build_cluster_map(seed, "text", "doc_id", "cm", n=1, threshold=0.5)
+    eng.register_index("docs", "cluster", "cm")
+    batch = _frame(spark, [(90, "at least once content celadon")])
+    eng.ingest(
+        batch, "docs", "p1",
+        dedup_text_col="text", dedup_id_col="doc_id", token="tp1",
+    )
+    # (a) tokenless re-offer, ids live, content unchanged → None
+    assert eng.ingest(
+        batch, "docs", "p1",
+        dedup_text_col="text", dedup_id_col="doc_id",
+    ) is None
+    # (b) maintain compacts ledger + clears token maps; a late replay
+    # of the ORIGINAL token must still be a quiet no-op
+    eng.maintain("docs")
+    segs = eng.cluster_map("cm").describe()["segments"]
+    assert eng.ingest(
+        batch, "docs", "p1",
+        dedup_text_col="text", dedup_id_col="doc_id", token="tp1",
+    ) is None
+    assert eng.cluster_map("cm").describe()["segments"] == segs
+    # a genuinely REVISED id still rejects before any side effect
+    revised = _frame(spark, [(90, "revised celadon content entirely")])
+    with pytest.raises(ValueError, match="CHANGED content"):
+        eng.ingest(
+            revised, "docs", "p2",
+            dedup_text_col="text", dedup_id_col="doc_id",
+        )
