@@ -525,6 +525,14 @@ def test_dedup_family_serves_from_stored_cluster_map(spark):
     # explode (Generate) anywhere in the plan
     plan = plan_of(QUERIES["q42_dedup_filter"](spark, SF_DIR))
     assert "Generate" not in plan
+    # the TAKEDOWN serves (q196/q197) read retirement deltas: still no
+    # corpus scan, no shingle explode, no CC — the retire itself ran
+    # once at cache build; serving is tombstone-scoped artifact reads
+    # plus the winner-select over member deltas
+    for qname in ("q196_takedown_components", "q197_takedown_canonical"):
+        plan = plan_of(QUERIES[qname](spark, SF_DIR))
+        assert "documents.parquet" not in plan, qname
+        assert "Generate" not in plan, qname
 
 
 def test_centroid_classifier_scoring_is_map_only():
