@@ -236,8 +236,8 @@ def build_parser() -> argparse.ArgumentParser:
              "with no corpus touch",
     )
     cmp_.add_argument("action",
-                      choices=["build", "append", "describe", "members",
-                               "canonical", "edges"])
+                      choices=["build", "append", "retire", "describe",
+                               "members", "canonical", "edges"])
     cmp_.add_argument("name", help="map name in the warehouse")
     cmp_.add_argument("--source", default=None,
                       help="parquet path (build/append)")
@@ -251,6 +251,11 @@ def build_parser() -> argparse.ArgumentParser:
                       help="stop-shingle cap (build; frozen for appends)")
     cmp_.add_argument("--token", default=None,
                       help="append: idempotency token (replay no-ops)")
+    cmp_.add_argument("--ids", default=None,
+                      help="retire: comma-separated doc ids — members/"
+                           "canonical/edges re-serve exactly a rebuild "
+                           "on the survivors; retired ids may "
+                           "re-append (the revision route)")
     cmp_.add_argument("--limit", type=int, default=20,
                       help="rows printed by members/canonical/edges")
 
@@ -991,6 +996,14 @@ def _run_cmap(spark, engine, args) -> int:
             return 2
         cm = engine.append_cluster_map(
             spark.read.parquet(args.source), args.name, token=args.token
+        )
+        print(_json.dumps(cm.describe()))
+    elif args.action == "retire":
+        if not args.ids:
+            print("retire needs --ids", file=sys.stderr)
+            return 2
+        cm = engine.retire_from_cluster_map(
+            args.name, [int(x) for x in args.ids.split(",") if x]
         )
         print(_json.dumps(cm.describe()))
     elif args.action == "describe":

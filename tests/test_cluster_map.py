@@ -422,6 +422,17 @@ def test_cli_cmap_lifecycle(spark, tmp_path, capsys, monkeypatch):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["applied_tokens"] == 1
 
+    # takedown from the shell: the retired doc stops serving
+    assert main(["cmap", "retire", "m", "--ids", "7"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 4 and out["retirements"] == 1
+    assert main(["cmap", "members", "m", "--limit", "10"]) == 0
+    rows = [json.loads(x) for x in
+            capsys.readouterr().out.strip().splitlines()]
+    after = {r["doc_id"]: r["component_id"] for r in rows}
+    assert 7 not in after
+    assert after[1] != after[4]  # the merge-through-7 un-did
+
 
 def test_compact_then_append_stays_exact(spark, tmp_path):
     """Compaction is a pure rewrite: serves bit-identical, segments
