@@ -262,3 +262,62 @@ def test_dedup_aware_release_packs_only_canonicals(spark, tmp_path):
     dup = spark.read.parquet(rel["report"]["duplication"]).collect()[0]
     assert dup["n_docs"] == 2 and dup["n_duplicates"] == 0
     assert all(v == "ok" for v in run.verify().values())
+
+
+def test_release_after_takedown_reelects_next_best(spark, tmp_path):
+    """Takedowns compose with releases: retiring a cluster's stored
+    canonical removes it from the map's members, so the next release
+    re-elects the next-best SURVIVOR instead of silently dropping the
+    whole cluster — and a df that merely OMITS the canonical (without
+    any retirement) re-elects too (the ADVICE interaction)."""
+    from queens_spark.facade import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"), (2, "a b c d e f"), (3, "a b c d e g"),
+            (4, "p q r s t u"),
+        ],
+        ["doc_id", "text"],
+    )
+    eng.build_cluster_map(docs, "text", "doc_id", "cm", n=1, threshold=0.5)
+    eng.register_index("docs", "cluster", "cm")
+    canon0 = {
+        r["component_id"]: r["best_doc_id"]
+        for r in eng.cluster_map("cm").canonical().collect()
+    }
+    best_cluster = canon0[min(canon0)]  # the {1,2,3} cluster's best
+
+    def packed(rel_name, frame):
+        eng.export_release(
+            frame, "text", "doc_id", rel_name, seq_len=8, n_shards=2,
+            cluster_map="cm",
+        )
+        run = eng.training_run(rel_name)
+        return {
+            d
+            for r in run.sequences().select("doc_spans").collect()
+            for d in [s["id"] for s in r["doc_spans"]]
+        }
+
+    # a frame that omits the stored canonical (no retirement): the
+    # release ships the next-best member, never zero
+    omitted = packed(
+        "rel_omit", docs.where(F.col("doc_id") != best_cluster)
+    )
+    assert best_cluster not in omitted
+    assert len(omitted) == 2  # both clusters still represented
+
+    # a real takedown: the map re-elects at retire time, and the
+    # release keep-list follows
+    eng.retire_documents("docs", ids=[int(best_cluster)])
+    canon1 = {
+        r["component_id"]: r["best_doc_id"]
+        for r in eng.cluster_map("cm").canonical().collect()
+    }
+    assert best_cluster not in set(canon1.values())
+    shipped = packed(
+        "rel_takedown", docs.where(F.col("doc_id") != best_cluster)
+    )
+    assert shipped == set(canon1.values())
+    assert len(shipped) == 2
