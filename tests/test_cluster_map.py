@@ -808,3 +808,28 @@ def test_retire_append_interleave_property(spark, tmp_path):
             assert _snap(cm) == _snap(rebuilt), (
                 f"seed {seed} step {step} diverged"
             )
+
+
+def test_retire_crash_retry_succeeds(spark, tmp_path):
+    """A retirement that crashed before its manifest flip leaves the
+    live map intact (the counters never advanced, so its dirs are
+    orphans); the retry clears them and lands."""
+    A = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "p q r s")],
+        ["doc_id", "text"],
+    )
+    d = str(tmp_path / "m")
+    cm = _build(A, d, max_df=10)
+    snap = _snap(cm)
+    # simulate the crash: junk where the retirement would write
+    for prefix, counter in (("seg", "next_seg"), ("graph", "next_graph")):
+        nxt = os.path.join(d, f"{prefix}_{cm.entry[counter]:06d}", "members")
+        os.makedirs(nxt)
+        with open(os.path.join(nxt, "part-junk.parquet"), "w") as fh:
+            fh.write("crashed")
+    assert _snap(load_cluster_map(spark, d)) == snap  # live map intact
+    cm2 = _retire(spark, d, [2])
+    rebuilt = _build(
+        A.where(F.col("doc_id") != 2), str(tmp_path / "r"), max_df=10
+    )
+    assert _snap(cm2) == _snap(rebuilt)
