@@ -251,10 +251,9 @@ def _doc_rows(
         for cov, dead in dead_frames:
             if cov <= i:
                 continue
-            f = f.join(
-                F.broadcast(dead.withColumnRenamed("doc", key)),
-                key, "left_anti",
-            )
+            # no broadcast hint: takedown lists are usually tiny (AQE
+            # broadcasts them) but retention purges are not
+            f = f.join(dead.withColumnRenamed("doc", key), key, "left_anti")
         frames.append(f)
     out = frames[0]
     for fr in frames[1:]:
@@ -965,8 +964,12 @@ def retire_cluster_map(
         return ClusterMap(spark, map_dir)
 
     docs_all = _doc_rows(spark, map_dir, entry, "docs")
+    # NO forced broadcast on the takedown-scale frames (rid, dec, the
+    # tombstone anti-join sides): a legal takedown is thousands of ids,
+    # but a retention purge can retire a corpus-scale fraction — AQE
+    # broadcasts the small case and shuffles the large one
     rid = spark.createDataFrame([(i,) for i in ids], "doc bigint")
-    retired_docs = _persist(docs_all.join(F.broadcast(rid), "doc"))
+    retired_docs = _persist(docs_all.join(rid, "doc"))
     n_retired = retired_docs.count()
     if n_retired == 0:
         return ClusterMap(spark, map_dir)
@@ -996,7 +999,7 @@ def retire_cluster_map(
         spark.read.parquet(
             *[os.path.join(map_dir, s, "dfs") for s in entry["segments"]]
         )
-        .join(F.broadcast(dec.select("sh_hash")), "sh_hash", "left_semi")
+        .join(dec.select("sh_hash"), "sh_hash", "left_semi")
         .groupBy("sh_hash")
         .agg(F.sum("df").cast("bigint").alias("df_a"))
     )
@@ -1027,7 +1030,7 @@ def retire_cluster_map(
             docs_all.join(
                 stored_hot_sigs.select("doc"), "doc", "left_semi"
             )
-            .join(F.broadcast(rid), "doc", "left_anti")
+            .join(rid, "doc", "left_anti")
             .where(F.arrays_overlap("hashes", unflip_arr))
         )
         unflip_df = spark.createDataFrame(
@@ -1088,16 +1091,16 @@ def retire_cluster_map(
     stored_copy = spark.read.parquet(os.path.join(graph_old, "copy"))
     rid_a = rid.withColumnRenamed("doc", "id_a")
     rid_b = rid.withColumnRenamed("doc", "id_b")
-    kept_near = stored_near.join(
-        F.broadcast(rid_a), "id_a", "left_anti"
-    ).join(F.broadcast(rid_b), "id_b", "left_anti")
+    kept_near = stored_near.join(rid_a, "id_a", "left_anti").join(
+        rid_b, "id_b", "left_anti"
+    )
     near_u = _persist(kept_near.union(new_near).distinct())
 
     # exact-copy groups touched by a retired fingerprint re-star under
     # the next-min SURVIVOR (null-safe: NULL-text docs share one group)
     ret_fps = retired_docs.select(F.col("fp").alias("__rfp")).distinct()
     old_grp = _persist(
-        docs_all.join(F.broadcast(rid), "doc", "left_anti")
+        docs_all.join(rid, "doc", "left_anti")
         .select("doc", "fp")
         .join(ret_fps, F.col("fp").eqNullSafe(F.col("__rfp")), "left_semi")
     )
@@ -1115,8 +1118,8 @@ def retire_cluster_map(
         stored_copy.join(
             old_grp.select(F.col("doc").alias("id_a")), "id_a", "left_anti"
         )
-        .join(F.broadcast(rid_a), "id_a", "left_anti")
-        .join(F.broadcast(rid_b), "id_b", "left_anti")
+        .join(rid_a, "id_a", "left_anti")
+        .join(rid_b, "id_b", "left_anti")
     )
     copy_u = _persist(kept_copy.union(new_copy))
 
@@ -1144,16 +1147,14 @@ def retire_cluster_map(
     )
     sub_old = _persist(members_now.join(acid, "component_id"))
     rid_id = rid.withColumnRenamed("doc", id_col)
-    sub_nodes = sub_old.select(id_col).join(
-        F.broadcast(rid_id), id_col, "left_anti"
-    )
+    sub_nodes = sub_old.select(id_col).join(rid_id, id_col, "left_anti")
     all_edges = near_u_s.union(copy_u_s).distinct()
     sub_edges = all_edges.join(
         sub_nodes.select(F.col(id_col).alias("id_a")), "id_a", "left_semi"
     )
     sub_cc = connected_components(sub_nodes, sub_edges, id_col)
     qual = sub_old.select(id_col, "quality").join(
-        F.broadcast(rid_id), id_col, "left_anti"
+        rid_id, id_col, "left_anti"
     )
     members_delta = sub_cc.join(qual, id_col)
     members_delta.write.mode("errorifexists").parquet(
@@ -1255,7 +1256,7 @@ def _members_frame(
         for cov, dead in dead_frames:
             if cov <= i:
                 continue
-            f = f.join(F.broadcast(dead), id_col, "left_anti")
+            f = f.join(dead, id_col, "left_anti")
         return f
 
     parts = [
