@@ -1,6 +1,6 @@
 """Stored dedup cluster map: the near-duplicate component assignment
 and per-cluster canonical choice as a persisted warehouse artifact —
-now with O(batch) appends.
+with O(batch) appends and coverage-scoped retirements.
 
 The dedup front-end (operators/dedup.py: capped inverted index ∪
 MinHash-LSH bands → connected components) is the most expensive pass
@@ -30,14 +30,21 @@ which is what makes incremental maintenance exact.
 
 Why ``max_df`` is FROZEN in the manifest (a matching parameter, like
 ``n`` and ``threshold``): document frequencies only GROW under
-appends, so with a frozen cap a shingle can only flip rare→hot, never
-back — and every shingle that can still flip has df <= max_df today,
-so its full posting list is inside the capped postings artifact. A
-per-batch drifting cap would need postings of already-hot shingles
-(unbounded, deliberately not stored) to un-flip them. The cap is
-resolved from the corpus at build (``auto_max_df``) and appends keep
-it; rebuild when the corpus has grown enough that 1 % of the OLD size
-is no longer a sane stop-shingle cap.
+appends, so with a frozen cap an APPEND can only flip a shingle
+rare→hot, never back — and every shingle that can still flip has
+df <= max_df today, so its full posting list is inside the capped
+postings artifact. A per-batch drifting cap would need postings of
+already-hot shingles (unbounded, deliberately not stored) to un-flip
+them. RETIREMENTS are the one operation that shrinks dfs: a
+hot shingle whose df falls back under the frozen cap UN-FLIPS, and
+:func:`retire_cluster_map` handles that exactly by recovering the
+shingle's carriers from the docs artifact (all of them are hot docs)
+and writing postings COMPLETION rows, restoring the
+every-live-rare-shingle-has-complete-postings invariant appends rely
+on — see its docstring. The cap is resolved from the corpus at build
+(``auto_max_df``) and appends/retirements keep it; rebuild when the
+corpus has grown enough that 1 % of the OLD size is no longer a sane
+stop-shingle cap.
 
 Append cost model (the 100 TB argument): one tokenize→hash pass over
 the BATCH only; every old-corpus touch is a columnar artifact scan
