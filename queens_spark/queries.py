@@ -10568,3 +10568,250 @@ def q197_takedown_canonical(spark, sf_dir):
     retired canonical disappears from the map's members, so
     export_release(cluster_map=...) re-elects without it."""
     return _documents_clusters_retired(spark, sf_dir).canonical()
+
+
+# =====================================================================
+# Event analytics: funnels, cohorts, sessions (q198-q200)
+# =====================================================================
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _funnel_oracle() -> str:
+    s1, s2, s3 = _FUNNEL_STEPS
+    return f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = '{s1}' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = '{s2}' AND e.ts > s1.t1 GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = '{s3}' AND e.ts > s2.t2 GROUP BY 1
+    ), n AS (
+      SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n1,
+             CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n2,
+             CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n3
+    )
+    SELECT 1 AS step, '{s1}' AS event_type, n1 AS n_users,
+           CAST(10000 AS BIGINT) AS conv_bp FROM n
+    UNION ALL
+    SELECT 2, '{s2}', n2,
+           CASE WHEN n1 > 0 THEN n2 * 10000 // n1 ELSE 0 END FROM n
+    UNION ALL
+    SELECT 3, '{s3}', n3,
+           CASE WHEN n2 > 0 THEN n3 * 10000 // n2 ELSE 0 END FROM n
+    """
+
+
+@register("q198_funnel_conversion", _funnel_oracle())
+def q198_funnel_conversion(spark, sf_dir):
+    """Strict-order funnel (view → click → purchase): a user reaches
+    step k only with an event AFTER their step-(k−1) first-completion
+    time — the product-analytics primitive, computed as a CHAIN of
+    per-user min aggregations (each step joins the previous step's
+    user-width frame and pushes its event_type filter into the scan;
+    no per-user event-array collection, no window over the raw
+    stream), finishing in three counter-width counts fused into one
+    result frame. Conversion is exact integer basis points per step.
+    At 100 TB: each stage shuffles one (user, ts) row per qualifying
+    user; the event scans are type-pruned; nothing corpus-scale ever
+    sorts."""
+    ev = load(spark, sf_dir, "events")
+    s1, s2, s3 = _FUNNEL_STEPS
+    a1 = (
+        ev.where(F.col("event_type") == s1)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    a2 = (
+        ev.where(F.col("event_type") == s2)
+        .join(a1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    a3 = (
+        ev.where(F.col("event_type") == s3)
+        .join(a2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n = (
+        a1.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+        .crossJoin(a2.agg(F.count(F.lit(1)).cast("bigint").alias("n2")))
+        .crossJoin(a3.agg(F.count(F.lit(1)).cast("bigint").alias("n3")))
+    )
+    steps = [
+        (1, s1, F.col("n1"), F.lit(10000).cast("bigint")),
+        (
+            2, s2, F.col("n2"),
+            F.when(F.col("n1") > 0, F.expr("n2 * 10000 div n1"))
+            .otherwise(F.lit(0)).cast("bigint"),
+        ),
+        (
+            3, s3, F.col("n3"),
+            F.when(F.col("n2") > 0, F.expr("n3 * 10000 div n2"))
+            .otherwise(F.lit(0)).cast("bigint"),
+        ),
+    ]
+    out = None
+    for step, name, users, conv in steps:
+        row = n.select(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(name).alias("event_type"),
+            users.alias("n_users"),
+            conv.alias("conv_bp"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_RETENTION_OFFSETS = [1, 3, 7]
+
+
+def _cohort_retention_oracle() -> str:
+    offs = ", ".join(str(d) for d in _RETENTION_OFFSETS)
+    return f"""
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY 1
+    ), cohort AS (
+      SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_cohort
+      FROM first_day GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), hits AS (
+      SELECT f.cohort_day,
+             CAST(datediff('day', f.cohort_day, a.day) AS BIGINT)
+               AS day_offset,
+             CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+      FROM activity a JOIN first_day f USING (user_id)
+      WHERE datediff('day', f.cohort_day, a.day) IN ({offs})
+      GROUP BY 1, 2
+    )
+    SELECT c.cohort_day, h.day_offset, h.n_active, c.n_cohort,
+           CAST(h.n_active * 10000 // c.n_cohort AS BIGINT)
+             AS retention_bp
+    FROM hits h JOIN cohort c USING (cohort_day)
+    """
+
+
+@register("q199_cohort_retention", _cohort_retention_oracle())
+def q199_cohort_retention(spark, sf_dir):
+    """Cohort retention — users grouped by FIRST-SEEN day, measured
+    for activity exactly 1/3/7 days later: the growth-analytics table
+    every event warehouse serves. Per-user first day is one min
+    aggregation; activity collapses to distinct (user, day) BEFORE the
+    cohort join (the corpus-width dedup happens map-side-combinable,
+    never a per-user sort); retention is exact integer basis points.
+    At 100 TB: two user-width shuffles + one counter-width join —
+    cohort frames are days×offsets rows."""
+    ev = load(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    cohort = first_day.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    hits = (
+        activity.join(first_day, "user_id")
+        .withColumn(
+            "day_offset",
+            F.datediff("day", "cohort_day").cast("bigint"),
+        )
+        .where(F.col("day_offset").isin(_RETENTION_OFFSETS))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+    )
+    return hits.join(cohort, "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        "n_cohort",
+        F.expr("n_active * 10000 div n_cohort")
+        .cast("bigint")
+        .alias("retention_bp"),
+    )
+
+
+_SESSION_GAP_MIN = 30
+
+
+def _sessionize_oracle() -> str:
+    return f"""
+    WITH marked AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(LAG(ts) OVER w)
+                          > {_SESSION_GAP_MIN} * 60
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value, event_id,
+             CAST(SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS BIGINT) AS session_no
+      FROM marked
+    )
+    SELECT user_id, session_no,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM sess GROUP BY 1, 2
+    """
+
+
+@register("q200_sessionize_events", _sessionize_oracle())
+def q200_sessionize_events(spark, sf_dir):
+    """Batch sessionization with a 30-minute inactivity gap: the
+    canonical lag-then-running-sum pattern — a session break marks
+    where the gap to the previous event exceeds the threshold, and the
+    running count of breaks IS the session number; one aggregate then
+    rolls each session up (events, span, value in exact integer
+    cents). ONE corpus-width shuffle on user_id serves both windows
+    (ties break on event_id so the numbering is deterministic on both
+    engines); the session rollup's exchange carries only partial-
+    aggregated session-width rows. Per-user event streams are the
+    partition unit — no global sort, no corpus-wide window. The
+    streaming twin is session_aggregates (streaming/events.py); this
+    is its exact batch shape for backfills."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        "event_id",
+        F.when(
+            gap.isNull() | (gap > _SESSION_GAP_MIN * 60), F.lit(1)
+        ).otherwise(F.lit(0)).alias("is_start"),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        # explicit round BEFORE the bigint cast: DuckDB's double->
+        # bigint cast rounds while Spark's truncates — round() makes
+        # the conversion identical-formula IEEE math on both engines
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )
