@@ -758,10 +758,12 @@ def test_retire_absent_ids_and_empty_list_noop(spark, tmp_path):
 
 
 def test_retire_append_interleave_property(spark, tmp_path):
-    """Randomized retire/append interleavings against from-scratch
-    rebuilds on the live set — exercises splits, merges, un-flips,
-    copy-rep moves, repeat retirements, and coverage scoping in one
-    sweep."""
+    """Randomized retire/append/COMPACT interleavings against
+    from-scratch rebuilds on the live set — exercises splits, merges,
+    un-flips, copy-rep moves, repeat retirements, coverage scoping,
+    and physical tombstone folding in one sweep."""
+    from queens_spark.store.cluster_map import compact_cluster_map
+
     vocab = ["a", "b", "c", "d", "e", "f", "g", "h"]
     for seed in range(3):
         rng = random.Random(100 + seed)
@@ -782,7 +784,10 @@ def test_retire_append_interleave_property(spark, tmp_path):
         rows.update(dict(first))
         _build(frame(first), d, max_df=3)
         for step in range(4):
-            if rng.random() < 0.5 and rows:
+            op = rng.random()
+            if op < 0.2:
+                compact_cluster_map(spark, d)
+            elif op < 0.55 and rows:
                 doomed = rng.sample(
                     sorted(rows), k=min(len(rows), rng.randint(1, 3))
                 )
