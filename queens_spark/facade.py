@@ -306,7 +306,7 @@ class Engine:
 
         return update_profile(
             df, token_count(text_col), self._profiles_dir(), name,
-            token=token,
+            token=token, text_col=text_col,
         )
 
     def corpus_profile(self, name: str) -> dict:
@@ -479,84 +479,260 @@ class Engine:
             append(fresh, token)
         return len(appends)
 
+    def _takedown_dir(self, collection: str) -> str:
+        from queens_spark.store.takedown import takedown_dir
+
+        return takedown_dir(self.warehouse.root, collection)
+
+    def _resolve_doc_id_col(self, collection: str) -> str | None:
+        """The collection's canonical document id column, read from
+        the first registered store's own manifest (text, then vector,
+        then cluster — the predicate-resolution order)."""
+        import os
+
+        regs = self.registered_indexes(collection)
+        for kind in ("text", "vector", "cluster"):
+            for e in regs:
+                if e["kind"] != kind:
+                    continue
+                if kind == "text":
+                    from queens_spark.store.text_index import (
+                        _read_manifest as _rm,
+                    )
+
+                    ent = _rm(self._text_index_dir()).get(e["name"]) or {}
+                elif kind == "vector":
+                    from queens_spark.store.vector_index import (
+                        _read_manifest as _rm,
+                    )
+
+                    ent = _rm(self._vector_index_dir()).get(e["name"]) or {}
+                else:
+                    from queens_spark.store.cluster_map import (
+                        _read_manifest as _rm,
+                    )
+
+                    ent = (
+                        _rm(os.path.join(self._cluster_maps_dir(), e["name"]))
+                        or {}
+                    ).get("current") or {}
+                if ent.get("id_col"):
+                    return ent["id_col"]
+        return None
+
+    def _pending_takedown_dir(self, collection: str) -> str | None:
+        """The takedown dir when retired ids might still be visible in
+        PROD (live segments whose seq the staged manifest has not yet
+        absorbed) — the query-path filter gate. None keeps untouched
+        collections' plans byte-identical (no join added)."""
+        from queens_spark.store.takedown import read_manifest
+
+        tdir = self._takedown_dir(collection)
+        m = read_manifest(tdir)
+        if not (m.get("segments") or []):
+            return None
+        staged = self.warehouse._read_manifest(collection) or {}
+        if int(staged.get("takedown_seq", 0)) == int(m.get("seq", 0)):
+            return None  # prod already reflects every segment
+        return tdir
+
+    def _purge_takedowns(self, collection: str) -> dict:
+        """Apply the collection's pending takedown segments PHYSICALLY
+        (``maintain``'s step 0): rewrite the affected raw table
+        partitions through the coverage-scoped survivor filter,
+        restage so prod drops the bytes too (the artifact is still
+        live during the restage, so a crash in between leaves the
+        serving filter on — never a re-serve window), then clear the
+        segments. Idempotent; O(affected tables)."""
+        from queens_spark.store.takedown import (
+            clear_segments,
+            live_segments,
+            read_manifest,
+            retired_frame,
+        )
+
+        tdir = self._takedown_dir(collection)
+        segs = live_segments(tdir)
+        if not segs:
+            return {"purged_tables": [], "segments_cleared": 0}
+        frame = retired_frame(self.spark, tdir)
+        m = read_manifest(tdir)
+        tables = sorted({t for s in segs for t in (s.get("tables") or [])})
+        purged = (
+            self.warehouse.purge_rows(
+                collection, frame, m["id_col"], tables
+            )
+            if tables else []
+        )
+        if self.warehouse.is_staged(collection):
+            self.stage(collection)
+        cleared = clear_segments(tdir)
+        return {"purged_tables": purged, "segments_cleared": cleared}
+
     def retire_documents(
         self,
         collection: str,
-        ids: list | None = None,
+        ids=None,
         ledger: str | None = None,
         block: bool = False,
         block_near_threshold: float | None = None,
         predicate=None,
+        id_col: str | None = None,
     ) -> dict:
         """The one-verb document TAKEDOWN across the whole retrieval
-        stack: tombstone *ids* out of every index registered for
-        *collection* (BM25 / ANN / hybrid stop serving them
-        immediately — scores equal a rebuild on the survivors),
-        retire them from every registered CLUSTER MAP
+        stack AND the primary query surface: tombstone *ids* out of
+        every index registered for *collection* (BM25 / ANN / hybrid
+        stop serving them immediately — scores equal a rebuild on the
+        survivors), retire them from every registered CLUSTER MAP
         (members/canonical/edges re-serve exactly a rebuild on the
-        survivors, including canonical re-election and component
-        splits — store/cluster_map.retire_cluster_map), AND retire
-        their fingerprints from the dedup ledger, so equivalent
-        content may legitimately re-enter on a later crawl
-        (re-ingest-after-takedown). With *block*, the takedown STAYS
-        down: the retired fingerprints also land on the ledger's
-        blocklist, and every later ingest drops equivalent content
-        with ``stats["blocked"]`` counted (the legal-takedown /
-        poisoned-content flow). *predicate* (SQL over a registered
-        text index's ``meta_cols``) retires by metadata instead of an
-        id list — the retention/expiry flow (e.g. ``"lang = 'xx'"``
-        or a source ban): the ids resolve ONCE against the first
-        registered text index's postings so every store retires the
-        same set. Physical rows disappear at the next
-        :meth:`maintain` sweep. Returns per-store tombstone counts."""
+        survivors — store/cluster_map.retire_cluster_map), DECREMENT
+        the counter stores exactly (registered ECDF grids, the corpus
+        profile, registered rollups — each re-serves a
+        rebuild-on-survivors, computed from the doomed rows read back
+        from the warehouse's accepted batches), retire the
+        fingerprints from the dedup ledger (equivalent content may
+        re-enter on a later crawl), and persist the doomed-id set as
+        the collection's TAKEDOWN artifact (store/takedown.py) so
+        :meth:`query` / :meth:`query_page` / exports stop serving the
+        retired rows immediately, :meth:`stage` bakes the filter into
+        prod, and :meth:`maintain` physically purges the bytes. KMV
+        sketches genuinely cannot subtract — they are flagged
+        retired-pending-rebuild and :meth:`status` reports them stale
+        instead of silent.
+
+        The doomed set is resolved ONCE and stays a FRAME end to end
+        — *ids* may be a list, or a single-column DataFrame, or
+        *predicate* (SQL over a registered text index's ``meta_cols``)
+        resolves it against the postings with no driver-side
+        materialisation: a legal takedown is thousands of ids, but a
+        retention/expiry purge can be corpus-scale, and every store
+        verb consumes the persisted artifact (provably the same set,
+        no broadcast hints — AQE sizes the joins). With *block*, the
+        takedown STAYS down via the ledger blocklist. Returns
+        per-store outcomes."""
         if (ids is None) == (predicate is None):
             raise ValueError("pass exactly one of ids= or predicate=")
-        if predicate is not None:
-            text = [
-                e for e in self.registered_indexes(collection)
-                if e["kind"] == "text"
-            ]
-            if not text:
-                raise ValueError(
-                    "predicate retirement needs a registered text "
-                    "index (meta_cols resolve against its postings)"
-                )
-            idx = self.text_index(text[0]["name"])
-            ids = sorted(
-                r[idx.id_col]
-                for r in idx._filtered(idx.postings(), predicate)
-                .select(idx.id_col).distinct().collect()
-            )
-            if not ids:
-                return {"indexes": [], "ledger_rows_retired": 0,
-                        "retired_count": 0}
         import os
 
-        from pyspark.sql import functions as _F
+        from pyspark.sql import DataFrame as _DF, functions as _F
 
         from queens_spark.store.dedup_ledger import (
             add_to_blocklist,
             delete_from_ledger,
             ledger_fingerprints,
         )
+        from queens_spark.store.takedown import record_takedown
+
+        regs = self.registered_indexes(collection)
+        empty = {"indexes": [], "ledger_rows_retired": 0,
+                 "retired_count": 0}
+        if predicate is not None:
+            text = [e for e in regs if e["kind"] == "text"]
+            if not text:
+                raise ValueError(
+                    "predicate retirement needs a registered text "
+                    "index (meta_cols resolve against its postings)"
+                )
+            idx = self.text_index(text[0]["name"])
+            doomed0 = (
+                idx._filtered(idx.postings(), predicate)
+                .select(idx.id_col).distinct()
+            )
+        elif isinstance(ids, _DF):
+            doomed0 = ids
+        else:
+            ids = list(ids)
+            if not ids:
+                return empty
+            doomed0 = self.spark.createDataFrame(
+                [(int(i),) for i in ids], "doc_id bigint"
+            )
+        id_col = (
+            id_col or self._resolve_doc_id_col(collection)
+            or doomed0.columns[0]
+        )
+
+        raw = (
+            self.warehouse.read_raw(collection)
+            if self.warehouse.table_exists(collection)
+            else None
+        )
+        covers = (
+            self.warehouse.next_ingest_id(collection) - 1
+            if raw is not None else 0
+        )
+        td = record_takedown(
+            self.spark, self._takedown_dir(collection), doomed0,
+            id_col, raw, covers,
+        )
+        if td["n_ids"] == 0:
+            return empty
+        # every store retires THIS stored set — the artifact is the
+        # single source of truth for the whole takedown
+        doomed = self.spark.read.parquet(td["path"]).select(id_col)
+        doomed_rows = None
+        if raw is not None and id_col in raw.columns and td["tables"]:
+            doomed_rows = raw.where(
+                F.col("table_name").isin(td["tables"])
+            ).join(doomed, id_col, "semi")
 
         report = {
             "indexes": [],
             "ledger_rows_retired": 0,
-            "retired_count": len(list(ids)),
+            "retired_count": int(td["n_ids"]),
+            "takedown": {"tables": td["tables"], "pending_purge": True},
         }
         ledger_dir = os.path.join(
             self.warehouse.root, "system", "dedup_ledger",
             ledger or collection,
         )
-        for e in self.registered_indexes(collection):
-            if e["kind"] in ("sketch", "ecdf"):
-                # Additive-only stores: a KMV bottom-k set and a
-                # histogram grid cannot subtract an element (the
-                # per-doc values aren't persisted). Takedowns still
-                # stay down: the ledger retirement below blocks
-                # re-entry, and a rebuild physically removes the rows.
-                report["indexes"].append(f"{e['kind']}:{e['name']} (skipped)")
+        for e in regs:
+            if e["kind"] == "sketch":
+                # KMV bottom-k genuinely cannot subtract an element
+                # (the hashes below the kept k are gone) — flag the
+                # staleness loudly instead of silently over-counting
+                from queens_spark.store.sketch_store import (
+                    mark_retired_pending_rebuild,
+                )
+
+                mark_retired_pending_rebuild(
+                    self._sketch_store_dir(), e["name"]
+                )
+                report["indexes"].append(
+                    f"sketch:{e['name']} (skipped, flagged stale)"
+                )
+                continue
+            if e["kind"] == "ecdf":
+                # histogram counters CAN subtract exactly: evaluate
+                # the store's own value_sql on the doomed rows (still
+                # readable pre-purge) and write the decrement — serves
+                # equal a rebuild on the survivors
+                if doomed_rows is None:
+                    report["indexes"].append(
+                        f"ecdf:{e['name']} (decremented 0 rows)"
+                    )
+                    continue
+                from pyspark.errors import AnalysisException
+
+                from queens_spark.store.ecdf_store import (
+                    retire_from_ecdf_store,
+                )
+
+                try:
+                    retire_from_ecdf_store(
+                        self.spark, doomed_rows,
+                        self._ecdf_store_dir(), e["name"],
+                    )
+                    report["indexes"].append(f"ecdf:{e['name']} (decremented)")
+                except AnalysisException:
+                    # value_sql references columns the collection's
+                    # raw table does not carry (store built from a
+                    # different frame) — an exact decrement is not
+                    # derivable; the rebuild route applies
+                    report["indexes"].append(
+                        f"ecdf:{e['name']} (skipped: value columns "
+                        "not in warehouse rows)"
+                    )
                 continue
             if e["kind"] == "cluster":
                 # coverage-scoped retirement: members/canonical/edges
@@ -565,36 +741,81 @@ class Engine:
                 # hot-shingle un-flips handled — store/cluster_map.py:
                 # retire_cluster_map); retired ids may re-append later
                 # (the document-revision route)
-                import os as _os
-
                 from queens_spark.store.cluster_map import (
                     retire_cluster_map,
                 )
 
                 retire_cluster_map(
                     self.spark,
-                    _os.path.join(self._cluster_maps_dir(), e["name"]),
-                    ids,
+                    os.path.join(self._cluster_maps_dir(), e["name"]),
+                    doomed,
                 )
             elif e["kind"] == "text":
-                self.delete_from_text_index(e["name"], ids=ids)
+                self.delete_from_text_index(e["name"], ids=doomed)
             else:
-                self.delete_from_vector_index(e["name"], ids=ids)
+                self.delete_from_vector_index(e["name"], ids=doomed)
             report["indexes"].append(f"{e['kind']}:{e['name']}")
+
+        # registered rollups: overwrite the affected winner segments
+        # with survivor partials (min/max cannot subtract, but the
+        # doomed rows are still readable — one anti-joined partial agg
+        # per affected winner ingest, O(affected batches))
+        from queens_spark.store.rollup import (
+            _winner_ingests,
+            registered_rollups,
+            update_rollup_segment,
+        )
+
+        rollup_reg = registered_rollups(self._rollups_dir(), collection)
+        if rollup_reg and doomed_rows is not None:
+            affected = set(td["tables"])
+            for wi in _winner_ingests(self.warehouse, collection):
+                if wi["table_name"] not in affected:
+                    continue
+                batch = raw.where(
+                    (F.col("table_name") == wi["table_name"])
+                    & (F.col("ingest_id") == wi["ingest_id"])
+                ).join(doomed, id_col, "left_anti")
+                for rname in rollup_reg:
+                    update_rollup_segment(
+                        batch, self._rollups_dir(), collection, rname,
+                        wi["ingest_id"],
+                    )
+            report["rollups_recomputed"] = sorted(rollup_reg)
+
+        # corpus profile: exact counter decrement at the profile's own
+        # geometry, from the value column it recorded at update time
+        from queens_spark.store.corpus_profile import (
+            read_profile,
+            retire_from_profile,
+        )
+
+        prof = read_profile(self._profiles_dir(), ledger or collection)
+        if prof.get("hist") and doomed_rows is not None:
+            tc = prof.get("text_col")
+            if tc and tc in doomed_rows.columns:
+                from queens_spark.operators.text import token_count
+
+                r = retire_from_profile(
+                    doomed_rows, token_count(tc),
+                    self._profiles_dir(), ledger or collection,
+                )
+                report["profile_decremented_rows"] = r["decremented_rows"]
+
         if block:
             # fetch the doomed rows' fingerprints BEFORE the ledger
             # delete hides them; a minhash ledger's sigs ride along so
-            # block_near_threshold can near-ban with no recompute
+            # block_near_threshold can near-ban with no recompute. No
+            # broadcast hint — a retention purge can be corpus-scale
             live = ledger_fingerprints(self.spark, ledger_dir)
             if live is not None:
-                id_col = [
+                lid = [
                     c for c in live.columns
                     if c not in ("fingerprint", "sig")
                 ][0]
-                doomed = self.spark.createDataFrame(
-                    [(int(i),) for i in ids], f"{id_col} bigint"
+                hit = live.join(
+                    doomed.select(_F.col(id_col).alias(lid)), lid, "semi"
                 )
-                hit = live.join(_F.broadcast(doomed), id_col, "semi")
                 report["blocked_fingerprints"] = add_to_blocklist(
                     self.spark, ledger_dir,
                     hit.select(
@@ -604,7 +825,7 @@ class Engine:
                     near_threshold=block_near_threshold,
                 )
         report["ledger_rows_retired"] = delete_from_ledger(
-            self.spark, ledger_dir, ids
+            self.spark, ledger_dir, doomed
         )
         return report
 
@@ -866,7 +1087,28 @@ class Engine:
         )
 
     def stage(self, collection: str, as_of=None) -> list[str]:
-        return self.warehouse.stage(self.schema_for(collection), as_of)
+        from queens_spark.store.takedown import (
+            read_manifest,
+            retired_frame,
+            tables_changed_since,
+        )
+
+        tdir = self._takedown_dir(collection)
+        m = read_manifest(tdir)
+        takedown = None
+        if m:
+            staged = self.warehouse._read_manifest(collection) or {}
+            takedown = {
+                "seq": int(m.get("seq", 0)),
+                "changed_tables": tables_changed_since(
+                    tdir, int(staged.get("takedown_seq", 0))
+                ),
+                "frame": retired_frame(self.spark, tdir),
+                "id_col": m.get("id_col"),
+            }
+        return self.warehouse.stage(
+            self.schema_for(collection), as_of, takedown=takedown
+        )
 
     # ---------------------------------------------------- vector index
 
@@ -1216,6 +1458,14 @@ class Engine:
             rebalance_if_skewed,
         )
 
+        # 0. physical takedown purge — BEFORE the token gate (a
+        # behind-the-ledger stream must not block a legal takedown
+        # from leaving disk). Order inside: purge raw → restage (prod
+        # drops the bytes while the artifact still exists) → clear the
+        # segments. A crash between restage and clear leaves the
+        # serving filter redundantly on; the next sweep heals.
+        takedown_report = self._purge_takedowns(collection)
+
         regs = self.registered_indexes(collection)
         ledger_dir = os.path.join(
             self.warehouse.root, "system", "dedup_ledger",
@@ -1257,6 +1507,7 @@ class Engine:
             "ledger_segments_merged": merged,
             "compacted": [],
             "rebalanced": [],
+            "takedown": takedown_report,
         }
         for e in regs:
             if e["kind"] == "sketch":
@@ -1403,6 +1654,11 @@ class Engine:
         findings += fsck_rollups(self._rollups_dir())
         findings += fsck_training_runs(self._training_runs_dir())
         findings += fsck_corpus_profiles(self._profiles_dir())
+        from queens_spark.store.fsck import fsck_takedowns
+
+        findings += fsck_takedowns(
+            os.path.join(self.warehouse.root, "system", "takedowns")
+        )
         findings += fsck_registry_schemas(
             self._registry_dir(),
             {
@@ -1486,6 +1742,11 @@ class Engine:
 
                 ent = _rm(self._sketch_store_dir()).get(name) or {}
                 row["segments"] = 1  # single merged artifact
+                # KMV cannot subtract: a takedown flags the sketch
+                # stale until a rebuild clears it (never silent)
+                row["retired_pending_rebuild"] = bool(
+                    ent.get("retired_pending_rebuild")
+                )
             elif kind == "ecdf":
                 from queens_spark.store.ecdf_store import (
                     _read_manifest as _rm,
@@ -1512,7 +1773,8 @@ class Engine:
                     "fingerprint": ent.get("fingerprint"),
                     "applied_tokens": len(applied),
                     "pending_tokens": pending,
-                    "stale": bool(pending),
+                    "stale": bool(pending)
+                    or bool(row.get("retired_pending_rebuild")),
                     "fragmented": int(row.get("segments") or 0) > 1,
                 }
             )
@@ -1539,6 +1801,18 @@ class Engine:
             )
             rollups.append({"name": name, "segments": n_segs})
         report["rollups"] = rollups
+        # pending takedowns: segments retired but not yet physically
+        # purged by maintain — pure manifest read, like everything here
+        from queens_spark.store.takedown import live_segments
+
+        segs = live_segments(self._takedown_dir(collection))
+        report["takedown"] = {
+            "pending_segments": len(segs),
+            "pending_ids": sum(int(s.get("n_ids") or 0) for s in segs),
+            "tables": sorted(
+                {t for s in segs for t in (s.get("tables") or [])}
+            ),
+        }
         report["stale_stores"] = [
             f"{r['kind']}:{r['name']}" for r in report["stores"]
             if r["stale"]
@@ -1836,6 +2110,15 @@ class Engine:
             filters, schema, queryable, forced={"table_name": table_name}
         )
         df = self.warehouse.read_prod(collection).where(expr)
+        tdir = self._pending_takedown_dir(collection)
+        if tdir is not None:
+            # retired-but-not-yet-restaged rows must not serve: the
+            # coverage-scoped anti-join against the takedown artifact
+            # (store/takedown.py). Collections with no pending
+            # takedown skip this entirely — plans stay byte-identical
+            from queens_spark.store.takedown import apply_takedowns
+
+            df = apply_takedowns(df, self.spark, tdir)
         if cursor is not None:
             df = df.where(F.col(ROW_UID) > int(cursor))
         if limit is not None:

@@ -10815,3 +10815,169 @@ def q200_sessionize_events(spark, sf_dir):
         .cast("bigint")
         .alias("value_cents"),
     )
+
+
+_FUNNEL_WINDOW_HOURS = 24
+
+
+def _windowed_funnel_oracle() -> str:
+    s1, s2, s3 = _FUNNEL_STEPS
+    w = _FUNNEL_WINDOW_HOURS
+    return f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = '{s1}' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = '{s2}' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL {w} HOUR
+      GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = '{s3}' AND e.ts > s2.t2
+        AND e.ts <= s2.t2 + INTERVAL {w} HOUR
+      GROUP BY 1
+    ), n AS (
+      SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n1,
+             CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n2,
+             CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n3
+    )
+    SELECT 1 AS step, '{s1}' AS event_type, n1 AS n_users,
+           CAST(10000 AS BIGINT) AS conv_bp FROM n
+    UNION ALL
+    SELECT 2, '{s2}', n2,
+           CASE WHEN n1 > 0 THEN n2 * 10000 // n1 ELSE 0 END FROM n
+    UNION ALL
+    SELECT 3, '{s3}', n3,
+           CASE WHEN n2 > 0 THEN n3 * 10000 // n2 ELSE 0 END FROM n
+    """
+
+
+@register("q201_funnel_windowed", _windowed_funnel_oracle())
+def q201_funnel_windowed(spark, sf_dir):
+    """CONVERSION-WINDOW funnel — q198's strict-order chain with a
+    bounded horizon per step ("click within 24 h of the first view,
+    purchase within 24 h of that click"): the form real product
+    funnels take, since an unbounded funnel credits conversions that
+    arrive weeks later. Identical plan shape to q198 — each stage is
+    one extra pushed-down range predicate on the already-joined
+    (user, prev_ts) frame, so the 100 TB posture is unchanged:
+    type-pruned scans, per-user min-aggs, three single-row broadcast
+    joins, no corpus sort. The streaming twin is funnel_progress
+    (streaming/events.py) — same steps, same window, state evicted
+    once a user's horizon passes."""
+    ev = load(spark, sf_dir, "events")
+    s1, s2, s3 = _FUNNEL_STEPS
+    w = _FUNNEL_WINDOW_HOURS
+    a1 = (
+        ev.where(F.col("event_type") == s1)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    a2 = (
+        ev.where(F.col("event_type") == s2)
+        .join(a1, "user_id")
+        .where(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr(f"INTERVAL {w} HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    a3 = (
+        ev.where(F.col("event_type") == s3)
+        .join(a2, "user_id")
+        .where(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr(f"INTERVAL {w} HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n = (
+        a1.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+        .crossJoin(a2.agg(F.count(F.lit(1)).cast("bigint").alias("n2")))
+        .crossJoin(a3.agg(F.count(F.lit(1)).cast("bigint").alias("n3")))
+    )
+    steps = [
+        (1, s1, F.col("n1"), F.lit(10000).cast("bigint")),
+        (
+            2, s2, F.col("n2"),
+            F.when(F.col("n1") > 0, F.expr("n2 * 10000 div n1"))
+            .otherwise(F.lit(0)).cast("bigint"),
+        ),
+        (
+            3, s3, F.col("n3"),
+            F.when(F.col("n2") > 0, F.expr("n3 * 10000 div n2"))
+            .otherwise(F.lit(0)).cast("bigint"),
+        ),
+    ]
+    out = None
+    for step, name, users, conv in steps:
+        row = n.select(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(name).alias("event_type"),
+            users.alias("n_users"),
+            conv.alias("conv_bp"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _stream_funnel_oracle() -> str:
+    s1, s2, s3 = _FUNNEL_STEPS
+    w = _FUNNEL_WINDOW_HOURS
+    return f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = '{s1}' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = '{s2}' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL {w} HOUR
+      GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = '{s3}' AND e.ts > s2.t2
+        AND e.ts <= s2.t2 + INTERVAL {w} HOUR
+      GROUP BY 1
+    )
+    SELECT user_id, 1 AS step, '{s1}' AS event_type, t1 AS ts FROM s1
+    UNION ALL
+    SELECT user_id, 2, '{s2}', t2 FROM s2
+    UNION ALL
+    SELECT user_id, 3, '{s3}', t3 FROM s3
+    """
+
+
+@register("q202_stream_funnel", _stream_funnel_oracle())
+def q202_stream_funnel(spark, sf_dir):
+    """STREAMING conversion-window funnel (q201's twin) in availableNow
+    backfill, oracle-checked: funnel_progress
+    (streaming/events.py, applyInPandasWithState) advances each user
+    through view → click → purchase with the 24 h per-step horizon and
+    emits one row per completion. All input lands in one micro-batch
+    here, where rows process in (event_time, event_id) order — so the
+    emitted (user, step, ts) set equals the batch chain exactly. State
+    per user is three timestamps, removed on completion (and
+    TTL-evictable live): the bounded-state argument that makes the
+    operator deployable against an unbounded user space."""
+    from queens_spark.streaming.events import (
+        funnel_progress,
+        read_events_stream,
+        run_available_now,
+    )
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    fp = funnel_progress(
+        ev.select("user_id", "event_type", "event_id", "event_time"),
+        steps=tuple(_FUNNEL_STEPS),
+        window_hours=_FUNNEL_WINDOW_HOURS,
+    )
+    return run_available_now(
+        fp, "q202_mem", output_mode="append", stream_partitions=None
+    )

@@ -85,6 +85,13 @@ def export_all(
     )
     if file_type in ("parquet", "orc"):
         prod = engine.warehouse.read_prod(collection)
+        tdir = engine._pending_takedown_dir(collection)
+        if tdir is not None:
+            # a retired-but-not-yet-restaged row must not export —
+            # the same coverage-scoped filter Engine.query applies
+            from queens_spark.store.takedown import apply_takedowns
+
+            prod = apply_takedowns(prod, engine.spark, tdir)
         writer = prod.write.mode("overwrite").partitionBy("table_name")
         getattr(writer, file_type)(target)
     elif file_type == "xlsx":

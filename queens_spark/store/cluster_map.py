@@ -896,7 +896,7 @@ def append_cluster_map(
 
 
 def retire_cluster_map(
-    spark: SparkSession, map_dir: str, ids: list
+    spark: SparkSession, map_dir: str, ids: "list | DataFrame"
 ) -> "ClusterMap":
     """Coverage-scoped TAKEDOWN: remove *ids* from the stored map —
     members/canonical/edges then serve exactly what a full rebuild on
@@ -966,16 +966,22 @@ def retire_cluster_map(
     id_col = entry["id_col"]
     m = int(entry["max_df"])
     threshold = float(entry["threshold"])
-    ids = sorted({int(i) for i in (ids or [])})
-    if not ids:
-        return ClusterMap(spark, map_dir)
-
     docs_all = _doc_rows(spark, map_dir, entry, "docs")
     # NO forced broadcast on the takedown-scale frames (rid, dec, the
     # tombstone anti-join sides): a legal takedown is thousands of ids,
     # but a retention purge can retire a corpus-scale fraction — AQE
-    # broadcasts the small case and shuffles the large one
-    rid = spark.createDataFrame([(i,) for i in ids], "doc bigint")
+    # broadcasts the small case and shuffles the large one. A frame
+    # input (the takedown-artifact route, store/takedown.py) therefore
+    # stays a frame end to end — never collected to the driver.
+    if isinstance(ids, DataFrame):
+        rid = ids.select(
+            F.col(ids.columns[0]).cast("bigint").alias("doc")
+        ).distinct()
+    else:
+        id_list = sorted({int(i) for i in (ids or [])})
+        if not id_list:
+            return ClusterMap(spark, map_dir)
+        rid = spark.createDataFrame([(i,) for i in id_list], "doc bigint")
     retired_docs = _persist(docs_all.join(rid, "doc"))
     n_retired = retired_docs.count()
     if n_retired == 0:

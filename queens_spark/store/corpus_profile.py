@@ -38,6 +38,7 @@ PROFILE_NAME = "corpus_profile.json"
 __all__ = [
     "update_profile",
     "read_profile",
+    "retire_from_profile",
     "clear_applied_tokens",
 ]
 
@@ -71,6 +72,7 @@ def update_profile(
     width: int = 50,
     n_buckets: int = 20,
     token: str | None = None,
+    text_col: str | None = None,
 ) -> dict:
     """Fold *df*'s histogram into the stored profile and return the
     batch's drift stats vs the PRE-batch corpus:
@@ -108,11 +110,50 @@ def update_profile(
             "n_buckets": n_buckets,
         }
     )
+    if text_col is not None:
+        # remembered so a takedown can re-derive the SAME value from
+        # the doomed rows (retire_from_profile) with no caller config
+        profile["text_col"] = str(text_col)
     if token is not None:
         applied[token] = stats
         profile["applied_tokens"] = applied
     _write(profiles_dir, name, profile)
     return stats
+
+
+def retire_from_profile(
+    df_doomed: DataFrame,
+    value_col,
+    profiles_dir: str,
+    name: str,
+) -> dict:
+    """EXACT decremental takedown for the admission histogram: the
+    doomed rows' counters SUBTRACT from the stored profile — histogram
+    addition over exact integers is invertible, so when the doomed
+    rows are exactly rows previously folded in (the
+    ``Engine.retire_documents`` path reads them back from the
+    warehouse's accepted batches at the profile's own geometry), the
+    result equals a rebuild on the survivors. Zeroed buckets drop (a
+    rebuild never writes them). One counter-width aggregation of the
+    doomed rows; no token bookkeeping — a takedown is not a batch
+    redelivery. Returns ``{"decremented_rows": int}``; a missing
+    profile is a clean no-op."""
+    profile = read_profile(profiles_dir, name)
+    if not profile.get("hist"):
+        return {"decremented_rows": 0}
+    width = int(profile.get("width", 50))
+    n_buckets = int(profile.get("n_buckets", 20))
+    batch, stored, _ = _batch_stats(
+        df_doomed, value_col, profile, width, n_buckets
+    )
+    merged = dict(stored)
+    for b, n in batch.items():
+        merged[b] = merged.get(b, 0) - n
+    profile["hist"] = {
+        str(k): v for k, v in sorted(merged.items()) if v != 0
+    }
+    _write(profiles_dir, name, profile)
+    return {"decremented_rows": sum(batch.values())}
 
 
 def _batch_stats(

@@ -159,7 +159,7 @@ def ledger_fingerprints(
 
 
 def delete_from_ledger(
-    spark: SparkSession, ledger_dir: str, ids: list
+    spark: SparkSession, ledger_dir: str, ids: "list | DataFrame"
 ) -> int:
     """Retire accepted content from the ledger by canonical id — the
     ledger half of a document takedown (``Engine.retire_documents``
@@ -176,12 +176,21 @@ def delete_from_ledger(
     deletes physically. Returns how many ledger rows are retired."""
     manifest = _read_manifest(ledger_dir)
     segs = manifest["segments"]
-    if not segs or not list(ids):
+    if not segs:
         return 0
     id_col = _ledger_id_col(spark, segs[0])
-    doomed = spark.createDataFrame(
-        [(int(i),) for i in ids], f"{id_col} bigint"
-    ).distinct()
+    if isinstance(ids, DataFrame):
+        # takedown-artifact route: the doomed set stays a frame end to
+        # end (a retention purge can be corpus-scale)
+        doomed = ids.select(
+            F.col(ids.columns[0]).cast("bigint").alias(id_col)
+        ).distinct()
+    else:
+        if not list(ids):
+            return 0
+        doomed = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} bigint"
+        ).distinct()
     live = ledger_fingerprints(spark, ledger_dir)
     hit = live.join(doomed, id_col, "semi").count()
     seg_id = int(manifest.get("next_delete_seg", 0))

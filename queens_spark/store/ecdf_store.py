@@ -66,6 +66,7 @@ __all__ = [
     "load_ecdf_store",
     "build_or_load_ecdf_store",
     "build_or_load_ecdf_profiles",
+    "retire_from_ecdf_store",
     "clear_applied_tokens",
     "EcdfStore",
 ]
@@ -539,6 +540,52 @@ def append_ecdf_store(
         entry["applied_tokens"] = list(
             entry.get("applied_tokens") or []
         ) + [str(token)]
+    entries[name] = entry
+    _write_manifest(store_dir, entries)
+    _gc_superseded(store_dir, name, version)
+    return EcdfStore(spark, store_dir, name, entry)
+
+
+def retire_from_ecdf_store(
+    spark: SparkSession,
+    doomed_rows: DataFrame,
+    store_dir: str,
+    name: str,
+) -> EcdfStore:
+    """EXACT decremental takedown: histogram the doomed ROWS through
+    the store's own manifest expressions (the same ``_hist`` every
+    build/append runs) and SUBTRACT the counters bucket-wise.
+    Histogram addition over exact integers is associative and
+    invertible, so when the doomed rows are exactly rows previously
+    folded in — the ``Engine.retire_documents`` path reads them back
+    from the warehouse's accepted batches — the result is
+    bit-identical to a rebuild on the survivors (property-tested).
+    Zeroed counters drop from the artifact (a rebuild never writes
+    them); a doomed set that was never added would drive counters
+    negative, which readers surface rather than hide. O(doomed batch)
+    — one histogram pass over the doomed rows plus a counter-width
+    merge; the corpus is never touched."""
+    entries = _read_manifest(store_dir)
+    if name not in entries:
+        raise KeyError(f"no ecdf store named {name!r} in {store_dir}")
+    entry = dict(entries[name])
+    dec = _hist(doomed_rows, entry).withColumn(
+        "n", (-F.col("n")).cast("bigint")
+    )
+    stored = spark.read.parquet(entry["path"])
+    keys = (
+        ["profile", "g", "bucket"] if "profiles" in entry
+        else ["g", "bucket"]
+    )
+    merged = (
+        stored.unionByName(dec)
+        .groupBy(*keys)
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .where(F.col("n") != 0)
+    )
+    version = int(entry["version"]) + 1
+    entry["path"] = _write_version(store_dir, name, version, merged)
+    entry["version"] = version
     entries[name] = entry
     _write_manifest(store_dir, entries)
     _gc_superseded(store_dir, name, version)

@@ -671,6 +671,64 @@ def fsck_corpus_profiles(profiles_dir: str) -> list[dict]:
     return f
 
 
+def fsck_takedowns(takedowns_dir: str) -> list[dict]:
+    """Takedown-artifact audit (store/takedown.py): every manifest-
+    referenced segment dir must exist with data files (error — the
+    serving filter, the stage rewrite, AND the physical purge all
+    consume it; a missing segment means retired rows would re-serve),
+    a manifest with segments must record its id_col (error),
+    unreferenced seg_* dirs are crashed-write or post-purge leftovers
+    (warn — the manifest flips before the bytes are removed), and
+    pending-purge segments are inventory (info)."""
+    from queens_spark.store.takedown import read_manifest
+
+    f: list[dict] = []
+    if not os.path.isdir(takedowns_dir):
+        return f
+    for coll in sorted(os.listdir(takedowns_dir)):
+        tdir = os.path.join(takedowns_dir, coll)
+        if not os.path.isdir(tdir):
+            continue
+        manifest = read_manifest(tdir)
+        segs = manifest.get("segments") or []
+        if segs and not manifest.get("id_col"):
+            f.append(_finding(
+                "takedown", coll, "error",
+                "manifest has segments but no id_col",
+            ))
+        referenced = set()
+        for seg in segs:
+            d = seg.get("dir")
+            referenced.add(d)
+            sdir = os.path.join(tdir, d or "")
+            if not d or not os.path.isdir(sdir) or not any(
+                fn.endswith(".parquet") for fn in os.listdir(sdir)
+            ):
+                f.append(_finding(
+                    "takedown", coll, "error",
+                    f"manifest references missing/empty segment {d!r} "
+                    "— retired rows would re-serve",
+                ))
+        for entry in sorted(os.listdir(tdir)):
+            if (
+                entry.startswith("seg_")
+                and os.path.isdir(os.path.join(tdir, entry))
+                and entry not in referenced
+            ):
+                f.append(_finding(
+                    "takedown", coll, "warn",
+                    f"unreferenced segment dir {entry} (crashed write "
+                    "or post-purge leftover — GC candidate)",
+                ))
+        if segs:
+            f.append(_finding(
+                "takedown", coll, "info",
+                f"{len(segs)} segment(s) pending physical purge "
+                f"({sum(int(s.get('n_ids') or 0) for s in segs)} ids)",
+            ))
+    return f
+
+
 def fsck_registry_schemas(
     registry_dir: str,
     schema_cols: dict[str, list[str]],

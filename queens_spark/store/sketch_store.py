@@ -245,6 +245,23 @@ def append_sketch_store(
     return SketchStore(spark, store_dir, name, entry)
 
 
+def mark_retired_pending_rebuild(store_dir: str, name: str) -> bool:
+    """Flag the sketch as retired-against-but-not-rebuilt: KMV
+    bottom-k sets genuinely cannot subtract an element (the per-doc
+    hashes below the kept k are gone), so a takedown leaves the
+    sketch over-counting the retired mass until a rebuild. The flag
+    makes that staleness VISIBLE — ``Engine.status`` reports it
+    instead of silence — and :func:`build_sketch_store` clears it
+    (a rebuild overwrites the whole entry). Returns True when a live
+    entry was flagged."""
+    entries = _read_manifest(store_dir)
+    if name not in entries:
+        return False
+    entries[name]["retired_pending_rebuild"] = True
+    _write_manifest(store_dir, entries)
+    return True
+
+
 def clear_applied_tokens(store_dir: str, name: str) -> int:
     """Drop the idempotency-token list — ONLY safe once the ledger has
     compacted (a post-compact replay re-screens to accepted=0, so the

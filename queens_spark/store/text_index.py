@@ -1313,7 +1313,7 @@ def delete_from_text_index(
     spark: SparkSession,
     index_dir: str,
     name: str,
-    ids: list | None = None,
+    ids: list | DataFrame | None = None,
     predicate=None,
 ) -> TextIndex:
     """Tombstone documents out of the postings index — the lexical
@@ -1333,7 +1333,11 @@ def delete_from_text_index(
     first, manifest flip last. *ids* is an explicit list; *predicate*
     (Column or SQL string over ``meta_cols``) deletes by metadata —
     resolved against the served postings, no corpus touch (the
-    vector side's delete-by-predicate, lexical twin)."""
+    vector side's delete-by-predicate, lexical twin). *ids* may also
+    be a single-column DataFrame (the takedown-artifact route,
+    store/takedown.py): the doomed set then stays a frame end to end
+    — a retention purge can be corpus-scale, so nothing collects it
+    to the driver."""
     entries = _read_manifest(index_dir)
     if name not in entries:
         raise KeyError(f"no text index {name!r} in {index_dir}; build first")
@@ -1342,7 +1346,11 @@ def delete_from_text_index(
     idx = TextIndex(spark, name, entry)
     if (ids is None) == (predicate is None):
         raise ValueError("pass exactly one of ids= or predicate=")
-    if ids is not None:
+    if isinstance(ids, DataFrame):
+        doomed = ids.select(
+            F.col(ids.columns[0]).cast("bigint").alias(id_col)
+        ).distinct()
+    elif ids is not None:
         if not list(ids):
             return idx
         doomed = spark.createDataFrame(

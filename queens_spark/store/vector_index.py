@@ -762,7 +762,7 @@ def delete_from_vector_index(
     spark: SparkSession,
     index_dir: str,
     name: str,
-    ids: list | None = None,
+    ids: list | DataFrame | None = None,
     predicate=None,
 ) -> VectorIndex:
     """Tombstone deletes — the index-side analog of the warehouse's
@@ -798,7 +798,13 @@ def delete_from_vector_index(
     idx = VectorIndex(spark, name, entry)
     if (ids is None) == (predicate is None):
         raise ValueError("pass exactly one of ids= or predicate=")
-    if ids is not None:
+    if isinstance(ids, DataFrame):
+        # takedown-artifact route (store/takedown.py): the doomed set
+        # stays a frame end to end — never collected to the driver
+        doomed = ids.select(
+            F.col(ids.columns[0]).cast("bigint").alias(id_col)
+        ).distinct()
+    elif ids is not None:
         if not list(ids):
             return idx
         doomed = spark.createDataFrame(

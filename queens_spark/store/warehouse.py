@@ -277,12 +277,17 @@ class Warehouse:
         except (OSError, ValueError):
             return None
 
-    def _write_manifest(self, collection: str, tables: dict) -> None:
+    def _write_manifest(
+        self, collection: str, tables: dict, takedown_seq: int = 0
+    ) -> None:
         path = self.manifest_path(collection)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + "__tmp"
         with open(tmp, "w") as fh:
-            json.dump({"tables": tables}, fh, sort_keys=True)
+            json.dump(
+                {"tables": tables, "takedown_seq": int(takedown_seq)},
+                fh, sort_keys=True,
+            )
         os.replace(tmp, path)
 
     @staticmethod
@@ -295,7 +300,12 @@ class Warehouse:
                 out[urllib.parse.unquote(entry.split("=", 1)[1])] = entry
         return out
 
-    def stage(self, schema: CollectionSchema, as_of: datetime | str | None = None) -> list[str]:
+    def stage(
+        self,
+        schema: CollectionSchema,
+        as_of: datetime | str | None = None,
+        takedown: dict | None = None,
+    ) -> list[str]:
         """Bring the prod snapshot to the latest successful version of
         each table_name with ingest_ts ≤ *as_of* (queens/core/
         read_write.py:340-404), then refresh metadata. Returns staged
@@ -320,6 +330,17 @@ class Warehouse:
         in); the manifest is written only after all swaps + metadata,
         so a crash mid-stage re-stages the incomplete tables on the
         next call instead of losing them.
+
+        *takedown* (``Engine.stage`` supplies it from the collection's
+        takedown artifact, store/takedown.py) makes retirements reach
+        prod: ``{"seq", "changed_tables", "frame", "id_col"}``. The
+        coverage-scoped retired frame anti-joins the staged rows
+        BEFORE row_uid numbering — numbering stays a pure per-table
+        function of the SURVIVOR rows, so prod equals a fresh stage of
+        the survivor corpus. Incrementality is preserved: a new
+        takedown seq forces a rewrite of exactly the tables its
+        segments name (recorded at retire time from one column-pruned
+        raw probe); untouched tables stay byte-identical.
         """
         collection = schema.name
         if isinstance(as_of, str):
@@ -352,16 +373,30 @@ class Warehouse:
         manifest = self._read_manifest(collection) if self._exists(out) else None
         prev = (manifest or {}).get("tables", {})
         incremental = manifest is not None
+        td_seq = int((takedown or {}).get("seq", 0))
+        prev_td_seq = int((manifest or {}).get("takedown_seq", 0))
         if incremental:
-            changed = sorted(
+            changed_set = {
                 t for t, r in winners.items()
                 if t not in prev or prev[t].get("ingest_id") != r["ingest_id"]
-            )
+            }
+            if takedown is not None and td_seq != prev_td_seq:
+                # takedown-affected tables re-filter even when their
+                # winner version did not change
+                changed_set |= set(takedown.get("changed_tables") or ()) & set(
+                    winners
+                )
+            changed = sorted(changed_set)
             removed = sorted(t for t in prev if t not in winners)
         else:
             changed, removed = sorted(winners), []
 
         if not changed and not removed:
+            if td_seq != prev_td_seq:
+                # e.g. a purge cleared every live segment: nothing to
+                # rewrite, but record the new seq so later stages stop
+                # diffing against a stale takedown state
+                self._write_manifest(collection, prev, takedown_seq=td_seq)
             return sorted(winners)
 
         raw = self.read_raw(collection)
@@ -383,6 +418,19 @@ class Warehouse:
             # are never even read
             raw = raw.where(F.col("table_name").isin(changed))
         staged = raw.join(F.broadcast(win_df), "ingest_id", "inner")
+        retired = (takedown or {}).get("frame")
+        if retired is not None and (takedown or {}).get("id_col") in staged.columns:
+            # coverage-scoped survivor filter: a retired id's rows die
+            # only in ingests the takedown covered — a later re-ingest
+            # of the same id (the revision route) serves its new row.
+            # No broadcast hint: retention purges can be corpus-scale.
+            tid = takedown["id_col"]
+            staged = staged.join(
+                retired,
+                (staged[tid] == retired[tid])
+                & (staged["ingest_id"] <= retired["__covers"]),
+                "left_anti",
+            )
 
         # Persisted stable row id per logical table: deterministic total
         # order over the dimension columns (SURVEY.md §7.4.1) — replaces
@@ -449,8 +497,71 @@ class Warehouse:
             tables=changed if incremental else None,
             removed=removed,
         )
-        self._write_manifest(collection, new_tables)
+        self._write_manifest(collection, new_tables, takedown_seq=td_seq)
         return tables
+
+    def purge_rows(
+        self,
+        collection: str,
+        retired: DataFrame,
+        id_col: str,
+        tables: list[str],
+    ) -> list[str]:
+        """Physically remove retired rows from RAW: rewrite exactly
+        the named table_name partitions, keeping only rows the
+        coverage-scoped *retired* frame (``(id_col, __covers)``,
+        store/takedown.py) does not hide — a row with
+        ``ingest_id > __covers`` is a post-takedown re-ingest and
+        survives. ``Engine.maintain`` drives this, then restages so
+        prod drops the bytes too, then clears the takedown segments.
+
+        Idempotent (re-purging removes nothing), O(affected tables)
+        — untouched partitions are never read. Each rewrite lands
+        fully in a holding dir under system/ before the two-rename
+        swap (the stage() pattern; the holding dir lives OUTSIDE the
+        raw root so a crash can never leave a phantom
+        ``table_name=X__old`` dir that partition discovery would read
+        as data). Returns the tables actually rewritten."""
+        root = self.raw_path(collection)
+        if not self._exists(root):
+            return []
+        part_dirs = self._partition_dirs(root)
+        hold = os.path.join(self.root, "system", collection, "purge_tmp")
+        shutil.rmtree(hold, ignore_errors=True)
+        os.makedirs(hold, exist_ok=True)
+        purged = []
+        for t in tables:
+            entry = part_dirs.get(t)
+            if entry is None:
+                continue
+            src = os.path.join(root, entry)
+            df = self.spark.read.parquet(src)
+            if id_col not in df.columns or "ingest_id" not in df.columns:
+                continue
+            keep = df.join(
+                retired,
+                (df[id_col] == retired[id_col])
+                & (df["ingest_id"] <= retired["__covers"]),
+                "left_anti",
+            )
+            tmp = os.path.join(hold, entry)
+            keep.write.mode("overwrite").parquet(tmp)
+            if not any(f.endswith(".parquet") for f in os.listdir(tmp)):
+                # every row purged: AQE coalesces an empty frame to
+                # zero tasks → zero part files, which a later read of
+                # this partition dir cannot infer a schema from; force
+                # one empty part file carrying the schema
+                keep.limit(0).repartition(1).write.mode(
+                    "overwrite"
+                ).parquet(tmp)
+            os.replace(src, os.path.join(hold, entry + "__old"))
+            os.replace(tmp, src)
+            purged.append(t)
+        shutil.rmtree(hold, ignore_errors=True)
+        if purged:
+            os.utime(root)
+            self._invalidate_caches(collection)
+        return purged
 
     def compact(
         self, collection: str, target_files: int = 1,

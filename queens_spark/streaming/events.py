@@ -181,6 +181,97 @@ def first_seen(
     )
 
 
+def funnel_progress(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    window_hours: int = 24,
+    type_col: str = "event_type",
+    time_col: str = "event_time",
+    order_cols: tuple[str, ...] = ("event_time", "event_id"),
+    state_ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming CONVERSION-WINDOW funnel — the watermark-era twin of
+    batch q201_funnel_windowed, the way session_aggregates twins
+    q200: a user advances to step k only on an event of the k-th type
+    strictly after their step-(k−1) completion and within
+    *window_hours* of it; each completion emits ONE row
+    ``(user_id, step, event_type, ts)`` immediately.
+
+    Built on ``applyInPandasWithState`` because append-mode
+    aggregation cannot express it: a funnel must emit the moment a
+    step completes (not at watermark close) and remember per-user
+    progression across micro-batches. State per user is just the
+    per-step first-completion times (``len(steps)`` timestamps — no
+    event buffering), REMOVED the moment the funnel completes; with
+    *state_ttl_minutes* a processing-time timeout also evicts stalled
+    users, whose conversion horizon has passed anyway — bounded state
+    for unbounded user spaces.
+
+    Within a micro-batch rows process in *order_cols* order, so
+    single-batch results equal the batch funnel; across batches the
+    semantics are first-PROCESSED-wins (a late-arriving EARLIER
+    step-1 event cannot retroactively re-anchor the window — the
+    documented best-effort posture of this build's streaming tier).
+    """
+    import pandas as pd
+
+    steps = list(steps)
+    win = pd.Timedelta(hours=window_hours)
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("step", T.IntegerType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField(f"t{i}", T.TimestampType()) for i in range(len(steps))
+    ])
+
+    def advance(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        times = list(state.get) if state.exists else [None] * len(steps)
+        pdfs = [p for p in pdf_iter if len(p)]
+        rows = (
+            pd.concat(pdfs, ignore_index=True).sort_values(list(order_cols))
+            if pdfs else pd.DataFrame(columns=[type_col, time_col])
+        )
+        emitted = []
+        for _, ev in rows.iterrows():
+            nxt = next(
+                (i for i, t in enumerate(times) if t is None), None
+            )
+            if nxt is None:
+                break
+            if ev[type_col] != steps[nxt]:
+                continue
+            ts = ev[time_col]
+            if nxt > 0:
+                prev = times[nxt - 1]
+                if not (prev < ts <= prev + win):
+                    continue
+            times[nxt] = ts
+            emitted.append({
+                "user_id": key[0], "step": nxt + 1,
+                "event_type": steps[nxt], "ts": ts,
+            })
+        if times[-1] is not None:
+            # funnel complete: nothing left to track for this user
+            state.remove()
+        else:
+            state.update(tuple(times))
+            if state_ttl_minutes is not None:
+                state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
+        if emitted:
+            yield pd.DataFrame(emitted)
+
+    timeout = "ProcessingTimeTimeout" if state_ttl_minutes else "NoTimeout"
+    return events.groupBy("user_id").applyInPandasWithState(
+        advance, out_schema, state_schema, "append", timeout
+    )
+
+
 #: shuffle/state partition count for STREAMING execution only. Every
 #: stateful operator instantiates one state store PER shuffle
 #: partition; at local scale 32 stores dominate wall time (measured:

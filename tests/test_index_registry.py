@@ -259,10 +259,11 @@ def test_cluster_map_registry_refresh_and_crash_retry(
 
 def test_retire_and_fragmentation_probe_with_all_kinds(spark, tmp_path):
     """Every registry verb must dispatch all five kinds: retirement
-    skips the additive-only stores (sketch/ecdf) with an explicit note
-    instead of mis-routing them into the vector-delete path, RETIRES
-    from registered cluster maps (takedown-visible serving), and the
-    fragmentation probe counts cluster-map delta segments."""
+    decrements ECDF grids from the warehouse's doomed rows (here the
+    retired doc was never warehouse-ingested, so the decrement is
+    exactly 0 rows — never a mis-route into the vector-delete path),
+    RETIRES from registered cluster maps (takedown-visible serving),
+    and the fragmentation probe counts cluster-map delta segments."""
     eng = _engine_with_indexes(spark, tmp_path)
     seed = _frame(
         spark,
@@ -282,8 +283,7 @@ def test_retire_and_fragmentation_probe_with_all_kinds(spark, tmp_path):
     )
     assert eng._max_registered_segments("docs") >= 2
     report = eng.retire_documents("docs", ids=[3])
-    skipped = {x for x in report["indexes"] if "(skipped)" in x}
-    assert skipped == {"ecdf:lens (skipped)"}
+    assert "ecdf:lens (decremented 0 rows)" in report["indexes"]
     assert "text:d" in report["indexes"]
     assert "cluster:cm" in report["indexes"]
     # the cluster map retired the doc: members/canonical exclude it

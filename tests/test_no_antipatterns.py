@@ -16,7 +16,8 @@ SF_DIR = "/root/testdata/sf0.001"
 #: batch result read from a memory sink, whose plan is a table scan;
 #: their transformation plans are covered by q52–q54's oracles.
 _SKIP = {"q52_stream_windowed_counts", "q53_stream_sessions", "q87_stream_cms_counts", "q96_stream_interval_join", "q100_stream_novelty", "q180_stream_mix_drift",
-         "q54_stream_first_seen", "q69_stream_hll_distinct"}
+         "q54_stream_first_seen", "q69_stream_hll_distinct",
+         "q202_stream_funnel"}
 
 
 @pytest.mark.parametrize("name", sorted(n for n in QUERIES if n not in _SKIP))

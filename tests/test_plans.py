@@ -535,6 +535,52 @@ def test_dedup_family_serves_from_stored_cluster_map(spark):
         assert "Generate" not in plan, qname
 
 
+def test_funnel_pushes_event_type_into_every_scan(spark):
+    """q198's claim: each funnel stage's event_type filter reaches the
+    parquet scan (type-pruned I/O at 100 TB), and no stage ever sorts
+    the corpus — the whole funnel is min-agg chains plus single-row
+    broadcast joins."""
+    from queens_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q198_funnel_conversion"](spark, SF_DIR))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    assert all("EqualTo(event_type" in ln for ln in pushed), pushed
+    assert "+- Sort" not in plan, plan
+
+
+def test_cohort_distinct_collapse_precedes_join(spark):
+    """q199's claim: activity collapses to distinct (user, day) BEFORE
+    the cohort join — the corpus-width dedup is a map-side-combinable
+    aggregate (its exchange partitions on (user_id, day)), the join
+    itself broadcasts the user-width side, and nothing windows or
+    sorts."""
+    from queens_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q199_cohort_retention"](spark, SF_DIR))
+    assert "hashpartitioning(user_id" in plan
+    # the distinct's exchange keys on (user_id, day) — proof the
+    # collapse happens on the scan side of the join
+    assert any(
+        "hashpartitioning(user_id" in ln and ", day#" in ln
+        for ln in plan.splitlines()
+    ), plan
+    assert "BroadcastHashJoin" in plan
+    assert "+- Sort" not in plan and "Window" not in plan, plan
+
+
+def test_sessionize_single_user_shuffle_feeds_both_windows(spark):
+    """q200's claim: ONE corpus-width exchange on user_id serves the
+    lag window, the running-sum window, AND the session rollup (the
+    rollup's group key extends the partition key, so no re-shuffle)."""
+    from queens_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q200_sessionize_events"](spark, SF_DIR))
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "hashpartitioning(user_id" in plan
+    assert plan.count("Window") >= 2
+
+
 def test_centroid_classifier_scoring_is_map_only():
     # q173's claim: the trained model constant-folds into the scoring
     # expression, so the TEST pass joins nothing — the whole confusion

@@ -182,3 +182,85 @@ def test_novelty_gate_restart_exactly_once(spark, tmp_path):
         ).collect()
     )
     assert got == want == [1, 4]
+
+
+def test_funnel_progress_windowed_and_strict_order(spark, tmp_path):
+    """Streaming funnel (the q201 twin): a user advances only on the
+    NEXT step's type, strictly after the previous completion and
+    within the conversion window; each completion emits exactly one
+    row."""
+    from queens_spark.streaming.events import funnel_progress
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    h = lambda dd, hh: datetime(2024, 1, dd, hh, 0)
+    rows = [
+        # user 1 converts fully inside the window
+        (1, h(1, 9), 1, "view", 0.0),
+        (2, h(1, 10), 1, "click", 0.0),
+        (3, h(1, 11), 1, "purchase", 0.0),
+        # user 2: click arrives 30 h after the first view — outside
+        # the 24 h horizon, never advances past step 1
+        (4, h(1, 9), 2, "view", 0.0),
+        (5, h(2, 15), 2, "click", 0.0),
+        # user 3: click BEFORE any view (strict order) — only the
+        # later view counts, as step 1
+        (6, h(1, 8), 3, "click", 0.0),
+        (7, h(1, 9), 3, "view", 0.0),
+        # user 1 duplicate purchase after completion: no re-emit
+        (8, h(1, 12), 1, "purchase", 0.0),
+    ]
+    _write_events(spark, src, rows)
+    fp = funnel_progress(
+        _stream(spark, src).select(
+            "user_id", "event_type", "event_id", "event_time"
+        ),
+        window_hours=24,
+    )
+    run_to_table(fp, out, ckpt, query_name="funnel1")
+    got = sorted(
+        (r["user_id"], r["step"], r["event_type"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+        (2, 1, "view"),
+        (3, 1, "view"),
+    ]
+
+
+def test_funnel_progress_restart_restores_progression(spark, tmp_path):
+    """Restart recovery: run 1 anchors user 1 at step 1; run 2
+    delivers the click — the restored state advances to step 2 with
+    the run-1 anchor's window still in force, and the completed
+    user's extra events emit nothing."""
+    from queens_spark.streaming.events import funnel_progress
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    h = lambda dd, hh: datetime(2024, 1, dd, hh, 0)
+    _write_events(spark, src, [
+        (1, h(1, 9), 1, "view", 0.0),
+        (2, h(1, 9), 2, "view", 0.0),
+    ])
+    fp = lambda: funnel_progress(
+        _stream(spark, src).select(
+            "user_id", "event_type", "event_id", "event_time"
+        ),
+        window_hours=24,
+    )
+    run_to_table(fp(), out, ckpt, query_name="funnel_r1")
+    assert spark.read.parquet(out).count() == 2
+    _write_events(spark, src, [
+        (3, h(1, 12), 1, "click", 0.0),      # inside user 1's window
+        (4, h(2, 15), 2, "click", 0.0),      # outside user 2's window
+        (5, h(1, 9), 1, "view", 0.0),        # replayed anchor: no-op
+    ])
+    run_to_table(fp(), out, ckpt, query_name="funnel_r2")
+    got = sorted(
+        (r["user_id"], r["step"], r["event_type"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, 1, "view"), (1, 2, "click"), (2, 1, "view")]
