@@ -602,8 +602,10 @@ class Engine:
 
         The doomed set is resolved ONCE and stays a FRAME end to end
         — *ids* may be a list, or a single-column DataFrame, or
-        *predicate* (SQL over a registered text index's ``meta_cols``)
-        resolves it against the postings with no driver-side
+        *predicate* (SQL over a registered text index's ``meta_cols``,
+        falling back to the collection's own warehouse columns when no
+        text index is registered — the retention/expiry flow needs no
+        lexical index) resolves it with no driver-side
         materialisation: a legal takedown is thousands of ids, but a
         retention/expiry purge can be corpus-scale, and every store
         verb consumes the persisted artifact (provably the same set,
@@ -628,16 +630,36 @@ class Engine:
                  "retired_count": 0}
         if predicate is not None:
             text = [e for e in regs if e["kind"] == "text"]
-            if not text:
-                raise ValueError(
-                    "predicate retirement needs a registered text "
-                    "index (meta_cols resolve against its postings)"
+            if text:
+                idx = self.text_index(text[0]["name"])
+                doomed0 = (
+                    idx._filtered(idx.postings(), predicate)
+                    .select(idx.id_col).distinct()
                 )
-            idx = self.text_index(text[0]["name"])
-            doomed0 = (
-                idx._filtered(idx.postings(), predicate)
-                .select(idx.id_col).distinct()
-            )
+            else:
+                # retention/expiry WITHOUT a lexical index: resolve
+                # the predicate against the warehouse's own raw
+                # columns (one column-pruned scan) — a collection
+                # with only counter/vector stores, or none at all,
+                # can still expire by metadata
+                if not self.warehouse.table_exists(collection):
+                    raise ValueError(
+                        "predicate retirement needs a registered text "
+                        "index or an ingested warehouse collection to "
+                        "resolve the predicate against"
+                    )
+                rid = id_col or self._resolve_doc_id_col(collection)
+                if rid is None:
+                    raise ValueError(
+                        "pass id_col= — no registered store declares "
+                        f"the document id column for {collection!r}"
+                    )
+                raw0 = self.warehouse.read_raw(collection)
+                cond = (
+                    predicate if not isinstance(predicate, str)
+                    else F.expr(predicate)
+                )
+                doomed0 = raw0.where(cond).select(rid).distinct()
         elif isinstance(ids, _DF):
             doomed0 = ids
         else:

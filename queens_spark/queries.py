@@ -10981,3 +10981,235 @@ def q202_stream_funnel(spark, sf_dir):
     return run_available_now(
         fp, "q202_mem", output_mode="append", stream_partitions=None
     )
+
+
+def _time_to_convert_oracle() -> str:
+    s1, s2, s3 = _FUNNEL_STEPS
+    return f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = '{s1}' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = '{s2}' AND e.ts > s1.t1 GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = '{s3}' AND e.ts > s2.t2 GROUP BY 1
+    ), dts AS (
+      -- per-timestamp floor seconds (epoch_us // 1e6), NOT epoch():
+      -- DuckDB's epoch() is fractional and the bigint cast ROUNDS,
+      -- while Spark's ts.cast('long') truncates each timestamp
+      SELECT 2 AS step,
+             (epoch_us(t2) // 1000000) - (epoch_us(t1) // 1000000)
+               AS dt_s
+      FROM s2 JOIN s1 USING (user_id)
+      UNION ALL
+      SELECT 3, (epoch_us(t3) // 1000000) - (epoch_us(t2) // 1000000)
+      FROM s3 JOIN s2 USING (user_id)
+    ), c AS (
+      SELECT step, dt_s, CAST(COUNT(*) AS BIGINT) AS k FROM dts
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT step, dt_s, k,
+             CAST(SUM(k) OVER (PARTITION BY step ORDER BY dt_s) AS BIGINT)
+               AS cum_k,
+             CAST(SUM(k) OVER (PARTITION BY step) AS BIGINT) AS n
+      FROM c
+    )
+    SELECT step, MAX(n) AS n_users,
+           MIN(CASE WHEN cum_k * 2 >= n THEN dt_s END) AS p50_s,
+           CAST(SUM(dt_s * k) // MAX(n) AS BIGINT) AS avg_s,
+           MAX(dt_s) AS max_s
+    FROM cum GROUP BY step
+    """
+
+
+@register("q203_time_to_convert", _time_to_convert_oracle())
+def q203_time_to_convert(spark, sf_dir):
+    """Funnel latency: for users reaching step k, the distribution of
+    seconds between their step-(k−1) and step-k completions — the
+    metric that turns a funnel from counts into "WHERE do users
+    stall". Exact integer stats: the median is the smallest dt whose
+    cumulative user count covers half the step (computed by a
+    per-step running sum over the DISTINCT-dt frame — bounded by the
+    user count, never a corpus sort), the mean is an exact integer
+    div. Scale shape: the step frames are q198's user-width min-agg
+    chains; everything after is counter-width."""
+    ev = load(spark, sf_dir, "events")
+    s1, s2, s3 = _FUNNEL_STEPS
+    a1 = (
+        ev.where(F.col("event_type") == s1)
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    a2 = (
+        ev.where(F.col("event_type") == s2)
+        .join(a1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    a3 = (
+        ev.where(F.col("event_type") == s3)
+        .join(a2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    d2 = a2.join(a1, "user_id").select(
+        F.lit(2).cast("int").alias("step"),
+        (F.col("t2").cast("long") - F.col("t1").cast("long"))
+        .cast("bigint").alias("dt_s"),
+    )
+    d3 = a3.join(a2, "user_id").select(
+        F.lit(3).cast("int").alias("step"),
+        (F.col("t3").cast("long") - F.col("t2").cast("long"))
+        .cast("bigint").alias("dt_s"),
+    )
+    c = (
+        d2.unionByName(d3)
+        .groupBy("step", "dt_s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    w_cum = (
+        Window.partitionBy("step").orderBy("dt_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("step")
+    cum = c.select(
+        "step", "dt_s", "k",
+        F.sum("k").over(w_cum).cast("bigint").alias("cum_k"),
+        F.sum("k").over(w_all).cast("bigint").alias("n"),
+    )
+    return cum.groupBy("step").agg(
+        F.max("n").alias("n_users"),
+        F.min(
+            F.when(F.col("cum_k") * 2 >= F.col("n"), F.col("dt_s"))
+        ).alias("p50_s"),
+        F.expr("sum(dt_s * k) div max(n)").cast("bigint").alias("avg_s"),
+        F.max("dt_s").alias("max_s"),
+    )
+
+
+_TOUCH_TYPES = ["view", "click", "signup"]
+
+
+def _attribution_oracle() -> str:
+    touches = ", ".join(f"'{t}'" for t in _TOUCH_TYPES)
+    return f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             LAST_VALUE(
+               CASE WHEN event_type IN ({touches}) THEN event_type END
+               IGNORE NULLS
+             ) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS channel
+      FROM events
+    )
+    SELECT COALESCE(channel, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM marked WHERE event_type = 'purchase'
+    GROUP BY 1
+    """
+
+
+@register("q204_last_touch_attribution", _attribution_oracle())
+def q204_last_touch_attribution(spark, sf_dir):
+    """Last-touch revenue attribution: each purchase credits the
+    user's most recent preceding touch event (view/click/signup;
+    'direct' when none) — the standard marketing-analytics join,
+    computed with ONE corpus-width shuffle on user_id (an
+    ignore-nulls last() over the per-user event stream; ties break on
+    event_id so both engines pick the same touch) and a channel-width
+    rollup in exact integer cents. No per-purchase point lookup, no
+    self-join: the window carries the running last-touch for free."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.last(
+            F.when(
+                F.col("event_type").isin(_TOUCH_TYPES),
+                F.col("event_type"),
+            ),
+            ignorenulls=True,
+        ).over(w).alias("channel"),
+    )
+    return (
+        marked.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint").alias("value_cents"),
+        )
+    )
+
+
+_ROLLING_ACTIVE_DAYS = 7
+
+
+def _rolling_actives_oracle() -> str:
+    w = _ROLLING_ACTIVE_DAYS
+    return f"""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM activity
+    )
+    SELECT d.day,
+           CAST(COUNT(DISTINCT CASE WHEN a.day = d.day
+                                    THEN a.user_id END) AS BIGINT)
+             AS dau,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau,
+           CAST(COUNT(DISTINCT CASE WHEN a.day = d.day
+                                    THEN a.user_id END) * 10000
+                // COUNT(DISTINCT a.user_id) AS BIGINT) AS stickiness_bp
+    FROM days d
+    JOIN activity a
+      ON a.day <= d.day AND a.day >= d.day - {w - 1}
+    GROUP BY 1
+    """
+
+
+@register("q205_rolling_actives", _rolling_actives_oracle())
+def q205_rolling_actives(spark, sf_dir):
+    """DAU / rolling-7-day WAU / stickiness (DAU·10⁴ div WAU) per
+    day — the engagement dashboard every event warehouse serves. The
+    corpus collapses ONCE to distinct (user, day) — map-side
+    combinable, user×day width — and the rolling window is a range
+    join of that collapsed frame against the DISTINCT day list (days
+    are calendar-width, so the join fans each activity row out at
+    most 7×, never a corpus blow-up). Exact integer basis points."""
+    ev = load(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    days = activity.select(F.col("day").alias("d")).distinct()
+    joined = days.join(
+        activity,
+        (F.col("day") <= F.col("d"))
+        & (F.col("day") >= F.date_sub(F.col("d"), _ROLLING_ACTIVE_DAYS - 1)),
+    )
+    return (
+        joined.groupBy("d")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("day") == F.col("d"), F.col("user_id"))
+            ).cast("bigint").alias("dau"),
+            F.count_distinct("user_id").cast("bigint").alias("wau"),
+        )
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            F.expr("dau * 10000 div wau").cast("bigint")
+            .alias("stickiness_bp"),
+        )
+    )

@@ -664,3 +664,17 @@ def test_stored_sketch_overlap_never_touches_corpus():
     assert "documents.parquet" not in plan, plan
     assert "regexp" not in plan.lower(), plan
     assert "split(" not in plan.lower(), plan
+
+
+def test_attribution_single_user_shuffle(spark):
+    """q204's claim: the running last-touch rides ONE corpus-width
+    exchange on user_id; the only other exchange is the channel-width
+    rollup."""
+    from queens_spark.queries import QUERIES
+
+    import re
+
+    plan = plan_of(QUERIES["q204_last_touch_attribution"](spark, SF_DIR))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    # formatted explain lists each node twice (tree + detail section)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan

@@ -277,3 +277,33 @@ def test_exports_exclude_pending_takedowns(engine, tmp_path):
     assert ids == sorted(
         set(range(16)) - {2, 11}
     )
+
+
+def test_predicate_retirement_resolves_via_warehouse(spark, tmp_path):
+    """Retention/expiry without a lexical index: the predicate
+    resolves against the collection's own warehouse columns (one
+    column-pruned raw scan) and the full takedown reach still
+    applies."""
+    eng = Engine(spark, str(tmp_path / "wh"), schemas=docs_schemas())
+    eng.ingest(
+        _frame(spark, [(i, _words(i)) for i in range(12)]),
+        "docs", "t0",
+        dedup_text_col="text", dedup_id_col="doc_id",
+    )
+    eng.stage("docs")
+    # no registered stores at all -> id_col must come from the caller
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="id_col"):
+        eng.retire_documents("docs", predicate="lang = 'xx'")
+    report = eng.retire_documents(
+        "docs", predicate="lang = 'xx'", id_col="doc_id"
+    )
+    assert report["retired_count"] == 4  # 0, 3, 6, 9
+    assert _served_ids(eng, "t0") == [i for i in range(12) if i % 3]
+    eng.maintain("docs")
+    raw_ids = sorted(
+        r["doc_id"] for r in eng.warehouse.read_raw("docs").collect()
+    )
+    assert raw_ids == [i for i in range(12) if i % 3]
+    assert eng.fsck()["error"] == 0
