@@ -189,6 +189,7 @@ def funnel_progress(
     time_col: str = "event_time",
     order_cols: tuple[str, ...] = ("event_time", "event_id"),
     state_ttl_minutes: int | None = None,
+    watermark_eviction: bool = False,
 ) -> DataFrame:
     """Streaming CONVERSION-WINDOW funnel — the watermark-era twin of
     batch q201_funnel_windowed, the way session_aggregates twins
@@ -202,10 +203,19 @@ def funnel_progress(
     step completes (not at watermark close) and remember per-user
     progression across micro-batches. State per user is just the
     per-step first-completion times (``len(steps)`` timestamps — no
-    event buffering), REMOVED the moment the funnel completes; with
-    *state_ttl_minutes* a processing-time timeout also evicts stalled
-    users, whose conversion horizon has passed anyway — bounded state
-    for unbounded user spaces.
+    event buffering; a user who never anchors step 1 stores NOTHING),
+    REMOVED the moment the funnel completes. Two eviction modes bound
+    state for unbounded user spaces:
+
+    - *state_ttl_minutes*: processing-time TTL (idle keys age out);
+    - *watermark_eviction*: event-time timeout at the user's OWN
+      conversion horizon (anchor + window) — once the watermark (the
+      caller sets it with ``withWatermark``) passes the horizon the
+      user can never legally advance, so eviction cannot change any
+      output: it is purely the state bound, gated by the same
+      watermark that gates the windowed aggregations. An arriving
+      batch whose horizon is already behind the watermark drops state
+      immediately.
 
     Within a micro-batch rows process in *order_cols* order, so
     single-batch results equal the batch funnel; across batches the
@@ -217,6 +227,7 @@ def funnel_progress(
 
     steps = list(steps)
     win = pd.Timedelta(hours=window_hours)
+    win_ms = window_hours * 3600 * 1000
     out_schema = T.StructType([
         T.StructField("user_id", T.LongType()),
         T.StructField("step", T.IntegerType()),
@@ -256,17 +267,39 @@ def funnel_progress(
                 "user_id": key[0], "step": nxt + 1,
                 "event_type": steps[nxt], "ts": ts,
             })
-        if times[-1] is not None:
-            # funnel complete: nothing left to track for this user
-            state.remove()
+        if times[-1] is not None or times[0] is None:
+            # funnel complete, or never anchored: store nothing
+            if state.exists:
+                state.remove()
         else:
-            state.update(tuple(times))
-            if state_ttl_minutes is not None:
-                state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
+            # restored state yields datetimes, fresh batch rows yield
+            # pandas Timestamps — normalize before epoch math
+            anchor = pd.Timestamp(max(t for t in times if t is not None))
+            horizon_ms = anchor.value // 10**6 + win_ms
+            if (
+                watermark_eviction
+                and horizon_ms <= state.getCurrentWatermarkMs()
+            ):
+                # the watermark already passed this user's horizon —
+                # no event the watermark admits can advance them
+                if state.exists:
+                    state.remove()
+            else:
+                state.update(tuple(times))
+                if watermark_eviction:
+                    state.setTimeoutTimestamp(horizon_ms)
+                elif state_ttl_minutes is not None:
+                    state.setTimeoutDuration(
+                        state_ttl_minutes * 60 * 1000
+                    )
         if emitted:
             yield pd.DataFrame(emitted)
 
-    timeout = "ProcessingTimeTimeout" if state_ttl_minutes else "NoTimeout"
+    timeout = (
+        "EventTimeTimeout" if watermark_eviction
+        else "ProcessingTimeTimeout" if state_ttl_minutes
+        else "NoTimeout"
+    )
     return events.groupBy("user_id").applyInPandasWithState(
         advance, out_schema, state_schema, "append", timeout
     )

@@ -264,3 +264,48 @@ def test_funnel_progress_restart_restores_progression(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert got == [(1, 1, "view"), (1, 2, "click"), (2, 1, "view")]
+
+
+def test_funnel_watermark_eviction_bounds_state(spark, tmp_path):
+    """watermark_eviction=True: once the watermark passes a user's
+    conversion horizon (anchor + window), their state is evicted via
+    the event-time timeout — a later LATE click (behind the
+    watermark) finds no anchor and cannot advance, while watermark-
+    admitted traffic is unaffected. This is the state bound that
+    makes the operator deployable: open-funnel state lives exactly as
+    long as the windowed aggregations' watermark says it can
+    matter."""
+    from queens_spark.streaming.events import funnel_progress
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    h = lambda dd, hh: datetime(2024, 1, dd, hh, 0)
+    fp = lambda: funnel_progress(
+        _stream(spark, src)
+        .withWatermark("event_time", "1 hour")
+        .select("user_id", "event_type", "event_id", "event_time"),
+        window_hours=24,
+        watermark_eviction=True,
+    )
+    # run 1: user 1 anchors step 1 (horizon = day1 09:00 + 24 h)
+    _write_events(spark, src, [(1, h(1, 9), 1, "view", 0.0)])
+    run_to_table(fp(), out, ckpt, query_name="fwm1")
+    # run 2: far-future traffic pushes the watermark past the horizon
+    _write_events(spark, src, [(2, h(10, 0), 99, "view", 0.0)])
+    run_to_table(fp(), out, ckpt, query_name="fwm2")
+    # run 3: no data for user 1 -> their expired state times out
+    _write_events(spark, src, [(3, h(10, 1), 99, "click", 0.0)])
+    run_to_table(fp(), out, ckpt, query_name="fwm3")
+    # run 4: a LATE click inside user 1's original window arrives —
+    # the anchor is gone, so it cannot advance the funnel
+    _write_events(spark, src, [(4, h(1, 10), 1, "click", 0.0)])
+    run_to_table(fp(), out, ckpt, query_name="fwm4")
+    got = sorted(
+        (r["user_id"], r["step"], r["event_type"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        (1, 1, "view"),
+        (99, 1, "view"), (99, 2, "click"),
+    ]
