@@ -333,8 +333,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated doc ids to retire")
     rt.add_argument("--where", default=None,
                     help="retire by metadata instead: SQL predicate "
-                         "over a registered text index's meta_cols "
+                         "over a registered text index's meta_cols, "
+                         "or over the collection's own warehouse "
+                         "columns when no text index is registered "
                          "(retention/expiry flows)")
+    rt.add_argument("--id-col", default=None,
+                    help="document id column for --where when no "
+                         "registered store declares it")
     rt.add_argument("--ledger", default=None,
                     help="dedup ledger name (default: the collection)")
     rt.add_argument("--block", action="store_true",
@@ -581,6 +586,7 @@ def _run(args) -> int:
                 if args.ids else None
             ),
             predicate=args.where,
+            id_col=args.id_col,
             ledger=args.ledger,
             block=args.block,
             block_near_threshold=args.block_near,

@@ -307,3 +307,43 @@ def test_predicate_retirement_resolves_via_warehouse(spark, tmp_path):
     )
     assert raw_ids == [i for i in range(12) if i % 3]
     assert eng.fsck()["error"] == 0
+
+
+def test_takedown_applies_to_as_of_time_travel(spark, engine):
+    """A takedown erases HISTORY too: staging an as-of snapshot from
+    before the retirement still excludes the retired rows (the
+    takedown's coverage spans every ingest that existed at retire
+    time) — the GDPR-erasure semantics, not version-scoped hiding."""
+    from datetime import datetime
+
+    eng = engine
+    eng.retire_documents("docs", ids=[1])
+    eng.stage("docs", as_of=datetime(2030, 1, 1))
+    assert 1 not in _served_ids(eng, "t0")
+    # restage to "now" — still excluded, and maintain purges
+    eng.stage("docs")
+    assert 1 not in _served_ids(eng, "t0")
+
+
+def test_retire_cli_with_warehouse_predicate(spark, tmp_path, capsys):
+    import json as _json
+
+    from queens_spark.cli import main
+
+    eng = Engine(spark, str(tmp_path / "wh"), schemas=docs_schemas())
+    eng.ingest(
+        _frame(spark, [(i, _words(i)) for i in range(9)]),
+        "docs", "t0",
+        dedup_text_col="text", dedup_id_col="doc_id",
+    )
+    eng.stage("docs")
+    rc = main([
+        "--warehouse", str(tmp_path / "wh"), "retire", "docs",
+        "--where", "lang = 'xx'", "--id-col", "doc_id",
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["retired_count"] == 3
+    assert sorted(
+        r["doc_id"] for r in eng.query("docs", "t0").collect()
+    ) == [i for i in range(9) if i % 3]
