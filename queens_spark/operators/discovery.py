@@ -67,9 +67,18 @@ def joinability_matrix(
     # ONE hash+distinct pass feeds sizes, the all-pairs intersection,
     # AND the sketches — at corpus scale the tall-frame scan dominates
     # and three consumers would triple it (A/B at sf0.1 is neutral
-    # warm: the scan is cheap there and persist costs what it saves)
+    # warm: the scan is cheap there and persist costs what it saves).
+    # Distinct on the raw VALUES first, hash after: the portable
+    # quadratic hash is a ~40-op expression, and evaluating it per
+    # distinct value instead of per row cuts its cost by the
+    # duplication factor (measured 2.0 s → 0.9 s at sf0.1's 5.8×).
+    # The second distinct collapses 50-bit hash collisions so the
+    # (colid, h) SET is identical to hashing before the distinct —
+    # counter-width input, negligible cost.
     hd = _persist(
-        tall.select("colid", kmv_hash("value").alias("h")).distinct()
+        tall.distinct()
+        .select("colid", kmv_hash("value").alias("h"))
+        .distinct()
     )
     sizes = hd.groupBy("colid").agg(F.count(F.lit(1)).alias("n"))
     inter = (
