@@ -72,10 +72,17 @@ def kmv_sketches(
     *key_col* (bigint). Output (group_col, v) — ≤ k rows per group.
 
     One corpus-scale distinct + one two-phase ordinal; the rank never
-    funnels a group through a single task."""
-    hashed = df.select(
-        F.col(group_col), kmv_hash(key_col).alias("__kh")
-    ).distinct()
+    funnels a group through a single task. The distinct runs on the
+    RAW (group, key) pairs and the ~40-op portable hash applies per
+    distinct value after (then a counter-width re-distinct collapses
+    50-bit collisions, keeping the hash SET bit-identical to hashing
+    first) — the q178 lesson: on duplicate-heavy corpora the hash's
+    cost drops by the duplication factor."""
+    hashed = (
+        df.select(F.col(group_col), F.col(key_col)).distinct()
+        .select(F.col(group_col), kmv_hash(key_col).alias("__kh"))
+        .distinct()
+    )
     return kmv_sketches_from_hashes(hashed, group_col, "__kh", k)
 
 
