@@ -9122,9 +9122,14 @@ def q176_kmv_distinct(spark, sf_dir):
     )
     # shingle+hash+distinct ONCE for sketch AND exact twin — the
     # shingle pass is the corpus-scale cost; three consumers would
-    # re-pay it (neutral at sf0.1, dominant at 100 TB)
+    # re-pay it (neutral at sf0.1, dominant at 100 TB). Distinct the
+    # raw shingles first, hash per distinct value after (hash set
+    # bit-identical via the counter-width re-distinct — the q178
+    # lesson; boilerplate-heavy corpora repeat shingles a lot)
     hd = _persist(
-        sh.select("source", kmv_hash("sh").alias("h")).distinct()
+        sh.distinct()
+        .select("source", kmv_hash("sh").alias("h"))
+        .distinct()
     )
     sk = kmv_sketches_from_hashes(hd, "source", "h", _KMV_K)
     est = kmv_distinct_estimates(sk, "source", _KMV_K)
@@ -9244,9 +9249,11 @@ def q177_kmv_overlap(spark, sf_dir):
         "source", F.explode(shingle_hashes("text")).alias("sh")
     )
     # shingle+hash+distinct ONCE for sketch AND exact twins — same
-    # single-corpus-pass argument as q176
+    # single-corpus-pass (and hash-after-distinct) argument as q176
     hd = _persist(
-        sh.select("source", kmv_hash("sh").alias("h")).distinct()
+        sh.distinct()
+        .select("source", kmv_hash("sh").alias("h"))
+        .distinct()
     )
     sk = kmv_sketches_from_hashes(hd, "source", "h", _KMV_K)
     ov = kmv_pair_overlap(sk, "source", _KMV_K)
