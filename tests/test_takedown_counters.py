@@ -214,3 +214,38 @@ def test_sketch_flagged_stale_until_rebuild(spark, engine):
         r for r in eng.status("docs")["stores"] if r["kind"] == "sketch"
     ][0]
     assert row["retired_pending_rebuild"] is False
+
+
+def test_multiprofile_ecdf_retire_equals_rebuild(spark, tmp_path):
+    """retire_from_ecdf_store on a MULTI-profile store: the doomed
+    rows' histograms subtract per profile in one pass — every
+    profile's grid equals a rebuild on the survivors."""
+    from queens_spark.store.ecdf_store import (
+        build_ecdf_profiles,
+        retire_from_ecdf_store,
+    )
+
+    profiles = {
+        "len": {"value_sql": VALUE_SQL, "width": 2, "n_buckets": 12},
+        "score": {"value_sql": "score", "width": 10, "n_buckets": 10},
+    }
+    full = _frame(spark, 0, 20)
+    store_dir = str(tmp_path / "ecdf")
+    build_ecdf_profiles(full, "lang", profiles, store_dir, "mp")
+    doomed_ids = [0, 3, 8, 17]
+    doomed = full.where(F.col("doc_id").isin(doomed_ids))
+    got = retire_from_ecdf_store(spark, doomed, store_dir, "mp")
+    want = build_ecdf_profiles(
+        full.where(~F.col("doc_id").isin(doomed_ids)),
+        "lang", profiles, str(tmp_path / "ref"), "ref",
+    )
+    for p in ("len", "score"):
+        g = sorted(
+            (r["lang"], int(r["bucket"]), int(r["n"]))
+            for r in got.hist(p).collect()
+        )
+        w = sorted(
+            (r["lang"], int(r["bucket"]), int(r["n"]))
+            for r in want.hist(p).collect()
+        )
+        assert g == w, p

@@ -347,3 +347,61 @@ def test_retire_cli_with_warehouse_predicate(spark, tmp_path, capsys):
     assert sorted(
         r["doc_id"] for r in eng.query("docs", "t0").collect()
     ) == [i for i in range(9) if i % 3]
+
+
+def test_randomized_ingest_retire_stage_maintain_interleave(spark, tmp_path):
+    """Property: any interleave of (dedup ingest, retire, stage,
+    maintain) serves exactly the driver-side survivor model — the
+    warehouse analog of the cluster map's retire/append/compact
+    interleave property. Re-ingested ids (after their retirement)
+    re-serve; everything else stays down through restages and
+    physical purges."""
+    import random
+
+    rng = random.Random(1404)
+    eng = Engine(spark, str(tmp_path / "wh"), schemas=docs_schemas())
+    next_id = 0
+    live = {}        # doc_id -> table_name (the model of what serves)
+    tables = []
+    n_batches = 0
+    for opno in range(12):
+        op = rng.choice(
+            ["ingest", "ingest", "retire", "stage", "maintain"]
+        )
+        if op == "ingest" or not live:
+            ids = list(range(next_id, next_id + rng.randint(2, 5)))
+            next_id = ids[-1] + 1
+            t = f"b{n_batches}"
+            n_batches += 1
+            eng.ingest(
+                _frame(spark, [(i, _words(i) + f" v{opno}") for i in ids]),
+                "docs", t,
+                dedup_text_col="text", dedup_id_col="doc_id",
+            )
+            for i in ids:
+                live[i] = t
+            tables.append(t)
+        elif op == "retire":
+            doomed = rng.sample(sorted(live), min(2, len(live)))
+            eng.retire_documents("docs", ids=doomed)
+            for i in doomed:
+                del live[i]
+        elif op == "stage":
+            eng.stage("docs")
+        else:
+            eng.maintain("docs")
+    eng.stage("docs")
+    got = {}
+    for t in tables:
+        try:
+            for r in eng.query("docs", t).collect():
+                got[r["doc_id"]] = t
+        except Exception:
+            pass  # fully-retired table dropped from prod
+    assert got == live
+    eng.maintain("docs")
+    assert eng.fsck()["error"] == 0
+    raw_ids = {
+        r["doc_id"] for r in eng.warehouse.read_raw("docs").collect()
+    }
+    assert raw_ids == set(live)
