@@ -11220,3 +11220,81 @@ def q205_rolling_actives(spark, sf_dir):
             .alias("stickiness_bp"),
         )
     )
+
+
+_SESSION_USER_CAP = 70
+
+
+def _capped_sessions_oracle() -> str:
+    return f"""
+    WITH counts AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM events GROUP BY 1
+    ), normal AS (
+      SELECT user_id FROM counts WHERE n_events <= {_SESSION_USER_CAP}
+    ), marked AS (
+      SELECT e.user_id,
+             CASE WHEN LAG(e.ts) OVER w IS NULL
+                       OR epoch(e.ts) - epoch(LAG(e.ts) OVER w)
+                          > {_SESSION_GAP_MIN} * 60
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events e JOIN normal USING (user_id)
+      WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)
+    ), starts AS (
+      SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions
+      FROM marked GROUP BY 1
+    )
+    SELECT c.user_id,
+           CAST(c.n_events > {_SESSION_USER_CAP} AS BOOLEAN)
+             AS quarantined,
+           s.n_sessions, c.n_events, c.value_cents
+    FROM counts c LEFT JOIN starts s USING (user_id)
+    """
+
+
+@register("q206_capped_sessionization", _capped_sessions_oracle())
+def q206_capped_sessionization(spark, sf_dir):
+    """Sessionization with the BOT-CAP guard — the mitigation
+    SCALE.md's per-user-skew entry prescribes, implemented: per-user
+    event counts (counter-width) route users over the cap to a
+    QUARANTINE row (flagged, totals only — their 10⁷-event streams
+    never enter the per-user ordering window, so one bot cannot
+    straggle the stage), while normal users sessionize exactly (the
+    q200 lag-then-running-sum, rolled up per user). The counts
+    aggregation, the semi-join, and the window all key on user_id —
+    AQE reuses the partitioning, and the quarantine side adds no
+    corpus-scale work. The per-user-cap frame carries NO broadcast
+    hint: at 100 TB the user dimension itself is large."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint").alias("value_cents"),
+    )
+    normal = counts.where(
+        F.col("n_events") <= _SESSION_USER_CAP
+    ).select("user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = (
+        ev.join(normal, "user_id", "semi")
+        .select(
+            "user_id",
+            F.when(
+                gap.isNull() | (gap > _SESSION_GAP_MIN * 60), F.lit(1)
+            ).otherwise(F.lit(0)).alias("is_start"),
+        )
+    )
+    starts = marked.groupBy("user_id").agg(
+        F.sum("is_start").cast("bigint").alias("n_sessions")
+    )
+    return counts.join(starts, "user_id", "left").select(
+        "user_id",
+        (F.col("n_events") > _SESSION_USER_CAP).alias("quarantined"),
+        "n_sessions",
+        "n_events",
+        "value_cents",
+    )
