@@ -674,6 +674,8 @@ class Engine:
             or doomed0.columns[0]
         )
 
+        from queens_spark.store.takedown import retired_frame
+
         raw = (
             self.warehouse.read_raw(collection)
             if self.warehouse.table_exists(collection)
@@ -683,6 +685,11 @@ class Engine:
             self.warehouse.next_ingest_id(collection) - 1
             if raw is not None else 0
         )
+        # rows prior live takedowns already hide — captured BEFORE the
+        # new segment lands so the counter decrements below never
+        # double-subtract a re-retired id (its rows were decremented
+        # by the takedown that first covered them)
+        prior = retired_frame(self.spark, self._takedown_dir(collection))
         td = record_takedown(
             self.spark, self._takedown_dir(collection), doomed0,
             id_col, raw, covers,
@@ -697,6 +704,13 @@ class Engine:
             doomed_rows = raw.where(
                 F.col("table_name").isin(td["tables"])
             ).join(doomed, id_col, "semi")
+            if prior is not None:
+                doomed_rows = doomed_rows.join(
+                    prior,
+                    (doomed_rows[id_col] == prior[id_col])
+                    & (doomed_rows["ingest_id"] <= prior["__covers"]),
+                    "left_anti",
+                )
 
         report = {
             "indexes": [],
@@ -791,13 +805,25 @@ class Engine:
         rollup_reg = registered_rollups(self._rollups_dir(), collection)
         if rollup_reg and doomed_rows is not None:
             affected = set(td["tables"])
+            # survivor partials must exclude EVERY live takedown, not
+            # just this one — recomputing against only the current ids
+            # would resurrect an earlier (unpurged) takedown's rows
+            all_retired = retired_frame(
+                self.spark, self._takedown_dir(collection)
+            )
             for wi in _winner_ingests(self.warehouse, collection):
                 if wi["table_name"] not in affected:
                     continue
                 batch = raw.where(
                     (F.col("table_name") == wi["table_name"])
                     & (F.col("ingest_id") == wi["ingest_id"])
-                ).join(doomed, id_col, "left_anti")
+                )
+                batch = batch.join(
+                    all_retired,
+                    (batch[id_col] == all_retired[id_col])
+                    & (batch["ingest_id"] <= all_retired["__covers"]),
+                    "left_anti",
+                )
                 for rname in rollup_reg:
                     update_rollup_segment(
                         batch, self._rollups_dir(), collection, rname,
@@ -818,8 +844,23 @@ class Engine:
             if tc and tc in doomed_rows.columns:
                 from queens_spark.operators.text import token_count
 
+                # the profile folds ONLY dedup-screened ingests (the
+                # update fires inside Engine.ingest's dedup path, and
+                # those ingests stamp their dedup stats into the
+                # version description) — restrict the decrement to
+                # rows of exactly those ingests, or a plainly-ingested
+                # row would subtract mass the profile never added
+                dedup_iids = (
+                    self.warehouse.read_log(collection)
+                    .where(
+                        (F.col("success") == 1)
+                        & F.col("table_description").contains("dedup {")
+                    )
+                    .select("ingest_id")
+                )
                 r = retire_from_profile(
-                    doomed_rows, token_count(tc),
+                    doomed_rows.join(dedup_iids, "ingest_id", "semi"),
+                    token_count(tc),
                     self._profiles_dir(), ledger or collection,
                 )
                 report["profile_decremented_rows"] = r["decremented_rows"]

@@ -249,3 +249,42 @@ def test_multiprofile_ecdf_retire_equals_rebuild(spark, tmp_path):
             for r in want.hist(p).collect()
         )
         assert g == w, p
+
+
+def test_double_and_sequential_retires_stay_exact(spark, engine, tmp_path):
+    """Two hazards pinned: re-retiring an id before the purge must NOT
+    double-subtract its counters, and a SECOND takedown's rollup
+    recompute must not resurrect the first takedown's rows (the
+    survivor partials exclude every live segment)."""
+    eng = engine
+    eng.retire_documents("docs", ids=[1, 4])
+    eng.retire_documents("docs", ids=[1, 4])      # re-retire: no-op
+    eng.retire_documents("docs", ids=[13])        # sequential takedown
+    doomed = [1, 4, 13]
+    from queens_spark.store.ecdf_store import build_ecdf_store
+
+    survivors = (
+        _frame(spark, 0, 20).where(~F.col("doc_id").isin(doomed))
+    )
+    expected = build_ecdf_store(
+        survivors, "lang", VALUE_SQL, str(tmp_path / "ref_ecdf2"),
+        "ref", width=2, n_buckets=12,
+    )
+    assert _hist_rows(eng.ecdf_store("lens")) == _hist_rows(expected)
+    got = sorted(
+        (r["lang"], int(r["n_rows"]), int(r["score_sum"]),
+         int(r["score_min"]), int(r["score_max"]))
+        for r in eng.rollup("docs", "r1").collect()
+    )
+    want = sorted(
+        (r["lang"], int(r["n"]), int(r["s"]), int(r["mn"]), int(r["mx"]))
+        for r in survivors.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("score").alias("s"),
+            F.min("score").alias("mn"),
+            F.max("score").alias("mx"),
+        ).collect()
+    )
+    assert got == want
+    eng.maintain("docs")
+    assert eng.fsck()["error"] == 0

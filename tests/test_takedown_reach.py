@@ -405,3 +405,27 @@ def test_randomized_ingest_retire_stage_maintain_interleave(spark, tmp_path):
         r["doc_id"] for r in eng.warehouse.read_raw("docs").collect()
     }
     assert raw_ids == set(live)
+
+
+def test_fully_retired_table_purges_to_empty(spark, engine):
+    """Retiring EVERY row of a table: stage drops the table from prod
+    (zero-row winner), maintain rewrites its raw partition to an
+    empty-but-readable parquet dir (the forced single empty part
+    file), and the untouched table keeps serving."""
+    eng = engine
+    eng.retire_documents("docs", ids=list(range(10)))  # all of t0
+    eng.stage("docs")
+    # t0 gone from prod; t1 intact
+    import os
+
+    assert not os.path.isdir(
+        os.path.join(eng.warehouse.prod_path("docs"), "table_name=t0")
+    )
+    assert _served_ids(eng, "t1") == list(range(10, 16))
+    rep = eng.maintain("docs")
+    assert rep["takedown"]["purged_tables"] == ["t0"]
+    # raw stays readable with t0 empty
+    raw = eng.warehouse.read_raw("docs")
+    assert raw.where(F.col("table_name") == "t0").count() == 0
+    assert raw.where(F.col("table_name") == "t1").count() == 6
+    assert eng.fsck()["error"] == 0
