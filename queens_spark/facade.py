@@ -2252,6 +2252,13 @@ class Engine:
         carries Table number / Description / Ingest date columns).
         One aggregate over prod, broadcast join to the tiny log."""
         prod = self.warehouse.read_prod(collection)
+        tdir = self._pending_takedown_dir(collection)
+        if tdir is not None:
+            # report counts must match what query() serves: exclude
+            # retired-but-not-yet-restaged rows
+            from queens_spark.store.takedown import apply_takedowns
+
+            prod = apply_takedowns(prod, self.spark, tdir)
         log = (
             self.warehouse.read_log(collection)
             .where(F.col("success") == 1)

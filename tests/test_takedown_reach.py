@@ -429,3 +429,26 @@ def test_fully_retired_table_purges_to_empty(spark, engine):
     assert raw.where(F.col("table_name") == "t0").count() == 0
     assert raw.where(F.col("table_name") == "t1").count() == 6
     assert eng.fsck()["error"] == 0
+
+
+def test_data_info_excludes_pending_takedowns(spark, warehouse_root):
+    """get_data_info reads prod directly — its row counts must match
+    what query() serves while a takedown is pending."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    eng = Engine(spark, warehouse_root)
+    rows = [
+        Row(row=i, label=f"l{i}", year=2020 + i % 3, fuel=f"f{i % 5}",
+            group="G", item=f"i{i}", unit="u", value=float(i))
+        for i in range(20)
+    ]
+    eng.ingest(spark.createDataFrame(rows), "dukes", "1.1",
+               ingest_ts=datetime(2024, 1, 1))
+    eng.stage("dukes")
+    assert int(eng.get_data_info("dukes").collect()[0]["n_rows"]) == 20
+    # retire five rows by row id (the dimension key here)
+    eng.retire_documents("dukes", ids=[0, 1, 2, 3, 4], id_col="row")
+    assert int(eng.get_data_info("dukes").collect()[0]["n_rows"]) == 15
+    assert eng.query("dukes", "1.1").count() == 15
