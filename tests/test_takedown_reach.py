@@ -452,3 +452,7 @@ def test_data_info_excludes_pending_takedowns(spark, warehouse_root):
     eng.retire_documents("dukes", ids=[0, 1, 2, 3, 4], id_col="row")
     assert int(eng.get_data_info("dukes").collect()[0]["n_rows"]) == 15
     assert eng.query("dukes", "1.1").count() == 15
+    # maintain purges a LEDGER-LESS collection too (compaction no-ops)
+    rep = eng.maintain("dukes")
+    assert rep["takedown"]["purged_tables"] == ["1.1"]
+    assert eng.warehouse.read_raw("dukes").count() == 15
