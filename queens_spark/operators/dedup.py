@@ -31,6 +31,7 @@ from queens_spark.session import ensure_min_partitions
 from queens_spark.operators.text import (
     HASH_MOD,
     char_poly_hash,
+    column_memo,
     doc_fingerprint,
     duckdb_char_poly_hash,
     let_bound,
@@ -110,6 +111,7 @@ SIMHASH_BITS = 16
 
 # ----------------------------------------------------------- shingling
 
+@column_memo
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles (space-joined). Fewer than n
     tokens → empty array.
@@ -144,6 +146,7 @@ def duckdb_word_shingles(expr: str, n: int = 3) -> str:
     )
 
 
+@column_memo
 def shingle_hashes(text: Column | str, n: int = 3, p: int = HASH_MOD) -> Column:
     """Distinct word n-gram shingle hashes, composed from per-token
     polynomial hashes: fold ``acc = (acc*131 + token_hash) mod p``
@@ -574,6 +577,7 @@ def _verify_pairs(
 
 # ------------------------------------------------------------- MinHash
 
+@column_memo
 def minhash_signature(text: Column | str) -> Column:
     """k-element MinHash signature from the shingle-hash set:
     sig[i] = min over shingles of (aᵢ·h + bᵢ) mod p. Computed entirely
@@ -584,13 +588,15 @@ def minhash_signature(text: Column | str) -> Column:
 
 
 def _signature_from_hashes(hashes: Column) -> Column:
-    params = F.array(*[
-        F.struct(
-            F.lit(MINHASH_A[i]).cast("bigint").alias("a"),
-            F.lit(MINHASH_B[i]).cast("bigint").alias("b"),
-        )
-        for i in range(MINHASH_K)
-    ])
+    # one parsed expression: per-element F.lit/F.struct chains cost two
+    # py4j round trips each, and this builder runs in every dedup-family
+    # plan (see similarity.lit_array)
+    params = F.expr(
+        "array(" + ",".join(
+            f"named_struct('a',{int(MINHASH_A[i])}L,'b',{int(MINHASH_B[i])}L)"
+            for i in range(MINHASH_K)
+        ) + ")"
+    )
     return let_bound(
         hashes,
         lambda hs: F.transform(

@@ -44,7 +44,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from queens_spark.operators.similarity import QUANT, quantize
+from queens_spark.operators.similarity import QUANT, lit_array, quantize
 
 
 def label_centroids_e6(
@@ -89,7 +89,7 @@ def _vec_e6(vec_col: str) -> Column:
 def sq_dist_e6(x_e6: Column, cent: list[int]) -> Column:
     """Σ(x − c)² between an e6 vector column and one constant-folded
     centroid literal. Pure JVM HOF — no join, no UDF."""
-    lits = F.array(*[F.lit(int(c)).cast("bigint") for c in cent])
+    lits = lit_array(cent, "bigint")
     return F.aggregate(
         F.zip_with(x_e6, lits, lambda x, c: (x - c) * (x - c)),
         F.lit(0).cast("bigint"),
@@ -150,7 +150,7 @@ def fisher_direction_e6(
 def probe_score(vec_col: str, w_e6: list[int]) -> Column:
     """Integer dot product of the quantized embedding with a constant-
     folded weight vector — map-only scoring."""
-    lits = F.array(*[F.lit(int(c)).cast("bigint") for c in w_e6])
+    lits = lit_array(w_e6, "bigint")
     return F.aggregate(
         F.zip_with(quantize(vec_col), lits, lambda x, c: x * c),
         F.lit(0).cast("bigint"),

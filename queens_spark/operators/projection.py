@@ -52,12 +52,12 @@ def project_ints(ints: list[int], signs: list[list[int]]) -> list[int]:
 def rp_project(vec_col: Column | str, signs: list[list[int]]) -> Column:
     """Project an e3-quantized embedding column through the sign
     matrix: array<bigint> of out_dim exact components, map-only."""
-    from queens_spark.operators.similarity import quantize
+    from queens_spark.operators.similarity import lit_array, quantize
 
     qv = quantize(vec_col)
     comps = []
     for row in signs:
-        lits = F.array(*[F.lit(int(s)).cast("bigint") for s in row])
+        lits = lit_array(row, "bigint")
         comps.append(
             F.aggregate(
                 F.zip_with(qv, lits, lambda x, s: x * s),
@@ -82,7 +82,9 @@ def duckdb_rp_project(qv_expr: str, signs: list[list[int]]) -> str:
 
 def sq_dist_to_lits(vec: Column, lits: list[int]) -> Column:
     """Σ(x−c)² between an integer array column and a constant list."""
-    arr = F.array(*[F.lit(int(c)).cast("bigint") for c in lits])
+    from queens_spark.operators.similarity import lit_array
+
+    arr = lit_array(lits, "bigint")
     return F.aggregate(
         F.zip_with(vec, arr, lambda x, c: (x - c) * (x - c)),
         F.lit(0).cast("bigint"),

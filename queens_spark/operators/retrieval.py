@@ -117,6 +117,7 @@ def mmr_rerank(
         cosine_from_ints,
         int_dot,
         int_norm2,
+        lit_array,
         quantize,
     )
 
@@ -125,7 +126,7 @@ def mmr_rerank(
     if k < 1 or pool < k:
         raise ValueError(f"need pool >= k >= 1, got pool={pool} k={k}")
     qq = [int(math.floor(float(x) * QUANT)) for x in query_vec]
-    qlit = F.array(*[F.lit(x) for x in qq])
+    qlit = lit_array(qq, "bigint")
     head = (
         corpus.select(
             F.col(id_col),

@@ -34,6 +34,33 @@ def quantize(vec: Column | str) -> Column:
     return F.transform(c, lambda x: F.floor(x.cast("double") * QUANT).cast("bigint"))
 
 
+def lit_array(vals, sql_type: str = "bigint") -> Column:
+    """Constant array as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(v) ... ])`` costs two py4j round trips per
+    element, which for vector-width literals (64-dim embeddings, sign
+    matrices, int8 query rows) makes PLAN BUILD the dominant cost of a
+    map-only scoring query. The parsed text folds to the identical
+    literal tree, so plans and results are unchanged. Doubles use the
+    ``D``-suffix literal over Python ``repr`` (an exact round trip for
+    every finite double); non-finite values fall back to the per-lit
+    path."""
+    vals = list(vals)
+    if not vals:
+        return F.expr(f"CAST(array() AS ARRAY<{sql_type.upper()}>)")
+    if sql_type == "bigint":
+        body = ",".join(f"{int(v)}L" for v in vals)
+    elif sql_type == "tinyint":
+        body = ",".join(f"{int(v)}Y" for v in vals)
+    elif sql_type == "double":
+        if not all(math.isfinite(float(v)) for v in vals):
+            return F.array(*[F.lit(float(v)) for v in vals])
+        body = ",".join(f"{float(v)!r}D" for v in vals)
+    else:
+        raise ValueError(f"unsupported lit_array type {sql_type!r}")
+    return F.expr(f"array({body})")
+
+
 def int_dot(a: Column, b: Column) -> Column:
     """Exact integer dot product of two quantized vectors."""
     return F.aggregate(
@@ -77,7 +104,7 @@ def cosine_topk(
     TakeOrderedAndProject (per-partition heap + driver merge of k
     rows) — no full sort, no shuffle of the data.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_array(query_vec, "double")
     qq = quantize(q)
     v = quantize(vec_col)
     dot = int_dot(v, qq)
@@ -277,7 +304,7 @@ def lsh_search(
     hits = lsh_bucket_vectors(df, vec_col, id_col, dim, planes).where(
         F.col("bucket") == qbits
     ).select(id_col)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_array(query_vec, "double")
     qqc = quantize(q)
     cos = cosine_from_ints(
         int_dot(F.col("q"), qqc), int_norm2(F.col("q")), int_norm2(qqc)
@@ -812,7 +839,7 @@ def ivf_search(
     by construction, like any broadcast dimension). Ties everywhere
     break by ascending id, so results are deterministic.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_array(query_vec, "double")
     qq = quantize(q)
     qn2 = int_norm2(qq)
     cents = (
@@ -1188,7 +1215,7 @@ def int8_topk_ip_codes(
         row = queries.get(qid)
         if row is None:
             continue
-        q_lit = F.array(*[F.lit(int(v)).cast("tinyint") for v in row["q"]])
+        q_lit = lit_array(row["q"], "tinyint")
         dot = int8_dot(F.col("q"), q_lit)
         approx = (
             dot.cast("double") * F.lit(float(row["amax"])) * F.col("amax")
@@ -2030,7 +2057,7 @@ def pca_project(
         term = F.aggregate(
             F.zip_with(
                 c,
-                F.array(*[F.lit(w) for w in wj]),
+                lit_array(wj, "double"),
                 lambda x, w: x.cast("double") * w,
             ),
             F.lit(0.0),

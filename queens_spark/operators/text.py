@@ -14,10 +14,46 @@ engine (the DuckDB oracle) reproduces values bit-for-bit.
 
 from __future__ import annotations
 
+import functools
+
 import pandas as pd
 from pyspark.sql import Column, functions as F
 
 HASH_MOD = 1_000_000_007
+
+
+def column_memo(fn):
+    """Memoize CONSTRUCTION of constant-shaped Column expressions.
+
+    Building a wide expression tree costs two py4j round trips per
+    node, so the big per-row builders (shingling, MinHash lanes, the
+    quality score) spend 0.1–0.5 s of DRIVER time per query re-creating
+    the same unresolved tree. Column objects are immutable wrappers
+    over unresolved expressions — the same object can appear in any
+    number of plans — so when every argument is a plain hashable value
+    (a column NAME, an int, ...) the built tree is cached per argument
+    tuple and reused for the life of the process. Any Column/DataFrame
+    or otherwise unhashable argument bypasses the cache, and nothing
+    about WHAT is computed changes — this is expression construction,
+    not results."""
+    cache: dict = {}
+
+    def _plain(v) -> bool:
+        return isinstance(v, (str, int, float, bool, tuple, type(None)))
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        if not (
+            all(_plain(a) for a in args)
+            and all(_plain(v) for v in kwargs.values())
+        ):
+            return fn(*args, **kwargs)
+        key = (args, tuple(sorted(kwargs.items())))
+        if key not in cache:
+            cache[key] = fn(*args, **kwargs)
+        return cache[key]
+
+    return wrapped
 
 #: Tiny marker-word lists for the language-ID heuristic. Deliberately
 #: small and deterministic — the operator contract is "argmax marker
@@ -30,6 +66,7 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+@column_memo
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization; empty strings filtered so empty/blank
     text yields an empty array (not [''])."""
@@ -37,10 +74,12 @@ def tokens(text: Column | str) -> Column:
     return F.filter(F.split(c, r"\s+"), lambda x: x != "")
 
 
+@column_memo
 def token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
 
+@column_memo
 def char_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.length(c).cast("bigint")
@@ -55,6 +94,7 @@ def char_count(text: Column | str) -> Column:
 BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
 
 
+@column_memo
 def bpe_ish_token_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.regexp_count(c, F.lit(BPE_ISH_PATTERN)).cast("bigint")
@@ -66,6 +106,7 @@ def duckdb_bpe_ish_token_count(expr: str) -> str:
     )
 
 
+@column_memo
 def type_token_ratio(text: Column | str) -> Column:
     """Distinct-token / token ratio — a lexical-diversity signal."""
     toks = tokens(text)
@@ -83,6 +124,7 @@ def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Co
     return F.when(n > 0, n_stop.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
+@column_memo
 def punct_ratio(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     n = F.length(c)
@@ -92,6 +134,7 @@ def punct_ratio(text: Column | str) -> Column:
                   ).otherwise(F.lit(0.0))
 
 
+@column_memo
 def quality_score(text: Column | str) -> Column:
     """Deterministic [0,1] quality heuristic:
     0.4·length-score + 0.3·(1-punct_ratio) + 0.3·diversity.
@@ -118,6 +161,7 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
     return out
 
 
+@column_memo
 def lang_id(text: Column | str) -> Column:
     """Argmax of the marker fractions; 'und' (undetermined) when all
     scores are zero; alphabetical-first tie-break (deterministic)."""
@@ -147,6 +191,7 @@ def let_bound(bound: Column, body) -> Column:
     return F.transform(F.array(bound), body)[0]
 
 
+@column_memo
 def doc_lines(text: Column | str) -> Column:
     """Non-empty trimmed lines (split on newline)."""
     c = F.col(text) if isinstance(text, str) else text
@@ -155,6 +200,7 @@ def doc_lines(text: Column | str) -> Column:
     )
 
 
+@column_memo
 def word_ngrams(text: Column | str, n: int) -> Column:
     """Word n-grams WITH duplicates (space-joined) — repetition
     counting needs multiplicities, unlike the distinct shingles the

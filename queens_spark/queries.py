@@ -75,12 +75,13 @@ def _embeddings_index(
         tempfile.gettempdir(), "queens_spark_vindex", key
     )
     return build_or_load_vector_index(
-        load(spark, sf_dir, "embeddings"),
+        lambda: load(spark, sf_dir, "embeddings"),
         "embedding",
         "vec_id",
         "embeddings",
         index_dir,
         fingerprint=source_fingerprint(src),
+        spark=spark,
         n_seeds=16,
         # label rides the codes/assignment artifacts so filtered
         # searches (q109) push their predicate into the index scan
@@ -124,12 +125,13 @@ def _documents_text_index(spark: SparkSession, sf_dir: str):
         tempfile.gettempdir(), "queens_spark_tindex", key
     )
     return build_or_load_text_index(
-        load(spark, sf_dir, "documents"),
+        lambda: load(spark, sf_dir, "documents"),
         "text",
         "doc_id",
         "documents",
         index_dir,
         fingerprint=source_fingerprint(src),
+        spark=spark,
         # source/lang ride the postings rows (denormalized like dl) so
         # filtered searches (q122) push their predicate into the
         # pruned scan — no documents join; positional postings enable
@@ -146,11 +148,41 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # every core. No-op once the scan yields enough partitions.
         # (embeddings is deliberately NOT spread: its vector math is
         # cheap enough that a repartition costs more than it saves.)
-        from queens_spark.session import ensure_min_partitions
+        # The spread decision comes from the file footprint (os.stat),
+        # not df.rdd.getNumPartitions(): the RDD conversion is a
+        # driver-side analysis pass that costs more than most of the
+        # queries reading this table. Equivalent at both ends of the
+        # scale — a file under maxPartitionBytes×parallelism scans as
+        # fewer splits than cores (repartition, as before), a 100 TB
+        # table always exceeds it (no-op, as before); in between a
+        # repartition only redistributes rows, never changes results.
+        import os as _os
 
-        return ensure_min_partitions(
-            spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        )
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        path = f"{sf_dir}/{table}.parquet"
+        try:
+            if _os.path.isdir(path):
+                size = sum(
+                    e.stat().st_size for e in _os.scandir(path)
+                    if e.is_file()
+                )
+            else:
+                size = _os.path.getsize(path)
+        except OSError:
+            size = 0
+        target = spark.sparkContext.defaultParallelism
+        try:
+            max_pb = int(
+                spark.conf.get(
+                    "spark.sql.files.maxPartitionBytes",
+                    str(128 * 1024 * 1024),
+                )
+            )
+        except ValueError:  # suffixed form like "128m"
+            max_pb = 128 * 1024 * 1024
+        if size < max_pb * target:
+            return df.repartition(target)
+        return df
     if table == "events":
         # events.ts has shipped as either a nanosecond INT64 (older
         # generators — Spark rejects nanos by default, so read raw and
@@ -3062,7 +3094,9 @@ def q77_hybrid_rrf_search(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == query_id).select("embedding").first()[0]
-    qq = quantize(F.array(*[F.lit(float(x)) for x in qvec]))
+    from queens_spark.operators.similarity import lit_array
+
+    qq = quantize(lit_array(qvec, "double"))
     cv = quantize("embedding")
     cos = cosine_from_ints(int_dot(cv, qq), int_norm2(cv), int_norm2(qq))
     vec_pool = (
@@ -9798,12 +9832,16 @@ def _documents_sketch_store(spark, sf_dir):
     store_dir = os.path.join(
         tempfile.gettempdir(), "queens_spark_skstore", key
     )
-    sh = load(spark, sf_dir, "documents").select(
-        "source", F.explode(shingle_hashes("text")).alias("sh")
-    )
+    def sh():
+        # built only on a (re)build: the shingle expression alone is
+        # ~0.4 s of driver-side plan construction per call
+        return load(spark, sf_dir, "documents").select(
+            "source", F.explode(shingle_hashes("text")).alias("sh")
+        )
+
     return build_or_load_sketch_store(
         sh, "source", "sh", store_dir, "doc_shingles", k=_KMV_K,
-        fingerprint=source_fingerprint(src),
+        fingerprint=source_fingerprint(src), spark=spark,
     )
 
 

@@ -177,12 +177,19 @@ def build_or_load_sketch_store(
     name: str,
     k: int = DEFAULT_K,
     fingerprint: str | None = None,
+    spark: SparkSession | None = None,
 ) -> SketchStore:
     """Serve the stored sketch when params AND fingerprint match;
     rebuild otherwise — the build_or_load posture of the vector/text
     indexes: the first run per corpus pays the scan, every later run
-    (any session) is a k·groups-row artifact read."""
-    spark = df.sparkSession
+    (any session) is a k·groups-row artifact read. *df* may be a
+    zero-arg callable returning the source frame (pass *spark*
+    alongside): the warm-serve path then skips constructing the
+    corpus plan entirely."""
+    if callable(df) and spark is None:
+        df = df()
+    if not callable(df):
+        spark = df.sparkSession
     entries = _read_manifest(store_dir)
     entry = entries.get(name)
     if (
@@ -195,8 +202,8 @@ def build_or_load_sketch_store(
     ):
         return SketchStore(spark, store_dir, name, entry)
     return build_sketch_store(
-        df, group_col, key_col, store_dir, name, k=k,
-        fingerprint=fingerprint,
+        df() if callable(df) else df, group_col, key_col, store_dir,
+        name, k=k, fingerprint=fingerprint,
     )
 
 

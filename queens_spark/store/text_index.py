@@ -1516,6 +1516,7 @@ def build_or_load_text_index(
     name: str,
     index_dir: str,
     fingerprint: str | None = None,
+    spark: SparkSession | None = None,
     **build_kwargs,
 ) -> TextIndex:
     """The ingest-hook composition: serve the stored postings when the
@@ -1523,10 +1524,17 @@ def build_or_load_text_index(
     run pays the tokenize, every later session gets pure index
     reads. Requesting ``meta_cols`` the stored index lacks also
     rebuilds (an index without the columns cannot serve filtered
-    searches); omitting them means "whatever is stored is fine"."""
+    searches); omitting them means "whatever is stored is fine".
+    *df* may be a zero-arg callable returning the source frame (pass
+    *spark* alongside): the warm-serve path then skips constructing
+    the corpus plan entirely."""
+    if callable(df) and spark is None:
+        df = df()
+    if not callable(df):
+        spark = df.sparkSession
     try:
         idx = load_text_index(
-            df.sparkSession, index_dir, name,
+            spark, index_dir, name,
             expected_fingerprint=fingerprint,
         )
         want_meta = build_kwargs.get("meta_cols")
@@ -1545,6 +1553,6 @@ def build_or_load_text_index(
         return idx
     except (KeyError, ValueError):
         return build_text_index(
-            df, text_col, id_col, name, index_dir,
-            fingerprint=fingerprint, **build_kwargs,
+            df() if callable(df) else df, text_col, id_col, name,
+            index_dir, fingerprint=fingerprint, **build_kwargs,
         )

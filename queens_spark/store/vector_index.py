@@ -148,6 +148,11 @@ class VectorIndex:
             [int(x) for x in row] for row in entry["codebook"]
         ]
         self.fingerprint = entry.get("fingerprint")
+        # collected centroid rows, filled on first probe: a query BATCH
+        # (q116's ten branches) probes once per query, and the stored
+        # centroid frame is version-pinned for this instance's lifetime
+        # — one collect serves them all
+        self._centroid_rows: list | None = None
 
     # ------------------------------------------------------ artifacts
 
@@ -286,9 +291,10 @@ class VectorIndex:
         from queens_spark.operators.similarity import (
             cosine_from_ints,
             int_dot,
+            lit_array,
         )
 
-        qq = quantize(F.array(*[F.lit(float(x)) for x in query_vec]))
+        qq = quantize(lit_array(query_vec, "double"))
         v = corpus.join(F.broadcast(short), self.id_col).select(
             self.id_col, quantize(vec_col).alias("vq")
         )
@@ -427,7 +433,9 @@ class VectorIndex:
         :func:`~queens_spark.operators.similarity.ivf_assign`."""
         import math
 
-        cents = self.centroids().collect()
+        if self._centroid_rows is None:
+            self._centroid_rows = self.centroids().collect()
+        cents = self._centroid_rows
         q = [int(math.floor(float(x) * QUANT)) for x in query_vec]
         qn = math.sqrt(float(sum(x * x for x in q)))
         if qn == 0.0:
@@ -1069,6 +1077,7 @@ def build_or_load_vector_index(
     name: str,
     index_dir: str,
     fingerprint: str | None = None,
+    spark: SparkSession | None = None,
     **build_kwargs,
 ) -> VectorIndex:
     """The ingest-hook composition: serve the stored index when its
@@ -1076,15 +1085,25 @@ def build_or_load_vector_index(
     what a catalog query calls — first run pays the encode, every
     later session gets pure index reads.
 
+    *df* may be a zero-arg callable returning the source frame (pass
+    *spark* alongside): the warm-serve path then never constructs the
+    corpus plan at all — plan construction is driver round trips, and
+    for per-row-heavy sources it costs more than the artifact read the
+    serve actually runs.
+
     A stored index also rebuilds when the caller asks for MORE than it
     was built with: requesting ``centroid_ids`` against an index built
     without IVF (or with different cells), or a different ``m``,
     upgrades it in place (version bump + manifest flip). Omitting a
     build kwarg means "whatever is stored is fine" — an IVF-capable
     index keeps serving callers that never probe."""
+    if callable(df) and spark is None:
+        df = df()
+    if not callable(df):
+        spark = df.sparkSession
     try:
         idx = load_vector_index(
-            df.sparkSession, index_dir, name,
+            spark, index_dir, name,
             expected_fingerprint=fingerprint,
         )
         want_cells = build_kwargs.get("centroid_ids")
@@ -1108,6 +1127,6 @@ def build_or_load_vector_index(
         return idx
     except (KeyError, ValueError):
         return build_vector_index(
-            df, vec_col, id_col, name, index_dir,
-            fingerprint=fingerprint, **build_kwargs,
+            df() if callable(df) else df, vec_col, id_col, name,
+            index_dir, fingerprint=fingerprint, **build_kwargs,
         )
