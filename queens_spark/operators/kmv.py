@@ -93,16 +93,23 @@ def kmv_sketches_from_hashes(
     — the reuse point for callers that also need the exact
     hashed-distinct truth (q176/q177/q178 persist that frame once and
     derive sketch AND exact twins from it, instead of re-hashing the
-    corpus per consumer)."""
-    from queens_spark.operators.quantiles import grouped_ordinal
+    corpus per consumer).
 
-    ranked = grouped_ordinal(
-        hd.select(F.col(group_col), F.col(hash_col).alias("__kh")),
-        group_col,
-        "__kh",
-    )
-    return ranked.where(F.col("__rk") <= k).select(
-        F.col(group_col), F.col("__v").cast("bigint").alias("v")
+    Bottom-k rides a plain rank-filter window: Spark's
+    InferWindowGroupLimit rewrites ``row_number() <= k`` into a
+    map-side partial top-k (WindowGroupLimit), so the exchange carries
+    at most k rows per group per input partition — no corpus-scale
+    range shuffle and no repartitionByRange sampling pass. Hashes are
+    distinct within a group, so the rank order is total and the
+    surviving set is exactly the k smallest."""
+    w = Window.partitionBy(group_col).orderBy(F.col("v").asc())
+    return (
+        hd.select(
+            F.col(group_col), F.col(hash_col).cast("bigint").alias("v")
+        )
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select(F.col(group_col), F.col("v"))
     )
 
 
@@ -141,55 +148,48 @@ def kmv_pair_overlap(
     members were complete, so union AND intersection are exact.
 
     Output: (group_a, group_b, union_est, inter_est) — every pair of
-    groups appearing in *sk*, including zero-overlap ones. All stages
-    after the input sketch run on k-scale rows; the per-pair window
-    partitions by pair.
+    groups appearing in *sk*, including zero-overlap ones.
 
-    The sketch frame is PERSISTED here: this function references it
-    five ways (both pair sides, the group list, and two membership
-    probes), and without the barrier each reference re-runs the
-    upstream corpus-scale distinct + ordinal — measured at ~2× the
-    whole q178 matrix. The cache is k·groups rows, trivially small."""
+    Each group's ≤ k-row sketch collapses to ONE array row first, so
+    the whole pairwise matrix is per-pair ARRAY arithmetic inside one
+    small join — no (pair, value) expansion ever crosses a shuffle, no
+    per-pair window, no membership probe joins. The merged union
+    sketch is array_sort(array_union)[:k] — identical to the k
+    smallest distinct values of the sketch union — and membership is
+    array_contains against the member arrays. The array frame is
+    PERSISTED (n_groups rows of k bigints): both pair sides reference
+    it, and without the barrier each side re-runs the upstream
+    corpus-scale distinct + bottom-k — measured at ~2× the whole q178
+    matrix."""
     from queens_spark.operators.dedup import _persist
 
-    sk = _persist(sk.select(F.col(group_col), F.col("v")))
-    a = sk.select(F.col(group_col).alias("ga"), F.col("v").alias("v"))
-    b = sk.select(F.col(group_col).alias("gb"), F.col("v").alias("v"))
-    groups = sk.select(F.col(group_col).alias("ga")).distinct()
-    pairs = groups.join(
-        groups.select(F.col("ga").alias("gb")), F.col("ga") < F.col("gb")
-    )
-
-    merged = (
-        pairs.join(a, "ga")
-        .select("ga", "gb", "v")
-        .unionByName(pairs.join(b, "gb").select("ga", "gb", "v"))
-        .groupBy("ga", "gb", "v")
-        .agg(F.count(F.lit(1)).alias("__dup"))
-    )
-    w = Window.partitionBy("ga", "gb").orderBy("v")
-    topk = merged.withColumn("__rk", F.row_number().over(w)).where(
-        F.col("__rk") <= k
-    )
-    ina = a.select("ga", "v").withColumn("__ia", F.lit(1))
-    inb = b.select("gb", "v").withColumn("__ib", F.lit(1))
-    marked = (
-        topk.join(ina, ["ga", "v"], "left")
-        .join(inb, ["gb", "v"], "left")
-        .select(
-            "ga",
-            "gb",
-            "v",
-            (
-                F.coalesce(F.col("__ia"), F.lit(0))
-                * F.coalesce(F.col("__ib"), F.lit(0))
-            ).alias("__both"),
+    arrs = _persist(
+        sk.groupBy(F.col(group_col).alias("ga")).agg(
+            F.array_sort(F.collect_list("v")).alias("__va")
         )
     )
-    per_pair = marked.groupBy("ga", "gb").agg(
-        F.count(F.lit(1)).alias("__m"),
-        F.max("v").alias("__vk"),
-        F.sum("__both").alias("__nc"),
+    pairs = arrs.join(
+        arrs.select(F.col("ga").alias("gb"), F.col("__va").alias("__vb")),
+        F.col("ga") < F.col("gb"),
+    )
+    merged = pairs.withColumn(
+        "__mg",
+        F.slice(F.array_sort(F.array_union("__va", "__vb")), 1, k),
+    )
+    per_pair = merged.select(
+        "ga",
+        "gb",
+        F.size("__mg").cast("bigint").alias("__m"),
+        F.element_at("__mg", F.size("__mg")).alias("__vk"),
+        F.size(
+            F.filter(
+                "__mg",
+                lambda x: F.array_contains("__va", x)
+                & F.array_contains("__vb", x),
+            )
+        )
+        .cast("bigint")
+        .alias("__nc"),
     )
     return per_pair.select(
         F.col("ga").alias("group_a"),
