@@ -195,24 +195,26 @@ def binary_auc_bp(
 
 def score_groups(df: DataFrame, score_col: str, pos_col: str) -> DataFrame:
     """Reduce (score, is_positive) rows to one row per DISTINCT score:
-    (__s, __c count, __cp positives, __rkmin ascending min-rank). The
-    min-rank comes from the two-phase distributed ordinal, so the
-    reduction is scale-clean; everything downstream (ROC, AP,
-    calibration) runs on the score-GROUP table, which is ≤ |distinct
-    scores| rows — the corpus never reaches a global window.
+    (__s, __c count, __cp positives, __rkmin ascending min-rank,
+    __befcp positives strictly below). The corpus is consumed by ONE
+    counter aggregation (map-side partial — the scorer pass runs
+    exactly once); the min-rank is then a prefix sum over the score-
+    GROUP table only — rkmin(s) = 1 + Σ_{s'<s} c(s'), exact in bigint —
+    computed two-phase (range-partition ascending, chunk-local running
+    sums, broadcast chunk offsets) because for near-unique scores the
+    group table is itself corpus-sized and must never funnel through a
+    single-task global window. Everything downstream (ROC, AP,
+    calibration) runs on this group table.
 
     NULL scores are DROPPED explicitly here (a rank is undefined for
     them); without the filter they would survive the count aggregation
-    but never match the ordinal join and silently vanish from the
-    statistic.
+    and silently shift every rank below them.
 
-    Scores must satisfy |score| < 2^53: the distributed ordinal ranks
-    through doubles, so larger magnitudes would silently collapse or
-    misorder score groups. Catalog scorers stay ~5·10¹¹; this generic
-    API guards the bound with a loud per-row error instead of subtly
-    wrong ranks (one map-side comparison — free next to the ordinal)."""
-    from queens_spark.operators.quantiles import grouped_ordinal
-
+    Scores must satisfy |score| < 2^53 — the guard predates this
+    prefix-sum form (ranks once rode a double-typed ordinal) and is
+    kept as the API contract: callers feeding wider scores get a loud
+    per-row error, not silently changed semantics. One map-side
+    comparison — free next to the aggregation."""
     df = df.where(F.col(score_col).isNotNull())
     raw_s = F.col(score_col).cast("bigint")
     guarded_s = F.when(F.abs(raw_s) < F.lit(1 << 53), raw_s).otherwise(
@@ -220,7 +222,7 @@ def score_groups(df: DataFrame, score_col: str, pos_col: str) -> DataFrame:
             F.concat(
                 F.lit(
                     "score_groups: |score| must stay below 2^53 (the "
-                    "distributed ordinal ranks via doubles); got "
+                    "rank contract of this API); got "
                 ),
                 raw_s.cast("string"),
             )
@@ -232,16 +234,58 @@ def score_groups(df: DataFrame, score_col: str, pos_col: str) -> DataFrame:
         .otherwise(0)
         .cast("bigint")
         .alias("__p"),
-        F.lit(0).alias("__g"),
-    )
-    ranked = grouped_ordinal(base.select("__g", "__s"), "__g", "__s")
-    rkmin = ranked.groupBy(F.col("__v").cast("bigint").alias("__s")).agg(
-        F.min("__rk").cast("bigint").alias("__rkmin")
     )
     groups = base.groupBy("__s").agg(
         F.count(F.lit(1)).alias("__c"), F.sum("__p").alias("__cp")
     )
-    return groups.join(rkmin, "__s")
+    from pyspark.sql import Window
+
+    ranged = groups.repartitionByRange(F.col("__s").asc())
+    part = ranged.withColumn("__pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("__s").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = part.withColumn(
+        "__lbc", F.coalesce(F.sum("__c").over(w_local), F.lit(0))
+    ).withColumn(
+        "__lbcp", F.coalesce(F.sum("__cp").over(w_local), F.lit(0))
+    )
+    ptot = part.groupBy("__pid").agg(
+        F.sum("__c").alias("__pc"), F.sum("__cp").alias("__pcp")
+    )
+    w_off = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # Chunk offsets AND the grand totals ride the same chunks×1 frame —
+    # totals as an unbounded window so no consumer ever has to re-
+    # reference this chain to learn n/n_pos (the multi-reference
+    # re-run footgun).
+    offs = ptot.select(
+        "__pid",
+        F.coalesce(F.sum("__pc").over(w_off), F.lit(0)).alias("__oc"),
+        F.coalesce(F.sum("__pcp").over(w_off), F.lit(0)).alias("__ocp"),
+        F.sum("__pc").over(w_all).alias("__n"),
+        F.sum("__pcp").over(w_all).alias("__npos"),
+    )
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .select(
+            "__s",
+            "__c",
+            "__cp",
+            (F.col("__oc") + F.col("__lbc") + 1).alias("__rkmin"),
+            (F.col("__ocp") + F.col("__lbcp")).alias("__befcp"),
+            F.col("__n"),
+            F.col("__npos"),
+            (F.col("__n") - F.col("__npos")).alias("__nneg"),
+        )
+    )
 
 
 def _with_cum_ge(groups: DataFrame) -> DataFrame:
@@ -249,47 +293,14 @@ def _with_cum_ge(groups: DataFrame) -> DataFrame:
     (threshold semantics: predict positive when score ≥ s): __tp
     (positives ≥ s), __hits (rows ≥ s), plus totals __npos/__nneg/__n.
 
-    The cumulative rides the same two-phase shape as
-    quantiles.grouped_ordinal — range-partition descending, local
-    prefix sums, broadcast per-partition offsets — because the
-    score-GROUP table is only bounded by |distinct scores|: for
-    near-unique scores (integer dot products) it is corpus-sized, and
-    a bare global ORDER BY window would funnel it through one task."""
-    from pyspark.sql import Window
-
-    ranged = groups.repartitionByRange(F.col("__s").desc())
-    part = ranged.withColumn("__pid", F.spark_partition_id())
-    w_local = (
-        Window.partitionBy("__pid")
-        .orderBy(F.col("__s").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = part.withColumn(
-        "__ltp", F.sum("__cp").over(w_local)
-    ).withColumn("__lhits", F.sum("__c").over(w_local))
-    ptot = part.groupBy("__pid").agg(
-        F.sum("__cp").alias("__pcp"), F.sum("__c").alias("__pc")
-    )
-    w_off = (
-        Window.orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = ptot.select(
-        "__pid",
-        F.coalesce(F.sum("__pcp").over(w_off), F.lit(0)).alias("__otp"),
-        F.coalesce(F.sum("__pc").over(w_off), F.lit(0)).alias("__ohits"),
-    )
-    tot = ptot.agg(
-        F.sum("__pcp").alias("__npos"),
-        F.sum(F.col("__pc") - F.col("__pcp")).alias("__nneg"),
-        F.sum("__pc").alias("__n"),
-    )
-    return (
-        local.join(F.broadcast(offs), "__pid")
-        .withColumn("__tp", F.col("__otp") + F.col("__ltp"))
-        .withColumn("__hits", F.col("__ohits") + F.col("__lhits"))
-        .crossJoin(F.broadcast(tot))
-    )
+    :func:`score_groups` already carries the strictly-below prefix
+    sums (__rkmin − 1 rows below, __befcp positives below) and the
+    grand totals, so the descending cumulatives are pure per-row
+    arithmetic — tp(s) = npos − below_cp(s), hits(s) = n − below_c(s).
+    Zero additional passes, joins, or shuffles."""
+    return groups.withColumn(
+        "__tp", F.col("__npos") - F.col("__befcp")
+    ).withColumn("__hits", F.col("__n") - (F.col("__rkmin") - F.lit(1)))
 
 
 def roc_points(df: DataFrame, score_col: str, pos_col: str) -> DataFrame:
@@ -349,10 +360,8 @@ def calibration_bins(
     pos_rate_bp rising with the bin id. Scale-clean: ordinal + counter
     aggregations only."""
     g = score_groups(df, score_col, pos_col)
-    tot = g.agg(F.sum("__c").alias("__n"))
     return (
-        g.crossJoin(F.broadcast(tot))
-        .select(
+        g.select(
             F.expr(f"(__rkmin - 1) * {int(bins)} div __n").alias("bin"),
             "__c",
             "__cp",

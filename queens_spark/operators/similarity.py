@@ -391,8 +391,17 @@ def lsh_bucket_pairs(
     import numpy as np
     import pandas as pd
 
+    from queens_spark.operators.dedup import _persist
+
     v = df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q"))
-    bands = lsh_bucket_table_vectors(df, vec_col, id_col, dim, planes, tables)
+    # The band frame feeds BOTH sides of the self-join; without the
+    # persist barrier each side re-runs the Arrow matmul pass over the
+    # full vector corpus (the multi-reference re-run footgun). The
+    # persisted frame is (id, t, bucket) — three ints × tables per
+    # vector, tiny next to the embeddings it replaces.
+    bands = _persist(
+        lsh_bucket_table_vectors(df, vec_col, id_col, dim, planes, tables)
+    )
     a = bands.select(F.col("id").alias("id_a"), "t", "bucket")
     b = bands.select(F.col("id").alias("id_b"), "t", "bucket")
     cands = (

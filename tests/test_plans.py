@@ -609,6 +609,28 @@ def test_pareto_frontier_broadcasts_and_never_self_joins():
     assert "CartesianProduct" not in plan, plan
 
 
+def test_probe_score_groups_never_ranks_raw_rows(spark):
+    # score_groups' claim (q174/q181/q182/q183): the scored corpus
+    # collapses to score GROUPS in one counter aggregation; min-ranks
+    # are bigint prefix sums over the group table, and the
+    # ≥-threshold cumulatives derive from the carried totals. No
+    # per-row row_number ordinal ever touches the raw rows, and no
+    # sort-merge join re-attaches ranks to groups.
+    from queens_spark.operators.probe import roc_points
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    scored = ev.select(
+        F.col("value").cast("bigint").alias("score"),
+        (F.col("event_type") == "view").alias("pos"),
+    )
+    plan = plan_of(roc_points(scored, "score", "pos"))
+    assert "row_number" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # (a SinglePartition exchange IS expected — the chunk-offset
+    # window runs over the chunks×1 per-partition totals frame, which
+    # is partition-count-sized by construction, never corpus-sized.)
+
+
 def test_kmv_sketch_build_has_no_single_task_rank():
     # kmv_sketches' claim: ranks ride the range-partitioned two-phase
     # ordinal — no global Window over an unpartitioned sort (which
