@@ -3412,13 +3412,19 @@ def q84_hll_shard_merge(spark, sf_dir):
     )
 
     ev = load(spark, sf_dir, "events")
-    shards = [
-        hll_registers(
-            ev.where(F.dayofmonth("ts") % 3 == i), "user_id", ["event_type"]
-        )
-        for i in range(3)
-    ]
-    return hll_estimate(hll_merge(shards, ["event_type"]), ["event_type"])
+    # The three day-of-month shards partition the rows, so their
+    # per-shard registers all come out of ONE corpus pass with the
+    # shard id as an extra register group key (three .where() branches
+    # would scan the events table three times for the same rows). The
+    # merge is the same union + per-(group, reg) max — max is
+    # associative over any row partition, so registers and estimate
+    # are row-identical to independently built shards.
+    shards = hll_registers(
+        ev.withColumn("__shard", F.dayofmonth("ts") % 3),
+        "user_id",
+        ["event_type", "__shard"],
+    ).drop("__shard")
+    return hll_estimate(hll_merge([shards], ["event_type"]), ["event_type"])
 
 
 def _dup_ngram_oracle(n: int, min_df: int) -> str:
@@ -3572,7 +3578,9 @@ def q87_stream_cms_counts(spark, sf_dir):
         windowed_cms_counters,
     )
 
-    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    # fan_out: see q69 — the d CMS bucket hashes per event are the map
+    # cost; size-gated round-robin, zero added shuffle at scale
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet", fan_out=True)
     counters = run_available_now(windowed_cms_counters(ev), "q87_mem")
     probes = spark.createDataFrame(
         [(u, str(u)) for u in range(10)], "user_id bigint, tok string"

@@ -31,8 +31,38 @@ EVENTS_SCHEMA = T.StructType([
 ])
 
 
+def _source_fan_out(spark: SparkSession, path: str) -> int:
+    """Round-robin width for streams whose per-row map work is heavy
+    (sketch hashing): a tiny-file availableNow backfill scans as ~1
+    split, serializing that work on one core, and a streaming frame's
+    partitioning cannot be probed the way ``session.
+    ensure_min_partitions`` probes a batch frame — so the split count
+    is estimated from the source bytes. Returns 0 (no repartition)
+    when the source already yields at least cluster-parallelism
+    splits, so no shuffle is ever added to a corpus-scale stream."""
+    import os
+
+    total = 0
+    if os.path.isfile(path):
+        total = os.path.getsize(path)
+    elif os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith((".", "_"))
+            )
+    max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    splits = max(1, (total + max_pb - 1) // max_pb)
+    par = spark.sparkContext.defaultParallelism
+    return par if splits < par else 0
+
+
 def read_events_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    fan_out: bool = False,
 ) -> DataFrame:
     import os
 
@@ -54,6 +84,10 @@ def read_events_stream(
         os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
         path = d
     df = reader.parquet(path)
+    if fan_out:
+        n = _source_fan_out(spark, path)
+        if n:
+            df = df.repartition(n)
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":
         event_time = F.timestamp_micros(F.expr("ts div 1000"))
