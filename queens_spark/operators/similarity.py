@@ -438,8 +438,9 @@ def semantic_dedup(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    centroid_ids: list[int],
+    centroid_ids: list[int] | None = None,
     threshold: float = 0.9,
+    centroids_df: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: assign every vector to
     its nearest centroid (:func:`ivf_assign`), find within-cluster
@@ -467,9 +468,9 @@ def semantic_dedup(
     from queens_spark.operators.dedup import _persist
 
     q = df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q"))
-    assigned = ivf_assign(df, vec_col, id_col, centroid_ids).select(
-        F.col(id_col).alias("id"), "centroid_id"
-    )
+    assigned = ivf_assign(
+        df, vec_col, id_col, centroid_ids, centroids_df=centroids_df
+    ).select(F.col(id_col).alias("id"), "centroid_id")
     # persist barrier: v fans out to BOTH pair-join sides and the final
     # anti-join — without it, projection collapse re-evaluates the
     # per-element quantize transform (and re-scans df) once per
@@ -507,8 +508,9 @@ def knn_graph(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    centroid_ids: list[int],
+    centroid_ids: list[int] | None = None,
     k: int = 5,
+    centroids_df: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-bounded exact kNN GRAPH: every vector's top-*k* nearest
     neighbors within its coarse cell — the construction behind
@@ -537,9 +539,9 @@ def knn_graph(
     from pyspark.sql import Window
 
     q = df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q"))
-    assigned = ivf_assign(df, vec_col, id_col, centroid_ids).select(
-        F.col(id_col).alias("id"), "centroid_id"
-    )
+    assigned = ivf_assign(
+        df, vec_col, id_col, centroid_ids, centroids_df=centroids_df
+    ).select(F.col(id_col).alias("id"), "centroid_id")
     v = _persist(
         q.join(assigned, "id").select(
             "id", "q", "centroid_id", int_norm2(F.col("q")).alias("n2")
@@ -580,8 +582,9 @@ def knn_hubness(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    centroid_ids: list[int],
+    centroid_ids: list[int] | None = None,
     k: int = 5,
+    centroids_df: DataFrame | None = None,
 ) -> DataFrame:
     """Hubness audit of the cluster-bounded kNN graph: the in-degree
     histogram — how many vectors appear in exactly d other vectors'
@@ -598,7 +601,9 @@ def knn_hubness(
     — output cardinality is the distinct-degree count. Returns
     (in_degree, n_vectors) ordered by in_degree.
     """
-    edges = knn_graph(df, vec_col, id_col, centroid_ids, k=k)
+    edges = knn_graph(
+        df, vec_col, id_col, centroid_ids, k=k, centroids_df=centroids_df
+    )
     indeg = edges.groupBy("neighbor_id").agg(
         F.count(F.lit(1)).alias("in_degree")
     )
@@ -833,10 +838,11 @@ def ivf_search(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    centroid_ids: list[int],
-    query_vec: list[float],
+    centroid_ids: list[int] | None = None,
+    query_vec: list[float] | None = None,
     k: int = 10,
     n_probe: int = 2,
+    centroids_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probe search: rank centroids against the query, keep the
     best *n_probe* cells, exact top-k over only those cells' vectors.
@@ -848,14 +854,21 @@ def ivf_search(
     by construction, like any broadcast dimension). Ties everywhere
     break by ascending id, so results are deterministic.
     """
+    if query_vec is None:
+        raise ValueError("ivf_search needs query_vec")
     q = lit_array(query_vec, "double")
     qq = quantize(q)
     qn2 = int_norm2(qq)
-    cents = (
-        df.where(F.col(id_col).isin(centroid_ids))
-        .select(F.col(id_col).alias("centroid_id"), quantize(vec_col).alias("cq"))
-        .withColumn("cn2", int_norm2(F.col("cq")))
-    )
+    if centroids_df is not None:
+        cents = centroids_df.select("centroid_id", "cq", "cn2")
+    elif centroid_ids is not None:
+        cents = (
+            df.where(F.col(id_col).isin(centroid_ids))
+            .select(F.col(id_col).alias("centroid_id"), quantize(vec_col).alias("cq"))
+            .withColumn("cn2", int_norm2(F.col("cq")))
+        )
+    else:
+        raise ValueError("ivf_search needs centroid_ids or centroids_df")
     probe = (
         cents.select(
             "centroid_id",
@@ -866,9 +879,9 @@ def ivf_search(
         .collect()
     )
     probe_ids = [r["centroid_id"] for r in probe]
-    candidates = ivf_assign(df, vec_col, id_col, centroid_ids).where(
-        F.col("centroid_id").isin(probe_ids)
-    )
+    candidates = ivf_assign(
+        df, vec_col, id_col, centroid_ids, centroids_df=centroids_df
+    ).where(F.col("centroid_id").isin(probe_ids))
     v = df.join(candidates.select(id_col), id_col).select(
         F.col(id_col), quantize(vec_col).alias("q")
     )
@@ -877,6 +890,25 @@ def ivf_search(
         v.select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def coarse_centroids(
+    df: DataFrame, vec_col: str, id_col: str, pred: Column
+) -> DataFrame:
+    """(centroid_id, cq, cn2) seed-centroid frame from *df* rows
+    matching *pred* — the no-driver-round-trip seed pick. Selecting
+    seeds by first collecting an id list costs a corpus scan at plan
+    build AND an ``isin()`` literal whose size grows with the corpus
+    (seed counts scale with n); as a lazy frame the pick rides the
+    centroid broadcast :func:`ivf_assign` already does."""
+    return (
+        df.where(pred)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            quantize(vec_col).alias("cq"),
+        )
+        .withColumn("cn2", int_norm2(F.col("cq")))
     )
 
 

@@ -1323,12 +1323,15 @@ def q33_ivf_assign(spark, sf_dir):
     form measures faster at this centroid count; ivf_assign_vectors is
     the bit-identical matmul path that wins once the centroid set is
     large (thousands of cells)."""
-    from queens_spark.operators.similarity import ivf_assign
+    from queens_spark.operators.similarity import coarse_centroids, ivf_assign
 
     emb = load(spark, sf_dir, "embeddings")
-    cent_ids = [r[0] for r in
-                emb.where(F.col("vec_id") % 200 == 0).select("vec_id").collect()]
-    return ivf_assign(emb, "embedding", "vec_id", cent_ids)
+    # seed pick stays a lazy frame: no plan-build corpus scan for the
+    # ids, no isin() literal that grows with the corpus
+    cents = coarse_centroids(
+        emb, "embedding", "vec_id", F.col("vec_id") % 200 == 0
+    )
+    return ivf_assign(emb, "embedding", "vec_id", centroids_df=cents)
 
 
 def _ivf_search_oracle(k: int, n_probe: int) -> str:
@@ -1411,14 +1414,15 @@ def q37_lsh_search(spark, sf_dir):
 def q35_ivf_search(spark, sf_dir):
     """IVF probe search: top-n_probe cells by query-to-centroid cosine,
     exact top-k inside only those cells (partition pruning at scale)."""
-    from queens_spark.operators.similarity import ivf_search
+    from queens_spark.operators.similarity import coarse_centroids, ivf_search
 
     emb = load(spark, sf_dir, "embeddings")
-    cent_ids = [r[0] for r in
-                emb.where(F.col("vec_id") % 200 == 0).select("vec_id").collect()]
+    cents = coarse_centroids(
+        emb, "embedding", "vec_id", F.col("vec_id") % 200 == 0
+    )
     query_vec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return ivf_search(emb, "embedding", "vec_id", cent_ids, query_vec,
-                      k=10, n_probe=2)
+    return ivf_search(emb, "embedding", "vec_id", query_vec=query_vec,
+                      k=10, n_probe=2, centroids_df=cents)
 
 
 @register(
@@ -3521,12 +3525,17 @@ def q86_semantic_dedup(spark, sf_dir):
     — recall rises with finer centroids). Verification is one
     Arrow-batched numpy pass over the cluster-joined pairs
     (operators/similarity.py:semantic_dedup)."""
-    from queens_spark.operators.similarity import semantic_dedup
+    from queens_spark.operators.similarity import (
+        coarse_centroids,
+        semantic_dedup,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
-    cent_ids = [r[0] for r in
-                emb.where(F.col("vec_id") % 200 == 0).select("vec_id").collect()]
-    return semantic_dedup(emb, "embedding", "vec_id", cent_ids, threshold=0.4)
+    cents = coarse_centroids(
+        emb, "embedding", "vec_id", F.col("vec_id") % 200 == 0
+    )
+    return semantic_dedup(emb, "embedding", "vec_id", threshold=0.4,
+                          centroids_df=cents)
 
 
 def _stream_cms_oracle(n_probe: int) -> str:
@@ -6870,16 +6879,13 @@ def q140_knn_graph(spark, sf_dir):
     window partitions by source vector (group ≤ cluster size); pure
     JVM fold arithmetic, no UDF
     (operators/similarity.py:knn_graph)."""
-    from queens_spark.operators.similarity import knn_graph
+    from queens_spark.operators.similarity import coarse_centroids, knn_graph
 
     emb = load(spark, sf_dir, "embeddings")
-    cent_ids = [
-        r[0]
-        for r in emb.where(F.col("vec_id") % 200 == 0)
-        .select("vec_id")
-        .collect()
-    ]
-    return knn_graph(emb, "embedding", "vec_id", cent_ids, k=5)
+    cents = coarse_centroids(
+        emb, "embedding", "vec_id", F.col("vec_id") % 200 == 0
+    )
+    return knn_graph(emb, "embedding", "vec_id", k=5, centroids_df=cents)
 
 
 def _alignment_oracle(n_buckets: int) -> str:
@@ -6997,16 +7003,16 @@ def q142_knn_hubness(spark, sf_dir):
     in-degree count — the vector-quality twin of the lexical
     hot-token audit (q129)
     (operators/similarity.py:knn_hubness)."""
-    from queens_spark.operators.similarity import knn_hubness
+    from queens_spark.operators.similarity import (
+        coarse_centroids,
+        knn_hubness,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
-    cent_ids = [
-        r[0]
-        for r in emb.where(F.col("vec_id") % 200 == 0)
-        .select("vec_id")
-        .collect()
-    ]
-    return knn_hubness(emb, "embedding", "vec_id", cent_ids, k=5)
+    cents = coarse_centroids(
+        emb, "embedding", "vec_id", F.col("vec_id") % 200 == 0
+    )
+    return knn_hubness(emb, "embedding", "vec_id", k=5, centroids_df=cents)
 
 
 def _covariance_oracle() -> str:
@@ -7828,18 +7834,15 @@ def q155_knn_label_agreement(spark, sf_dir):
     with two counter-width vote aggregations — nothing new shuffles
     at corpus width."""
     from queens_spark.operators.dedup import _persist
-    from queens_spark.operators.similarity import knn_graph
+    from queens_spark.operators.similarity import coarse_centroids, knn_graph
     from pyspark.sql import Window
 
     emb = load(spark, sf_dir, "embeddings")
-    cent_ids = [
-        r[0]
-        for r in emb.where(F.col("vec_id") % 200 == 0)
-        .select("vec_id")
-        .collect()
-    ]
+    cents = coarse_centroids(
+        emb, "embedding", "vec_id", F.col("vec_id") % 200 == 0
+    )
     labels = emb.select("vec_id", "label")
-    edges = knn_graph(emb, "embedding", "vec_id", cent_ids, k=5)
+    edges = knn_graph(emb, "embedding", "vec_id", k=5, centroids_df=cents)
     votes = (
         edges.join(
             labels.select(
@@ -8066,17 +8069,14 @@ def q158_mutual_knn_communities(spark, sf_dir):
     the adaptive CC of q36; shuffles carry (node, label) pairs
     only."""
     from queens_spark.operators.dedup import _persist, connected_components
-    from queens_spark.operators.similarity import knn_graph
+    from queens_spark.operators.similarity import coarse_centroids, knn_graph
 
     emb = load(spark, sf_dir, "embeddings")
-    cent_ids = [
-        r[0]
-        for r in emb.where(F.col("vec_id") % 200 == 0)
-        .select("vec_id")
-        .collect()
-    ]
+    cents = coarse_centroids(
+        emb, "embedding", "vec_id", F.col("vec_id") % 200 == 0
+    )
     edges = _persist(
-        knn_graph(emb, "embedding", "vec_id", cent_ids, k=5)
+        knn_graph(emb, "embedding", "vec_id", k=5, centroids_df=cents)
         .select("vec_id", "neighbor_id")
     )
     rev = edges.select(
