@@ -35,6 +35,26 @@ _BASE_CONF = {
     "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    # Driver bookkeeping is bounded (guide §5: the driver should do no
+    # data work — that includes not hoarding metadata). The defaults
+    # retain 1000 SQL executions' full plan graphs plus 1000 jobs /
+    # 1000 stages / 100k tasks of UI state in the driver heap; a
+    # many-query session (the 206-query catalog sweep, long-lived
+    # services) accumulates hundreds of MB of old-gen garbage, and GC
+    # pauses grow over the session's life. Observability at scale
+    # belongs to the event log / history server, not unbounded
+    # in-driver retention.
+    "spark.sql.ui.retainedExecutions": "32",
+    "spark.ui.retainedJobs": "200",
+    "spark.ui.retainedStages": "200",
+    "spark.ui.retainedTasks": "5000",
+    "spark.ui.retainedDeadExecutors": "5",
+    # The ContextCleaner only reclaims broadcast blocks / accumulators
+    # after a driver GC notices they are unreachable; the default
+    # periodic-GC interval (30 min) lets a query-dense session pile up
+    # shuffle and broadcast state for its whole life. 5 min bounds the
+    # pile without measurable pause cost.
+    "spark.cleaner.periodicGC.interval": "5min",
 }
 
 
