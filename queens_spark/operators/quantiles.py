@@ -53,6 +53,56 @@ def grouped_ordinal(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     )
 
 
+def grouped_rank(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """RANK() semantics (min ordinal over ties) of *value_col* within
+    *group_col*, two-phase like :func:`grouped_ordinal`, carrying
+    *carry_cols* payload columns through so no join back against the
+    source frame is ever needed. Output: carry_cols + group_col +
+    ``__v`` (value), ``__rk`` (1..N rank, ties share the min), ``__n``
+    (group size).
+
+    Correctness of the per-chunk rank: ``repartitionByRange`` assigns
+    equal (group, value) keys to ONE partition (rows compare equal, so
+    they cannot straddle a range boundary), hence the local
+    ``F.rank()`` sees every tie of its value and the global rank is
+    exactly chunk offset + local rank. One corpus pass, one range
+    shuffle; offsets and group sizes ride a broadcast of the
+    chunks×groups counter table.
+    """
+    base = df.select(
+        *carry_cols,
+        F.col(group_col),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(F.col(value_col).isNotNull())
+    ranged = base.repartitionByRange(F.col(group_col).asc(), F.col("__v").asc())
+    part = ranged.withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__pid", group_col).orderBy(F.col("__v").asc())
+    local = part.withColumn("__lrk", F.rank().over(w_local))
+    counts = local.groupBy("__pid", group_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(group_col)
+    offsets = counts.select(
+        "__pid",
+        group_col,
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_all).alias("__n"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["__pid", group_col])
+        .withColumn("__rk", F.col("__off") + F.col("__lrk"))
+        .select(*carry_cols, group_col, "__v", "__rk", "__n")
+    )
+
+
 def exact_group_quantiles(
     df: DataFrame,
     group_col: str,

@@ -7535,41 +7535,30 @@ def q151_percentile_calibration(spark, sf_dir):
     apply to the PER-SOURCE percentile rank, not the raw score. Every
     doc gets pr_bp = ⌊(rank−1)·10⁴/(n−1)⌋ within its source (RANK
     ties = min ordinal over equal scores) and keep = top half. The
-    rank comes from the distributed two-phase ordinal
-    (operators/quantiles.py:grouped_ordinal — no single-task-per-
-    source window), collapsed to RANK semantics by a counter-width
-    min-per-(source, score) aggregation joined back score-keyed."""
-    from queens_spark.operators.quantiles import grouped_ordinal
+    rank comes from the distributed two-phase rank
+    (operators/quantiles.py:grouped_rank — no single-task-per-source
+    window): doc_id rides the range shuffle as payload, so RANK
+    semantics, group sizes and the per-doc output all come out of ONE
+    corpus pass — no min-per-(source, score) table joined back
+    score-keyed against a second evaluation of the scored corpus."""
+    from queens_spark.operators.quantiles import grouped_rank
     from queens_spark.operators.text import quality_score
 
     docs = load(spark, sf_dir, "documents")
     s = docs.select(
         "doc_id", "source", quality_score("text").alias("quality")
     )
-    ranks = (
-        grouped_ordinal(s, "source", "quality")
-        .groupBy("source", "__v")
-        .agg(F.min("__rk").alias("rk"))
-    )
-    n = s.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ranked = grouped_rank(s, "source", "quality", carry_cols=("doc_id",))
     pr = F.expr(
-        "CASE WHEN n > 1 THEN (rk - 1) * 10000 div (n - 1) ELSE 0 END"
+        "CASE WHEN __n > 1 THEN (__rk - 1) * 10000 div (__n - 1) "
+        "ELSE 0 END"
     )
-    return (
-        s.join(
-            ranks,
-            (s["source"] == ranks["source"])
-            & (s["quality"] == ranks["__v"]),
-        )
-        .drop(ranks["source"])
-        .join(n, "source")
-        .select(
-            "doc_id",
-            "source",
-            "quality",
-            pr.alias("pr_bp"),
-            F.when(pr >= 5000, 1).otherwise(0).alias("keep"),
-        )
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.col("__v").alias("quality"),
+        pr.alias("pr_bp"),
+        F.when(pr >= 5000, 1).otherwise(0).alias("keep"),
     )
 
 

@@ -382,6 +382,9 @@ def run_available_now(
     parallelism, it's only the per-partition JVM state stores that
     dominate at low key counts (measured: q96 6.5 s → 2.7 s at 8;
     q54 2.3 s → 4.9 s at 8)."""
+    import os
+    import shutil
+
     if output_mode is None:
         output_mode = "complete" if stream_df.isStreaming else "append"
     spark = stream_df.sparkSession
@@ -390,17 +393,31 @@ def run_available_now(
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(stream_partitions)
         )
+    ckpt = None
     try:
-        q = (
+        writer = (
             stream_df.writeStream.format("memory")
             .queryName(query_name)
             .outputMode(output_mode)
             .trigger(availableNow=True)
-            .start()
         )
+        # This runner's checkpoint is EPHEMERAL by contract (memory
+        # sink, deleted on stop) — durability belongs to run_to_table.
+        # Every micro-batch still fsyncs its offset/commit logs and
+        # state-store files into it, so put it on tmpfs when the host
+        # has one: the fsyncs become memory writes. Never do this for
+        # a restartable checkpoint.
+        if os.path.isdir("/dev/shm"):
+            import tempfile as _tf
+
+            ckpt = _tf.mkdtemp(prefix="qs_ckpt_", dir="/dev/shm")
+            writer = writer.option("checkpointLocation", ckpt)
+        q = writer.start()
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if ckpt is not None:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(query_name)
 
 

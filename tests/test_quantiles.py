@@ -61,3 +61,48 @@ def test_plan_has_no_per_group_window(spark):
     )
     assert "rangepartitioning" in plan
     assert "row_number() windowspecdefinition(__pid" in plan
+
+
+def test_grouped_rank_matches_rank_window_with_ties(spark):
+    # ties share the min ordinal (RANK semantics), payload columns
+    # ride through, __n is the group size — all from one pass with no
+    # join back against the source frame
+    rows = [
+        Row(i=i, g=g, v=float(v))
+        for i, (g, v) in enumerate(
+            [("a", 5), ("a", 1), ("a", 5), ("a", 3), ("a", 5),
+             ("b", 2), ("b", 2), ("b", 9), ("c", 7)]
+        )
+    ] + [Row(i=99, g="a", v=None)]
+    df = spark.createDataFrame(rows)
+    from pyspark.sql import Window
+
+    from queens_spark.operators.quantiles import grouped_rank
+
+    got = {
+        r["i"]: (r["g"], r["__v"], r["__rk"], r["__n"])
+        for r in grouped_rank(df, "g", "v", carry_cols=("i",)).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v")
+    ref = {
+        r["i"]: (r["g"], r["v"], r["rk"], r["n"])
+        for r in df.where(F.col("v").isNotNull())
+        .withColumn("rk", F.rank().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .collect()
+    }
+    assert got == ref
+
+
+def test_grouped_rank_plan_is_two_phase(spark):
+    df = frame(spark)
+    from queens_spark.operators.quantiles import grouped_rank
+
+    plan = (
+        grouped_rank(df, "g", "v")
+        ._jdf.queryExecution().executedPlan().toString().lower()
+    )
+    assert "rangepartitioning" in plan
+    import re
+
+    assert re.search(r"rank\(__v#\d+\) windowspecdefinition\(__pid#", plan)
