@@ -33,6 +33,39 @@ def main() -> None:
     # the queries, not session startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # C2-JIT warm-up (untimed): a fresh JVM runs Spark's scan /
+    # hash-agg / join / window / noop-sink machinery interpreted or
+    # tier-1-compiled while C2 compiles in the background, and that
+    # cost lands entirely on whichever queries run first (q01 measured
+    # 4.9 s in-bench vs 1.3 s solo-warm; q07 similarly). Exercise the
+    # shared machinery once on a generic shape BEFORE the timing loop
+    # so per-query numbers are steady-state. This warms engine code
+    # paths only — no query's input or result is precomputed or
+    # cached (the shape below matches no catalog query).
+    from pyspark.sql import Window, functions as F  # noqa: N812
+
+    warm = spark.range(0, 2_000_000, 1, 32).select(
+        (F.col("id") % 1024).alias("__k"), F.col("id").alias("__v")
+    )
+    for _ in range(2):
+        (
+            warm.withColumn(
+                "__r",
+                F.row_number().over(
+                    Window.partitionBy("__k").orderBy("__v")
+                ),
+            )
+            .join(
+                warm.groupBy("__k").agg(
+                    F.sum(F.col("__v").cast("decimal(18,2)")).alias("__s")
+                ),
+                "__k",
+            )
+            .groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("__c"), F.max("__r").alias("__m"))
+            .write.format("noop").mode("overwrite").save()
+        )
+
     # Sub-second queries on local[32] are scheduler-noise-dominated
     # (documented ±2× run-to-run); extra repeats push the best-of
     # toward the true floor so round-over-round deltas are signal.

@@ -51,6 +51,37 @@ def tall_column_values(
     return out
 
 
+def tall_column_values_grouped(
+    tables: list[tuple[DataFrame, dict[str, str]]]
+) -> DataFrame:
+    """Like :func:`tall_column_values`, but ONE scan per source table:
+    each table's candidate columns leave the scan as an exploded
+    (colid, value) array, so a table profiled on k columns is read
+    once instead of k times (at corpus scale, k× fewer full passes
+    over the fact table). Row set identical to the per-column union:
+    explode emits one (colid, value) row per column per source row,
+    and the NULL filter drops the same rows the per-column form
+    dropped."""
+    parts = []
+    for df, colmap in tables:
+        entries = [
+            F.struct(
+                F.lit(colid).alias("colid"),
+                F.col(col).cast("bigint").alias("value"),
+            )
+            for colid, col in sorted(colmap.items())
+        ]
+        parts.append(
+            df.select(F.explode(F.array(*entries)).alias("__e"))
+            .select("__e.colid", "__e.value")
+            .where(F.col("value").isNotNull())
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def joinability_matrix(
     tall: DataFrame, k: int = DEFAULT_K
 ) -> DataFrame:

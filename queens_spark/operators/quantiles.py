@@ -112,13 +112,51 @@ def exact_group_quantiles(
     """Exact linear-interpolation quantiles per group, one output
     column per entry of *quantiles* (name → fraction). Matches
     ``percentile()``/``quantile_cont`` semantics bit-for-bit while
-    scaling to arbitrarily large groups (see module docstring)."""
-    ranked = grouped_ordinal(df, group_col, value_col)
-    cnt = (
-        df.where(F.col(value_col).isNotNull())
-        .groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("__n"))
+    scaling to arbitrarily large groups (see module docstring).
+
+    Single-scan: the two-phase rank machinery's own chunk-counts
+    table already knows every group's size (Σ chunk counts), so the
+    group totals ride the same broadcast as the chunk offsets instead
+    of a second aggregation pass over the source — one corpus scan,
+    one range shuffle, no extra exchange."""
+    base = df.select(
+        F.col(group_col), F.col(value_col).cast("double").alias("__v")
+    ).where(F.col(value_col).isNotNull())
+    ranged = base.repartitionByRange(
+        F.col(group_col).asc(), F.col("__v").asc()
     )
+    part = ranged.withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__pid", group_col).orderBy(
+        F.col("__v").asc()
+    )
+    local = part.withColumn("__rn", F.row_number().over(w_local))
+    chunk = local.groupBy("__pid", group_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(group_col)
+    # NOT persisted: offsets' chunk ids/counts must come from the SAME
+    # range-exchange execution the rank join reads (range boundaries
+    # are sampled per execution — a cached offsets frame can disagree
+    # with a re-executed exchange and silently corrupt ranks; bit us
+    # at sf0.1). Both consumers share the one exchange via Spark's
+    # exchange reuse, exactly as grouped_ordinal always has.
+    offsets = chunk.select(
+        "__pid",
+        group_col,
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_all).alias("__n"),
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), ["__pid", group_col])
+        .withColumn("__rk", F.col("__off") + F.col("__rn"))
+        .select(group_col, "__v", "__rk")
+    )
+    totals = offsets.select(group_col, "__n").distinct()
     qarr = F.array(*[
         F.struct(F.lit(name).alias("qname"), F.lit(float(p)).alias("p"))
         for name, p in quantiles.items()
@@ -129,7 +167,7 @@ def exact_group_quantiles(
     # equal vlo + (vhi−vlo)·frac, and computing frac from rn+1, each
     # diverge in the last ulp on general doubles; bit us on q99).
     targets = (
-        cnt.select(F.col(group_col), F.explode(qarr).alias("t"), "__n")
+        totals.select(F.col(group_col), F.explode(qarr).alias("t"), "__n")
         .select(
             group_col,
             F.col("t.qname").alias("qname"),

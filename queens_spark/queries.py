@@ -9428,7 +9428,10 @@ def _join_discovery_oracle() -> str:
 def q178_join_discovery(spark, sf_dir):
     """Join-key discovery — the data-catalog sweep "which columns can
     join?": ten candidate key columns across six tables stacked into
-    one (colid, value) frame; every DIRECTED pair reports exact set
+    one (colid, value) frame with ONE scan per table (a table's
+    candidate columns leave its scan as an exploded array — lineitem
+    is read once for its three keys, not three times); every
+    DIRECTED pair reports exact set
     containment |A∩B|·10⁴ div |A| (10000 bp ⇒ A ⊆ B, a foreign-key
     candidate: l_orderkey→o_orderkey, l_partkey→p_partkey,
     c_nationkey→n_nationkey...) AND the KMV-sketch estimate of the
@@ -9442,13 +9445,17 @@ def q178_join_discovery(spark, sf_dir):
     value-based discovery, visible in the result."""
     from queens_spark.operators.discovery import (
         joinability_matrix,
-        tall_column_values,
+        tall_column_values_grouped,
     )
 
-    frames = {
-        c: (load(spark, sf_dir, t), c) for c, t in _DISCOVERY_COLS
-    }
-    return joinability_matrix(tall_column_values(frames), _KMV_K)
+    by_table: dict[str, dict[str, str]] = {}
+    for c, t in _DISCOVERY_COLS:
+        by_table.setdefault(t, {})[c] = c
+    tables = [
+        (load(spark, sf_dir, t), colmap)
+        for t, colmap in sorted(by_table.items())
+    ]
+    return joinability_matrix(tall_column_values_grouped(tables), _KMV_K)
 
 
 def _pareto_oracle() -> str:
@@ -10034,20 +10041,23 @@ def q188_threshold_sweep(spark, sf_dir):
     an empty band means it is free. Costs the SAME inverted-index +
     exact-verify pass as one q27 run — the sweep over 10 candidate
     thresholds is a groupBy of the verified sims, NOT 10 reruns.
-    Bucket boundaries floor identical IEEE doubles on both engines."""
-    from queens_spark.operators.dedup import ngram_jaccard_pairs
+    Bucket boundaries floor identical IEEE doubles on both engines.
+    The bucketed pair frame feeds BOTH the pair counts and the
+    affected-doc counts — persist it (pairs-sized, 3 ints/row) so the
+    index+verify pass runs once, not once per consumer."""
+    from queens_spark.operators.dedup import _persist, ngram_jaccard_pairs
 
     pairs = ngram_jaccard_pairs(
         load(spark, sf_dir, "documents"), "text", "doc_id",
         threshold=0.5,
     )
-    b = pairs.select(
+    b = _persist(pairs.select(
         F.least(F.floor(F.col("jaccard") * 20), F.lit(19))
         .cast("bigint")
         .alias("bucket"),
         "id_a",
         "id_b",
-    )
+    ))
     np_ = b.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs")
     )
