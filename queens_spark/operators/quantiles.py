@@ -35,7 +35,11 @@ def grouped_ordinal(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     part = ranged.withColumn("__pid", F.spark_partition_id())
     w_local = Window.partitionBy("__pid", group_col).orderBy(F.col("__v").asc())
     local = part.withColumn("__rn", F.row_number().over(w_local))
-    counts = local.groupBy("__pid", group_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    # chunk counts come from PART (pre-window): per-(chunk, group) row
+    # counts don't depend on rank, and taking them from `local` would
+    # re-execute the corpus-wide Sort+Window in the offsets branch
+    # (operators above the reused exchange run once per consumer)
+    counts = part.groupBy("__pid", group_col).agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = (
         Window.partitionBy(group_col)
         .orderBy("__pid")
@@ -83,7 +87,9 @@ def grouped_rank(
     part = ranged.withColumn("__pid", F.spark_partition_id())
     w_local = Window.partitionBy("__pid", group_col).orderBy(F.col("__v").asc())
     local = part.withColumn("__lrk", F.rank().over(w_local))
-    counts = local.groupBy("__pid", group_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    # from PART, not `local`: see grouped_ordinal — the offsets branch
+    # must not re-execute the corpus Sort+Window above the exchange
+    counts = part.groupBy("__pid", group_col).agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = (
         Window.partitionBy(group_col)
         .orderBy("__pid")
@@ -130,7 +136,9 @@ def exact_group_quantiles(
         F.col("__v").asc()
     )
     local = part.withColumn("__rn", F.row_number().over(w_local))
-    chunk = local.groupBy("__pid", group_col).agg(
+    # from PART, not `local`: see grouped_ordinal — the offsets/totals
+    # branches must not re-execute the corpus Sort+Window
+    chunk = part.groupBy("__pid", group_col).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
     w_off = (
