@@ -94,19 +94,42 @@ def main() -> None:
             timings[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
             spark.catalog.clearCache()
+        # Untimed, between queries: drop any memory-sink table the
+        # streaming runner registered — its result is consumed, and a
+        # 206-query sweep must not carry every past streaming result
+        # in driver memory (the timing loop above is unchanged).
+        try:
+            from queens_spark.streaming.events import drop_memory_sinks
+
+            drop_memory_sinks(spark)
+        except Exception:
+            pass
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     # The driver records only the TAIL of this line; keep the headline
     # fields (metric/value/n_queries/sf) AFTER the per-query dict so a
     # truncated capture still shows the summary.
-    print(json.dumps({
+    payload = json.dumps({
         "queries": timings,
         "metric": "catalog_total_runtime",
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
         "sf": sf,
-    }))
+    })
+    print(payload)
+    # Also persist the identical payload next to this script so a
+    # truncated stdout capture never orphans a round's numbers
+    # (round 13's comparison was lost that way). Additions only: the
+    # stdout contract above is unchanged.
+    try:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+        )
+        with open(out_path, "w") as fh:
+            fh.write(payload + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

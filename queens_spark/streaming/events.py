@@ -418,7 +418,47 @@ def run_available_now(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         if ckpt is not None:
             shutil.rmtree(ckpt, ignore_errors=True)
+    # Hygiene for long-lived many-query sessions (guide §5 — the
+    # driver must not hoard).
+    #
+    # 1. The checkpoint above is ephemeral (fresh mkdtemp per call),
+    #    so the state-store providers this run loaded can never be
+    #    reused — unload them now instead of holding full state maps
+    #    in executor memory until the background maintenance task
+    #    notices the query is gone. No-op when nothing is loaded;
+    #    batch queries never touch the StateStore.
+    try:
+        getattr(
+            getattr(
+                spark._jvm,
+                "org.apache.spark.sql.execution.streaming.state.StateStore$",
+            ),
+            "MODULE$",
+        ).unloadAll()
+    except Exception:
+        pass  # hygiene-only hook; never fail the query over it
+    # 2. The memory sink holds its FULL result in the driver under
+    #    `query_name`. Re-running the same name REPLACES the view (the
+    #    old sink becomes unreachable), so accumulation is bounded at
+    #    one live result per distinct query name — but a serving
+    #    process that cycles through MANY named queries should still
+    #    call :func:`drop_memory_sinks` once each result is consumed.
+    _MEMORY_SINKS.add(query_name)
     return spark.table(query_name)
+
+
+#: names of live memory-sink tables registered by run_available_now
+_MEMORY_SINKS: set[str] = set()
+
+
+def drop_memory_sinks(spark) -> None:
+    """Drop every memory-sink table registered by
+    :func:`run_available_now` whose result has been consumed — frees
+    the driver-resident sink rows in long-lived sessions. Safe only
+    AFTER the returned frames are materialized (they lazily read the
+    sink)."""
+    while _MEMORY_SINKS:
+        spark.catalog.dropTempView(_MEMORY_SINKS.pop())
 
 
 def run_to_table(
