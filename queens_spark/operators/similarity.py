@@ -527,54 +527,68 @@ def knn_graph(
     index (store/vector_index.py), so assignment is a manifest read,
     not a recompute.
 
-    Plan shape: one persisted (id, q, n2, cell) projection (quantize
-    and the self-norm computed ONCE — the projection-collapse barrier
-    CLAUDE.md documents); the pair join shuffles on centroid_id only;
-    cosine is the exact-int64-dot → identical-IEEE-division form every
-    cosine operator here uses (pure JVM fold, no UDF); the top-k
-    window partitions by source vector, whose group is bounded by
-    cluster size, never corpus size.
+    Plan shape: one (id, q, n2, cell) projection (quantize and the
+    self-norm computed ONCE); vectors shuffle ONCE, by centroid_id,
+    into a per-cell Arrow batch where the whole cell's pairwise
+    int64 dot matrix is one numpy matmul and the top-k selection is a
+    vectorized argsort — the Σ cluster² pair rows never materialize
+    as Spark rows, never cross a shuffle, and never pay the
+    interpreted per-element HOF dot (guide §2.3 shuffle n rows not
+    n², §4.2 batch native math). Per-task memory is bounded by the
+    coarse-cell size, the same SemDeDup bound the pair search always
+    had. Cosine is numerically IDENTICAL to the Column form: exact
+    int64 dots cast to double, divided by the product of
+    double sqrts — the same IEEE ops in the same order (the q51/q86
+    verified pattern).
     """
-    from queens_spark.operators.dedup import _persist
-    from pyspark.sql import Window
+    import numpy as np
+    import pandas as pd
 
     q = df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q"))
     assigned = ivf_assign(
         df, vec_col, id_col, centroid_ids, centroids_df=centroids_df
     ).select(F.col(id_col).alias("id"), "centroid_id")
-    v = _persist(
-        q.join(assigned, "id").select(
-            "id", "q", "centroid_id", int_norm2(F.col("q")).alias("n2")
-        )
+    v = q.join(assigned, "id").select(
+        "id", "q", "centroid_id", int_norm2(F.col("q")).alias("n2")
     )
-    a = v.select(
-        F.col("id").alias("vec_id"), F.col("q").alias("qa"),
-        F.col("n2").alias("na2"), "centroid_id",
-    )
-    b = v.select(
-        F.col("id").alias("neighbor_id"), F.col("q").alias("qb"),
-        F.col("n2").alias("nb2"), "centroid_id",
-    )
-    scored = (
-        a.join(b, "centroid_id")
-        .where(F.col("vec_id") != F.col("neighbor_id"))
-        .select(
-            "vec_id",
-            "neighbor_id",
-            cosine_from_ints(
-                int_dot(F.col("qa"), F.col("qb")),
-                F.col("na2"),
-                F.col("nb2"),
-            ).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "rank", "cos")
+    kk = int(k)
+
+    def cell_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            })
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        qm = np.array(pdf["q"].tolist(), dtype=np.int64)
+        dots = qm @ qm.T  # exact: |dot| <= dim * QUANT^2 << 2^53
+        norm = np.sqrt(pdf["n2"].to_numpy(dtype=np.int64).astype(np.float64))
+        cos = dots.astype(np.float64) / (norm[:, None] * norm[None, :])
+        # rank 1..k by (cos DESC, neighbor_id ASC), self excluded —
+        # the row_number() ordering verbatim. ids are distinct, so
+        # (cos, id) is a total order; -cos is an exact IEEE negation.
+        take = min(kk, n - 1)
+        out_src, out_dst, out_rank, out_cos = [], [], [], []
+        for i in range(n):
+            row = cos[i]
+            sel = np.lexsort((ids, -row))
+            sel = sel[sel != i][:take]
+            out_src.append(np.full(take, ids[i], dtype=np.int64))
+            out_dst.append(ids[sel])
+            out_rank.append(np.arange(1, take + 1, dtype=np.int64))
+            out_cos.append(row[sel])
+        return pd.DataFrame({
+            "vec_id": np.concatenate(out_src),
+            "neighbor_id": np.concatenate(out_dst),
+            "rank": np.concatenate(out_rank),
+            "cos": np.concatenate(out_cos),
+        })
+
+    return v.groupBy("centroid_id").applyInPandas(
+        cell_knn, "vec_id bigint, neighbor_id bigint, rank bigint, cos double"
     )
 
 
