@@ -361,7 +361,6 @@ def char_poly_hash(s: Column, p: int = HASH_MOD) -> Column:
         lambda acc, ch: (acc * 31 + F.ascii(ch).cast("bigint")) % F.lit(p),
     )
 
-
 def token_chunks(
     text: Column | str, chunk_tokens: int = 100, stride: int = 80
 ) -> Column:

@@ -1061,8 +1061,17 @@ class TextIndex:
                 f"maxdl={maxdl}, scale={scale}); lower scale or shard"
             )
         all_terms = sorted({t for _, t in pairs})
-        qtf = self.query_postings(all_terms).withColumnRenamed(
-            self.id_col, "doc"
+        # the hits frame feeds BOTH the global df aggregation and the
+        # scoring join — persist it (bounded by query-term postings
+        # rows, never the corpus) so the bucket-pruned postings scan
+        # runs once, not once per consumer (the CLAUDE.md
+        # multi-reference rule; guide §1.1)
+        from queens_spark.operators.dedup import _persist
+
+        qtf = _persist(
+            self.query_postings(all_terms).withColumnRenamed(
+                self.id_col, "doc"
+            )
         )
         dfc = qtf.groupBy("token").agg(
             F.count(F.lit(1)).alias("df_docs")
