@@ -26,9 +26,11 @@ Scale shape (100 TB graph): per iteration, one join of the rank frame
 then one ``dst``-keyed counter-width aggregation. The edge frame with
 its precomputed out-weights is persisted ONCE and reused by every
 iteration. Dangling mass (nodes with no out-edges) is dropped, the
-standard simplification; the oracle does the same. For deep iteration
-counts, pass ``checkpoint_every`` to break lineage with
-``localCheckpoint`` (plan depth grows linearly otherwise).
+standard simplification; the oracle does the same. ``checkpoint_every``
+breaks lineage with ``localCheckpoint`` every N iterations (default 5
+— plan depth and per-iteration planning cost otherwise grow linearly
+with the iteration count, the classic iterative-lineage scale
+killer); results are identical, pass ``None`` to disable.
 """
 
 from __future__ import annotations
@@ -54,7 +56,7 @@ def integer_pagerank(
     iters: int = 10,
     damping_pct: int = 85,
     scale: int = PR_SCALE,
-    checkpoint_every: int | None = None,
+    checkpoint_every: int | None = 5,
     max_driver_edges: int = MAX_DRIVER_EDGES,
     seed_nodes: list | None = None,
 ) -> DataFrame:
@@ -162,7 +164,11 @@ def integer_pagerank(
                 sorted(ranks.items()), "node bigint, rank bigint"
             )
         )
-    nodes = (
+    # persisted: every iteration's contribution join AND re-base
+    # references `nodes` — without the barrier the distinct shuffle
+    # re-executes once per iteration per consumer (multi-reference
+    # re-run footgun; released via release_caches with the rest)
+    nodes = _persist(
         narrow.select(F.col("s").alias("node"))
         .unionByName(narrow.select(F.col("d").alias("node")))
         .distinct()

@@ -24,10 +24,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def grouped_ordinal(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+def _offsets_join_side(offsets: DataFrame, broadcast_offsets: bool):
+    """The offsets frame is chunks×groups COUNTER rows. Broadcasting
+    it (the default) keeps the rank join shuffle-free, which is right
+    for the bounded-cardinality group columns every catalog query
+    uses — but the broadcast grows with |groups|, so a caller ranking
+    by a HIGH-cardinality group column must pass
+    ``broadcast_offsets=False``: the join then falls back to a plain
+    equi-join that AQE sizes (shuffled or broadcast by its own
+    estimate). Results are identical either way (pinned by
+    tests/test_quantiles.py); only the join strategy changes."""
+    return F.broadcast(offsets) if broadcast_offsets else offsets
+
+
+def grouped_ordinal(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    broadcast_offsets: bool = True,
+) -> DataFrame:
     """1..N rank of *value_col* within *group_col* without a
     single-task-per-group window (two-phase, see module docstring).
-    Output columns: group_col, ``__v`` (value), ``__rk``."""
+    Output columns: group_col, ``__v`` (value), ``__rk``.
+    *broadcast_offsets*: see :func:`_offsets_join_side`."""
     base = df.select(
         F.col(group_col), F.col(value_col).cast("double").alias("__v")
     ).where(F.col(value_col).isNotNull())
@@ -51,7 +70,10 @@ def grouped_ordinal(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
     )
     return (
-        local.join(F.broadcast(offsets), ["__pid", group_col])
+        local.join(
+            _offsets_join_side(offsets, broadcast_offsets),
+            ["__pid", group_col],
+        )
         .withColumn("__rk", F.col("__off") + F.col("__rn"))
         .select(group_col, "__v", "__rk")
     )
@@ -62,6 +84,7 @@ def grouped_rank(
     group_col: str,
     value_col: str,
     carry_cols: tuple[str, ...] = (),
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """RANK() semantics (min ordinal over ties) of *value_col* within
     *group_col*, two-phase like :func:`grouped_ordinal`, carrying
@@ -103,7 +126,10 @@ def grouped_rank(
         F.sum("__cnt").over(w_all).alias("__n"),
     )
     return (
-        local.join(F.broadcast(offsets), ["__pid", group_col])
+        local.join(
+            _offsets_join_side(offsets, broadcast_offsets),
+            ["__pid", group_col],
+        )
         .withColumn("__rk", F.col("__off") + F.col("__lrk"))
         .select(*carry_cols, group_col, "__v", "__rk", "__n")
     )
@@ -114,6 +140,7 @@ def exact_group_quantiles(
     group_col: str,
     value_col: str,
     quantiles: dict[str, float],
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Exact linear-interpolation quantiles per group, one output
     column per entry of *quantiles* (name → fraction). Matches
@@ -160,7 +187,10 @@ def exact_group_quantiles(
         F.sum("__cnt").over(w_all).alias("__n"),
     )
     ranked = (
-        local.join(F.broadcast(offsets), ["__pid", group_col])
+        local.join(
+            _offsets_join_side(offsets, broadcast_offsets),
+            ["__pid", group_col],
+        )
         .withColumn("__rk", F.col("__off") + F.col("__rn"))
         .select(group_col, "__v", "__rk")
     )

@@ -700,3 +700,35 @@ def test_attribution_single_user_shuffle(spark):
     assert plan.count("hashpartitioning(user_id") == 1, plan
     # formatted explain lists each node twice (tree + detail section)
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_rank_family_reuses_the_range_exchange(spark):
+    """Correctness gate, not just performance: in the two-phase rank
+    family the offsets/totals branch and the ranked branch MUST read
+    the SAME range-exchange execution (range boundaries are sampled
+    per execution; quantiles.py documents the no-persist invariant).
+    Exchange reuse is what guarantees it — if a Spark/AQE change stops
+    reusing, ranks can corrupt silently, so pin ReusedExchange in the
+    EXECUTED plan (reuse happens at runtime under AQE, not in the
+    static plan)."""
+    from pyspark.sql import functions as F
+
+    from queens_spark.operators.quantiles import (
+        exact_group_quantiles,
+        grouped_rank,
+    )
+
+    base = spark.range(0, 20000, 1, 8).select(
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+    for frame in (
+        exact_group_quantiles(base, "g", "v", {"p50": 0.5, "p90": 0.9}),
+        grouped_rank(base, "g", "v"),
+    ):
+        # collect() (not a noop write) so the execution is THIS
+        # frame's own queryExecution — a write command plans a
+        # separate execution and the frame's plan stays unexecuted
+        frame.collect()
+        executed = frame._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in executed, executed

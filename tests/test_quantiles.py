@@ -106,3 +106,29 @@ def test_grouped_rank_plan_is_two_phase(spark):
     import re
 
     assert re.search(r"rank\(__v#\d+\) windowspecdefinition\(__pid#", plan)
+
+
+def test_offsets_join_strategy_does_not_change_results(spark):
+    """The chunks×groups offsets frame broadcasts by default; a
+    high-cardinality group column must be able to opt out
+    (broadcast_offsets=False) WITHOUT changing any value — only the
+    join strategy may differ."""
+    from pyspark.sql import functions as F
+
+    from queens_spark.operators.quantiles import (
+        exact_group_quantiles,
+        grouped_rank,
+    )
+
+    base = spark.range(0, 5000, 1, 4).select(
+        (F.col("id") % 11).alias("g"),
+        ((F.col("id") * 37) % 101).cast("double").alias("v"),
+    )
+    a = exact_group_quantiles(base, "g", "v", {"p25": 0.25, "p75": 0.75})
+    b = exact_group_quantiles(
+        base, "g", "v", {"p25": 0.25, "p75": 0.75}, broadcast_offsets=False
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    ra = grouped_rank(base, "g", "v")
+    rb = grouped_rank(base, "g", "v", broadcast_offsets=False)
+    assert sorted(map(tuple, ra.collect())) == sorted(map(tuple, rb.collect()))
