@@ -21,6 +21,16 @@ _BASE_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let the planner pick a shuffled-hash join when its size
+    # conditions are met (guide §3.1/§9): both sides shuffle either
+    # way, but building a hash table per partition skips the
+    # sort-merge's two sorts. Size gating is the planner's (and at
+    # runtime AQE's) — a build side too big for one partition keeps
+    # sort-merge, so this is scale-safe, not a local[32] tune.
+    # Measured head-to-head (alternating in one session, best-of-8):
+    # q85 1.95->1.31s, q63 1.62->1.27s, q61 0.95->0.83s,
+    # q135 1.79->1.59s, q07 1.71->1.62s, q39/q93 neutral.
+    "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
