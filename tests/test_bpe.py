@@ -59,6 +59,7 @@ CORPUS = [
 ]
 
 
+@pytest.mark.slow
 def test_first_merge_equals_top_pair_count(spark):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"]

@@ -53,6 +53,7 @@ def _snap(cm):
     return members, canonical, edges
 
 
+@pytest.mark.slow
 def test_stored_equals_inline(spark, docs, tmp_path):
     from queens_spark.operators.dedup import connected_components, dedup_edges
     from queens_spark.operators.text import quality_score
@@ -87,6 +88,7 @@ def test_stored_equals_inline(spark, docs, tmp_path):
         assert row["n_members"] == len(members)
 
 
+@pytest.mark.slow
 def test_load_serves_without_rebuild_and_fingerprint_gates(
     spark, docs, tmp_path
 ):
@@ -157,6 +159,7 @@ def _build(df, d, **kw):
     return build_cluster_map(df, "text", "doc_id", d, **APPEND_KW, **kw)
 
 
+@pytest.mark.slow
 def test_append_merges_preexisting_clusters_bit_identical(spark, tmp_path):
     A = spark.createDataFrame(
         [
@@ -193,6 +196,7 @@ def test_append_merges_preexisting_clusters_bit_identical(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_append_token_replay_noops(spark, tmp_path):
     A = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
@@ -207,6 +211,7 @@ def test_append_token_replay_noops(spark, tmp_path):
     assert _snap(cm2) == snap
 
 
+@pytest.mark.slow
 def test_append_hot_flip_reevaluates_old_pairs(spark, tmp_path):
     """The batch pushes shared shingles over the frozen max_df: the
     stored pair (1,2) loses its rare shingles and must re-qualify (or
@@ -232,6 +237,7 @@ def test_append_hot_flip_reevaluates_old_pairs(spark, tmp_path):
     assert _snap(cm2) == _snap(rebuilt)
 
 
+@pytest.mark.slow
 def test_append_chain_of_three_batches(spark, tmp_path):
     """Multi-append lineage: every prefix of a 3-batch growth sequence
     matches its from-scratch rebuild."""
@@ -254,6 +260,7 @@ def test_append_chain_of_three_batches(spark, tmp_path):
     assert cm.describe()["segments"] == 3
 
 
+@pytest.mark.slow
 def test_append_never_reads_old_corpus_text(spark, tmp_path):
     """The plan-level guarantee, proven behaviorally: after the build,
     the source corpus is DELETED — the append must still succeed and
@@ -292,6 +299,7 @@ def test_append_empty_batch_is_identity(spark, tmp_path):
     assert _snap(cm3) == snap
 
 
+@pytest.mark.slow
 def test_append_with_smaller_ids_rewrites_reps(spark, tmp_path):
     """Batch ids below the old id range: the exact-copy rep (min id
     per fingerprint) and near-pair orientation (id_a < id_b) both
@@ -318,6 +326,7 @@ def test_append_with_smaller_ids_rewrites_reps(spark, tmp_path):
     assert after[10] == after[5] == 5  # component min follows the new id
 
 
+@pytest.mark.slow
 def test_append_with_null_text_matches_rebuild(spark, tmp_path):
     """doc_fingerprint(NULL) is NULL, and the build's rep window (and
     the DuckDB twins) group NULL fps into ONE partition — the append's
@@ -358,6 +367,7 @@ def test_append_rejects_reused_ids(spark, tmp_path):
     assert _snap(load_cluster_map(spark, d)) == snap  # map untouched
 
 
+@pytest.mark.slow
 def test_append_equals_rebuild_property(spark, tmp_path):
     """Randomized growth sequences over a small vocabulary — exercises
     exact copies, near-dups, hot flips (tiny max_df), cluster merges,
@@ -383,6 +393,7 @@ def test_append_equals_rebuild_property(spark, tmp_path):
         assert _snap(cm) == _snap(rebuilt), f"seed {seed} diverged"
 
 
+@pytest.mark.slow
 def test_cli_cmap_lifecycle(spark, tmp_path, capsys, monkeypatch):
     import json
 
@@ -434,6 +445,7 @@ def test_cli_cmap_lifecycle(spark, tmp_path, capsys, monkeypatch):
     assert after[1] != after[4]  # the merge-through-7 un-did
 
 
+@pytest.mark.slow
 def test_compact_then_append_stays_exact(spark, tmp_path):
     """Compaction is a pure rewrite: serves bit-identical, segments
     fold to one (plain artifact reads again), and a FURTHER append on
@@ -464,6 +476,7 @@ def test_compact_then_append_stays_exact(spark, tmp_path):
     assert _snap(cm3) == _snap(rebuilt)
 
 
+@pytest.mark.slow
 def test_maintain_compacts_registered_cluster_map(spark, tmp_path):
     from tests.test_index_registry import _engine_with_indexes, _frame
 
@@ -494,6 +507,7 @@ def test_maintain_compacts_registered_cluster_map(spark, tmp_path):
     ) == snap
 
 
+@pytest.mark.slow
 def test_build_or_load_auto_max_df_matches_stored(spark, docs, tmp_path):
     """'auto' matches whatever cap the stored map froze; an explicit
     mismatching int forces a rebuild."""
@@ -518,6 +532,7 @@ def _retire(spark, d, ids):
     return retire_cluster_map(spark, d, ids)
 
 
+@pytest.mark.slow
 def test_retire_equals_rebuild_minus_docs(spark, tmp_path):
     A = spark.createDataFrame(
         [
@@ -537,6 +552,7 @@ def test_retire_equals_rebuild_minus_docs(spark, tmp_path):
     assert cm.describe()["retirements"] == 1
 
 
+@pytest.mark.slow
 def test_retire_splits_component(spark, tmp_path):
     """Removing the bridge doc must SPLIT its component — the stored
     edge list makes the re-CC exact."""
@@ -562,6 +578,7 @@ def test_retire_splits_component(spark, tmp_path):
     assert set(after) == {1, 3}
 
 
+@pytest.mark.slow
 def test_retire_canonical_reelects_and_tombstones(spark, tmp_path):
     """Retiring a cluster's quality-best canonical re-elects the next
     best; retiring a whole cluster tombstones its component id."""
@@ -600,6 +617,7 @@ def test_retire_canonical_reelects_and_tombstones(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_retire_copy_rep_restars(spark, tmp_path):
     """Exact-copy group whose rep (min id) retires re-stars under the
     next-min survivor, including NULL-text fp groups."""
@@ -651,6 +669,7 @@ def _no_band_partner(spark, base_words, n_shared):
     raise AssertionError("no band-free partner found in 59 candidates")
 
 
+@pytest.mark.slow
 def test_retire_unflips_hot_shingle_exactly(spark, tmp_path):
     """THE un-flip corner: retiring a carrier drops a shingle's df back
     under the frozen cap, so a carrier pair that shares only hot
@@ -693,6 +712,7 @@ def test_retire_unflips_hot_shingle_exactly(spark, tmp_path):
     assert _snap(cm2) == _snap(rebuilt2)
 
 
+@pytest.mark.slow
 def test_reappend_retired_id_serves_new_rows(spark, tmp_path):
     """The document-revision route: retire the old id, re-append the
     revised text under the SAME id — coverage-scoped tombstones hide
@@ -716,6 +736,7 @@ def test_reappend_retired_id_serves_new_rows(spark, tmp_path):
     assert after[1] == after[3]  # the REVISED text clusters with 3 now
 
 
+@pytest.mark.slow
 def test_retire_then_compact_applies_physically(spark, tmp_path):
     """Compaction folds retirement tombstones into the bytes: serves
     unchanged, retirement metadata clears, and a further append on the
@@ -744,6 +765,7 @@ def test_retire_then_compact_applies_physically(spark, tmp_path):
     assert _snap(cm3) == _snap(rebuilt)
 
 
+@pytest.mark.slow
 def test_retire_absent_ids_and_empty_list_noop(spark, tmp_path):
     A = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
@@ -757,6 +779,7 @@ def test_retire_absent_ids_and_empty_list_noop(spark, tmp_path):
     assert _snap(cm3) == snap and cm3.entry["version"] == v
 
 
+@pytest.mark.slow
 def test_retire_append_interleave_property(spark, tmp_path):
     """Randomized retire/append/COMPACT interleavings against
     from-scratch rebuilds on the live set — exercises splits, merges,
@@ -815,6 +838,7 @@ def test_retire_append_interleave_property(spark, tmp_path):
             )
 
 
+@pytest.mark.slow
 def test_retire_crash_retry_succeeds(spark, tmp_path):
     """A retirement that crashed before its manifest flip leaves the
     live map intact (the counters never advanced, so its dirs are

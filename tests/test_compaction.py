@@ -54,6 +54,7 @@ def _fragment(part_dir: str, n_files: int) -> None:
         os.remove(os.path.join(part_dir, f))
 
 
+@pytest.mark.slow
 def test_compact_reduces_files_preserves_rows(spark, engine):
     engine.ingest(spark.createDataFrame(_rows(200, "a")), "dukes", "1.1",
                   ingest_ts=datetime(2024, 1, 1))
@@ -174,6 +175,7 @@ def test_compact_recovers_parked_partition_from_crashed_run(spark, engine):
     shutil  # noqa: B018 — imported for symmetry with other tests
 
 
+@pytest.mark.slow
 def test_compact_raw_reduces_files_preserves_provenance(spark, engine):
     """Raw compaction: each ingest appends one file-set per partition;
     compact(which='raw') merges them while keeping every row —

@@ -54,6 +54,7 @@ def test_bigram_lm_probabilities_sum_per_context(corpus):
     assert banana["cherry"]["p_e6"] == 500_000
 
 
+@pytest.mark.slow
 def test_lm_doc_scores_skip_bigramless_docs(corpus):
     got = {r["doc"]: r for r in lm_doc_scores(corpus, "text", "doc_id").collect()}
     assert set(got) == {0, 1}          # empty + single-token docs absent
@@ -131,6 +132,7 @@ def _bm25_reference(docs, terms, scale=100_000):
     return out
 
 
+@pytest.mark.slow
 @settings(deadline=None, max_examples=15,
           suppress_health_check=[HealthCheck.too_slow])
 @given(

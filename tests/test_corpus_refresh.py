@@ -23,6 +23,7 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+@pytest.mark.slow
 def test_corpus_refresh_end_to_end(spark, tmp_path):
     eng = Engine(spark, str(tmp_path / "wh"))
     docs = spark.read.parquet(f"{SF}/documents.parquet")

@@ -215,6 +215,7 @@ def test_fuzzy_stats_are_consistent(spark, tmp_path):
             + s2["accepted"]) == s2["batch"]
 
 
+@pytest.mark.slow
 def test_ledger_wired_into_engine_ingest(spark, tmp_path):
     """Provenance happens INSIDE ingest: with dedup_* args,
     Engine.ingest screens the frame through the persistent ledger,
@@ -277,6 +278,7 @@ def test_ledger_wired_into_engine_ingest(spark, tmp_path):
                    dedup_text_col="label")
 
 
+@pytest.mark.slow
 def test_delete_from_ledger_takedown_and_reentry(spark, tmp_path):
     """Ledger retirement: retired fingerprints stop blocking, so the
     re-crawl-after-takedown flow accepts equivalent content again;
@@ -337,6 +339,7 @@ def test_delete_from_ledger_takedown_and_reentry(spark, tmp_path):
     assert delete_from_ledger(spark, ldir, [999]) == 0
 
 
+@pytest.mark.slow
 def test_blocklist_bans_content_permanently(spark, tmp_path):
     """The blocklist is the stays-down half of takedowns: blocked
     fingerprints are dropped from every later ingest (reported as
@@ -380,6 +383,7 @@ def test_blocklist_bans_content_permanently(spark, tmp_path):
     assert s3["blocked"] == 1 and s3["accepted"] == 0
 
 
+@pytest.mark.slow
 def test_near_blocklist_bans_trivial_edits(spark, tmp_path):
     """near_threshold blocking: a banned text's NEAR-duplicates (the
     watermark-stripping adversary) are dropped too — in exact-mode

@@ -111,6 +111,7 @@ def _batch(spark, ids, n_tokens):
     return spark.createDataFrame(rows, ["doc_id", "text"])
 
 
+@pytest.mark.slow
 def test_profile_updates_and_drift_in_ingest_log(spark, eng):
     b1 = _batch(spark, range(10), 5)
     b2 = _batch(spark, range(100, 110), 5)   # same shape
@@ -157,6 +158,7 @@ def test_profile_param_mismatch_refused(spark, eng):
         update_profile(b, token_count("text"), d, "p2", width=10, n_buckets=20)
 
 
+@pytest.mark.slow
 def test_maintain_profile_tokens_follow_ledger(spark, eng):
     b1 = _batch(spark, range(10), 5)
     b2 = _batch(spark, range(100, 110), 5)
@@ -217,6 +219,7 @@ def test_categorical_drift_from_buckets(spark):
     assert got["d3"] > got["d1"]        # the inverted day dominates
 
 
+@pytest.mark.slow
 def test_max_drift_admission_gate(spark, eng):
     b1 = _batch(spark, range(10), 5)
     eng.ingest(

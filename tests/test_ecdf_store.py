@@ -106,6 +106,7 @@ def test_build_or_load_serves_on_match(spark, tmp_path):
     assert st4.entry["version"] == st3.entry["version"] + 1
 
 
+@pytest.mark.slow
 def test_registry_refresh_inside_ingest(spark, tmp_path):
     """kind "ecdf" joins the derived-state-inside-the-write posture:
     dedup-screened ingests fold the survivors' histogram in under the

@@ -146,6 +146,7 @@ def test_unexpected_column_rejected(spark, engine):
         engine.ingest(df, "dukes", "1.1")
 
 
+@pytest.mark.slow
 def test_value_coercion_and_all_null_guard(spark, engine):
     # string values coerce; suppression symbols go null (FIXTURES.md §3)
     df = spark.createDataFrame(
@@ -165,6 +166,7 @@ def test_value_coercion_and_all_null_guard(spark, engine):
         engine.ingest(df2, "dukes", "1.2")
 
 
+@pytest.mark.slow
 def test_metadata_gates_queryability(spark, engine):
     engine.ingest(spark.createDataFrame(fact_rows("v1")), "dukes", "1.1",
                   ingest_ts=datetime(2024, 1, 1))

@@ -4,6 +4,8 @@ class is found at the right severity; and fsck never mutates state."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import shutil
@@ -298,6 +300,7 @@ def test_cli_fsck_exit_codes(spark, tmp_path, capsys, monkeypatch):
     assert rep["healthy"] is False and rep["findings"]
 
 
+@pytest.mark.slow
 def test_cluster_map_retirement_damage(spark, tmp_path):
     """Retirement-segment audit: a missing tombstone artifact and an
     unreferenced tombstone list are both errors (coverage scoping

@@ -39,6 +39,7 @@ def engine(spark, warehouse_root):
     return Engine(spark, warehouse_root)
 
 
+@pytest.mark.slow
 def test_restage_leaves_unchanged_partitions_untouched(spark, engine):
     engine.ingest(spark.createDataFrame(_rows("a1")), "dukes", "1.1",
                   ingest_ts=datetime(2024, 1, 1))
@@ -96,6 +97,7 @@ def test_noop_restage_is_free_and_stable(spark, engine):
     assert _file_state(os.path.join(prod, dirs["1.1"])) == before
 
 
+@pytest.mark.slow
 def test_as_of_rollback_rewrites_only_rolled_table(spark, engine):
     engine.ingest(spark.createDataFrame(_rows("a1")), "dukes", "1.1",
                   ingest_ts=datetime(2024, 1, 1))

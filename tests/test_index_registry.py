@@ -130,6 +130,7 @@ def test_ingest_refreshes_every_registered_index(spark, tmp_path):
     assert eng.vector_index("v").pq_codes().count() == 10
 
 
+@pytest.mark.slow
 def test_crash_between_index_flips_resolves_exactly_once(
     spark, tmp_path, monkeypatch
 ):
@@ -187,6 +188,7 @@ def test_crash_between_index_flips_resolves_exactly_once(
     assert eng.vector_index("v").pq_codes().count() == 10
 
 
+@pytest.mark.slow
 def test_cluster_map_registry_refresh_and_crash_retry(
     spark, tmp_path, monkeypatch
 ):
@@ -257,6 +259,7 @@ def test_cluster_map_registry_refresh_and_crash_retry(
     )
 
 
+@pytest.mark.slow
 def test_retire_and_fragmentation_probe_with_all_kinds(spark, tmp_path):
     """Every registry verb must dispatch all five kinds: retirement
     decrements ECDF grids from the warehouse's doomed rows (here the
@@ -355,6 +358,7 @@ def test_engine_stream_ingest_corpus_registry_driven(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_stream_ingest_refreshes_cluster_and_ecdf(spark, tmp_path):
     """Streaming composition for the round-12 kinds: micro-batches
     keep the registered cluster map AND ECDF profile fresh through the
@@ -467,6 +471,7 @@ def test_stream_ingest_corpus_vector_side(spark, tmp_path):
     assert load_vector_index(spark, vdir, "c").pq_codes().count() == 8
 
 
+@pytest.mark.slow
 def test_maintain_one_call_sweep(spark, tmp_path):
     """Engine.maintain: fragmented-everything ends single-segment,
     tombstone-free, token-free — searches bit-identical — and the
@@ -533,6 +538,7 @@ def test_maintain_one_call_sweep(spark, tmp_path):
     assert len(eng.text_index("d").entry["segments"]) == 1
 
 
+@pytest.mark.slow
 def test_retire_documents_one_verb_takedown(spark, tmp_path, capsys):
     """Engine.retire_documents: the doc stops serving on BOTH indexes
     immediately, its fingerprint leaves the ledger (equivalent content
@@ -627,6 +633,7 @@ def test_retire_by_predicate_retention_flow(spark, tmp_path):
         "docs", predicate="lang = 'zz'")["retired_count"] == 0
 
 
+@pytest.mark.slow
 def test_stream_auto_maintains_past_segment_cap(spark, tmp_path):
     """auto_maintain_segments: the stream sweeps ITSELF — after a
     batch pushes any registered index past the cap, maintain() runs
@@ -738,6 +745,7 @@ def test_ingest_preflights_revised_ids_before_any_side_effect(
     assert stats["accepted"] == 1  # the text never entered the ledger
 
 
+@pytest.mark.slow
 def test_ingest_token_redelivery_skips_preflight(spark, tmp_path):
     """A REDELIVERED token replays the whole chain idempotently: its
     ids are already live in the map, so the pre-flight must stand
@@ -765,6 +773,7 @@ def test_ingest_token_redelivery_skips_preflight(spark, tmp_path):
     assert eng.text_index("d").describe()["n_docs"] == 9
 
 
+@pytest.mark.slow
 def test_revision_route_retire_then_reingest_converges(spark, tmp_path):
     """The documented revision route: retire the old ids, re-offer the
     revised batch under the SAME ids — the map then equals a rebuild
@@ -807,6 +816,7 @@ def test_revision_route_retire_then_reingest_converges(spark, tmp_path):
     assert hits == [3]
 
 
+@pytest.mark.slow
 def test_engine_status_freshness_audit(
     spark, tmp_path, capsys, monkeypatch
 ):
@@ -888,6 +898,7 @@ def test_engine_status_freshness_audit(
     assert main(["status", "docs"]) == 0
 
 
+@pytest.mark.slow
 def test_preflight_passes_unchanged_content_reoffers(spark, tmp_path):
     """The pre-flight is CONTENT-AWARE: a tokenless at-least-once
     producer re-offering UNCHANGED content with live ids still screens

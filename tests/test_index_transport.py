@@ -213,6 +213,7 @@ def test_sketch_and_ecdf_store_transport_roundtrip(spark, tmp_path):
     assert prod_eng.fsck()["healthy"]
 
 
+@pytest.mark.slow
 def test_cluster_map_transport_appendable_roundtrip(spark, tmp_path):
     """The cluster map ships WITH its match artifacts, so the
     destination warehouse appends new batches without reclustering —
@@ -249,6 +250,7 @@ def test_cluster_map_transport_appendable_roundtrip(spark, tmp_path):
     assert prod_eng.fsck()["healthy"]
 
 
+@pytest.mark.slow
 def test_retired_cluster_map_transport(spark, tmp_path):
     """A map carrying retirement tombstones travels whole: the
     destination serves the retired view, keeps appending exactly, and

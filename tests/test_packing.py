@@ -169,6 +169,7 @@ docs_st = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(
     max_examples=20,
     deadline=None,

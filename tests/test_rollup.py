@@ -203,6 +203,7 @@ ingest_st = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(
     max_examples=6,
     deadline=None,

@@ -84,6 +84,7 @@ def engine(spark, tmp_path):
     return eng
 
 
+@pytest.mark.slow
 def test_ecdf_retire_equals_rebuild_on_survivors(spark, engine, tmp_path):
     eng = engine
     doomed = [1, 4, 13, 18]
@@ -109,6 +110,7 @@ def test_ecdf_retire_equals_rebuild_on_survivors(spark, engine, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_append_after_retire_stays_exact(spark, engine, tmp_path):
     eng = engine
     eng.retire_documents("docs", ids=[0, 7, 15])
@@ -129,6 +131,7 @@ def test_append_after_retire_stays_exact(spark, engine, tmp_path):
     assert _hist_rows(eng.ecdf_store("lens")) == _hist_rows(expected)
 
 
+@pytest.mark.slow
 def test_rollup_retire_equals_survivor_groupby(spark, engine):
     eng = engine
     report = eng.retire_documents("docs", ids=[2, 3, 14])
@@ -196,6 +199,7 @@ def test_profile_retire_equals_survivor_rebuild(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_sketch_flagged_stale_until_rebuild(spark, engine):
     eng = engine
     report = eng.retire_documents("docs", ids=[6])
@@ -251,6 +255,7 @@ def test_multiprofile_ecdf_retire_equals_rebuild(spark, tmp_path):
         assert g == w, p
 
 
+@pytest.mark.slow
 def test_double_and_sequential_retires_stay_exact(spark, engine, tmp_path):
     """Two hazards pinned: re-retiring an id before the purge must NOT
     double-subtract its counters, and a SECOND takedown's rollup

@@ -95,6 +95,7 @@ def _served_ids(eng, table):
     )
 
 
+@pytest.mark.slow
 def test_retire_reaches_query_stage_and_maintain(engine):
     eng = engine
     assert _served_ids(eng, "t0") == list(range(10))
@@ -161,6 +162,7 @@ def test_retire_reaches_query_stage_and_maintain(engine):
     assert rep2 == {"purged_tables": [], "segments_cleared": 0}
 
 
+@pytest.mark.slow
 def test_reingest_after_retire_serves_new_row(engine):
     eng = engine
     eng.retire_documents("docs", ids=[5])
@@ -183,6 +185,7 @@ def test_reingest_after_retire_serves_new_row(engine):
     assert 5 not in _served_ids(eng, "t0")
 
 
+@pytest.mark.slow
 def test_predicate_purge_is_frame_native_and_consistent(engine):
     """A metadata purge of a ~30% slice: the doomed set resolves once
     into the takedown artifact and every store retires exactly that
@@ -226,6 +229,7 @@ def test_predicate_purge_is_frame_native_and_consistent(engine):
     assert eng.fsck()["error"] == 0
 
 
+@pytest.mark.slow
 def test_fsck_flags_takedown_damage(engine, tmp_path):
     eng = engine
     eng.retire_documents("docs", ids=[1])
@@ -309,6 +313,7 @@ def test_predicate_retirement_resolves_via_warehouse(spark, tmp_path):
     assert eng.fsck()["error"] == 0
 
 
+@pytest.mark.slow
 def test_takedown_applies_to_as_of_time_travel(spark, engine):
     """A takedown erases HISTORY too: staging an as-of snapshot from
     before the retirement still excludes the retired rows (the
@@ -349,6 +354,7 @@ def test_retire_cli_with_warehouse_predicate(spark, tmp_path, capsys):
     ) == [i for i in range(9) if i % 3]
 
 
+@pytest.mark.slow
 def test_randomized_ingest_retire_stage_maintain_interleave(spark, tmp_path):
     """Property: any interleave of (dedup ingest, retire, stage,
     maintain) serves exactly the driver-side survivor model — the
@@ -407,6 +413,7 @@ def test_randomized_ingest_retire_stage_maintain_interleave(spark, tmp_path):
     assert raw_ids == set(live)
 
 
+@pytest.mark.slow
 def test_fully_retired_table_purges_to_empty(spark, engine):
     """Retiring EVERY row of a table: stage drops the table from prod
     (zero-row winner), maintain rewrites its raw partition to an

@@ -226,6 +226,7 @@ def test_delete_equals_rebuild_bit_identically(spark, docs, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_delete_compact_and_reappend_cycle(spark, docs, tmp_path):
     """Compaction applies tombstones physically (rows gone, stats
     exact, deltas folded); re-appending a retired doc serves the new
@@ -311,6 +312,7 @@ def test_batch_bm25_matches_single_query_and_guards(spark, docs, tmp_path):
         idx.batch_bm25_topk(qdf.where(F.lit(False)))
 
 
+@pytest.mark.slow
 def test_filtered_bm25_restrict_then_rank(spark, docs, tmp_path):
     """meta_cols denormalize onto the postings; a predicate restricts
     the candidate pool scan-side while scores stay global BM25 —
@@ -354,6 +356,7 @@ def test_filtered_bm25_restrict_then_rank(spark, docs, tmp_path):
     assert up.entry["version"] == 2
 
 
+@pytest.mark.slow
 def test_phrase_search_exact_and_guards(spark, docs, tmp_path):
     """Positional postings: phrase_topk counts exact consecutive-token
     occurrences (verified against a brute-force scan), works across
@@ -446,6 +449,7 @@ def test_conjunctive_and_proximity(spark, docs, tmp_path):
         idx.proximity_topk(terms, window=0)
 
 
+@pytest.mark.slow
 def test_predicate_delete_and_cli_modes(spark, docs, tmp_path, capsys):
     """delete by meta predicate (lexical twin of the vector side's);
     CLI serves phrase/proximity/conjunctive modes."""
@@ -661,6 +665,7 @@ def test_token_stats_flags_stopwords(spark, tmp_path):
     assert max(bstats[b] for b in hot) >= n
 
 
+@pytest.mark.slow
 def test_df_capped_build_exactness_contract(spark, tmp_path):
     """A max_df_ratio build drops stopword postings but keeps BM25 of
     SURVIVING terms bit-identical to the uncapped index (stats come

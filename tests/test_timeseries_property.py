@@ -93,6 +93,7 @@ comp_edges_st = st.lists(
 )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "driver_threshold",
     [5_000_000, 0],

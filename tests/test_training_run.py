@@ -264,6 +264,7 @@ def test_dedup_aware_release_packs_only_canonicals(spark, tmp_path):
     assert all(v == "ok" for v in run.verify().values())
 
 
+@pytest.mark.slow
 def test_release_after_takedown_reelects_next_best(spark, tmp_path):
     """Takedowns compose with releases: retiring a cluster's stored
     canonical removes it from the map's members, so the next release
