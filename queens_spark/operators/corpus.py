@@ -718,7 +718,10 @@ def kneser_ney_bigram_lm(
     """
     from queens_spark.operators.dedup import _persist
 
-    pos = _persist(_bigram_positions(df, text_col, id_col))
+    # positions feed ONLY the c2 aggregation here (unlike
+    # lm_doc_scores, where they also join back for scoring) — caching
+    # them would build a corpus-width cache for a single consumer
+    pos = _bigram_positions(df, text_col, id_col)
     c2 = _persist(
         pos.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     )
