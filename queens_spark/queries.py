@@ -204,6 +204,51 @@ def _dec(col, scale: int = 2):
     return F.col(col).cast(f"decimal(18,{scale})")
 
 
+#: _barrier() persists a multi-consumer derived frame only above this
+#: source footprint. Below it the duplicated subtree (a pruned scan +
+#: map-side agg per extra consumer) is cheaper than a columnar cache
+#: build — measured solo at sf0.1: persisting these frames cost +9% to
+#: +50% per query. Above it a duplicate corpus scan dominates any
+#: user-width cache build, so the barrier flips on. Overridable for
+#: deployments whose storage/memory ratio differs.
+_BARRIER_MIN_SRC_BYTES = 256 * 1024 * 1024
+
+
+def _barrier(df: DataFrame, sf_dir: str, table: str) -> DataFrame:
+    """Size-gated persist for a derived frame with several consumers.
+
+    Without a barrier, every reference to the frame re-runs its whole
+    upstream (scan included); runtime exchange reuse does NOT recover
+    the duplicates here (join-side null filters make the subtrees
+    non-identical). Whether the barrier pays depends on the source
+    size — the decision reads the parquet footprint (os.stat, the
+    load() pattern), so the same code is a no-op on a small input and
+    a single-computation barrier on a 100 TB one. Results are
+    identical either way (persist is semantics-free)."""
+    import os as _os
+
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        if _os.path.isdir(path):
+            size = sum(
+                e.stat().st_size for e in _os.scandir(path) if e.is_file()
+            )
+        else:
+            size = _os.path.getsize(path)
+    except OSError:
+        size = 0
+    threshold = int(
+        _os.environ.get(
+            "QS_BARRIER_MIN_SRC_BYTES", str(_BARRIER_MIN_SRC_BYTES)
+        )
+    )
+    if size >= threshold:
+        from queens_spark.operators.dedup import _persist
+
+        return _persist(df)
+    return df
+
+
 # =====================================================================
 # Aggregations (SURVEY §2.4) + scan/filter pushdown (S3/S4)
 # =====================================================================
@@ -2742,7 +2787,11 @@ def q72_cms_heavy_hitters(spark, sf_dir):
     sketches sum into a corpus sketch without re-reading tokens, where
     exact counting shuffles the whole vocabulary; estimates only ever
     over-count (bounded by 2N/w per row). Probe joins broadcast the
-    4096-row sketch (see operators/sketches.py cms_*)."""
+    4096-row sketch (see operators/sketches.py cms_*). vocab feeds two
+    consumers, but its corpus-width token-count exchange is reused at
+    runtime (verified: 2 ReusedExchange in the executed plan), so only
+    the vocab-width top-k duplicates — a persist barrier here measured
+    +27% solo at sf0.1 and was dropped."""
     from queens_spark.operators.sketches import cms_build, cms_probe
     from queens_spark.operators.text import tokens as _tokens
 
@@ -2924,12 +2973,16 @@ def q75_event_funnel(spark, sf_dir):
     aggregation per user, re-joined to purchases on the user key (one
     shuffle each side; at 100 TB both sides hash-join on user_id and
     the residual time predicates filter in the join), then scalar
-    counts. Conversion emitted in integer basis points."""
+    counts. Conversion emitted in integer basis points. The first-view
+    frame feeds two consumers (the purchase join and its own count),
+    so the user-width frame rides the size-gated _barrier — two corpus
+    scans, not three, once the corpus outgrows the cache-build cost."""
     ev = load(spark, sf_dir, "events")
-    v = (
+    v = _barrier(
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
-        .agg(F.min("ts").alias("first_view"))
+        .agg(F.min("ts").alias("first_view")),
+        sf_dir, "events",
     )
     p = (
         v.join(
@@ -10659,6 +10712,37 @@ def _funnel_oracle() -> str:
     """
 
 
+def _funnel_steps_from_counts(n, s1: str, s2: str, s3: str):
+    """Unfold the single-row (n1, n2, n3) counts frame into the three
+    step rows with ONE reference to it: an inline array-of-structs
+    explode. Re-selecting the frame once per step (the obvious union)
+    plans its whole upstream chain three times — a 3× corpus-scan
+    blowup the runtime's exchange reuse does not fully recover."""
+    rows = F.array(
+        F.struct(
+            F.lit(1).cast("int").alias("step"),
+            F.lit(s1).alias("event_type"),
+            F.col("n1").alias("n_users"),
+            F.lit(10000).cast("bigint").alias("conv_bp"),
+        ),
+        F.struct(
+            F.lit(2).cast("int").alias("step"),
+            F.lit(s2).alias("event_type"),
+            F.col("n2").alias("n_users"),
+            F.when(F.col("n1") > 0, F.expr("n2 * 10000 div n1"))
+            .otherwise(F.lit(0)).cast("bigint").alias("conv_bp"),
+        ),
+        F.struct(
+            F.lit(3).cast("int").alias("step"),
+            F.lit(s3).alias("event_type"),
+            F.col("n3").alias("n_users"),
+            F.when(F.col("n2") > 0, F.expr("n3 * 10000 div n2"))
+            .otherwise(F.lit(0)).cast("bigint").alias("conv_bp"),
+        ),
+    )
+    return n.select(F.explode(rows).alias("r")).select("r.*")
+
+
 @register("q198_funnel_conversion", _funnel_oracle())
 def q198_funnel_conversion(spark, sf_dir):
     """Strict-order funnel (view → click → purchase): a user reaches
@@ -10671,20 +10755,28 @@ def q198_funnel_conversion(spark, sf_dir):
     result frame. Conversion is exact integer basis points per step.
     At 100 TB: each stage shuffles one (user, ts) row per qualifying
     user; the event scans are type-pruned; nothing corpus-scale ever
-    sorts."""
+    sorts. a1/a2 feed two consumers each (the next stage's join and
+    their own count), so the user-width frames go through the
+    size-gated _barrier — without it every re-reference re-runs its
+    whole upstream chain (at corpus scale: 18 events scans in the
+    naive plan; 3 with the barrier on). The single-reference counts
+    unfold (_funnel_steps_from_counts) is unconditional: it removes
+    the 3× plan fan-out at zero cost."""
     ev = load(spark, sf_dir, "events")
     s1, s2, s3 = _FUNNEL_STEPS
-    a1 = (
+    a1 = _barrier(
         ev.where(F.col("event_type") == s1)
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+        .agg(F.min("ts").alias("t1")),
+        sf_dir, "events",
     )
-    a2 = (
+    a2 = _barrier(
         ev.where(F.col("event_type") == s2)
         .join(a1, "user_id")
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+        .agg(F.min("ts").alias("t2")),
+        sf_dir, "events",
     )
     a3 = (
         ev.where(F.col("event_type") == s3)
@@ -10698,29 +10790,7 @@ def q198_funnel_conversion(spark, sf_dir):
         .crossJoin(a2.agg(F.count(F.lit(1)).cast("bigint").alias("n2")))
         .crossJoin(a3.agg(F.count(F.lit(1)).cast("bigint").alias("n3")))
     )
-    steps = [
-        (1, s1, F.col("n1"), F.lit(10000).cast("bigint")),
-        (
-            2, s2, F.col("n2"),
-            F.when(F.col("n1") > 0, F.expr("n2 * 10000 div n1"))
-            .otherwise(F.lit(0)).cast("bigint"),
-        ),
-        (
-            3, s3, F.col("n3"),
-            F.when(F.col("n2") > 0, F.expr("n3 * 10000 div n2"))
-            .otherwise(F.lit(0)).cast("bigint"),
-        ),
-    ]
-    out = None
-    for step, name, users, conv in steps:
-        row = n.select(
-            F.lit(step).cast("int").alias("step"),
-            F.lit(name).alias("event_type"),
-            users.alias("n_users"),
-            conv.alias("conv_bp"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    return _funnel_steps_from_counts(n, s1, s2, s3)
 
 
 _RETENTION_OFFSETS = [1, 3, 7]
@@ -10761,11 +10831,19 @@ def q199_cohort_retention(spark, sf_dir):
     aggregation; activity collapses to distinct (user, day) BEFORE the
     cohort join (the corpus-width dedup happens map-side-combinable,
     never a per-user sort); retention is exact integer basis points.
-    At 100 TB: two user-width shuffles + one counter-width join —
-    cohort frames are days×offsets rows."""
+    first_day feeds two consumers (cohort and the hits join); without
+    a barrier each reference re-runs its corpus scan AND corpus-width
+    shuffle (runtime exchange reuse does not fire — the join side's
+    null-filter makes the subtrees non-identical), so the user-width
+    frame rides the size-gated _barrier. Persisting the wider activity
+    frame as well was measured 2× worse solo at sf0.1 (cache build >
+    the pruned re-scan it saves) and dropped."""
     ev = load(spark, sf_dir, "events")
-    first_day = ev.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("cohort_day")
+    first_day = _barrier(
+        ev.groupBy("user_id").agg(
+            F.min(F.to_date("ts")).alias("cohort_day")
+        ),
+        sf_dir, "events",
     )
     cohort = first_day.groupBy("cohort_day").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cohort")
@@ -10917,18 +10995,20 @@ def q201_funnel_windowed(spark, sf_dir):
     one extra pushed-down range predicate on the already-joined
     (user, prev_ts) frame, so the 100 TB posture is unchanged:
     type-pruned scans, per-user min-aggs, three single-row broadcast
-    joins, no corpus sort. The streaming twin is funnel_progress
-    (streaming/events.py) — same steps, same window, state evicted
-    once a user's horizon passes."""
+    joins, no corpus sort. a1/a2 ride the size-gated _barrier for the
+    same reason as q198's (two consumers each). The streaming twin is
+    funnel_progress (streaming/events.py) — same steps, same window,
+    state evicted once a user's horizon passes."""
     ev = load(spark, sf_dir, "events")
     s1, s2, s3 = _FUNNEL_STEPS
     w = _FUNNEL_WINDOW_HOURS
-    a1 = (
+    a1 = _barrier(
         ev.where(F.col("event_type") == s1)
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+        .agg(F.min("ts").alias("t1")),
+        sf_dir, "events",
     )
-    a2 = (
+    a2 = _barrier(
         ev.where(F.col("event_type") == s2)
         .join(a1, "user_id")
         .where(
@@ -10936,7 +11016,8 @@ def q201_funnel_windowed(spark, sf_dir):
             & (F.col("ts") <= F.col("t1") + F.expr(f"INTERVAL {w} HOURS"))
         )
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+        .agg(F.min("ts").alias("t2")),
+        sf_dir, "events",
     )
     a3 = (
         ev.where(F.col("event_type") == s3)
@@ -10953,29 +11034,7 @@ def q201_funnel_windowed(spark, sf_dir):
         .crossJoin(a2.agg(F.count(F.lit(1)).cast("bigint").alias("n2")))
         .crossJoin(a3.agg(F.count(F.lit(1)).cast("bigint").alias("n3")))
     )
-    steps = [
-        (1, s1, F.col("n1"), F.lit(10000).cast("bigint")),
-        (
-            2, s2, F.col("n2"),
-            F.when(F.col("n1") > 0, F.expr("n2 * 10000 div n1"))
-            .otherwise(F.lit(0)).cast("bigint"),
-        ),
-        (
-            3, s3, F.col("n3"),
-            F.when(F.col("n2") > 0, F.expr("n3 * 10000 div n2"))
-            .otherwise(F.lit(0)).cast("bigint"),
-        ),
-    ]
-    out = None
-    for step, name, users, conv in steps:
-        row = n.select(
-            F.lit(step).cast("int").alias("step"),
-            F.lit(name).alias("event_type"),
-            users.alias("n_users"),
-            conv.alias("conv_bp"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    return _funnel_steps_from_counts(n, s1, s2, s3)
 
 
 def _stream_funnel_oracle() -> str:
@@ -11088,7 +11147,11 @@ def q203_time_to_convert(spark, sf_dir):
     per-step running sum over the DISTINCT-dt frame — bounded by the
     user count, never a corpus sort), the mean is an exact integer
     div. Scale shape: the step frames are q198's user-width min-agg
-    chains; everything after is counter-width."""
+    chains; everything after is counter-width. Each step CARRIES the
+    previous step's timestamp through its own aggregation (t-prev is
+    constant per user under the join, so min() re-selects it exactly),
+    which removes both user-width join-backs the dt projection would
+    otherwise need."""
     ev = load(spark, sf_dir, "events")
     s1, s2, s3 = _FUNNEL_STEPS
     a1 = (
@@ -11099,20 +11162,22 @@ def q203_time_to_convert(spark, sf_dir):
         ev.where(F.col("event_type") == s2)
         .join(a1, "user_id")
         .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
     )
     a3 = (
         ev.where(F.col("event_type") == s3)
-        .join(a2, "user_id")
+        .join(a2.select("user_id", "t2"), "user_id")
         .where(F.col("ts") > F.col("t2"))
-        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2"))
     )
-    d2 = a2.join(a1, "user_id").select(
+    d2 = a2.select(
         F.lit(2).cast("int").alias("step"),
         (F.col("t2").cast("long") - F.col("t1").cast("long"))
         .cast("bigint").alias("dt_s"),
     )
-    d3 = a3.join(a2, "user_id").select(
+    d3 = a3.select(
         F.lit(3).cast("int").alias("step"),
         (F.col("t3").cast("long") - F.col("t2").cast("long"))
         .cast("bigint").alias("dt_s"),
@@ -11238,7 +11303,12 @@ def q205_rolling_actives(spark, sf_dir):
     combinable, user×day width — and the rolling window is a range
     join of that collapsed frame against the DISTINCT day list (days
     are calendar-width, so the join fans each activity row out at
-    most 7×, never a corpus blow-up). Exact integer basis points."""
+    most 7×, never a corpus blow-up). Exact integer basis points.
+    activity feeds two consumers (the day list and the range join);
+    the day branch's copy prunes to the single ts column and collapses
+    map-side to calendar width, so the duplicate is cheaper than a
+    cluster-wide cache of the user×day frame at any scale (a persist
+    barrier here measured 2× worse solo at sf0.1 and was dropped)."""
     ev = load(spark, sf_dir, "events")
     activity = ev.select(
         "user_id", F.to_date("ts").alias("day")
@@ -11312,13 +11382,16 @@ def q206_capped_sessionization(spark, sf_dir):
     aggregation, the semi-join, and the window all key on user_id —
     AQE reuses the partitioning, and the quarantine side adds no
     corpus-scale work. The per-user-cap frame carries NO broadcast
-    hint: at 100 TB the user dimension itself is large."""
+    hint: at 100 TB the user dimension itself is large. counts feeds
+    two consumers (the cap filter and the final rollup join), so the
+    user-width frame rides the size-gated _barrier — two corpus scans,
+    not three, once the corpus outgrows the cache-build cost."""
     ev = load(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id").agg(
+    counts = _barrier(ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("bigint"))
         .cast("bigint").alias("value_cents"),
-    )
+    ), sf_dir, "events")
     normal = counts.where(
         F.col("n_events") <= _SESSION_USER_CAP
     ).select("user_id")

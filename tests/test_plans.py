@@ -736,3 +736,45 @@ def test_rank_family_reuses_the_range_exchange(spark):
         frame.collect()
         executed = frame._jdf.queryExecution().executedPlan().toString()
         assert "ReusedExchange" in executed, executed
+
+
+def test_barrier_gate_is_a_noop_small_and_persists_large(spark, monkeypatch):
+    """queries._barrier: below the source-size threshold it must
+    return the frame UNTOUCHED (the bench shape — a cache build costs
+    more than the duplicated pruned subtree at small inputs, measured
+    +9..+50% solo at sf0.1); above it the frame must come back
+    persisted (at corpus scale a duplicate scan dominates any
+    user-width cache). Both modes must serve identical rows — pinned
+    here on a funnel query, the family that motivated the gate."""
+    from queens_spark.queries import QUERIES, _barrier, load
+
+    ev = load(spark, SF_DIR, "events")
+    small = _barrier(ev.groupBy("user_id").count(), SF_DIR, "events")
+    assert small.storageLevel.useMemory is False  # gate off: no-op
+
+    monkeypatch.setenv("QS_BARRIER_MIN_SRC_BYTES", "0")
+    big = _barrier(ev.groupBy("user_id").count(), SF_DIR, "events")
+    try:
+        assert big.storageLevel.useMemory is True  # gate on: persisted
+
+        baseline = sorted(
+            tuple(r) for r in QUERIES["q198_funnel_conversion"](
+                spark, SF_DIR
+            ).collect()
+        )
+        monkeypatch.delenv("QS_BARRIER_MIN_SRC_BYTES")
+        monkeypatch.setenv("QS_BARRIER_MIN_SRC_BYTES", "0")
+        gated = sorted(
+            tuple(r) for r in QUERIES["q198_funnel_conversion"](
+                spark, SF_DIR
+            ).collect()
+        )
+        monkeypatch.delenv("QS_BARRIER_MIN_SRC_BYTES")
+        ungated = sorted(
+            tuple(r) for r in QUERIES["q198_funnel_conversion"](
+                spark, SF_DIR
+            ).collect()
+        )
+        assert gated == ungated == baseline
+    finally:
+        spark.catalog.clearCache()
