@@ -733,7 +733,8 @@ def kmeans_refine(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    centroid_ids: list[int],
+    centroid_ids: list[int] | None = None,
+    centroids_pred: Column | None = None,
 ) -> DataFrame:
     """One Lloyd's iteration of k-means in pure DataFrame ops — the
     distributed training loop for IVF coarse quantizers: seed
@@ -753,9 +754,24 @@ def kmeans_refine(
     Determinism across engines: means are SUM(int64)/COUNT in one
     double division; dots fold left in dimension order, so the DuckDB
     oracle reproduces cosines bit-for-bit.
+
+    Seeds come either from *centroid_ids* (explicit list) or from
+    *centroids_pred* — a predicate over df's id column that selects
+    the seed rows LAZILY (the :func:`coarse_centroids` pattern):
+    collecting the ids first costs a corpus scan at plan build plus an
+    ``isin()`` literal that grows with the corpus.
     """
+    if centroids_pred is not None:
+        cents_df = coarse_centroids(df, vec_col, id_col, centroids_pred)
+        assigned0 = ivf_assign(
+            df, vec_col, id_col, centroids_df=cents_df
+        )
+    elif centroid_ids is not None:
+        assigned0 = ivf_assign(df, vec_col, id_col, centroid_ids)
+    else:
+        raise ValueError("need centroid_ids or centroids_pred")
     q = df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("q"))
-    assigned0 = ivf_assign(df, vec_col, id_col, centroid_ids).select(
+    assigned0 = assigned0.select(
         F.col(id_col).alias("id"), F.col("centroid_id").alias("c0")
     )
     exploded = (

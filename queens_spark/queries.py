@@ -2179,9 +2179,13 @@ def q57_kmeans_refine(spark, sf_dir):
     from queens_spark.operators.similarity import kmeans_refine
 
     emb = load(spark, sf_dir, "embeddings")
-    cents = [r[0] for r in emb.where(F.col("vec_id") % 200 == 0)
-             .select("vec_id").collect()]
-    return kmeans_refine(emb, "embedding", "vec_id", cents)
+    # Lazy seed pick (vec_id % 200 == 0): collecting the id list first
+    # costs a corpus scan at plan build and an isin() literal that
+    # grows with n — the q33 coarse_centroids pattern applies here too.
+    return kmeans_refine(
+        emb, "embedding", "vec_id",
+        centroids_pred=F.col("vec_id") % 200 == 0,
+    )
 
 
 @register(

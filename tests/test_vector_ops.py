@@ -638,3 +638,31 @@ def test_pca_fit_project_whiten(spark):
     # n_components selects the top of the spectrum
     _, W2, lam2 = pca_fit(df, "embedding", n_components=2)
     assert W2.shape == (3, 2) and list(lam2) == list(lam[:2])
+
+
+def test_kmeans_refine_lazy_seed_pred_matches_id_list(spark):
+    """kmeans_refine's centroids_pred path (lazy seed frame — no
+    plan-build corpus collect) must reproduce the centroid_ids path
+    row for row: the pred selects exactly the rows whose ids the list
+    names, and everything downstream is shared code."""
+    import random
+
+    from queens_spark.operators.similarity import kmeans_refine
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.randint(-50, 50) for _ in range(8)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<int>")
+    from pyspark.sql import functions as F
+
+    by_list = kmeans_refine(
+        df, "embedding", "vec_id", [i for i in range(0, 120, 40)]
+    )
+    by_pred = kmeans_refine(
+        df, "embedding", "vec_id",
+        centroids_pred=F.col("vec_id") % 40 == 0,
+    )
+    assert sorted(map(tuple, by_list.collect())) == sorted(
+        map(tuple, by_pred.collect())
+    )
