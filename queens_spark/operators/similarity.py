@@ -988,8 +988,9 @@ def train_coarse_centroids(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    centroid_ids: list[int],
+    centroid_ids: list[int] | None = None,
     iters: int = 1,
+    centroids_pred: Column | None = None,
 ) -> list[tuple[int, list[int]]]:
     """Integer Lloyd training for the IVF COARSE quantizer — the
     missing half of the cell_stats() audit: caller-picked seed cells
@@ -1020,8 +1021,18 @@ def train_coarse_centroids(
 
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if centroids_pred is not None:
+        seed_filter = centroids_pred
+    elif centroid_ids is not None:
+        # explicit-list path; prefer centroids_pred where the ids come
+        # from a predicate anyway — collecting them first costs a
+        # corpus scan at plan build plus an isin() literal that grows
+        # with the corpus
+        seed_filter = F.col(id_col).isin([int(c) for c in centroid_ids])
+    else:
+        raise ValueError("need centroid_ids or centroids_pred")
     seed_rows = (
-        df.where(F.col(id_col).isin([int(c) for c in centroid_ids]))
+        df.where(seed_filter)
         .select(F.col(id_col).alias("cid"), quantize(vec_col).alias("cq"))
         .orderBy("cid")
         .collect()

@@ -5781,14 +5781,12 @@ def q120_trained_ivf_cells(spark, sf_dir):
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    cent_ids = [
-        r[0]
-        for r in emb.where(F.col("vec_id") % 200 == 0)
-        .select("vec_id")
-        .collect()
-    ]
+    # Lazy seed pick (vec_id % 200 == 0): collecting the id list first
+    # costs a corpus scan at plan build and an isin() literal that
+    # grows with n (the q33/q57 coarse-centroids convention).
     trained = train_coarse_centroids(
-        emb, "embedding", "vec_id", cent_ids, iters=2
+        emb, "embedding", "vec_id", iters=2,
+        centroids_pred=F.col("vec_id") % 200 == 0,
     )
     cents_df = spark.createDataFrame(
         [(cid, cq, sum(x * x for x in cq)) for cid, cq in trained],

@@ -666,3 +666,28 @@ def test_kmeans_refine_lazy_seed_pred_matches_id_list(spark):
     assert sorted(map(tuple, by_list.collect())) == sorted(
         map(tuple, by_pred.collect())
     )
+
+
+def test_train_coarse_centroids_pred_matches_id_list(spark):
+    """train_coarse_centroids' centroids_pred path (lazy seed filter —
+    no plan-build id collect) must reproduce the centroid_ids path
+    exactly: both resolve to the same seed rows and the training loop
+    is shared code."""
+    import random
+
+    from queens_spark.operators.similarity import train_coarse_centroids
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.randint(-50, 50) or 1 for _ in range(6)])
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<int>")
+    by_list = train_coarse_centroids(
+        df, "embedding", "vec_id", [0, 30, 60], iters=2
+    )
+    by_pred = train_coarse_centroids(
+        df, "embedding", "vec_id", iters=2,
+        centroids_pred=F.col("vec_id") % 30 == 0,
+    )
+    assert by_list == by_pred
